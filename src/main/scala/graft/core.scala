@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One engine capability: a Spark query over a testdata sf directory plus an
+  * optional ANSI-SQL oracle (DuckDB-runnable) computing the same result.
+  *
+  * Contract (driver compare): column names must match between `run` output
+  * and oracle SQL; aggregates are made partition-order-deterministic (money
+  * sums via DECIMAL, ratios rounded) so hashes match across engines.
+  */
+final case class GraftQuery(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+)
+
+/** Typed loaders for the benchmark tables. Parquet carries its own schema;
+  * loaders centralize paths so every operator reads through one place
+  * (at cluster scale this is where bucketing / DataSourceV2 options live).
+  */
+object Tables {
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame = t(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = t(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = t(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = t(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = t(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = t(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame = t(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+}
+
+/** Session factory with the engine's scale-oriented defaults. Local tests use
+  * local[*]; on a cluster the same confs apply (AQE re-plans shuffle counts,
+  * skew joins, and converts sort-merge to broadcast at runtime).
+  */
+object GraftSession {
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val b = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", math.max(cores, 8).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .config("spark.ui.enabled", "false")
+    b.getOrCreate()
+  }
+}

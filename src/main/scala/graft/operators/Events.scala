@@ -1,0 +1,26 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampType}
+import graft.Tables
+
+/** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's parquet
+  * reader only surfaces as a raw long (spark.sql.legacy.parquet.nanosAsLong
+  * — set by GraftSession/Verify/Bench). This helper normalizes `ts` to a
+  * microsecond TimestampType column so every downstream operator sees one
+  * schema. DuckDB truncates ns→us the same way (floor division, positive
+  * epochs), so oracle comparisons line up.
+  */
+object Events {
+  def withEventTime(s: SparkSession, d: String): DataFrame = {
+    val raw = Tables.events(s, d)
+    raw.schema("ts").dataType match {
+      // Integer division (DIV) — ns epochs exceed double's 53-bit mantissa,
+      // so a float divide here would corrupt timestamps.
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampType => raw
+      case other => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
+  }
+}

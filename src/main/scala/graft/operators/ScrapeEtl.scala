@@ -1,0 +1,235 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
+import graft.{GraftQuery, Tables}
+import RelationalCore.{dsum, davg}
+
+/** The reference pipeline's transforms, re-expressed as distributed
+  * declarative plans (reference: scrap_tokopedia.py):
+  *  - price string "Rp1.234.567" -> bigint (line 256, 258)
+  *  - discount "25%" -> fraction (line 262)
+  *  - page/record validity filtering (is_page_empty line 211,
+  *    invalid-product shadow markers lines 199-203)
+  *  - latest-record snapshots & idempotent re-loads (the Postgres table the
+  *    pipeline appends into, lines 279-297)
+  *  - semi-structured field extraction (the (tag,attrs) HTML select,
+  *    lines 50-73 — JSON path extraction is the columnar analog)
+  *  - sessionization/funnel over event streams (the crawl loop's
+  *    page-by-page state, re-cast as event-time analytics)
+  */
+object ScrapeEtl {
+
+  val q20 = GraftQuery(
+    "q20_price_parse",
+    (s, d) => {
+      // Round-trip the reference's display format: format an IDR price the
+      // way Tokopedia renders it, then parse it back exactly as
+      // scrap_tokopedia.py:256/262 does (strip "Rp", drop thousand dots;
+      // strip "%", /100). All codegen'd string expressions — no UDF.
+      Tables.part(s, d)
+        .select(
+          col("p_partkey"),
+          concat(lit("Rp"), regexp_replace(format_number(floor(col("p_retailprice") * 1000).cast(LongType), 0), ",", ".")).as("price_str"),
+          concat(col("p_size").cast("string"), lit("%")).as("disc_str"),
+        )
+        .withColumn("price_parsed", regexp_replace(regexp_replace(col("price_str"), "Rp", ""), "\\.", "").cast(LongType))
+        .withColumn("disc_parsed", regexp_replace(col("disc_str"), "%", "").cast("double") / 100)
+        .orderBy("p_partkey")
+    },
+    Some("""SELECT p_partkey, price_str, disc_str,
+      CAST(REPLACE(REPLACE(price_str, 'Rp', ''), '.', '') AS BIGINT) AS price_parsed,
+      CAST(REPLACE(disc_str, '%', '') AS DOUBLE) / 100 AS disc_parsed
+      FROM (
+        SELECT p_partkey,
+          'Rp' || REPLACE(format('{:,}', CAST(FLOOR(p_retailprice * 1000) AS BIGINT)), ',', '.') AS price_str,
+          CAST(p_size AS VARCHAR) || '%' AS disc_str
+        FROM part) t
+      ORDER BY p_partkey"""),
+  )
+
+  val q21 = GraftQuery(
+    "q21_validity_filter",
+    (s, d) => {
+      // is_page_empty analog: a record is valid iff its required fields are
+      // present and the payload is non-trivial; invalid rows are quarantined
+      // (counted, never silently dropped).
+      Tables.documents(s, d)
+        .groupBy("source")
+        .agg(
+          count(when(col("text").isNotNull && col("n_chars") >= 50 && col("lang").isNotNull, lit(1))).as("valid_cnt"),
+          count(when(col("text").isNull || col("n_chars") < 50 || col("lang").isNull, lit(1))).as("invalid_cnt"),
+          count(lit(1)).as("total_cnt"),
+        )
+        .orderBy("source")
+    },
+    Some("""SELECT source,
+      COUNT(CASE WHEN text IS NOT NULL AND n_chars >= 50 AND lang IS NOT NULL THEN 1 END) AS valid_cnt,
+      COUNT(CASE WHEN text IS NULL OR n_chars < 50 OR lang IS NULL THEN 1 END) AS invalid_cnt,
+      COUNT(*) AS total_cnt
+      FROM documents GROUP BY source ORDER BY source"""),
+  )
+
+  val q22 = GraftQuery(
+    "q22_dedupe_latest",
+    (s, d) => {
+      // Latest-record-per-key snapshot (SCD type 1): the query the scraper's
+      // append-only raw table needs to present "current price per product".
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "o_orderdate")
+        .orderBy("o_custkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders) t
+      WHERE rn = 1 ORDER BY o_custkey"""),
+  )
+
+  val q23 = GraftQuery(
+    "q23_json_extract",
+    (s, d) => {
+      // Typed field extraction from a semi-structured column — the columnar
+      // analog of the reference's (tag, attrs) HTML selects.
+      Events.withEventTime(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast(LongType))
+        .groupBy("event_type")
+        .agg(
+          sum(col("k")).as("sum_k"),
+          count(col("k")).as("n_with_k"),
+          davg(col("value")).as("avg_value"),
+        )
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type,
+      SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+      CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_value
+      FROM events GROUP BY event_type ORDER BY event_type"""),
+  )
+
+  val q24 = GraftQuery(
+    "q24_discount_analysis",
+    (s, d) => {
+      // Effective-vs-original price analytics over the scraped price columns
+      // (price, originalprice, discountpercentage in tr_raw_scrap_data).
+      Tables.lineitem(s, d)
+        .withColumn("ship_year", year(col("l_shipdate")))
+        .groupBy("l_returnflag", "ship_year")
+        .agg(
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"),
+          dsum(col("l_extendedprice")).as("original_revenue"),
+          davg(col("l_discount"), 6).as("avg_discount"),
+          count(when(col("l_discount") > 0, lit(1))).as("discounted_rows"),
+        )
+        .orderBy("l_returnflag", "ship_year")
+    },
+    Some("""SELECT l_returnflag, CAST(year(l_shipdate) AS INT) AS ship_year,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS original_revenue,
+      CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_discount,
+      COUNT(CASE WHEN l_discount > 0 THEN 1 END) AS discounted_rows
+      FROM lineitem GROUP BY l_returnflag, year(l_shipdate) ORDER BY l_returnflag, ship_year"""),
+  )
+
+  val q25 = GraftQuery(
+    "q25_sessionize",
+    (s, d) => {
+      // 30-minute-gap sessionization: lag -> new-session flag -> running sum
+      // = session id. Two window passes over one shuffle (same partitioning).
+      val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val ev = Events.withEventTime(s, d)
+        .withColumn("ts_ms", unix_millis(col("ts")))
+        .withColumn("prev_ms", lag(col("ts_ms"), 1).over(byUser))
+        .withColumn("is_new", when(col("prev_ms").isNull || col("ts_ms") - col("prev_ms") > 1800000L, lit(1)).otherwise(lit(0)))
+        .withColumn("session_id", sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      ev.groupBy("user_id", "session_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          ((max(col("ts_ms")) - min(col("ts_ms"))) / 1000.0).as("duration_sec"),
+          davg(col("value")).as("avg_value"),
+        )
+        .orderBy("user_id", "session_id")
+    },
+    Some("""WITH lagged AS (
+        SELECT user_id, event_id, value, epoch_ms(ts) AS ts_ms,
+               LAG(epoch_ms(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+        FROM events),
+      flagged AS (
+        SELECT *, CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 1800000 THEN 1 ELSE 0 END AS is_new
+        FROM lagged),
+      sess AS (
+        SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged)
+      SELECT user_id, session_id, COUNT(*) AS n_events,
+             (MAX(ts_ms) - MIN(ts_ms)) / 1000.0 AS duration_sec,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_value
+      FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id"""),
+  )
+
+  val q26 = GraftQuery(
+    "q26_funnel",
+    (s, d) => {
+      // Ordered funnel: signup -> first click after signup -> first purchase
+      // after that click. One shuffle (groupBy user), flags via min-epoch.
+      val ev = Events.withEventTime(s, d).withColumn("ts_ms", unix_millis(col("ts")))
+      val perUser = ev
+        .groupBy("user_id")
+        .agg(
+          min(when(col("event_type") === "signup", col("ts_ms"))).as("t_signup"),
+          min(when(col("event_type") === "click", col("ts_ms"))).as("t_click"),
+          min(when(col("event_type") === "purchase", col("ts_ms"))).as("t_purchase"),
+        )
+      perUser.agg(
+        count(lit(1)).as("n_users"),
+        count(when(col("t_signup").isNotNull, lit(1))).as("n_signup"),
+        count(when(col("t_signup").isNotNull && col("t_click") > col("t_signup"), lit(1))).as("n_signup_then_click"),
+        count(when(col("t_signup").isNotNull && col("t_click") > col("t_signup") && col("t_purchase") > col("t_click"), lit(1))).as("n_full_funnel"),
+      )
+    },
+    Some("""WITH per_user AS (
+        SELECT user_id,
+          MIN(CASE WHEN event_type = 'signup' THEN epoch_ms(ts) END) AS t_signup,
+          MIN(CASE WHEN event_type = 'click' THEN epoch_ms(ts) END) AS t_click,
+          MIN(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END) AS t_purchase
+        FROM events GROUP BY user_id)
+      SELECT COUNT(*) AS n_users,
+        COUNT(CASE WHEN t_signup IS NOT NULL THEN 1 END) AS n_signup,
+        COUNT(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup THEN 1 END) AS n_signup_then_click,
+        COUNT(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup AND t_purchase > t_click THEN 1 END) AS n_full_funnel
+      FROM per_user"""),
+  )
+
+  val q27 = GraftQuery(
+    "q27_incremental_dedup_load",
+    (s, d) => {
+      // Idempotent re-load: two overlapping extraction batches (the scraper
+      // re-crawls a date range); newest batch wins per natural key. This is
+      // the MERGE the reference's row-at-a-time INSERT cannot do.
+      val o = Tables.orders(s, d)
+      val batch1 = o.filter(col("o_orderdate") < to_timestamp(lit("1999-01-01"))).withColumn("batch", lit(1))
+      val batch2 = o.filter(col("o_orderdate") >= to_timestamp(lit("1998-01-01"))).withColumn("batch", lit(2))
+      val w = Window.partitionBy("o_orderkey").orderBy(col("batch").desc)
+      batch1.unionByName(batch2)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy("batch")
+        .agg(count(lit(1)).as("n_rows"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("batch")
+    },
+    Some("""WITH loads AS (
+        SELECT o_orderkey, o_totalprice, 1 AS batch FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+        UNION ALL
+        SELECT o_orderkey, o_totalprice, 2 AS batch FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'),
+      deduped AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY batch DESC) AS rn FROM loads)
+      SELECT batch, COUNT(*) AS n_rows,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM deduped WHERE rn = 1 GROUP BY batch ORDER BY batch"""),
+  )
+
+  def all: Seq[GraftQuery] = Seq(q20, q21, q22, q23, q24, q25, q26, q27)
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Shared local session for all specs. */
+object TestSession {
+  lazy val spark: SparkSession = GraftSession.local(4)
+}
+
+class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
+  val sf = "/root/testdata/sf0.001"
+  lazy val spark: SparkSession = TestSession.spark
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every registered query runs and returns rows at sf0.001") {
+    val failures = SparkEntry.registry.flatMap { q =>
+      try {
+        val n = q.run(spark, sf).count()
+        if (n > 0) None else Some(s"${q.name}: 0 rows")
+      } catch { case e: Throwable => Some(s"${q.name}: ${e.getMessage}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("q01 aggregates match hand-computed values") {
+    val row = operators.RelationalCore.q01.run(spark, sf).collect().head
+    // l_returnflag/l_linestatus sorted: first group is ("A", "F")
+    assert(row.getString(0) == "A")
+    assert(row.getLong(row.fieldIndex("count_order")) > 0)
+    assert(row.getDouble(row.fieldIndex("sum_qty")) > 0)
+  }
+
+  test("q07 top-n never exceeds 3 per customer") {
+    val df = operators.RelationalCore.q07.run(spark, sf)
+    val mx = df.groupBy("o_custkey").count().agg(org.apache.spark.sql.functions.max("count")).collect()(0).getLong(0)
+    assert(mx <= 3)
+  }
+
+  test("q25 sessionize: session ids start at 1 and events are conserved") {
+    val df = operators.ScrapeEtl.q25.run(spark, sf)
+    import org.apache.spark.sql.functions._
+    val total = df.agg(sum("n_events")).collect()(0).getLong(0)
+    val raw = operators.Events.withEventTime(spark, sf).count()
+    assert(total == raw)
+    assert(df.agg(min("session_id")).collect()(0).getLong(0) == 1L)
+  }
+}

@@ -1,25 +1,37 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Methodology:
+  *  - runs through GraftSession so AQE/broadcast/skew tuning is measured;
+  *  - one untimed warm-up pass (JIT, codegen cache, FS metadata) so the
+  *    first timed query is not charged session start-up;
+  *  - deterministic registry order, comparable across rounds;
+  *  - noop-format write as the action: consumes every row and column and
+  *    does NOT let the optimizer drop final sorts/projections the way a
+  *    bare count() does.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val spark = GraftSession.build(s"local[$cpus]", cpus)
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def run(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+
+    // Warm-up: every query once, untimed.
+    SparkEntry.registry.foreach { q =>
+      try run(q.name, q.run) catch { case _: Throwable => () }
+    }
+
+    val results = SparkEntry.registry.map { q =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try run(q.name, q.run) catch { case _: Throwable => () }
+      q.name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

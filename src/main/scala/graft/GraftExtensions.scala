@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.{Column, SparkSessionExtensions}
+import org.apache.spark.sql.functions.call_function
+
+import graft.functions.CosineSim
+
+/** Engine extension point, installed via spark.sql.extensions (GraftSession
+  * sets it). Registers native expressions as SQL functions so both
+  * `spark.sql("SELECT cosine_sim(a,b)")` and the typed Column helpers work.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(
+      (
+        new FunctionIdentifier("cosine_sim"),
+        new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+        (children: Seq[Expression]) => CosineSim(children(0), children(1)),
+      )
+    )
+  }
+}
+
+/** Typed Column-API surface for the engine's native functions. */
+object gfunctions {
+  /** cosine similarity of two array<float> columns (native codegen'd kernel). */
+  def cosine_sim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+}

@@ -40,19 +40,28 @@ object Tables {
   * skew joins, and converts sort-merge to broadcast at runtime).
   */
 object GraftSession {
-  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+  /** Engine session for any master. On a cluster pass the real master and
+    * size shufflePartitions ~ cores*2.5; locally both mains derive them from
+    * SPARK_GRAFT_CPUS so bench/verify measure the SAME tuned engine users
+    * get (AQE, skew joins, 64 MB broadcast) — never a detuned default build.
+    */
+  def build(master: String, shufflePartitions: Int): SparkSession = {
     val b = SparkSession
       .builder()
-      .master(s"local[$cores]")
+      .master(master)
       .appName("graft")
-      .config("spark.sql.shuffle.partitions", math.max(cores, 8).toString)
+      .config("spark.sql.shuffle.partitions", math.max(shufflePartitions, 8).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
     b.getOrCreate()
   }
+
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession =
+    build(s"local[$cores]", cores)
 }

@@ -36,11 +36,18 @@ object ScrapeEtl {
         )
         .withColumn("price_parsed", regexp_replace(regexp_replace(col("price_str"), "Rp", ""), "\\.", "").cast(LongType))
         .withColumn("disc_parsed", regexp_replace(col("disc_str"), "%", "").cast("double") / 100)
+        // Row-contract stamping (scrap_tokopedia.py:265-266): every loaded row
+        // carries its platform and extraction date. Fixed literal (not now())
+        // so the result is deterministic and oracle-comparable.
+        .withColumn("platform", lit("tokopedia"))
+        .withColumn("createdate", to_date(lit("2025-08-01")))
         .orderBy("p_partkey")
     },
     Some("""SELECT p_partkey, price_str, disc_str,
       CAST(REPLACE(REPLACE(price_str, 'Rp', ''), '.', '') AS BIGINT) AS price_parsed,
-      CAST(REPLACE(disc_str, '%', '') AS DOUBLE) / 100 AS disc_parsed
+      CAST(REPLACE(disc_str, '%', '') AS DOUBLE) / 100 AS disc_parsed,
+      'tokopedia' AS platform,
+      DATE '2025-08-01' AS createdate
       FROM (
         SELECT p_partkey,
           'Rp' || REPLACE(format('{:,}', CAST(FLOOR(p_retailprice * 1000) AS BIGINT)), ',', '.') AS price_str,
@@ -105,7 +112,7 @@ object ScrapeEtl {
         .orderBy("event_type")
     },
     Some("""SELECT event_type,
-      SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_value
       FROM events GROUP BY event_type ORDER BY event_type"""),
@@ -140,7 +147,9 @@ object ScrapeEtl {
     (s, d) => {
       // 30-minute-gap sessionization: lag -> new-session flag -> running sum
       // = session id. Two window passes over one shuffle (same partitioning).
-      val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      // Windows order by (ts_ms, event_id) — the SAME truncated key as the
+      // oracle's CTEs, so sub-millisecond ties sessionize identically.
+      val byUser = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
       val ev = Events.withEventTime(s, d)
         .withColumn("ts_ms", unix_millis(col("ts")))
         .withColumn("prev_ms", lag(col("ts_ms"), 1).over(byUser))
@@ -156,13 +165,13 @@ object ScrapeEtl {
     },
     Some("""WITH lagged AS (
         SELECT user_id, event_id, value, epoch_ms(ts) AS ts_ms,
-               LAG(epoch_ms(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+               LAG(epoch_ms(ts), 1) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev_ms
         FROM events),
       flagged AS (
         SELECT *, CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 1800000 THEN 1 ELSE 0 END AS is_new
         FROM lagged),
       sess AS (
-        SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         FROM flagged)
       SELECT user_id, session_id, COUNT(*) AS n_events,
              (MAX(ts_ms) - MIN(ts_ms)) / 1000.0 AS duration_sec,
@@ -209,13 +218,22 @@ object ScrapeEtl {
       // Idempotent re-load: two overlapping extraction batches (the scraper
       // re-crawls a date range); newest batch wins per natural key. This is
       // the MERGE the reference's row-at-a-time INSERT cannot do.
-      val o = Tables.orders(s, d)
-      val batch1 = o.filter(col("o_orderdate") < to_timestamp(lit("1999-01-01"))).withColumn("batch", lit(1))
-      val batch2 = o.filter(col("o_orderdate") >= to_timestamp(lit("1998-01-01"))).withColumn("batch", lit(2))
-      val w = Window.partitionBy("o_orderkey").orderBy(col("batch").desc)
-      batch1.unionByName(batch2)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+      // Scale shape: ONE scan of orders (batch membership is an expression,
+      // not two reads), batch tags exploded, then newest-wins via max_by —
+      // a hash aggregate with map-side partial agg, no window sort.
+      val b1 = lit("1999-01-01").cast("timestamp")
+      val b2 = lit("1998-01-01").cast("timestamp")
+      val kept = Tables.orders(s, d)
+        .select(
+          col("o_orderkey"), col("o_totalprice"),
+          array_compact(array(
+            when(col("o_orderdate") < b1, lit(1)),
+            when(col("o_orderdate") >= b2, lit(2)))).as("batches"))
+        .select(col("o_orderkey"), col("o_totalprice"), explode(col("batches")).as("batch"))
+        .groupBy("o_orderkey")
+        .agg(max_by(struct(col("batch"), col("o_totalprice")), col("batch")).as("w"))
+      kept
+        .select(col("w.batch").as("batch"), col("w.o_totalprice").as("o_totalprice"))
         .groupBy("batch")
         .agg(count(lit(1)).as("n_rows"), dsum(col("o_totalprice")).as("total"))
         .orderBy("batch")

@@ -38,6 +38,16 @@ for name in sorted(os.listdir(outdir)):
         w = want[wcols].sort_values(wcols).reset_index(drop=True)
         for c in gcols:
             gv, wv = g[c], w[c]
+            # The driver's hash is TYPE-sensitive (e.g. DuckDB HUGEINT vs
+            # Spark BIGINT fails even with equal values) — mimic that here
+            # so the local gate never shows a false green. Integer WIDTHS are
+            # equivalent though (driver r1 passed q07 int32-vs-int64).
+            def canon(dt):
+                s = str(dt)
+                return "int64" if s in ("int8", "int16", "int32", "int64") else s
+            if canon(gv.dtype) != canon(wv.dtype):
+                problems.append(f"col {c} dtype differs: spark={gv.dtype} oracle={wv.dtype}")
+                continue
             try:
                 import pandas as pd
                 if not gv.equals(wv):

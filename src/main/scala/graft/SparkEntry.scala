@@ -8,7 +8,8 @@ object SparkEntry {
   /** Ordered registry of every implemented capability. */
   def registry: Seq[GraftQuery] =
     operators.RelationalCore.all ++
-      operators.ScrapeEtl.all
+      operators.ScrapeEtl.all ++
+      operators.TextAnalysis.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

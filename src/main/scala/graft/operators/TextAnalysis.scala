@@ -1,0 +1,209 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.{GraftQuery, Tables}
+import RelationalCore.davg
+
+/** Text-analysis operators over the `documents` corpus — the signals a
+  * training-data pipeline computes before filtering/dedup (token counts,
+  * quality scores, language ID, fingerprints, shingle stats).
+  *
+  * Design: every per-document computation is a pure column expression
+  * (split/filter/transform/aggregate higher-order functions) — codegen'd,
+  * no UDFs, no shuffle until the final per-source aggregation. At 100 TB
+  * this is embarrassingly parallel map work; the only exchange is the
+  * small groupBy(source) at the end.
+  *
+  * Cross-engine determinism: ratios are computed as ONE division of two
+  * exact integer sums (never averages of per-row doubles), so Spark and
+  * the DuckDB oracle agree bit-for-bit regardless of partition order.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens with empties dropped — matches DuckDB
+    * list_filter(regexp_split_to_array(text,'\s+'), x -> x <> '').
+    */
+  private def toks: Column = filter(split(col("text"), "\\s+"), x => x =!= lit(""))
+
+  /** Word n-gram shingles as a per-row array (no explode needed by callers
+    * that fold over them). Empty array when the doc has < n tokens.
+    */
+  private def shingles(toksCol: Column, n: Int): Column =
+    when(size(toksCol) >= n,
+      transform(sequence(lit(0), size(toksCol) - n),
+        i => concat_ws(" ", slice(toksCol, i + lit(1), lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  // Stopword profiles for the n-gram language guess. Kept tiny and
+  // literal so the oracle SQL can repeat them verbatim.
+  private val enWords = Seq("the", "a", "of", "and", "to", "in", "is")
+  private val deWords = Seq("der", "die", "das", "und", "ist", "mit", "nicht")
+  private val esWords = Seq("el", "los", "y", "que", "por", "con", "para")
+  private val frWords = Seq("le", "les", "et", "est", "dans", "pour", "une")
+
+  private def hits(toksCol: Column, words: Seq[String]): Column =
+    size(filter(toksCol, t => t.isInCollection(words)))
+
+  private def sqlHits(words: Seq[String]): String = {
+    val list = words.map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(toks, x -> x IN ($list)))"
+  }
+
+  val q30 = GraftQuery(
+    "q30_token_count",
+    (s, d) => {
+      Tables.documents(s, d)
+        .select(col("source"), size(toks).as("n_tokens"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens").cast("long")).as("sum_tokens"),
+          davg(col("n_tokens")).as("avg_tokens"),
+          max(col("n_tokens")).as("max_tokens"),
+        )
+        .orderBy("source")
+    },
+    Some("""SELECT source, COUNT(*) AS n_docs,
+      CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+      CAST(SUM(CAST(n_tokens AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_tokens,
+      MAX(n_tokens) AS max_tokens
+      FROM (SELECT source, len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_tokens
+            FROM documents) t
+      GROUP BY source ORDER BY source"""),
+  )
+
+  val q31 = GraftQuery(
+    "q31_quality_score",
+    (s, d) => {
+      // Per-doc integer signals; ratios = one division of exact sums.
+      val perDoc = Tables.documents(s, d).select(
+        col("source"),
+        length(col("text")).cast("long").as("n_chars_m"),
+        size(toks).cast("long").as("n_tokens"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[.,;:!?]", ""))).cast("long").as("n_punct"),
+        (length(col("text")) - length(regexp_replace(col("text"), "\\s", ""))).cast("long").as("n_space"),
+        hits(toks, enWords).cast("long").as("n_stop"),
+      )
+      perDoc
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          (sum(col("n_chars_m") - col("n_space")) / sum(col("n_tokens"))).as("avg_token_len"),
+          (sum(col("n_punct")) / sum(col("n_chars_m"))).as("punct_ratio"),
+          (sum(col("n_stop")) / sum(col("n_tokens"))).as("stopword_ratio"),
+          (sum(when(col("n_tokens") < 30, lit(1L)).otherwise(lit(0L))) / count(lit(1))).as("short_doc_ratio"),
+        )
+        .orderBy("source")
+    },
+    Some("""WITH perdoc AS (
+        SELECT source,
+          CAST(length(text) AS BIGINT) AS n_chars_m,
+          CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+          CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+          CAST(length(text) - length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS n_space,
+          CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS BIGINT) AS n_stop
+        FROM documents)
+      SELECT source, COUNT(*) AS n_docs,
+        CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+        CAST(SUM(n_chars_m - n_space) AS BIGINT) / CAST(SUM(n_tokens) AS BIGINT) AS avg_token_len,
+        CAST(SUM(n_punct) AS BIGINT) / CAST(SUM(n_chars_m) AS BIGINT) AS punct_ratio,
+        CAST(SUM(n_stop) AS BIGINT) / CAST(SUM(n_tokens) AS BIGINT) AS stopword_ratio,
+        CAST(SUM(CASE WHEN n_tokens < 30 THEN 1 ELSE 0 END) AS BIGINT) / COUNT(*) AS short_doc_ratio
+      FROM perdoc GROUP BY source ORDER BY source"""),
+  )
+
+  val q32 = GraftQuery(
+    "q32_lang_id",
+    (s, d) => {
+      // Stopword-profile language guess, argmax with a fixed tie-break
+      // (en > de > es > fr > und) repeated verbatim in the oracle CASE.
+      val scored = Tables.documents(s, d).select(
+        col("lang"),
+        hits(toks, enWords).as("en_h"),
+        hits(toks, deWords).as("de_h"),
+        hits(toks, esWords).as("es_h"),
+        hits(toks, frWords).as("fr_h"),
+      )
+      val guessed = scored.withColumn(
+        "guess",
+        when(col("en_h") >= col("de_h") && col("en_h") >= col("es_h") && col("en_h") >= col("fr_h") && col("en_h") > 0, lit("en"))
+          .when(col("de_h") >= col("es_h") && col("de_h") >= col("fr_h") && col("de_h") > 0, lit("de"))
+          .when(col("es_h") >= col("fr_h") && col("es_h") > 0, lit("es"))
+          .when(col("fr_h") > 0, lit("fr"))
+          .otherwise(lit("und")),
+      )
+      guessed
+        .groupBy("lang", "guess")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "guess")
+    },
+    Some("""WITH scored AS (
+        SELECT lang,
+          len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS en_h,
+          len(list_filter(toks, x -> x IN ('der', 'die', 'das', 'und', 'ist', 'mit', 'nicht'))) AS de_h,
+          len(list_filter(toks, x -> x IN ('el', 'los', 'y', 'que', 'por', 'con', 'para'))) AS es_h,
+          len(list_filter(toks, x -> x IN ('le', 'les', 'et', 'est', 'dans', 'pour', 'une'))) AS fr_h
+        FROM (SELECT lang, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks FROM documents) t),
+      guessed AS (
+        SELECT lang,
+          CASE WHEN en_h >= de_h AND en_h >= es_h AND en_h >= fr_h AND en_h > 0 THEN 'en'
+               WHEN de_h >= es_h AND de_h >= fr_h AND de_h > 0 THEN 'de'
+               WHEN es_h >= fr_h AND es_h > 0 THEN 'es'
+               WHEN fr_h > 0 THEN 'fr'
+               ELSE 'und' END AS guess
+        FROM scored)
+      SELECT lang, guess, COUNT(*) AS n_docs
+      FROM guessed GROUP BY lang, guess ORDER BY lang, guess"""),
+  )
+
+  val q33 = GraftQuery(
+    "q33_fingerprint",
+    (s, d) => {
+      // 64-bit order-independent document fingerprint: XOR-fold of the
+      // xxhash64 of every 3-shingle, computed per row with a higher-order
+      // aggregate — ZERO shuffles (rows-only check; hash algo is not
+      // ANSI-expressible). Docs with <3 tokens fall back to xxhash64(text).
+      val sh = shingles(toks, 3)
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          size(sh).as("n_shingles"),
+          when(size(sh) > 0,
+            aggregate(transform(sh, x => xxhash64(x)), lit(0L), (acc, h) => acc.bitwiseXOR(h)))
+            .otherwise(xxhash64(col("text"))).as("fingerprint"),
+        )
+        .orderBy("doc_id")
+    },
+    None,
+  )
+
+  val q34 = GraftQuery(
+    "q34_ngram_stats",
+    (s, d) => {
+      val sh = shingles(toks, 3)
+      Tables.documents(s, d)
+        .select(col("source"), explode(sh).as("shingle"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_shingles"),
+          countDistinct(col("shingle")).as("n_distinct"),
+          (countDistinct(col("shingle")) / count(lit(1))).as("distinct_ratio"),
+        )
+        .orderBy("source")
+    },
+    Some("""WITH t AS (
+        SELECT doc_id, source, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        FROM documents),
+      g AS (
+        SELECT source, toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS shingle
+        FROM t CROSS JOIN UNNEST(range(0, greatest(len(toks) - 2, 0))) AS u(i))
+      SELECT source, COUNT(*) AS n_shingles,
+        COUNT(DISTINCT shingle) AS n_distinct,
+        CAST(COUNT(DISTINCT shingle) AS BIGINT) / COUNT(*) AS distinct_ratio
+      FROM g GROUP BY source ORDER BY source"""),
+  )
+
+  def all: Seq[GraftQuery] = Seq(q30, q31, q32, q33, q34)
+}

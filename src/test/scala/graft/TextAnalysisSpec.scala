@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plants known documents in a temp dir shaped like a testdata sf dir, then
+  * runs the real query entries over it — the same code path the driver runs.
+  */
+object PlantedDocs {
+  def write(spark: SparkSession, dir: String, rows: Seq[(Long, String, String, String, Long)]): String = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+}
+
+class TextAnalysisSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSession.spark
+
+  private def planted(name: String, rows: Seq[(Long, String, String, String, Long)]): String =
+    PlantedDocs.write(spark, s"/tmp/graft-test/$name", rows)
+
+  test("q32 classifies planted texts by stopword profile") {
+    val dir = planted("langid", Seq(
+      (1L, "the cat and a dog is in the house of cards", "en", "s", 40L),
+      (2L, "der hund und die katze ist nicht mit dem mann", "de", "s", 45L),
+      (3L, "el perro y los gatos que por con para casa", "es", "s", 42L),
+      (4L, "le chat et les chiens est dans pour une maison", "fr", "s", 46L),
+      (5L, "xyzzy qwerty plugh", "zh", "s", 18L),
+    ))
+    val got = operators.TextAnalysis.q32.run(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(("en", "en", 1L), ("de", "de", 1L), ("es", "es", 1L), ("fr", "fr", 1L), ("zh", "und", 1L)))
+  }
+
+  test("q30 token counts on planted docs") {
+    val dir = planted("tokens", Seq(
+      (1L, "one two three", "en", "a", 13L),
+      (2L, "  padded   spaces   here  ", "en", "a", 26L),
+      (3L, "solo", "en", "b", 4L),
+    ))
+    val got = operators.TextAnalysis.q30.run(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(r.fieldIndex("sum_tokens")))).toMap
+    assert(got("a") == 6L) // empties from extra whitespace dropped
+    assert(got("b") == 1L)
+  }
+
+  test("q33 fingerprint is deterministic and shingle-order-sensitive") {
+    val dir = planted("fp", Seq(
+      (1L, "alpha beta gamma delta", "en", "s", 22L),
+      (2L, "alpha beta gamma delta", "en", "s", 22L),
+      (3L, "delta gamma beta alpha", "en", "s", 22L),
+      (4L, "xy", "en", "s", 2L), // <3 tokens -> text-hash fallback
+    ))
+    val fps = operators.TextAnalysis.q33.run(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(r.fieldIndex("fingerprint"))).toMap
+    assert(fps(1L) == fps(2L), "identical texts must fingerprint identically")
+    assert(fps(1L) != fps(3L), "reversed word order must change the fingerprint")
+    assert(fps.contains(4L), "short docs still get a fingerprint")
+  }
+
+  test("q34 shingle counts: n tokens -> n-2 shingles") {
+    val dir = planted("ngram", Seq(
+      (1L, "a b c d e", "en", "s", 9L), // 3 shingles
+      (2L, "a b c d e", "en", "s", 9L), // duplicates collapse in n_distinct
+    ))
+    val r = operators.TextAnalysis.q34.run(spark, dir).collect().head
+    assert(r.getLong(r.fieldIndex("n_shingles")) == 6L)
+    assert(r.getLong(r.fieldIndex("n_distinct")) == 3L)
+  }
+}

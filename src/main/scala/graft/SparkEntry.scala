@@ -9,7 +9,8 @@ object SparkEntry {
   def registry: Seq[GraftQuery] =
     operators.RelationalCore.all ++
       operators.ScrapeEtl.all ++
-      operators.TextAnalysis.all
+      operators.TextAnalysis.all ++
+      operators.Dedup.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,301 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.{GraftQuery, Tables}
+import graft.gfunctions.cosine_sim
+
+/** Deduplication family over the document corpus (and embeddings) — the
+  * core of a training-data pipeline. Reference analog: the scraper
+  * re-crawls catalog pages each run (scrap_tokopedia.py:299-317), so its
+  * Postgres table accumulates duplicates this family removes at scale.
+  *
+  * 100 TB design rules (SURVEY §4):
+  *  - NEVER all-pairs. Candidates come only from LSH band buckets
+  *    (minhash bands / simhash band rotation / hyperplane buckets), so
+  *    the self-join key is a band hash and the join is a plain shuffled
+  *    equi-join whose fan-out is bucket-local.
+  *  - Signatures are computed per-row with codegen'd higher-order
+  *    functions (zero shuffle), or one hash-aggregate for simhash's 64
+  *    bit-majorities (map-side partial agg).
+  *  - Decisions are emitted for EVERY input row (doc_id, is_dup, ...) so
+  *    downstream filters are a cheap semi-join, and results are non-empty
+  *    on clean corpora too.
+  *  - Greedy keep-lowest-id rule: a row is a duplicate iff a verified
+  *    partner with a smaller id exists. One aggregation, no iterative
+  *    connected components (transitive chains collapse to the min id in
+  *    practice for near-dup clusters; exactness is spec-asserted).
+  */
+object Dedup {
+
+  private def toks: Column = filter(split(col("text"), "\\s+"), x => x =!= lit(""))
+
+  private def shingleArr(n: Int): Column = {
+    val t = toks
+    when(size(t) >= n,
+      transform(sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", slice(t, i + lit(1), lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup: ONE shuffle, grouped on md5(text) so the exchange ships a
+    * 16-byte key instead of full document text (the 100 TB concern); the
+    * winner per group is the lowest doc_id.
+    */
+  def exact(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies")
+      .orderBy("keep_id")
+
+  // -------------------------------------------------------------- minhash
+
+  /** MinHash signature (k hash functions over 3-shingles) + LSH banding.
+    * Signature is per-row: k seeded xxhash64 passes folded with array_min —
+    * no shuffle. Docs with no shingles get null signature entries, which
+    * can never verify (est-jaccard counts only non-null equality) so empty
+    * docs are not spuriously merged.
+    */
+  private def minhashSig(k: Int): Column = {
+    val sh = shingleArr(3)
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(sh, s => xxhash64(i, s))))
+  }
+
+  private def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(b, slice(sig, b * lit(rowsPerBand) + lit(1), lit(rowsPerBand))))
+
+  /** Candidate pairs (id_a < id_b) sharing at least one minhash band. */
+  private def minhashCandidates(docs: DataFrame, k: Int, bands: Int): DataFrame = {
+    val r = k / bands
+    val sigged = docs.select(
+      col("doc_id"), minhashSig(k).as("sig"))
+    val banded = sigged
+      .select(col("doc_id"), col("sig"), explode(bandKeys(col("sig"), bands, r)).as("band_key"))
+    banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Per-doc minhash-LSH decision: is_dup iff a smaller-id candidate with
+    * estimated Jaccard >= tau exists (estimate = matching signature
+    * positions / k).
+    */
+  def minhashDecisions(docs: DataFrame, k: Int = 16, bands: Int = 4, tau: Double = 0.5): DataFrame = {
+    val cand = minhashCandidates(docs, k, bands)
+    val est = aggregate(
+      zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / k
+    val dups = cand
+      .withColumn("est_jaccard", est)
+      .filter(col("est_jaccard") >= tau)
+      .groupBy(col("id_b").as("doc_id"))
+      .agg(count(lit(1)).as("n_dup_partners"))
+    docs.select("doc_id")
+      .join(dups, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_dup_partners").isNotNull.as("is_dup"),
+        coalesce(col("n_dup_partners"), lit(0L)).as("n_dup_partners"))
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------ n-gram jaccard
+
+  /** Exact n-gram Jaccard verification over minhash-LSH candidates only —
+    * the LSH buckets bound the pair count; the exact set intersection is
+    * computed on the (small) candidate set, never the corpus cross join.
+    */
+  def jaccardDecisions(docs: DataFrame, tau: Double = 0.6, k: Int = 16, bands: Int = 4): DataFrame = {
+    val sets = docs.select(col("doc_id"), array_distinct(shingleArr(3)).as("sh"))
+    val cand = minhashCandidates(docs, k, bands).select("id_a", "id_b")
+    val jac = size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double") /
+      size(array_union(col("sa.sh"), col("sb.sh")))
+    val dups = cand
+      .join(sets.alias("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sets.alias("sb"), col("id_b") === col("sb.doc_id"))
+      .withColumn("jaccard", jac)
+      .filter(col("jaccard") >= tau)
+      .groupBy(col("id_b").as("doc_id"))
+      .agg(count(lit(1)).as("n_dup_partners"), max(col("jaccard")).as("best_jaccard"))
+    docs.select("doc_id")
+      .join(dups, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_dup_partners").isNotNull.as("is_dup"),
+        coalesce(col("n_dup_partners"), lit(0L)).as("n_dup_partners"),
+        coalesce(col("best_jaccard"), lit(0.0)).as("best_jaccard"))
+      .orderBy("doc_id")
+  }
+
+  // -------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash: per-token xxhash64, then 64 bit-majority sums in ONE
+    * hash aggregate (map-side partial agg — the scale-correct shape), then
+    * the sign bits folded into a long.
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(toks).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$j")
+    }
+    val agg = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val fold = (0 until 64)
+      .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    agg.select(col("doc_id"), fold.as("simhash"))
+  }
+
+  /** SimHash near-dup decision: band rotation (4 bands x 16 bits) buckets
+    * candidates; verification = popcount(xor) <= maxHamming. A pair within
+    * hamming radius must agree on at least one band (pigeonhole: 3 flipped
+    * bits cannot touch all 4 bands).
+    */
+  def simhashDecisions(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sh = simhash(docs)
+    val banded = sh.select(
+      col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band_idx"),
+          shiftright(col("simhash"), 16 * b).bitwiseAND(lit(0xFFFFL)).as("band_val"))
+      }: _*)).as("band"))
+      .select(col("doc_id"), col("simhash"), col("band.band_idx"), col("band.band_val"))
+    val dups = banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= maxHamming)
+      .groupBy(col("id_b").as("doc_id"))
+      .agg(count(lit(1)).as("n_dup_partners"), min(col("hamming")).as("min_hamming"))
+    sh.select("doc_id", "simhash")
+      .join(dups, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("simhash"),
+        col("n_dup_partners").isNotNull.as("is_dup"),
+        coalesce(col("n_dup_partners"), lit(0L)).as("n_dup_partners"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------- embedding cosine dedup
+
+  /** Deterministic ±1 hyperplane components, fixed at plan time (seeded
+    * splitmix-style mix of (plane, dim)) so every run and every engine
+    * buckets identically.
+    */
+  private def planeSigns(plane: Int, dims: Int): Seq[Float] =
+    (0 until dims).map { j =>
+      var z = (plane.toLong << 32 | j.toLong) + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z = z ^ (z >>> 31)
+      if ((z & 1L) == 0L) 1.0f else -1.0f
+    }
+
+  /** Random-hyperplane LSH code over `planes` sign bits; literal ±1 plane
+    * vectors folded per-row with zip_with/aggregate — no shuffle.
+    */
+  private def hyperplaneBits(vec: Column, planes: Int, dims: Int): Seq[Column] =
+    (0 until planes).map { p =>
+      val w = array(planeSigns(p, dims).map(x => lit(x)): _*)
+      val dot = aggregate(
+        zip_with(vec, w, (x, s) => x.cast("double") * s),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot > 0, lit(1L)).otherwise(lit(0L))
+    }
+
+  /** Embedding near-dup decision: hyperplane band buckets (bands of
+    * planes/bands bits) generate candidates; verification = native
+    * codegen'd cosine_sim >= tau. Never a corpus cross join.
+    */
+  def embeddingCosineDecisions(
+      emb: DataFrame,
+      tau: Double = 0.85,
+      planes: Int = 16,
+      bands: Int = 4,
+      dims: Int = 64): DataFrame = {
+    val bitsPerBand = planes / bands
+    val bits = hyperplaneBits(col("embedding"), planes, dims)
+    val bandVals = (0 until bands).map { b =>
+      (0 until bitsPerBand)
+        .map(i => bits(b * bitsPerBand + i) * lit(1L << i))
+        .reduce(_ + _)
+    }
+    val banded = emb.select(
+      col("vec_id"), col("embedding"),
+      explode(array(bandVals.zipWithIndex.map { case (v, b) =>
+        struct(lit(b).as("band_idx"), v.as("band_val"))
+      }: _*)).as("band"))
+      .select(col("vec_id"), col("embedding"), col("band.band_idx"), col("band.band_val"))
+    val dups = banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        col("a.embedding").as("ea"), col("b.embedding").as("eb"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("sim", cosine_sim(col("ea"), col("eb")))
+      .filter(col("sim") >= tau)
+      .groupBy(col("id_b").as("vec_id"))
+      .agg(count(lit(1)).as("n_dup_partners"), max(col("sim")).as("best_sim"))
+    emb.select("vec_id")
+      .join(dups, Seq("vec_id"), "left")
+      .select(
+        col("vec_id"),
+        col("n_dup_partners").isNotNull.as("is_dup"),
+        coalesce(col("n_dup_partners"), lit(0L)).as("n_dup_partners"),
+        coalesce(col("best_sim"), lit(0.0)).as("best_sim"))
+      .orderBy("vec_id")
+  }
+
+  // ------------------------------------------------------------- queries
+
+  val qExact = GraftQuery(
+    "dedup_exact",
+    (s, d) => exact(Tables.documents(s, d)),
+    Some("""SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      FROM documents GROUP BY md5(text) ORDER BY keep_id"""),
+  )
+
+  val qMinhash = GraftQuery(
+    "dedup_minhash_lsh",
+    (s, d) => minhashDecisions(Tables.documents(s, d)),
+    None,
+  )
+
+  val qSimhash = GraftQuery(
+    "dedup_simhash",
+    (s, d) => simhashDecisions(Tables.documents(s, d)),
+    None,
+  )
+
+  val qJaccard = GraftQuery(
+    "dedup_ngram_jaccard",
+    (s, d) => jaccardDecisions(Tables.documents(s, d)),
+    None,
+  )
+
+  val qEmbedding = GraftQuery(
+    "dedup_embedding_cosine",
+    (s, d) => embeddingCosineDecisions(Tables.embeddings(s, d)),
+    None,
+  )
+
+  def all: Seq[GraftQuery] = Seq(qExact, qMinhash, qSimhash, qJaccard, qEmbedding)
+}

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSession.spark
+  import operators.Dedup
+
+  private val vocab = Seq(
+    "spark", "data", "query", "join", "hash", "scan", "sort", "merge", "batch",
+    "stream", "table", "column", "row", "filter", "group", "window", "shuffle",
+    "broadcast", "partition", "cluster", "vector", "token", "index", "cache")
+
+  private def text(seed: Int, nTokens: Int = 100): String = {
+    val rnd = new Random(seed)
+    Seq.fill(nTokens)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+  }
+
+  private def docsDf(rows: Seq[(Long, String)]): DataFrame = {
+    import spark.implicits._
+    rows.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  // doc 1/2: exact copies. doc 3: one token changed vs doc 1 (near dup).
+  // docs 4..6: unrelated. doc 7: too short for shingles.
+  private lazy val corpus = docsDf(Seq(
+    (1L, text(11)),
+    (2L, text(11)),
+    (3L, text(11).split(" ").updated(50, "zzzz").mkString(" ")),
+    (4L, text(22)),
+    (5L, text(33)),
+    (6L, text(44)),
+    (7L, "ab"),
+  ))
+
+  test("exact dedup keeps lowest id and counts copies") {
+    val got = Dedup.exact(corpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == 2L, "docs 1 and 2 collapse to keep_id 1")
+    assert(!got.contains(2L))
+    assert(got(3L) == 1L)
+    assert(got.size == 6)
+  }
+
+  test("minhash LSH flags exact and near duplicates, not unrelated docs") {
+    val got = Dedup.minhashDecisions(corpus).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(!got(1L), "lowest id of the cluster is the keeper")
+    assert(got(2L), "exact copy must be flagged")
+    assert(got(3L), "one-token-changed near dup must be flagged")
+    assert(!got(4L) && !got(5L) && !got(6L), "unrelated docs are kept")
+    assert(!got(7L), "shingle-less short doc is never spuriously merged")
+  }
+
+  test("ngram jaccard verifies near dups with exact similarity") {
+    val rows = Dedup.jaccardDecisions(corpus).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getDouble(3)))).toMap
+    assert(rows(2L)._1 && rows(2L)._2 == 1.0, "exact copy has jaccard 1.0")
+    assert(rows(3L)._1 && rows(3L)._2 > 0.8, "near dup verified with high jaccard")
+    assert(!rows(4L)._1 && !rows(5L)._1 && !rows(6L)._1)
+  }
+
+  test("simhash: identical docs collide at hamming 0; near dups within radius") {
+    val exact = Dedup.simhashDecisions(corpus).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(exact(2L), "identical text has identical simhash")
+    assert(!exact(4L) && !exact(5L) && !exact(6L), "unrelated docs differ")
+    // one token changed in 100: small bit drift; widen the radius to catch it
+    val near = Dedup.simhashDecisions(corpus, maxHamming = 12).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(near(3L), "near dup within widened hamming radius")
+  }
+
+  test("embedding cosine dedup flags planted near-identical vectors") {
+    import spark.implicits._
+    val rnd = new Random(7)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val base = vec()
+    val nearDup = base.zipWithIndex.map { case (x, i) => if (i == 0) x + 0.01f else x }
+    val rows = Seq(
+      (1L, base, 0), (2L, base.clone(), 0), (3L, nearDup, 0),
+      (4L, vec(), 1), (5L, vec(), 1), (6L, vec(), 1))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val got = Dedup.embeddingCosineDecisions(emb).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(!got(1L), "cluster keeper")
+    assert(got(2L), "identical vector flagged")
+    assert(got(3L), "perturbed vector flagged")
+    assert(!got(4L) && !got(5L) && !got(6L), "random vectors kept")
+  }
+
+  test("dedup plans contain no cartesian product") {
+    val plans = Seq(
+      Dedup.minhashDecisions(corpus),
+      Dedup.simhashDecisions(corpus),
+      Dedup.jaccardDecisions(corpus),
+    ).map(_.queryExecution.executedPlan.toString)
+    plans.foreach { p =>
+      assert(!p.contains("CartesianProduct"), "band-bucket join must stay an equi-join")
+      assert(!p.toLowerCase.contains("broadcastnestedloop"), "no nested-loop joins")
+    }
+  }
+}

@@ -10,7 +10,8 @@ object SparkEntry {
     operators.RelationalCore.all ++
       operators.ScrapeEtl.all ++
       operators.TextAnalysis.all ++
-      operators.Dedup.all
+      operators.Dedup.all ++
+      operators.Similarity.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

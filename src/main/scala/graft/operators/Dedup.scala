@@ -193,34 +193,9 @@ object Dedup {
 
   // ---------------------------------------------- embedding cosine dedup
 
-  /** Deterministic ±1 hyperplane components, fixed at plan time (seeded
-    * splitmix-style mix of (plane, dim)) so every run and every engine
-    * buckets identically.
-    */
-  private def planeSigns(plane: Int, dims: Int): Seq[Float] =
-    (0 until dims).map { j =>
-      var z = (plane.toLong << 32 | j.toLong) + 0x9E3779B97F4A7C15L
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      z = z ^ (z >>> 31)
-      if ((z & 1L) == 0L) 1.0f else -1.0f
-    }
-
-  /** Random-hyperplane LSH code over `planes` sign bits; literal ±1 plane
-    * vectors folded per-row with zip_with/aggregate — no shuffle.
-    */
-  private def hyperplaneBits(vec: Column, planes: Int, dims: Int): Seq[Column] =
-    (0 until planes).map { p =>
-      val w = array(planeSigns(p, dims).map(x => lit(x)): _*)
-      val dot = aggregate(
-        zip_with(vec, w, (x, s) => x.cast("double") * s),
-        lit(0.0), (acc, v) => acc + v)
-      when(dot > 0, lit(1L)).otherwise(lit(0L))
-    }
-
   /** Embedding near-dup decision: hyperplane band buckets (bands of
-    * planes/bands bits) generate candidates; verification = native
-    * codegen'd cosine_sim >= tau. Never a corpus cross join.
+    * planes/bands bits, see [[Lsh]]) generate candidates; verification =
+    * native codegen'd cosine_sim >= tau. Never a corpus cross join.
     */
   def embeddingCosineDecisions(
       emb: DataFrame,
@@ -228,19 +203,7 @@ object Dedup {
       planes: Int = 16,
       bands: Int = 4,
       dims: Int = 64): DataFrame = {
-    val bitsPerBand = planes / bands
-    val bits = hyperplaneBits(col("embedding"), planes, dims)
-    val bandVals = (0 until bands).map { b =>
-      (0 until bitsPerBand)
-        .map(i => bits(b * bitsPerBand + i) * lit(1L << i))
-        .reduce(_ + _)
-    }
-    val banded = emb.select(
-      col("vec_id"), col("embedding"),
-      explode(array(bandVals.zipWithIndex.map { case (v, b) =>
-        struct(lit(b).as("band_idx"), v.as("band_val"))
-      }: _*)).as("band"))
-      .select(col("vec_id"), col("embedding"), col("band.band_idx"), col("band.band_val"))
+    val banded = Lsh.banded(emb.select("vec_id", "embedding"), "embedding", planes, bands, dims)
     val dups = banded.alias("a")
       .join(banded.alias("b"),
         col("a.band_idx") === col("b.band_idx") &&

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Random-hyperplane LSH shared by embedding dedup and ANN.
+  *
+  * Hyperplanes are ±1 sign vectors fixed at plan time from a splitmix-style
+  * mix of (plane, dim) — deterministic across runs, engines, and cluster
+  * sizes, with no driver-side RNG state to ship. Sign bits are computed
+  * per-row with codegen'd zip_with/aggregate folds: zero shuffle.
+  */
+object Lsh {
+
+  def planeSigns(plane: Int, dims: Int): Seq[Float] =
+    (0 until dims).map { j =>
+      var z = (plane.toLong << 32 | j.toLong) + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z = z ^ (z >>> 31)
+      if ((z & 1L) == 0L) 1.0f else -1.0f
+    }
+
+  /** One sign bit (0/1) per hyperplane for a float-vector column. */
+  def hyperplaneBits(vec: Column, planes: Int, dims: Int): Seq[Column] =
+    (0 until planes).map { p =>
+      val w = array(planeSigns(p, dims).map(x => lit(x)): _*)
+      val dot = aggregate(
+        zip_with(vec, w, (x, s) => x.cast("double") * s),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot > 0, lit(1L)).otherwise(lit(0L))
+    }
+
+  /** Band values: `bands` integers of planes/bands bits each. Rows sharing
+    * any (band_idx, band_val) are LSH candidates.
+    */
+  def bandValues(vec: Column, planes: Int, bands: Int, dims: Int): Seq[Column] = {
+    val bitsPerBand = planes / bands
+    val bits = hyperplaneBits(vec, planes, dims)
+    (0 until bands).map { b =>
+      (0 until bitsPerBand)
+        .map(i => bits(b * bitsPerBand + i) * lit(1L << i))
+        .reduce(_ + _)
+    }
+  }
+
+  /** Explode a frame to one row per (row, band): adds band_idx/band_val. */
+  def banded(df: DataFrame, vecCol: String, planes: Int, bands: Int, dims: Int): DataFrame = {
+    val vals = bandValues(col(vecCol), planes, bands, dims)
+    df.select(
+      col("*"),
+      explode(array(vals.zipWithIndex.map { case (v, b) =>
+        struct(lit(b).as("band_idx"), v.as("band_val"))
+      }: _*)).as("_band"))
+      .withColumn("band_idx", col("_band.band_idx"))
+      .withColumn("band_val", col("_band.band_val"))
+      .drop("_band")
+  }
+}

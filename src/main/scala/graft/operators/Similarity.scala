@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{GraftQuery, Tables}
+import graft.gfunctions.cosine_sim
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Scale shapes:
+  *  - Brute force is exact and acceptable ONLY against a broadcast query
+  *    set: the corpus streams once, each row scored against the (small)
+  *    broadcast queries with the native codegen'd cosine kernel, then
+  *    per-query top-k. Corpus-vs-corpus brute force is forbidden.
+  *  - The LSH path prunes the corpus to hyperplane-band candidates first
+  *    (equi-join on band value — see [[Lsh]]), so per-query work is
+  *    bucket-local; recall/latency trades via planes-per-band.
+  */
+object Similarity {
+
+  /** Exact top-k: corpus x broadcast(queries) scored, ranked per query.
+    * Ties break on neighbor_id so results are total-order deterministic.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
+    val scored = corpus.alias("c")
+      .join(
+        broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("qvec"))),
+        col("query_id") =!= col("c.vec_id"))
+      .select(
+        col("query_id"),
+        col("c.vec_id").as("neighbor_id"),
+        cosine_sim(col("c.embedding"), col("qvec")).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+      .orderBy("query_id", "rank")
+  }
+
+  /** LSH top-k: candidates = corpus rows sharing >= 1 hyperplane band with
+    * the query, then exact cosine rank within candidates only.
+    */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 10,
+      planes: Int = 12,
+      bands: Int = 4,
+      dims: Int = 64): DataFrame = {
+    val cBand = Lsh.banded(corpus.select("vec_id", "embedding"), "embedding", planes, bands, dims)
+    val qBand = Lsh.banded(
+      queries.select(col("vec_id").as("query_id"), col("embedding").as("qvec")),
+      "qvec", planes, bands, dims)
+    val cand = cBand.alias("c")
+      .join(broadcast(qBand.alias("q")),
+        col("c.band_idx") === col("q.band_idx") &&
+          col("c.band_val") === col("q.band_val") &&
+          col("query_id") =!= col("c.vec_id"))
+      .select(col("query_id"), col("c.vec_id").as("neighbor_id"), col("c.embedding").as("cvec"), col("qvec"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .select(
+        col("query_id"), col("neighbor_id"),
+        cosine_sim(col("cvec"), col("qvec")).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    cand
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+      .orderBy("query_id", "rank")
+  }
+
+  // ------------------------------------------------------------- queries
+
+  /** Fixed query set for the registry entries: the first 8 vectors. */
+  private def querySet(emb: DataFrame): DataFrame = emb.filter(col("vec_id") < 8)
+
+  val qBrute = GraftQuery(
+    "ann_bruteforce_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      bruteForceTopK(emb, querySet(emb))
+    },
+    None,
+  )
+
+  val qLsh = GraftQuery(
+    "ann_lsh_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      lshTopK(emb, querySet(emb))
+    },
+    None,
+  )
+
+  def all: Seq[GraftQuery] = Seq(qBrute, qLsh)
+}

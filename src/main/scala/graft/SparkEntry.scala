@@ -11,7 +11,9 @@ object SparkEntry {
       operators.ScrapeEtl.all ++
       operators.TextAnalysis.all ++
       operators.Dedup.all ++
-      operators.Similarity.all
+      operators.Similarity.all ++
+      operators.Multimodal.all ++
+      streaming.Streams.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,141 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.GraftQuery
+import graft.operators.{Events, RelationalCore}
+
+import scala.collection.mutable.ListBuffer
+
+/** Structured Streaming surface. Every streaming operator has a batch twin
+  * built from the SAME core transform, so the DuckDB oracle checks the
+  * semantics and the MemoryStream specs check the incremental execution —
+  * one logic, two runners (the Dataflow/Beam "unified model" discipline).
+  */
+object Streams {
+
+  // ------------------------------------------------------- windowed agg
+
+  /** Tumbling 1-hour event-time window per event_type. Applied verbatim to
+    * the batch table and (with a watermark) to a stream.
+    */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        RelationalCore.dsum(col("value"), 4).as("sum_value"))
+      .select(
+        col("w.start").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Streaming twin: 2h watermark bounds state; windows emit on close
+    * (Append). State size = open windows x event_types — constant per key,
+    * safe at any scale.
+    */
+  def windowedAggStream(events: DataFrame): DataFrame =
+    windowedAgg(events.withWatermark("ts", "2 hours"))
+
+  // -------------------------------------------------- stateful sessions
+
+  final case class SessEvent(user_id: Long, event_id: Long, ts_ms: Long)
+  final case class SessionRec(user_id: Long, session_id: Long, n_events: Long, start_ms: Long, end_ms: Long)
+
+  /** Open-session state carried between micro-batches. */
+  final case class SessState(next_id: Long, open: Boolean, start_ms: Long, end_ms: Long, n: Long)
+
+  private val GapMs = 1800000L // 30 min, same as q25
+
+  /** Core session builder over one user's time-sorted events: fold with a
+    * 30-min gap rule. Shared by the batch twin and the streaming state op.
+    */
+  def foldSessions(
+      userId: Long,
+      evs: Seq[SessEvent],
+      init: SessState): (Seq[SessionRec], SessState) = {
+    val sorted = evs.sortBy(e => (e.ts_ms, e.event_id))
+    val closed = ListBuffer.empty[SessionRec]
+    var st = init
+    sorted.foreach { e =>
+      if (!st.open)
+        st = SessState(st.next_id, open = true, e.ts_ms, e.ts_ms, 1L)
+      else if (e.ts_ms - st.end_ms > GapMs) {
+        closed += SessionRec(userId, st.next_id, st.n, st.start_ms, st.end_ms)
+        st = SessState(st.next_id + 1, open = true, e.ts_ms, e.ts_ms, 1L)
+      } else
+        st = st.copy(end_ms = e.ts_ms, n = st.n + 1)
+    }
+    (closed.toSeq, st)
+  }
+
+  /** Batch sessionization via the shared fold (flatMapGroups). Events per
+    * user are held in memory — bounded by per-user activity; power-user
+    * skew is the known hazard (salt by day at 100 TB).
+    */
+  def sessionizeBatch(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ts_ms"))
+      .as[SessEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroups { (uid: Long, it: Iterator[SessEvent]) =>
+        val (closed, st) = foldSessions(uid, it.toSeq, SessState(1L, open = false, 0L, 0L, 0L))
+        val last =
+          if (st.open) Seq(SessionRec(uid, st.next_id, st.n, st.start_ms, st.end_ms)) else Nil
+        (closed ++ last).iterator
+      }
+      .toDF()
+      .orderBy("user_id", "session_id")
+  }
+
+  /** Streaming sessionization: per-user open session in GroupState; closed
+    * sessions emit as soon as a later event proves the gap (Append mode).
+    * The still-open session stays in state across micro-batches.
+    */
+  def sessionizeStream(events: Dataset[SessEvent]): Dataset[SessionRec] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessionRec](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[SessEvent], state: GroupState[SessState]) =>
+          val init = state.getOption.getOrElse(SessState(1L, open = false, 0L, 0L, 0L))
+          val (closed, st) = foldSessions(uid, it.toSeq, init)
+          state.update(st)
+          closed.iterator
+      }
+  }
+
+  // ------------------------------------------------------------- queries
+
+  val qWindowed = GraftQuery(
+    "stream_windowed_agg",
+    (s, d) => windowedAgg(Events.withEventTime(s, d)).orderBy("window_start", "event_type"),
+    Some("""SELECT date_trunc('hour', ts) AS window_start, event_type,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2"""),
+  )
+
+  val qSessionize = GraftQuery(
+    "stream_sessionize_state",
+    (s, d) => sessionizeBatch(Events.withEventTime(s, d)),
+    Some("""WITH lagged AS (
+        SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+               LAG(epoch_ms(ts), 1) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev_ms
+        FROM events),
+      flagged AS (
+        SELECT *, CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 1800000 THEN 1 ELSE 0 END AS is_new
+        FROM lagged),
+      sess AS (
+        SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        FROM flagged)
+      SELECT user_id, session_id, COUNT(*) AS n_events,
+             MIN(ts_ms) AS start_ms, MAX(ts_ms) AS end_ms
+      FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id"""),
+  )
+
+  def all: Seq[GraftQuery] = Seq(qWindowed, qSessionize)
+}

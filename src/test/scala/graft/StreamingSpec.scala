@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSession.spark
+  import streaming.Streams
+  import streaming.Streams.{SessEvent, SessionRec}
+
+  test("batch sessionize matches the q25 gap semantics at sf0.001") {
+    val df = Streams.qSessionize.run(spark, "/root/testdata/sf0.001")
+    val total = df.agg(sum("n_events")).collect()(0).getLong(0)
+    val raw = operators.Events.withEventTime(spark, "/root/testdata/sf0.001").count()
+    assert(total == raw, "every event lands in exactly one session")
+    val bad = df.filter(col("end_ms") < col("start_ms")).count()
+    assert(bad == 0)
+  }
+
+  test("streaming sessionize emits closed sessions across micro-batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val ms = MemoryStream[SessEvent]
+    val q = Streams.sessionizeStream(ms.toDS())
+      .writeStream.format("memory").queryName("graft_sessions").outputMode("append").start()
+    try {
+      // batch 1: three events 1 min apart -> one open session (nothing emits)
+      ms.addData(SessEvent(1L, 1L, 0L), SessEvent(1L, 2L, 60000L), SessEvent(1L, 3L, 120000L))
+      q.processAllAvailable()
+      assert(spark.table("graft_sessions").count() == 0L)
+      // batch 2: an event 2h later closes session 1 and opens session 2
+      ms.addData(SessEvent(1L, 4L, 120000L + 7200000L))
+      q.processAllAvailable()
+      val rows = spark.table("graft_sessions").as[SessionRec].collect()
+      assert(rows.toSeq == Seq(SessionRec(1L, 1L, 3L, 0L, 120000L)))
+      // batch 3: another gap closes session 2
+      ms.addData(SessEvent(1L, 5L, 120000L + 7200000L * 2))
+      q.processAllAvailable()
+      val rows2 = spark.table("graft_sessions").as[SessionRec].collect().sortBy(_.session_id)
+      assert(rows2.length == 2 && rows2(1).session_id == 2L && rows2(1).n_events == 1L)
+    } finally q.stop()
+  }
+
+  test("streaming windowed agg emits closed windows under watermark") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, String, Double)]
+    val events = ms.toDF().toDF("ts", "event_type", "value")
+    val q = Streams.windowedAggStream(events)
+      .writeStream.format("memory").queryName("graft_windows").outputMode("append").start()
+    try {
+      def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+      ms.addData((t(0, 10), "click", 1.0), (t(0, 40), "click", 2.0), (t(1, 15), "view", 5.0))
+      q.processAllAvailable()
+      // advance watermark far enough to close hour-0 and hour-1 windows
+      ms.addData((t(5, 0), "click", 9.0))
+      q.processAllAvailable()
+      val rows = spark.table("graft_windows")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(rows.contains(("2024-01-01 00:00:00.0", "click", 2L, 3.0)))
+      assert(rows.contains(("2024-01-01 01:00:00.0", "view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("batch windowed agg equals its streaming twin's final answer") {
+    import spark.implicits._
+    val batch = Seq(
+      (Timestamp.valueOf("2024-01-01 00:10:00"), "click", 1.0),
+      (Timestamp.valueOf("2024-01-01 00:40:00"), "click", 2.0),
+      (Timestamp.valueOf("2024-01-01 01:15:00"), "view", 5.0),
+    ).toDF("ts", "event_type", "value")
+    val got = Streams.windowedAgg(batch).collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == Set(
+      ("2024-01-01 00:00:00.0", "click", 2L, 3.0),
+      ("2024-01-01 01:00:00.0", "view", 1L, 5.0)))
+  }
+}

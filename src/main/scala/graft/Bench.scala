@@ -13,20 +13,25 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    // SPARK_GRAFT_PROD=1 measures production plans (no oracle-mode final
+    // sorts); default measures oracle mode for baseline comparability.
+    val prodMode = sys.env.get("SPARK_GRAFT_PROD").contains("1")
     val spark = GraftSession.build(s"local[$cpus]", cpus)
     spark.sparkContext.setLogLevel("WARN")
 
-    def run(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
-      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    def run(q: graft.GraftQuery): Unit = {
+      val df = if (prodMode) q.runProd(spark, sfDir) else q.run(spark, sfDir)
+      df.write.format("noop").mode("overwrite").save()
+    }
 
     // Warm-up: every query once, untimed.
     SparkEntry.registry.foreach { q =>
-      try run(q.name, q.run) catch { case _: Throwable => () }
+      try run(q) catch { case _: Throwable => () }
     }
 
     val results = SparkEntry.registry.map { q =>
       val t0 = System.nanoTime()
-      try run(q.name, q.run) catch { case _: Throwable => () }
+      try run(q) catch { case _: Throwable => () }
       q.name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -8,12 +8,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Contract (driver compare): column names must match between `run` output
   * and oracle SQL; aggregates are made partition-order-deterministic (money
   * sums via DECIMAL, ratios rounded) so hashes match across engines.
+  *
+  * `run` is ORACLE MODE: it ends in the total ORDER BY the deterministic
+  * compare requires. `prod`, when set, is the production plan — identical
+  * semantics minus result-order guarantees (no final global sort, which at
+  * 100 TB would otherwise serialize the whole result through one range
+  * exchange). Callers that feed downstream operators should prefer `prod`.
   */
 final case class GraftQuery(
     name: String,
     run: (SparkSession, String) => DataFrame,
     oracle: Option[String],
-)
+    prod: Option[(SparkSession, String) => DataFrame] = None,
+) {
+  /** Production entry point: unsorted plan when one is defined. */
+  def runProd(s: SparkSession, d: String): DataFrame =
+    prod.getOrElse(run)(s, d)
+}
 
 /** Typed loaders for the benchmark tables. Parquet carries its own schema;
   * loaders centralize paths so every operator reads through one place

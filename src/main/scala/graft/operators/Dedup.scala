@@ -30,13 +30,7 @@ object Dedup {
 
   private def toks: Column = filter(split(col("text"), "\\s+"), x => x =!= lit(""))
 
-  private def shingleArr(n: Int): Column = {
-    val t = toks
-    when(size(t) >= n,
-      transform(sequence(lit(0), size(t) - n),
-        i => concat_ws(" ", slice(t, i + lit(1), lit(n)))))
-      .otherwise(array().cast("array<string>"))
-  }
+  private def shingleArr(n: Int): Column = TextAnalysis.shingles(toks, n)
 
   // ---------------------------------------------------------------- exact
 
@@ -54,16 +48,24 @@ object Dedup {
   // -------------------------------------------------------------- minhash
 
   /** MinHash signature (k hash functions over 3-shingles) + LSH banding.
-    * Signature is per-row: k seeded xxhash64 passes folded with array_min —
-    * no shuffle. Docs with no shingles get null signature entries, which
-    * can never verify (est-jaccard counts only non-null equality) so empty
-    * docs are not spuriously merged.
+    * ONE pass over the shingles (k seeded hashes per shingle, folded with
+    * element-wise least) and zero shuffle; the shingle array is bound once
+    * per row so it is not recomputed per hash function. Docs with no
+    * shingles get all-null signatures, which can never verify (est-jaccard
+    * counts only non-null equality) so empty docs are never merged.
     */
-  private def minhashSig(k: Int): Column = {
-    val sh = shingleArr(3)
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(sh, s => xxhash64(i, s))))
-  }
+  private def minhashSig(k: Int): Column =
+    ExprUtil.bound(shingleArr(3)) { sh =>
+      when(size(sh) === 0, array_repeat(lit(null).cast("long"), k))
+        .otherwise(
+          aggregate(
+            sh,
+            array_repeat(lit(Long.MaxValue), k),
+            (acc, s) => zip_with(
+              acc,
+              transform(sequence(lit(0), lit(k - 1)), i => xxhash64(i, s)),
+              (a, h) => least(a, h))))
+    }
 
   private def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
     transform(sequence(lit(0), lit(bands - 1)),

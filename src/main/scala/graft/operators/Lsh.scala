@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.gfunctions.cosine_sim
 
 /** Random-hyperplane LSH shared by embedding dedup and ANN.
   *
@@ -21,14 +22,16 @@ object Lsh {
       if ((z & 1L) == 0L) 1.0f else -1.0f
     }
 
-  /** One sign bit (0/1) per hyperplane for a float-vector column. */
+  /** One sign bit (0/1) per hyperplane for a float-vector column.
+    * sign(dot(v, w)) == (cosine_sim(v, w) > 0) for the ±1 planes, so each
+    * bit rides the native codegen'd cosine kernel instead of an
+    * interpreted zip_with/aggregate fold (higher-order functions are
+    * CodegenFallback — measured ~4x slower here).
+    */
   def hyperplaneBits(vec: Column, planes: Int, dims: Int): Seq[Column] =
     (0 until planes).map { p =>
-      val w = array(planeSigns(p, dims).map(x => lit(x)): _*)
-      val dot = aggregate(
-        zip_with(vec, w, (x, s) => x.cast("double") * s),
-        lit(0.0), (acc, v) => acc + v)
-      when(dot > 0, lit(1L)).otherwise(lit(0L))
+      val w = typedlit(planeSigns(p, dims).toArray)
+      when(cosine_sim(vec, w) > 0, lit(1L)).otherwise(lit(0L))
     }
 
   /** Band values: `bands` integers of planes/bands bits each. Rows sharing

@@ -59,20 +59,22 @@ object RelationalCore {
       GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"""),
   )
 
+  // Predicate + column pruning both reach the parquet scan
+  // (PushedFilters + 5-column ReadSchema on an 11-column table).
+  private def q02Body(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1999-01-01")) && col("l_quantity") < 10)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+
   val q02 = GraftQuery(
     "q02_filter_project",
-    (s, d) => {
-      // Predicate + column pruning both reach the parquet scan
-      // (PushedFilters + 5-column ReadSchema on an 11-column table).
-      Tables.lineitem(s, d)
-        .filter(col("l_shipdate") >= to_timestamp(lit("1999-01-01")) && col("l_quantity") < 10)
-        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
-        .orderBy("l_orderkey", "l_linenumber")
-    },
+    (s, d) => q02Body(s, d).orderBy("l_orderkey", "l_linenumber"),
     Some("""SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00' AND l_quantity < 10
       ORDER BY l_orderkey, l_linenumber"""),
+    // prod: the full-result range sort exists only for the oracle compare
+    prod = Some((s, d) => q02Body(s, d)),
   )
 
   val q03 = GraftQuery(
@@ -170,27 +172,29 @@ object RelationalCore {
       WHERE rn <= 3 ORDER BY o_custkey, rn"""),
   )
 
+  private def q08Body(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window
+      .partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .withColumn("running_total", sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w).cast("double"))
+      .withColumn(
+        "prev_price",
+        lag(col("o_totalprice"), 1).over(Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))),
+      )
+      .select("o_custkey", "o_orderkey", "running_total", "prev_price")
+  }
+
   val q08 = GraftQuery(
     "q08_window_running",
-    (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window
-        .partitionBy("o_custkey")
-        .orderBy(col("o_orderdate"), col("o_orderkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.orders(s, d)
-        .withColumn("running_total", sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w).cast("double"))
-        .withColumn(
-          "prev_price",
-          lag(col("o_totalprice"), 1).over(Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))),
-        )
-        .select("o_custkey", "o_orderkey", "running_total", "prev_price")
-        .orderBy("o_custkey", "o_orderkey")
-    },
+    (s, d) => q08Body(s, d).orderBy("o_custkey", "o_orderkey"),
     Some("""SELECT o_custkey, o_orderkey,
       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
       LAG(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price
       FROM orders ORDER BY o_custkey, o_orderkey"""),
+    prod = Some((s, d) => q08Body(s, d)),
   )
 
   val q09 = GraftQuery(
@@ -354,24 +358,24 @@ object RelationalCore {
       ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""),
   )
 
+  private def q18Body(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("order_year"),
+        month(col("o_orderdate")).as("order_month"),
+        dayofmonth(col("o_orderdate")).as("order_day"),
+        upper(col("o_orderpriority")).as("prio_upper"),
+        substring(col("o_orderpriority"), 1, 1).as("prio_code"),
+        concat(col("o_orderstatus"), lit("-"), col("o_orderpriority")).as("status_priority"),
+        length(col("o_orderpriority")).as("prio_len"),
+        floor(col("o_totalprice")).cast("long").as("price_floor"),
+        ceil(col("o_totalprice")).cast("long").as("price_ceil"),
+      )
+
   val q18 = GraftQuery(
     "q18_scalar_functions",
-    (s, d) => {
-      Tables.orders(s, d)
-        .select(
-          col("o_orderkey"),
-          year(col("o_orderdate")).as("order_year"),
-          month(col("o_orderdate")).as("order_month"),
-          dayofmonth(col("o_orderdate")).as("order_day"),
-          upper(col("o_orderpriority")).as("prio_upper"),
-          substring(col("o_orderpriority"), 1, 1).as("prio_code"),
-          concat(col("o_orderstatus"), lit("-"), col("o_orderpriority")).as("status_priority"),
-          length(col("o_orderpriority")).as("prio_len"),
-          floor(col("o_totalprice")).cast("long").as("price_floor"),
-          ceil(col("o_totalprice")).cast("long").as("price_ceil"),
-        )
-        .orderBy("o_orderkey")
-    },
+    (s, d) => q18Body(s, d).orderBy("o_orderkey"),
     Some("""SELECT o_orderkey,
       CAST(year(o_orderdate) AS INT) AS order_year,
       CAST(month(o_orderdate) AS INT) AS order_month,
@@ -383,6 +387,7 @@ object RelationalCore {
       CAST(FLOOR(o_totalprice) AS BIGINT) AS price_floor,
       CAST(CEIL(o_totalprice) AS BIGINT) AS price_ceil
       FROM orders ORDER BY o_orderkey"""),
+    prod = Some((s, d) => q18Body(s, d)),
   )
 
   def all: Seq[GraftQuery] =

@@ -28,12 +28,16 @@ object TextAnalysis {
 
   /** Word n-gram shingles as a per-row array (no explode needed by callers
     * that fold over them). Empty array when the doc has < n tokens.
+    * Tokens are bound once per row (ExprUtil.bound) — without it the
+    * per-shingle lambda re-tokenizes the text for every shingle (O(n^2)).
     */
-  private def shingles(toksCol: Column, n: Int): Column =
-    when(size(toksCol) >= n,
-      transform(sequence(lit(0), size(toksCol) - n),
-        i => concat_ws(" ", slice(toksCol, i + lit(1), lit(n)))))
-      .otherwise(array().cast("array<string>"))
+  private[operators] def shingles(toksCol: Column, n: Int): Column =
+    ExprUtil.bound(toksCol) { t =>
+      when(size(t) >= n,
+        transform(sequence(lit(0), size(t) - n),
+          i => concat_ws(" ", slice(t, i + lit(1), lit(n)))))
+        .otherwise(array().cast("array<string>"))
+    }
 
   // Stopword profiles for the n-gram language guess. Kept tiny and
   // literal so the oracle SQL can repeat them verbatim.

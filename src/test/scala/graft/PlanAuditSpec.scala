@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guard: the properties that make these plans
+  * survive a 100x scale-up, asserted on every registry query so a future
+  * edit cannot silently reintroduce a cartesian product, lose pushdown,
+  * or de-broadcast a dimension join.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def plan(q: GraftQuery): String =
+    q.run(spark, sf).queryExecution.executedPlan.toString
+
+  test("no registry query plans a cartesian product; NLJ only where designed") {
+    // brute-force ANN is DESIGNED as corpus x broadcast-query-set (tiny
+    // broadcast side) — the one legitimate nested-loop in the engine
+    val nljAllowed = Set("ann_bruteforce_topk")
+    SparkEntry.registry.foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"${q.name} planned a cartesian:\n$p")
+      if (!nljAllowed(q.name))
+        assert(!p.contains("BroadcastNestedLoop"), s"${q.name} planned a nested loop:\n$p")
+    }
+  }
+
+  test("q02 prod plan pushes predicates and prunes columns at the parquet scan") {
+    val p = operators.RelationalCore.q02.runProd(spark, sf).queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [") && p.contains("GreaterThanOrEqual(l_shipdate"),
+      s"filter not pushed:\n$p")
+    assert(p.contains("ReadSchema: struct<l_orderkey"), s"columns not pruned:\n$p")
+    assert(!p.contains("l_comment"), "untouched columns must not be read")
+  }
+
+  test("q03 and q04 broadcast their dimension side") {
+    Seq(operators.RelationalCore.q03, operators.RelationalCore.q04).foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"${q.name} lost its broadcast:\n$p")
+    }
+  }
+
+  test("q17 global top-k compiles to TakeOrderedAndProject (no full sort)") {
+    val p = plan(operators.RelationalCore.q17)
+    assert(p.contains("TakeOrderedAndProject"), s"top-k degenerated to a global sort:\n$p")
+  }
+
+  test("dedup_exact is a single exchange (one shuffle, partial aggregation)") {
+    val p = plan(operators.Dedup.qExact)
+    val exchanges = "Exchange".r.findAllIn(p.replace("ExchangeQueryStage", "")).size
+    // one hash-partitioned exchange for the groupBy; the final orderBy adds
+    // a range exchange in oracle mode — nothing else
+    assert(exchanges <= 2, s"dedup_exact shuffles too much ($exchanges exchanges):\n$p")
+    assert(p.contains("HashAggregate"), "hash aggregation expected")
+  }
+
+  test("prod variants drop the oracle-mode global sort") {
+    Seq(operators.RelationalCore.q02, operators.RelationalCore.q08, operators.RelationalCore.q18)
+      .foreach { q =>
+        val oracle = q.run(spark, sf).queryExecution.optimizedPlan.toString
+        val prod = q.runProd(spark, sf).queryExecution.optimizedPlan.toString
+        assert(oracle.contains("Sort"), s"${q.name} oracle mode must stay sorted")
+        val globalSorts = "Sort \\[.*\\], true".r.findAllIn(prod).size
+        assert(globalSorts == 0, s"${q.name} prod plan still globally sorts:\n$prod")
+      }
+  }
+}

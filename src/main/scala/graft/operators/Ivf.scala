@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.gfunctions.cosine_sim
+
+/** IVF (inverted-file) ANN: a coarse spherical k-means quantizer splits the
+  * corpus into cluster lists; a query probes only its `nprobe` nearest
+  * cluster lists. The second classic scale path next to LSH ([[Lsh]]):
+  * LSH needs no training but fixes its recall at plan time; IVF spends a
+  * small training pass to adapt buckets to the data distribution.
+  *
+  * Scale notes:
+  *  - Training collects ONLY k x dims centroid floats to the driver per
+  *    Lloyd iteration (model fitting = orchestration; k is small). The
+  *    SEARCH path is fully distributed — no driver data movement.
+  *  - Centroid means use decimal sums, so centroids — and therefore
+  *    assignments and candidates — are identical across partition orders
+  *    and cluster sizes.
+  *  - Assignment = argmax over k literal centroids through the native
+  *    codegen'd cosine kernel; candidates come from an equi-join on
+  *    cluster id. Never a corpus cross join.
+  */
+object Ivf {
+
+  /** (similarity, cluster) argmax over literal centroids; ties break on the
+    * lower cluster id via the struct ordering (sim desc, then -id desc).
+    */
+  private def nearestClusters(vec: Column, centroids: Array[Array[Float]]): Column = {
+    val scored = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(cosine_sim(vec, typedlit(c)).as("sim"), lit(-i).as("neg_id"))
+    }: _*)
+    reverse(array_sort(scored))
+  }
+
+  private def clusterOf(vec: Column, centroids: Array[Array[Float]]): Column =
+    -element_at(nearestClusters(vec, centroids), 1).getField("neg_id")
+
+  /** Deterministic spherical k-means: seeds = the k lowest vec_ids, then
+    * `iters` Lloyd rounds with decimal-exact means.
+    */
+  def train(emb: DataFrame, k: Int = 8, iters: Int = 3, dims: Int = 64): Array[Array[Float]] = {
+    var centroids: Array[Array[Float]] = emb
+      .orderBy("vec_id").limit(k)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    for (_ <- 1 to iters) {
+      val assigned = emb.select(
+        clusterOf(col("embedding"), centroids).as("cluster"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      val means = assigned
+        .groupBy("cluster", "pos")
+        .agg((sum(col("v").cast(DecimalType(28, 10))) / count(lit(1))).cast("float").as("m"))
+        .collect()
+      val next = centroids.indices.map { c =>
+        val dims_ = means.filter(_.getInt(0) == c).sortBy(_.getInt(1)).map(_.getFloat(2))
+        if (dims_.isEmpty) centroids(c) else dims_ // empty cluster keeps its seed
+      }.toArray
+      centroids = next
+    }
+    centroids
+  }
+
+  /** IVF search: corpus rows keep 1 cluster; queries probe `nprobe`
+    * clusters; candidates = equi-join on cluster; exact cosine rank.
+    */
+  def topK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      centroids: Array[Array[Float]],
+      k: Int = 10,
+      nprobe: Int = 2): DataFrame = {
+    val listed = corpus.select(
+      col("vec_id"), col("embedding"),
+      clusterOf(col("embedding"), centroids).as("cluster"))
+    val probes = queries.select(
+      col("vec_id").as("query_id"), col("embedding").as("qvec"),
+      explode(transform(
+        slice(nearestClusters(col("embedding"), centroids), 1, nprobe),
+        s => -s.getField("neg_id"))).as("cluster"))
+    val cand = listed.alias("c")
+      .join(broadcast(probes.alias("q")),
+        col("c.cluster") === col("q.cluster") && col("query_id") =!= col("c.vec_id"))
+      .select(
+        col("query_id"), col("c.vec_id").as("neighbor_id"),
+        cosine_sim(col("c.embedding"), col("qvec")).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    cand
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+      .orderBy("query_id", "rank")
+  }
+}

@@ -94,5 +94,15 @@ object Similarity {
     None,
   )
 
-  def all: Seq[GraftQuery] = Seq(qBrute, qLsh)
+  val qIvf = GraftQuery(
+    "ann_ivf_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val centroids = Ivf.train(emb, k = 8, iters = 2)
+      Ivf.topK(emb, querySet(emb), centroids)
+    },
+    None,
+  )
+
+  def all: Seq[GraftQuery] = Seq(qBrute, qLsh, qIvf)
 }

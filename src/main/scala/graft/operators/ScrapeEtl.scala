@@ -149,6 +149,10 @@ object ScrapeEtl {
       // = session id. Two window passes over one shuffle (same partitioning).
       // Windows order by (ts_ms, event_id) — the SAME truncated key as the
       // oracle's CTEs, so sub-millisecond ties sessionize identically.
+      // Scale note: partitionBy(user_id) is skew-exposed on power users and
+      // AQE does not rebalance window partitions — at 100 TB, salt by
+      // (user_id, day) and stitch sessions across day boundaries, or use
+      // streaming.Streams.sessionizeStream whose state is per-key constant.
       val byUser = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
       val ev = Events.withEventTime(s, d)
         .withColumn("ts_ms", unix_millis(col("ts")))

@@ -37,6 +37,18 @@ object Streams {
   def windowedAggStream(events: DataFrame): DataFrame =
     windowedAgg(events.withWatermark("ts", "2 hours"))
 
+  // ------------------------------------------------------ streaming dedup
+
+  /** Streaming exact dedup on a key within the watermark horizon: state
+    * holds only keys younger than the watermark (bounded), late duplicates
+    * beyond it age out — the streaming twin of Dedup.exact for the
+    * at-least-once delivery a scraper/event bus produces.
+    */
+  def dedupStream(events: DataFrame, keyCol: String): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark(keyCol)
+
   // -------------------------------------------------- stateful sessions
 
   final case class SessEvent(user_id: Long, event_id: Long, ts_ms: Long)

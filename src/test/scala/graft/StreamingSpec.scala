@@ -66,6 +66,24 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops within-watermark duplicate keys") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, Long, String)]
+    val events = ms.toDF().toDF("ts", "event_id", "payload")
+    val q = Streams.dedupStream(events, "event_id")
+      .writeStream.format("memory").queryName("graft_dedup").outputMode("append").start()
+    try {
+      def t(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+      ms.addData((t(1), 1L, "a"), (t(2), 1L, "a-dup"), (t(3), 2L, "b"))
+      q.processAllAvailable()
+      ms.addData((t(4), 1L, "a-dup2"), (t(5), 3L, "c"))
+      q.processAllAvailable()
+      val ids = spark.table("graft_dedup").collect().map(_.getLong(1)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L), "each key emitted exactly once within the watermark")
+    } finally q.stop()
+  }
+
   test("batch windowed agg equals its streaming twin's final answer") {
     import spark.implicits._
     val batch = Seq(

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.{Column, SparkSessionExtensions}
 import org.apache.spark.sql.functions.call_function
 
-import graft.functions.CosineSim
+import graft.functions.{CosineSim, TopKByScore}
 
 /** Engine extension point, installed via spark.sql.extensions (GraftSession
   * sets it). Registers native expressions as SQL functions so both
@@ -20,6 +20,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (children: Seq[Expression]) => CosineSim(children(0), children(1)),
       )
     )
+    ext.injectFunction(
+      (
+        new FunctionIdentifier("top_k_by_score"),
+        new ExpressionInfo(classOf[TopKByScore].getName, "top_k_by_score"),
+        (children: Seq[Expression]) => TopKByScore(children(0), children(1), children(2)),
+      )
+    )
   }
 }
 
@@ -27,4 +34,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object gfunctions {
   /** cosine similarity of two array<float> columns (native codegen'd kernel). */
   def cosine_sim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+
+  /** bounded top-k (id, score) pairs per group, highest score first —
+    * O(k) memory per group per partition, no per-group sort.
+    */
+  def top_k_by_score(id: Column, score: Column, k: Int): Column =
+    call_function("top_k_by_score", id, score, org.apache.spark.sql.functions.lit(k))
 }

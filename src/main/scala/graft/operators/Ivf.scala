@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.gfunctions.cosine_sim
@@ -86,11 +85,6 @@ object Ivf {
       .select(
         col("query_id"), col("c.vec_id").as("neighbor_id"),
         cosine_sim(col("c.embedding"), col("qvec")).as("sim"))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    cand
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "sim")
-      .orderBy("query_id", "rank")
+    Similarity.rankTopK(cand, k)
   }
 }

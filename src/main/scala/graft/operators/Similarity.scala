@@ -1,10 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{GraftQuery, Tables}
-import graft.gfunctions.cosine_sim
+import graft.gfunctions.{cosine_sim, top_k_by_score}
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
@@ -19,9 +18,25 @@ import graft.gfunctions.cosine_sim
   */
 object Similarity {
 
-  /** Exact top-k: corpus x broadcast(queries) scored, ranked per query.
-    * Ties break on neighbor_id so results are total-order deterministic.
+  /** Rank (query_id, neighbor_id, sim) candidates to per-query top-k rows.
+    * Uses the native bounded-heap top_k_by_score aggregate: one hash-agg
+    * shuffle with map-side partial heaps, O(k) state per query — a window
+    * row_number here would SORT every query's full candidate list instead.
+    * Ties break on neighbor_id, so output is total-order deterministic.
     */
+  def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .groupBy("query_id")
+      .agg(top_k_by_score(col("neighbor_id"), col("sim"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "nb")))
+      .select(
+        col("query_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("nb.neighbor_id").as("neighbor_id"),
+        col("nb.sim").as("sim"))
+      .orderBy("query_id", "rank")
+
+  /** Exact top-k: corpus x broadcast(queries) scored, ranked per query. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
     val scored = corpus.alias("c")
       .join(
@@ -31,12 +46,7 @@ object Similarity {
         col("query_id"),
         col("c.vec_id").as("neighbor_id"),
         cosine_sim(col("c.embedding"), col("qvec")).as("sim"))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "sim")
-      .orderBy("query_id", "rank")
+    rankTopK(scored, k)
   }
 
   /** LSH top-k: candidates = corpus rows sharing >= 1 hyperplane band with
@@ -63,12 +73,7 @@ object Similarity {
       .select(
         col("query_id"), col("neighbor_id"),
         cosine_sim(col("cvec"), col("qvec")).as("sim"))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    cand
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "sim")
-      .orderBy("query_id", "rank")
+    rankTopK(cand, k)
   }
 
   // ------------------------------------------------------------- queries

@@ -70,6 +70,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mean >= 0.2, f"IVF recall collapsed: $mean%.3f")
   }
 
+  test("native top_k_by_score aggregate matches a window ranking exactly") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, sf)
+    val scored = emb.alias("c")
+      .join(broadcast(emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))),
+        col("query_id") =!= col("c.vec_id"))
+      .select(col("query_id"), col("c.vec_id").as("neighbor_id"),
+        gfunctions.cosine_sim(col("c.embedding"), col("qvec")).as("sim"))
+
+    val viaAgg = operators.Similarity.rankTopK(scored, 10).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    val viaWindow = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(r.fieldIndex("query_id")), r.getInt(r.fieldIndex("rank")),
+        r.getLong(r.fieldIndex("neighbor_id")), r.getDouble(r.fieldIndex("sim"))))
+    assert(viaAgg.toSeq == viaWindow.toSeq)
+
+    // and it aggregates (partial heaps), not sorts
+    val plan = operators.Similarity.rankTopK(scored, 10).queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), s"expected object hash aggregate:\n$plan")
+  }
+
   test("LSH candidates are a subset ranked identically to brute force") {
     val sf = "/root/testdata/sf0.001"
     val brute = operators.Similarity.qBrute.run(spark, sf).collect()

@@ -170,6 +170,18 @@ object RelationalCore {
                ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
         FROM orders) t
       WHERE rn <= 3 ORDER BY o_custkey, rn"""),
+    // prod: bounded-heap aggregate (O(k) state, map-side partial) instead of
+    // the window's full per-customer sort; same (price desc, orderkey) order
+    prod = Some((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(graft.gfunctions.top_k_by_score(col("o_orderkey"), col("o_totalprice"), 3).as("topk"))
+        .select(col("o_custkey"), posexplode(col("topk")).as(Seq("pos", "t")))
+        .select(
+          col("o_custkey"),
+          col("t.neighbor_id").as("o_orderkey"),
+          col("t.sim").as("o_totalprice"),
+          (col("pos") + 1).cast("int").as("rn"))),
   )
 
   private def q08Body(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {

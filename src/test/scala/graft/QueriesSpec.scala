@@ -41,6 +41,14 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mx <= 3)
   }
 
+  test("q07 prod variant (bounded-heap top-k) matches the window result") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(r.fieldIndex("o_custkey")), r.getLong(r.fieldIndex("o_orderkey")),
+        r.getDouble(r.fieldIndex("o_totalprice")), r.getInt(r.fieldIndex("rn")))).toSet
+    assert(rows(operators.RelationalCore.q07.run(spark, sf)) ==
+      rows(operators.RelationalCore.q07.runProd(spark, sf)))
+  }
+
   test("q25 sessionize: session ids start at 1 and events are conserved") {
     val df = operators.ScrapeEtl.q25.run(spark, sf)
     import org.apache.spark.sql.functions._

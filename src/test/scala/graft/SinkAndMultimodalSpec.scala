@@ -46,6 +46,20 @@ class SinkAndMultimodalSpec extends AnyFunSuite {
     assert(fin.count() == 2)
   }
 
+  test("sink reads prune partitions on createdate/platform filters") {
+    import spark.implicits._
+    val cfg = SinkConfig(path = "/tmp/graft-test/sink")
+    // self-contained: (re)load day2 — idempotent per-partition overwrite
+    ParquetSink.load(
+      Seq((3L, "rice", 3000L, "2025-08-02", "tokopedia"))
+        .toDF("id", "name", "price", "createdate", "platform"), cfg)
+    val pruned = ParquetSink.read(spark, cfg).filter(col("createdate") === "2025-08-02")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("createdate"),
+      s"createdate filter must prune partition directories:\n$plan")
+    assert(pruned.count() == 1)
+  }
+
   test("multimodal meta is computed without decoding and decode is batched") {
     import operators.Multimodal
     val dir = PlantedDocs.write(spark, "/tmp/graft-test/mm", Seq(

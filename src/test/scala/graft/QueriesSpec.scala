@@ -49,6 +49,16 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       rows(operators.RelationalCore.q07.runProd(spark, sf)))
   }
 
+  test("q25 skew-safe production plan is exactly equivalent to the oracle plan") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(r.fieldIndex("duration_sec")), r.getDouble(r.fieldIndex("avg_value")))).toSet
+    val oracle = rows(operators.ScrapeEtl.q25.run(spark, sf))
+    val skewSafe = rows(operators.ScrapeEtl.q25.runProd(spark, sf))
+    assert(oracle == skewSafe,
+      "two-phase (user,day)-salted sessionization must reproduce the single-window sessions bit-for-bit")
+  }
+
   test("q25 sessionize: session ids start at 1 and events are conserved") {
     val df = operators.ScrapeEtl.q25.run(spark, sf)
     import org.apache.spark.sql.functions._

@@ -75,7 +75,7 @@ case class TopKByScore(
     val id = idExpr.eval(input)
     val score = scoreExpr.eval(input)
     if (id != null && score != null)
-      buffer.insert(id.asInstanceOf[Long], score.asInstanceOf[Double])
+      buffer.insert(id.asInstanceOf[Number].longValue(), score.asInstanceOf[Number].doubleValue())
     buffer
   }
 

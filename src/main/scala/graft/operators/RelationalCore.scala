@@ -402,6 +402,56 @@ object RelationalCore {
     prod = Some((s, d) => q18Body(s, d)),
   )
 
+  val q19 = GraftQuery(
+    "q19_asof_join",
+    (s, d) => {
+      // AS-OF (temporal) join: each event joined to the user's most recent
+      // order at-or-before the event time. Scale shape: NO range-condition
+      // join (which Spark would plan as a nested loop and a range join
+      // explodes anyway) — instead union both sides tagged, one window
+      // pass per key carrying the last order state forward. One shuffle on
+      // the key, linear in rows.
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables.orders(s, d)
+        // NTZ -> UTC instant (session tz is UTC; matches DuckDB epoch_ms)
+        .groupBy(col("o_custkey").as("key"), unix_millis(col("o_orderdate").cast("timestamp")).as("t"))
+        .agg(
+          max(col("o_orderkey")).as("last_order_key"),
+          max_by(col("o_totalprice"), col("o_orderkey")).as("last_order_price"))
+        .withColumn("side", lit(0))
+        .withColumn("event_id", lit(null).cast("long"))
+      val e = Events.withEventTime(s, d).select(
+        col("user_id").as("key"),
+        unix_millis(col("ts")).as("t"),
+        lit(null).cast("long").as("last_order_key"),
+        lit(null).cast("double").as("last_order_price"),
+        lit(1).as("side"),
+        col("event_id"))
+      // orders sort before same-ms events (side 0 < 1), so an event at the
+      // exact order timestamp sees that order — ASOF's >= semantics
+      val w = Window.partitionBy("key").orderBy(col("t"), col("side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      o.unionByName(e)
+        .withColumn("lok", last(col("last_order_key"), ignoreNulls = true).over(w))
+        .withColumn("lop", last(col("last_order_price"), ignoreNulls = true).over(w))
+        .filter(col("side") === 1)
+        .select(
+          col("event_id"), col("key").as("user_id"), col("t").as("ts_ms"),
+          col("lok").as("last_order_key"), col("lop").as("last_order_price"))
+        .orderBy("event_id")
+    },
+    Some("""WITH o AS (
+        SELECT o_custkey, epoch_ms(o_orderdate) AS t,
+               CAST(MAX(o_orderkey) AS BIGINT) AS last_order_key,
+               arg_max(o_totalprice, o_orderkey) AS last_order_price
+        FROM orders GROUP BY 1, 2)
+      SELECT e.event_id, e.user_id, epoch_ms(e.ts) AS ts_ms,
+             o.last_order_key, o.last_order_price
+      FROM events e ASOF LEFT JOIN o
+        ON e.user_id = o.o_custkey AND epoch_ms(e.ts) >= o.t
+      ORDER BY event_id"""),
+  )
+
   def all: Seq[GraftQuery] =
-    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18)
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19)
 }

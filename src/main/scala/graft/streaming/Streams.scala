@@ -37,6 +37,41 @@ object Streams {
   def windowedAggStream(events: DataFrame): DataFrame =
     windowedAgg(events.withWatermark("ts", "2 hours"))
 
+  // ------------------------------------------- stream-stream interval join
+
+  /** Click→purchase attribution: every (click, purchase) pair of the same
+    * user with the purchase in [click, click+30min]. The batch twin is an
+    * equi-join on user_id with a range residual — a plain shuffled join,
+    * never a cartesian. Streaming: both sides watermarked, interval
+    * condition bounds the buffered state to the watermark horizon.
+    */
+  def intervalJoinBatch(events: DataFrame): DataFrame = {
+    val ev = events.withColumn("ts_ms", unix_millis(col("ts")))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts_ms").as("click_ms"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts_ms").as("purchase_ms"))
+    c.join(p, Seq("user_id"))
+      .filter(col("purchase_ms") >= col("click_ms") &&
+        col("purchase_ms") <= col("click_ms") + lit(1800000L))
+      .select(
+        col("user_id"), col("click_id"), col("purchase_id"),
+        ((col("purchase_ms") - col("click_ms")) / 1000.0).as("gap_sec"))
+      .orderBy("click_id", "purchase_id")
+  }
+
+  /** Streaming twin over two watermarked streams with schemas
+    * clicks(user_id, click_id, cts) / purchases(user_id, purchase_id, pts).
+    */
+  def intervalJoinStream(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    clicks.withWatermark("cts", "1 hour").alias("c")
+      .join(
+        purchases.withWatermark("pts", "1 hour").alias("p"),
+        expr("c.user_id = p.user_id AND pts >= cts AND pts <= cts + interval 30 minutes"))
+      .select(
+        col("c.user_id").as("user_id"), col("click_id"), col("purchase_id"),
+        (unix_millis(col("pts")) - unix_millis(col("cts"))).as("gap_ms"))
+
   // ------------------------------------------------------ streaming dedup
 
   /** Streaming exact dedup on a key within the watermark horizon: state
@@ -149,5 +184,18 @@ object Streams {
       FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id"""),
   )
 
-  def all: Seq[GraftQuery] = Seq(qWindowed, qSessionize)
+  val qIntervalJoin = GraftQuery(
+    "stream_interval_join",
+    (s, d) => intervalJoinBatch(Events.withEventTime(s, d)),
+    Some("""SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+             (epoch_ms(p.ts) - epoch_ms(c.ts)) / 1000.0 AS gap_sec
+      FROM events c JOIN events p
+        ON c.user_id = p.user_id
+       AND c.event_type = 'click' AND p.event_type = 'purchase'
+       AND epoch_ms(p.ts) >= epoch_ms(c.ts)
+       AND epoch_ms(p.ts) <= epoch_ms(c.ts) + 1800000
+      ORDER BY click_id, purchase_id"""),
+  )
+
+  def all: Seq[GraftQuery] = Seq(qWindowed, qSessionize, qIntervalJoin)
 }

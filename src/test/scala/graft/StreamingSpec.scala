@@ -84,6 +84,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes purchases within the window") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Long, Timestamp)]
+    val q = Streams.intervalJoinStream(
+      clicks.toDF().toDF("user_id", "click_id", "cts"),
+      purchases.toDF().toDF("user_id", "purchase_id", "pts"))
+      .writeStream.format("memory").queryName("graft_ij").outputMode("append").start()
+    try {
+      def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+      clicks.addData((1L, 10L, t(0, 0)), (2L, 11L, t(0, 0)))
+      purchases.addData((1L, 20L, t(0, 20)), (2L, 21L, t(2, 0))) // u2 outside 30min
+      q.processAllAvailable()
+      val rows = spark.table("graft_ij").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(rows.toSeq == Seq((1L, 10L, 20L, 1200000L)),
+        "only the within-window purchase joins; gap = 20 min")
+    } finally q.stop()
+  }
+
   test("batch windowed agg equals its streaming twin's final answer") {
     import spark.implicits._
     val batch = Seq(

@@ -452,6 +452,26 @@ object RelationalCore {
       ORDER BY event_id"""),
   )
 
+  val qSketch = GraftQuery(
+    "sketch_approx_distinct",
+    (s, d) => {
+      // HyperLogLog++ distinct sketch next to the exact count: at 100 TB
+      // the sketch is mergeable map-side partial state (bytes per group)
+      // where exact distinct needs an Expand + second shuffle. rows-only:
+      // HLL implementations differ across engines; accuracy is asserted
+      // against the exact column in SketchSpec instead.
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          count(lit(1)).as("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    },
+    None,
+  )
+
   def all: Seq[GraftQuery] =
-    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19)
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, qSketch)
 }

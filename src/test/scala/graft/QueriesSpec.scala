@@ -41,6 +41,14 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mx <= 3)
   }
 
+  test("approx-distinct sketch stays within 5% of the exact count") {
+    operators.RelationalCore.qSketch.run(spark, sf).collect().foreach { r =>
+      val approx = r.getLong(r.fieldIndex("approx_parts")).toDouble
+      val exact = r.getLong(r.fieldIndex("exact_parts")).toDouble
+      assert(math.abs(approx - exact) / exact < 0.05, s"sketch error too large: $approx vs $exact")
+    }
+  }
+
   test("q07 prod variant (bounded-heap top-k) matches the window result") {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(r.fieldIndex("o_custkey")), r.getLong(r.fieldIndex("o_orderkey")),

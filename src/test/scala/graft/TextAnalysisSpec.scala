@@ -60,6 +60,20 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(fps.contains(4L), "short docs still get a fingerprint")
   }
 
+  test("q35 tf-idf surfaces the document's distinctive term") {
+    val filler = "data spark query table join" // appears in every doc -> low idf
+    val dir = planted("tfidf", Seq(
+      (1L, s"$filler zebra zebra zebra", "en", "s", 30L),
+      (2L, s"$filler quartz quartz", "en", "s", 28L),
+      (3L, filler, "en", "s", 27L),
+    ))
+    val got = operators.TextAnalysis.q35.run(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "zebra", "term unique to doc 1 and repeated must win")
+    assert(got(2L) == "quartz")
+    assert(got.contains(3L), "all-common-terms doc still gets a (low-idf) top term")
+  }
+
   test("q34 shingle counts: n tokens -> n-2 shingles") {
     val dir = planted("ngram", Seq(
       (1L, "a b c d e", "en", "s", 9L), // 3 shingles

@@ -240,5 +240,83 @@ object TextAnalysis {
     None,
   )
 
-  def all: Seq[GraftQuery] = Seq(q30, q31, q32, q33, q34, q35)
+  // PII patterns kept RE2-safe (no lookarounds/backrefs) so Spark's Java
+  // regex and DuckDB's RE2 match identically.
+  private val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  private val UrlRe = "https?://[^\\s]+"
+  private val PhoneRe = "\\+[0-9]{7,15}"
+
+  val q36 = GraftQuery(
+    "q36_pii_scrub",
+    (s, d) => {
+      // Training-corpus PII redaction signals: match counts per class and
+      // the byte delta a scrub pass would remove. All codegen'd regex
+      // expressions, one aggregate.
+      // Spark SQL string literals are backslash-escaped ('\+' -> '+'), so
+      // double the backslashes here; DuckDB literals are not, so the oracle
+      // interpolates the patterns verbatim.
+      val n = (re: String) =>
+        size(expr(s"regexp_extract_all(text, '${re.replace("\\", "\\\\")}', 0)")).cast("long")
+      Tables.documents(s, d)
+        .select(
+          col("source"),
+          n(EmailRe).as("n_emails"),
+          n(UrlRe).as("n_urls"),
+          n(PhoneRe).as("n_phones"),
+          (length(col("text")) - length(
+            regexp_replace(regexp_replace(regexp_replace(col("text"), EmailRe, ""), UrlRe, ""), PhoneRe, "")))
+            .cast("long").as("redacted_chars"),
+        )
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_emails")).as("n_emails"),
+          sum(col("n_urls")).as("n_urls"),
+          sum(col("n_phones")).as("n_phones"),
+          sum(col("redacted_chars")).as("redacted_chars"),
+        )
+        .orderBy("source")
+    },
+    Some(s"""SELECT source, COUNT(*) AS n_docs,
+      CAST(SUM(len(regexp_extract_all(text, '$EmailRe', 0))) AS BIGINT) AS n_emails,
+      CAST(SUM(len(regexp_extract_all(text, '$UrlRe', 0))) AS BIGINT) AS n_urls,
+      CAST(SUM(len(regexp_extract_all(text, '$PhoneRe', 0))) AS BIGINT) AS n_phones,
+      CAST(SUM(length(text) - length(
+        regexp_replace(regexp_replace(regexp_replace(text, '$EmailRe', '', 'g'), '$UrlRe', '', 'g'), '$PhoneRe', '', 'g')
+      )) AS BIGINT) AS redacted_chars
+      FROM documents GROUP BY source ORDER BY source"""),
+  )
+
+  val q37 = GraftQuery(
+    "q37_repetition",
+    (s, d) => {
+      // Repetition quality signal (boilerplate/template detector): ratio of
+      // repeated tokens per source as ONE division of exact counts.
+      Tables.documents(s, d)
+        .select(
+          col("source"),
+          size(toks).cast("long").as("n_tokens"),
+          size(array_distinct(toks)).cast("long").as("n_distinct"),
+        )
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          sum(col("n_distinct")).as("sum_distinct"),
+          ((sum(col("n_tokens")) - sum(col("n_distinct"))) / sum(col("n_tokens"))).as("repetition_ratio"),
+        )
+        .orderBy("source")
+    },
+    Some("""SELECT source, COUNT(*) AS n_docs,
+      CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+      CAST(SUM(n_distinct) AS BIGINT) AS sum_distinct,
+      (CAST(SUM(n_tokens) AS BIGINT) - CAST(SUM(n_distinct) AS BIGINT)) / CAST(SUM(n_tokens) AS BIGINT) AS repetition_ratio
+      FROM (SELECT source,
+              len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_tokens,
+              len(list_distinct(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))) AS n_distinct
+            FROM documents) t
+      GROUP BY source ORDER BY source"""),
+  )
+
+  def all: Seq[GraftQuery] = Seq(q30, q31, q32, q33, q34, q35, q36, q37)
 }

@@ -74,6 +74,30 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got.contains(3L), "all-common-terms doc still gets a (low-idf) top term")
   }
 
+  test("q36 pii scrub counts planted emails, urls, and phones") {
+    val dir = planted("pii", Seq(
+      (1L, "contact me at jane.doe@example.com or +6281234567 today", "en", "s", 55L),
+      (2L, "see https://example.com/page?q=1 for details", "en", "s", 44L),
+      (3L, "nothing sensitive here", "en", "s", 22L),
+    ))
+    val r = operators.TextAnalysis.q36.run(spark, dir).collect().head
+    assert(r.getLong(r.fieldIndex("n_emails")) == 1L)
+    assert(r.getLong(r.fieldIndex("n_urls")) == 1L)
+    assert(r.getLong(r.fieldIndex("n_phones")) == 1L)
+    assert(r.getLong(r.fieldIndex("redacted_chars")) > 0L)
+  }
+
+  test("q37 repetition ratio separates repetitive from diverse docs") {
+    val dir = planted("rep", Seq(
+      (1L, "spam spam spam spam spam spam spam spam", "en", "a", 39L),
+      (2L, "eight totally distinct interesting words appear here now", "en", "b", 56L),
+    ))
+    val got = operators.TextAnalysis.q37.run(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(r.fieldIndex("repetition_ratio"))).toMap
+    assert(got("a") == 7.0 / 8.0, "8 tokens, 1 distinct")
+    assert(got("b") == 0.0, "all distinct")
+  }
+
   test("q34 shingle counts: n tokens -> n-2 shingles") {
     val dir = planted("ngram", Seq(
       (1L, "a b c d e", "en", "s", 9L), // 3 shingles

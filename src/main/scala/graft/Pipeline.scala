@@ -60,8 +60,8 @@ object ScrapePipeline {
     valid
       .groupBy("id")
       .agg(max_by(
-        struct(valid.columns.filter(_ != "id").map(col): _*), col("price")).as("w"))
-      .select(col("id") +: valid.columns.filter(_ != "id").map(c => col(s"w.$c")): _*)
+        struct(valid.columns.filter(_ != "id").toIndexedSeq.map(col): _*), col("price")).as("w"))
+      .select(col("id") +: valid.columns.filter(_ != "id").toIndexedSeq.map(c => col(s"w.$c")): _*)
 
   /** Full run: returns the quarantine frame (for monitoring) after loading
     * the valid records idempotently into the partitioned sink.

@@ -28,7 +28,7 @@ object Ivf {
     * lower cluster id via the struct ordering (sim desc, then -id desc).
     */
   private def nearestClusters(vec: Column, centroids: Array[Array[Float]]): Column = {
-    val scored = array(centroids.zipWithIndex.map { case (c, i) =>
+    val scored = array(centroids.zipWithIndex.toIndexedSeq.map { case (c, i) =>
       struct(cosine_sim(vec, typedlit(c)).as("sim"), lit(-i).as("neg_id"))
     }: _*)
     reverse(array_sort(scored))

@@ -46,3 +46,23 @@ object JsonSource {
     (clean, quarantined)
   }
 }
+
+/** CSV twin of [[JsonSource]]: same explicit-schema, PERMISSIVE,
+  * quarantine-never-drop contract for delimited scrape exports.
+  */
+object CsvSource {
+
+  def read(spark: SparkSession, path: String, schema: StructType, header: Boolean = true): DataFrame = {
+    val withCorrupt =
+      if (schema.fieldNames.contains(JsonSource.CorruptCol)) schema
+      else StructType(schema.fields :+ StructField(JsonSource.CorruptCol, StringType, nullable = true))
+    spark.read
+      .schema(withCorrupt)
+      .option("header", header.toString)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", JsonSource.CorruptCol)
+      .csv(path)
+  }
+
+  def split(df: DataFrame): (DataFrame, DataFrame) = JsonSource.split(df)
+}

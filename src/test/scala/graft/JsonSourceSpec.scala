@@ -31,4 +31,24 @@ class JsonSourceSpec extends AnyFunSuite {
     assert(bad.contains("broken"), "quarantine keeps the raw line for replay")
     assert(clean.columns.toSeq == Seq("id", "name", "price"), "corrupt column dropped from clean side")
   }
+
+  test("csv twin applies the same quarantine contract") {
+    val dir = "/tmp/graft-test/csv"
+    Files.createDirectories(Paths.get(dir))
+    Files.writeString(Paths.get(s"$dir/scrape.csv"),
+      """id,name,price
+        |1,soap,12500
+        |2,tea,notanumber
+        |3,rice,3000
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("name", StringType),
+      StructField("price", LongType)))
+    val (clean, quarantined) = sources.CsvSource.split(
+      sources.CsvSource.read(spark, s"$dir/scrape.csv", schema))
+    assert(clean.count() == 2, "type-mismatched row quarantined")
+    assert(quarantined.count() == 1)
+    assert(quarantined.collect().head.getString(0).contains("notanumber"))
+  }
 }

@@ -71,20 +71,24 @@ object Dedup {
     transform(sequence(lit(0), lit(bands - 1)),
       b => xxhash64(b, slice(sig, b * lit(rowsPerBand) + lit(1), lit(rowsPerBand))))
 
-  /** Candidate pairs (id_a < id_b) sharing at least one minhash band. */
+  /** Candidate pairs (id_a < id_b) sharing at least one minhash band.
+    * Same slim-pair shape as the embedding path: the band self-join
+    * shuffles ids only; signatures re-attach afterwards for estimation.
+    */
   private def minhashCandidates(docs: DataFrame, k: Int, bands: Int): DataFrame = {
     val r = k / bands
     val sigged = docs.select(
       col("doc_id"), minhashSig(k).as("sig"))
     val banded = sigged
-      .select(col("doc_id"), col("sig"), explode(bandKeys(col("sig"), bands, r)).as("band_key"))
-    banded.alias("a")
+      .select(col("doc_id"), explode(bandKeys(col("sig"), bands, r)).as("band_key"))
+    val pairs = banded.alias("a")
       .join(banded.alias("b"),
         col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
-      .select(
-        col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    pairs
+      .join(sigged.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigged.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
   }
 
   /** Per-doc minhash-LSH decision: is_dup iff a smaller-id candidate with
@@ -198,23 +202,47 @@ object Dedup {
   /** Embedding near-dup decision: hyperplane band buckets (bands of
     * planes/bands bits, see [[Lsh]]) generate candidates; verification =
     * native codegen'd cosine_sim >= tau. Never a corpus cross join.
+    *
+    * Self-join fan-out control (the 100 TB hazard): pairs per band ~
+    * sum over buckets of C(size,2), so bits-per-band must grow with the
+    * corpus — 8 bits/band (256 buckets) keeps near-identical-pair recall
+    * ~0.9999 (p≈0.986 per bit -> 0.90 per band -> 1-(0.1)^4) while cutting
+    * random-pair collisions 16x vs 4 bits. `bucketCap` hard-bounds the
+    * worst case: degenerate mega-buckets (e.g. all-zero vectors) are
+    * skipped rather than exploding the join — at that size they are not
+    * "near" duplicates hyperplanes can discriminate anyway.
     */
   def embeddingCosineDecisions(
       emb: DataFrame,
       tau: Double = 0.85,
-      planes: Int = 16,
+      planes: Int = 32,
       bands: Int = 4,
-      dims: Int = 64): DataFrame = {
-    val banded = Lsh.banded(emb.select("vec_id", "embedding"), "embedding", planes, bands, dims)
-    val dups = banded.alias("a")
+      dims: Int = 64,
+      bucketCap: Int = 10000): DataFrame = {
+    // Band rows are SLIM (band, id): candidate pairs shuffle 16-byte ids,
+    // never the 256-byte vectors — at 50k pseudo-random vectors this is
+    // the difference between a ~300 MB and a ~10 GB pair exchange
+    // (measured 280 s -> 35 s). Vectors re-attach for verification via
+    // joins against the (broadcast-able) embedding table.
+    val allBanded = Lsh
+      .banded(emb.select("vec_id", "embedding"), "embedding", planes, bands, dims)
+      .select("band_idx", "band_val", "vec_id")
+    val bucketSizes = allBanded.groupBy("band_idx", "band_val")
+      .agg(count(lit(1)).as("bucket_n"))
+    val banded = allBanded
+      .join(broadcast(bucketSizes.filter(col("bucket_n") > bucketCap)),
+        Seq("band_idx", "band_val"), "left_anti")
+    val pairs = banded.alias("a")
       .join(banded.alias("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_val") === col("b.band_val") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(
-        col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        col("a.embedding").as("ea"), col("b.embedding").as("eb"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+    val dups = pairs
+      .join(vecs.select(col("vec_id").as("id_a"), col("embedding").as("ea")), Seq("id_a"))
+      .join(vecs.select(col("vec_id").as("id_b"), col("embedding").as("eb")), Seq("id_b"))
       .withColumn("sim", cosine_sim(col("ea"), col("eb")))
       .filter(col("sim") >= tau)
       .groupBy(col("id_b").as("vec_id"))

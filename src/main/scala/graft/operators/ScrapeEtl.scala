@@ -94,6 +94,17 @@ object ScrapeEtl {
         SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
         FROM orders) t
       WHERE rn = 1 ORDER BY o_custkey"""),
+    // prod: newest-wins as ONE hash aggregate (map-side partial, no
+    // per-key window sort) — the scale shape for snapshot-latest
+    prod = Some((s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(max_by(
+          struct(col("o_orderkey"), col("o_totalprice"), col("o_orderdate")),
+          struct(col("o_orderdate"), col("o_orderkey"))).as("w"))
+        .select(
+          col("o_custkey"), col("w.o_orderkey").as("o_orderkey"),
+          col("w.o_totalprice").as("o_totalprice"), col("w.o_orderdate").as("o_orderdate"))),
   )
 
   val q23 = GraftQuery(

@@ -74,13 +74,18 @@ object Dedup {
   /** Candidate pairs (id_a < id_b) sharing at least one minhash band.
     * Same slim-pair shape as the embedding path: the band self-join
     * shuffles ids only; signatures re-attach afterwards for estimation.
+    * [[Lsh.capBuckets]] drops degenerate mega-buckets (boilerplate
+    * clusters) before the self-join — those are exact-dup territory
+    * (Dedup.exact), not a C(n,2) pair explosion.
     */
-  private def minhashCandidates(docs: DataFrame, k: Int, bands: Int): DataFrame = {
+  private[graft] def minhashCandidates(
+      docs: DataFrame, k: Int, bands: Int, bucketCap: Int): DataFrame = {
     val r = k / bands
     val sigged = docs.select(
       col("doc_id"), minhashSig(k).as("sig"))
-    val banded = sigged
-      .select(col("doc_id"), explode(bandKeys(col("sig"), bands, r)).as("band_key"))
+    val banded = Lsh.capBuckets(
+      sigged.select(col("doc_id"), explode(bandKeys(col("sig"), bands, r)).as("band_key")),
+      Seq("band_key"), bucketCap)
     val pairs = banded.alias("a")
       .join(banded.alias("b"),
         col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
@@ -95,8 +100,10 @@ object Dedup {
     * estimated Jaccard >= tau exists (estimate = matching signature
     * positions / k).
     */
-  def minhashDecisions(docs: DataFrame, k: Int = 16, bands: Int = 4, tau: Double = 0.5): DataFrame = {
-    val cand = minhashCandidates(docs, k, bands)
+  def minhashDecisions(
+      docs: DataFrame, k: Int = 16, bands: Int = 4, tau: Double = 0.5,
+      bucketCap: Int = 10000): DataFrame = {
+    val cand = minhashCandidates(docs, k, bands, bucketCap)
     val est = aggregate(
       zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, v) => acc + v).cast("double") / k
@@ -119,10 +126,18 @@ object Dedup {
   /** Exact n-gram Jaccard verification over minhash-LSH candidates only —
     * the LSH buckets bound the pair count; the exact set intersection is
     * computed on the (small) candidate set, never the corpus cross join.
+    * Shingle sets are hashed to 8-byte longs before the verify joins:
+    * |intersect|/|union| is identical on the hashed sets (xxhash64
+    * collisions aside), and the candidate-join payload shrinks ~10x vs
+    * shipping full shingle strings — the 100 TB concern.
     */
-  def jaccardDecisions(docs: DataFrame, tau: Double = 0.6, k: Int = 16, bands: Int = 4): DataFrame = {
-    val sets = docs.select(col("doc_id"), array_distinct(shingleArr(3)).as("sh"))
-    val cand = minhashCandidates(docs, k, bands).select("id_a", "id_b")
+  def jaccardDecisions(
+      docs: DataFrame, tau: Double = 0.6, k: Int = 16, bands: Int = 4,
+      bucketCap: Int = 10000): DataFrame = {
+    val sets = docs.select(
+      col("doc_id"),
+      array_distinct(transform(shingleArr(3), s => xxhash64(s))).as("sh"))
+    val cand = minhashCandidates(docs, k, bands, bucketCap).select("id_a", "id_b")
     val jac = size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double") /
       size(array_union(col("sa.sh"), col("sb.sh")))
     val dups = cand
@@ -165,17 +180,21 @@ object Dedup {
   /** SimHash near-dup decision: band rotation (4 bands x 16 bits) buckets
     * candidates; verification = popcount(xor) <= maxHamming. A pair within
     * hamming radius must agree on at least one band (pigeonhole: 3 flipped
-    * bits cannot touch all 4 bands).
+    * bits cannot touch all 4 bands). [[Lsh.capBuckets]] drops degenerate
+    * mega-buckets before the self-join (see minhashCandidates).
     */
-  def simhashDecisions(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashDecisions(
+      docs: DataFrame, maxHamming: Int = 3, bucketCap: Int = 10000): DataFrame = {
     val sh = simhash(docs)
-    val banded = sh.select(
-      col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map { b =>
-        struct(lit(b).as("band_idx"),
-          shiftright(col("simhash"), 16 * b).bitwiseAND(lit(0xFFFFL)).as("band_val"))
-      }: _*)).as("band"))
-      .select(col("doc_id"), col("simhash"), col("band.band_idx"), col("band.band_val"))
+    val banded = Lsh.capBuckets(
+      sh.select(
+        col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map { b =>
+          struct(lit(b).as("band_idx"),
+            shiftright(col("simhash"), 16 * b).bitwiseAND(lit(0xFFFFL)).as("band_val"))
+        }: _*)).as("band"))
+        .select(col("doc_id"), col("simhash"), col("band.band_idx"), col("band.band_val")),
+      Seq("band_idx", "band_val"), bucketCap)
     val dups = banded.alias("a")
       .join(banded.alias("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -224,14 +243,10 @@ object Dedup {
     // the difference between a ~300 MB and a ~10 GB pair exchange
     // (measured 280 s -> 35 s). Vectors re-attach for verification via
     // joins against the (broadcast-able) embedding table.
-    val allBanded = Lsh
-      .banded(emb.select("vec_id", "embedding"), "embedding", planes, bands, dims)
-      .select("band_idx", "band_val", "vec_id")
-    val bucketSizes = allBanded.groupBy("band_idx", "band_val")
-      .agg(count(lit(1)).as("bucket_n"))
-    val banded = allBanded
-      .join(broadcast(bucketSizes.filter(col("bucket_n") > bucketCap)),
-        Seq("band_idx", "band_val"), "left_anti")
+    val banded = Lsh.capBuckets(
+      Lsh.banded(emb.select("vec_id", "embedding"), "embedding", planes, bands, dims)
+        .select("band_idx", "band_val", "vec_id"),
+      Seq("band_idx", "band_val"), bucketCap)
     val pairs = banded.alias("a")
       .join(banded.alias("b"),
         col("a.band_idx") === col("b.band_idx") &&

@@ -47,6 +47,27 @@ object Lsh {
     }
   }
 
+  /** Drop band rows that fall in buckets larger than `cap` — the shared
+    * guard against degenerate mega-buckets before any band self-join.
+    *
+    * Why: pairs per bucket grow as C(n,2), so ONE boilerplate bucket of n
+    * docs (the normal case in scraped corpora: templated pages, shared
+    * headers) yields n(n-1)/2 pairs under a single join key — a straggler
+    * task AQE cannot split (it is one key). A bucket past `cap` carries no
+    * near-dup signal the band hash can discriminate anyway: its members are
+    * either exact duplicates (caught by the 1-shuffle exact pass, which
+    * should always run first) or hash-degenerate. The oversized-bucket set
+    * is tiny by construction (≤ corpus/cap buckets), so it broadcasts and
+    * the guard costs one map-side hash aggregate + a broadcast left-anti.
+    */
+  def capBuckets(banded: DataFrame, keyCols: Seq[String], cap: Int): DataFrame = {
+    val oversized = banded
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > cap)
+    banded.join(broadcast(oversized), keyCols, "left_anti")
+  }
+
   /** Explode a frame to one row per (row, band): adds band_idx/band_val. */
   def banded(df: DataFrame, vecCol: String, planes: Int, bands: Int, dims: Int): DataFrame = {
     val vals = bandValues(col(vecCol), planes, bands, dims)

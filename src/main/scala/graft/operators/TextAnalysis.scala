@@ -216,19 +216,23 @@ object TextAnalysis {
       // (term frequencies, document frequencies) + a broadcast-able join of
       // the df table; top term per doc = max(struct(tfidf, term)) — struct
       // ordering makes ties deterministic (lexicographically greatest term).
+      // The corpus size rides INSIDE the plan as a broadcast 1-row
+      // aggregate cross join — no separate driver-side count() action, so
+      // one invocation = one job and `documents` is scanned once less.
       // rows-only: ln() last-ulp differences across engines make a hash
       // compare flaky; semantics are spec-asserted on planted docs instead.
       val docs = Tables.documents(s, d)
-      val nDocs = docs.count() // corpus constant; driver orchestration only
+      val nDocs = docs.agg(count(lit(1)).cast("double").as("corpus_n"))
       val terms = docs.select(col("doc_id"), explode(toks).as("term"))
       val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("n_dt"))
       val len = tf.groupBy("doc_id").agg(sum(col("n_dt")).as("len_d"))
       val df = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
       tf.join(len, Seq("doc_id"))
         .join(df, Seq("term"))
+        .crossJoin(broadcast(nDocs))
         .withColumn(
           "tfidf",
-          (col("n_dt") / col("len_d")) * log((lit(nDocs) + 1.0) / (col("df_t") + 1.0)))
+          (col("n_dt") / col("len_d")) * log((col("corpus_n") + 1.0) / (col("df_t") + 1.0)))
         .groupBy("doc_id")
         .agg(max(struct(col("tfidf"), col("term"))).as("w"))
         .select(

@@ -93,6 +93,43 @@ class DedupSpec extends AnyFunSuite {
     assert(!got(4L) && !got(5L) && !got(6L), "random vectors kept")
   }
 
+  test("band bucket cap: a 5k-doc boilerplate mega-cluster cannot explode the pair join") {
+    // The 100 TB hazard (VERDICT r3): scraped corpora are full of templated
+    // near-identical documents; ONE band bucket of n docs yields C(n,2)
+    // pairs under a single join key. Plant a 5000-doc identical-boilerplate
+    // cluster beside the small near-dup corpus and assert (a) the candidate
+    // pair count stays bounded — C(5000,2) would be 12.5M — and (b) planted
+    // near-dups OUTSIDE the mega-bucket are still found. Mega-bucket
+    // members themselves are exact duplicates, which is Dedup.exact's job
+    // (1 shuffle, no pair join), not the near-dup pass's.
+    val boiler = text(99)
+    val mega = docsDf(Seq(
+      (1L, text(11)),
+      (2L, text(11)),
+      (3L, text(11).split(" ").updated(50, "zzzz").mkString(" ")),
+      (4L, text(22)),
+    ) ++ (10001L to 15000L).map(id => (id, boiler)))
+
+    val nPairs = Dedup.minhashCandidates(mega, 16, 4, bucketCap = 100).count()
+    assert(nPairs < 1000, s"minhash pair join exploded: $nPairs pairs")
+
+    val mh = Dedup.minhashDecisions(mega, bucketCap = 100).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(!mh(1L) && mh(2L) && mh(3L) && !mh(4L),
+      "near dups outside the capped mega-bucket must still be found")
+    assert(!mh(10001L) && !mh(10002L),
+      "capped-bucket members are left to the exact pass, not flagged here")
+
+    val sh = Dedup.simhashDecisions(mega, bucketCap = 100).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(sh(2L), "simhash still collides identical docs outside the mega-bucket")
+    assert(!sh(10002L), "simhash mega-bucket dropped by the cap")
+
+    val jc = Dedup.jaccardDecisions(mega, bucketCap = 100).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(jc(2L) && jc(3L) && !jc(4L), "jaccard inherits capped candidates")
+  }
+
   test("dedup plans contain no cartesian product") {
     val plans = Seq(
       Dedup.minhashDecisions(corpus),

@@ -17,8 +17,10 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("no registry query plans a cartesian product; NLJ only where designed") {
     // brute-force ANN is DESIGNED as corpus x broadcast-query-set (tiny
-    // broadcast side) — the one legitimate nested-loop in the engine
-    val nljAllowed = Set("ann_bruteforce_topk")
+    // broadcast side); q35 cross-joins a broadcast 1-ROW corpus-size
+    // aggregate into the plan (the scalar-subquery shape that replaced a
+    // driver-side count() action) — the only legitimate nested-loops
+    val nljAllowed = Set("ann_bruteforce_topk", "q35_tfidf")
     SparkEntry.registry.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"${q.name} planned a cartesian:\n$p")

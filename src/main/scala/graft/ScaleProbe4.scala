@@ -33,6 +33,17 @@ object ScaleProbe4 {
     val a = run("oracle single-window", operators.ScrapeEtl.q25.run(spark, dir))
     val b = run("prod day-salted    ", operators.ScrapeEtl.q25.runProd(spark, dir))
     println(s"[probe4] equal=${a == b}")
+    // Batch sessionize twin (secondary sort + O(1)-state fold): the 400k-event
+    // mega-user must stream through the fold without a whole-user Seq.
+    // Compare on the columns the twin and q25 share.
+    val proj = (df: org.apache.spark.sql.DataFrame) => df.select(
+      col("user_id"), col("session_id"), col("n_events").cast("long"),
+      col("duration_sec").cast("double"))
+    val c = run("batch twin sec-sort ", proj(
+      graft.streaming.Streams.sessionizeBatch(operators.Events.withEventTime(spark, dir))
+        .withColumn("duration_sec", (col("end_ms") - col("start_ms")) / 1000.0)))
+    val aProj = run("oracle projected    ", proj(operators.ScrapeEtl.q25.run(spark, dir)))
+    println(s"[probe4] twin_equal=${c == aProj}")
     spark.stop()
   }
 }

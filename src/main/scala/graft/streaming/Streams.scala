@@ -94,31 +94,43 @@ object Streams {
 
   private val GapMs = 1800000L // 30 min, same as q25
 
-  /** Core session builder over one user's time-sorted events: fold with a
-    * 30-min gap rule. Shared by the batch twin and the streaming state op.
+  /** One time-ordered event against the open-session state: emits the
+    * closed session when the gap rule fires, plus the advanced state. The
+    * ONE place the 30-min gap rule lives — both twins fold this step.
+    */
+  def step(userId: Long, st: SessState, e: SessEvent): (Option[SessionRec], SessState) =
+    if (!st.open)
+      (None, SessState(st.next_id, open = true, e.ts_ms, e.ts_ms, 1L))
+    else if (e.ts_ms - st.end_ms > GapMs)
+      (Some(SessionRec(userId, st.next_id, st.n, st.start_ms, st.end_ms)),
+        SessState(st.next_id + 1, open = true, e.ts_ms, e.ts_ms, 1L))
+    else
+      (None, st.copy(end_ms = e.ts_ms, n = st.n + 1))
+
+  /** Session builder over one user's events: sort, then fold [[step]].
+    * Used by the streaming twin, where the per-group slice is bounded by
+    * the micro-batch (trigger interval), so the in-memory sort is safe.
     */
   def foldSessions(
       userId: Long,
       evs: Seq[SessEvent],
       init: SessState): (Seq[SessionRec], SessState) = {
-    val sorted = evs.sortBy(e => (e.ts_ms, e.event_id))
     val closed = ListBuffer.empty[SessionRec]
     var st = init
-    sorted.foreach { e =>
-      if (!st.open)
-        st = SessState(st.next_id, open = true, e.ts_ms, e.ts_ms, 1L)
-      else if (e.ts_ms - st.end_ms > GapMs) {
-        closed += SessionRec(userId, st.next_id, st.n, st.start_ms, st.end_ms)
-        st = SessState(st.next_id + 1, open = true, e.ts_ms, e.ts_ms, 1L)
-      } else
-        st = st.copy(end_ms = e.ts_ms, n = st.n + 1)
+    evs.sortBy(e => (e.ts_ms, e.event_id)).foreach { e =>
+      val (c, st2) = step(userId, st, e)
+      c.foreach(closed += _)
+      st = st2
     }
     (closed.toSeq, st)
   }
 
-  /** Batch sessionization via the shared fold (flatMapGroups). Events per
-    * user are held in memory — bounded by per-user activity; power-user
-    * skew is the known hazard (salt by day at 100 TB).
+  /** Batch sessionization: secondary sort (repartition by user, sort within
+    * partitions by user/time) + an O(1)-state streaming fold of [[step]]
+    * over the partition iterator. NO per-user materialization: a 400k-event
+    * mega-user (the repo's own skew probe) streams through the fold the
+    * same as anyone else, and Spark's sort spills to disk — the shape that
+    * survives power-user skew at 100 TB, unlike a flatMapGroups `it.toSeq`.
     */
   def sessionizeBatch(events: DataFrame): DataFrame = {
     val spark = events.sparkSession
@@ -126,12 +138,35 @@ object Streams {
     events
       .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ts_ms"))
       .as[SessEvent]
-      .groupByKey(_.user_id)
-      .flatMapGroups { (uid: Long, it: Iterator[SessEvent]) =>
-        val (closed, st) = foldSessions(uid, it.toSeq, SessState(1L, open = false, 0L, 0L, 0L))
-        val last =
-          if (st.open) Seq(SessionRec(uid, st.next_id, st.n, st.start_ms, st.end_ms)) else Nil
-        (closed ++ last).iterator
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("ts_ms"), col("event_id"))
+      .mapPartitions { it =>
+        new Iterator[SessionRec] {
+          private var cur: Option[(Long, SessState)] = None
+          private var pending: List[SessionRec] = Nil
+          private def flushCur(): Unit = cur.foreach { case (u, st) =>
+            if (st.open) pending = SessionRec(u, st.next_id, st.n, st.start_ms, st.end_ms) :: pending
+            cur = None
+          }
+          private def pump(): Unit =
+            while (pending.isEmpty && it.hasNext) {
+              val e = it.next()
+              if (!cur.exists(_._1 == e.user_id)) flushCur()
+              val st0 = cur.map(_._2).getOrElse(SessState(1L, open = false, 0L, 0L, 0L))
+              val (closed, st2) = step(e.user_id, st0, e)
+              closed.foreach(c => pending = c :: pending)
+              cur = Some((e.user_id, st2))
+            }
+          def hasNext: Boolean = {
+            pump()
+            if (pending.isEmpty) flushCur()
+            pending.nonEmpty
+          }
+          def next(): SessionRec = {
+            if (!hasNext) throw new NoSuchElementException("empty partition iterator")
+            val h = pending.head; pending = pending.tail; h
+          }
+        }
       }
       .toDF()
       .orderBy("user_id", "session_id")

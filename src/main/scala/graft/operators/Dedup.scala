@@ -121,6 +121,75 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------- md5 minhash (oracle-green)
+
+  /** MinHash-LSH decisions with an md5-derived hash family — the same
+    * pipeline as [[minhashDecisions]], but every step is expressible in
+    * portable SQL (DuckDB md5 + hex cast), so this variant runs under the
+    * driver's hash-compare oracle gate instead of rows-only:
+    * h_j(s) = int(hex[0:15] of md5(j||'|'||s)) — 60 bits, always positive.
+    * Band keys are the r per-band min-hashes joined as a decimal string in
+    * j order (exactly what string_agg(h, ',' ORDER BY j) yields in SQL).
+    * Same 100 TB shape as the xxhash variant: per-row zero-shuffle
+    * signature fold (shingles bound once), slim (band, id) self-join,
+    * [[Lsh.capBuckets]] guard — and the cap is modeled in BOTH engines,
+    * so Spark and the oracle agree at any scale, not just under the cap.
+    */
+  def minhashMd5Decisions(
+      docs: DataFrame, k: Int = 16, bands: Int = 4, tau: Double = 0.5,
+      bucketCap: Int = 10000): DataFrame = {
+    val r = k / bands
+    def md5h(j: Column, s: Column): Column =
+      conv(substring(md5(concat(j.cast("string"), lit("|"), s)), 1, 15), 16, 10).cast("long")
+    val sig = ExprUtil.bound(shingleArr(3)) { sh =>
+      when(size(sh) === 0, lit(null).cast("array<long>"))
+        .otherwise(
+          aggregate(
+            sh,
+            array_repeat(lit(Long.MaxValue), k),
+            (acc, s) => zip_with(
+              acc,
+              transform(sequence(lit(0), lit(k - 1)), j => md5h(j, s)),
+              (a, h) => least(a, h))))
+    }
+    val sigged = docs.select(col("doc_id"), sig.as("sig")).filter(col("sig").isNotNull)
+    val banded = Lsh.capBuckets(
+      sigged.select(
+        col("doc_id"),
+        explode(array((0 until bands).map { b =>
+          struct(
+            lit(b).as("band_idx"),
+            concat_ws(",", transform(slice(col("sig"), b * r + 1, r), h => h.cast("string")))
+              .as("band_val"))
+        }: _*)).as("band"))
+        .select(col("doc_id"), col("band.band_idx"), col("band.band_val")),
+      Seq("band_idx", "band_val"), bucketCap)
+    val pairs = banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val est = aggregate(
+      zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / k
+    val dups = pairs
+      .join(sigged.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigged.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .withColumn("est_jaccard", est)
+      .filter(col("est_jaccard") >= tau)
+      .groupBy(col("id_b").as("doc_id"))
+      .agg(count(lit(1)).as("n_dup_partners"))
+    docs.select("doc_id")
+      .join(dups, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_dup_partners").isNotNull.as("is_dup"),
+        coalesce(col("n_dup_partners"), lit(0L)).as("n_dup_partners"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------ n-gram jaccard
 
   /** Exact n-gram Jaccard verification over minhash-LSH candidates only —
@@ -287,6 +356,45 @@ object Dedup {
     None,
   )
 
+  val qMinhashMd5 = GraftQuery(
+    "dedup_minhash_md5",
+    (s, d) => minhashMd5Decisions(Tables.documents(s, d)),
+    Some("""WITH t AS (
+        SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        FROM documents),
+      sh AS (
+        SELECT doc_id, toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS s
+        FROM t CROSS JOIN UNNEST(range(0, greatest(len(toks) - 2, 0))) AS u(i)),
+      hx AS (
+        SELECT doc_id, j, MIN(CAST(('0x' || substr(md5(j || '|' || s), 1, 15)) AS BIGINT)) AS h
+        FROM sh CROSS JOIN UNNEST(range(0, 16)) AS v(j)
+        GROUP BY doc_id, j),
+      sigb AS (
+        SELECT doc_id, j // 4 AS band_idx, string_agg(h, ',' ORDER BY j) AS band_val
+        FROM hx GROUP BY doc_id, j // 4),
+      bs AS (
+        SELECT band_idx, band_val, COUNT(*) AS bucket_n FROM sigb GROUP BY 1, 2),
+      kept AS (
+        SELECT sigb.* FROM sigb JOIN bs USING (band_idx, band_val) WHERE bs.bucket_n <= 10000),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM kept a JOIN kept b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
+      est AS (
+        SELECT c.id_a, c.id_b, SUM(CASE WHEN ha.h = hb.h THEN 1 ELSE 0 END) / 16.0 AS est_jaccard
+        FROM cand c
+        JOIN hx ha ON ha.doc_id = c.id_a
+        JOIN hx hb ON hb.doc_id = c.id_b AND hb.j = ha.j
+        GROUP BY c.id_a, c.id_b),
+      dups AS (
+        SELECT id_b AS doc_id, COUNT(*) AS n_dup_partners
+        FROM est WHERE est_jaccard >= 0.5 GROUP BY id_b)
+      SELECT d.doc_id, dups.doc_id IS NOT NULL AS is_dup,
+             COALESCE(dups.n_dup_partners, 0) AS n_dup_partners
+      FROM documents d LEFT JOIN dups ON d.doc_id = dups.doc_id
+      ORDER BY d.doc_id"""),
+  )
+
   val qSimhash = GraftQuery(
     "dedup_simhash",
     (s, d) => simhashDecisions(Tables.documents(s, d)),
@@ -305,5 +413,6 @@ object Dedup {
     None,
   )
 
-  def all: Seq[GraftQuery] = Seq(qExact, qMinhash, qSimhash, qJaccard, qEmbedding)
+  def all: Seq[GraftQuery] =
+    Seq(qExact, qMinhash, qMinhashMd5, qSimhash, qJaccard, qEmbedding)
 }

@@ -56,6 +56,16 @@ class DedupSpec extends AnyFunSuite {
     assert(!got(7L), "shingle-less short doc is never spuriously merged")
   }
 
+  test("md5-minhash (oracle-green variant) flags the same planted duplicates") {
+    val got = Dedup.minhashMd5Decisions(corpus).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(!got(1L), "lowest id of the cluster is the keeper")
+    assert(got(2L), "exact copy must be flagged")
+    assert(got(3L), "one-token-changed near dup must be flagged")
+    assert(!got(4L) && !got(5L) && !got(6L), "unrelated docs are kept")
+    assert(!got(7L), "shingle-less short doc is never spuriously merged")
+  }
+
   test("ngram jaccard verifies near dups with exact similarity") {
     val rows = Dedup.jaccardDecisions(corpus).collect()
       .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getDouble(3)))).toMap

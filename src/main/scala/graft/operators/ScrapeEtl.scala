@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, LongType}
@@ -307,5 +308,81 @@ object ScrapeEtl {
       FROM deduped WHERE rn = 1 GROUP BY batch ORDER BY batch"""),
   )
 
-  def all: Seq[GraftQuery] = Seq(q20, q21, q22, q23, q24, q25, q26, q27)
+  val q28 = GraftQuery(
+    "q28_html_extract",
+    (s, d) => htmlExtract(s, d).orderBy("p_partkey"),
+    Some("""WITH page AS (
+        SELECT p_partkey,
+          '<html><body><h1 class="css-j63za0" data-testid="lblPDPDetailProductName">' || p_name || '</h1>'
+          || '<div class="price" data-testid="lblPDPDetailProductPrice">Rp' ||
+             REPLACE(format('{:,}', CAST(FLOOR(p_retailprice * 1000) AS BIGINT)), ',', '.') || '</div>'
+          || CASE WHEN p_size % 4 = 0 THEN
+               '<span data-testid="lblPDPDetailOriginalPrice">Rp' ||
+               REPLACE(format('{:,}', CAST(FLOOR(p_retailprice * 1250) AS BIGINT)), ',', '.') || '</span>'
+               || '<span data-testid="lblPDPDetailDiscountPercentage">20%</span>'
+             ELSE '' END
+          || '<div data-testid="lblPDPDescriptionProduk">' || p_type || '</div></body></html>' AS html
+        FROM part)
+      SELECT p_partkey,
+        regexp_extract(html, '<h1[^>]*data-testid="lblPDPDetailProductName"[^>]*>([^<]*)</h1>', 1) AS name,
+        CAST(REPLACE(REPLACE(regexp_extract(html, '<div[^>]*data-testid="lblPDPDetailProductPrice"[^>]*>([^<]*)</div>', 1), 'Rp', ''), '.', '') AS BIGINT) AS price,
+        CAST(REPLACE(REPLACE(NULLIF(regexp_extract(html, '<span[^>]*data-testid="lblPDPDetailOriginalPrice"[^>]*>([^<]*)</span>', 1), ''), 'Rp', ''), '.', '') AS BIGINT) AS originalprice,
+        CAST(REPLACE(NULLIF(regexp_extract(html, '<span[^>]*data-testid="lblPDPDetailDiscountPercentage"[^>]*>([^<]*)</span>', 1), ''), '%', '') AS DOUBLE) / 100 AS discountpercentage,
+        regexp_extract(html, '<div[^>]*data-testid="lblPDPDescriptionProduk"[^>]*>([^<]*)</div>', 1) AS detail
+      FROM page ORDER BY p_partkey"""),
+    // prod: same extraction, no final global sort (a total ORDER BY at
+    // 100 TB serializes the result through one range exchange).
+    prod = Some((s, d) => htmlExtract(s, d)),
+  )
+
+  private def htmlExtract(s: org.apache.spark.sql.SparkSession, d: String) = {
+      // Typed field extraction from a RAW HTML string column — the
+      // reference's core extract, re-expressed columnar: it selects fields
+      // by (tag, attrs) from product pages with BeautifulSoup
+      // (scrap_tokopedia.py:50-73 selector table, :231-277 extraction +
+      // parse). Here the selector table becomes anchored regexp patterns
+      // over the same data-testid attributes, and the parse rules are the
+      // reference's verbatim (strip "Rp"/dots -> int, strip "%" -> /100;
+      // optional fields null when the tag is absent, :257-264).
+      // Round-trip discipline (same as q20): the page is RENDERED from part
+      // columns with the reference's exact tags/attrs, then the operator
+      // under test extracts the fields back out — both engines render
+      // identically, so the oracle grades extraction, not synthesis.
+      // All codegen'd string expressions, zero shuffle before the final
+      // oracle-mode sort.
+      val fmtIdr = (c: Column) =>
+        regexp_replace(format_number(c.cast(LongType), 0), ",", ".")
+      val html = concat(
+        lit("""<html><body><h1 class="css-j63za0" data-testid="lblPDPDetailProductName">"""),
+        col("p_name"), lit("</h1>"),
+        lit("""<div class="price" data-testid="lblPDPDetailProductPrice">Rp"""),
+        fmtIdr(floor(col("p_retailprice") * 1000)), lit("</div>"),
+        when(col("p_size") % 4 === 0, concat(
+          lit("""<span data-testid="lblPDPDetailOriginalPrice">Rp"""),
+          fmtIdr(floor(col("p_retailprice") * 1250)), lit("</span>"),
+          lit("""<span data-testid="lblPDPDetailDiscountPercentage">20%</span>""")))
+          .otherwise(lit("")),
+        lit("""<div data-testid="lblPDPDescriptionProduk">"""),
+        col("p_type"), lit("</div></body></html>"))
+      val nameRe = "<h1[^>]*data-testid=\"lblPDPDetailProductName\"[^>]*>([^<]*)</h1>"
+      val priceRe = "<div[^>]*data-testid=\"lblPDPDetailProductPrice\"[^>]*>([^<]*)</div>"
+      val origRe = "<span[^>]*data-testid=\"lblPDPDetailOriginalPrice\"[^>]*>([^<]*)</span>"
+      val discRe = "<span[^>]*data-testid=\"lblPDPDetailDiscountPercentage\"[^>]*>([^<]*)</span>"
+      val detailRe = "<div[^>]*data-testid=\"lblPDPDescriptionProduk\"[^>]*>([^<]*)</div>"
+      val rp = (c: Column) =>
+        regexp_replace(regexp_replace(c, "Rp", ""), "\\.", "").cast(LongType)
+      Tables.part(s, d)
+        .select(col("p_partkey"), html.as("html"))
+        .select(
+          col("p_partkey"),
+          regexp_extract(col("html"), nameRe, 1).as("name"),
+          rp(regexp_extract(col("html"), priceRe, 1)).as("price"),
+          rp(nullif(regexp_extract(col("html"), origRe, 1), lit(""))).as("originalprice"),
+          (regexp_replace(nullif(regexp_extract(col("html"), discRe, 1), lit("")), "%", "")
+            .cast("double") / 100).as("discountpercentage"),
+          regexp_extract(col("html"), detailRe, 1).as("detail"),
+        )
+  }
+
+  def all: Seq[GraftQuery] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28)
 }

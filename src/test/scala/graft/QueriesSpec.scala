@@ -75,4 +75,24 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(total == raw)
     assert(df.agg(min("session_id")).collect()(0).getLong(0) == 1L)
   }
+
+  test("q28 html extract: typed fields round-trip through the rendered page") {
+    import org.apache.spark.sql.functions._
+    val df = operators.ScrapeEtl.q28.run(spark, sf).cache()
+    try {
+      val part = Tables.part(spark, sf)
+      // extracted name/detail must equal the source columns they were
+      // rendered from; price is the reference's Rp-string parse inverted
+      val joined = df.join(part, "p_partkey")
+      assert(joined.filter(col("name") =!= col("p_name")).count() == 0)
+      assert(joined.filter(col("detail") =!= col("p_type")).count() == 0)
+      assert(joined.filter(col("price") =!=
+        floor(col("p_retailprice") * 1000).cast("long")).count() == 0)
+      // optional fields: present iff p_size % 4 == 0, null otherwise
+      assert(joined.filter(col("p_size") % 4 === 0 &&
+        (col("originalprice").isNull || col("discountpercentage") =!= 0.2)).count() == 0)
+      assert(joined.filter(col("p_size") % 4 =!= 0 &&
+        (col("originalprice").isNotNull || col("discountpercentage").isNotNull)).count() == 0)
+    } finally df.unpersist()
+  }
 }

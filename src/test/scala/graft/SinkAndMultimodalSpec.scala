@@ -60,6 +60,37 @@ class SinkAndMultimodalSpec extends AnyFunSuite {
     assert(pruned.count() == 1)
   }
 
+  test("jdbc sink branch writes and reads back through a real JDBC database") {
+    import spark.implicits._
+    // In-memory Derby (ships with Spark for the Hive metastore) — a real
+    // df.write.jdbc round-trip with zero egress. Same SinkConfig surface;
+    // only jdbcUrl flips the backend.
+    val cfg = SinkConfig(path = "unused",
+      table = "tr_raw_scrap_data",
+      jdbcUrl = Some("jdbc:derby:memory:graftsink;create=true"),
+      // jdbcOptions flow into the writer: here, typed DDL so the database
+      // gets VARCHAR (comparable, indexable) instead of Derby's CLOB
+      // default for Spark strings.
+      jdbcOptions = Map("createTableColumnTypes" ->
+        "name VARCHAR(128), createdate VARCHAR(32), platform VARCHAR(32)"))
+    val batch = Seq(
+      (1L, "soap", 1000L, "2025-08-01", "tokopedia"),
+      (2L, "tea", 2000L, "2025-08-01", "tokopedia"),
+    ).toDF("id", "name", "price", "createdate", "platform")
+
+    ParquetSink.load(batch, cfg)
+    val back = ParquetSink.read(spark, cfg)
+    assert(back.count() == 2)
+    assert(back.filter(col("name") === "soap").select("price").collect()
+      .head.getLong(0) == 1000L)
+
+    // JDBC mode is the reference's append-only INSERT (re-run → new rows;
+    // dedup is downstream, q27) — unlike the parquet mode's idempotent
+    // partition overwrite.
+    ParquetSink.load(batch, cfg)
+    assert(ParquetSink.read(spark, cfg).count() == 4, "append semantics")
+  }
+
   test("multimodal meta is computed without decoding and decode is batched") {
     import operators.Multimodal
     val dir = PlantedDocs.write(spark, "/tmp/graft-test/mm", Seq(

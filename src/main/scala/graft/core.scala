@@ -56,8 +56,17 @@ object GraftSession {
     * SPARK_GRAFT_CPUS so bench/verify measure the SAME tuned engine users
     * get (AQE, skew joins, 64 MB broadcast) — never a detuned default build.
     */
-  def build(master: String, shufflePartitions: Int): SparkSession = {
-    val b = SparkSession
+  /** RocksDB state store provider class (ships with Spark; rocksdbjni on the
+    * classpath). Off-heap, spill-to-disk state — at cluster scale the
+    * streaming ops' keyed state (sessions, dedup sets) stops being bounded
+    * by executor heap.
+    */
+  val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  def build(master: String, shufflePartitions: Int,
+            rocksDbStateStore: Boolean = false): SparkSession = {
+    val b0 = SparkSession
       .builder()
       .master(master)
       .appName("graft")
@@ -70,9 +79,13 @@ object GraftSession {
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
+    val b = if (rocksDbStateStore)
+      b0.config("spark.sql.streaming.stateStore.providerClass", RocksDbProvider)
+    else b0
     b.getOrCreate()
   }
 
-  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession =
-    build(s"local[$cores]", cores)
+  def local(cores: Int = Runtime.getRuntime.availableProcessors(),
+            rocksDbStateStore: Boolean = false): SparkSession =
+    build(s"local[$cores]", cores, rocksDbStateStore)
 }

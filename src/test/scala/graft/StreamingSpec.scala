@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import java.sql.Timestamp
+import scala.jdk.CollectionConverters._
 
 class StreamingSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSession.spark
@@ -43,6 +44,36 @@ class StreamingSpec extends AnyFunSuite {
       val rows2 = spark.table("graft_sessions").as[SessionRec].collect().sortBy(_.session_id)
       assert(rows2.length == 2 && rows2(1).session_id == 2L && rows2(1).n_events == 1L)
     } finally q.stop()
+  }
+
+  test("streaming sessionize is green under the RocksDB state store provider") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, GraftSession.RocksDbProvider)
+    try {
+      val ms = MemoryStream[SessEvent]
+      val q = Streams.sessionizeStream(ms.toDS())
+        .writeStream.format("memory").queryName("graft_sessions_rocks")
+        .outputMode("append").start()
+      try {
+        ms.addData(SessEvent(7L, 1L, 0L), SessEvent(7L, 2L, 60000L))
+        q.processAllAvailable()
+        ms.addData(SessEvent(7L, 3L, 60000L + 7200000L))
+        q.processAllAvailable()
+        val rows = spark.table("graft_sessions_rocks").as[SessionRec].collect()
+        assert(rows.toSeq == Seq(SessionRec(7L, 1L, 2L, 0L, 60000L)),
+          "same session semantics under RocksDB state")
+        // provider actually engaged: progress carries rocksdb state metrics
+        val custom = q.lastProgress.stateOperators(0).customMetrics
+        assert(custom.keySet().iterator().asScala.exists(_.startsWith("rocksdb")),
+          s"expected rocksdb custom metrics, got: $custom")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   test("streaming windowed agg emits closed windows under watermark") {

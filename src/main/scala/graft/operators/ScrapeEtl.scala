@@ -335,6 +335,60 @@ object ScrapeEtl {
     prod = Some((s, d) => htmlExtract(s, d)),
   )
 
+  val q29 = GraftQuery(
+    "q29_page_frontier",
+    (s, d) => {
+      // The reference's crawl frontier (find_last_valid_page,
+      // scrap_tokopedia.py:153-186): walk catalog pages from 1 and stop at
+      // the first page with zero valid products — the frontier is the last
+      // page of the contiguous valid prefix. Re-expressed declaratively
+      // over page statistics (valid/invalid product counts per catalog
+      // page, the reference's product_validity_count :131-151): among
+      // valid pages ordered by page number, row_number() == page exactly
+      // on the contiguous-from-1 prefix (page - rn is nondecreasing, so
+      // equality never recurs after a gap or an empty page). One window +
+      // one agg — the sequential crawl walk becomes two shuffles total,
+      // and each catalog's frontier is one group, no iteration.
+      val pages = Tables.lineitem(s, d)
+        .groupBy(col("l_suppkey").as("catalog"),
+          (col("l_orderkey") % 50 + 1).as("page"))
+        .agg(
+          sum(when(col("l_quantity") > 1, 1L).otherwise(0L)).as("valid"),
+          sum(when(col("l_quantity") <= 1, 1L).otherwise(0L)).as("invalid"))
+      pageFrontier(pages).orderBy("catalog")
+    },
+    Some("""WITH pages AS (
+        SELECT l_suppkey AS catalog, (l_orderkey % 50) + 1 AS page,
+          CAST(SUM(CASE WHEN l_quantity > 1 THEN 1 ELSE 0 END) AS BIGINT) AS valid,
+          CAST(SUM(CASE WHEN l_quantity <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS invalid
+        FROM lineitem GROUP BY 1, 2),
+      walked AS (
+        SELECT catalog, page, valid,
+          row_number() OVER (PARTITION BY catalog ORDER BY page) AS rn
+        FROM pages WHERE valid > 0)
+      SELECT catalog,
+        CAST(COALESCE(MAX(CASE WHEN page = rn THEN page END), 0) AS BIGINT) AS last_valid_page,
+        CAST(COALESCE(SUM(CASE WHEN page = rn THEN valid END), 0) AS BIGINT) AS valid_products
+      FROM walked GROUP BY catalog ORDER BY catalog"""),
+  )
+
+  /** Contiguous-valid-prefix frontier over a (catalog, page, valid) table:
+    * the last page a crawl-from-1 would reach before the first empty or
+    * missing page, plus the valid products it would have collected.
+    */
+  def pageFrontier(pages: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("catalog").orderBy("page")
+    pages
+      .filter(col("valid") > 0)
+      .withColumn("rn", row_number().over(w))
+      .groupBy("catalog")
+      .agg(
+        coalesce(max(when(col("page") === col("rn"), col("page"))), lit(0L))
+          .as("last_valid_page"),
+        coalesce(sum(when(col("page") === col("rn"), col("valid"))), lit(0L))
+          .as("valid_products"))
+  }
+
   private def htmlExtract(s: org.apache.spark.sql.SparkSession, d: String) = {
       // Typed field extraction from a RAW HTML string column — the
       // reference's core extract, re-expressed columnar: it selects fields
@@ -384,5 +438,5 @@ object ScrapeEtl {
         )
   }
 
-  def all: Seq[GraftQuery] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28)
+  def all: Seq[GraftQuery] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29)
 }

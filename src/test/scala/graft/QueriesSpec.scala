@@ -95,4 +95,21 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
         (col("originalprice").isNotNull || col("discountpercentage").isNotNull)).count() == 0)
     } finally df.unpersist()
   }
+
+  test("q29 frontier stops at the first empty or missing page, not at max(page)") {
+    import spark.implicits._
+    // catalog 1: pages 1-3 valid, 4 empty, 5-6 valid again -> frontier 3
+    // catalog 2: pages 1-2 valid, page 3 missing, 4 valid   -> frontier 2
+    // catalog 3: page 1 already empty                       -> frontier 0
+    val pages = Seq(
+      (1L, 1L, 5L), (1L, 2L, 4L), (1L, 3L, 2L), (1L, 4L, 0L), (1L, 5L, 7L), (1L, 6L, 1L),
+      (2L, 1L, 3L), (2L, 2L, 3L), (2L, 4L, 9L),
+      (3L, 1L, 0L),
+    ).toDF("catalog", "page", "valid")
+    val got = operators.ScrapeEtl.pageFrontier(pages).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) == ((3L, 11L)), "stops before the empty page 4")
+    assert(got(2L) == ((2L, 6L)), "stops at the page-3 gap")
+    assert(got.getOrElse(3L, (0L, 0L)) == ((0L, 0L)), "empty first page -> frontier 0")
+  }
 }

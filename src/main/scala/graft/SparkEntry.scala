@@ -11,6 +11,7 @@ object SparkEntry {
       operators.ScrapeEtl.all ++
       operators.TextAnalysis.all ++
       operators.Dedup.all ++
+      operators.Cluster.all ++
       operators.Similarity.all ++
       operators.Multimodal.all ++
       streaming.Streams.all

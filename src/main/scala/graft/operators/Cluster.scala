@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{GraftQuery, Tables}
+
+/** Duplicate-CLUSTER resolution: turns pairwise dup evidence into canonical
+  * components (doc_id -> cluster_id = min id in its connected component).
+  *
+  * The decision-table dedup ops (Dedup.scala) answer "is this row a dup of
+  * some smaller id"; a training-data pipeline also needs the transitive
+  * view — A shares its opening boilerplate with B, B shares its closing
+  * boilerplate with C, so {A,B,C} is ONE document family even though A and
+  * C overlap nowhere. Reference analog: the scraper's re-crawls
+  * (scrap_tokopedia.py:299-317) chain near-identical product pages across
+  * runs; collapsing a chain needs components, not pairs.
+  *
+  * 100 TB design:
+  *  - Edges are STARS, not cliques: per fingerprint group, (min_id,
+  *    member) — O(n) edges per group instead of C(n,2), so a 100k-doc
+  *    boilerplate family costs 100k edges, never 5e9.
+  *  - Components via hash-min label propagation (Rastogi et al., "Finding
+  *    Connected Components in Map-Reduce in Logarithmic Rounds" — the
+  *    hash-min variant): each round is one equi-join + one min-aggregate,
+  *    both plain shuffles; rounds ~ component diameter, and star-shaped
+  *    dup families have diameter <= 4, so the loop exits in a handful of
+  *    rounds (hard cap maxIter). The per-round driver action is the O(1)
+  *    convergence check, not data.
+  *  - Lineage is cut each round (localCheckpoint here; on a real cluster
+  *    point spark.checkpoint.dir at durable storage and use checkpoint())
+  *    so round k's plan does not replay rounds 1..k-1.
+  */
+object Cluster {
+
+  /** Hash-min connected components over an undirected edge list
+    * (id_a, id_b). Returns (id, label) with label = min id reachable;
+    * only ids that appear in an edge are returned (callers left-join and
+    * default singletons to themselves).
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = edges
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val prop = sym
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.union(prop)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint()
+      val changed = next
+        .join(labels.withColumnRenamed("label", "prev"), Seq("id"))
+        .filter(col("label") < col("prev"))
+        .count()
+      converged = changed == 0
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
+  private def toks = filter(split(col("text"), "\\s+"), x => x =!= lit(""))
+
+  /** Star edges from prefix/suffix token fingerprints: docs sharing their
+    * first k or last k tokens are linked to the smallest id in that
+    * fingerprint group. Two overlapping fingerprint families chain into
+    * one component (the transitive case pairwise dedup cannot see).
+    * Fingerprints ship as 16-byte md5 keys, never token arrays.
+    */
+  def fingerprintStarEdges(docs: DataFrame, k: Int = 50): DataFrame = {
+    val keyed = docs
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(
+        col("doc_id"),
+        md5(concat_ws(" ",
+          when(size(col("toks")) <= k, col("toks"))
+            .otherwise(slice(col("toks"), 1, k)))).as("pkey"),
+        md5(concat_ws(" ",
+          when(size(col("toks")) <= k, col("toks"))
+            .otherwise(slice(col("toks"), -k, k)))).as("skey"))
+    def star(key: String) = keyed
+      .withColumn("root", min("doc_id").over(Window.partitionBy(key)))
+      .filter(col("doc_id") =!= col("root"))
+      .select(col("root").as("id_a"), col("doc_id").as("id_b"))
+    star("pkey").union(star("skey")).distinct()
+  }
+
+  /** Per-doc canonical assignment: (doc_id, cluster_id, cluster_size,
+    * is_canonical). Singletons are their own cluster.
+    */
+  def clusterAssignments(docs: DataFrame, k: Int = 50, maxIter: Int = 20): DataFrame = {
+    val labels = connectedComponents(fingerprintStarEdges(docs, k), maxIter)
+    val asg = docs.select(col("doc_id"))
+      .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+    val sizes = asg.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    asg.join(sizes, Seq("cluster_id"))
+      .select(
+        col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("cluster_id")).as("is_canonical"))
+  }
+
+  val qClusters = GraftQuery(
+    "dedup_clusters",
+    (s, d) => clusterAssignments(Tables.documents(s, d)).orderBy("doc_id"),
+    // Oracle: same star edges, components via a recursive min-label
+    // closure (symmetric edges -> reachability = component; MIN over
+    // reachable labels = min id in component).
+    Some("""WITH RECURSIVE t AS (
+        SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        FROM documents),
+      keys AS (
+        SELECT doc_id,
+          md5(array_to_string(CASE WHEN len(toks) <= 50 THEN toks ELSE toks[1:50] END, ' ')) AS pkey,
+          md5(array_to_string(CASE WHEN len(toks) <= 50 THEN toks ELSE toks[-50:] END, ' ')) AS skey
+        FROM t WHERE len(toks) > 0),
+      e1 AS (
+        SELECT id_a, id_b FROM (
+          SELECT MIN(doc_id) OVER (PARTITION BY pkey) AS id_a, doc_id AS id_b FROM keys)
+        WHERE id_a <> id_b),
+      e2 AS (
+        SELECT id_a, id_b FROM (
+          SELECT MIN(doc_id) OVER (PARTITION BY skey) AS id_a, doc_id AS id_b FROM keys)
+        WHERE id_a <> id_b),
+      edges AS (SELECT id_a, id_b FROM e1 UNION SELECT id_a, id_b FROM e2),
+      sym AS (
+        SELECT id_a AS src, id_b AS dst FROM edges
+        UNION SELECT id_b AS src, id_a AS dst FROM edges),
+      cc(id, label) AS (
+        SELECT src, src FROM (SELECT DISTINCT src FROM sym)
+        UNION
+        SELECT s.dst, c.label FROM cc c JOIN sym s ON s.src = c.id),
+      lab AS (SELECT id, MIN(label) AS cluster_id FROM cc GROUP BY id),
+      asg AS (
+        SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN lab l ON l.id = d.doc_id),
+      sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size FROM asg GROUP BY cluster_id)
+      SELECT a.doc_id, a.cluster_id, sz.cluster_size,
+             a.doc_id = a.cluster_id AS is_canonical
+      FROM asg a JOIN sz USING (cluster_id) ORDER BY a.doc_id"""),
+  )
+
+  def all: Seq[GraftQuery] = Seq(qClusters)
+}

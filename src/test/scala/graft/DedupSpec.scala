@@ -140,6 +140,38 @@ class DedupSpec extends AnyFunSuite {
     assert(jc(2L) && jc(3L) && !jc(4L), "jaccard inherits capped candidates")
   }
 
+  test("connected components: hash-min labels chains and leaves islands apart") {
+    import spark.implicits._
+    // path 1-2-3 plus island 5-6: labels collapse to each component's min
+    val edges = Seq((2L, 1L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val got = operators.Cluster.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("dedup_clusters: prefix/suffix families chain transitively; edges stay O(n)") {
+    import operators.Cluster
+    def tk(p: String, n: Int) = (0 until n).map(i => s"$p$i").mkString(" ")
+    val pre = tk("p", 50); val suf = tk("s", 50)
+    // A,B share their 50-token prefix; B,C share their 50-token suffix;
+    // A and C overlap nowhere -> one 3-doc family. D is a singleton.
+    val chain = docsDf(Seq(
+      (1L, s"$pre ${tk("a", 60)}"),
+      (2L, s"$pre ${tk("b", 10)} $suf"),
+      (3L, s"${tk("c", 60)} $suf"),
+      (4L, tk("d", 120)),
+    ))
+    val asg = Cluster.clusterAssignments(chain).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(asg(1L) == ((1L, 3L, true)) && asg(2L) == ((1L, 3L, false)) &&
+      asg(3L) == ((1L, 3L, false)), "A-B-C chain is one cluster rooted at min id")
+    assert(asg(4L) == ((4L, 1L, true)), "unrelated doc stays a singleton")
+
+    // star edges: an n-doc identical family yields n-1 edges, never C(n,2)
+    val family = docsDf((0 until 100).map(i => (1000L + i, tk("x", 80))))
+    assert(Cluster.fingerprintStarEdges(family).count() == 99L)
+  }
+
   test("dedup plans contain no cartesian product") {
     val plans = Seq(
       Dedup.minhashDecisions(corpus),

@@ -79,4 +79,86 @@ object ScrapePipeline {
 
   /** Read the loaded table back — what the reference's downstream SQL sees. */
   def table(spark: SparkSession, cfg: SinkConfig): DataFrame = ParquetSink.read(spark, cfg)
+
+  /** The same pipeline as [[run]], executed as a checkpointed STAGED DAG
+    * (parse -> valid -> quarantine -> deduped) with per-stage retries —
+    * then the idempotent sink load. Returns the stage reports.
+    */
+  def runStaged(
+      spark: SparkSession,
+      raw: DataFrame,
+      cfg: SinkConfig,
+      runDir: String,
+      platform: String = "tokopedia",
+      createdate: String = "2025-08-01"): Seq[StagedDag.StageReport] = {
+    val (outs, reports) = StagedDag.run(spark, runDir, Seq(
+      "parsed" -> (_ => transform(raw, platform, createdate)),
+      "valid" -> (up => validate(up("parsed"))._1),
+      "quarantine" -> (up => validate(up("parsed"))._2),
+      "deduped" -> (up => dedupeLatest(up("valid"))),
+    ))
+    ParquetSink.load(outs("deduped"), cfg)
+    reports
+  }
+}
+
+/** Orchestration semantics the reference gets from Airflow
+  * (unilever_scraping_pipeline.py: a DAG of tasks with retries and
+  * re-runnable state), re-expressed storage-first:
+  *
+  *  - Each stage's output is written to `runDir/<stage>/` as parquet; the
+  *    committer's `_SUCCESS` marker IS the completion flag — it only
+  *    exists if the whole distributed write committed, so a crash
+  *    mid-stage leaves no marker and the re-run recomputes that stage.
+  *  - A re-run SKIPS completed stages and reads their checkpoints back —
+  *    resume-from-failure with no duplicate work, and downstream stages
+  *    see byte-identical inputs whether computed or resumed (Airflow's
+  *    state-via-storage, which at 100 TB is also the right lineage cut:
+  *    stage k's plan never replays stages 1..k-1).
+  *  - Per-stage retry loop (Airflow `retries`): each attempt rewrites the
+  *    stage dir with mode=overwrite, so a failed attempt's partial output
+  *    can never leak into the next.
+  */
+object StagedDag {
+
+  final case class StageReport(name: String, attempts: Int, resumed: Boolean)
+
+  /** Run `stages` in order; each builder sees the outputs of all prior
+    * stages (read back from their checkpoints). Returns (outputs, reports).
+    */
+  def run(
+      spark: SparkSession,
+      runDir: String,
+      stages: Seq[(String, Map[String, DataFrame] => DataFrame)],
+      retries: Int = 2): (Map[String, DataFrame], Seq[StageReport]) = {
+    val fs = new org.apache.hadoop.fs.Path(runDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var outs = Map.empty[String, DataFrame]
+    val reports = Seq.newBuilder[StageReport]
+    stages.foreach { case (name, build) =>
+      val dir = s"$runDir/$name"
+      val marker = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+      if (fs.exists(marker)) {
+        outs += name -> spark.read.parquet(dir)
+        reports += StageReport(name, 0, resumed = true)
+      } else {
+        var attempt = 0
+        var ok = false
+        var lastErr: Throwable = null
+        while (!ok && attempt <= retries) {
+          attempt += 1
+          try {
+            build(outs).write.mode("overwrite").parquet(dir)
+            ok = true
+          } catch { case e: Throwable => lastErr = e }
+        }
+        if (!ok)
+          throw new IllegalStateException(
+            s"stage '$name' failed after $attempt attempts", lastErr)
+        outs += name -> spark.read.parquet(dir)
+        reports += StageReport(name, attempt, resumed = false)
+      }
+    }
+    (outs, reports.result())
+  }
 }

@@ -37,4 +37,59 @@ class PipelineSpec extends AnyFunSuite {
     ScrapePipeline.run(batch, cfg)
     assert(ScrapePipeline.table(spark, cfg).count() == 2)
   }
+
+  test("staged DAG run matches the one-shot pipeline and reports its stages") {
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File("/tmp/graft-test/staged"))
+    val cfg = SinkConfig(path = "/tmp/graft-test/staged/sink")
+    val batch = raw(Seq(
+      (1L, "soap", "bar", "Rp12.500", "Rp15.000", "17%"),
+      (2L, "tea", "box", "Rp8.000", "Rp8.000", "0%"),
+      (null, "ghost", "x", "Rp1.000", "Rp1.000", "0%"),
+    ))
+    val reports = ScrapePipeline.runStaged(spark, batch, cfg, "/tmp/graft-test/staged/run")
+    assert(reports.map(_.name) == Seq("parsed", "valid", "quarantine", "deduped"))
+    assert(reports.forall(r => r.attempts == 1 && !r.resumed))
+    assert(ScrapePipeline.table(spark, cfg).count() == 2)
+    assert(spark.read.parquet("/tmp/graft-test/staged/run/quarantine").count() == 1)
+  }
+
+  test("staged DAG retries a failing stage and resumes completed stages on re-run") {
+    import spark.implicits._
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File("/tmp/graft-test/dag"))
+    val src = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val flaky = new java.util.concurrent.atomic.AtomicInteger(0)
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+
+    def stages(failFirst: Boolean): Seq[(String, Map[String, org.apache.spark.sql.DataFrame] => org.apache.spark.sql.DataFrame)] = Seq(
+      "base" -> (_ => { builds.incrementAndGet(); src }),
+      "doubled" -> (up => {
+        if (failFirst && flaky.incrementAndGet() == 1)
+          throw new RuntimeException("transient stage failure")
+        up("base").withColumn("v2", concat(col("v"), col("v")))
+      }),
+    )
+
+    // attempt 1 of "doubled" fails -> retried within the same run
+    val (outs, reports) = StagedDag.run(spark, "/tmp/graft-test/dag", stages(failFirst = true))
+    assert(reports == Seq(
+      StagedDag.StageReport("base", 1, resumed = false),
+      StagedDag.StageReport("doubled", 2, resumed = false)), "failing stage retried once")
+    assert(outs("doubled").count() == 2)
+
+    // re-run: both stages resume from their _SUCCESS checkpoints — no
+    // builder executes again (the crash-recovery path)
+    val before = builds.get()
+    val (outs2, reports2) = StagedDag.run(spark, "/tmp/graft-test/dag", stages(failFirst = false))
+    assert(reports2.forall(_.resumed), "completed stages are skipped on re-run")
+    assert(builds.get() == before, "resumed stages never rebuild")
+    assert(outs2("doubled").collect().map(_.getString(2)).sorted.toSeq == Seq("aa", "bb"))
+
+    // a stage that exhausts retries surfaces the failure
+    val always = Seq("boom" -> ((_: Map[String, org.apache.spark.sql.DataFrame]) =>
+      throw new RuntimeException("permanent")): (String, Map[String, org.apache.spark.sql.DataFrame] => org.apache.spark.sql.DataFrame))
+    val e = intercept[IllegalStateException] {
+      StagedDag.run(spark, "/tmp/graft-test/dag2", always, retries = 1)
+    }
+    assert(e.getMessage.contains("after 2 attempts"))
+  }
 }

@@ -58,6 +58,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), "hash aggregation expected")
   }
 
+  test("q28 prod plan is exchange-free (scan + codegen'd projection only)") {
+    val p = operators.ScrapeEtl.q28.runProd(spark, sf).queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(p.replace("ExchangeQueryStage", "")).size
+    assert(exchanges == 0, s"html extraction must not shuffle:\n$p")
+    assert(!p.contains("p_comment"), "untouched part columns must not be read")
+  }
+
+  test("q29 frontier reuses the catalog partitioning between window and agg") {
+    // pages aggregate (catalog,page) + window repartition (catalog) +
+    // oracle-mode sort; the final groupBy(catalog) must REUSE the window's
+    // hash partitioning, not add a fourth exchange
+    val p = plan(operators.ScrapeEtl.q29)
+    val exchanges = "Exchange".r.findAllIn(p.replace("ExchangeQueryStage", "")).size
+    assert(exchanges <= 3, s"frontier shuffles too much ($exchanges):\n$p")
+  }
+
   test("prod variants drop the oracle-mode global sort") {
     Seq(operators.RelationalCore.q02, operators.RelationalCore.q08, operators.RelationalCore.q18)
       .foreach { q =>

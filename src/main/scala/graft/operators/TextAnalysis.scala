@@ -183,6 +183,45 @@ object TextAnalysis {
     None,
   )
 
+  val q33md5 = GraftQuery(
+    "q33_fingerprint_md5",
+    (s, d) => {
+      // Same zero-shuffle XOR-fold fingerprint as q33, but with md5-derived
+      // 60-bit hashes (conv of the first 15 hex digits) so the identical
+      // pipeline is expressible in ANSI SQL and the whole fingerprint —
+      // not just its row count — sits under the driver's hash-compare
+      // gate. XOR is order-independent, so the fold is partition- and
+      // engine-order deterministic by construction.
+      val sh = shingles(toks, 3)
+      val md5h = (c: Column) =>
+        conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          size(sh).cast("long").as("n_shingles"),
+          when(size(sh) > 0,
+            aggregate(transform(sh, x => md5h(x)), lit(0L), (acc, h) => acc.bitwiseXOR(h)))
+            .otherwise(md5h(col("text"))).as("fingerprint"),
+        )
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (
+        SELECT doc_id, text, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        FROM documents),
+      sh AS (
+        SELECT doc_id, toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS s
+        FROM t CROSS JOIN UNNEST(range(0, greatest(len(toks) - 2, 0))) AS u(i)),
+      fp AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               bit_xor(CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS fingerprint
+        FROM sh GROUP BY doc_id)
+      SELECT d.doc_id,
+        COALESCE(fp.n_shingles, 0) AS n_shingles,
+        COALESCE(fp.fingerprint, CAST(('0x' || substr(md5(d.text), 1, 15)) AS BIGINT)) AS fingerprint
+      FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
+      ORDER BY d.doc_id"""),
+  )
+
   val q34 = GraftQuery(
     "q34_ngram_stats",
     (s, d) => {
@@ -322,5 +361,5 @@ object TextAnalysis {
       GROUP BY source ORDER BY source"""),
   )
 
-  def all: Seq[GraftQuery] = Seq(q30, q31, q32, q33, q34, q35, q36, q37)
+  def all: Seq[GraftQuery] = Seq(q30, q31, q32, q33, q33md5, q34, q35, q36, q37)
 }

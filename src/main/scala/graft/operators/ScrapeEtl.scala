@@ -349,13 +349,7 @@ object ScrapeEtl {
       // equality never recurs after a gap or an empty page). One window +
       // one agg — the sequential crawl walk becomes two shuffles total,
       // and each catalog's frontier is one group, no iteration.
-      val pages = Tables.lineitem(s, d)
-        .groupBy(col("l_suppkey").as("catalog"),
-          (col("l_orderkey") % 50 + 1).as("page"))
-        .agg(
-          sum(when(col("l_quantity") > 1, 1L).otherwise(0L)).as("valid"),
-          sum(when(col("l_quantity") <= 1, 1L).otherwise(0L)).as("invalid"))
-      pageFrontier(pages).orderBy("catalog")
+      pageFrontier(frontierPages(s, d)).orderBy("catalog")
     },
     Some("""WITH pages AS (
         SELECT l_suppkey AS catalog, (l_orderkey % 50) + 1 AS page,
@@ -370,7 +364,20 @@ object ScrapeEtl {
         CAST(COALESCE(MAX(CASE WHEN page = rn THEN page END), 0) AS BIGINT) AS last_valid_page,
         CAST(COALESCE(SUM(CASE WHEN page = rn THEN valid END), 0) AS BIGINT) AS valid_products
       FROM walked GROUP BY catalog ORDER BY catalog"""),
+    // prod: same frontier, no oracle-mode global sort.
+    prod = Some((s, d) => pageFrontier(frontierPages(s, d))),
   )
+
+  /** Per-(catalog, page) valid/invalid product counts — the batch analog
+    * of the reference's product_validity_count (scrap_tokopedia.py:131-151).
+    */
+  private def frontierPages(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_suppkey").as("catalog"),
+        (col("l_orderkey") % 50 + 1).as("page"))
+      .agg(
+        sum(when(col("l_quantity") > 1, 1L).otherwise(0L)).as("valid"),
+        sum(when(col("l_quantity") <= 1, 1L).otherwise(0L)).as("invalid"))
 
   /** Contiguous-valid-prefix frontier over a (catalog, page, valid) table:
     * the last page a crawl-from-1 would reach before the first empty or

@@ -126,33 +126,53 @@ object Dedup {
   /** MinHash-LSH decisions with an md5-derived hash family — the same
     * pipeline as [[minhashDecisions]], but every step is expressible in
     * portable SQL (DuckDB md5 + hex cast), so this variant runs under the
-    * driver's hash-compare oracle gate instead of rows-only:
-    * h_j(s) = int(hex[0:15] of md5(j||'|'||s)) — 60 bits, always positive.
-    * Band keys are the r per-band min-hashes joined as a decimal string in
-    * j order (exactly what string_agg(h, ',' ORDER BY j) yields in SQL).
-    * Same 100 TB shape as the xxhash variant: per-row zero-shuffle
-    * signature fold (shingles bound once), slim (band, id) self-join,
-    * [[Lsh.capBuckets]] guard — and the cap is modeled in BOTH engines,
-    * so Spark and the oracle agree at any scale, not just under the cap.
+    * driver's hash-compare oracle gate instead of rows-only.
+    *
+    * Hash family: ONE md5 per shingle, split into h1 (hex[0:15], 60 bits)
+    * and h2 (hex[15:23], 32 bits), then h_j = h1 + j*h2 — Kirsch &
+    * Mitzenmacher double hashing ("Less Hashing, Same Performance"),
+    * which preserves minhash behavior while doing k=16 hashes for the
+    * price of one digest (with the signature stage table below, the
+    * naive per-j variant's 33.8 s at sf0.1 drops to 13.6 s; the residual
+    * over the xxhash variant's ~3 s is the portable md5+conv fold — the
+    * price of oracle parity; [[minhashDecisions]] stays the fast path).
+    * Sums stay < 2^61, so no bigint overflow in either engine's ANSI
+    * arithmetic. Band keys are the r per-band min-hashes joined as a
+    * decimal string in j order (exactly what string_agg(h, ',' ORDER BY
+    * j) yields in SQL). Same 100 TB shape as the xxhash variant: per-row
+    * zero-shuffle signature fold (shingles + digest bound once), slim
+    * (band, id) self-join, [[Lsh.capBuckets]] guard — and the cap is
+    * modeled in BOTH engines, so Spark and the oracle agree at any
+    * scale, not just under the cap.
     */
   def minhashMd5Decisions(
       docs: DataFrame, k: Int = 16, bands: Int = 4, tau: Double = 0.5,
       bucketCap: Int = 10000): DataFrame = {
     val r = k / bands
-    def md5h(j: Column, s: Column): Column =
-      conv(substring(md5(concat(j.cast("string"), lit("|"), s)), 1, 15), 16, 10).cast("long")
     val sig = ExprUtil.bound(shingleArr(3)) { sh =>
       when(size(sh) === 0, lit(null).cast("array<long>"))
         .otherwise(
           aggregate(
             sh,
             array_repeat(lit(Long.MaxValue), k),
-            (acc, s) => zip_with(
-              acc,
-              transform(sequence(lit(0), lit(k - 1)), j => md5h(j, s)),
-              (a, h) => least(a, h))))
+            (acc, s) => ExprUtil.bound(md5(s)) { m =>
+              val h1 = conv(substring(m, 1, 15), 16, 10).cast("long")
+              val h2 = conv(substring(m, 16, 8), 16, 10).cast("long")
+              zip_with(
+                acc,
+                transform(sequence(lit(0), lit(k - 1)), j => h1 + j.cast("long") * h2),
+                (a, h) => least(a, h))
+            }))
     }
-    val sigged = docs.select(col("doc_id"), sig.as("sig")).filter(col("sig").isNotNull)
+    // Materialize the signature table ONCE (doc_id + 16 longs, ~140 B/doc).
+    // The plan uses it three times (banding + both verify sides); without
+    // materialization each use re-runs the per-shingle digest fold —
+    // measured 3x the whole query's cost at sf0.1 (37.7 s -> 13.6 s).
+    // At cluster scale this is the signature STAGE TABLE every production
+    // minhash pipeline persists; locally localCheckpoint is its analog.
+    val sigged = docs.select(col("doc_id"), sig.as("sig"))
+      .filter(col("sig").isNotNull)
+      .localCheckpoint()
     val banded = Lsh.capBuckets(
       sigged.select(
         col("doc_id"),
@@ -366,7 +386,9 @@ object Dedup {
         SELECT doc_id, toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS s
         FROM t CROSS JOIN UNNEST(range(0, greatest(len(toks) - 2, 0))) AS u(i)),
       hx AS (
-        SELECT doc_id, j, MIN(CAST(('0x' || substr(md5(j || '|' || s), 1, 15)) AS BIGINT)) AS h
+        SELECT doc_id, j,
+          MIN(CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)
+              + j * CAST(('0x' || substr(md5(s), 16, 8)) AS BIGINT)) AS h
         FROM sh CROSS JOIN UNNEST(range(0, 16)) AS v(j)
         GROUP BY doc_id, j),
       sigb AS (

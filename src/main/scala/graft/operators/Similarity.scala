@@ -92,7 +92,28 @@ object Similarity {
       val emb = Tables.embeddings(s, d)
       bruteForceTopK(emb, querySet(emb))
     },
-    None,
+    // Oracle parity for floating point: DuckDB's list_dot_product over
+    // DOUBLE[] is a sequential double accumulation, bit-identical to the
+    // native CosineSim kernel's loop (probed over real embedding pairs),
+    // and dot/sqrt(na*nb) uses only correctly-rounded IEEE ops — so the
+    // sim doubles hash-match exactly, and brute-force ANN sits under the
+    // HARD gate. Ties break on neighbor_id in both engines.
+    Some("""WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < 8),
+      c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+      scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+          CASE WHEN list_dot_product(cv, cv) = 0 OR list_dot_product(qv, qv) = 0 THEN 0.0
+               ELSE list_dot_product(cv, qv)
+                    / sqrt(list_dot_product(cv, cv) * list_dot_product(qv, qv)) END AS sim
+        FROM c JOIN q ON c.vec_id <> q.query_id),
+      ranked AS (
+        SELECT query_id, neighbor_id, sim,
+          row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        FROM scored)
+      SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, sim
+      FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""),
   )
 
   val qLsh = GraftQuery(

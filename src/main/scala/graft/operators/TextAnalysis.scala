@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{GraftQuery, Tables}
 import RelationalCore.davg
@@ -283,6 +284,50 @@ object TextAnalysis {
     None,
   )
 
+  val q35exact = GraftQuery(
+    "q35_tfidf_exact",
+    (s, d) => {
+      // The tfidf shape under the HARD gate: within one document, tf/len
+      // is a constant rescale and log is monotone, so ranking by
+      // tf * SCALE div df (exact bigint floor division, identical in both
+      // engines) picks the same top term as a tf/len * N/df weight —
+      // with NO floating point anywhere, the whole result hash-matches.
+      // Same scale shape as q35: two hash aggregates + a vocab-sized df
+      // join (broadcast-able; the tf side never re-shuffles on the skewed
+      // stopword keys), one window per doc for the top-1.
+      val docs = Tables.documents(s, d)
+      val terms = docs.select(col("doc_id"), explode(toks).as("term"))
+      val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("n_dt"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
+      val scored = tf.join(df, Seq("term"))
+        .withColumn("score", expr("(n_dt * CAST(1000000000 AS BIGINT)) div df_t"))
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+      scored
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("term").as("top_term"),
+          col("n_dt"), col("df_t"), col("score"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (
+        SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        FROM documents),
+      terms AS (SELECT doc_id, unnest(toks) AS term FROM t),
+      tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS n_dt
+        FROM terms GROUP BY doc_id, term),
+      df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df_t FROM tf GROUP BY term),
+      scored AS (
+        SELECT tf.doc_id, tf.term, tf.n_dt, df.df_t,
+          CAST((tf.n_dt * 1000000000) // df.df_t AS BIGINT) AS score
+        FROM tf JOIN df USING (term)),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+        FROM scored)
+      SELECT doc_id, term AS top_term, n_dt, df_t, score
+      FROM ranked WHERE rn = 1 ORDER BY doc_id"""),
+  )
+
   // PII patterns kept RE2-safe (no lookarounds/backrefs) so Spark's Java
   // regex and DuckDB's RE2 match identically.
   private val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
@@ -361,5 +406,5 @@ object TextAnalysis {
       GROUP BY source ORDER BY source"""),
   )
 
-  def all: Seq[GraftQuery] = Seq(q30, q31, q32, q33, q33md5, q34, q35, q36, q37)
+  def all: Seq[GraftQuery] = Seq(q30, q31, q32, q33, q33md5, q34, q35, q35exact, q36, q37)
 }

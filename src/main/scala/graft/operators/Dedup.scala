@@ -273,14 +273,21 @@ object Dedup {
     * mega-buckets before the self-join (see minhashCandidates).
     */
   def simhashDecisions(
-      docs: DataFrame, maxHamming: Int = 3, bucketCap: Int = 10000): DataFrame = {
-    val sh = simhash(docs)
+      docs: DataFrame, maxHamming: Int = 3, bucketCap: Int = 10000): DataFrame =
+    simhashBandDecisions(simhash(docs), bitsPerBand = 16, maxHamming, bucketCap)
+
+  /** Shared band-rotation + hamming-verify stage over a (doc_id, simhash)
+    * table: 4 bands of `bitsPerBand` bits each.
+    */
+  private def simhashBandDecisions(
+      sh: DataFrame, bitsPerBand: Int, maxHamming: Int, bucketCap: Int): DataFrame = {
+    val mask = (1L << bitsPerBand) - 1
     val banded = Lsh.capBuckets(
       sh.select(
         col("doc_id"), col("simhash"),
         explode(array((0 until 4).map { b =>
           struct(lit(b).as("band_idx"),
-            shiftright(col("simhash"), 16 * b).bitwiseAND(lit(0xFFFFL)).as("band_val"))
+            shiftright(col("simhash"), bitsPerBand * b).bitwiseAND(lit(mask)).as("band_val"))
         }: _*)).as("band"))
         .select(col("doc_id"), col("simhash"), col("band.band_idx"), col("band.band_val")),
       Seq("band_idx", "band_val"), bucketCap)
@@ -304,6 +311,31 @@ object Dedup {
         coalesce(col("n_dup_partners"), lit(0L)).as("n_dup_partners"))
       .orderBy("doc_id")
   }
+
+  /** 60-bit SimHash from md5-derived token hashes — the same ONE-hash-agg
+    * bit-majority shape as [[simhash]], but portable to ANSI SQL, so the
+    * full simhash dedup pipeline runs under the driver's hash-compare
+    * oracle gate (see [[qSimhashMd5]]). 60 bits = the first 15 md5 hex
+    * digits; bands become 4 x 15 bits (pigeonhole still holds:
+    * maxHamming 3 < 4 bands).
+    */
+  def simhashMd5(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(toks).as("t"))
+      .withColumn("h", conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long"))
+    val bitSums = (0 until 60).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$j")
+    }
+    val agg = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val fold = (0 until 60)
+      .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    agg.select(col("doc_id"), fold.as("simhash"))
+  }
+
+  def simhashMd5Decisions(
+      docs: DataFrame, maxHamming: Int = 3, bucketCap: Int = 10000): DataFrame =
+    simhashBandDecisions(simhashMd5(docs), bitsPerBand = 15, maxHamming, bucketCap)
 
   // ---------------------------------------------- embedding cosine dedup
 
@@ -423,6 +455,42 @@ object Dedup {
     None,
   )
 
+  val qSimhashMd5 = GraftQuery(
+    "dedup_simhash_md5",
+    (s, d) => simhashMd5Decisions(Tables.documents(s, d)),
+    Some("""WITH t AS (
+        SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        FROM documents),
+      tok AS (
+        SELECT doc_id, CAST(('0x' || substr(md5(u.t), 1, 15)) AS BIGINT) AS h
+        FROM t CROSS JOIN UNNEST(toks) AS u(t)),
+      bits AS (
+        SELECT doc_id, j,
+          CASE WHEN SUM(CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) > 0
+               THEN (CAST(1 AS BIGINT) << j) ELSE 0 END AS bit
+        FROM tok CROSS JOIN UNNEST(range(0, 60)) AS v(j)
+        GROUP BY doc_id, j),
+      sh AS (SELECT doc_id, CAST(SUM(bit) AS BIGINT) AS simhash FROM bits GROUP BY doc_id),
+      banded AS (
+        SELECT doc_id, simhash, b AS band_idx, (simhash >> CAST(15 * b AS INT)) & 32767 AS band_val
+        FROM sh CROSS JOIN UNNEST(range(0, 4)) AS w(b)),
+      bs AS (SELECT band_idx, band_val, COUNT(*) AS n FROM banded GROUP BY 1, 2),
+      kept AS (
+        SELECT banded.* FROM banded JOIN bs USING (band_idx, band_val) WHERE bs.n <= 10000),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+          bit_count(xor(a.simhash, b.simhash)) AS hamming
+        FROM kept a JOIN kept b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
+      dups AS (
+        SELECT id_b AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_partners
+        FROM pairs WHERE hamming <= 3 GROUP BY id_b)
+      SELECT s.doc_id, s.simhash, d.doc_id IS NOT NULL AS is_dup,
+             COALESCE(d.n_dup_partners, 0) AS n_dup_partners
+      FROM sh s LEFT JOIN dups d ON s.doc_id = d.doc_id
+      ORDER BY s.doc_id"""),
+  )
+
   val qJaccard = GraftQuery(
     "dedup_ngram_jaccard",
     (s, d) => jaccardDecisions(Tables.documents(s, d)),
@@ -436,5 +504,5 @@ object Dedup {
   )
 
   def all: Seq[GraftQuery] =
-    Seq(qExact, qMinhash, qMinhashMd5, qSimhash, qJaccard, qEmbedding)
+    Seq(qExact, qMinhash, qMinhashMd5, qSimhash, qSimhashMd5, qJaccard, qEmbedding)
 }

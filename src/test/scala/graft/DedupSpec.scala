@@ -85,6 +85,16 @@ class DedupSpec extends AnyFunSuite {
     assert(near(3L), "near dup within widened hamming radius")
   }
 
+  test("simhash md5 twin: same decisions shape under the portable hash family") {
+    val exact = Dedup.simhashMd5Decisions(corpus).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(exact(2L), "identical text has identical 60-bit simhash")
+    assert(!exact(4L) && !exact(5L) && !exact(6L), "unrelated docs differ")
+    val near = Dedup.simhashMd5Decisions(corpus, maxHamming = 12).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(near(3L), "near dup within widened hamming radius")
+  }
+
   test("embedding cosine dedup flags planted near-identical vectors") {
     import spark.implicits._
     val rnd = new Random(7)

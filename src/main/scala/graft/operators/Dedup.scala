@@ -145,9 +145,12 @@ object Dedup {
     * modeled in BOTH engines, so Spark and the oracle agree at any
     * scale, not just under the cap.
     */
-  def minhashMd5Decisions(
-      docs: DataFrame, k: Int = 16, bands: Int = 4, tau: Double = 0.5,
-      bucketCap: Int = 10000): DataFrame = {
+  /** (pairs, sigged): md5-minhash LSH candidate pairs (id_a < id_b) and the
+    * materialized signature stage table they were banded from — shared by
+    * [[minhashMd5Decisions]] and [[jaccardMd5Decisions]].
+    */
+  private def minhashMd5Candidates(
+      docs: DataFrame, k: Int, bands: Int, bucketCap: Int): (DataFrame, DataFrame) = {
     val r = k / bands
     val sig = ExprUtil.bound(shingleArr(3)) { sh =>
       when(size(sh) === 0, lit(null).cast("array<long>"))
@@ -191,6 +194,13 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    (pairs, sigged)
+  }
+
+  def minhashMd5Decisions(
+      docs: DataFrame, k: Int = 16, bands: Int = 4, tau: Double = 0.5,
+      bucketCap: Int = 10000): DataFrame = {
+    val (pairs, sigged) = minhashMd5Candidates(docs, k, bands, bucketCap)
     val est = aggregate(
       zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, v) => acc + v).cast("double") / k
@@ -227,6 +237,40 @@ object Dedup {
       col("doc_id"),
       array_distinct(transform(shingleArr(3), s => xxhash64(s))).as("sh"))
     val cand = minhashCandidates(docs, k, bands, bucketCap).select("id_a", "id_b")
+    val jac = size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double") /
+      size(array_union(col("sa.sh"), col("sb.sh")))
+    val dups = cand
+      .join(sets.alias("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sets.alias("sb"), col("id_b") === col("sb.doc_id"))
+      .withColumn("jaccard", jac)
+      .filter(col("jaccard") >= tau)
+      .groupBy(col("id_b").as("doc_id"))
+      .agg(count(lit(1)).as("n_dup_partners"), max(col("jaccard")).as("best_jaccard"))
+    docs.select("doc_id")
+      .join(dups, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_dup_partners").isNotNull.as("is_dup"),
+        coalesce(col("n_dup_partners"), lit(0L)).as("n_dup_partners"),
+        coalesce(col("best_jaccard"), lit(0.0)).as("best_jaccard"))
+      .orderBy("doc_id")
+  }
+
+  /** Exact Jaccard verify over the md5-minhash candidates — every stage
+    * (shingle hash, candidates, set sizes, intersection counts, the final
+    * division) is expressible in ANSI SQL, so exact-Jaccard dedup runs
+    * under the hash-compare gate (see [[qJaccardMd5]]). jaccard is ONE
+    * double division of exact integer counts (|A∩B| / (|A|+|B|-|A∩B|)),
+    * so even the double column matches across engines bit-for-bit.
+    */
+  def jaccardMd5Decisions(
+      docs: DataFrame, tau: Double = 0.6, k: Int = 16, bands: Int = 4,
+      bucketCap: Int = 10000): DataFrame = {
+    val md5long = (c: Column) => conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    val sets = docs.select(
+      col("doc_id"),
+      array_distinct(transform(shingleArr(3), s => md5long(s))).as("sh"))
+    val (cand, _) = minhashMd5Candidates(docs, k, bands, bucketCap)
     val jac = size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double") /
       size(array_union(col("sa.sh"), col("sb.sh")))
     val dups = cand
@@ -449,6 +493,57 @@ object Dedup {
       ORDER BY d.doc_id"""),
   )
 
+  val qJaccardMd5 = GraftQuery(
+    "dedup_jaccard_md5",
+    (s, d) => jaccardMd5Decisions(Tables.documents(s, d)),
+    Some("""WITH t AS (
+        SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        FROM documents),
+      sh AS (
+        SELECT doc_id, toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS s
+        FROM t CROSS JOIN UNNEST(range(0, greatest(len(toks) - 2, 0))) AS u(i)),
+      hx AS (
+        SELECT doc_id, j,
+          MIN(CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)
+              + j * CAST(('0x' || substr(md5(s), 16, 8)) AS BIGINT)) AS h
+        FROM sh CROSS JOIN UNNEST(range(0, 16)) AS v(j)
+        GROUP BY doc_id, j),
+      sigb AS (
+        SELECT doc_id, j // 4 AS band_idx, string_agg(h, ',' ORDER BY j) AS band_val
+        FROM hx GROUP BY doc_id, j // 4),
+      bs AS (
+        SELECT band_idx, band_val, COUNT(*) AS bucket_n FROM sigb GROUP BY 1, 2),
+      kept AS (
+        SELECT sigb.* FROM sigb JOIN bs USING (band_idx, band_val) WHERE bs.bucket_n <= 10000),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM kept a JOIN kept b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
+      hs AS (
+        SELECT DISTINCT doc_id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h FROM sh),
+      sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM hs GROUP BY doc_id),
+      inter AS (
+        SELECT c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS ni
+        FROM cand c
+        JOIN hs a ON a.doc_id = c.id_a
+        JOIN hs b ON b.doc_id = c.id_b AND b.h = a.h
+        GROUP BY c.id_a, c.id_b),
+      jac AS (
+        SELECT i.id_b, CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) AS jaccard
+        FROM inter i
+        JOIN sz sa ON sa.doc_id = i.id_a
+        JOIN sz sb ON sb.doc_id = i.id_b),
+      dups AS (
+        SELECT id_b AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_partners,
+               MAX(jaccard) AS best_jaccard
+        FROM jac WHERE jaccard >= 0.6 GROUP BY id_b)
+      SELECT d.doc_id, dups.doc_id IS NOT NULL AS is_dup,
+             COALESCE(dups.n_dup_partners, 0) AS n_dup_partners,
+             COALESCE(dups.best_jaccard, 0.0) AS best_jaccard
+      FROM documents d LEFT JOIN dups ON d.doc_id = dups.doc_id
+      ORDER BY d.doc_id"""),
+  )
+
   val qSimhash = GraftQuery(
     "dedup_simhash",
     (s, d) => simhashDecisions(Tables.documents(s, d)),
@@ -504,5 +599,6 @@ object Dedup {
   )
 
   def all: Seq[GraftQuery] =
-    Seq(qExact, qMinhash, qMinhashMd5, qSimhash, qSimhashMd5, qJaccard, qEmbedding)
+    Seq(qExact, qMinhash, qMinhashMd5, qSimhash, qSimhashMd5, qJaccard,
+      qJaccardMd5, qEmbedding)
 }

@@ -85,6 +85,14 @@ class DedupSpec extends AnyFunSuite {
     assert(near(3L), "near dup within widened hamming radius")
   }
 
+  test("jaccard md5 twin: exact similarity over portable-hash candidates") {
+    val rows = Dedup.jaccardMd5Decisions(corpus).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getDouble(3)))).toMap
+    assert(rows(2L)._1 && rows(2L)._2 == 1.0, "exact copy has jaccard 1.0")
+    assert(rows(3L)._1 && rows(3L)._2 > 0.8, "near dup verified with high jaccard")
+    assert(!rows(4L)._1 && !rows(5L)._1 && !rows(6L)._1 && !rows(7L)._1)
+  }
+
   test("simhash md5 twin: same decisions shape under the portable hash family") {
     val exact = Dedup.simhashMd5Decisions(corpus).collect()
       .map(r => r.getLong(0) -> r.getBoolean(2)).toMap

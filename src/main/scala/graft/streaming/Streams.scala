@@ -233,5 +233,26 @@ object Streams {
       ORDER BY click_id, purchase_id"""),
   )
 
-  def all: Seq[GraftQuery] = Seq(qWindowed, qSessionize, qIntervalJoin)
+  /** Batch twin of [[dedupStream]]: collapse at-least-once redeliveries to
+    * the FIRST arrival per delivery key (user, type, minute bucket) — what
+    * dropDuplicatesWithinWatermark keeps when duplicates land inside the
+    * horizon. One hash aggregate, map-side partial.
+    */
+  def dedupBatch(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"), col("event_type"),
+        date_trunc("minute", col("ts")).as("minute"))
+      .agg(min("event_id").as("keep_event"), count(lit(1)).as("n_deliveries"))
+
+  val qDedup = GraftQuery(
+    "stream_dedup_exact",
+    (s, d) => dedupBatch(Events.withEventTime(s, d))
+      .orderBy("user_id", "event_type", "minute"),
+    Some("""SELECT user_id, event_type, date_trunc('minute', ts) AS minute,
+        MIN(event_id) AS keep_event, COUNT(*) AS n_deliveries
+      FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""),
+    prod = Some((s, d) => dedupBatch(Events.withEventTime(s, d))),
+  )
+
+  def all: Seq[GraftQuery] = Seq(qWindowed, qSessionize, qIntervalJoin, qDedup)
 }

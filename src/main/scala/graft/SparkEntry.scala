@@ -12,6 +12,7 @@ object SparkEntry {
       operators.TextAnalysis.all ++
       operators.Dedup.all ++
       operators.Cluster.all ++
+      operators.Curate.all ++
       operators.Similarity.all ++
       operators.Multimodal.all ++
       streaming.Streams.all

@@ -190,6 +190,28 @@ class DedupSpec extends AnyFunSuite {
     assert(Cluster.fingerprintStarEdges(family).count() == 99L)
   }
 
+  test("corpus curation assigns one verdict per doc with gate precedence") {
+    import spark.implicits._
+    val t1 = text(11)
+    val near = t1.split(" ").updated(90, "zzzz").mkString(" ") // shares prefix-50
+    val rows = Seq(
+      (1L, t1, "en"),           // keeper + family canonical -> kept
+      (2L, t1, "en"),           // identical -> exact_dup (wins over family)
+      (3L, near, "en"),         // near dup of 1 -> near_dup
+      (4L, "ab cd", "en"),      // -> too_short
+      (5L, text(22), "de"),     // -> wrong_lang
+      (6L, text(33), "en"),     // unrelated -> kept
+    ).map { case (id, t, l) => (id, t, l, "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = operators.Curate.curate(rows).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "kept", 2L -> "exact_dup", 3L -> "near_dup",
+      4L -> "too_short", 5L -> "wrong_lang", 6L -> "kept"), s"got $got")
+    val kept = operators.Curate.survivors(rows).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 6L))
+  }
+
   test("dedup plans contain no cartesian product") {
     val plans = Seq(
       Dedup.minhashDecisions(corpus),

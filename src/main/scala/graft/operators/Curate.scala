@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{GraftQuery, Tables}
 
@@ -30,16 +29,21 @@ object Curate {
       lang: String = "en",
       minTokens: Int = 5): DataFrame = {
     val toks = filter(split(col("text"), "\\s+"), x => x =!= lit(""))
-    // exact keeper: lowest doc_id per md5(text) group (window min — same
-    // 1-shuffle shape as Dedup.exact, but keeping the doc->keeper mapping)
-    val keeper = min("doc_id").over(Window.partitionBy(md5(col("text"))))
+    // exact keeper: lowest doc_id per md5(text) group, computed over a
+    // SLIM (doc_id, md5) projection so document text never rides an
+    // exchange (same 16-byte-key discipline as Dedup.exact; a window
+    // partitioned by md5(text) directly would shuffle the full text).
+    val ids = docs.select(col("doc_id"), md5(col("text")).as("k"))
+    val exactMap = ids
+      .join(ids.groupBy("k").agg(min("doc_id").as("exact_keeper")), Seq("k"))
+      .select(col("doc_id"), col("exact_keeper"))
     val near = Dedup.minhashDecisions(docs)
       .select(col("doc_id"), col("is_dup").as("near_dup"))
     val fam = Cluster.clusterAssignments(docs)
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
     docs
-      .select(col("doc_id"), col("lang"), size(toks).as("n_toks"),
-        keeper.as("exact_keeper"))
+      .select(col("doc_id"), col("lang"), size(toks).as("n_toks"))
+      .join(exactMap, Seq("doc_id"))
       .join(near, Seq("doc_id"), "left")
       .join(fam, Seq("doc_id"), "left")
       .select(

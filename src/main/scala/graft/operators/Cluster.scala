@@ -147,6 +147,7 @@ object Cluster {
       SELECT a.doc_id, a.cluster_id, sz.cluster_size,
              a.doc_id = a.cluster_id AS is_canonical
       FROM asg a JOIN sz USING (cluster_id) ORDER BY a.doc_id"""),
+    prod = Some((s, d) => clusterAssignments(Tables.documents(s, d))),
   )
 
   def all: Seq[GraftQuery] = Seq(qClusters)

@@ -73,6 +73,8 @@ object Curate {
     // (not ANSI-expressible); semantics are spec-asserted on a planted
     // corpus and every component below it is individually gate-checked.
     None,
+    prod = Some((s, d) => curate(Tables.documents(s, d))
+      .groupBy("verdict").agg(count(lit(1)).as("n_docs"))),
   )
 
   def all: Seq[GraftQuery] = Seq(qCurate)

@@ -43,7 +43,6 @@ object Dedup {
       .groupBy(md5(col("text")).as("text_md5"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .select("keep_id", "n_copies")
-      .orderBy("keep_id")
 
   // -------------------------------------------------------------- minhash
 
@@ -118,7 +117,6 @@ object Dedup {
         col("doc_id"),
         col("n_dup_partners").isNotNull.as("is_dup"),
         coalesce(col("n_dup_partners"), lit(0L)).as("n_dup_partners"))
-      .orderBy("doc_id")
   }
 
   // ---------------------------------------------- md5 minhash (oracle-green)
@@ -217,7 +215,6 @@ object Dedup {
         col("doc_id"),
         col("n_dup_partners").isNotNull.as("is_dup"),
         coalesce(col("n_dup_partners"), lit(0L)).as("n_dup_partners"))
-      .orderBy("doc_id")
   }
 
   // ------------------------------------------------------ n-gram jaccard
@@ -253,7 +250,6 @@ object Dedup {
         col("n_dup_partners").isNotNull.as("is_dup"),
         coalesce(col("n_dup_partners"), lit(0L)).as("n_dup_partners"),
         coalesce(col("best_jaccard"), lit(0.0)).as("best_jaccard"))
-      .orderBy("doc_id")
   }
 
   /** Exact Jaccard verify over the md5-minhash candidates — every stage
@@ -287,7 +283,6 @@ object Dedup {
         col("n_dup_partners").isNotNull.as("is_dup"),
         coalesce(col("n_dup_partners"), lit(0L)).as("n_dup_partners"),
         coalesce(col("best_jaccard"), lit(0.0)).as("best_jaccard"))
-      .orderBy("doc_id")
   }
 
   // -------------------------------------------------------------- simhash
@@ -353,7 +348,6 @@ object Dedup {
         col("doc_id"), col("simhash"),
         col("n_dup_partners").isNotNull.as("is_dup"),
         coalesce(col("n_dup_partners"), lit(0L)).as("n_dup_partners"))
-      .orderBy("doc_id")
   }
 
   /** 60-bit SimHash from md5-derived token hashes — the same ONE-hash-agg
@@ -434,27 +428,28 @@ object Dedup {
         col("n_dup_partners").isNotNull.as("is_dup"),
         coalesce(col("n_dup_partners"), lit(0L)).as("n_dup_partners"),
         coalesce(col("best_sim"), lit(0.0)).as("best_sim"))
-      .orderBy("vec_id")
   }
 
   // ------------------------------------------------------------- queries
 
   val qExact = GraftQuery(
     "dedup_exact",
-    (s, d) => exact(Tables.documents(s, d)),
+    (s, d) => exact(Tables.documents(s, d)).orderBy("keep_id"),
     Some("""SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
       FROM documents GROUP BY md5(text) ORDER BY keep_id"""),
+    prod = Some((s, d) => exact(Tables.documents(s, d))),
   )
 
   val qMinhash = GraftQuery(
     "dedup_minhash_lsh",
-    (s, d) => minhashDecisions(Tables.documents(s, d)),
+    (s, d) => minhashDecisions(Tables.documents(s, d)).orderBy("doc_id"),
     None,
+    prod = Some((s, d) => minhashDecisions(Tables.documents(s, d))),
   )
 
   val qMinhashMd5 = GraftQuery(
     "dedup_minhash_md5",
-    (s, d) => minhashMd5Decisions(Tables.documents(s, d)),
+    (s, d) => minhashMd5Decisions(Tables.documents(s, d)).orderBy("doc_id"),
     Some("""WITH t AS (
         SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
         FROM documents),
@@ -491,11 +486,12 @@ object Dedup {
              COALESCE(dups.n_dup_partners, 0) AS n_dup_partners
       FROM documents d LEFT JOIN dups ON d.doc_id = dups.doc_id
       ORDER BY d.doc_id"""),
+    prod = Some((s, d) => minhashMd5Decisions(Tables.documents(s, d))),
   )
 
   val qJaccardMd5 = GraftQuery(
     "dedup_jaccard_md5",
-    (s, d) => jaccardMd5Decisions(Tables.documents(s, d)),
+    (s, d) => jaccardMd5Decisions(Tables.documents(s, d)).orderBy("doc_id"),
     Some("""WITH t AS (
         SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
         FROM documents),
@@ -542,17 +538,19 @@ object Dedup {
              COALESCE(dups.best_jaccard, 0.0) AS best_jaccard
       FROM documents d LEFT JOIN dups ON d.doc_id = dups.doc_id
       ORDER BY d.doc_id"""),
+    prod = Some((s, d) => jaccardMd5Decisions(Tables.documents(s, d))),
   )
 
   val qSimhash = GraftQuery(
     "dedup_simhash",
-    (s, d) => simhashDecisions(Tables.documents(s, d)),
+    (s, d) => simhashDecisions(Tables.documents(s, d)).orderBy("doc_id"),
     None,
+    prod = Some((s, d) => simhashDecisions(Tables.documents(s, d))),
   )
 
   val qSimhashMd5 = GraftQuery(
     "dedup_simhash_md5",
-    (s, d) => simhashMd5Decisions(Tables.documents(s, d)),
+    (s, d) => simhashMd5Decisions(Tables.documents(s, d)).orderBy("doc_id"),
     Some("""WITH t AS (
         SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
         FROM documents),
@@ -584,18 +582,21 @@ object Dedup {
              COALESCE(d.n_dup_partners, 0) AS n_dup_partners
       FROM sh s LEFT JOIN dups d ON s.doc_id = d.doc_id
       ORDER BY s.doc_id"""),
+    prod = Some((s, d) => simhashMd5Decisions(Tables.documents(s, d))),
   )
 
   val qJaccard = GraftQuery(
     "dedup_ngram_jaccard",
-    (s, d) => jaccardDecisions(Tables.documents(s, d)),
+    (s, d) => jaccardDecisions(Tables.documents(s, d)).orderBy("doc_id"),
     None,
+    prod = Some((s, d) => jaccardDecisions(Tables.documents(s, d))),
   )
 
   val qEmbedding = GraftQuery(
     "dedup_embedding_cosine",
-    (s, d) => embeddingCosineDecisions(Tables.embeddings(s, d)),
+    (s, d) => embeddingCosineDecisions(Tables.embeddings(s, d)).orderBy("vec_id"),
     None,
+    prod = Some((s, d) => embeddingCosineDecisions(Tables.embeddings(s, d))),
   )
 
   def all: Seq[GraftQuery] =

@@ -184,28 +184,30 @@ object TextAnalysis {
     None,
   )
 
+  /** Same zero-shuffle XOR-fold fingerprint as q33, but with md5-derived
+    * 60-bit hashes (conv of the first 15 hex digits) so the identical
+    * pipeline is expressible in ANSI SQL and the whole fingerprint — not
+    * just its row count — sits under the driver's hash-compare gate. XOR
+    * is order-independent, so the fold is partition- and engine-order
+    * deterministic by construction.
+    */
+  private def fingerprintMd5(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val sh = shingles(toks, 3)
+    val md5h = (c: Column) =>
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        size(sh).cast("long").as("n_shingles"),
+        when(size(sh) > 0,
+          aggregate(transform(sh, x => md5h(x)), lit(0L), (acc, h) => acc.bitwiseXOR(h)))
+          .otherwise(md5h(col("text"))).as("fingerprint"),
+      )
+  }
+
   val q33md5 = GraftQuery(
     "q33_fingerprint_md5",
-    (s, d) => {
-      // Same zero-shuffle XOR-fold fingerprint as q33, but with md5-derived
-      // 60-bit hashes (conv of the first 15 hex digits) so the identical
-      // pipeline is expressible in ANSI SQL and the whole fingerprint —
-      // not just its row count — sits under the driver's hash-compare
-      // gate. XOR is order-independent, so the fold is partition- and
-      // engine-order deterministic by construction.
-      val sh = shingles(toks, 3)
-      val md5h = (c: Column) =>
-        conv(substring(md5(c), 1, 15), 16, 10).cast("long")
-      Tables.documents(s, d)
-        .select(
-          col("doc_id"),
-          size(sh).cast("long").as("n_shingles"),
-          when(size(sh) > 0,
-            aggregate(transform(sh, x => md5h(x)), lit(0L), (acc, h) => acc.bitwiseXOR(h)))
-            .otherwise(md5h(col("text"))).as("fingerprint"),
-        )
-        .orderBy("doc_id")
-    },
+    (s, d) => fingerprintMd5(s, d).orderBy("doc_id"),
     Some("""WITH t AS (
         SELECT doc_id, text, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
         FROM documents),
@@ -221,6 +223,7 @@ object TextAnalysis {
         COALESCE(fp.fingerprint, CAST(('0x' || substr(md5(d.text), 1, 15)) AS BIGINT)) AS fingerprint
       FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
       ORDER BY d.doc_id"""),
+    prod = Some((s, d) => fingerprintMd5(s, d)),
   )
 
   val q34 = GraftQuery(
@@ -284,31 +287,33 @@ object TextAnalysis {
     None,
   )
 
+  /** The tfidf shape under the HARD gate: within one document, tf/len is
+    * a constant rescale and log is monotone, so ranking by
+    * tf * SCALE div df (exact bigint floor division, identical in both
+    * engines) picks the same top term as a tf/len * N/df weight — with NO
+    * floating point anywhere, the whole result hash-matches. Same scale
+    * shape as q35: two hash aggregates + a vocab-sized df join
+    * (broadcast-able; the tf side never re-shuffles on the skewed
+    * stopword keys), one window per doc for the top-1.
+    */
+  private def tfidfExact(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val docs = Tables.documents(s, d)
+    val terms = docs.select(col("doc_id"), explode(toks).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("n_dt"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
+    val scored = tf.join(df, Seq("term"))
+      .withColumn("score", expr("(n_dt * CAST(1000000000 AS BIGINT)) div df_t"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("term").as("top_term"),
+        col("n_dt"), col("df_t"), col("score"))
+  }
+
   val q35exact = GraftQuery(
     "q35_tfidf_exact",
-    (s, d) => {
-      // The tfidf shape under the HARD gate: within one document, tf/len
-      // is a constant rescale and log is monotone, so ranking by
-      // tf * SCALE div df (exact bigint floor division, identical in both
-      // engines) picks the same top term as a tf/len * N/df weight —
-      // with NO floating point anywhere, the whole result hash-matches.
-      // Same scale shape as q35: two hash aggregates + a vocab-sized df
-      // join (broadcast-able; the tf side never re-shuffles on the skewed
-      // stopword keys), one window per doc for the top-1.
-      val docs = Tables.documents(s, d)
-      val terms = docs.select(col("doc_id"), explode(toks).as("term"))
-      val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("n_dt"))
-      val df = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
-      val scored = tf.join(df, Seq("term"))
-        .withColumn("score", expr("(n_dt * CAST(1000000000 AS BIGINT)) div df_t"))
-      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
-      scored
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("doc_id"), col("term").as("top_term"),
-          col("n_dt"), col("df_t"), col("score"))
-        .orderBy("doc_id")
-    },
+    (s, d) => tfidfExact(s, d).orderBy("doc_id"),
     Some("""WITH t AS (
         SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
         FROM documents),
@@ -326,6 +331,7 @@ object TextAnalysis {
         FROM scored)
       SELECT doc_id, term AS top_term, n_dt, df_t, score
       FROM ranked WHERE rn = 1 ORDER BY doc_id"""),
+    prod = Some((s, d) => tfidfExact(s, d)),
   )
 
   // PII patterns kept RE2-safe (no lookarounds/backrefs) so Spark's Java

@@ -150,7 +150,13 @@ object StagedDag {
           try {
             build(outs).write.mode("overwrite").parquet(dir)
             ok = true
-          } catch { case e: Throwable => lastErr = e }
+          } catch {
+            // NonFatal only: an OOM / linkage error / interrupt is not a
+            // retryable task failure — Airflow fails the task there too, and
+            // retrying a JVM already out of memory just burns the budget and
+            // masks the real state. Fatal errors propagate immediately.
+            case scala.util.control.NonFatal(e) => lastErr = e
+          }
         }
         if (!ok)
           throw new IllegalStateException(

@@ -37,6 +37,13 @@ object Cluster {
     * (id_a, id_b). Returns (id, label) with label = min id reachable;
     * only ids that appear in an edge are returned (callers left-join and
     * default singletons to themselves).
+    *
+    * Throws if the loop hits `maxIter` before converging: partially
+    * propagated labels are WRONG answers (a >maxIter-diameter chain of
+    * overlapping families would silently split one component into many),
+    * and downstream dedup would keep documents it should drop. Fail loud;
+    * the caller raises maxIter — rounds needed ~ component diameter, and
+    * fingerprint star families have diameter <= 4 per link.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     val sym = edges
@@ -63,6 +70,10 @@ object Cluster {
       labels = next
       i += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "component diameter exceeds maxIter; raise maxIter (labels would be wrong)")
     labels
   }
 

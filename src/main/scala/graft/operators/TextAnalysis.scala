@@ -192,15 +192,20 @@ object TextAnalysis {
     * deterministic by construction.
     */
   private def fingerprintMd5(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val sh = shingles(toks, 3)
     val md5h = (c: Column) =>
       conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    // The shingle array feeds BOTH output columns, so ExprUtil.bound (one
+    // column's expression tree) can't cover it; materialize it as its own
+    // projection instead — CollapseProject keeps a non-cheap alias that is
+    // referenced more than once in a separate Project, so shingling runs
+    // once per row, not once per use.
     Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), shingles(toks, 3).as("sh"))
       .select(
         col("doc_id"),
-        size(sh).cast("long").as("n_shingles"),
-        when(size(sh) > 0,
-          aggregate(transform(sh, x => md5h(x)), lit(0L), (acc, h) => acc.bitwiseXOR(h)))
+        size(col("sh")).cast("long").as("n_shingles"),
+        when(size(col("sh")) > 0,
+          aggregate(transform(col("sh"), x => md5h(x)), lit(0L), (acc, h) => acc.bitwiseXOR(h)))
           .otherwise(md5h(col("text"))).as("fingerprint"),
       )
   }
@@ -287,14 +292,21 @@ object TextAnalysis {
     None,
   )
 
-  /** The tfidf shape under the HARD gate: within one document, tf/len is
-    * a constant rescale and log is monotone, so ranking by
-    * tf * SCALE div df (exact bigint floor division, identical in both
-    * engines) picks the same top term as a tf/len * N/df weight — with NO
-    * floating point anywhere, the whole result hash-matches. Same scale
-    * shape as q35: two hash aggregates + a vocab-sized df join
-    * (broadcast-able; the tf side never re-shuffles on the skewed
-    * stopword keys), one window per doc for the top-1.
+  /** LINEAR-idf term ranking under the HARD gate — the tfidf PLAN shape,
+    * not the same weight as q35. Within a document it ranks terms by
+    * n_dt * SCALE div df_t (exact bigint floor division, identical in
+    * both engines): rank-equivalent to a linear-idf weight tf/len * N/df
+    * (tf/len is a per-doc constant rescale), but NOT to q35's
+    * log((N+1)/(df+1)) idf — log compresses the df axis, so the two
+    * queries can pick different top terms (e.g. n_dt=2,df=1 beats
+    * n_dt=10,df=100 on the linear ratio but can lose under log-idf), and
+    * floor-division ties (broken lexicographically) can flip the winner
+    * vs real division. What the gate proves is the PIPELINE — tokenize,
+    * tf/df aggregates, vocab join, per-doc top-1 — exactly; q35 keeps the
+    * classical log-idf weight as the rows-only twin. Same scale shape as
+    * q35: two hash aggregates + a vocab-sized df join (broadcast-able;
+    * the tf side never re-shuffles on the skewed stopword keys), one
+    * window per doc for the top-1.
     */
   private def tfidfExact(s: org.apache.spark.sql.SparkSession, d: String) = {
     val docs = Tables.documents(s, d)

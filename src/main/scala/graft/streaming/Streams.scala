@@ -233,10 +233,14 @@ object Streams {
       ORDER BY click_id, purchase_id"""),
   )
 
-  /** Batch twin of [[dedupStream]]: collapse at-least-once redeliveries to
-    * the FIRST arrival per delivery key (user, type, minute bucket) — what
-    * dropDuplicatesWithinWatermark keeps when duplicates land inside the
-    * horizon. One hash aggregate, map-side partial.
+  /** Fixed-bucket delivery collapse: one row per (user, type, minute
+    * bucket), keeping the lowest event_id as the representative. NOT a
+    * semantic twin of [[dedupStream]] — that dedups on a caller-supplied
+    * delivery key within a watermark horizon, whereas this merges distinct
+    * same-minute events under one key and splits redeliveries that
+    * straddle a minute boundary; it is the batch-auditable shape of the
+    * same at-least-once cleanup concern. One hash aggregate, map-side
+    * partial.
     */
   def dedupBatch(events: DataFrame): DataFrame =
     events

@@ -167,6 +167,17 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("connected components: unconverged exit throws instead of returning wrong labels") {
+    import spark.implicits._
+    // a path needs >1 round to converge; maxIter=1 must fail loud, never
+    // hand back partially propagated labels
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      operators.Cluster.connectedComponents(edges, maxIter = 1)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("dedup_clusters: prefix/suffix families chain transitively; edges stay O(n)") {
     import operators.Cluster
     def tk(p: String, n: Int) = (0 until n).map(i => s"$p$i").mkString(" ")

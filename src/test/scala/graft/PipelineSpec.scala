@@ -92,4 +92,16 @@ class PipelineSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("after 2 attempts"))
   }
+
+  test("staged DAG does NOT retry fatal errors — they propagate on the first attempt") {
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val fatal = Seq("oom" -> ((_: Map[String, org.apache.spark.sql.DataFrame]) => {
+      attempts.incrementAndGet()
+      throw new OutOfMemoryError("simulated")
+    }): (String, Map[String, org.apache.spark.sql.DataFrame] => org.apache.spark.sql.DataFrame))
+    intercept[OutOfMemoryError] {
+      StagedDag.run(spark, "/tmp/graft-test/dag3", fatal, retries = 2)
+    }
+    assert(attempts.get() == 1, "a fatal JVM error must not be re-attempted")
+  }
 }

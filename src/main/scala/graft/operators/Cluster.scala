@@ -85,9 +85,15 @@ object Cluster {
     * one component (the transitive case pairwise dedup cannot see).
     * Fingerprints ship as 16-byte md5 keys, never token arrays.
     */
-  def fingerprintStarEdges(docs: DataFrame, k: Int = 50): DataFrame = {
-    val keyed = docs
-      .select(col("doc_id"), toks.as("toks"))
+  def fingerprintStarEdges(docs: DataFrame, k: Int = 50): DataFrame =
+    fingerprintStarEdgesT(docs.select(col("doc_id"), toks.as("toks")), k)
+
+  /** [[fingerprintStarEdges]] over a pre-tokenized (doc_id, toks) frame
+    * (a persisted tokenized stage table skips the re-tokenization scan).
+    */
+  def fingerprintStarEdgesT(toked: DataFrame, k: Int = 50): DataFrame = {
+    val keyed = toked
+      .select(col("doc_id"), col("toks"))
       .filter(size(col("toks")) > 0)
       .select(
         col("doc_id"),
@@ -107,9 +113,13 @@ object Cluster {
   /** Per-doc canonical assignment: (doc_id, cluster_id, cluster_size,
     * is_canonical). Singletons are their own cluster.
     */
-  def clusterAssignments(docs: DataFrame, k: Int = 50, maxIter: Int = 20): DataFrame = {
-    val labels = connectedComponents(fingerprintStarEdges(docs, k), maxIter)
-    val asg = docs.select(col("doc_id"))
+  def clusterAssignments(docs: DataFrame, k: Int = 50, maxIter: Int = 20): DataFrame =
+    clusterAssignmentsT(docs.select(col("doc_id"), toks.as("toks")), k, maxIter)
+
+  /** [[clusterAssignments]] over a pre-tokenized (doc_id, toks) frame. */
+  def clusterAssignmentsT(toked: DataFrame, k: Int = 50, maxIter: Int = 20): DataFrame = {
+    val labels = connectedComponents(fingerprintStarEdgesT(toked, k), maxIter)
+    val asg = toked.select(col("doc_id"))
       .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("label"), col("doc_id")).as("cluster_id"))

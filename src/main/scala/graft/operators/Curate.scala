@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.{GraftQuery, Tables}
 
@@ -16,34 +16,96 @@ import graft.{GraftQuery, Tables}
   * near_dup, dup_family_alternate (a non-canonical member of a transitive
   * duplicate family), kept.
   *
-  * Scale shape: one scan of `documents` feeds codegen'd per-row gates; the
+  * Gate ordering semantics: the dedup gates (exact / near / family) are
+  * computed over the docs that PASS the per-row gates, not the full
+  * corpus. Deduping the full corpus can erase every copy of a piece of
+  * content — a keeper or near-dup partner that was itself dropped
+  * too_short/wrong_lang takes its duplicates down with it and nothing
+  * survives. Gating first re-canonicalizes: the exact keeper is the min
+  * doc_id among GATE-PASSING members, and near-dup/family evidence only
+  * ever points at docs still in the running. (Exact-dup members of a kept
+  * keeper may additionally be near-dups of other survivors — precedence
+  * reports the strongest reason; content survival is unaffected because
+  * the keeper itself is only dropped by evidence from surviving docs.)
+  *
+  * Scale shape: ONE scan of `documents` text builds the persisted stage
+  * table [[stageTable]] (lang, 16-byte exact key, token array, token
+  * count); every gate reads the stage table, so the corpus text is
+  * scanned and tokenized exactly once no matter how many gates run. The
   * dedup evidence reuses the family's own plans (1-shuffle md5 groupBy;
-  * capped-LSH minhash decisions; star-edge connected components) and joins
-  * back by doc_id — no operator here introduces a new shuffle shape beyond
-  * what Dedup/Cluster already proved out.
+  * capped-LSH minhash decisions via the pre-tokenized `...T` entry
+  * points; star-edge connected components) and joins back by doc_id — no
+  * operator here introduces a new shuffle shape beyond what Dedup/Cluster
+  * already proved out.
   */
 object Curate {
 
-  def curate(
-      docs: DataFrame,
+  private def toks: Column = filter(split(col("text"), "\\s+"), x => x =!= lit(""))
+
+  /** The single-scan curation stage table: (doc_id, lang, text_md5, toks,
+    * n_toks). Callers persist it ([[curate]] uses localCheckpoint; on a
+    * cluster this is the tokenized stage table a production curation
+    * pipeline writes to durable storage — same pattern as the minhash
+    * signature stage table, and what [[curateStaged]] does with a real
+    * parquet checkpoint per stage). Document TEXT deliberately does not
+    * ride along: all downstream gates work from the 16-byte md5 key and
+    * the token array.
+    */
+  def stageTable(docs: DataFrame): DataFrame =
+    docs
+      .select(
+        col("doc_id"), col("lang"),
+        md5(col("text")).as("text_md5"),
+        toks.as("toks"))
+      .withColumn("n_toks", size(col("toks")))
+
+  /** Rows passing the per-row gates — the population dedup evidence is
+    * computed over.
+    */
+  def gatedOf(staged: DataFrame, lang: String = "en", minTokens: Int = 5): DataFrame =
+    staged.filter(col("n_toks") >= minTokens && col("lang") === lang)
+
+  /** Near-dup gate over the gated stage table: minhash-LSH decisions,
+    * xxhash family by default (fast path), md5 family when `portableHash`
+    * (every step ANSI-expressible — what the hard oracle gate runs).
+    */
+  def nearGate(gated: DataFrame, portableHash: Boolean = false): DataFrame = {
+    val toked = gated.select(col("doc_id"), col("toks"))
+    val dec =
+      if (portableHash) Dedup.minhashMd5DecisionsT(toked)
+      else Dedup.minhashDecisionsT(toked)
+    dec.select(col("doc_id"), col("is_dup").as("near_dup"))
+  }
+
+  /** Duplicate-family gate over the gated stage table: transitive
+    * fingerprint clusters (md5 prefix/suffix keys — already portable).
+    */
+  def famGate(gated: DataFrame): DataFrame =
+    Cluster.clusterAssignmentsT(gated.select(col("doc_id"), col("toks")))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+
+  /** Assemble the decision table from the stage table and precomputed
+    * near/family evidence (both computed over [[gatedOf]] rows). The
+    * exact-dup keeper map is derived here from the stage table's slim
+    * (doc_id, text_md5) projection — one 16-byte-key shuffle, document
+    * text never rides an exchange. Docs dropped by per-row gates join to
+    * nothing and fall through to their per-row verdict; their cluster_id
+    * defaults to themselves.
+    */
+  def verdicts(
+      staged: DataFrame,
+      near: DataFrame,
+      fam: DataFrame,
       lang: String = "en",
       minTokens: Int = 5): DataFrame = {
-    val toks = filter(split(col("text"), "\\s+"), x => x =!= lit(""))
-    // exact keeper: lowest doc_id per md5(text) group, computed over a
-    // SLIM (doc_id, md5) projection so document text never rides an
-    // exchange (same 16-byte-key discipline as Dedup.exact; a window
-    // partitioned by md5(text) directly would shuffle the full text).
-    val ids = docs.select(col("doc_id"), md5(col("text")).as("k"))
+    val ids = gatedOf(staged, lang, minTokens)
+      .select(col("doc_id"), col("text_md5").as("k"))
     val exactMap = ids
       .join(ids.groupBy("k").agg(min("doc_id").as("exact_keeper")), Seq("k"))
       .select(col("doc_id"), col("exact_keeper"))
-    val near = Dedup.minhashDecisions(docs)
-      .select(col("doc_id"), col("is_dup").as("near_dup"))
-    val fam = Cluster.clusterAssignments(docs)
-      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
-    docs
-      .select(col("doc_id"), col("lang"), size(toks).as("n_toks"))
-      .join(exactMap, Seq("doc_id"))
+    staged
+      .select(col("doc_id"), col("lang"), col("n_toks"))
+      .join(exactMap, Seq("doc_id"), "left")
       .join(near, Seq("doc_id"), "left")
       .join(fam, Seq("doc_id"), "left")
       .select(
@@ -58,6 +120,17 @@ object Curate {
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
   }
 
+  /** Full curation decision table: one verdict + cluster per doc. */
+  def curate(
+      docs: DataFrame,
+      lang: String = "en",
+      minTokens: Int = 5,
+      portableHash: Boolean = false): DataFrame = {
+    val staged = stageTable(docs).localCheckpoint()
+    val gated = gatedOf(staged, lang, minTokens)
+    verdicts(staged, nearGate(gated, portableHash), famGate(gated), lang, minTokens)
+  }
+
   /** Survivors only — what downstream tokenization consumes. */
   def survivors(docs: DataFrame, lang: String = "en", minTokens: Int = 5): DataFrame =
     docs.join(
@@ -66,16 +139,101 @@ object Curate {
 
   val qCurate = GraftQuery(
     "corpus_curate",
-    (s, d) => curate(Tables.documents(s, d))
-      .groupBy("verdict").agg(count(lit(1)).as("n_docs"))
-      .orderBy("verdict"),
+    (s, d) => curate(Tables.documents(s, d)).orderBy("doc_id"),
     // rows-only: the near-dup gate rides the xxhash minhash pipeline
     // (not ANSI-expressible); semantics are spec-asserted on a planted
-    // corpus and every component below it is individually gate-checked.
+    // corpus, every component below it is individually gate-checked, and
+    // corpus_curate_md5 runs the SAME composition under the hard gate.
     None,
-    prod = Some((s, d) => curate(Tables.documents(s, d))
-      .groupBy("verdict").agg(count(lit(1)).as("n_docs"))),
+    prod = Some((s, d) => curate(Tables.documents(s, d))),
   )
 
-  def all: Seq[GraftQuery] = Seq(qCurate)
+  val qCurateMd5 = GraftQuery(
+    "corpus_curate_md5",
+    (s, d) => curate(Tables.documents(s, d), portableHash = true).orderBy("doc_id"),
+    // The full curation decision table under the HARD gate: the oracle
+    // composes the already-green md5-minhash CTEs (dedup_minhash_md5) and
+    // the recursive-CTE cluster closure (dedup_clusters) over the GATED
+    // population, plus the trivial length/lang/exact gates — all from one
+    // tokenized CTE, mirroring the single-scan stage table.
+    Some("""WITH RECURSIVE t AS (
+        SELECT doc_id, lang, md5(text) AS text_md5,
+               list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        FROM documents),
+      staged AS (SELECT doc_id, lang, text_md5, toks, len(toks) AS n_toks FROM t),
+      gated AS (SELECT * FROM staged WHERE n_toks >= 5 AND lang = 'en'),
+      ex AS (
+        SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text_md5) AS exact_keeper
+        FROM gated),
+      sh AS (
+        SELECT doc_id, toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS s
+        FROM gated CROSS JOIN UNNEST(range(0, greatest(len(toks) - 2, 0))) AS u(i)),
+      hx AS (
+        SELECT doc_id, j,
+          MIN(CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)
+              + j * CAST(('0x' || substr(md5(s), 16, 8)) AS BIGINT)) AS h
+        FROM sh CROSS JOIN UNNEST(range(0, 16)) AS v(j)
+        GROUP BY doc_id, j),
+      sigb AS (
+        SELECT doc_id, j // 4 AS band_idx, string_agg(h, ',' ORDER BY j) AS band_val
+        FROM hx GROUP BY doc_id, j // 4),
+      bs AS (
+        SELECT band_idx, band_val, COUNT(*) AS bucket_n FROM sigb GROUP BY 1, 2),
+      keptb AS (
+        SELECT sigb.* FROM sigb JOIN bs USING (band_idx, band_val) WHERE bs.bucket_n <= 10000),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM keptb a JOIN keptb b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
+      est AS (
+        SELECT c.id_a, c.id_b, SUM(CASE WHEN ha.h = hb.h THEN 1 ELSE 0 END) / 16.0 AS est_jaccard
+        FROM cand c
+        JOIN hx ha ON ha.doc_id = c.id_a
+        JOIN hx hb ON hb.doc_id = c.id_b AND hb.j = ha.j
+        GROUP BY c.id_a, c.id_b),
+      near AS (SELECT DISTINCT id_b AS doc_id FROM est WHERE est_jaccard >= 0.5),
+      keys AS (
+        SELECT doc_id,
+          md5(array_to_string(CASE WHEN len(toks) <= 50 THEN toks ELSE toks[1:50] END, ' ')) AS pkey,
+          md5(array_to_string(CASE WHEN len(toks) <= 50 THEN toks ELSE toks[-50:] END, ' ')) AS skey
+        FROM gated WHERE len(toks) > 0),
+      e1 AS (
+        SELECT id_a, id_b FROM (
+          SELECT MIN(doc_id) OVER (PARTITION BY pkey) AS id_a, doc_id AS id_b FROM keys)
+        WHERE id_a <> id_b),
+      e2 AS (
+        SELECT id_a, id_b FROM (
+          SELECT MIN(doc_id) OVER (PARTITION BY skey) AS id_a, doc_id AS id_b FROM keys)
+        WHERE id_a <> id_b),
+      edges AS (SELECT id_a, id_b FROM e1 UNION SELECT id_a, id_b FROM e2),
+      sym AS (
+        SELECT id_a AS src, id_b AS dst FROM edges
+        UNION SELECT id_b AS src, id_a AS dst FROM edges),
+      cc(id, label) AS (
+        SELECT src, src FROM (SELECT DISTINCT src FROM sym)
+        UNION
+        SELECT s.dst, c.label FROM cc c JOIN sym s ON s.src = c.id),
+      lab AS (SELECT id, MIN(label) AS cluster_id FROM cc GROUP BY id),
+      asg AS (
+        SELECT g.doc_id, COALESCE(l.cluster_id, g.doc_id) AS cluster_id
+        FROM gated g LEFT JOIN lab l ON l.id = g.doc_id),
+      sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size FROM asg GROUP BY cluster_id),
+      fam AS (SELECT a.doc_id, a.cluster_id, sz.cluster_size FROM asg a JOIN sz USING (cluster_id))
+      SELECT s.doc_id,
+        CASE WHEN s.n_toks < 5 THEN 'too_short'
+             WHEN s.lang <> 'en' THEN 'wrong_lang'
+             WHEN ex.exact_keeper <> s.doc_id THEN 'exact_dup'
+             WHEN near.doc_id IS NOT NULL THEN 'near_dup'
+             WHEN fam.cluster_id <> s.doc_id AND fam.cluster_size > 1 THEN 'dup_family_alternate'
+             ELSE 'kept' END AS verdict,
+        COALESCE(fam.cluster_id, s.doc_id) AS cluster_id
+      FROM staged s
+      LEFT JOIN ex ON ex.doc_id = s.doc_id
+      LEFT JOIN near ON near.doc_id = s.doc_id
+      LEFT JOIN fam ON fam.doc_id = s.doc_id
+      ORDER BY s.doc_id"""),
+    prod = Some((s, d) => curate(Tables.documents(s, d), portableHash = true)),
+  )
+
+  def all: Seq[GraftQuery] = Seq(qCurate, qCurateMd5)
 }

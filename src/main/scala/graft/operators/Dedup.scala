@@ -30,7 +30,18 @@ object Dedup {
 
   private def toks: Column = filter(split(col("text"), "\\s+"), x => x =!= lit(""))
 
-  private def shingleArr(n: Int): Column = TextAnalysis.shingles(toks, n)
+  /** The tokenized (doc_id, toks) projection every text-dedup stage
+    * consumes. Operators that already hold a persisted tokenized stage
+    * table (Curate's single-scan stage table, a production pipeline's
+    * pre-tokenized corpus) call the `...T` variants with it directly, so
+    * the corpus text is scanned and tokenized ONCE across gates instead
+    * of once per operator.
+    */
+  private[operators] def tokenized(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), toks.as("toks"))
+
+  /** Shingles over the `toks` column of a tokenized frame. */
+  private def shingleArr(n: Int): Column = TextAnalysis.shingles(col("toks"), n)
 
   // ---------------------------------------------------------------- exact
 
@@ -78,9 +89,13 @@ object Dedup {
     * (Dedup.exact), not a C(n,2) pair explosion.
     */
   private[graft] def minhashCandidates(
-      docs: DataFrame, k: Int, bands: Int, bucketCap: Int): DataFrame = {
+      docs: DataFrame, k: Int, bands: Int, bucketCap: Int): DataFrame =
+    minhashCandidatesT(tokenized(docs), k, bands, bucketCap)
+
+  private[graft] def minhashCandidatesT(
+      toked: DataFrame, k: Int, bands: Int, bucketCap: Int): DataFrame = {
     val r = k / bands
-    val sigged = docs.select(
+    val sigged = toked.select(
       col("doc_id"), minhashSig(k).as("sig"))
     val banded = Lsh.capBuckets(
       sigged.select(col("doc_id"), explode(bandKeys(col("sig"), bands, r)).as("band_key")),
@@ -101,8 +116,14 @@ object Dedup {
     */
   def minhashDecisions(
       docs: DataFrame, k: Int = 16, bands: Int = 4, tau: Double = 0.5,
+      bucketCap: Int = 10000): DataFrame =
+    minhashDecisionsT(tokenized(docs), k, bands, tau, bucketCap)
+
+  /** [[minhashDecisions]] over a pre-tokenized (doc_id, toks) frame. */
+  def minhashDecisionsT(
+      toked: DataFrame, k: Int = 16, bands: Int = 4, tau: Double = 0.5,
       bucketCap: Int = 10000): DataFrame = {
-    val cand = minhashCandidates(docs, k, bands, bucketCap)
+    val cand = minhashCandidatesT(toked, k, bands, bucketCap)
     val est = aggregate(
       zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, v) => acc + v).cast("double") / k
@@ -111,7 +132,7 @@ object Dedup {
       .filter(col("est_jaccard") >= tau)
       .groupBy(col("id_b").as("doc_id"))
       .agg(count(lit(1)).as("n_dup_partners"))
-    docs.select("doc_id")
+    toked.select("doc_id")
       .join(dups, Seq("doc_id"), "left")
       .select(
         col("doc_id"),
@@ -148,7 +169,11 @@ object Dedup {
     * [[minhashMd5Decisions]] and [[jaccardMd5Decisions]].
     */
   private def minhashMd5Candidates(
-      docs: DataFrame, k: Int, bands: Int, bucketCap: Int): (DataFrame, DataFrame) = {
+      docs: DataFrame, k: Int, bands: Int, bucketCap: Int): (DataFrame, DataFrame) =
+    minhashMd5CandidatesT(tokenized(docs), k, bands, bucketCap)
+
+  private def minhashMd5CandidatesT(
+      toked: DataFrame, k: Int, bands: Int, bucketCap: Int): (DataFrame, DataFrame) = {
     val r = k / bands
     val sig = ExprUtil.bound(shingleArr(3)) { sh =>
       when(size(sh) === 0, lit(null).cast("array<long>"))
@@ -171,7 +196,7 @@ object Dedup {
     // measured 3x the whole query's cost at sf0.1 (37.7 s -> 13.6 s).
     // At cluster scale this is the signature STAGE TABLE every production
     // minhash pipeline persists; locally localCheckpoint is its analog.
-    val sigged = docs.select(col("doc_id"), sig.as("sig"))
+    val sigged = toked.select(col("doc_id"), sig.as("sig"))
       .filter(col("sig").isNotNull)
       .localCheckpoint()
     val banded = Lsh.capBuckets(
@@ -197,8 +222,14 @@ object Dedup {
 
   def minhashMd5Decisions(
       docs: DataFrame, k: Int = 16, bands: Int = 4, tau: Double = 0.5,
+      bucketCap: Int = 10000): DataFrame =
+    minhashMd5DecisionsT(tokenized(docs), k, bands, tau, bucketCap)
+
+  /** [[minhashMd5Decisions]] over a pre-tokenized (doc_id, toks) frame. */
+  def minhashMd5DecisionsT(
+      toked: DataFrame, k: Int = 16, bands: Int = 4, tau: Double = 0.5,
       bucketCap: Int = 10000): DataFrame = {
-    val (pairs, sigged) = minhashMd5Candidates(docs, k, bands, bucketCap)
+    val (pairs, sigged) = minhashMd5CandidatesT(toked, k, bands, bucketCap)
     val est = aggregate(
       zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, v) => acc + v).cast("double") / k
@@ -209,7 +240,7 @@ object Dedup {
       .filter(col("est_jaccard") >= tau)
       .groupBy(col("id_b").as("doc_id"))
       .agg(count(lit(1)).as("n_dup_partners"))
-    docs.select("doc_id")
+    toked.select("doc_id")
       .join(dups, Seq("doc_id"), "left")
       .select(
         col("doc_id"),
@@ -230,10 +261,11 @@ object Dedup {
   def jaccardDecisions(
       docs: DataFrame, tau: Double = 0.6, k: Int = 16, bands: Int = 4,
       bucketCap: Int = 10000): DataFrame = {
-    val sets = docs.select(
+    val toked = tokenized(docs)
+    val sets = toked.select(
       col("doc_id"),
       array_distinct(transform(shingleArr(3), s => xxhash64(s))).as("sh"))
-    val cand = minhashCandidates(docs, k, bands, bucketCap).select("id_a", "id_b")
+    val cand = minhashCandidatesT(toked, k, bands, bucketCap).select("id_a", "id_b")
     val jac = size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double") /
       size(array_union(col("sa.sh"), col("sb.sh")))
     val dups = cand
@@ -262,11 +294,18 @@ object Dedup {
   def jaccardMd5Decisions(
       docs: DataFrame, tau: Double = 0.6, k: Int = 16, bands: Int = 4,
       bucketCap: Int = 10000): DataFrame = {
+    val toked = tokenized(docs)
     val md5long = (c: Column) => conv(substring(md5(c), 1, 15), 16, 10).cast("long")
-    val sets = docs.select(
+    // Materialized like the signature stage table: `sets` feeds BOTH sides
+    // of the verify join (sa/sb below), and each alias re-executes its plan
+    // — without the checkpoint the per-shingle md5 digest pass runs twice
+    // (exchange reuse may or may not dedupe it; the stage table makes the
+    // single digest pass explicit and plan-independent).
+    val sets = toked.select(
       col("doc_id"),
       array_distinct(transform(shingleArr(3), s => md5long(s))).as("sh"))
-    val (cand, _) = minhashMd5Candidates(docs, k, bands, bucketCap)
+      .localCheckpoint()
+    val (cand, _) = minhashMd5CandidatesT(toked, k, bands, bucketCap)
     val jac = size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double") /
       size(array_union(col("sa.sh"), col("sb.sh")))
     val dups = cand
@@ -292,8 +331,8 @@ object Dedup {
     * the sign bits folded into a long.
     */
   def simhash(docs: DataFrame): DataFrame = {
-    val tok = docs
-      .select(col("doc_id"), explode(toks).as("t"))
+    val tok = tokenized(docs)
+      .select(col("doc_id"), explode(col("toks")).as("t"))
       .withColumn("h", xxhash64(col("t")))
     val bitSums = (0 until 64).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$j")
@@ -358,8 +397,8 @@ object Dedup {
     * maxHamming 3 < 4 bands).
     */
   def simhashMd5(docs: DataFrame): DataFrame = {
-    val tok = docs
-      .select(col("doc_id"), explode(toks).as("t"))
+    val tok = tokenized(docs)
+      .select(col("doc_id"), explode(col("toks")).as("t"))
       .withColumn("h", conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long"))
     val bitSums = (0 until 60).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$j")

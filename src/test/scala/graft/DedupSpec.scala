@@ -214,13 +214,44 @@ class DedupSpec extends AnyFunSuite {
       (6L, text(33), "en"),     // unrelated -> kept
     ).map { case (id, t, l) => (id, t, l, "s", t.length.toLong) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
-    val got = operators.Curate.curate(rows).collect()
-      .map(r => r.getLong(0) -> r.getString(1)).toMap
-    assert(got == Map(1L -> "kept", 2L -> "exact_dup", 3L -> "near_dup",
-      4L -> "too_short", 5L -> "wrong_lang", 6L -> "kept"), s"got $got")
+    for (portable <- Seq(false, true)) {
+      val got = operators.Curate.curate(rows, portableHash = portable).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == Map(1L -> "kept", 2L -> "exact_dup", 3L -> "near_dup",
+        4L -> "too_short", 5L -> "wrong_lang", 6L -> "kept"),
+        s"portableHash=$portable got $got")
+    }
     val kept = operators.Curate.survivors(rows).select("doc_id")
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(kept == Seq(1L, 6L))
+  }
+
+  test("curation dedups within the gated set: a dropped partner cannot erase all copies") {
+    import spark.implicits._
+    val t2 = text(55)
+    val nearT2 = t2.split(" ").updated(90, "qqqq").mkString(" ")
+    val t3 = text(66)
+    val rows = Seq(
+      // cross-gate near-dup: 7 is the only smaller-id partner of 8, but 7
+      // is wrong_lang — dedup over the full corpus would drop BOTH and the
+      // content would vanish; gated dedup keeps 8.
+      (7L, t2, "de"),
+      (8L, nearT2, "en"),
+      // cross-gate exact-dup: keeper by raw min-id would be 9 (wrong_lang);
+      // re-canonicalized keeper among gate-passing members is 10, so 10 is
+      // kept and 11 is the exact_dup.
+      (9L, t3, "de"),
+      (10L, t3, "en"),
+      (11L, t3, "en"),
+    ).map { case (id, t, l) => (id, t, l, "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    for (portable <- Seq(false, true)) {
+      val got = operators.Curate.curate(rows, portableHash = portable).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == Map(7L -> "wrong_lang", 8L -> "kept",
+        9L -> "wrong_lang", 10L -> "kept", 11L -> "exact_dup"),
+        s"portableHash=$portable got $got")
+    }
   }
 
   test("dedup plans contain no cartesian product") {

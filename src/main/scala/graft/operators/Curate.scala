@@ -131,6 +131,34 @@ object Curate {
     verdicts(staged, nearGate(gated, portableHash), famGate(gated), lang, minTokens)
   }
 
+  /** The curation pipeline as a checkpointed STAGED DAG: stage table ->
+    * near-dup gate -> cluster gate -> decision table, each stage persisted
+    * to `runDir/<stage>/` parquet with per-stage retries and
+    * resume-from-marker ([[graft.StagedDag]]). The parquet stage table
+    * replaces [[curate]]'s localCheckpoint — on a cluster this IS the
+    * durable tokenized stage table, and a re-run after a crash recomputes
+    * only the stages whose `_SUCCESS` marker is missing (to force a
+    * recompute, clear the stage dir AND its downstream dirs — same
+    * discipline as Airflow's clear-with-downstream).
+    * Returns (decision table, stage reports).
+    */
+  def curateStaged(
+      spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame,
+      runDir: String,
+      lang: String = "en",
+      minTokens: Int = 5,
+      portableHash: Boolean = false): (DataFrame, Seq[graft.StagedDag.StageReport]) = {
+    val (outs, reports) = graft.StagedDag.run(spark, runDir, Seq(
+      "staged" -> (_ => stageTable(docs)),
+      "near" -> (up => nearGate(gatedOf(up("staged"), lang, minTokens), portableHash)),
+      "clusters" -> (up => famGate(gatedOf(up("staged"), lang, minTokens))),
+      "decisions" -> (up =>
+        verdicts(up("staged"), up("near"), up("clusters"), lang, minTokens)),
+    ))
+    (outs("decisions"), reports)
+  }
+
   /** Survivors only — what downstream tokenization consumes. */
   def survivors(docs: DataFrame, lang: String = "en", minTokens: Int = 5): DataFrame =
     docs.join(

@@ -469,6 +469,27 @@ object Dedup {
         coalesce(col("best_sim"), lit(0.0)).as("best_sim"))
   }
 
+  /** Oracle probe for the embedding-dedup VERIFY stage. The splitmix
+    * hyperplane CANDIDATE stage is rows-only by design (not
+    * ANSI-expressible), but the verify stage — native cosine kernel +
+    * threshold decision — is exactly checkable the way ann_bruteforce is:
+    * over a FIXED candidate set (all pairs among vec_id < maxId, C(40,2)
+    * = 780 pairs) both engines score with bit-identical float kernels, so
+    * the sim doubles and dup flags hash-match. The all-pairs shape is
+    * probe-only and bounded; production candidates always come from
+    * [[embeddingCosineDecisions]]'s capped LSH buckets.
+    */
+  def cosineVerifyProbe(
+      emb: DataFrame, maxId: Long = 40, tau: Double = 0.85): DataFrame = {
+    val probe = emb.filter(col("vec_id") < maxId).select(col("vec_id"), col("embedding"))
+    probe.alias("a")
+      .join(broadcast(probe.alias("b")), col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        cosine_sim(col("a.embedding"), col("b.embedding")).as("sim"))
+      .withColumn("is_dup_pair", col("sim") >= tau)
+  }
+
   // ------------------------------------------------------------- queries
 
   val qExact = GraftQuery(
@@ -638,7 +659,28 @@ object Dedup {
     prod = Some((s, d) => embeddingCosineDecisions(Tables.embeddings(s, d))),
   )
 
+  val qCosineVerify = GraftQuery(
+    "dedup_cosine_verify",
+    (s, d) => cosineVerifyProbe(Tables.embeddings(s, d)).orderBy("id_a", "id_b"),
+    // Same float-parity grounds as ann_bruteforce_topk: DuckDB's
+    // list_dot_product over DOUBLE[] is the same sequential accumulation
+    // as the native CosineSim kernel, and dot/sqrt(na*nb) uses only
+    // correctly-rounded IEEE ops.
+    Some("""WITH p AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id < 40),
+      scored AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          CASE WHEN list_dot_product(a.v, a.v) = 0 OR list_dot_product(b.v, b.v) = 0 THEN 0.0
+               ELSE list_dot_product(a.v, b.v)
+                    / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) END AS sim
+        FROM p a JOIN p b ON a.vec_id < b.vec_id)
+      SELECT id_a, id_b, sim, sim >= 0.85 AS is_dup_pair
+      FROM scored ORDER BY id_a, id_b"""),
+    prod = Some((s, d) => cosineVerifyProbe(Tables.embeddings(s, d))),
+  )
+
   def all: Seq[GraftQuery] =
     Seq(qExact, qMinhash, qMinhashMd5, qSimhash, qSimhashMd5, qJaccard,
-      qJaccardMd5, qEmbedding)
+      qJaccardMd5, qEmbedding, qCosineVerify)
 }

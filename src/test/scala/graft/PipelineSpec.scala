@@ -93,6 +93,45 @@ class PipelineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("after 2 attempts"))
   }
 
+  test("staged curation resumes after a killed stage with identical verdicts") {
+    import spark.implicits._
+    val run = "/tmp/graft-test/curate-staged"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(run))
+    val vocab = Seq("spark", "data", "query", "join", "hash", "scan", "sort", "merge")
+    def text(seed: Int) = {
+      val rnd = new scala.util.Random(seed)
+      Seq.fill(100)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val t1 = text(1)
+    val docs = Seq(
+      (1L, t1, "en"), (2L, t1, "en"),
+      (3L, t1.split(" ").updated(90, "zzzz").mkString(" "), "en"),
+      (4L, "ab cd", "en"), (5L, text(2), "de"), (6L, text(3), "en"),
+    ).map { case (id, t, l) => (id, t, l, "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+    def verdictMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+
+    val oneShot = verdictMap(operators.Curate.curate(docs))
+    val (dec1, reports1) = operators.Curate.curateStaged(spark, docs, run)
+    assert(reports1.map(_.name) == Seq("staged", "near", "clusters", "decisions"))
+    assert(reports1.forall(r => r.attempts == 1 && !r.resumed))
+    assert(verdictMap(dec1) == oneShot, "staged run matches the one-shot pipeline")
+
+    // kill the near stage mid-pipeline (no _SUCCESS = crashed mid-write),
+    // clearing its downstream like Airflow's clear-with-downstream; the
+    // re-run resumes staged+clusters from their markers and recomputes
+    // only what died
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$run/near/_SUCCESS"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$run/decisions"))
+    val (dec2, reports2) = operators.Curate.curateStaged(spark, docs, run)
+    val byName = reports2.map(r => r.name -> r.resumed).toMap
+    assert(byName == Map("staged" -> true, "near" -> false,
+      "clusters" -> true, "decisions" -> false))
+    assert(verdictMap(dec2) == oneShot, "resumed run reproduces identical verdicts")
+  }
+
   test("staged DAG does NOT retry fatal errors — they propagate on the first attempt") {
     val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
     val fatal = Seq("oom" -> ((_: Map[String, org.apache.spark.sql.DataFrame]) => {

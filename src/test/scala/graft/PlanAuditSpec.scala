@@ -19,8 +19,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // brute-force ANN is DESIGNED as corpus x broadcast-query-set (tiny
     // broadcast side); q35 cross-joins a broadcast 1-ROW corpus-size
     // aggregate into the plan (the scalar-subquery shape that replaced a
-    // driver-side count() action) — the only legitimate nested-loops
-    val nljAllowed = Set("ann_bruteforce_topk", "q35_tfidf")
+    // driver-side count() action); dedup_cosine_verify is a BOUNDED
+    // fixed-probe-set pair join (C(40,2)) gating the cosine verify stage
+    // — the only legitimate nested-loops
+    val nljAllowed = Set("ann_bruteforce_topk", "q35_tfidf", "dedup_cosine_verify")
     SparkEntry.registry.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"${q.name} planned a cartesian:\n$p")

@@ -32,11 +32,14 @@ import graft.{GraftQuery, Tables}
   * table [[stageTable]] (lang, 16-byte exact key, token array, token
   * count); every gate reads the stage table, so the corpus text is
   * scanned and tokenized exactly once no matter how many gates run. The
-  * dedup evidence reuses the family's own plans (1-shuffle md5 groupBy;
-  * capped-LSH minhash decisions via the pre-tokenized `...T` entry
-  * points; star-edge connected components) and joins back by doc_id — no
-  * operator here introduces a new shuffle shape beyond what Dedup/Cluster
-  * already proved out.
+  * exact gate runs first (1-shuffle md5 groupBy), and the near/family
+  * gates run over ONE representative per distinct text ([[repsOf]]) —
+  * identical copies add zero LSH pairs, so the classic scraped-corpus
+  * hazard (a huge identical-boilerplate family turning band buckets into
+  * C(n,2) joins) is resolved structurally, not just capped. Evidence
+  * re-attaches to copies through the keeper map ([[attach]]); all plans
+  * reuse Dedup/Cluster's proven shapes via the pre-tokenized `...T`
+  * entry points.
   */
 object Curate {
 
@@ -65,6 +68,40 @@ object Curate {
   def gatedOf(staged: DataFrame, lang: String = "en", minTokens: Int = 5): DataFrame =
     staged.filter(col("n_toks") >= minTokens && col("lang") === lang)
 
+  /** Exact-dup gate: (doc_id, exact_keeper) with keeper = min doc_id per
+    * md5(text) group among gate-passing members. ONE shuffle on the
+    * 16-byte key.
+    */
+  def exactGate(gated: DataFrame): DataFrame = {
+    val ids = gated.select(col("doc_id"), col("text_md5").as("k"))
+    ids
+      .join(ids.groupBy("k").agg(min("doc_id").as("exact_keeper")), Seq("k"))
+      .select(col("doc_id"), col("exact_keeper"))
+  }
+
+  /** One representative stage row per DISTINCT text (the exact keepers) —
+    * the population the near/family gates run over. Exact duplicates have
+    * identical shingles and fingerprints, so any near/family evidence via
+    * a copy exists via its keeper: emitted verdicts and cluster_ids are
+    * exactly preserved (copies re-attach through [[attach]]; their
+    * verdict is exact_dup by precedence regardless), while an n-copy
+    * boilerplate family costs the LSH self-join ONE row instead of a
+    * C(n,2) pair explosion — at scraped-corpus scale the single biggest
+    * pair-count hazard, and one a bucket cap can only drop, not resolve.
+    */
+  def repsOf(gated: DataFrame, exactMap: DataFrame): DataFrame =
+    gated.join(
+      exactMap.filter(col("doc_id") === col("exact_keeper")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+
+  /** Map per-representative evidence onto every member of its exact
+    * group: copies inherit their keeper's row.
+    */
+  def attach(exactMap: DataFrame, perRep: DataFrame): DataFrame =
+    exactMap
+      .join(perRep.withColumnRenamed("doc_id", "exact_keeper"), Seq("exact_keeper"))
+      .drop("exact_keeper")
+
   /** Near-dup gate over the gated stage table: minhash-LSH decisions,
     * xxhash family by default (fast path), md5 family when `portableHash`
     * (every step ANSI-expressible — what the hard oracle gate runs).
@@ -84,25 +121,19 @@ object Curate {
     Cluster.clusterAssignmentsT(gated.select(col("doc_id"), col("toks")))
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
 
-  /** Assemble the decision table from the stage table and precomputed
-    * near/family evidence (both computed over [[gatedOf]] rows). The
-    * exact-dup keeper map is derived here from the stage table's slim
-    * (doc_id, text_md5) projection — one 16-byte-key shuffle, document
-    * text never rides an exchange. Docs dropped by per-row gates join to
-    * nothing and fall through to their per-row verdict; their cluster_id
-    * defaults to themselves.
+  /** Assemble the decision table from the stage table, the exact-keeper
+    * map, and near/family evidence already re-attached per doc (via
+    * [[attach]]). Docs dropped by per-row gates join to nothing and fall
+    * through to their per-row verdict; their cluster_id defaults to
+    * themselves.
     */
   def verdicts(
       staged: DataFrame,
+      exactMap: DataFrame,
       near: DataFrame,
       fam: DataFrame,
       lang: String = "en",
       minTokens: Int = 5): DataFrame = {
-    val ids = gatedOf(staged, lang, minTokens)
-      .select(col("doc_id"), col("text_md5").as("k"))
-    val exactMap = ids
-      .join(ids.groupBy("k").agg(min("doc_id").as("exact_keeper")), Seq("k"))
-      .select(col("doc_id"), col("exact_keeper"))
     staged
       .select(col("doc_id"), col("lang"), col("n_toks"))
       .join(exactMap, Seq("doc_id"), "left")
@@ -128,7 +159,12 @@ object Curate {
       portableHash: Boolean = false): DataFrame = {
     val staged = stageTable(docs).localCheckpoint()
     val gated = gatedOf(staged, lang, minTokens)
-    verdicts(staged, nearGate(gated, portableHash), famGate(gated), lang, minTokens)
+    val exactMap = exactGate(gated)
+    val reps = repsOf(gated, exactMap)
+    verdicts(staged, exactMap,
+      attach(exactMap, nearGate(reps, portableHash)),
+      attach(exactMap, famGate(reps)),
+      lang, minTokens)
   }
 
   /** The curation pipeline as a checkpointed STAGED DAG: stage table ->
@@ -149,12 +185,15 @@ object Curate {
       lang: String = "en",
       minTokens: Int = 5,
       portableHash: Boolean = false): (DataFrame, Seq[graft.StagedDag.StageReport]) = {
+    def reps(up: Map[String, DataFrame]) =
+      repsOf(gatedOf(up("staged"), lang, minTokens), up("exact"))
     val (outs, reports) = graft.StagedDag.run(spark, runDir, Seq(
       "staged" -> (_ => stageTable(docs)),
-      "near" -> (up => nearGate(gatedOf(up("staged"), lang, minTokens), portableHash)),
-      "clusters" -> (up => famGate(gatedOf(up("staged"), lang, minTokens))),
+      "exact" -> (up => exactGate(gatedOf(up("staged"), lang, minTokens))),
+      "near" -> (up => attach(up("exact"), nearGate(reps(up), portableHash))),
+      "clusters" -> (up => attach(up("exact"), famGate(reps(up)))),
       "decisions" -> (up =>
-        verdicts(up("staged"), up("near"), up("clusters"), lang, minTokens)),
+        verdicts(up("staged"), up("exact"), up("near"), up("clusters"), lang, minTokens)),
     ))
     (outs("decisions"), reports)
   }
@@ -193,9 +232,12 @@ object Curate {
       ex AS (
         SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text_md5) AS exact_keeper
         FROM gated),
+      reps AS (
+        SELECT g.* FROM gated g
+        JOIN ex ON ex.doc_id = g.doc_id AND ex.exact_keeper = g.doc_id),
       sh AS (
         SELECT doc_id, toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS s
-        FROM gated CROSS JOIN UNNEST(range(0, greatest(len(toks) - 2, 0))) AS u(i)),
+        FROM reps CROSS JOIN UNNEST(range(0, greatest(len(toks) - 2, 0))) AS u(i)),
       hx AS (
         SELECT doc_id, j,
           MIN(CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)
@@ -220,11 +262,13 @@ object Curate {
         JOIN hx hb ON hb.doc_id = c.id_b AND hb.j = ha.j
         GROUP BY c.id_a, c.id_b),
       near AS (SELECT DISTINCT id_b AS doc_id FROM est WHERE est_jaccard >= 0.5),
+      near_all AS (
+        SELECT e.doc_id FROM ex e JOIN near n ON n.doc_id = e.exact_keeper),
       keys AS (
         SELECT doc_id,
           md5(array_to_string(CASE WHEN len(toks) <= 50 THEN toks ELSE toks[1:50] END, ' ')) AS pkey,
           md5(array_to_string(CASE WHEN len(toks) <= 50 THEN toks ELSE toks[-50:] END, ' ')) AS skey
-        FROM gated WHERE len(toks) > 0),
+        FROM reps WHERE len(toks) > 0),
       e1 AS (
         SELECT id_a, id_b FROM (
           SELECT MIN(doc_id) OVER (PARTITION BY pkey) AS id_a, doc_id AS id_b FROM keys)
@@ -243,22 +287,25 @@ object Curate {
         SELECT s.dst, c.label FROM cc c JOIN sym s ON s.src = c.id),
       lab AS (SELECT id, MIN(label) AS cluster_id FROM cc GROUP BY id),
       asg AS (
-        SELECT g.doc_id, COALESCE(l.cluster_id, g.doc_id) AS cluster_id
-        FROM gated g LEFT JOIN lab l ON l.id = g.doc_id),
+        SELECT r.doc_id, COALESCE(l.cluster_id, r.doc_id) AS cluster_id
+        FROM reps r LEFT JOIN lab l ON l.id = r.doc_id),
       sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size FROM asg GROUP BY cluster_id),
-      fam AS (SELECT a.doc_id, a.cluster_id, sz.cluster_size FROM asg a JOIN sz USING (cluster_id))
+      fam AS (SELECT a.doc_id, a.cluster_id, sz.cluster_size FROM asg a JOIN sz USING (cluster_id)),
+      fam_all AS (
+        SELECT e.doc_id, f.cluster_id, f.cluster_size
+        FROM ex e JOIN fam f ON f.doc_id = e.exact_keeper)
       SELECT s.doc_id,
         CASE WHEN s.n_toks < 5 THEN 'too_short'
              WHEN s.lang <> 'en' THEN 'wrong_lang'
              WHEN ex.exact_keeper <> s.doc_id THEN 'exact_dup'
-             WHEN near.doc_id IS NOT NULL THEN 'near_dup'
-             WHEN fam.cluster_id <> s.doc_id AND fam.cluster_size > 1 THEN 'dup_family_alternate'
+             WHEN near_all.doc_id IS NOT NULL THEN 'near_dup'
+             WHEN fam_all.cluster_id <> s.doc_id AND fam_all.cluster_size > 1 THEN 'dup_family_alternate'
              ELSE 'kept' END AS verdict,
-        COALESCE(fam.cluster_id, s.doc_id) AS cluster_id
+        COALESCE(fam_all.cluster_id, s.doc_id) AS cluster_id
       FROM staged s
       LEFT JOIN ex ON ex.doc_id = s.doc_id
-      LEFT JOIN near ON near.doc_id = s.doc_id
-      LEFT JOIN fam ON fam.doc_id = s.doc_id
+      LEFT JOIN near_all ON near_all.doc_id = s.doc_id
+      LEFT JOIN fam_all ON fam_all.doc_id = s.doc_id
       ORDER BY s.doc_id"""),
     prod = Some((s, d) => curate(Tables.documents(s, d), portableHash = true)),
   )

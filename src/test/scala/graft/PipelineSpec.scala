@@ -115,7 +115,7 @@ class PipelineSpec extends AnyFunSuite {
 
     val oneShot = verdictMap(operators.Curate.curate(docs))
     val (dec1, reports1) = operators.Curate.curateStaged(spark, docs, run)
-    assert(reports1.map(_.name) == Seq("staged", "near", "clusters", "decisions"))
+    assert(reports1.map(_.name) == Seq("staged", "exact", "near", "clusters", "decisions"))
     assert(reports1.forall(r => r.attempts == 1 && !r.resumed))
     assert(verdictMap(dec1) == oneShot, "staged run matches the one-shot pipeline")
 
@@ -127,7 +127,7 @@ class PipelineSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$run/decisions"))
     val (dec2, reports2) = operators.Curate.curateStaged(spark, docs, run)
     val byName = reports2.map(r => r.name -> r.resumed).toMap
-    assert(byName == Map("staged" -> true, "near" -> false,
+    assert(byName == Map("staged" -> true, "exact" -> true, "near" -> false,
       "clusters" -> true, "decisions" -> false))
     assert(verdictMap(dec2) == oneShot, "resumed run reproduces identical verdicts")
   }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.{Column, SparkSessionExtensions}
 import org.apache.spark.sql.functions.call_function
 
-import graft.functions.{CosineSim, TopKByScore}
+import graft.functions.{CosineSim, MinhashSig, TopKByScore}
 
 /** Engine extension point, installed via spark.sql.extensions (GraftSession
   * sets it). Registers native expressions as SQL functions so both
@@ -27,6 +27,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (children: Seq[Expression]) => TopKByScore(children(0), children(1), children(2)),
       )
     )
+    ext.injectFunction(
+      (
+        new FunctionIdentifier("minhash_sig"),
+        new ExpressionInfo(classOf[MinhashSig].getName, "minhash_sig"),
+        (children: Seq[Expression]) => MinhashSig(children(0), children(1)),
+      )
+    )
   }
 }
 
@@ -40,4 +47,10 @@ object gfunctions {
     */
   def top_k_by_score(id: Column, score: Column, k: Int): Column =
     call_function("top_k_by_score", id, score, org.apache.spark.sql.functions.lit(k))
+
+  /** k-minima minhash signature of a token array's 3-shingles (native
+    * codegen'd kernel); NULL for docs with < 3 tokens.
+    */
+  def minhash_sig(toks: Column, k: Int): Column =
+    call_function("minhash_sig", toks, org.apache.spark.sql.functions.lit(k))
 }

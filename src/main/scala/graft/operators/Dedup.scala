@@ -57,25 +57,17 @@ object Dedup {
 
   // -------------------------------------------------------------- minhash
 
-  /** MinHash signature (k hash functions over 3-shingles) + LSH banding.
-    * ONE pass over the shingles (k seeded hashes per shingle, folded with
-    * element-wise least) and zero shuffle; the shingle array is bound once
-    * per row so it is not recomputed per hash function. Docs with no
-    * shingles get all-null signatures, which can never verify (est-jaccard
-    * counts only non-null equality) so empty docs are never merged.
+  /** MinHash signature (k hash functions over 3-shingles): the native
+    * codegen'd [[graft.functions.MinhashSig]] kernel — one tight pass per
+    * row, k seeded XXH64 hashes per shingle from a reusable byte buffer,
+    * zero shuffle, NULL when the doc has no shingles (filtered before
+    * banding, so empty docs never bucket together). Replaces the
+    * declarative aggregate/transform/zip_with fold, which is
+    * CodegenFallback and paid interpreted lambda frames plus a boxed
+    * long per hash (measured ~5x on the 102k-doc ScaleProbe corpus).
     */
   private def minhashSig(k: Int): Column =
-    ExprUtil.bound(shingleArr(3)) { sh =>
-      when(size(sh) === 0, array_repeat(lit(null).cast("long"), k))
-        .otherwise(
-          aggregate(
-            sh,
-            array_repeat(lit(Long.MaxValue), k),
-            (acc, s) => zip_with(
-              acc,
-              transform(sequence(lit(0), lit(k - 1)), i => xxhash64(i, s)),
-              (a, h) => least(a, h))))
-    }
+    graft.gfunctions.minhash_sig(col("toks"), k)
 
   private def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
     transform(sequence(lit(0), lit(bands - 1)),
@@ -97,6 +89,7 @@ object Dedup {
     val r = k / bands
     val sigged = toked.select(
       col("doc_id"), minhashSig(k).as("sig"))
+      .filter(col("sig").isNotNull)
     val banded = Lsh.capBuckets(
       sigged.select(col("doc_id"), explode(bandKeys(col("sig"), bands, r)).as("band_key")),
       Seq("band_key"), bucketCap)

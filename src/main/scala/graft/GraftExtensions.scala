@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.{Column, SparkSessionExtensions}
 import org.apache.spark.sql.functions.call_function
 
-import graft.functions.{CosineSim, MinhashSig, TopKByScore}
+import graft.functions.{CosineSim, MinhashSig, TopKByScore, WsTokens}
 
 /** Engine extension point, installed via spark.sql.extensions (GraftSession
   * sets it). Registers native expressions as SQL functions so both
@@ -34,6 +34,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (children: Seq[Expression]) => MinhashSig(children(0), children(1)),
       )
     )
+    ext.injectFunction(
+      (
+        new FunctionIdentifier("ws_tokens"),
+        new ExpressionInfo(classOf[WsTokens].getName, "ws_tokens"),
+        (children: Seq[Expression]) => WsTokens(children(0)),
+      )
+    )
   }
 }
 
@@ -53,4 +60,9 @@ object gfunctions {
     */
   def minhash_sig(toks: Column, k: Int): Column =
     call_function("minhash_sig", toks, org.apache.spark.sql.functions.lit(k))
+
+  /** Non-empty whitespace tokens of a string (native one-pass kernel) —
+    * byte-identical to filter(split(text, "\\s+"), x -> x != "").
+    */
+  def ws_tokens(text: Column): Column = call_function("ws_tokens", text)
 }

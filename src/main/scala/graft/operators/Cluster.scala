@@ -77,7 +77,7 @@ object Cluster {
     labels
   }
 
-  private def toks = filter(split(col("text"), "\\s+"), x => x =!= lit(""))
+  private def toks = graft.gfunctions.ws_tokens(col("text"))
 
   /** Star edges from prefix/suffix token fingerprints: docs sharing their
     * first k or last k tokens are linked to the smallest id in that

@@ -43,7 +43,7 @@ import graft.{GraftQuery, Tables}
   */
 object Curate {
 
-  private def toks: Column = filter(split(col("text"), "\\s+"), x => x =!= lit(""))
+  private def toks: Column = graft.gfunctions.ws_tokens(col("text"))
 
   /** The single-scan curation stage table: (doc_id, lang, text_md5, toks,
     * n_toks). Callers persist it ([[curate]] uses localCheckpoint; on a

@@ -28,7 +28,7 @@ import graft.gfunctions.cosine_sim
   */
 object Dedup {
 
-  private def toks: Column = filter(split(col("text"), "\\s+"), x => x =!= lit(""))
+  private def toks: Column = graft.gfunctions.ws_tokens(col("text"))
 
   /** The tokenized (doc_id, toks) projection every text-dedup stage
     * consumes. Operators that already hold a persisted tokenized stage

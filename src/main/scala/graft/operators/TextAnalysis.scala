@@ -23,9 +23,11 @@ import RelationalCore.davg
 object TextAnalysis {
 
   /** Whitespace tokens with empties dropped — matches DuckDB
-    * list_filter(regexp_split_to_array(text,'\s+'), x -> x <> '').
+    * list_filter(regexp_split_to_array(text,'\s+'), x -> x <> '');
+    * native one-pass kernel ([[graft.functions.WsTokens]]), byte-exact
+    * with the declarative filter(split(...)) pair it replaced.
     */
-  private def toks: Column = filter(split(col("text"), "\\s+"), x => x =!= lit(""))
+  private def toks: Column = graft.gfunctions.ws_tokens(col("text"))
 
   /** Word n-gram shingles as a per-row array (no explode needed by callers
     * that fold over them). Empty array when the doc has < n tokens.

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.{Column, SparkSessionExtensions}
 import org.apache.spark.sql.functions.call_function
 
-import graft.functions.{CosineSim, MinhashSig, TopKByScore, WsTokens}
+import graft.functions.{CosineSim, MinhashSig, SimHash64, TopKByScore, WsTokens}
 
 /** Engine extension point, installed via spark.sql.extensions (GraftSession
   * sets it). Registers native expressions as SQL functions so both
@@ -41,6 +41,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (children: Seq[Expression]) => WsTokens(children(0)),
       )
     )
+    ext.injectFunction(
+      (
+        new FunctionIdentifier("simhash64"),
+        new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+        (children: Seq[Expression]) => SimHash64(children(0)),
+      )
+    )
   }
 }
 
@@ -65,4 +72,9 @@ object gfunctions {
     * byte-identical to filter(split(text, "\\s+"), x -> x != "").
     */
   def ws_tokens(text: Column): Column = call_function("ws_tokens", text)
+
+  /** 64-bit SimHash of a token array (native per-row kernel, zero
+    * shuffle); NULL for zero-token inputs.
+    */
+  def simhash64(toks: Column): Column = call_function("simhash64", toks)
 }

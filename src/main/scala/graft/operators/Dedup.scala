@@ -319,23 +319,20 @@ object Dedup {
 
   // -------------------------------------------------------------- simhash
 
-  /** 64-bit SimHash: per-token xxhash64, then 64 bit-majority sums in ONE
-    * hash aggregate (map-side partial agg — the scale-correct shape), then
-    * the sign bits folded into a long.
+  /** 64-bit SimHash via the native per-row kernel
+    * ([[graft.functions.SimHash64]]): per-token XXH64, 64 bit-majority
+    * counters, sign fold — ZERO shuffle. SimHash needs only a doc's own
+    * tokens, so the previous explode → 64-column hash-aggregate shape
+    * paid a full token-row exchange (the corpus token count!) to
+    * reassemble per-doc state the expression computes in place; the only
+    * exchange left in simhash dedup is the capped band self-join.
+    * Zero-token docs yield NULL and are filtered — same population as
+    * the explode-based plan, where they vanished at the explode.
     */
-  def simhash(docs: DataFrame): DataFrame = {
-    val tok = tokenized(docs)
-      .select(col("doc_id"), explode(col("toks")).as("t"))
-      .withColumn("h", xxhash64(col("t")))
-    val bitSums = (0 until 64).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$j")
-    }
-    val agg = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val fold = (0 until 64)
-      .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce((a, b) => a.bitwiseOR(b))
-    agg.select(col("doc_id"), fold.as("simhash"))
-  }
+  def simhash(docs: DataFrame): DataFrame =
+    tokenized(docs)
+      .select(col("doc_id"), graft.gfunctions.simhash64(col("toks")).as("simhash"))
+      .filter(col("simhash").isNotNull)
 
   /** SimHash near-dup decision: band rotation (4 bands x 16 bits) buckets
     * candidates; verification = popcount(xor) <= maxHamming. A pair within

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.{Column, SparkSessionExtensions}
 import org.apache.spark.sql.functions.call_function
 
-import graft.functions.{CosineSim, MinhashSig, SimHash64, TopKByScore, WsTokens}
+import graft.functions.{CosineSim, JaccardSim, MinhashSig, ShingleHashes, SimHash64, TopKByScore, WsTokens}
 
 /** Engine extension point, installed via spark.sql.extensions (GraftSession
   * sets it). Registers native expressions as SQL functions so both
@@ -48,6 +48,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (children: Seq[Expression]) => SimHash64(children(0)),
       )
     )
+    ext.injectFunction(
+      (
+        new FunctionIdentifier("shingle_hashes"),
+        new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+        (children: Seq[Expression]) => ShingleHashes(children(0)),
+      )
+    )
+    ext.injectFunction(
+      (
+        new FunctionIdentifier("jaccard_sim"),
+        new ExpressionInfo(classOf[JaccardSim].getName, "jaccard_sim"),
+        (children: Seq[Expression]) => JaccardSim(children(0), children(1)),
+      )
+    )
   }
 }
 
@@ -77,4 +91,14 @@ object gfunctions {
     * shuffle); NULL for zero-token inputs.
     */
   def simhash64(toks: Column): Column = call_function("simhash64", toks)
+
+  /** Sorted distinct XXH64 values of a token array's 3-shingles (native
+    * kernel) — the set representation jaccard_sim merges.
+    */
+  def shingle_hashes(toks: Column): Column = call_function("shingle_hashes", toks)
+
+  /** Exact Jaccard of two sorted distinct array<bigint> sets by linear
+    * merge; NULL when both are empty.
+    */
+  def jaccard_sim(a: Column, b: Column): Column = call_function("jaccard_sim", a, b)
 }

@@ -246,10 +246,13 @@ object Dedup {
   /** Exact n-gram Jaccard verification over minhash-LSH candidates only —
     * the LSH buckets bound the pair count; the exact set intersection is
     * computed on the (small) candidate set, never the corpus cross join.
-    * Shingle sets are hashed to 8-byte longs before the verify joins:
-    * |intersect|/|union| is identical on the hashed sets (xxhash64
-    * collisions aside), and the candidate-join payload shrinks ~10x vs
-    * shipping full shingle strings — the 100 TB concern.
+    * Shingle sets ride as SORTED DISTINCT 8-byte hashes (native
+    * [[graft.functions.ShingleHashes]] kernel): |A∩B|/|A∪B| is identical
+    * on the hashed sets (xxhash collisions aside), the candidate-join
+    * payload shrinks ~10x vs shipping shingle strings — the 100 TB
+    * concern — and the sorted representation lets the native
+    * [[graft.functions.JaccardSim]] merge-count each pair with zero
+    * intermediate arrays.
     */
   def jaccardDecisions(
       docs: DataFrame, tau: Double = 0.6, k: Int = 16, bands: Int = 4,
@@ -257,10 +260,9 @@ object Dedup {
     val toked = tokenized(docs)
     val sets = toked.select(
       col("doc_id"),
-      array_distinct(transform(shingleArr(3), s => xxhash64(s))).as("sh"))
+      graft.gfunctions.shingle_hashes(col("toks")).as("sh"))
     val cand = minhashCandidatesT(toked, k, bands, bucketCap).select("id_a", "id_b")
-    val jac = size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double") /
-      size(array_union(col("sa.sh"), col("sb.sh")))
+    val jac = graft.gfunctions.jaccard_sim(col("sa.sh"), col("sb.sh"))
     val dups = cand
       .join(sets.alias("sa"), col("id_a") === col("sa.doc_id"))
       .join(sets.alias("sb"), col("id_b") === col("sb.doc_id"))

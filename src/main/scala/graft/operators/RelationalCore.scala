@@ -472,6 +472,37 @@ object RelationalCore {
     None,
   )
 
+  val qSketchQuantile = GraftQuery(
+    "sketch_approx_quantile",
+    (s, d) => {
+      // Approximate-quantile sketch (Greenwald-Khanna via approx_percentile)
+      // next to q14's exact percentiles: mergeable bounded-size map-side
+      // state, ONE shuffle of sketch summaries — where exact percentiles
+      // sort every group's values. The 1e-4 accuracy parameter bounds
+      // rank error; the error vs the exact percentile_cont is asserted
+      // in SketchSpec. rows-only: GK summary merge order differs across
+      // engines, so the sketch values are not bit-portable by design.
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 10000)")
+            .as("approx_p"),
+          expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice)")
+            .as("exact_p50"),
+          count(lit(1)).as("n_rows"),
+        )
+        .select(
+          col("l_returnflag"),
+          col("approx_p")(0).as("approx_p50"),
+          col("approx_p")(1).as("approx_p95"),
+          col("approx_p")(2).as("approx_p99"),
+          col("exact_p50"), col("n_rows"))
+        .orderBy("l_returnflag")
+    },
+    None,
+  )
+
   def all: Seq[GraftQuery] =
-    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, qSketch)
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16, q17,
+      q18, q19, qSketch, qSketchQuantile)
 }

@@ -84,6 +84,61 @@ object Streams {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark(keyCol)
 
+  // ------------------------------------------- streaming curation gates
+
+  final case class CurGated(doc_id: Long, text_md5: String, ts: java.sql.Timestamp)
+  final case class CurVerdict(doc_id: Long, verdict: String)
+
+  /** Incremental curation for streaming corpus ingest: the per-row gates
+    * (too_short / wrong_lang) run stateless and codegen'd, and the exact
+    * gate is keyed state on the 16-byte text_md5 within a 1-hour
+    * watermark horizon — first arrival is `kept`, every later copy
+    * `exact_dup` (stream keeper = FIRST arrival; the batch pipeline's
+    * min-doc_id rule needs global order a stream doesn't have). Gate
+    * failures never enter the dedup state, so state size is bounded by
+    * distinct gated texts per horizon. Near-dup/family gates need
+    * corpus-global evidence and stay in the periodic batch
+    * [[graft.operators.Curate]] run — the standard streaming/batch split
+    * for curation. Emits one verdict per arriving doc (Append).
+    */
+  def curateStream(docs: DataFrame, lang: String = "en", minTokens: Int = 5): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val staged = docs.select(
+      col("doc_id"), col("lang"), col("ts"),
+      md5(col("text")).as("text_md5"),
+      size(graft.gfunctions.ws_tokens(col("text"))).as("n_toks"))
+    val failed = staged
+      .filter(col("n_toks") < minTokens || col("lang") =!= lang)
+      .select(
+        col("doc_id"),
+        when(col("n_toks") < minTokens, lit("too_short"))
+          .otherwise(lit("wrong_lang")).as("verdict"))
+    val deduped = staged
+      .filter(col("n_toks") >= minTokens && col("lang") === lang)
+      .withWatermark("ts", "1 hour")
+      .select(col("doc_id"), col("text_md5"), col("ts")).as[CurGated]
+      .groupByKey(_.text_md5)
+      .flatMapGroupsWithState[Boolean, CurVerdict](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: String, it: Iterator[CurGated], state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // copies of ONE text within one micro-batch — tiny by
+            // construction (dup groups), ordered for determinism
+            val batch = it.toSeq.sortBy(d => (d.ts.getTime, d.doc_id))
+            val seenBefore = state.getOption.getOrElse(false)
+            val out = batch.zipWithIndex.map { case (d, idx) =>
+              CurVerdict(d.doc_id, if (seenBefore || idx > 0) "exact_dup" else "kept")
+            }
+            state.update(true)
+            state.setTimeoutTimestamp(batch.map(_.ts.getTime).max, "1 hour")
+            out.iterator
+          }
+      }
+    failed.as[CurVerdict].union(deduped).toDF()
+  }
+
   // -------------------------------------------------- stateful sessions
 
   final case class SessEvent(user_id: Long, event_id: Long, ts_ms: Long)

@@ -49,6 +49,16 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("approx-quantile sketch median stays within 2% of the exact percentile") {
+    operators.RelationalCore.qSketchQuantile.run(spark, sf).collect().foreach { r =>
+      val approx = r.getDouble(r.fieldIndex("approx_p50"))
+      val exact = r.getDouble(r.fieldIndex("exact_p50"))
+      assert(math.abs(approx - exact) / exact < 0.02,
+        s"quantile sketch error too large: $approx vs $exact")
+      assert(r.getDouble(r.fieldIndex("approx_p95")) >= approx, "p95 >= p50")
+    }
+  }
+
   test("q07 prod variant (bounded-heap top-k) matches the window result") {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(r.fieldIndex("o_custkey")), r.getLong(r.fieldIndex("o_orderkey")),

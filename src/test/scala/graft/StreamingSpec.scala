@@ -149,4 +149,39 @@ class StreamingSpec extends AnyFunSuite {
       ("2024-01-01 00:00:00.0", "click", 2L, 3.0),
       ("2024-01-01 01:00:00.0", "view", 1L, 5.0)))
   }
+
+  test("streaming curation gates docs incrementally; exact state spans micro-batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val body = (0 until 30).map(i => s"tok$i").mkString(" ")
+    val other = (100 until 130).map(i => s"tok$i").mkString(" ")
+    def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+    val ms = MemoryStream[(Long, String, String, Timestamp)]
+    val docs = ms.toDF().toDF("doc_id", "text", "lang", "ts")
+    val q = Streams.curateStream(docs)
+      .writeStream.format("memory").queryName("graft_curate_stream")
+      .outputMode("append").start()
+    try {
+      // batch 1: first arrival kept, same-batch copy exact_dup, short and
+      // wrong-lang gated out statelessly
+      ms.addData(
+        (1L, body, "en", ts(0)),
+        (2L, body, "en", ts(1)),
+        (3L, "ab cd", "en", ts(1)),
+        (4L, other, "de", ts(2)))
+      q.processAllAvailable()
+      val v1 = spark.table("graft_curate_stream").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(v1 == Map(1L -> "kept", 2L -> "exact_dup",
+        3L -> "too_short", 4L -> "wrong_lang"), s"got $v1")
+      // batch 2: a copy arriving later still dedups against batch-1 state;
+      // a fresh text is kept
+      ms.addData((5L, body, "en", ts(5)), (6L, other, "en", ts(6)))
+      q.processAllAvailable()
+      val v2 = spark.table("graft_curate_stream").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(v2(5L) == "exact_dup", "exact state spans micro-batches")
+      assert(v2(6L) == "kept", "new gated text is kept")
+    } finally q.stop()
+  }
 }

@@ -64,7 +64,7 @@ object Dedup {
     * banding, so empty docs never bucket together). Replaces the
     * declarative aggregate/transform/zip_with fold, which is
     * CodegenFallback and paid interpreted lambda frames plus a boxed
-    * long per hash (measured ~5x on the 102k-doc ScaleProbe corpus).
+    * long per hash (ScaleProbe8, 102k docs: 3.27 s -> 0.24 s, 13.6x).
     */
   private def minhashSig(k: Int): Column =
     graft.gfunctions.minhash_sig(col("toks"), k)

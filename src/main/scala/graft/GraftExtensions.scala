@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.{Column, SparkSessionExtensions}
 import org.apache.spark.sql.functions.call_function
 
-import graft.functions.{CosineSim, JaccardSim, MinhashSig, ShingleHashes, SimHash64, TopKByScore, WsTokens}
+import graft.functions.{CosineSim, JaccardSim, MinhashSig, ShingleHashes, ShingleXor64, SimHash64, TopKByScore, WsTokens}
 
 /** Engine extension point, installed via spark.sql.extensions (GraftSession
   * sets it). Registers native expressions as SQL functions so both
@@ -62,6 +62,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (children: Seq[Expression]) => JaccardSim(children(0), children(1)),
       )
     )
+    ext.injectFunction(
+      (
+        new FunctionIdentifier("shingle_xor64"),
+        new ExpressionInfo(classOf[ShingleXor64].getName, "shingle_xor64"),
+        (children: Seq[Expression]) => ShingleXor64(children(0)),
+      )
+    )
   }
 }
 
@@ -101,4 +108,9 @@ object gfunctions {
     * merge; NULL when both are empty.
     */
   def jaccard_sim(a: Column, b: Column): Column = call_function("jaccard_sim", a, b)
+
+  /** Order-independent XOR-fold fingerprint of a token array's 3-shingles
+    * (native kernel); NULL for docs with < 3 tokens.
+    */
+  def shingle_xor64(toks: Column): Column = call_function("shingle_xor64", toks)
 }

@@ -169,17 +169,17 @@ object TextAnalysis {
     "q33_fingerprint",
     (s, d) => {
       // 64-bit order-independent document fingerprint: XOR-fold of the
-      // xxhash64 of every 3-shingle, computed per row with a higher-order
-      // aggregate — ZERO shuffles (rows-only check; hash algo is not
-      // ANSI-expressible). Docs with <3 tokens fall back to xxhash64(text).
-      val sh = shingles(toks, 3)
+      // XXH64 of every 3-shingle via the native shingle_xor64 kernel —
+      // ZERO shuffles, one codegen'd pass per row (rows-only check; hash
+      // algo is not ANSI-expressible — q33_fingerprint_md5 is the gated
+      // twin). Docs with <3 tokens fall back to xxhash64(text);
+      // n_shingles = max(n_toks - 2, 0) needs no shingle array at all.
       Tables.documents(s, d)
         .select(
           col("doc_id"),
-          size(sh).as("n_shingles"),
-          when(size(sh) > 0,
-            aggregate(transform(sh, x => xxhash64(x)), lit(0L), (acc, h) => acc.bitwiseXOR(h)))
-            .otherwise(xxhash64(col("text"))).as("fingerprint"),
+          greatest(size(toks) - 2, lit(0)).as("n_shingles"),
+          coalesce(graft.gfunctions.shingle_xor64(toks), xxhash64(col("text")))
+            .as("fingerprint"),
         )
         .orderBy("doc_id")
     },

@@ -49,6 +49,29 @@ class ShingleJaccardSpec extends AnyFunSuite {
     }
   }
 
+  test("shingle_xor64 matches the reference fold; order-independent; null under 3 tokens") {
+    import spark.implicits._
+    def refXor(tokens: Seq[String]): Option[Long] = {
+      val hs = tokens.sliding(3).filter(_.length == 3).map { sh =>
+        val bytes = sh.mkString(" ").getBytes("UTF-8")
+        org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, 42L)
+      }.toSeq
+      if (hs.isEmpty) None else Some(hs.reduce(_ ^ _))
+    }
+    val rnd = new scala.util.Random(41)
+    val docs = (0 until 25).map(i => Seq.fill(rnd.nextInt(30))(s"w${rnd.nextInt(12)}"))
+    val got = docs.toDF("toks")
+      .select(gfunctions.shingle_xor64(col("toks")).as("f"))
+      .collect()
+    docs.zip(got).foreach { case (d, r) =>
+      refXor(d) match {
+        case None => assert(r.isNullAt(0), s"expected null for $d")
+        case Some(want) => assert(r.getLong(0) == want, s"mismatch for $d")
+      }
+    }
+  }
+
   test("jaccard_sim edge cases: identical -> 1.0, disjoint -> 0.0, both empty -> null") {
     import spark.implicits._
     val a = Seq.fill(20)("x y z".split(" ")).flatten

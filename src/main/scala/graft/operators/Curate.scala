@@ -53,6 +53,15 @@ object Curate {
     * parquet checkpoint per stage). Document TEXT deliberately does not
     * ride along: all downstream gates work from the 16-byte md5 key and
     * the token array.
+    *
+    * Known trade: persisting `toks` materializes a tokenized copy of the
+    * full corpus (~text-sized) even though only the REPS' tokens feed
+    * the near/family gates. The alternative — a slim (doc_id, lang,
+    * text_md5, n_toks) stage plus a second column-pruned text scan to
+    * re-tokenize reps — swaps storage for one extra scan and is the
+    * right call when exact-dup rates are extreme; the persisted token
+    * table wins whenever several gates (or staged re-runs, which read
+    * it back from parquet) amortize the one materialization.
     */
   def stageTable(docs: DataFrame): DataFrame =
     docs

@@ -25,6 +25,15 @@ import graft.gfunctions.cosine_sim
   *    partner with a smaller id exists. One aggregation, no iterative
   *    connected components (transitive chains collapse to the min id in
   *    practice for near-dup clusters; exactness is spec-asserted).
+  *  - Exact-first discipline: on corpora with large identical families
+  *    (templated/boilerplate pages — the scraped-corpus norm), run
+  *    [[exact]] first and feed the LSH ops one representative per
+  *    distinct text. Identical copies contribute C(n,2) candidate pairs
+  *    the bucket cap can only DROP, while a representative preserves all
+  *    evidence (identical text -> identical signatures). [[Curate]]
+  *    implements this via repsOf/attach; the standalone decision ops
+  *    keep whole-corpus semantics because their contract is a decision
+  *    per input row.
   */
 object Dedup {
 

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.{Column, SparkSessionExtensions}
 import org.apache.spark.sql.functions.call_function
 
-import graft.functions.{CosineSim, JaccardSim, MinhashSig, ShingleHashes, ShingleXor64, SimHash64, TopKByScore, WsTokens}
+import graft.functions.{CosineSim, HyperplaneBands, JaccardSim, MinhashSig, ShingleHashes, ShingleXor64, SimHash64, TopKByScore, WsTokens}
 
 /** Engine extension point, installed via spark.sql.extensions (GraftSession
   * sets it). Registers native expressions as SQL functions so both
@@ -69,6 +69,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (children: Seq[Expression]) => ShingleXor64(children(0)),
       )
     )
+    ext.injectFunction(
+      (
+        new FunctionIdentifier("hyperplane_bands"),
+        new ExpressionInfo(classOf[HyperplaneBands].getName, "hyperplane_bands"),
+        (children: Seq[Expression]) =>
+          HyperplaneBands(
+            children(0),
+            children(1).eval().asInstanceOf[Int],
+            children(2).eval().asInstanceOf[Int],
+            children(3).eval().asInstanceOf[Int]),
+      )
+    )
   }
 }
 
@@ -113,4 +125,12 @@ object gfunctions {
     * (native kernel); NULL for docs with < 3 tokens.
     */
   def shingle_xor64(toks: Column): Column = call_function("shingle_xor64", toks)
+
+  /** Random-hyperplane LSH band values of a float vector — all plane
+    * dots in one native pass, sign bits packed per band.
+    */
+  def hyperplane_bands(vec: Column, planes: Int, bands: Int, dims: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function("hyperplane_bands", vec, lit(planes), lit(bands), lit(dims))
+  }
 }

@@ -1,15 +1,15 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.gfunctions.cosine_sim
 
 /** Random-hyperplane LSH shared by embedding dedup and ANN.
   *
   * Hyperplanes are ±1 sign vectors fixed at plan time from a splitmix-style
   * mix of (plane, dim) — deterministic across runs, engines, and cluster
-  * sizes, with no driver-side RNG state to ship. Sign bits are computed
-  * per-row with codegen'd zip_with/aggregate folds: zero shuffle.
+  * sizes, with no driver-side RNG state to ship. Band values are computed
+  * per-row by the native [[graft.functions.HyperplaneBands]] kernel:
+  * zero shuffle.
   */
 object Lsh {
 
@@ -21,31 +21,6 @@ object Lsh {
       z = z ^ (z >>> 31)
       if ((z & 1L) == 0L) 1.0f else -1.0f
     }
-
-  /** One sign bit (0/1) per hyperplane for a float-vector column.
-    * sign(dot(v, w)) == (cosine_sim(v, w) > 0) for the ±1 planes, so each
-    * bit rides the native codegen'd cosine kernel instead of an
-    * interpreted zip_with/aggregate fold (higher-order functions are
-    * CodegenFallback — measured ~4x slower here).
-    */
-  def hyperplaneBits(vec: Column, planes: Int, dims: Int): Seq[Column] =
-    (0 until planes).map { p =>
-      val w = typedlit(planeSigns(p, dims).toArray)
-      when(cosine_sim(vec, w) > 0, lit(1L)).otherwise(lit(0L))
-    }
-
-  /** Band values: `bands` integers of planes/bands bits each. Rows sharing
-    * any (band_idx, band_val) are LSH candidates.
-    */
-  def bandValues(vec: Column, planes: Int, bands: Int, dims: Int): Seq[Column] = {
-    val bitsPerBand = planes / bands
-    val bits = hyperplaneBits(vec, planes, dims)
-    (0 until bands).map { b =>
-      (0 until bitsPerBand)
-        .map(i => bits(b * bitsPerBand + i) * lit(1L << i))
-        .reduce(_ + _)
-    }
-  }
 
   /** Drop band rows that fall in buckets larger than `cap` — the shared
     * guard against degenerate mega-buckets before any band self-join.
@@ -68,16 +43,16 @@ object Lsh {
     banded.join(broadcast(oversized), keyCols, "left_anti")
   }
 
-  /** Explode a frame to one row per (row, band): adds band_idx/band_val. */
-  def banded(df: DataFrame, vecCol: String, planes: Int, bands: Int, dims: Int): DataFrame = {
-    val vals = bandValues(col(vecCol), planes, bands, dims)
+  /** Explode a frame to one row per (row, band): adds band_idx/band_val.
+    * Band values come from the native [[graft.functions.HyperplaneBands]]
+    * kernel — every plane's dot accumulated in ONE walk of the vector
+    * (bit-identical to the per-plane cosine_sim sign it replaced, which
+    * re-walked the vector and recomputed both norms per plane);
+    * posexplode's position IS the band index.
+    */
+  def banded(df: DataFrame, vecCol: String, planes: Int, bands: Int, dims: Int): DataFrame =
     df.select(
       col("*"),
-      explode(array(vals.zipWithIndex.map { case (v, b) =>
-        struct(lit(b).as("band_idx"), v.as("band_val"))
-      }: _*)).as("_band"))
-      .withColumn("band_idx", col("_band.band_idx"))
-      .withColumn("band_val", col("_band.band_val"))
-      .drop("_band")
-  }
+      posexplode(graft.gfunctions.hyperplane_bands(col(vecCol), planes, bands, dims))
+        .as(Seq("band_idx", "band_val")))
 }

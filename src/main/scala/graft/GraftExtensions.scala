@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.{Column, SparkSessionExtensions}
 import org.apache.spark.sql.functions.call_function
 
-import graft.functions.{CosineSim, HyperplaneBands, JaccardSim, MinhashSig, ShingleHashes, ShingleXor64, SimHash64, TopKByScore, WsTokens}
+import graft.functions.{CosineSim, HyperplaneBands, JaccardSim, MinhashMd5Sig, MinhashSig, ShingleHashes, ShingleMd5Hashes, ShingleXor64, SimHash64, SimHashMd5, TopKByScore, WsTokens}
 
 /** Engine extension point, installed via spark.sql.extensions (GraftSession
   * sets it). Registers native expressions as SQL functions so both
@@ -71,6 +71,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     )
     ext.injectFunction(
       (
+        new FunctionIdentifier("minhash_md5_sig"),
+        new ExpressionInfo(classOf[MinhashMd5Sig].getName, "minhash_md5_sig"),
+        (children: Seq[Expression]) => MinhashMd5Sig(children(0), children(1)),
+      )
+    )
+    ext.injectFunction(
+      (
+        new FunctionIdentifier("shingle_md5_hashes"),
+        new ExpressionInfo(classOf[ShingleMd5Hashes].getName, "shingle_md5_hashes"),
+        (children: Seq[Expression]) => ShingleMd5Hashes(children(0)),
+      )
+    )
+    ext.injectFunction(
+      (
+        new FunctionIdentifier("simhash_md5"),
+        new ExpressionInfo(classOf[SimHashMd5].getName, "simhash_md5"),
+        (children: Seq[Expression]) => SimHashMd5(children(0)),
+      )
+    )
+    ext.injectFunction(
+      (
         new FunctionIdentifier("hyperplane_bands"),
         new ExpressionInfo(classOf[HyperplaneBands].getName, "hyperplane_bands"),
         (children: Seq[Expression]) =>
@@ -125,6 +146,22 @@ object gfunctions {
     * (native kernel); NULL for docs with < 3 tokens.
     */
   def shingle_xor64(toks: Column): Column = call_function("shingle_xor64", toks)
+
+  /** md5-KM minhash signature (native kernel, value-identical to the
+    * ANSI md5+conv formulation); NULL for docs with < 3 tokens.
+    */
+  def minhash_md5_sig(toks: Column, k: Int): Column =
+    call_function("minhash_md5_sig", toks, org.apache.spark.sql.functions.lit(k))
+
+  /** Sorted distinct md5-h1 shingle hashes (native kernel, same values
+    * as conv(substr(md5(shingle),1,15),16,10)).
+    */
+  def shingle_md5_hashes(toks: Column): Column = call_function("shingle_md5_hashes", toks)
+
+  /** 60-bit md5 simhash (native per-row kernel, value-identical to the
+    * explode + bit-majority aggregate); NULL for zero-token docs.
+    */
+  def simhash_md5(toks: Column): Column = call_function("simhash_md5", toks)
 
   /** Random-hyperplane LSH band values of a float vector — all plane
     * dots in one native pass, sign bits packed per band.

@@ -177,21 +177,11 @@ object Dedup {
   private def minhashMd5CandidatesT(
       toked: DataFrame, k: Int, bands: Int, bucketCap: Int): (DataFrame, DataFrame) = {
     val r = k / bands
-    val sig = ExprUtil.bound(shingleArr(3)) { sh =>
-      when(size(sh) === 0, lit(null).cast("array<long>"))
-        .otherwise(
-          aggregate(
-            sh,
-            array_repeat(lit(Long.MaxValue), k),
-            (acc, s) => ExprUtil.bound(md5(s)) { m =>
-              val h1 = conv(substring(m, 1, 15), 16, 10).cast("long")
-              val h2 = conv(substring(m, 16, 8), 16, 10).cast("long")
-              zip_with(
-                acc,
-                transform(sequence(lit(0), lit(k - 1)), j => h1 + j.cast("long") * h2),
-                (a, h) => least(a, h))
-            }))
-    }
+    // Native kernel — VALUE-identical to the declarative ANSI md5+conv
+    // fold (Md5KernelsSpec pins exact equality; the driver gate's oracle
+    // SQL is unchanged), one digest walk per row instead of an
+    // interpreted per-shingle expression tree.
+    val sig = graft.gfunctions.minhash_md5_sig(col("toks"), k)
     // Materialize the signature table ONCE (doc_id + 16 longs, ~140 B/doc).
     // The plan uses it three times (banding + both verify sides); without
     // materialization each use re-runs the per-shingle digest fold —
@@ -299,19 +289,20 @@ object Dedup {
       docs: DataFrame, tau: Double = 0.6, k: Int = 16, bands: Int = 4,
       bucketCap: Int = 10000): DataFrame = {
     val toked = tokenized(docs)
-    val md5long = (c: Column) => conv(substring(md5(c), 1, 15), 16, 10).cast("long")
     // Materialized like the signature stage table: `sets` feeds BOTH sides
     // of the verify join (sa/sb below), and each alias re-executes its plan
     // — without the checkpoint the per-shingle md5 digest pass runs twice
     // (exchange reuse may or may not dedupe it; the stage table makes the
-    // single digest pass explicit and plan-independent).
+    // single digest pass explicit and plan-independent). Sets are the
+    // native sorted-distinct md5-h1 kernel; jaccard is the linear-merge
+    // kernel — same integer counts, same one double division, so the
+    // emitted doubles still hash-match the unchanged oracle.
     val sets = toked.select(
       col("doc_id"),
-      array_distinct(transform(shingleArr(3), s => md5long(s))).as("sh"))
+      graft.gfunctions.shingle_md5_hashes(col("toks")).as("sh"))
       .localCheckpoint()
     val (cand, _) = minhashMd5CandidatesT(toked, k, bands, bucketCap)
-    val jac = size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double") /
-      size(array_union(col("sa.sh"), col("sb.sh")))
+    val jac = graft.gfunctions.jaccard_sim(col("sa.sh"), col("sb.sh"))
     val dups = cand
       .join(sets.alias("sa"), col("id_a") === col("sa.doc_id"))
       .join(sets.alias("sb"), col("id_b") === col("sb.doc_id"))
@@ -390,26 +381,20 @@ object Dedup {
         coalesce(col("n_dup_partners"), lit(0L)).as("n_dup_partners"))
   }
 
-  /** 60-bit SimHash from md5-derived token hashes — the same ONE-hash-agg
-    * bit-majority shape as [[simhash]], but portable to ANSI SQL, so the
-    * full simhash dedup pipeline runs under the driver's hash-compare
-    * oracle gate (see [[qSimhashMd5]]). 60 bits = the first 15 md5 hex
-    * digits; bands become 4 x 15 bits (pigeonhole still holds:
-    * maxHamming 3 < 4 bands).
+  /** 60-bit SimHash from md5-derived token hashes — value-portable to
+    * ANSI SQL, so the full simhash dedup pipeline runs under the
+    * driver's hash-compare oracle gate (see [[qSimhashMd5]]). 60 bits =
+    * the first 15 md5 hex digits; bands become 4 x 15 bits (pigeonhole
+    * still holds: maxHamming 3 < 4 bands).
     */
-  def simhashMd5(docs: DataFrame): DataFrame = {
-    val tok = tokenized(docs)
-      .select(col("doc_id"), explode(col("toks")).as("t"))
-      .withColumn("h", conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long"))
-    val bitSums = (0 until 60).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$j")
-    }
-    val agg = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val fold = (0 until 60)
-      .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce((a, b) => a.bitwiseOR(b))
-    agg.select(col("doc_id"), fold.as("simhash"))
-  }
+  def simhashMd5(docs: DataFrame): DataFrame =
+    // Native per-row kernel, VALUE-identical to the explode + 60-column
+    // bit-majority aggregate it replaces (oracle SQL unchanged) — and
+    // like [[simhash]], the signature stage no longer shuffles a row per
+    // token.
+    tokenized(docs)
+      .select(col("doc_id"), graft.gfunctions.simhash_md5(col("toks")).as("simhash"))
+      .filter(col("simhash").isNotNull)
 
   def simhashMd5Decisions(
       docs: DataFrame, maxHamming: Int = 3, bucketCap: Int = 10000): DataFrame =

@@ -46,7 +46,7 @@ object Dedup {
     * the corpus text is scanned and tokenized ONCE across gates instead
     * of once per operator.
     */
-  private[operators] def tokenized(docs: DataFrame): DataFrame =
+  private[graft] def tokenized(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), toks.as("toks"))
 
   /** Shingles over the `toks` column of a tokenized frame. */
@@ -78,9 +78,23 @@ object Dedup {
   private def minhashSig(k: Int): Column =
     graft.gfunctions.minhash_sig(col("toks"), k)
 
-  private def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+  private[graft] def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
     transform(sequence(lit(0), lit(bands - 1)),
       b => xxhash64(b, slice(sig, b * lit(rowsPerBand) + lit(1), lit(rowsPerBand))))
+
+  /** (doc_id, sig, band_key) signature+band rows — the reference-corpus
+    * side of stream-vs-corpus matching ([[graft.streaming.Streams
+    * .nearDupStream]]); same signature family and band keys as
+    * [[minhashCandidatesT]].
+    */
+  private[graft] def bandedSignatures(
+      toked: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
+    val r = k / bands
+    toked.select(col("doc_id"), minhashSig(k).as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("doc_id"), col("sig"),
+        explode(bandKeys(col("sig"), bands, r)).as("band_key"))
+  }
 
   /** Candidate pairs (id_a < id_b) sharing at least one minhash band.
     * Same slim-pair shape as the embedding path: the band self-join

@@ -139,6 +139,48 @@ object Streams {
     failed.as[CurVerdict].union(deduped).toDF()
   }
 
+  /** Stream-vs-corpus NEAR-dup matching: each arriving doc is minhashed
+    * per-row (native ws_tokens + minhash_sig kernels — stateless) and
+    * band-joined against a STATIC reference corpus's signature table, so
+    * incremental ingest can flag near-duplicates of an EXISTING corpus
+    * without corpus-global state in the stream. Stream-static equi-joins
+    * are stateless in Append mode; the only streaming state is the
+    * watermark-bounded (doc, ref) pair dedup (a pair matching on several
+    * bands emits once). Emits (doc_id, ref_id, est_jaccard >= tau).
+    *
+    * This completes the curation split: [[curateStream]] handles per-row
+    * + exact gates live, this matches new docs against the curated
+    * corpus, and the periodic batch [[graft.operators.Curate]] run
+    * resolves stream-internal near-dups and families.
+    */
+  def nearDupStream(
+      docs: DataFrame,
+      corpus: DataFrame,
+      k: Int = 16,
+      bands: Int = 4,
+      tau: Double = 0.5): DataFrame = {
+    import graft.operators.Dedup
+    val ref = Dedup.bandedSignatures(Dedup.tokenized(corpus), k, bands)
+      .select(col("doc_id").as("ref_id"), col("sig").as("ref_sig"), col("band_key"))
+    val r = k / bands
+    val sigged = docs
+      .select(col("doc_id"), col("ts"),
+        graft.gfunctions.minhash_sig(graft.gfunctions.ws_tokens(col("text")), k).as("sig"))
+      .filter(col("sig").isNotNull)
+      .withWatermark("ts", "1 hour")
+    val est = aggregate(
+      zip_with(col("sig"), col("ref_sig"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / k
+    sigged
+      .select(col("doc_id"), col("ts"), col("sig"),
+        explode(Dedup.bandKeys(col("sig"), bands, r)).as("band_key"))
+      .join(ref, Seq("band_key"))
+      .withColumn("est_jaccard", est)
+      .filter(col("est_jaccard") >= tau)
+      .dropDuplicatesWithinWatermark("doc_id", "ref_id")
+      .select("doc_id", "ref_id", "est_jaccard")
+  }
+
   // -------------------------------------------------- stateful sessions
 
   final case class SessEvent(user_id: Long, event_id: Long, ts_ms: Long)

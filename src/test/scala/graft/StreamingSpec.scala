@@ -184,4 +184,35 @@ class StreamingSpec extends AnyFunSuite {
       assert(v2(6L) == "kept", "new gated text is kept")
     } finally q.stop()
   }
+
+  test("stream-vs-corpus near-dup flags arrivals against the static reference") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val rnd = new scala.util.Random(47)
+    def doc(seed: Int) = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(80)(s"w${r.nextInt(40)}").mkString(" ")
+    }
+    val corpus = Seq((100L, doc(1)), (101L, doc(2)), (102L, doc(3)))
+      .toDF("doc_id", "text")
+    val near1 = doc(1).split(" ").updated(40, "CHANGED").mkString(" ")
+    def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+    val ms = MemoryStream[(Long, String, Timestamp)]
+    val q = Streams.nearDupStream(ms.toDF().toDF("doc_id", "text", "ts"), corpus)
+      .writeStream.format("memory").queryName("graft_neardup_stream")
+      .outputMode("append").start()
+    try {
+      ms.addData((1L, near1, ts(0)), (2L, doc(9), ts(1)))
+      q.processAllAvailable()
+      val rows = spark.table("graft_neardup_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows == Set((1L, 100L)),
+        s"near-copy flags against its corpus source only, got $rows")
+      // a second batch re-sending the same near-dup within the watermark
+      // horizon emits nothing new (pair state dedups it)
+      ms.addData((1L, near1, ts(2)))
+      q.processAllAvailable()
+      assert(spark.table("graft_neardup_stream").count() == 1L)
+    } finally q.stop()
+  }
 }

@@ -13,6 +13,7 @@ object SparkEntry {
       operators.Dedup.all ++
       operators.Cluster.all ++
       operators.Curate.all ++
+      operators.TrainPrep.all ++
       operators.Similarity.all ++
       operators.Multimodal.all ++
       streaming.Streams.all

@@ -49,9 +49,6 @@ object Dedup {
   private[graft] def tokenized(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), toks.as("toks"))
 
-  /** Shingles over the `toks` column of a tokenized frame. */
-  private def shingleArr(n: Int): Column = TextAnalysis.shingles(col("toks"), n)
-
   // ---------------------------------------------------------------- exact
 
   /** Exact dedup: ONE shuffle, grouped on md5(text) so the exchange ships a

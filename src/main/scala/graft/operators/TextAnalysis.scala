@@ -233,6 +233,34 @@ object TextAnalysis {
     prod = Some((s, d) => fingerprintMd5(s, d)),
   )
 
+  /** Production q34: the distinct-shingle exchange ships 8-byte XXH64
+    * hashes (native shingle_hashes kernel) instead of ~20-byte shingle
+    * strings, and the total count needs no shingle rows at all
+    * (n_shingles = Σ max(n_toks-2, 0)). Distinct-over-hashes equals
+    * distinct-over-strings up to 64-bit collisions (expected n²/2⁶⁵ —
+    * zero until ~10⁹ distinct shingles per source; acceptable for a
+    * corpus STATISTIC, which is why only the prod plan does it — the
+    * gated plan keeps exact strings). Two aggregates over one scan:
+    * the per-source totals agg is map-side tiny; only the slim
+    * (source, hash) rows reach the distinct exchange.
+    */
+  private def ngramStatsProd(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val perDoc = Tables.documents(s, d).select(
+      col("source"),
+      greatest(size(toks) - 2, lit(0)).cast("long").as("n_sh"),
+      graft.gfunctions.shingle_hashes(toks).as("h"),
+    )
+    val tot = perDoc.groupBy("source").agg(sum(col("n_sh")).as("n_shingles"))
+    val dis = perDoc
+      .select(col("source"), explode(col("h")).as("hash"))
+      .groupBy("source")
+      .agg(countDistinct(col("hash")).as("n_distinct"))
+    tot.join(dis, "source")
+      .select(
+        col("source"), col("n_shingles"), col("n_distinct"),
+        (col("n_distinct") / col("n_shingles")).as("distinct_ratio"))
+  }
+
   val q34 = GraftQuery(
     "q34_ngram_stats",
     (s, d) => {
@@ -257,6 +285,7 @@ object TextAnalysis {
         COUNT(DISTINCT shingle) AS n_distinct,
         CAST(COUNT(DISTINCT shingle) AS BIGINT) / COUNT(*) AS distinct_ratio
       FROM g GROUP BY source ORDER BY source"""),
+    prod = Some((s, d) => ngramStatsProd(s, d)),
   )
 
   val q35 = GraftQuery(

@@ -1,0 +1,249 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{GraftQuery, Tables, gfunctions}
+
+/** Training-data preparation operators past filtering/dedup — the steps
+  * between "curated corpus" and "tokens on the trainer": benchmark
+  * decontamination (n-gram overlap against an eval holdout, GPT-3
+  * appendix C / Lee et al. 2021 style), deterministic mixture sampling
+  * (per-language rates, reproducible via content-independent hashing),
+  * and concat-and-chunk sequence packing (global token offsets → fixed
+  * token-budget shards, T5/GPT-3 style).
+  *
+  * Scale design notes:
+  * - Decontamination joins on 60-bit md5 shingle hashes in BOTH engines
+  *   — the overlap exchange ships 8-byte keys, never shingle strings,
+  *   and the benchmark side (eval sets are tiny vs a 100 TB corpus) is
+  *   broadcast, so the corpus side never shuffles at all.
+  * - Sampling is one stateless codegen'd filter — zero shuffles, and
+  *   doc_id-keyed hashing keeps the decision stable across reruns and
+  *   text revisions (the reproducibility contract mixture configs need).
+  * - Packing's oracle form is a single global running sum (one range
+  *   exchange — fine for a verify-scale result, wrong at 100 TB); the
+  *   production plan is the classic two-pass distributed prefix sum:
+  *   range-partition by doc_id, per-partition running sums in parallel,
+  *   then a #partitions-row offsets table (tiny) cumulated and broadcast
+  *   back. Only partition COUNTS ever pass through a single task.
+  */
+object TrainPrep {
+
+  private def toks: Column = gfunctions.ws_tokens(col("text"))
+
+  /** The eval/benchmark holdout: a deterministic 5% doc_id slice, the
+    * stand-in for an external benchmark table (swap `benchDocs` for a
+    * real eval-set load in production; the plan shape is unchanged).
+    */
+  private val BenchMod = 20
+  private def isBench: Column = col("doc_id") % BenchMod === 0
+
+  /** 60-bit md5 hash of a string column — equals DuckDB's
+    * CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT).
+    */
+  private def md5h(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  // ------------------------------------------------------------ q38
+
+  /** Per-document contamination decision table: distinct 3-shingle
+    * hashes of each corpus doc joined against the distinct shingle-hash
+    * set of the benchmark slice. A single overlapping n-gram marks the
+    * doc contaminated (the GPT-3 appendix-C rule, on 3-shingles because
+    * the synthetic docs are ~10-100 tokens).
+    */
+  private def contamination(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    // Sorted distinct md5-h1 shingle hashes per doc — the native kernel
+    // computes exactly conv(substr(md5(shingle),1,15),16,10), so the
+    // oracle reproduces every joined value in ANSI SQL.
+    val corpus = docs.filter(!isBench)
+      .select(col("doc_id"), gfunctions.shingle_md5_hashes(toks).as("hs"))
+    val benchSet = docs.filter(isBench)
+      .select(explode(gfunctions.shingle_md5_hashes(toks)).as("hash"))
+      .distinct()
+    val hits = corpus
+      .select(col("doc_id"), explode(col("hs")).as("hash"))
+      .join(broadcast(benchSet), "hash")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hit"))
+    corpus
+      .join(hits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        size(col("hs")).cast("long").as("n_shingles"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        when(coalesce(col("n_hit"), lit(0L)) > 0, lit(1L)).otherwise(lit(0L))
+          .as("contaminated"),
+      )
+  }
+
+  val q38 = GraftQuery(
+    "q38_contamination",
+    (s, d) => contamination(s, d).orderBy("doc_id"),
+    Some(s"""WITH t AS (
+        SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+        FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id,
+          CAST(('0x' || substr(md5(toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]), 1, 15)) AS BIGINT) AS hash
+        FROM t CROSS JOIN UNNEST(range(0, greatest(len(toks) - 2, 0))) AS u(i)),
+      bench AS (
+        SELECT DISTINCT hash FROM sh WHERE doc_id % $BenchMod = 0),
+      corpus AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
+        FROM sh WHERE doc_id % $BenchMod <> 0 GROUP BY doc_id),
+      hits AS (
+        SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+        FROM sh JOIN bench USING (hash)
+        WHERE sh.doc_id % $BenchMod <> 0 GROUP BY sh.doc_id)
+      SELECT d.doc_id,
+        COALESCE(c.n_shingles, 0) AS n_shingles,
+        COALESCE(h.n_hit, 0) AS n_hit,
+        CAST(CASE WHEN COALESCE(h.n_hit, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+      FROM documents d
+      LEFT JOIN corpus c ON d.doc_id = c.doc_id
+      LEFT JOIN hits h ON d.doc_id = h.doc_id
+      WHERE d.doc_id % $BenchMod <> 0
+      ORDER BY d.doc_id"""),
+    prod = Some((s, d) => contamination(s, d)),
+  )
+
+  // ------------------------------------------------------------ q39
+
+  /** Per-language keep thresholds on the 60-bit hash axis — exact
+    * binary fractions so both engines compare the same integer
+    * literals, no float rates anywhere. 1L<<60 keeps everything.
+    */
+  private val SampleThresholds: Seq[(String, Long)] = Seq(
+    "en" -> (1L << 59), // 1/2 — downweight the majority language
+    "de" -> (1L << 60), // keep all
+    "es" -> (1L << 58), // 1/4
+    "fr" -> (1L << 57), // 1/8
+    "zh" -> (3L << 58), // 3/4
+  )
+  private val DefaultThreshold = 1L << 60
+
+  /** Deterministic stratified mixture sampling: keep a doc iff the
+    * 60-bit md5 of "smp:"+doc_id falls under its language's threshold.
+    * Content-independent (doc edits don't flip membership), seedable
+    * via the salt, and exactly reproducible in ANSI SQL — the property
+    * that makes a training mixture auditable.
+    */
+  private def sampleMixture(s: SparkSession, d: String): DataFrame = {
+    val u = md5h(concat(lit("smp:"), col("doc_id").cast("string")))
+    val threshold = SampleThresholds.foldRight(lit(DefaultThreshold)) {
+      case ((lang, t), acc) => when(col("lang") === lang, lit(t)).otherwise(acc)
+    }
+    Tables.documents(s, d)
+      .filter(u < threshold)
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
+  private def sampleCaseSql: String =
+    SampleThresholds
+      .map { case (l, t) => s"WHEN lang = '$l' THEN CAST($t AS BIGINT)" }
+      .mkString("CASE ", " ", s" ELSE CAST($DefaultThreshold AS BIGINT) END")
+
+  val q39 = GraftQuery(
+    "q39_sample_mixture",
+    (s, d) => sampleMixture(s, d).orderBy("doc_id"),
+    Some(s"""SELECT doc_id, lang, source
+      FROM documents
+      WHERE CAST(('0x' || substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+            < ($sampleCaseSql)
+      ORDER BY doc_id"""),
+    prod = Some((s, d) => sampleMixture(s, d)),
+  )
+
+  // ------------------------------------------------------------ q40
+
+  /** Tokens per training shard in the concat-and-chunk layout. */
+  private val ShardTokens = 2048L
+
+  /** Shard geometry from a global start offset: which fixed-size token
+    * block a doc starts in, and how many blocks it spans (0 for empty
+    * docs — they occupy no tokens). Floor division on non-negative
+    * BIGINTs, identical in both engines (`div` / `//`).
+    */
+  private def withShards(perDocWithStart: DataFrame): DataFrame =
+    perDocWithStart.select(
+      col("doc_id"),
+      col("n_tokens"),
+      col("start_offset"),
+      expr(s"start_offset div ${ShardTokens}L").as("shard_id"),
+      when(col("n_tokens") === 0, lit(0L))
+        .otherwise(
+          expr(s"(start_offset + n_tokens - 1) div ${ShardTokens}L")
+            - expr(s"start_offset div ${ShardTokens}L") + 1L)
+        .as("n_shards"),
+    )
+
+  private def packTokensBase(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), size(toks).cast("long").as("n_tokens"))
+
+  /** Oracle-mode packing: one global running sum. Correct, and exactly
+    * what the ANSI oracle states — but the unbounded ORDER BY window is
+    * a single range exchange, so this form is for verify-scale runs
+    * only; `packTokensProd` is the plan that holds at 100 TB.
+    */
+  private def packTokens(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    withShards(
+      packTokensBase(s, d)
+        .withColumn("start_offset", coalesce(sum("n_tokens").over(w), lit(0L))))
+  }
+
+  /** Production packing: two-pass distributed prefix sum. Pass 1 range-
+    * partitions by doc_id and running-sums WITHIN each partition (all
+    * partitions in parallel); pass 2 cumulates the per-partition totals
+    * — #shuffle-partitions rows, bytes not data — and broadcasts them
+    * back as each partition's base offset. The global sort order is
+    * never materialized through one task; results are identical to the
+    * single-window form for ANY range partitioning because offsets only
+    * depend on the doc_id order, not on where the cuts land
+    * (ProdParitySpec pins this).
+    */
+  private def packTokensProd(s: SparkSession, d: String): DataFrame = {
+    val perDoc = packTokensBase(s, d)
+      .repartitionByRange(col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    val wLocal = Window.partitionBy("pid").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = perDoc
+      .withColumn("local_start", coalesce(sum("n_tokens").over(wLocal), lit(0L)))
+    val wParts = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = perDoc
+      .groupBy("pid").agg(sum("n_tokens").as("part_tokens"))
+      .withColumn("part_offset", coalesce(sum("part_tokens").over(wParts), lit(0L)))
+      .select("pid", "part_offset")
+    withShards(
+      local
+        .join(broadcast(offsets), "pid")
+        .withColumn("start_offset", col("local_start") + col("part_offset")))
+  }
+
+  val q40 = GraftQuery(
+    "q40_pack_chunks",
+    (s, d) => packTokens(s, d).orderBy("doc_id"),
+    Some(s"""WITH t AS (
+        SELECT doc_id,
+          CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+        FROM documents),
+      o AS (
+        SELECT doc_id, n_tokens,
+          CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+        FROM t)
+      SELECT doc_id, n_tokens, start_offset,
+        CAST(start_offset // $ShardTokens AS BIGINT) AS shard_id,
+        CAST(CASE WHEN n_tokens = 0 THEN 0
+                  ELSE (start_offset + n_tokens - 1) // $ShardTokens - start_offset // $ShardTokens + 1
+             END AS BIGINT) AS n_shards
+      FROM o ORDER BY doc_id"""),
+    prod = Some((s, d) => packTokensProd(s, d)),
+  )
+
+  def all: Seq[GraftQuery] = Seq(q38, q39, q40)
+}

@@ -76,6 +76,30 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(exchanges <= 3, s"frontier shuffles too much ($exchanges):\n$p")
   }
 
+  test("q38 broadcasts the benchmark shingle set (corpus side never shuffles for the probe)") {
+    val p = operators.TrainPrep.q38.runProd(spark, sf).queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"bench set must broadcast:\n$p")
+  }
+
+  test("q39 prod sampling plan is exchange-free (stateless codegen'd filter)") {
+    val p = operators.TrainPrep.q39.runProd(spark, sf).queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(p.replace("ExchangeQueryStage", "")).size
+    assert(exchanges == 0, s"sampling must not shuffle:\n$p")
+    // executedPlan.toString renders WholeStageCodegen membership as the
+    // `*(stage)` operator prefix
+    assert(p.contains("*(1) Filter"), s"filter must stay in codegen:\n$p")
+  }
+
+  test("q40 prod plan never single-partitions doc rows (only the offsets table)") {
+    // the range repartition and the pid-window hash exchange carry doc
+    // rows in parallel; the only SinglePartition stages are the
+    // #partitions-row offsets aggregate and its cumsum window
+    val p = operators.TrainPrep.q40.runProd(spark, sf).queryExecution.executedPlan.toString
+    val singles = "Exchange SinglePartition".r.findAllIn(p).size
+    assert(singles <= 1, s"doc rows must not funnel through one task:\n$p")
+    assert(p.contains("rangepartitioning(doc_id"), s"expected range partitioning:\n$p")
+  }
+
   test("prod variants drop the oracle-mode global sort") {
     Seq(operators.RelationalCore.q02, operators.RelationalCore.q08, operators.RelationalCore.q18)
       .foreach { q =>

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Planted-corpus semantics for the training-prep operators: benchmark
+  * decontamination, deterministic mixture sampling, sequence packing.
+  */
+class TrainPrepSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSession.spark
+
+  private def planted(name: String, rows: Seq[(Long, String, String, String, Long)]): String =
+    PlantedDocs.write(spark, s"/tmp/graft-test/$name", rows)
+
+  test("q38 flags corpus docs sharing a 3-gram with the benchmark slice") {
+    // doc_id % 20 == 0 -> benchmark member (docs 0 and 20).
+    val dir = planted("contam", Seq(
+      (0L, "alpha beta gamma delta", "en", "s", 22L), // bench: shingles {alpha beta gamma, beta gamma delta}
+      (20L, "held out eval question here", "en", "s", 27L), // bench
+      (1L, "zzz alpha beta gamma yyy", "en", "s", 24L), // contains a bench shingle
+      (2L, "totally unrelated clean text body", "en", "s", 33L), // clean
+      (3L, "held out eval question here", "en", "s", 27L), // verbatim bench copy
+      (4L, "xy", "en", "s", 2L), // <3 tokens: no shingles, clean
+    ))
+    val got = operators.TrainPrep.q38.run(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(!got.contains(0L) && !got.contains(20L), "benchmark docs are not graded")
+    assert(got(1L) == ((3L, 1L, 1L)), "one overlapping shingle -> contaminated")
+    assert(got(2L)._2 == 0L && got(2L)._3 == 0L, "disjoint doc stays clean")
+    assert(got(3L) == ((3L, 3L, 1L)), "verbatim eval copy: every shingle hits")
+    assert(got(4L) == ((0L, 0L, 0L)), "short doc has no shingles and stays clean")
+  }
+
+  test("q39 sampling is deterministic, content-independent, and rate-accurate") {
+    val en = (100L until 2100L).map(i => (i, s"text body number $i", "en", "s", 20L))
+    val de = (3000L until 3100L).map(i => (i, s"deutscher text $i", "de", "s", 18L))
+    val fr = (4000L until 5000L).map(i => (i, s"texte francais $i", "fr", "s", 18L))
+    val dir = planted("sample", en ++ de ++ fr)
+
+    val kept = operators.TrainPrep.q39.run(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val again = operators.TrainPrep.q39.run(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(kept == again, "same corpus -> identical sample")
+
+    val byLang = kept.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(byLang("de") == 100, "de threshold is 2^60: every doc kept")
+    val enRate = byLang("en").toDouble / 2000
+    assert(enRate > 0.44 && enRate < 0.56, s"en rate ~1/2, got $enRate")
+    val frRate = byLang("fr").toDouble / 1000
+    assert(frRate > 0.08 && frRate < 0.17, s"fr rate ~1/8, got $frRate")
+
+    // Membership keys on doc_id, not text: rewriting every document
+    // must not change which ids survive (the audit/repro contract).
+    val dir2 = planted("sample2",
+      (en ++ de ++ fr).map { case (id, _, l, s, n) => (id, s"REVISED $id", l, s, n) })
+    val kept2 = operators.TrainPrep.q39.run(spark, dir2)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.map(_._1).toSet == kept2, "sample membership survives text edits")
+  }
+
+  test("q40 packs docs into 2048-token shards by global offset") {
+    def words(n: Int): String = Seq.fill(n)("w").mkString(" ")
+    val dir = planted("pack", Seq(
+      (1L, words(1000), "en", "s", 1L),
+      (2L, words(1500), "en", "s", 1L),
+      (3L, words(2000), "en", "s", 1L),
+      (4L, "", "en", "s", 0L), // zero tokens: spans no shard
+      (5L, words(10), "en", "s", 1L),
+    ))
+    val got = operators.TrainPrep.q40.run(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got(1L) == ((0L, 0L, 1L)))
+    assert(got(2L) == ((1000L, 0L, 2L)), "1000..2500 straddles the 2048 cut")
+    assert(got(3L) == ((2500L, 1L, 2L)), "2500..4500 straddles 4096")
+    assert(got(4L) == ((4500L, 2L, 0L)), "empty doc occupies no shard")
+    assert(got(5L) == ((4500L, 2L, 1L)))
+  }
+
+  test("q40 production prefix sum equals the single-window plan at scale") {
+    val rows = (0L until 10000L).map { i =>
+      val n = (i % 37 + 1).toInt
+      (i, Seq.fill(n)("t").mkString(" "), "en", "s", n.toLong)
+    }
+    val dir = planted("packbig", rows)
+    val oracle = operators.TrainPrep.q40.run(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    val prod = operators.TrainPrep.q40.runProd(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(oracle == prod, "two-pass distributed offsets must be exact")
+  }
+}

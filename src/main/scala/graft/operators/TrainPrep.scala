@@ -58,24 +58,26 @@ object TrainPrep {
     // Sorted distinct md5-h1 shingle hashes per doc — the native kernel
     // computes exactly conv(substr(md5(shingle),1,15),16,10), so the
     // oracle reproduces every joined value in ANSI SQL.
-    val corpus = docs.filter(!isBench)
-      .select(col("doc_id"), gfunctions.shingle_md5_hashes(toks).as("hs"))
     val benchSet = docs.filter(isBench)
       .select(explode(gfunctions.shingle_md5_hashes(toks)).as("hash"))
       .distinct()
-    val hits = corpus
-      .select(col("doc_id"), explode(col("hs")).as("hash"))
-      .join(broadcast(benchSet), "hash")
+      .withColumn("hit", lit(1))
+    // ONE corpus pass: explode_outer keeps zero-shingle docs (NULL hash),
+    // the left broadcast join marks benchmark matches, and a single
+    // count-the-non-nulls aggregate recovers both totals — the exchange
+    // sees map-side-combined per-doc rows, never the exploded stream.
+    docs.filter(!isBench)
+      .select(col("doc_id"),
+        explode_outer(gfunctions.shingle_md5_hashes(toks)).as("hash"))
+      .join(broadcast(benchSet), Seq("hash"), "left")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_hit"))
-    corpus
-      .join(hits, Seq("doc_id"), "left")
+      .agg(
+        count(col("hash")).as("n_shingles"),
+        count(col("hit")).as("n_hit"),
+      )
       .select(
-        col("doc_id"),
-        size(col("hs")).cast("long").as("n_shingles"),
-        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-        when(coalesce(col("n_hit"), lit(0L)) > 0, lit(1L)).otherwise(lit(0L))
-          .as("contaminated"),
+        col("doc_id"), col("n_shingles"), col("n_hit"),
+        when(col("n_hit") > 0, lit(1L)).otherwise(lit(0L)).as("contaminated"),
       )
   }
 

@@ -76,9 +76,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(exchanges <= 3, s"frontier shuffles too much ($exchanges):\n$p")
   }
 
-  test("q38 broadcasts the benchmark shingle set (corpus side never shuffles for the probe)") {
+  test("q38 broadcasts the benchmark shingle set; one corpus scan, one exchange") {
     val p = operators.TrainPrep.q38.runProd(spark, sf).queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), s"bench set must broadcast:\n$p")
+    val corpusScans = "FileScan parquet".r.findAllIn(p).size
+    assert(corpusScans == 2, s"one corpus scan + one bench scan expected:\n$p")
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(p.replace("ExchangeQueryStage", "")).size
+    assert(exchanges <= 1, s"corpus side must shuffle once at most:\n$p")
   }
 
   test("q39 prod sampling plan is exchange-free (stateless codegen'd filter)") {

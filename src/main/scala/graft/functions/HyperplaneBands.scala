@@ -83,7 +83,14 @@ object HyperplaneBands {
     */
   def bandVals(
       vec: ArrayData, signs: Array[Float], planes: Int, bands: Int, dims: Int): ArrayData = {
-    val n = math.min(vec.numElements(), dims)
+    val n = vec.numElements()
+    // A wrong `dims` cannot be caught at type-check time (array length is
+    // data-dependent), and silently banding a prefix/padded view produces
+    // plausible-but-wrong buckets — fail loudly per row instead.
+    if (n != dims) {
+      throw new IllegalArgumentException(
+        s"hyperplane_bands: vector has $n elements but dims=$dims was configured")
+    }
     val dots = new Array[Double](planes)
     var j = 0
     while (j < n) {

@@ -61,36 +61,15 @@ object Md5Kernels {
     * (h1, h2) per shingle. Returns the shingle count.
     */
   private def eachShingle(toks: ArrayData)(f: (Long, Long) => Unit): Int = {
-    val n = toks.numElements()
-    if (n < 3) return 0
+    val w = new ShingleWalk(toks)
+    if (w.count == 0) return 0
     val md = newDigest()
     val out16 = new Array[Byte](16)
-    var buf = new Array[Byte](128)
-    var i = 0
-    while (i <= n - 3) {
-      var len = 0
-      var t = 0
-      while (t < 3) {
-        val s = toks.getUTF8String(i + t)
-        val sb = if (s == null) 0 else s.numBytes()
-        if (buf.length < len + sb + 1) {
-          buf = java.util.Arrays.copyOf(buf, math.max(buf.length * 2, len + sb + 1))
-        }
-        if (s != null) {
-          s.writeToMemory(buf, Platform.BYTE_ARRAY_OFFSET + len)
-          len += sb
-        }
-        if (t < 2) {
-          buf(len) = ' '
-          len += 1
-        }
-        t += 1
-      }
-      val (a, b) = h1h2(md, buf, len, out16)
+    while (w.next()) {
+      val (a, b) = h1h2(md, w.buf, w.len, out16)
       f(a, b)
-      i += 1
     }
-    n - 2
+    w.count
   }
 
   /** Minhash signature: elementwise min of h1 + j*h2 over all shingles;

@@ -91,38 +91,17 @@ object MinhashSig {
     * byte buffer. Returns null when the doc has no shingles.
     */
   def sig(toks: ArrayData, k: Int): ArrayData = {
-    val n = toks.numElements()
-    if (n < 3) return null
+    val w = new ShingleWalk(toks)
+    if (w.count == 0) return null
     val mins = new Array[Long](k)
     java.util.Arrays.fill(mins, Long.MaxValue)
-    var buf = new Array[Byte](128)
-    var i = 0
-    while (i <= n - 3) {
-      var len = 0
-      var t = 0
-      while (t < 3) {
-        val s = toks.getUTF8String(i + t)
-        val sb = if (s == null) 0 else s.numBytes()
-        if (buf.length < len + sb + 1) {
-          buf = java.util.Arrays.copyOf(buf, math.max(buf.length * 2, len + sb + 1))
-        }
-        if (s != null) {
-          s.writeToMemory(buf, Platform.BYTE_ARRAY_OFFSET + len)
-          len += sb
-        }
-        if (t < 2) {
-          buf(len) = ' '
-          len += 1
-        }
-        t += 1
-      }
+    while (w.next()) {
       var j = 0
       while (j < k) {
-        val h = XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, len, j.toLong)
+        val h = XXH64.hashUnsafeBytes(w.buf, Platform.BYTE_ARRAY_OFFSET, w.len, j.toLong)
         if (h < mins(j)) mins(j) = h
         j += 1
       }
-      i += 1
     }
     UnsafeArrayData.fromPrimitiveArray(mins)
   }

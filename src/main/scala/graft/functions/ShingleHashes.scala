@@ -52,31 +52,12 @@ object ShingleHashes {
     * distinct XXH64 values of all word 3-shingles.
     */
   def hashes(toks: ArrayData): ArrayData = {
-    val n = toks.numElements()
-    if (n < 3) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
-    val hs = new Array[Long](n - 2)
-    var buf = new Array[Byte](128)
+    val walk = new ShingleWalk(toks)
+    if (walk.count == 0) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val hs = new Array[Long](walk.count)
     var i = 0
-    while (i <= n - 3) {
-      var len = 0
-      var t = 0
-      while (t < 3) {
-        val s = toks.getUTF8String(i + t)
-        val sb = if (s == null) 0 else s.numBytes()
-        if (buf.length < len + sb + 1) {
-          buf = java.util.Arrays.copyOf(buf, math.max(buf.length * 2, len + sb + 1))
-        }
-        if (s != null) {
-          s.writeToMemory(buf, Platform.BYTE_ARRAY_OFFSET + len)
-          len += sb
-        }
-        if (t < 2) {
-          buf(len) = ' '
-          len += 1
-        }
-        t += 1
-      }
-      hs(i) = XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, len, 42L)
+    while (walk.next()) {
+      hs(i) = XXH64.hashUnsafeBytes(walk.buf, Platform.BYTE_ARRAY_OFFSET, walk.len, 42L)
       i += 1
     }
     java.util.Arrays.sort(hs)

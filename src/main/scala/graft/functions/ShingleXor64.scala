@@ -65,32 +65,11 @@ object ShingleXor64 {
 
   /** Kernel shared by interpreted eval and generated code. */
   def fold(toks: ArrayData): java.lang.Long = {
-    val n = toks.numElements()
-    if (n < 3) return null
+    val w = new ShingleWalk(toks)
+    if (w.count == 0) return null
     var acc = 0L
-    var buf = new Array[Byte](128)
-    var i = 0
-    while (i <= n - 3) {
-      var len = 0
-      var t = 0
-      while (t < 3) {
-        val s = toks.getUTF8String(i + t)
-        val sb = if (s == null) 0 else s.numBytes()
-        if (buf.length < len + sb + 1) {
-          buf = java.util.Arrays.copyOf(buf, math.max(buf.length * 2, len + sb + 1))
-        }
-        if (s != null) {
-          s.writeToMemory(buf, Platform.BYTE_ARRAY_OFFSET + len)
-          len += sb
-        }
-        if (t < 2) {
-          buf(len) = ' '
-          len += 1
-        }
-        t += 1
-      }
-      acc ^= XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, len, 42L)
-      i += 1
+    while (w.next()) {
+      acc ^= XXH64.hashUnsafeBytes(w.buf, Platform.BYTE_ARRAY_OFFSET, w.len, 42L)
     }
     java.lang.Long.valueOf(acc)
   }

@@ -150,8 +150,11 @@ object Curate {
       .join(fam, Seq("doc_id"), "left")
       .select(
         col("doc_id"),
+        // Null-safe: a NULL lang fails the gate (it is excluded from the
+        // gated population by `===`, so it must read wrong_lang here too,
+        // never fall through to "kept" — and the streaming twin agrees).
         when(col("n_toks") < minTokens, "too_short")
-          .when(col("lang") =!= lang, "wrong_lang")
+          .when(!col("lang").eqNullSafe(lang), "wrong_lang")
           .when(col("exact_keeper") =!= col("doc_id"), "exact_dup")
           .when(coalesce(col("near_dup"), lit(false)), "near_dup")
           .when(col("cluster_id") =!= col("doc_id") && col("cluster_size") > 1,
@@ -305,7 +308,7 @@ object Curate {
         FROM ex e JOIN fam f ON f.doc_id = e.exact_keeper)
       SELECT s.doc_id,
         CASE WHEN s.n_toks < 5 THEN 'too_short'
-             WHEN s.lang <> 'en' THEN 'wrong_lang'
+             WHEN s.lang IS DISTINCT FROM 'en' THEN 'wrong_lang'
              WHEN ex.exact_keeper <> s.doc_id THEN 'exact_dup'
              WHEN near_all.doc_id IS NOT NULL THEN 'near_dup'
              WHEN fam_all.cluster_id <> s.doc_id AND fam_all.cluster_size > 1 THEN 'dup_family_alternate'

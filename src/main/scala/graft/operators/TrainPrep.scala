@@ -209,9 +209,19 @@ object TrainPrep {
     * (ProdParitySpec pins this).
     */
   private def packTokensProd(s: SparkSession, d: String): DataFrame = {
+    // Materialized BEFORE branching: `local` and `offsets` both key on
+    // pid, and spark_partition_id over an unmaterialized range exchange
+    // is only consistent across the two branches if the planner happens
+    // to reuse the exchange (range bounds come from seeded sampling tied
+    // to the physical execution). With exchange reuse off or AQE plan
+    // drift the branches could see DIFFERENT pid assignments and join
+    // wrong offsets — so the slim (doc_id, n_tokens, pid) frame is
+    // pinned once, same stage-table discipline as minhashMd5CandidatesT
+    // (on a cluster: a persisted stage table).
     val perDoc = packTokensBase(s, d)
       .repartitionByRange(col("doc_id"))
       .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
     val wLocal = Window.partitionBy("pid").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = perDoc

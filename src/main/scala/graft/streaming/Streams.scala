@@ -108,14 +108,18 @@ object Streams {
       col("doc_id"), col("lang"), col("ts"),
       md5(col("text")).as("text_md5"),
       size(graft.gfunctions.ws_tokens(col("text"))).as("n_toks"))
+    // Null-safe split: a NULL lang matches neither `=!=` nor `===`, which
+    // would silently drop the row from BOTH branches — every arriving doc
+    // must land in exactly one (batch Curate.verdicts uses the same
+    // null-safe rule, so the twins agree: NULL lang => wrong_lang).
     val failed = staged
-      .filter(col("n_toks") < minTokens || col("lang") =!= lang)
+      .filter(col("n_toks") < minTokens || !col("lang").eqNullSafe(lang))
       .select(
         col("doc_id"),
         when(col("n_toks") < minTokens, lit("too_short"))
           .otherwise(lit("wrong_lang")).as("verdict"))
     val deduped = staged
-      .filter(col("n_toks") >= minTokens && col("lang") === lang)
+      .filter(col("n_toks") >= minTokens && col("lang").eqNullSafe(lang))
       .withWatermark("ts", "1 hour")
       .select(col("doc_id"), col("text_md5"), col("ts")).as[CurGated]
       .groupByKey(_.text_md5)
@@ -124,16 +128,29 @@ object Streams {
         (_: String, it: Iterator[CurGated], state: GroupState[Boolean]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            // copies of ONE text within one micro-batch — tiny by
-            // construction (dup groups), ordered for determinism
-            val batch = it.toSeq.sortBy(d => (d.ts.getTime, d.doc_id))
-            val seenBefore = state.getOption.getOrElse(false)
-            val out = batch.zipWithIndex.map { case (d, idx) =>
-              CurVerdict(d.doc_id, if (seenBefore || idx > 0) "exact_dup" else "kept")
+            // One pass, buffering only doc_ids: a same-text flood within a
+            // micro-batch (scraped-boilerplate burst) must not materialize
+            // whole rows. The keeper is the min-(ts, doc_id) arrival; every
+            // other copy is exact_dup regardless of order, so tracking the
+            // min while streaming the iterator is enough for determinism.
+            val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+            var minTs = Long.MaxValue
+            var minId = Long.MaxValue
+            var maxTs = Long.MinValue
+            it.foreach { d =>
+              ids += d.doc_id
+              val t = d.ts.getTime
+              if (t < minTs || (t == minTs && d.doc_id < minId)) {
+                minTs = t; minId = d.doc_id
+              }
+              if (t > maxTs) maxTs = t
             }
+            val seenBefore = state.getOption.getOrElse(false)
             state.update(true)
-            state.setTimeoutTimestamp(batch.map(_.ts.getTime).max, "1 hour")
-            out.iterator
+            state.setTimeoutTimestamp(maxTs, "1 hour")
+            val keeper = minId
+            ids.iterator.map(id =>
+              CurVerdict(id, if (seenBefore || id != keeper) "exact_dup" else "kept"))
           }
       }
     failed.as[CurVerdict].union(deduped).toDF()
@@ -158,9 +175,14 @@ object Streams {
       corpus: DataFrame,
       k: Int = 16,
       bands: Int = 4,
-      tau: Double = 0.5): DataFrame = {
-    import graft.operators.Dedup
-    val ref = Dedup.bandedSignatures(Dedup.tokenized(corpus), k, bands)
+      tau: Double = 0.5,
+      bucketCap: Int = 10000): DataFrame = {
+    import graft.operators.{Dedup, Lsh}
+    // Capped like every batch LSH path: a degenerate mega-bucket in the
+    // reference corpus (boilerplate family) would otherwise fan each
+    // arriving doc out across the whole bucket in the stream-static join.
+    val ref = Lsh.capBuckets(
+      Dedup.bandedSignatures(Dedup.tokenized(corpus), k, bands), Seq("band_key"), bucketCap)
       .select(col("doc_id").as("ref_id"), col("sig").as("ref_sig"), col("band_key"))
     val r = k / bands
     val sigged = docs

@@ -226,6 +226,21 @@ class DedupSpec extends AnyFunSuite {
     assert(kept == Seq(1L, 6L))
   }
 
+  test("NULL lang reads wrong_lang, never kept (null-safe gate)") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, text(11), "en"),
+      (2L, text(22), null.asInstanceOf[String]), // NULL lang must fail the gate
+    ).map { case (id, t, l) => (id, t, l, "s", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    for (portable <- Seq(false, true)) {
+      val got = operators.Curate.curate(rows, portableHash = portable).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == Map(1L -> "kept", 2L -> "wrong_lang"),
+        s"portableHash=$portable got $got")
+    }
+  }
+
   test("curation dedups within the gated set: a dropped partner cannot erase all copies") {
     import spark.implicits._
     val t2 = text(55)

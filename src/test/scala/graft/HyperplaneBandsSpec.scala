@@ -35,6 +35,18 @@ class HyperplaneBandsSpec extends AnyFunSuite {
     assert(neu == old, "band values must match the composed formulation bit-for-bit")
   }
 
+  test("hyperplane_bands fails loudly on a dims mismatch instead of banding a prefix") {
+    import spark.implicits._
+    val df = Seq((1L, Array.fill(8)(0.5f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      operators.Lsh.banded(df, "embedding", 32, 4, 64).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(e).exists(c => Option(c.getMessage).exists(_.contains("dims=64"))),
+      s"expected a dims-mismatch error, got $e")
+  }
+
   test("hyperplane_bands runs inside WholeStageCodegen; zero vector lands in band 0s") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")

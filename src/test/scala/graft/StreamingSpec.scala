@@ -168,12 +168,13 @@ class StreamingSpec extends AnyFunSuite {
         (1L, body, "en", ts(0)),
         (2L, body, "en", ts(1)),
         (3L, "ab cd", "en", ts(1)),
-        (4L, other, "de", ts(2)))
+        (4L, other, "de", ts(2)),
+        (7L, other, null, ts(2))) // NULL lang must emit a verdict, not vanish
       q.processAllAvailable()
       val v1 = spark.table("graft_curate_stream").collect()
         .map(r => r.getLong(0) -> r.getString(1)).toMap
       assert(v1 == Map(1L -> "kept", 2L -> "exact_dup",
-        3L -> "too_short", 4L -> "wrong_lang"), s"got $v1")
+        3L -> "too_short", 4L -> "wrong_lang", 7L -> "wrong_lang"), s"got $v1")
       // batch 2: a copy arriving later still dedups against batch-1 state;
       // a fresh text is kept
       ms.addData((5L, body, "en", ts(5)), (6L, other, "en", ts(6)))

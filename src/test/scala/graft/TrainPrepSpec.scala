@@ -93,4 +93,25 @@ class TrainPrepSpec extends AnyFunSuite {
       .collect().map(_.toString).sorted.toSeq
     assert(oracle == prod, "two-pass distributed offsets must be exact")
   }
+
+  test("q40 prod parity holds with exchange reuse disabled") {
+    // The pid join in packTokensProd must NOT depend on the planner
+    // deduplicating the range exchange across the local/offsets branches:
+    // perDoc is materialized once, so even when every branch would
+    // otherwise re-execute its own exchange, both see one pid assignment.
+    val rows = (0L until 3000L).map { i =>
+      val n = (i % 23 + 1).toInt
+      (i, Seq.fill(n)("t").mkString(" "), "en", "s", n.toLong)
+    }
+    val dir = planted("packnoreuse", rows)
+    val prev = spark.conf.get("spark.sql.exchange.reuse", "true")
+    try {
+      spark.conf.set("spark.sql.exchange.reuse", "false")
+      val oracle = operators.TrainPrep.q40.run(spark, dir)
+        .collect().map(_.toString).sorted.toSeq
+      val prod = operators.TrainPrep.q40.runProd(spark, dir)
+        .collect().map(_.toString).sorted.toSeq
+      assert(oracle == prod, "offsets must be exact without exchange reuse")
+    } finally spark.conf.set("spark.sql.exchange.reuse", prev)
+  }
 }

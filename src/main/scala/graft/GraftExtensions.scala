@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.{Column, SparkSessionExtensions}
 import org.apache.spark.sql.functions.call_function
 
-import graft.functions.{CosineSim, HyperplaneBands, JaccardSim, MinhashMd5Sig, MinhashSig, ShingleHashes, ShingleMd5Hashes, ShingleXor64, SimHash64, SimHashMd5, TopKByScore, WsTokens}
+import graft.functions.{CosineSim, HyperplaneBands, JaccardSim, KgramMd5Hashes, MinhashMd5Sig, MinhashSig, ShingleHashes, ShingleMd5Hashes, ShingleXor64, SimHash64, SimHashMd5, TopKByScore, WsTokens}
 
 /** Engine extension point, installed via spark.sql.extensions (GraftSession
   * sets it). Registers native expressions as SQL functions so both
@@ -85,6 +85,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     )
     ext.injectFunction(
       (
+        new FunctionIdentifier("kgram_md5_hashes"),
+        new ExpressionInfo(classOf[KgramMd5Hashes].getName, "kgram_md5_hashes"),
+        (children: Seq[Expression]) => KgramMd5Hashes(children(0), children(1)),
+      )
+    )
+    ext.injectFunction(
+      (
         new FunctionIdentifier("simhash_md5"),
         new ExpressionInfo(classOf[SimHashMd5].getName, "simhash_md5"),
         (children: Seq[Expression]) => SimHashMd5(children(0)),
@@ -157,6 +164,13 @@ object gfunctions {
     * as conv(substr(md5(shingle),1,15),16,10)).
     */
   def shingle_md5_hashes(toks: Column): Column = call_function("shingle_md5_hashes", toks)
+
+  /** Sorted distinct md5-h1 hashes of all k-token windows (native
+    * kernel) — the passage-dedup window set; empty for docs with < k
+    * tokens.
+    */
+  def kgram_md5_hashes(toks: Column, k: Int): Column =
+    call_function("kgram_md5_hashes", toks, org.apache.spark.sql.functions.lit(k))
 
   /** 60-bit md5 simhash (native per-row kernel, value-identical to the
     * explode + bit-majority aggregate); NULL for zero-token docs.

@@ -107,6 +107,34 @@ object Md5Kernels {
       if (w == hs.length) hs else java.util.Arrays.copyOf(hs, w))
   }
 
+  /** Sorted distinct h1 values of all k-token windows — the passage-
+    * dedup window set ([[KgramMd5Hashes]]); empty for docs with < k
+    * tokens. Same nibble contract as [[shingleHashes]] at any width.
+    */
+  def kgramHashes(toks: ArrayData, k: Int): ArrayData = {
+    val n = toks.numElements()
+    if (n < k) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val hs = new Array[Long](n - k + 1)
+    val walk = new ShingleWalk(toks, k)
+    val md = newDigest()
+    val out16 = new Array[Byte](16)
+    var w0 = 0
+    while (walk.next()) {
+      val (h1, _) = h1h2(md, walk.buf, walk.len, out16)
+      hs(w0) = h1
+      w0 += 1
+    }
+    java.util.Arrays.sort(hs)
+    var w = 1
+    var r = 1
+    while (r < hs.length) {
+      if (hs(r) != hs(w - 1)) { hs(w) = hs(r); w += 1 }
+      r += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(
+      if (w == hs.length) hs else java.util.Arrays.copyOf(hs, w))
+  }
+
   /** 60-bit simhash from per-TOKEN h1 values (bit-majority); null for
     * zero-token docs.
     */
@@ -218,6 +246,57 @@ case class ShingleMd5Hashes(tokens: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): ShingleMd5Hashes =
     copy(tokens = newChild)
+}
+
+/** Sorted distinct md5-h1 hashes of all k-token windows (see
+  * [[Md5Kernels.kgramHashes]]) — the passage-dedup window set; k is a
+  * positive literal so codegen bakes it in.
+  */
+case class KgramMd5Hashes(tokens: Expression, k: Expression)
+    extends BinaryExpression {
+
+  override def left: Expression = tokens
+  override def right: Expression = k
+
+  override def checkInputDataTypes(): TypeCheckResult = tokens.dataType match {
+    case ArrayType(StringType, _) if k.foldable && k.dataType == IntegerType =>
+      val kv = k.eval()
+      if (kv != null && kv.asInstanceOf[Int] > 0) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a positive literal k")
+    case _ =>
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<string>, int literal), got " +
+          s"${tokens.dataType.simpleString} and ${k.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "kgram_md5_hashes"
+
+  @transient private lazy val kVal: Int = k.eval().asInstanceOf[Int]
+
+  override def eval(input: InternalRow): Any = {
+    val t = tokens.eval(input)
+    if (t == null) null
+    else Md5Kernels.kgramHashes(t.asInstanceOf[ArrayData], kVal)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val toksCode = tokens.genCode(ctx)
+    val ad = classOf[ArrayData].getName
+    ev.copy(code =
+      code"""
+         |${toksCode.code}
+         |boolean ${ev.isNull} = ${toksCode.isNull};
+         |$ad ${ev.value} = null;
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = graft.functions.Md5Kernels.kgramHashes(${toksCode.value}, $kVal);
+         |}
+       """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): KgramMd5Hashes =
+    copy(tokens = newLeft, k = newRight)
 }
 
 /** 60-bit md5 simhash (see [[Md5Kernels]]). */

@@ -411,6 +411,70 @@ object Dedup {
       docs: DataFrame, maxHamming: Int = 3, bucketCap: Int = 10000): DataFrame =
     simhashBandDecisions(simhashMd5(docs), bitsPerBand = 15, maxHamming, bucketCap)
 
+  // ------------------------------------------------- passage-level dedup
+
+  /** Passage-level duplication profile — the set-wise, distributable
+    * re-expression of exact-substring dedup (Lee et al. 2021 dedupe
+    * 50-token windows with a suffix array; suffix arrays don't shard, so
+    * the Spark-native shape is a window-hash inverted index). A doc's
+    * k-token windows that also occur in ANOTHER doc are duplicated
+    * passages; a doc whose duplicated-window share reaches num/den is
+    * flagged. Unlike the whole-doc minhash/simhash family this catches
+    * a long quoted block inside an otherwise-unique doc.
+    *
+    * Scale shape: the native kernel emits per-row sorted-DISTINCT 60-bit
+    * md5 window hashes (one digest walk per row), so the inverted index
+    * ships 8-byte longs — never window text — through one
+    * hash-partitioned exchange with map-side combine. Doc frequency per
+    * hash is therefore count(*) (each doc contributes a window hash at
+    * most once); the shared-hash table is slim (hash, 1) and joins back
+    * on the same 8-byte key, so AQE's skew split handles boilerplate
+    * mega-windows. The windows frame feeds both the index build and the
+    * join-back side — materialized once (stage-table discipline, see
+    * [[minhashMd5CandidatesT]]) so the digest pass runs once, not per
+    * branch.
+    *
+    * Reference anchor: the reference re-crawls catalog pages whole
+    * (scrap_tokopedia.py:299-317) and dedupes rows in its sink; passage
+    * dedup is the training-pipeline generalization to shared CONTENT
+    * across distinct documents.
+    *
+    * Defaults pinned by the oracle SQL: k=8 token windows, flag at
+    * >= 1/5 duplicated windows.
+    */
+  def passageProfile(
+      docs: DataFrame, k: Int = 8, num: Int = 1, den: Int = 5): DataFrame =
+    passageProfileT(tokenized(docs), k, num, den)
+
+  /** [[passageProfile]] over a pre-tokenized (doc_id, toks) frame. */
+  def passageProfileT(
+      toked: DataFrame, k: Int = 8, num: Int = 1, den: Int = 5): DataFrame = {
+    // explode_outer keeps <k-token docs (NULL hash) so the decision table
+    // still emits a row for them (n_windows = 0, never flagged).
+    val wins = toked.select(
+      col("doc_id"),
+      explode_outer(graft.gfunctions.kgram_md5_hashes(col("toks"), k)).as("hash"))
+      .localCheckpoint()
+    val shared = wins.filter(col("hash").isNotNull)
+      .groupBy("hash")
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > 1)
+      .select(col("hash"), lit(1).as("hit"))
+    wins
+      .join(shared, Seq("hash"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(col("hash")).as("n_windows"),
+        count(col("hit")).as("n_dup_windows"))
+      .select(
+        col("doc_id"), col("n_windows"), col("n_dup_windows"),
+        // Integer cross-multiplication, no float ratio — hash-exact in
+        // both engines.
+        when(col("n_windows") > 0 &&
+            col("n_dup_windows") * den >= col("n_windows") * num,
+          lit(1L)).otherwise(lit(0L)).as("passage_dup"))
+  }
+
   // ---------------------------------------------- embedding cosine dedup
 
   /** Embedding near-dup decision: hyperplane band buckets (bands of
@@ -642,6 +706,36 @@ object Dedup {
     prod = Some((s, d) => simhashMd5Decisions(Tables.documents(s, d))),
   )
 
+  val qPassage = GraftQuery(
+    "dedup_passage",
+    (s, d) => passageProfile(Tables.documents(s, d)).orderBy("doc_id"),
+    Some("""WITH t AS (
+        SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        FROM documents),
+      w AS (
+        SELECT DISTINCT doc_id,
+          CAST(('0x' || substr(md5(toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]
+            || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7] || ' ' || toks[i+8]), 1, 15)) AS BIGINT) AS hash
+        FROM t CROSS JOIN UNNEST(range(0, greatest(len(toks) - 7, 0))) AS u(i)),
+      shared AS (
+        SELECT hash FROM w GROUP BY hash HAVING COUNT(*) > 1),
+      prof AS (
+        SELECT w.doc_id,
+          CAST(COUNT(*) AS BIGINT) AS n_windows,
+          CAST(COUNT(s.hash) AS BIGINT) AS n_dup_windows
+        FROM w LEFT JOIN shared s ON w.hash = s.hash
+        GROUP BY w.doc_id)
+      SELECT d.doc_id,
+        COALESCE(p.n_windows, 0) AS n_windows,
+        COALESCE(p.n_dup_windows, 0) AS n_dup_windows,
+        CAST(CASE WHEN COALESCE(p.n_windows, 0) > 0
+                   AND COALESCE(p.n_dup_windows, 0) * 5 >= COALESCE(p.n_windows, 0) * 1
+             THEN 1 ELSE 0 END AS BIGINT) AS passage_dup
+      FROM documents d LEFT JOIN prof p ON d.doc_id = p.doc_id
+      ORDER BY d.doc_id"""),
+    prod = Some((s, d) => passageProfile(Tables.documents(s, d))),
+  )
+
   val qJaccard = GraftQuery(
     "dedup_ngram_jaccard",
     (s, d) => jaccardDecisions(Tables.documents(s, d)).orderBy("doc_id"),
@@ -679,5 +773,5 @@ object Dedup {
 
   def all: Seq[GraftQuery] =
     Seq(qExact, qMinhash, qMinhashMd5, qSimhash, qSimhashMd5, qJaccard,
-      qJaccardMd5, qEmbedding, qCosineVerify)
+      qJaccardMd5, qPassage, qEmbedding, qCosineVerify)
 }

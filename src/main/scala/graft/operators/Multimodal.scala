@@ -104,5 +104,44 @@ object Multimodal {
     None,
   )
 
-  def all: Seq[GraftQuery] = Seq(qBinaryMeta)
+  /** The metadata stage under the HARD oracle gate. The rows-only
+    * variant above exercises the full plumbing (decode stub included);
+    * this twin pins the no-decode metadata path cross-engine: n_bytes,
+    * sniffed magic (Spark `hex` emits the same uppercase hex DuckDB
+    * expects), and an md5 checksum of the OPAQUE blob — Spark md5 over
+    * the binary column equals DuckDB md5 over the reconstructed
+    * 'GFT1' || text byte stream (both hash raw UTF-8 bytes to lowercase
+    * hex). The decode STUB stays rows-only by design (its fake features
+    * are not ANSI-expressible); crc32 likewise has no DuckDB analog, so
+    * the portable checksum here is md5.
+    */
+  val qMetaMd5 = GraftQuery(
+    "mm_meta_md5",
+    (s, d) => {
+      val blobs = binarize(Tables.documents(s, d))
+      blobs.select(
+        col("doc_id"),
+        col("source"),
+        octet_length(col("blob")).cast("long").as("n_bytes"),
+        hex(substring(col("blob"), 1, 4)).as("magic"),
+        md5(col("blob")).as("blob_md5"),
+      ).orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, source,
+        CAST(4 + octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        '47465431' AS magic,
+        md5('GFT1' || text) AS blob_md5
+      FROM documents ORDER BY doc_id"""),
+    prod = Some((s, d) => {
+      val blobs = binarize(Tables.documents(s, d))
+      blobs.select(
+        col("doc_id"),
+        col("source"),
+        octet_length(col("blob")).cast("long").as("n_bytes"),
+        hex(substring(col("blob"), 1, 4)).as("magic"),
+        md5(col("blob")).as("blob_md5"))
+    }),
+  )
+
+  def all: Seq[GraftQuery] = Seq(qBinaryMeta, qMetaMd5)
 }

@@ -269,6 +269,28 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("passage dedup: a quoted block flags the mostly-quoted doc; whole-doc jaccard misses it") {
+    def uniq(p: String, n: Int) = (0 until n).map(i => s"$p$i")
+    val block = uniq("blk", 20)
+    val docs = docsDf(Seq(
+      (1L, (uniq("a", 20) ++ block).mkString(" ")), // 40 toks, block at tail
+      (2L, (block ++ uniq("b", 60)).mkString(" ")), // 80 toks, block at head
+      (3L, uniq("c", 40).mkString(" ")),            // clean
+      (4L, "tiny doc under k tokens"),              // < 8 tokens: no windows
+    ))
+    val got = Dedup.passageProfile(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // 8-token windows fully inside the 20-token block: 13 per doc, shared.
+    assert(got(1L) == ((33L, 13L, 1L)), "13/33 dup windows >= 1/5 -> flagged")
+    assert(got(2L) == ((73L, 13L, 0L)), "13/73 < 1/5: a big doc quoting a small block stays")
+    assert(got(3L) == ((33L, 0L, 0L)))
+    assert(got(4L) == ((0L, 0L, 0L)), "sub-k doc emits a row, never flagged")
+    // The complementary-coverage claim: whole-doc similarity dedup does NOT
+    // see this pair (3-shingle jaccard ~= 0.18 << 0.6), passage dedup does.
+    val jac = Dedup.jaccardDecisions(docs).collect().map(r => r.getBoolean(1))
+    assert(jac.forall(!_), "whole-doc jaccard flags nothing on the quoted-block corpus")
+  }
+
   test("dedup plans contain no cartesian product") {
     val plans = Seq(
       Dedup.minhashDecisions(corpus),

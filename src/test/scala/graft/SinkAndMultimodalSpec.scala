@@ -116,6 +116,23 @@ class SinkAndMultimodalSpec extends AnyFunSuite {
     assert(df.count() > 0)
     assert(df.columns.toSet == Set("source", "n_blobs", "total_bytes", "n_magics", "min_w", "max_h", "avg_luma"))
   }
+
+  test("mm_meta_md5: blob checksum equals an independent MessageDigest over magic||utf8") {
+    val dir = PlantedDocs.write(spark, "/tmp/graft-test/mm-md5", Seq(
+      (1L, "hello world", "en", "s1", 11L),
+      (2L, "snowman ☃ bytes", "en", "s2", 14L),
+    ))
+    val got = operators.Multimodal.qMetaMd5.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3), r.getString(4)))).toMap
+    def refMd5(text: String): String = {
+      val bytes = "GFT1".getBytes("UTF-8") ++ text.getBytes("UTF-8")
+      java.security.MessageDigest.getInstance("MD5").digest(bytes)
+        .map(b => f"${b & 0xff}%02x").mkString
+    }
+    assert(got(1L) == ((15L, "47465431", refMd5("hello world"))))
+    // multi-byte UTF-8: n_bytes counts BYTES (snowman is 3), not chars
+    assert(got(2L) == ((4L + 17L, "47465431", refMd5("snowman ☃ bytes"))))
+  }
 }
 
 class CosineSimSpec extends AnyFunSuite {

@@ -208,6 +208,16 @@ object TrainPrep {
     * depend on the doc_id order, not on where the cuts land
     * (ProdParitySpec pins this).
     */
+  /** Pass-1 stage frame: range-partitioned (doc_id, n_tokens) with the
+    * partition id stamped. Package-visible so PlanAuditSpec can audit
+    * the range exchange — the checkpoint in [[packTokensProd]] truncates
+    * lineage, so the final plan no longer shows it.
+    */
+  private[graft] def packTokensStage(s: SparkSession, d: String): DataFrame =
+    packTokensBase(s, d)
+      .repartitionByRange(col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+
   private def packTokensProd(s: SparkSession, d: String): DataFrame = {
     // Materialized BEFORE branching: `local` and `offsets` both key on
     // pid, and spark_partition_id over an unmaterialized range exchange
@@ -218,10 +228,7 @@ object TrainPrep {
     // wrong offsets — so the slim (doc_id, n_tokens, pid) frame is
     // pinned once, same stage-table discipline as minhashMd5CandidatesT
     // (on a cluster: a persisted stage table).
-    val perDoc = packTokensBase(s, d)
-      .repartitionByRange(col("doc_id"))
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint()
+    val perDoc = packTokensStage(s, d).localCheckpoint()
     val wLocal = Window.partitionBy("pid").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = perDoc

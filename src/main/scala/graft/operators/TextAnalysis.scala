@@ -455,5 +455,41 @@ object TextAnalysis {
       GROUP BY source ORDER BY source"""),
   )
 
-  def all: Seq[GraftQuery] = Seq(q30, q31, q32, q33, q33md5, q34, q35, q35exact, q36, q37)
+  /** Corpus vocabulary head: the K most frequent tokens with their total
+    * occurrence and document-frequency counts — the tokenizer/vocab-build
+    * precursor (and the stopword-list generator for [[q31]]-style gates).
+    *
+    * Scale shape: explode → ONE hash aggregate keyed by token (map-side
+    * partial combine collapses each partition's token stream before the
+    * exchange, so the shuffle ships (token, counts) pairs, not the token
+    * stream; doc frequency rides the same aggregate via the distinct
+    * expand) → global top-K as TakeOrderedAndProject: per-partition
+    * bounded heaps, never a full sort (PlanAuditSpec pins the same
+    * property for q17). Ties at the cutoff break lexically in BOTH
+    * engines, so the boundary is deterministic.
+    */
+  val q42 = GraftQuery(
+    "q42_vocab_topk",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(toks).as("token"))
+        .groupBy("token")
+        .agg(
+          count(lit(1)).as("n_occurrences"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("n_occurrences").desc, col("token"))
+        .limit(100),
+    Some("""SELECT token,
+        CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM (SELECT doc_id,
+              unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS token
+            FROM documents) t
+      GROUP BY token
+      ORDER BY n_occurrences DESC, token
+      LIMIT 100"""),
+  )
+
+  def all: Seq[GraftQuery] =
+    Seq(q30, q31, q32, q33, q33md5, q34, q35, q35exact, q36, q37, q42)
 }

@@ -159,6 +159,59 @@ object TrainPrep {
     prod = Some((s, d) => sampleMixture(s, d)),
   )
 
+  // ------------------------------------------------------------ q41
+
+  /** Docs kept per stratum in the fixed-size sample. */
+  private val SamplePerStratum = 20
+
+  /** Fixed-SIZE deterministic stratified sample: the SamplePerStratum
+    * docs with the smallest 52-bit md5("smp2:"+doc_id) per language —
+    * the complement of q39's fixed-RATE sampling (mixture configs
+    * specify "200k docs of yue", not only rates). Content-independent
+    * and reproducible like q39.
+    *
+    * Scale shape: the classic form is row_number() over (partition by
+    * lang order by hash), which SORTS every stratum; here the native
+    * bounded-heap top_k_by_score aggregate keeps O(k) state per stratum
+    * per partition and merges map-side — no per-group sort, standard
+    * partial aggregation, and a stratum's data never materializes in
+    * one task. 52-bit hashes (13 nibbles) because the heap compares
+    * DOUBLE scores: every value below 2^53 is exactly representable, so
+    * the heap's (score, id) order is identical to the oracle's integer
+    * ORDER BY (hash, doc_id) — 60-bit hashes would round and drift.
+    */
+  private def sampleTopK(s: SparkSession, d: String): DataFrame = {
+    val h = conv(substring(md5(concat(lit("smp2:"), col("doc_id").cast("string"))), 1, 13), 16, 10)
+      .cast("long")
+    Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"), h.as("hv"))
+      .groupBy("lang")
+      .agg(gfunctions.top_k_by_score(col("doc_id"), -col("hv").cast("double"), SamplePerStratum)
+        .as("topk"))
+      .select(col("lang"), posexplode(col("topk")))
+      .select(
+        col("lang"),
+        (col("pos") + 1).cast("long").as("sample_rank"),
+        col("col.neighbor_id").as("doc_id"))
+  }
+
+  val q41 = GraftQuery(
+    "q41_sample_topk",
+    (s, d) => sampleTopK(s, d).orderBy("lang", "sample_rank"),
+    Some(s"""WITH h AS (
+        SELECT lang, doc_id,
+          CAST(('0x' || substr(md5('smp2:' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) AS hv
+        FROM documents),
+      r AS (
+        SELECT lang, doc_id,
+          ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rk
+        FROM h)
+      SELECT lang, CAST(rk AS BIGINT) AS sample_rank, doc_id
+      FROM r WHERE rk <= $SamplePerStratum
+      ORDER BY lang, sample_rank"""),
+    prod = Some((s, d) => sampleTopK(s, d)),
+  )
+
   // ------------------------------------------------------------ q40
 
   /** Tokens per training shard in the concat-and-chunk layout. */
@@ -264,5 +317,51 @@ object TrainPrep {
     prod = Some((s, d) => packTokensProd(s, d)),
   )
 
-  def all: Seq[GraftQuery] = Seq(q38, q39, q40)
+  // ------------------------------------------------------------ q43
+
+  /** Output shards in the training-order shuffle. */
+  private val ShuffleShards = 32
+
+  /** Reproducible global training-order shuffle: every epoch pipeline
+    * needs the corpus in a pseudo-random but EXACTLY reproducible order.
+    * A true global sort by random key is one range exchange over the
+    * whole corpus; the scale-correct layout is hierarchical — shard
+    * assignment is a stateless codegen'd projection (hash mod shards,
+    * no coordination), and the within-shard order is a per-shard window
+    * that sorts only shard-local rows, every shard in parallel. Both
+    * levels key on md5("shf:"+doc_id): content-independent, seedable
+    * via the salt, and exactly reproducible in ANSI SQL (same audit
+    * property as q39/q41). Readers consume shards in id order and rows
+    * in shard_pos order and see the same epoch permutation everywhere.
+    *
+    * 52-bit hashes for the same reason as [[sampleTopK]]; shard_id uses
+    * pmod semantics (hv is non-negative, so % and DuckDB's % agree).
+    */
+  private def trainShuffle(s: SparkSession, d: String): DataFrame = {
+    val hv = conv(substring(md5(concat(lit("shf:"), col("doc_id").cast("string"))), 1, 13), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy("shard_id").orderBy("hv", "doc_id")
+    Tables.documents(s, d)
+      .select(col("doc_id"), hv.as("hv"))
+      .withColumn("shard_id", col("hv") % ShuffleShards)
+      .withColumn("shard_pos", row_number().over(w).cast("long"))
+      .select("doc_id", "shard_id", "shard_pos")
+  }
+
+  val q43 = GraftQuery(
+    "q43_train_shuffle",
+    (s, d) => trainShuffle(s, d).orderBy("shard_id", "shard_pos"),
+    Some(s"""WITH h AS (
+        SELECT doc_id,
+          CAST(('0x' || substr(md5('shf:' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) AS hv
+        FROM documents)
+      SELECT doc_id,
+        hv % $ShuffleShards AS shard_id,
+        CAST(ROW_NUMBER() OVER (PARTITION BY hv % $ShuffleShards ORDER BY hv, doc_id) AS BIGINT) AS shard_pos
+      FROM h
+      ORDER BY shard_id, shard_pos"""),
+    prod = Some((s, d) => trainShuffle(s, d)),
+  )
+
+  def all: Seq[GraftQuery] = Seq(q38, q39, q40, q41, q43)
 }

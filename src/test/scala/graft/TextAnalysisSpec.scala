@@ -34,6 +34,18 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got == Set(("en", "en", 1L), ("de", "de", 1L), ("es", "es", 1L), ("fr", "fr", 1L), ("zh", "und", 1L)))
   }
 
+  test("q42 vocab head orders by count then token, with doc frequency") {
+    val dir = planted("vocab", Seq(
+      (1L, "aa bb aa cc", "en", "s", 11L),
+      (2L, "aa bb", "en", "s", 5L),
+      (3L, "dd", "en", "s", 2L),
+    ))
+    val got = operators.TextAnalysis.q42.run(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("aa", 3L, 2L), ("bb", 2L, 2L), ("cc", 1L, 1L), ("dd", 1L, 1L)),
+      s"count desc then lexical tie order; got $got")
+  }
+
   test("q30 token counts on planted docs") {
     val dir = planted("tokens", Seq(
       (1L, "one two three", "en", "a", 13L),

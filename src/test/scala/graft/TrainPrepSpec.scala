@@ -33,6 +33,68 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(got(4L) == ((0L, 0L, 0L)), "short doc has no shingles and stays clean")
   }
 
+  test("q41 fixed-size sample equals the sort-based reference and ignores text edits") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val rows = (0L until 300L).map(i =>
+      (i, s"text body $i", Seq("en", "de", "fr")((i % 3).toInt), "s", 12L))
+    val dir = planted("sample-topk", rows)
+    val got = operators.TrainPrep.q41.run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+
+    // per-stratum size is exactly min(K, stratum size); here 20 < 100
+    val sizes = got.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(sizes == Map("en" -> 20, "de" -> 20, "fr" -> 20), s"got $sizes")
+
+    // the bounded-heap aggregate must equal the full-sort formulation
+    val h = conv(substring(md5(concat(lit("smp2:"), col("doc_id").cast("string"))), 1, 13), 16, 10)
+      .cast("long")
+    val ref = Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"), h.as("hv"))
+      .withColumn("sample_rank",
+        row_number().over(Window.partitionBy("lang").orderBy("hv", "doc_id")).cast("long"))
+      .filter(col("sample_rank") <= 20)
+      .select("lang", "sample_rank", "doc_id")
+      .orderBy("lang", "sample_rank")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == ref, "heap order must equal (hash, doc_id) sort order")
+
+    // content-independent: rewriting every text changes nothing
+    val dir2 = planted("sample-topk-edit", rows.map { case (i, _, l, s0, n) =>
+      (i, s"completely different body $i", l, s0, n) })
+    val edited = operators.TrainPrep.q41.run(spark, dir2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == edited, "membership keys on doc_id, never content")
+  }
+
+  test("q43 epoch shuffle is a reproducible sharded permutation with no global sort") {
+    val rows = (0L until 400L).map(i => (i, s"doc body $i", "en", "s", 10L))
+    val dir = planted("shuffle", rows)
+    val got = operators.TrainPrep.q43.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+    // a permutation: every doc exactly once
+    assert(got.map(_._1).sorted == (0L until 400L), "each doc appears exactly once")
+    // shard positions are contiguous 1..n within each shard
+    got.groupBy(_._2).foreach { case (shard, members) =>
+      assert(members.map(_._3).sorted == (1L to members.size),
+        s"shard $shard positions must be contiguous")
+    }
+    // reproducible and content-independent
+    val edited = planted("shuffle-edit", rows.map { case (i, _, l, s0, n) =>
+      (i, s"rewritten $i", l, s0, n) })
+    val again = operators.TrainPrep.q43.run(spark, edited).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.sorted == again.sorted, "permutation keys on doc_id, never content")
+
+    // scale property: the prod plan sorts only WITHIN shards (window
+    // sort, global=false) — no corpus-wide range exchange
+    val prod = operators.TrainPrep.q43.runProd(spark, dir)
+      .queryExecution.executedPlan.toString
+    val globalSorts = "Sort \\[.*\\], true".r.findAllIn(prod).size
+    assert(globalSorts == 0, s"epoch shuffle must not globally sort:\n$prod")
+  }
+
   test("q39 sampling is deterministic, content-independent, and rate-accurate") {
     val en = (100L until 2100L).map(i => (i, s"text body number $i", "en", "s", 20L))
     val de = (3000L until 3100L).map(i => (i, s"deutscher text $i", "de", "s", 18L))

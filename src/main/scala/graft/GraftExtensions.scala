@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.{Column, SparkSessionExtensions}
 import org.apache.spark.sql.functions.call_function
 
-import graft.functions.{CosineSim, HyperplaneBands, JaccardSim, KgramMd5Hashes, MinhashMd5Sig, MinhashSig, ShingleHashes, ShingleMd5Hashes, ShingleXor64, SimHash64, SimHashMd5, TopKByScore, WsTokens}
+import graft.functions.{BloomAgg, BloomContains, CosineSim, HyperplaneBands, JaccardSim, KgramMd5Hashes, MinhashMd5Sig, MinhashSig, ShingleHashes, ShingleMd5Hashes, ShingleXor64, SimHash64, SimHashMd5, TopKByScore, WsTokens}
 
 /** Engine extension point, installed via spark.sql.extensions (GraftSession
   * sets it). Registers native expressions as SQL functions so both
@@ -99,6 +99,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     )
     ext.injectFunction(
       (
+        new FunctionIdentifier("bloom_agg"),
+        new ExpressionInfo(classOf[BloomAgg].getName, "bloom_agg"),
+        (children: Seq[Expression]) => BloomAgg(children(0), children(1), children(2)),
+      )
+    )
+    ext.injectFunction(
+      (
+        new FunctionIdentifier("bloom_contains"),
+        new ExpressionInfo(classOf[BloomContains].getName, "bloom_contains"),
+        (children: Seq[Expression]) => BloomContains(children(0), children(1), children(2)),
+      )
+    )
+    ext.injectFunction(
+      (
         new FunctionIdentifier("hyperplane_bands"),
         new ExpressionInfo(classOf[HyperplaneBands].getName, "hyperplane_bands"),
         (children: Seq[Expression]) =>
@@ -176,6 +190,22 @@ object gfunctions {
     * explode + bit-majority aggregate); NULL for zero-token docs.
     */
   def simhash_md5(toks: Column): Column = call_function("simhash_md5", toks)
+
+  /** Bloom filter (binary, numBits/8 bytes) over a BIGINT key column —
+    * partial-agg build, byte-OR merge; numBits must be a power of two.
+    */
+  def bloom_agg(key: Column, numBits: Long, numHashes: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function("bloom_agg", key, lit(numBits), lit(numHashes))
+  }
+
+  /** Membership probe against a bloom_agg filter — false is definitive,
+    * true may be a false positive (confirm survivors exactly).
+    */
+  def bloom_contains(bloom: Column, key: Column, numHashes: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function("bloom_contains", bloom, key, lit(numHashes))
+  }
 
   /** Random-hyperplane LSH band values of a float vector — all plane
     * dots in one native pass, sign bits packed per band.

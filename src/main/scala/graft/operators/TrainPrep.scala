@@ -112,6 +112,80 @@ object TrainPrep {
     prod = Some((s, d) => contamination(s, d)),
   )
 
+  // ------------------------------------------------------------ q44
+
+  /** Bloom geometry for the benchmark shingle set. 2^20 bits / 6 hashes
+    * holds ~100k keys under 1% FPR; at a real eval-suite scale (10^8
+    * shingles) the same code takes numBits = 2^30 (128 MB) — still one
+    * broadcast blob where the exact hash SET would be gigabytes.
+    */
+  private val BloomBits = 1L << 20
+  private val BloomHashes = 6
+
+  /** q38's contamination decision via a bloom-prefiltered exact join —
+    * the 100 TB shape when the benchmark shingle set outgrows the
+    * broadcast-join threshold. The corpus side probes a broadcast
+    * [[graft.functions.BloomAgg]] filter inside its scan stage (codegen'd
+    * [[graft.functions.BloomContains]], no shuffle), so only bloom
+    * survivors — true hits plus the engineered false-positive residue —
+    * enter the exact confirm join. The OUTPUT is exact: false positives
+    * die in the confirm join, so this hash-compares against the same
+    * oracle rule as q38 despite the probabilistic prefilter. Corpus
+    * shingles never shuffle at all; the confirm exchange carries only
+    * the survivor stream of 8-byte keys.
+    */
+  private def bloomDecontam(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val benchSet = docs.filter(isBench)
+      .select(explode(gfunctions.shingle_md5_hashes(toks)).as("hash"))
+      .distinct()
+    // One row, numBits/8 bytes — broadcast to every corpus task.
+    val bloom = benchSet
+      .agg(gfunctions.bloom_agg(col("hash"), BloomBits, BloomHashes).as("bf"))
+    val candidates = docs.filter(!isBench)
+      .select(col("doc_id"), explode(gfunctions.shingle_md5_hashes(toks)).as("hash"))
+      .join(broadcast(bloom))
+      .filter(gfunctions.bloom_contains(col("bf"), col("hash"), BloomHashes))
+      .select("doc_id", "hash")
+    val hits = candidates
+      .join(benchSet, Seq("hash"), "leftsemi")
+      .select("doc_id")
+      .distinct()
+      .withColumn("hit", lit(1))
+    docs.filter(!isBench)
+      .select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        when(col("hit").isNotNull, lit(1L)).otherwise(lit(0L)).as("contaminated"),
+      )
+  }
+
+  val q44 = GraftQuery(
+    "q44_bloom_decontam",
+    (s, d) => bloomDecontam(s, d).orderBy("doc_id"),
+    Some(s"""WITH t AS (
+        SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+        FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id,
+          CAST(('0x' || substr(md5(toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]), 1, 15)) AS BIGINT) AS hash
+        FROM t CROSS JOIN UNNEST(range(0, greatest(len(toks) - 2, 0))) AS u(i)),
+      bench AS (
+        SELECT DISTINCT hash FROM sh WHERE doc_id % $BenchMod = 0),
+      hits AS (
+        SELECT DISTINCT sh.doc_id
+        FROM sh JOIN bench USING (hash)
+        WHERE sh.doc_id % $BenchMod <> 0)
+      SELECT d.doc_id,
+        CAST(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+      FROM documents d
+      LEFT JOIN hits h ON d.doc_id = h.doc_id
+      WHERE d.doc_id % $BenchMod <> 0
+      ORDER BY d.doc_id"""),
+    prod = Some((s, d) => bloomDecontam(s, d)),
+  )
+
   // ------------------------------------------------------------ q39
 
   /** Per-language keep thresholds on the 60-bit hash axis — exact
@@ -363,5 +437,5 @@ object TrainPrep {
     prod = Some((s, d) => trainShuffle(s, d)),
   )
 
-  def all: Seq[GraftQuery] = Seq(q38, q39, q40, q41, q43)
+  def all: Seq[GraftQuery] = Seq(q38, q39, q40, q41, q43, q44)
 }

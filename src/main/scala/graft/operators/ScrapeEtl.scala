@@ -445,5 +445,61 @@ object ScrapeEtl {
         )
   }
 
-  def all: Seq[GraftQuery] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29)
+  // ------------------------------------------------------------ q45
+
+  /** SCD2 history building over the event change-log: each user's
+    * event_type stream compacted to state INTERVALS — version, valid_from/
+    * valid_to millis, is_current — the slowly-changing-dimension shape a
+    * scrape pipeline needs to answer "what was the state at time T"
+    * (the reference's Postgres append table keeps raw rows and leaves the
+    * temporal collapse to readers; this materializes it once).
+    *
+    * Plan shape: two window passes over ONE (user_id) shuffle — change
+    * detection via lag, then version/interval assignment via row_number/
+    * lead over only the change rows. Skew note: windows partition per
+    * user; at 100 TB salt by (user, day) and stitch like
+    * [[sessionizeSkewSafe]] — interval stitching composes the same way
+    * session stitching does (spec'd there; this keeps the oracle shape).
+    */
+  private def scd2History(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
+    val changes = Events.withEventTime(s, d)
+      .withColumn("ts_ms", unix_millis(col("ts")))
+      .withColumn("prev_state", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev_state").isNull || col("event_type") =!= col("prev_state"))
+    changes
+      .withColumn("version", row_number().over(byUser).cast(LongType))
+      .withColumn("valid_to_ms", lead(col("ts_ms"), 1).over(byUser))
+      .select(
+        col("user_id"),
+        col("version"),
+        col("event_type").as("state"),
+        col("ts_ms").as("valid_from_ms"),
+        col("valid_to_ms"),
+        when(col("valid_to_ms").isNull, lit(1L)).otherwise(lit(0L)).as("is_current"),
+      )
+  }
+
+  val q45 = GraftQuery(
+    "q45_scd2_history",
+    (s, d) => scd2History(s, d).orderBy("user_id", "version"),
+    Some("""WITH e AS (
+        SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms,
+               LAG(event_type) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev_state
+        FROM events),
+      c AS (
+        SELECT * FROM e WHERE prev_state IS NULL OR event_type <> prev_state),
+      v AS (
+        SELECT user_id, event_type, ts_ms,
+               CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+               LEAD(ts_ms) OVER w AS valid_to_ms
+        FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id))
+      SELECT user_id, version, event_type AS state, ts_ms AS valid_from_ms,
+             valid_to_ms,
+             CAST(CASE WHEN valid_to_ms IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+      FROM v ORDER BY user_id, version"""),
+    prod = Some((s, d) => scd2History(s, d)),
+  )
+
+  def all: Seq[GraftQuery] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q45)
 }

@@ -490,6 +490,70 @@ object TextAnalysis {
       LIMIT 100"""),
   )
 
+  // ------------------------------------------------------------ q46
+
+  /** Pairwise vocabulary overlap between sources — the dataset-overlap
+    * audit run before mixing corpora (near-identical vocabularies signal
+    * the same crawl behind two names; jaccard_ppm is exact integer math
+    * so the oracle hash-matches). Terms travel as 60-bit md5 hashes: the
+    * vocab exchange and the self-join ship 8-byte keys, never strings.
+    *
+    * Scale shape: the term self-join's per-key fanout is bounded by the
+    * number of SOURCES containing the term — at most S rows per term and
+    * C(S,2) pairs total, where S is the dataset-catalog size (tens), not
+    * the corpus size. The distinct is map-side combined per (source,
+    * term); no unbounded blowup exists in this plan at any corpus scale.
+    */
+  private def sourceOverlap(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val md5h = (c: Column) => conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    val vocab = Tables.documents(s, d)
+      .select(col("source"), explode(toks).as("tok"))
+      .select(col("source"), md5h(col("tok")).as("th"))
+      .distinct()
+    val sizes = vocab.groupBy("source").agg(count(lit(1)).as("n"))
+    val pairs = vocab.as("a")
+      .join(vocab.as("b"),
+        col("a.th") === col("b.th") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("inter_terms"))
+    pairs
+      .join(broadcast(sizes.withColumnRenamed("source", "source_a").withColumnRenamed("n", "na")), "source_a")
+      .join(broadcast(sizes.withColumnRenamed("source", "source_b").withColumnRenamed("n", "nb")), "source_b")
+      .select(
+        col("source_a"),
+        col("source_b"),
+        col("inter_terms"),
+        (col("na") + col("nb") - col("inter_terms")).as("union_terms"),
+        expr("inter_terms * 1000000L div (na + nb - inter_terms)").as("jaccard_ppm"),
+      )
+  }
+
+  val q46 = GraftQuery(
+    "q46_source_overlap",
+    (s, d) => sourceOverlap(s, d).orderBy("source_a", "source_b"),
+    Some("""WITH v AS (
+        SELECT DISTINCT source,
+          CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS th
+        FROM (
+          SELECT source,
+            unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
+          FROM documents)),
+      sz AS (SELECT source, COUNT(*) AS n FROM v GROUP BY source),
+      px AS (
+        SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS inter_terms
+        FROM v a JOIN v b ON a.th = b.th AND a.source < b.source
+        GROUP BY 1, 2)
+      SELECT source_a, source_b,
+        CAST(inter_terms AS BIGINT) AS inter_terms,
+        CAST(sa.n + sb.n - inter_terms AS BIGINT) AS union_terms,
+        CAST(inter_terms * 1000000 // (sa.n + sb.n - inter_terms) AS BIGINT) AS jaccard_ppm
+      FROM px
+      JOIN sz sa ON source_a = sa.source
+      JOIN sz sb ON source_b = sb.source
+      ORDER BY source_a, source_b"""),
+    prod = Some((s, d) => sourceOverlap(s, d)),
+  )
+
   def all: Seq[GraftQuery] =
-    Seq(q30, q31, q32, q33, q33md5, q34, q35, q35exact, q36, q37, q42)
+    Seq(q30, q31, q32, q33, q33md5, q34, q35, q35exact, q36, q37, q42, q46)
 }

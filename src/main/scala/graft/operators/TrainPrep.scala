@@ -286,6 +286,48 @@ object TrainPrep {
     prod = Some((s, d) => sampleTopK(s, d)),
   )
 
+  // ------------------------------------------------------------ q47
+
+  /** Token cap for the weighted-sample probability: p = min(n_tokens,
+    * Cap) / Cap, as exact integer threshold math (2^52 / 256 = 2^44).
+    */
+  private val WeightCapTokens = 256L
+  private val WeightScale = 1L << 44
+
+  /** Token-budget-proportional sampling: keep a doc with probability
+    * proportional to its token count (capped) — the mixture move that
+    * samples a TOKEN budget rather than a document count, so short docs
+    * stop being over-represented per token. Deterministic like q39/q41:
+    * the decision is a 52-bit md5 of the salted doc_id compared against
+    * an exact integer threshold — no float rates, content-independent,
+    * reproducible in ANSI SQL.
+    *
+    * Scale shape: one stateless codegen'd filter over the scan — zero
+    * shuffles, embarrassingly parallel at any corpus size.
+    */
+  private def weightedSample(s: SparkSession, d: String): DataFrame = {
+    val hv = conv(substring(md5(concat(lit("wsmp:"), col("doc_id").cast("string"))), 1, 13), 16, 10)
+      .cast("long")
+    Tables.documents(s, d)
+      .select(col("doc_id"), size(toks).cast("long").as("n_tokens"), hv.as("hv"))
+      .filter(col("hv") < least(col("n_tokens"), lit(WeightCapTokens)) * WeightScale)
+      .select("doc_id", "n_tokens")
+  }
+
+  val q47 = GraftQuery(
+    "q47_weighted_sample",
+    (s, d) => weightedSample(s, d).orderBy("doc_id"),
+    Some(s"""WITH t AS (
+        SELECT doc_id,
+          CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+        FROM documents)
+      SELECT doc_id, n_tokens FROM t
+      WHERE CAST(('0x' || substr(md5('wsmp:' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+            < least(n_tokens, $WeightCapTokens) * $WeightScale
+      ORDER BY doc_id"""),
+    prod = Some((s, d) => weightedSample(s, d)),
+  )
+
   // ------------------------------------------------------------ q40
 
   /** Tokens per training shard in the concat-and-chunk layout. */
@@ -437,5 +479,5 @@ object TrainPrep {
     prod = Some((s, d) => trainShuffle(s, d)),
   )
 
-  def all: Seq[GraftQuery] = Seq(q38, q39, q40, q41, q43, q44)
+  def all: Seq[GraftQuery] = Seq(q38, q39, q40, q41, q43, q44, q47)
 }

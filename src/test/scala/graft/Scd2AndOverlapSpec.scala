@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+/** Planted-data semantics for the round-8 relational additions: SCD2
+  * history building (q45), source vocabulary overlap (q46), and
+  * token-budget-weighted sampling (q47).
+  */
+class Scd2AndOverlapSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSession.spark
+
+  private def plantEvents(name: String,
+      rows: Seq[(Long, Long, Long, String)]): String = {
+    // (event_id, epoch_ms, user_id, event_type)
+    import spark.implicits._
+    val dir = s"/tmp/graft-test/$name"
+    rows.map { case (id, ms, uid, tpe) =>
+      (id, new Timestamp(ms), uid, tpe, 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("q45 compacts the change-log into SCD2 intervals") {
+    val dir = plantEvents("scd2", Seq(
+      // user 1: A A B B A -> three intervals
+      (1L, 1000L, 1L, "A"), (2L, 2000L, 1L, "A"), (3L, 3000L, 1L, "B"),
+      (4L, 4000L, 1L, "B"), (5L, 5000L, 1L, "A"),
+      // user 2: a single event -> one open interval
+      (6L, 9000L, 2L, "C"),
+    ))
+    val got = operators.ScrapeEtl.q45.run(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getLong(5)))
+      .toSeq
+    assert(got == Seq(
+      (1L, 1L, "A", 1000L, Some(3000L), 0L),
+      (1L, 2L, "B", 3000L, Some(5000L), 0L),
+      (1L, 3L, "A", 5000L, None, 1L),
+      (2L, 1L, "C", 9000L, None, 1L),
+    ), s"got $got")
+  }
+
+  test("q45 intervals tile each user's timeline: no gaps, exactly one current") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = operators.ScrapeEtl.q45.run(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+      .groupBy(_._1)
+    rows.foreach { case (uid, hist) =>
+      val sorted = hist.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array((_, _, _, Some(to)), (_, _, from, _)) =>
+          assert(to == from, s"user $uid: interval gap $to != $from")
+        case _ =>
+      }
+      assert(sorted.count(_._4.isEmpty) == 1, s"user $uid: exactly one open interval")
+    }
+  }
+
+  test("q46 computes exact pairwise vocabulary jaccard") {
+    val dir = PlantedDocs.write(spark, "/tmp/graft-test/overlap", Seq(
+      (1L, "alpha beta gamma", "sA", "sA", 16L),
+      (2L, "beta gamma delta", "sB", "sB", 16L),
+      (3L, "epsilon zeta", "sC", "sC", 12L),
+    ))
+    val got = operators.TextAnalysis.q46.run(spark, dir)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // sA={alpha,beta,gamma} sB={beta,gamma,delta}: inter 2, union 4, ppm 500000
+    assert(got(("sA", "sB")) == ((2L, 4L, 500000L)), s"got $got")
+    assert(!got.contains(("sB", "sA")), "pairs are emitted once, ordered")
+    assert(!got.contains(("sA", "sC")) && !got.contains(("sB", "sC")),
+      "disjoint vocabularies produce no pair row")
+  }
+
+  test("q47 keeps every max-weight doc, drops empty docs, and is deterministic") {
+    val long = (1 to 300).map(i => s"tok$i").mkString(" ")
+    val rows =
+      (0L until 50L).map(i => (i, long, "en", "s", long.length.toLong)) ++
+        (50L until 60L).map(i => (i, "", "en", "s", 0L)) ++
+        (60L until 560L).map(i => (i, (1 to 64).map(j => s"w$j").mkString(" "), "en", "s", 300L))
+    val dir = PlantedDocs.write(spark, "/tmp/graft-test/wsample", rows)
+    val got = operators.TrainPrep.q47.run(spark, dir)
+      .collect().map(r => r.getLong(0)).toSet
+    assert((0L until 50L).forall(got), ">=cap-token docs are always kept")
+    assert((50L until 60L).forall(i => !got(i)), "empty docs are never kept")
+    val midKept = (60L until 560L).count(got)
+    // p = 64/256 = 0.25 exactly, deterministic; family check with slack.
+    assert(midKept > 75 && midKept < 175, s"64-token keep rate out of family: $midKept/500")
+    val again = operators.TrainPrep.q47.run(spark, dir)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(again == got, "sampling decision is reproducible")
+  }
+}

@@ -134,7 +134,7 @@ object TrainPrep {
     * shingles never shuffle at all; the confirm exchange carries only
     * the survivor stream of 8-byte keys.
     */
-  private def bloomDecontam(s: SparkSession, d: String): DataFrame = {
+  private[graft] def bloomDecontam(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val benchSet = docs.filter(isBench)
       .select(explode(gfunctions.shingle_md5_hashes(toks)).as("hash"))

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.GraftQuery
@@ -203,6 +203,40 @@ object Streams {
       .select("doc_id", "ref_id", "est_jaccard")
   }
 
+  /** Streaming decontamination gate: each arriving doc's shingle hashes
+    * probe a bloom filter of the STATIC benchmark corpus inside the scan
+    * stage (codegen'd, stateless), and only bloom survivors enter the
+    * stream-static confirm semi-join — so false positives die before any
+    * state, exactly like the batch q44 plan. Emits each contaminated
+    * doc_id once (pair state is the watermark-bounded doc dedup).
+    *
+    * The bloom is built ONCE from the static benchmark frame at query
+    * construction — a model-fit step like IVF's k-means (numBits/8 bytes
+    * on the driver, shipped as a literal into every task), never
+    * per-micro-batch work. Completes the streaming curation split:
+    * [[curateStream]] gates per-row + exact-dup, [[nearDupStream]]
+    * matches near-dups vs the corpus, this gates benchmark contamination.
+    */
+  def decontamStream(
+      docs: DataFrame,
+      bench: DataFrame,
+      numBits: Long = 1L << 20,
+      numHashes: Int = 6): DataFrame = {
+    val shingles = (c: Column) =>
+      graft.gfunctions.shingle_md5_hashes(graft.gfunctions.ws_tokens(c))
+    val benchSet = bench.select(explode(shingles(col("text"))).as("hash")).distinct()
+    val bloom = benchSet
+      .agg(graft.gfunctions.bloom_agg(col("hash"), numBits, numHashes).as("bf"))
+      .collect()(0).getAs[Array[Byte]](0)
+    docs
+      .select(col("doc_id"), col("ts"), explode(shingles(col("text"))).as("hash"))
+      .filter(graft.gfunctions.bloom_contains(lit(bloom), col("hash"), numHashes))
+      .withWatermark("ts", "1 hour")
+      .join(benchSet, Seq("hash"), "left_semi")
+      .dropDuplicatesWithinWatermark("doc_id")
+      .select("doc_id")
+  }
+
   // -------------------------------------------------- stateful sessions
 
   final case class SessEvent(user_id: Long, event_id: Long, ts_ms: Long)
@@ -377,5 +411,34 @@ object Streams {
     prod = Some((s, d) => dedupBatch(Events.withEventTime(s, d))),
   )
 
-  def all: Seq[GraftQuery] = Seq(qWindowed, qSessionize, qIntervalJoin, qDedup)
+  /** Batch twin of [[decontamStream]] under the oracle gate: the same
+    * bloom-prefilter + exact-confirm kernels over the documents table
+    * (q44's plan), reduced to the contaminated-id stream the streaming
+    * gate emits. StreamingSpec pins stream ≡ batch on planted arrivals.
+    */
+  val qDecontam = GraftQuery(
+    "stream_decontam",
+    (s, d) => graft.operators.TrainPrep.bloomDecontam(s, d)
+      .filter(col("contaminated") === 1L)
+      .select("doc_id")
+      .orderBy("doc_id"),
+    Some("""WITH t AS (
+        SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id,
+          CAST(('0x' || substr(md5(toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]), 1, 15)) AS BIGINT) AS hash
+        FROM t CROSS JOIN UNNEST(range(0, greatest(len(toks) - 2, 0))) AS u(i)),
+      bench AS (
+        SELECT DISTINCT hash FROM sh WHERE doc_id % 20 = 0)
+      SELECT DISTINCT sh.doc_id
+      FROM sh JOIN bench USING (hash)
+      WHERE sh.doc_id % 20 <> 0
+      ORDER BY sh.doc_id"""),
+    prod = Some((s, d) => graft.operators.TrainPrep.bloomDecontam(s, d)
+      .filter(col("contaminated") === 1L)
+      .select("doc_id")),
+  )
+
+  def all: Seq[GraftQuery] = Seq(qWindowed, qSessionize, qIntervalJoin, qDedup, qDecontam)
 }

@@ -216,4 +216,39 @@ class StreamingSpec extends AnyFunSuite {
       assert(spark.table("graft_neardup_stream").count() == 1L)
     } finally q.stop()
   }
+
+  test("streaming decontamination flags arrivals against the static benchmark") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val bench = Seq(
+      (100L, "held out benchmark question about spark joins here"),
+      (101L, "another eval passage with distinctive token sequences"),
+    ).toDF("doc_id", "text")
+    val quoted = "prefix words then held out benchmark question about spark and more"
+    val clean = "completely unrelated corpus text body with plenty of tokens"
+    def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+    val ms = MemoryStream[(Long, String, Timestamp)]
+    val q = Streams.decontamStream(ms.toDF().toDF("doc_id", "text", "ts"), bench)
+      .writeStream.format("memory").queryName("graft_decontam_stream")
+      .outputMode("append").start()
+    try {
+      ms.addData((1L, quoted, ts(0)), (2L, clean, ts(1)))
+      q.processAllAvailable()
+      val got = spark.table("graft_decontam_stream").collect().map(_.getLong(0)).toSet
+      assert(got == Set(1L), s"quoted doc flags, clean doc passes: got $got")
+      // re-arrival within the watermark horizon emits nothing new
+      ms.addData((1L, quoted, ts(2)))
+      q.processAllAvailable()
+      assert(spark.table("graft_decontam_stream").count() == 1L)
+    } finally q.stop()
+  }
+
+  test("stream_decontam batch twin equals the q44 contaminated set") {
+    val sf = "/root/testdata/sf0.001"
+    val twin = Streams.qDecontam.run(spark, sf).collect().map(_.getLong(0)).toSet
+    val exact = operators.TrainPrep.q44.run(spark, sf)
+      .filter(col("contaminated") === 1L)
+      .collect().map(_.getLong(0)).toSet
+    assert(twin == exact, "batch twin must equal the q44 decision")
+  }
 }

@@ -22,7 +22,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // driver-side count() action); dedup_cosine_verify is a BOUNDED
     // fixed-probe-set pair join (C(40,2)) gating the cosine verify stage
     // — the only legitimate nested-loops
-    val nljAllowed = Set("ann_bruteforce_topk", "q35_tfidf", "dedup_cosine_verify")
+    // q44/stream_decontam add the same 1-row-broadcast shape as q35: the
+    // bloom blob crossJoins in as a single broadcast row, so the "NLJ" is
+    // a map over the corpus stream with a bounded build side
+    val nljAllowed = Set("ann_bruteforce_topk", "q35_tfidf", "dedup_cosine_verify",
+      "q44_bloom_decontam", "stream_decontam")
     SparkEntry.registry.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"${q.name} planned a cartesian:\n$p")
@@ -116,6 +120,44 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(stage.contains("rangepartitioning(doc_id"), s"expected range partitioning:\n$stage")
     assert(!stage.contains("Exchange SinglePartition"),
       s"stage must stay partition-parallel:\n$stage")
+  }
+
+  test("q44 probes the bloom before the confirm join; only the 1-row bloom NLJs") {
+    val p = operators.TrainPrep.q44.runProd(spark, sf).queryExecution.executedPlan.toString
+    assert(p.contains("bloom_contains"), s"bloom probe missing from the plan:\n$p")
+    // the bloom enters as a single broadcast row, so its "join" is a map
+    // over the corpus stream carrying the probe as the join condition —
+    // the ONLY nested-loop allowed; the exact confirm join must be a hash
+    // (or sort-merge) join over the survivor stream
+    val nljs = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(nljs == 1, s"only the 1-row bloom attach may nest-loop ($nljs):\n$p")
+    val probeLine = p.linesIterator.find(_.contains("bloom_contains")).getOrElse("")
+    assert(probeLine.contains("BroadcastNestedLoopJoin") && probeLine.contains("BuildRight"),
+      s"probe must ride the 1-row broadcast attach: $probeLine")
+  }
+
+  test("q45 runs both window passes over ONE user-keyed exchange") {
+    val p = operators.ScrapeEtl.q45.runProd(spark, sf).queryExecution.executedPlan.toString
+    val userExchanges = "Exchange hashpartitioning\\(user_id".r
+      .findAllIn(p.replace("ExchangeQueryStage", "")).size
+    assert(userExchanges == 1, s"change detection + versioning must share one shuffle:\n$p")
+  }
+
+  test("q46 joins vocab on slim hashed terms and broadcasts the sizes") {
+    val p = operators.TextAnalysis.q46.runProd(spark, sf).queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"per-source sizes must broadcast:\n$p")
+    // every exchange must key on (source, hashed term) or pair columns —
+    // raw token strings may exist only inside the scan-stage Generate,
+    // never on an exchange
+    val badExchange = p.linesIterator.filter(_.contains("Exchange "))
+      .find(_.contains("tok#"))
+    assert(badExchange.isEmpty, s"an exchange carries token strings: $badExchange")
+  }
+
+  test("q47 prod weighted sampling is exchange-free") {
+    val p = operators.TrainPrep.q47.runProd(spark, sf).queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(p.replace("ExchangeQueryStage", "")).size
+    assert(exchanges == 0, s"weighted sampling must not shuffle:\n$p")
   }
 
   test("prod variants drop the oracle-mode global sort") {

@@ -130,6 +130,28 @@ object Curate {
     Cluster.clusterAssignmentsT(gated.select(col("doc_id"), col("toks")))
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
 
+  /** Benchmark-contamination gate over the gated stage table: docs
+    * sharing a 3-shingle with the benchmark set, via q44's bloom-
+    * prefilter + exact-confirm shape (the output is exact; the bloom
+    * only cuts the shingle stream entering the confirm join). Shingles
+    * come from the stage table's token arrays — no extra text scan.
+    * Returns the contaminated doc_ids.
+    */
+  def contamGate(gated: DataFrame, bench: DataFrame,
+      numBits: Long = 1L << 20, numHashes: Int = 6): DataFrame = {
+    val sh = (t: Column) => graft.gfunctions.shingle_md5_hashes(t)
+    val benchSet = bench.select(explode(sh(col("toks"))).as("hash")).distinct()
+    val bloom = benchSet
+      .agg(graft.gfunctions.bloom_agg(col("hash"), numBits, numHashes).as("bf"))
+    gated
+      .select(col("doc_id"), explode(sh(col("toks"))).as("hash"))
+      .join(broadcast(bloom))
+      .filter(graft.gfunctions.bloom_contains(col("bf"), col("hash"), numHashes))
+      .join(benchSet, Seq("hash"), "leftsemi")
+      .select("doc_id")
+      .distinct()
+  }
+
   /** Assemble the decision table from the stage table, the exact-keeper
     * map, and near/family evidence already re-attached per doc (via
     * [[attach]]). Docs dropped by per-row gates join to nothing and fall
@@ -142,19 +164,30 @@ object Curate {
       near: DataFrame,
       fam: DataFrame,
       lang: String = "en",
-      minTokens: Int = 5): DataFrame = {
-    staged
+      minTokens: Int = 5,
+      contam: Option[DataFrame] = None): DataFrame = {
+    val base = staged
       .select(col("doc_id"), col("lang"), col("n_toks"))
       .join(exactMap, Seq("doc_id"), "left")
       .join(near, Seq("doc_id"), "left")
       .join(fam, Seq("doc_id"), "left")
+    val withContam = contam match {
+      case Some(c) => base.join(
+        c.withColumn("contam_hit", lit(1)), Seq("doc_id"), "left")
+      case None => base.withColumn("contam_hit", lit(null).cast("int"))
+    }
+    withContam
       .select(
         col("doc_id"),
         // Null-safe: a NULL lang fails the gate (it is excluded from the
         // gated population by `===`, so it must read wrong_lang here too,
         // never fall through to "kept" — and the streaming twin agrees).
+        // Contamination outranks dedup: a contaminated doc is dropped for
+        // its CONTENT, so it must not survive as someone's exact keeper —
+        // the dedup gates run over the decontaminated population.
         when(col("n_toks") < minTokens, "too_short")
           .when(!col("lang").eqNullSafe(lang), "wrong_lang")
+          .when(col("contam_hit").isNotNull, "contaminated")
           .when(col("exact_keeper") =!= col("doc_id"), "exact_dup")
           .when(coalesce(col("near_dup"), lit(false)), "near_dup")
           .when(col("cluster_id") =!= col("doc_id") && col("cluster_size") > 1,
@@ -177,6 +210,33 @@ object Curate {
       attach(exactMap, nearGate(reps, portableHash)),
       attach(exactMap, famGate(reps)),
       lang, minTokens)
+  }
+
+  /** Curation with a benchmark-decontamination gate: the corpus slice
+    * (doc_id % 20 != 0, the convention shared with q38/q44) is curated
+    * as in [[curate]], with contaminated docs — sharing a 3-shingle with
+    * the benchmark slice — dropped AFTER the per-row gates and BEFORE
+    * dedup, so a contaminated doc never survives as an exact keeper and
+    * dedup evidence points only at docs still in the running. The gate
+    * reuses the stage table's token arrays (still ONE corpus text scan)
+    * and q44's bloom-prefilter + exact-confirm shape.
+    */
+  def curateDecontam(
+      docs: DataFrame,
+      lang: String = "en",
+      minTokens: Int = 5): DataFrame = {
+    val staged = stageTable(docs).localCheckpoint()
+    val bench = staged.filter(col("doc_id") % 20 === 0)
+    val corpus = staged.filter(col("doc_id") % 20 =!= 0)
+    val gated = gatedOf(corpus, lang, minTokens)
+    val contam = contamGate(gated, bench)
+    val gated2 = gated.join(contam, Seq("doc_id"), "left_anti")
+    val exactMap = exactGate(gated2)
+    val reps = repsOf(gated2, exactMap)
+    verdicts(corpus, exactMap,
+      attach(exactMap, nearGate(reps, portableHash = true)),
+      attach(exactMap, famGate(reps)),
+      lang, minTokens, contam = Some(contam))
   }
 
   /** The curation pipeline as a checkpointed STAGED DAG: stage table ->
@@ -322,5 +382,114 @@ object Curate {
     prod = Some((s, d) => curate(Tables.documents(s, d), portableHash = true)),
   )
 
-  def all: Seq[GraftQuery] = Seq(qCurate, qCurateMd5)
+  val qCurateDecontam = GraftQuery(
+    "corpus_curate_decontam",
+    (s, d) => curateDecontam(Tables.documents(s, d)).orderBy("doc_id"),
+    // The decontaminating curation decision table under the HARD gate:
+    // the corpus_curate_md5 oracle with a contamination CTE (benchmark
+    // shingle overlap, the q44 rule) spliced between the per-row gates
+    // and the dedup population.
+    Some("""WITH RECURSIVE t AS (
+        SELECT doc_id, lang, md5(text) AS text_md5,
+               list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        FROM documents),
+      staged AS (SELECT doc_id, lang, text_md5, toks, len(toks) AS n_toks FROM t),
+      corpus AS (SELECT * FROM staged WHERE doc_id % 20 <> 0),
+      gated AS (SELECT * FROM corpus WHERE n_toks >= 5 AND lang = 'en'),
+      shc AS (
+        SELECT DISTINCT doc_id,
+          CAST(('0x' || substr(md5(toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]), 1, 15)) AS BIGINT) AS hash
+        FROM staged CROSS JOIN UNNEST(range(0, greatest(len(toks) - 2, 0))) AS u(i)),
+      bset AS (SELECT DISTINCT hash FROM shc WHERE doc_id % 20 = 0),
+      contam AS (
+        SELECT DISTINCT shc.doc_id
+        FROM shc JOIN bset USING (hash)
+        JOIN gated g ON g.doc_id = shc.doc_id),
+      gated2 AS (
+        SELECT * FROM gated
+        WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+      ex AS (
+        SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text_md5) AS exact_keeper
+        FROM gated2),
+      reps AS (
+        SELECT g.* FROM gated2 g
+        JOIN ex ON ex.doc_id = g.doc_id AND ex.exact_keeper = g.doc_id),
+      sh AS (
+        SELECT doc_id, toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS s
+        FROM reps CROSS JOIN UNNEST(range(0, greatest(len(toks) - 2, 0))) AS u(i)),
+      hx AS (
+        SELECT doc_id, j,
+          MIN(CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)
+              + j * CAST(('0x' || substr(md5(s), 16, 8)) AS BIGINT)) AS h
+        FROM sh CROSS JOIN UNNEST(range(0, 16)) AS v(j)
+        GROUP BY doc_id, j),
+      sigb AS (
+        SELECT doc_id, j // 4 AS band_idx, string_agg(h, ',' ORDER BY j) AS band_val
+        FROM hx GROUP BY doc_id, j // 4),
+      bs AS (
+        SELECT band_idx, band_val, COUNT(*) AS bucket_n FROM sigb GROUP BY 1, 2),
+      keptb AS (
+        SELECT sigb.* FROM sigb JOIN bs USING (band_idx, band_val) WHERE bs.bucket_n <= 10000),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM keptb a JOIN keptb b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
+      est AS (
+        SELECT c.id_a, c.id_b, SUM(CASE WHEN ha.h = hb.h THEN 1 ELSE 0 END) / 16.0 AS est_jaccard
+        FROM cand c
+        JOIN hx ha ON ha.doc_id = c.id_a
+        JOIN hx hb ON hb.doc_id = c.id_b AND hb.j = ha.j
+        GROUP BY c.id_a, c.id_b),
+      near AS (SELECT DISTINCT id_b AS doc_id FROM est WHERE est_jaccard >= 0.5),
+      near_all AS (
+        SELECT e.doc_id FROM ex e JOIN near n ON n.doc_id = e.exact_keeper),
+      keys AS (
+        SELECT doc_id,
+          md5(array_to_string(CASE WHEN len(toks) <= 50 THEN toks ELSE toks[1:50] END, ' ')) AS pkey,
+          md5(array_to_string(CASE WHEN len(toks) <= 50 THEN toks ELSE toks[-50:] END, ' ')) AS skey
+        FROM reps WHERE len(toks) > 0),
+      e1 AS (
+        SELECT id_a, id_b FROM (
+          SELECT MIN(doc_id) OVER (PARTITION BY pkey) AS id_a, doc_id AS id_b FROM keys)
+        WHERE id_a <> id_b),
+      e2 AS (
+        SELECT id_a, id_b FROM (
+          SELECT MIN(doc_id) OVER (PARTITION BY skey) AS id_a, doc_id AS id_b FROM keys)
+        WHERE id_a <> id_b),
+      edges AS (SELECT id_a, id_b FROM e1 UNION SELECT id_a, id_b FROM e2),
+      sym AS (
+        SELECT id_a AS src, id_b AS dst FROM edges
+        UNION SELECT id_b AS src, id_a AS dst FROM edges),
+      cc(id, label) AS (
+        SELECT src, src FROM (SELECT DISTINCT src FROM sym)
+        UNION
+        SELECT s.dst, c.label FROM cc c JOIN sym s ON s.src = c.id),
+      lab AS (SELECT id, MIN(label) AS cluster_id FROM cc GROUP BY id),
+      asg AS (
+        SELECT r.doc_id, COALESCE(l.cluster_id, r.doc_id) AS cluster_id
+        FROM reps r LEFT JOIN lab l ON l.id = r.doc_id),
+      sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size FROM asg GROUP BY cluster_id),
+      fam AS (SELECT a.doc_id, a.cluster_id, sz.cluster_size FROM asg a JOIN sz USING (cluster_id)),
+      fam_all AS (
+        SELECT e.doc_id, f.cluster_id, f.cluster_size
+        FROM ex e JOIN fam f ON f.doc_id = e.exact_keeper)
+      SELECT s.doc_id,
+        CASE WHEN s.n_toks < 5 THEN 'too_short'
+             WHEN s.lang IS DISTINCT FROM 'en' THEN 'wrong_lang'
+             WHEN contam.doc_id IS NOT NULL THEN 'contaminated'
+             WHEN ex.exact_keeper <> s.doc_id THEN 'exact_dup'
+             WHEN near_all.doc_id IS NOT NULL THEN 'near_dup'
+             WHEN fam_all.cluster_id <> s.doc_id AND fam_all.cluster_size > 1 THEN 'dup_family_alternate'
+             ELSE 'kept' END AS verdict,
+        COALESCE(fam_all.cluster_id, s.doc_id) AS cluster_id
+      FROM corpus s
+      LEFT JOIN contam ON contam.doc_id = s.doc_id
+      LEFT JOIN ex ON ex.doc_id = s.doc_id
+      LEFT JOIN near_all ON near_all.doc_id = s.doc_id
+      LEFT JOIN fam_all ON fam_all.doc_id = s.doc_id
+      ORDER BY s.doc_id"""),
+    prod = Some((s, d) => curateDecontam(Tables.documents(s, d))),
+  )
+
+  def all: Seq[GraftQuery] = Seq(qCurate, qCurateMd5, qCurateDecontam)
 }

@@ -302,4 +302,37 @@ class DedupSpec extends AnyFunSuite {
       assert(!p.toLowerCase.contains("broadcastnestedloop"), "no nested-loop joins")
     }
   }
+
+  test("decontaminating curation: contamination outranks dedup and re-canonicalizes keepers") {
+    import spark.implicits._
+    // Disjoint token spaces per doc family — the shared 24-word vocab of
+    // text() would cross-contaminate by chance (98 shingles over 24^3).
+    def tk(p: String, n: Int) = (0 until n).map(i => s"$p$i").mkString(" ")
+    val benchText = tk("bench", 60)
+    val quoting = tk("q", 50) + " " + benchText.split(" ").take(10).mkString(" ")
+    val t1 = tk("t", 100)
+    val rows = Seq(
+      // doc 20: the benchmark slice member (doc_id % 20 == 0) — not graded
+      (20L, benchText, "en"),
+      // doc 1 quotes a bench passage -> contaminated (outranks kept)
+      (1L, quoting, "en"),
+      // docs 2/3 share the same 100-token prefix (one dup family): 2 has a
+      // bench quote appended — the contaminated partner must not drag 3 down
+      (2L, t1 + " " + benchText.split(" ").slice(20, 30).mkString(" "), "en"),
+      (3L, t1, "en"),
+      // clean unrelated doc -> kept
+      (4L, tk("u", 80), "en"),
+      // per-row gates still win over contamination
+      (5L, "ab cd", "en"),
+    ).map { case (id, t, l) => (id, t, l, "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = operators.Curate.curateDecontam(rows).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(!got.contains(20L), "benchmark docs are not graded")
+    assert(got(1L) == "contaminated", s"quoting doc must flag, got $got")
+    assert(got(2L) == "contaminated", "contaminated exact-copy is dropped for content")
+    assert(got(3L) == "kept", "clean copy survives its contaminated partner")
+    assert(got(4L) == "kept")
+    assert(got(5L) == "too_short", "per-row gates outrank contamination")
+  }
 }

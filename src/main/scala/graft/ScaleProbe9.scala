@@ -66,12 +66,20 @@ object ScaleProbe9 {
     val b = time("exact shuffle (merge) join") {
       contaminated(corpusSh.hint("merge").join(benchSet.hint("merge"), Seq("hash"), "leftsemi"))
     }
-    // (c) q44's shape: bloom cuts the stream BEFORE the exchange
+    // (c) q44's shape: bloom cuts the stream BEFORE the exchange. The
+    // bloom is embedded as a LITERAL (one object per task) — the earlier
+    // in-plan 1-row-crossJoin draft re-copied the 4 MB blob out of the
+    // join row on EVERY probe (UnsafeRow.getBinary allocates) and did not
+    // finish this probe's 15.5M-row pass in 15 minutes; the literal form
+    // finishes in seconds. That finding is why bloomDecontam collects.
     val bits = 1L << 25 // ~16.8 bits/key at 2M keys -> FPR ~7e-4
     val k = 6
-    val bloom = benchSet.agg(gfunctions.bloom_agg(col("hash"), bits, k).as("bf"))
-    val survivors = corpusSh.join(broadcast(bloom))
-      .filter(gfunctions.bloom_contains(col("bf"), col("hash"), k))
+    val t0 = System.nanoTime()
+    val bloomBytes = benchSet.agg(gfunctions.bloom_agg(col("hash"), bits, k).as("bf"))
+      .collect()(0).getAs[Array[Byte]](0)
+    println(f"[probe9] bloom build (2^25 bits, k=6): ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    val survivors = corpusSh
+      .filter(gfunctions.bloom_contains(lit(bloomBytes), col("hash"), k))
       .select("doc_id", "hash")
     println(s"[probe9] corpus shingle rows: ${corpusSh.count()}; bloom survivors: ${survivors.count()}")
     val c = time("bloom prefilter + shuffle confirm") {

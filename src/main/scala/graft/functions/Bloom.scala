@@ -131,6 +131,13 @@ case class BloomAgg(
   * be a false positive (callers confirm survivors with an exact join).
   * Codegen'd so the probe runs inside WholeStageCodegen on the big side's
   * scan — the hot path touches k cache lines per row and nothing else.
+  *
+  * USAGE RULE (ScaleProbe9): pass the bloom as a LITERAL (collect the
+  * 1-row build first), never as a column riding a join row — UnsafeRow
+  * .getBinary COPIES the blob on every eval, so an in-plan 1-row
+  * crossJoin attach costs one multi-MB allocation per probed row and
+  * melts at corpus scale, while a Literal is one object per task that
+  * generated code references directly.
   */
 case class BloomContains(
     bloomExpr: Expression,

@@ -141,12 +141,14 @@ object Curate {
       numBits: Long = 1L << 20, numHashes: Int = 6): DataFrame = {
     val sh = (t: Column) => graft.gfunctions.shingle_md5_hashes(t)
     val benchSet = bench.select(explode(sh(col("toks"))).as("hash")).distinct()
+    // Model-fit step: the bloom is a Literal, never a join row — a blob
+    // riding a join row is re-copied by every probe (see bloomDecontam).
     val bloom = benchSet
       .agg(graft.gfunctions.bloom_agg(col("hash"), numBits, numHashes).as("bf"))
+      .collect()(0).getAs[Array[Byte]](0)
     gated
       .select(col("doc_id"), explode(sh(col("toks"))).as("hash"))
-      .join(broadcast(bloom))
-      .filter(graft.gfunctions.bloom_contains(col("bf"), col("hash"), numHashes))
+      .filter(graft.gfunctions.bloom_contains(lit(bloom), col("hash"), numHashes))
       .join(benchSet, Seq("hash"), "leftsemi")
       .select("doc_id")
       .distinct()

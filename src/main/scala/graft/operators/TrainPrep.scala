@@ -124,29 +124,36 @@ object TrainPrep {
 
   /** q38's contamination decision via a bloom-prefiltered exact join —
     * the 100 TB shape when the benchmark shingle set outgrows the
-    * broadcast-join threshold. The corpus side probes a broadcast
-    * [[graft.functions.BloomAgg]] filter inside its scan stage (codegen'd
-    * [[graft.functions.BloomContains]], no shuffle), so only bloom
-    * survivors — true hits plus the engineered false-positive residue —
-    * enter the exact confirm join. The OUTPUT is exact: false positives
-    * die in the confirm join, so this hash-compares against the same
-    * oracle rule as q38 despite the probabilistic prefilter. Corpus
-    * shingles never shuffle at all; the confirm exchange carries only
-    * the survivor stream of 8-byte keys.
+    * broadcast-join threshold. The corpus side probes the
+    * [[graft.functions.BloomAgg]]-built filter inside its scan stage
+    * (codegen'd [[graft.functions.BloomContains]], no shuffle), so only
+    * bloom survivors — true hits plus the engineered false-positive
+    * residue — enter the exact confirm join. The OUTPUT is exact: false
+    * positives die in the confirm join, so this hash-compares against
+    * the same oracle rule as q38 despite the probabilistic prefilter.
+    * Corpus shingles never shuffle at all; the confirm exchange carries
+    * only the survivor stream of 8-byte keys.
+    *
+    * The bloom is built by a SEPARATE tiny job over the benchmark side
+    * and embedded as a Literal — a model-fit step like IVF's k-means,
+    * and deliberately NOT an in-plan 1-row crossJoin: a bloom riding a
+    * join row is re-materialized by every `getBinary` call, i.e. one
+    * blob COPY per probed row (ScaleProbe9 measured the difference),
+    * while a Literal is one object for the task's lifetime. At very
+    * large bloom sizes the literal ships once per task binary like any
+    * broadcast-scale artifact.
     */
   private[graft] def bloomDecontam(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val benchSet = docs.filter(isBench)
       .select(explode(gfunctions.shingle_md5_hashes(toks)).as("hash"))
       .distinct()
-    // One row, numBits/8 bytes — broadcast to every corpus task.
     val bloom = benchSet
       .agg(gfunctions.bloom_agg(col("hash"), BloomBits, BloomHashes).as("bf"))
+      .collect()(0).getAs[Array[Byte]](0)
     val candidates = docs.filter(!isBench)
       .select(col("doc_id"), explode(gfunctions.shingle_md5_hashes(toks)).as("hash"))
-      .join(broadcast(bloom))
-      .filter(gfunctions.bloom_contains(col("bf"), col("hash"), BloomHashes))
-      .select("doc_id", "hash")
+      .filter(gfunctions.bloom_contains(lit(bloom), col("hash"), BloomHashes))
     val hits = candidates
       .join(benchSet, Seq("hash"), "leftsemi")
       .select("doc_id")

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.{Column, SparkSessionExtensions}
 import org.apache.spark.sql.functions.call_function
 
-import graft.functions.{BloomAgg, BloomContains, CosineSim, HyperplaneBands, JaccardSim, KgramMd5Hashes, MinhashMd5Sig, MinhashSig, ShingleHashes, ShingleMd5Hashes, ShingleXor64, SimHash64, SimHashMd5, TopKByScore, WsTokens}
+import graft.functions.{BloomAgg, BloomContains, HeavyHitters, CosineSim, HyperplaneBands, JaccardSim, KgramMd5Hashes, MinhashMd5Sig, MinhashSig, ShingleHashes, ShingleMd5Hashes, ShingleXor64, SimHash64, SimHashMd5, TopKByScore, WsTokens}
 
 /** Engine extension point, installed via spark.sql.extensions (GraftSession
   * sets it). Registers native expressions as SQL functions so both
@@ -113,6 +113,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     )
     ext.injectFunction(
       (
+        new FunctionIdentifier("heavy_hitters"),
+        new ExpressionInfo(classOf[HeavyHitters].getName, "heavy_hitters"),
+        (children: Seq[Expression]) => HeavyHitters(children(0), children(1)),
+      )
+    )
+    ext.injectFunction(
+      (
         new FunctionIdentifier("hyperplane_bands"),
         new ExpressionInfo(classOf[HyperplaneBands].getName, "hyperplane_bands"),
         (children: Seq[Expression]) =>
@@ -206,6 +213,13 @@ object gfunctions {
     import org.apache.spark.sql.functions.lit
     call_function("bloom_contains", bloom, key, lit(numHashes))
   }
+
+  /** Misra-Gries frequent-items summary (<= k candidates, lower-bound
+    * counts; every item with freq > n/(k+1) guaranteed present) — O(k)
+    * state total per partition, any key domain size.
+    */
+  def heavy_hitters(item: Column, k: Int): Column =
+    call_function("heavy_hitters", item, org.apache.spark.sql.functions.lit(k))
 
   /** Random-hyperplane LSH band values of a float vector — all plane
     * dots in one native pass, sign bits packed per band.

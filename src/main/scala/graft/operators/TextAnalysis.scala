@@ -528,6 +528,107 @@ object TextAnalysis {
       )
   }
 
+  // ------------------------------------------------------------ q48
+
+  /** Posting-list doc_ids kept per term in the index head. */
+  private val PostingHead = 5
+
+  /** Inverted-index build: per term, document frequency, collection
+    * frequency, and the posting head (the PostingHead smallest doc_ids,
+    * comma-joined) — the search-side artifact a corpus pipeline ships
+    * alongside the training shards.
+    *
+    * Scale shape: two map-side-combined hash aggregates over one token
+    * explode — (term, doc) tf first, then the per-term rollup. The
+    * posting head rides the native bounded-heap `top_k_by_score`
+    * aggregate (O(k) state per term, no per-term sort); scoring on
+    * -doc_id yields ascending ids, exact in the heap's DOUBLE scores
+    * for ids < 2^52. Full posting lists at 100 TB would be written as
+    * (term-bucket, doc) shards instead — the head is the bounded,
+    * hash-comparable summary of the same build.
+    */
+  private def postings(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val perDoc = Tables.documents(s, d)
+      .select(explode(toks).as("token"), col("doc_id"))
+      .groupBy("token", "doc_id")
+      .agg(count(lit(1)).as("tf"))
+    perDoc
+      .groupBy("token")
+      .agg(
+        count(lit(1)).as("df"),
+        sum("tf").as("cf"),
+        graft.gfunctions.top_k_by_score(
+          col("doc_id"), -col("doc_id").cast("double"), PostingHead).as("head"))
+      .select(
+        col("token"), col("df"), col("cf"),
+        concat_ws(",",
+          transform(col("head"), x => x.getField("neighbor_id").cast("string")))
+          .as("posting_head"))
+  }
+
+  val q48 = GraftQuery(
+    "q48_postings",
+    (s, d) => postings(s, d).orderBy("token"),
+    Some(s"""WITH tok AS (
+        SELECT doc_id,
+          unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS token
+        FROM documents),
+      per AS (SELECT token, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2)
+      SELECT token,
+        CAST(COUNT(*) AS BIGINT) AS df,
+        CAST(SUM(tf) AS BIGINT) AS cf,
+        array_to_string(list_sort(list(doc_id))[1:$PostingHead], ',') AS posting_head
+      FROM per GROUP BY token ORDER BY token"""),
+    prod = Some((s, d) => postings(s, d)),
+  )
+
+  // ------------------------------------------------------------ q49
+
+  /** Misra-Gries counters; presence guaranteed for freq > n/(HhK+1). */
+  private val HhK = 64
+
+  /** Heavy-token discovery via the native Misra-Gries aggregate: the
+    * sketch pass holds HhK counters TOTAL per partition (any key domain
+    * size — the point vs q42's vocab aggregate, whose map-side hash
+    * state is vocabulary-sized and lethal for n-gram/URL domains), then
+    * the <= HhK candidates are exactly recounted (map-side-combined agg
+    * over a broadcast-semi-filtered stream) and filtered by the
+    * guarantee threshold freq > n/(HhK+1). Every true heavy hitter is
+    * guaranteed a candidate, so the confirmed output is DETERMINISTIC
+    * and sits under the hard oracle gate — the same sketch-prefilter +
+    * exact-confirm move as bloom decontamination.
+    */
+  private def heavyTokens(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val tokens = Tables.documents(s, d).select(explode(toks).as("token"))
+    val cand = tokens
+      .agg(graft.gfunctions.heavy_hitters(col("token"), HhK).as("hh"))
+      .select(explode(col("hh")).as("c"))
+      .select(col("c.token").as("token"))
+    val total = tokens.agg(count(lit(1)).as("total"))
+    tokens
+      .join(broadcast(cand), Seq("token"), "leftsemi")
+      .groupBy("token")
+      .agg(count(lit(1)).as("n_occurrences"))
+      .crossJoin(broadcast(total))
+      .filter(col("n_occurrences") * (HhK + 1) > col("total"))
+      .select(col("token"), col("n_occurrences"))
+  }
+
+  val q49 = GraftQuery(
+    "q49_heavy_tokens",
+    (s, d) => heavyTokens(s, d).orderBy("token"),
+    Some(s"""WITH tok AS (
+        SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS token
+        FROM documents),
+      c AS (SELECT token, COUNT(*) AS n_occurrences FROM tok GROUP BY 1),
+      t AS (SELECT COUNT(*) AS total FROM tok)
+      SELECT token, CAST(n_occurrences AS BIGINT) AS n_occurrences
+      FROM c, t
+      WHERE n_occurrences * ${HhK + 1} > total
+      ORDER BY token"""),
+    prod = Some((s, d) => heavyTokens(s, d)),
+  )
+
   val q46 = GraftQuery(
     "q46_source_overlap",
     (s, d) => sourceOverlap(s, d).orderBy("source_a", "source_b"),
@@ -555,5 +656,5 @@ object TextAnalysis {
   )
 
   def all: Seq[GraftQuery] =
-    Seq(q30, q31, q32, q33, q33md5, q34, q35, q35exact, q36, q37, q42, q46)
+    Seq(q30, q31, q32, q33, q33md5, q34, q35, q35exact, q36, q37, q42, q46, q48, q49)
 }

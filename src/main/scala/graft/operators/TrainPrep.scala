@@ -335,6 +335,71 @@ object TrainPrep {
     prod = Some((s, d) => weightedSample(s, d)),
   )
 
+  // ------------------------------------------------------------ q50
+
+  /** Curriculum-bucket assignment: each doc's quality decile WITHIN its
+    * language stratum (curriculum schedules feed low→high or high→low by
+    * such buckets). Score = token count (exact integer; swap in any
+    * integer quality signal), ties broken by doc_id so the decile edge
+    * is deterministic in both engines.
+    *
+    * Oracle form: ntile over the language window — states the semantics
+    * directly, but one giant language funnels through one partition's
+    * sort. Production form ([[curriculumProd]]): rank-from-counts — the
+    * stratum sort is replaced by a per-(lang, score) COUNT summary
+    * cumulated into rank bases (summary-sized window), per-doc rank =
+    * base + row_number within the (lang, score) tie group (windows only
+    * as wide as a tie group), and the bucket computed from (rank, n) by
+    * ntile's closed form. ProdParitySpec pins the two forms identical.
+    */
+  private def curriculum(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy(col("n_tokens"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), size(toks).cast("long").as("n_tokens"))
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+  }
+
+  /** Rank-from-counts decile assignment, ntile-exact (see [[curriculum]]).
+    * The first (n % 10) buckets take ceil(n/10) rows, the rest floor —
+    * the CASE below is that definition on (rank, n); the q=0 branch is
+    * unreachable when n < 10 because rem*(q+1) = n >= r short-circuits.
+    */
+  private def curriculumProd(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), size(toks).cast("long").as("n_tokens"))
+    val counts = docs.groupBy("lang", "n_tokens").agg(count(lit(1)).as("c"))
+    val wBase = Window.partitionBy("lang").orderBy("n_tokens")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = counts
+      .withColumn("rank_base", coalesce(sum("c").over(wBase), lit(0L)))
+      .select("lang", "n_tokens", "rank_base")
+    val totals = counts.groupBy("lang").agg(sum("c").as("n"))
+    val wTie = Window.partitionBy("lang", "n_tokens").orderBy("doc_id")
+    docs
+      .join(bases, Seq("lang", "n_tokens"))
+      .join(broadcast(totals), Seq("lang"))
+      .withColumn("r", col("rank_base") + row_number().over(wTie))
+      .withColumn("decile", expr(
+        """CASE WHEN r <= (n % 10) * (n DIV 10 + 1)
+          |     THEN (r + (n DIV 10)) DIV (n DIV 10 + 1)
+          |     ELSE (n % 10) + ((r - (n % 10) * (n DIV 10 + 1) + (n DIV 10) - 1) DIV (n DIV 10))
+          |END""".stripMargin).cast("long"))
+      .select("doc_id", "lang", "n_tokens", "decile")
+  }
+
+  val q50 = GraftQuery(
+    "q50_curriculum_decile",
+    (s, d) => curriculum(s, d).orderBy("doc_id"),
+    Some("""WITH t AS (
+        SELECT doc_id, lang,
+          CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+        FROM documents)
+      SELECT doc_id, lang, n_tokens,
+        CAST(NTILE(10) OVER (PARTITION BY lang ORDER BY n_tokens, doc_id) AS BIGINT) AS decile
+      FROM t ORDER BY doc_id"""),
+    prod = Some((s, d) => curriculumProd(s, d)),
+  )
+
   // ------------------------------------------------------------ q40
 
   /** Tokens per training shard in the concat-and-chunk layout. */
@@ -486,5 +551,5 @@ object TrainPrep {
     prod = Some((s, d) => trainShuffle(s, d)),
   )
 
-  def all: Seq[GraftQuery] = Seq(q38, q39, q40, q41, q43, q44, q47)
+  def all: Seq[GraftQuery] = Seq(q38, q39, q40, q41, q43, q44, q47, q50)
 }

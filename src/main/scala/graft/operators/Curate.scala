@@ -272,6 +272,39 @@ object Curate {
     (outs("decisions"), reports)
   }
 
+  /** [[curateDecontam]] as a checkpointed STAGED DAG: stage table →
+    * contamination gate → exact → near → clusters → decisions, each
+    * stage a parquet checkpoint with per-stage retries and
+    * resume-from-marker — the decontaminating flagship composed with
+    * the orchestration layer. The contam stage persists the
+    * contaminated-id table, so a resumed run re-reads the verdict-
+    * relevant evidence instead of rebuilding the bloom.
+    */
+  def curateDecontamStaged(
+      spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame,
+      runDir: String,
+      lang: String = "en",
+      minTokens: Int = 5): (DataFrame, Seq[graft.StagedDag.StageReport]) = {
+    def bench(up: Map[String, DataFrame]) = up("staged").filter(col("doc_id") % 20 === 0)
+    def corpus(up: Map[String, DataFrame]) = up("staged").filter(col("doc_id") % 20 =!= 0)
+    def gated(up: Map[String, DataFrame]) = gatedOf(corpus(up), lang, minTokens)
+    def gated2(up: Map[String, DataFrame]) =
+      gated(up).join(up("contam"), Seq("doc_id"), "left_anti")
+    def reps(up: Map[String, DataFrame]) = repsOf(gated2(up), up("exact"))
+    val (outs, reports) = graft.StagedDag.run(spark, runDir, Seq(
+      "staged" -> (_ => stageTable(docs)),
+      "contam" -> (up => contamGate(gated(up), bench(up))),
+      "exact" -> (up => exactGate(gated2(up))),
+      "near" -> (up => attach(up("exact"), nearGate(reps(up), portableHash = true))),
+      "clusters" -> (up => attach(up("exact"), famGate(reps(up)))),
+      "decisions" -> (up =>
+        verdicts(corpus(up), up("exact"), up("near"), up("clusters"),
+          lang, minTokens, contam = Some(up("contam")))),
+    ))
+    (outs("decisions"), reports)
+  }
+
   /** Survivors only — what downstream tokenization consumes. */
   def survivors(docs: DataFrame, lang: String = "en", minTokens: Int = 5): DataFrame =
     docs.join(

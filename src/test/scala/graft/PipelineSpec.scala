@@ -132,6 +132,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(verdictMap(dec2) == oneShot, "resumed run reproduces identical verdicts")
   }
 
+  test("decontaminating curation runs staged and resumes after a killed contam stage") {
+    import spark.implicits._
+    val run = "/tmp/graft-test/dag-decontam"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(run))
+    def tk(p: String, n: Int) = (0 until n).map(i => s"$p$i").mkString(" ")
+    val benchText = tk("bench", 60)
+    val docs = Seq(
+      (20L, benchText, "en"),
+      (1L, tk("q", 50) + " " + benchText.split(" ").take(10).mkString(" "), "en"),
+      (2L, tk("t", 100), "en"),
+      (3L, tk("t", 100), "en"),
+      (4L, "ab cd", "en"),
+    ).map { case (id, t, l) => (id, t, l, "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+    def verdictMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+
+    val oneShot = verdictMap(operators.Curate.curateDecontam(docs))
+    assert(oneShot(1L)._1 == "contaminated" && oneShot(3L)._1 == "exact_dup")
+    val (dec1, reports1) = operators.Curate.curateDecontamStaged(spark, docs, run)
+    assert(reports1.map(_.name) ==
+      Seq("staged", "contam", "exact", "near", "clusters", "decisions"))
+    assert(verdictMap(dec1) == oneShot, "staged decontam run matches the one-shot pipeline")
+
+    // kill the contam stage: downstream gates depend on it, so clear them
+    // too (Airflow clear-with-downstream); resume recomputes only the dead
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$run/contam/_SUCCESS"))
+    Seq("exact", "near", "clusters", "decisions").foreach { s =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$run/$s"))
+    }
+    val (dec2, reports2) = operators.Curate.curateDecontamStaged(spark, docs, run)
+    val byName = reports2.map(r => r.name -> r.resumed).toMap
+    assert(byName("staged") && !byName("contam") && !byName("decisions"))
+    assert(verdictMap(dec2) == oneShot, "resumed run reproduces identical verdicts")
+  }
+
   test("staged DAG does NOT retry fatal errors — they propagate on the first attempt") {
     val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
     val fatal = Seq("oom" -> ((_: Map[String, org.apache.spark.sql.DataFrame]) => {

@@ -34,7 +34,7 @@ object TextAnalysis {
     * Tokens are bound once per row (ExprUtil.bound) — without it the
     * per-shingle lambda re-tokenizes the text for every shingle (O(n^2)).
     */
-  private[operators] def shingles(toksCol: Column, n: Int): Column =
+  private[graft] def shingles(toksCol: Column, n: Int): Column =
     ExprUtil.bound(toksCol) { t =>
       when(size(t) >= n,
         transform(sequence(lit(0), size(t) - n),

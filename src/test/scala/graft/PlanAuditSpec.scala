@@ -159,6 +159,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(exchanges == 0, s"weighted sampling must not shuffle:\n$p")
   }
 
+  test("q48 postings aggregate map-side; no per-term sort anywhere") {
+    val p = operators.TextAnalysis.q48.runProd(spark, sf).queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(p.replace("ExchangeQueryStage", "")).size
+    assert(exchanges <= 2, s"(term,doc) tf + term rollup = at most two exchanges:\n$p")
+    assert(!p.contains("Sort "), s"the posting head must ride the bounded heap, not a sort:\n$p")
+    assert(p.contains("top_k_by_score"), "bounded-heap head aggregate expected")
+  }
+
+  test("q50 prod plan avoids the stratum-wide ntile sort") {
+    val p = operators.TrainPrep.q50.runProd(spark, sf).queryExecution.executedPlan.toString
+    assert(!p.contains("ntile"), s"prod must use the closed form, not ntile:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"doc rows must never funnel through one task:\n$p")
+    // windows exist only over the count-summary frame and (lang, score)
+    // tie groups; the doc-row window must carry the tie-group keys
+    assert(p.contains("partitionBy=[lang#") || p.contains("hashpartitioning(lang"),
+      s"expected per-stratum summary windows:\n$p")
+  }
+
   test("prod variants drop the oracle-mode global sort") {
     Seq(operators.RelationalCore.q02, operators.RelationalCore.q08, operators.RelationalCore.q18)
       .foreach { q =>

@@ -343,6 +343,51 @@ object Streams {
       }
   }
 
+  // ------------------------------------------------------- stateful SCD2
+
+  final case class Scd2Event(user_id: Long, event_id: Long, ts_ms: Long, event_type: String)
+  final case class Scd2Open(version: Long, state: String, since_ms: Long)
+  final case class Scd2Rec(user_id: Long, version: Long, state: String,
+      valid_from_ms: Long, valid_to_ms: Long)
+
+  /** Time-ordered events against the open SCD2 interval: emits the closed
+    * interval on every state CHANGE, carries the open one forward — the
+    * one place the change rule lives; batch q45 states the same rule as
+    * lag/lead windows and the parity spec pins the twins equal on closed
+    * intervals.
+    */
+  def foldScd2(uid: Long, events: Seq[Scd2Event], init: Option[Scd2Open]):
+      (Seq[Scd2Rec], Option[Scd2Open]) = {
+    val sorted = events.sortBy(e => (e.ts_ms, e.event_id))
+    sorted.foldLeft((Vector.empty[Scd2Rec], init)) {
+      case ((closed, None), e) =>
+        (closed, Some(Scd2Open(1L, e.event_type, e.ts_ms)))
+      case ((closed, Some(open)), e) if e.event_type == open.state =>
+        (closed, Some(open))
+      case ((closed, Some(open)), e) =>
+        (closed :+ Scd2Rec(uid, open.version, open.state, open.since_ms, e.ts_ms),
+          Some(Scd2Open(open.version + 1, e.event_type, e.ts_ms)))
+    } match { case (c, st) => (c.toSeq, st) }
+  }
+
+  /** Streaming SCD2 history: closed state intervals emit as changes
+    * arrive (Append); the open interval lives in per-user state across
+    * micro-batches. State is O(1) per user — version counter + current
+    * state + since timestamp.
+    */
+  def scd2Stream(events: Dataset[Scd2Event]): Dataset[Scd2Rec] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2Open, Scd2Rec](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Scd2Event], state: GroupState[Scd2Open]) =>
+          val (closed, st) = foldScd2(uid, it.toSeq, state.getOption)
+          st.foreach(state.update)
+          closed.iterator
+      }
+  }
+
   // ------------------------------------------------------------- queries
 
   val qWindowed = GraftQuery(
@@ -440,5 +485,33 @@ object Streams {
       .select("doc_id")),
   )
 
-  def all: Seq[GraftQuery] = Seq(qWindowed, qSessionize, qIntervalJoin, qDedup, qDecontam)
+  /** Batch twin of [[scd2Stream]] under the oracle gate: q45's closed
+    * intervals (what the streaming runner has emitted once the change
+    * arrives). StreamingSpec pins stream ≡ batch on the same events.
+    */
+  val qScd2 = GraftQuery(
+    "stream_scd2",
+    (s, d) => graft.operators.ScrapeEtl.q45.run(s, d)
+      .filter(col("is_current") === 0L)
+      .select("user_id", "version", "state", "valid_from_ms", "valid_to_ms"),
+    Some("""WITH e AS (
+        SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms,
+               LAG(event_type) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev_state
+        FROM events),
+      c AS (
+        SELECT * FROM e WHERE prev_state IS NULL OR event_type <> prev_state),
+      v AS (
+        SELECT user_id, event_type, ts_ms,
+               CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+               LEAD(ts_ms) OVER w AS valid_to_ms
+        FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id))
+      SELECT user_id, version, event_type AS state, ts_ms AS valid_from_ms, valid_to_ms
+      FROM v WHERE valid_to_ms IS NOT NULL
+      ORDER BY user_id, version"""),
+    prod = Some((s, d) => graft.operators.ScrapeEtl.q45.runProd(s, d)
+      .filter(col("is_current") === 0L)
+      .select("user_id", "version", "state", "valid_from_ms", "valid_to_ms")),
+  )
+
+  def all: Seq[GraftQuery] = Seq(qWindowed, qSessionize, qIntervalJoin, qDedup, qDecontam, qScd2)
 }

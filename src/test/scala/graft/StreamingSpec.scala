@@ -243,6 +243,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming SCD2 closes intervals across micro-batches; twin parity at sf0.001") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import streaming.Streams.Scd2Event
+    val ms = MemoryStream[Scd2Event]
+    val q = Streams.scd2Stream(ms.toDS())
+      .writeStream.format("memory").queryName("graft_scd2_stream")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 A->A->B (closes A at the B arrival)
+      ms.addData(
+        Scd2Event(1L, 1L, 1000L, "A"), Scd2Event(1L, 2L, 2000L, "A"),
+        Scd2Event(1L, 3L, 3000L, "B"))
+      q.processAllAvailable()
+      val v1 = spark.table("graft_scd2_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+      assert(v1.toSeq == Seq((1L, 1L, "A", 1000L, 3000L)), s"got ${v1.toSeq}")
+      // batch 2: the change arrives later — state spans micro-batches
+      ms.addData(Scd2Event(1L, 4L, 5000L, "A"))
+      q.processAllAvailable()
+      val v2 = spark.table("graft_scd2_stream").collect()
+        .map(r => (r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4))).toSet
+      assert(v2 == Set((1L, "A", 1000L, 3000L), (2L, "B", 3000L, 5000L)), s"got $v2")
+    } finally q.stop()
+
+    // twin parity: fold the real sf0.001 events through the SAME step and
+    // compare against the batch window form
+    val sf = "/root/testdata/sf0.001"
+    val events = operators.Events.withEventTime(spark, sf)
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ts_ms"),
+        col("event_type"))
+      .as[Scd2Event].collect()
+    val folded = events.groupBy(_.user_id).toSeq.flatMap { case (uid, evs) =>
+      Streams.foldScd2(uid, evs.toSeq, None)._1
+    }.map(r => (r.user_id, r.version, r.state, r.valid_from_ms, r.valid_to_ms)).toSet
+    val batch = Streams.qScd2.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4))).toSet
+    assert(folded == batch, "stream fold and batch windows state the same rule")
+  }
+
   test("stream_decontam batch twin equals the q44 contaminated set") {
     val sf = "/root/testdata/sf0.001"
     val twin = Streams.qDecontam.run(spark, sf).collect().map(_.getLong(0)).toSet

@@ -97,6 +97,10 @@ case class BloomAgg(
   override def createAggregationBuffer(): Array[Byte] = {
     require(numBits >= 8 && (numBits & (numBits - 1)) == 0,
       s"bloom_agg numBits must be a power of two >= 8, got $numBits")
+    // 2^33 bits = 1 GiB per buffer — anything larger silently overflows
+    // the byte-array Int length; refuse loudly instead
+    require(numBits <= (1L << 33),
+      s"bloom_agg numBits capped at 2^33 (1 GiB), got $numBits")
     new Array[Byte]((numBits / 8).toInt)
   }
 

@@ -582,6 +582,88 @@ object TextAnalysis {
     prod = Some((s, d) => postings(s, d)),
   )
 
+  // ------------------------------------------------------------ q51
+
+  /** Corpus-derived bigram fluency score — the KenLM-style LM quality
+    * filter of LLM pipelines, with the corpus itself as the model:
+    * per doc, the mean of P(w2|w1) ~ c(w1 w2)/(c(w1) + 19) over its
+    * bigrams, in exact integer arithmetic (ratio scaled to ppm, one
+    * integer division per bigram, integer mean) so the full result
+    * hash-matches — the q35_tfidf_exact move applied to LM scoring.
+    * The +19 denominator smoothing is the prior that keeps singleton
+    * evidence weak: without it a never-seen-before prefix scores a
+    * perfect 1/1, so unique gibberish would rank as maximally fluent
+    * (the spec plants exactly that trap). Gibberish scores low;
+    * corpus-typical transitions score high.
+    *
+    * Scale shape: the bigram/unigram count tables ARE the LM — model-fit
+    * aggregates (map-side combined, keyed on 60-bit md5 hashes so no
+    * exchange carries n-gram strings). The per-doc pass joins the
+    * bigram stream against them; with a vocabulary-bounded model AQE
+    * broadcasts both sides, with an open vocabulary the joins shuffle
+    * slim 8-byte keys. Counts scale: c * 10^6 overflows BIGINT only
+    * past ~9*10^12 occurrences of one n-gram.
+    */
+  private def lmFluency(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val md5h = (c: Column) => conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    val docs = Tables.documents(s, d)
+    val big = docs
+      .select(col("doc_id"), explode(shingles(toks, 2)).as("bigram"))
+      .select(
+        col("doc_id"),
+        md5h(col("bigram")).as("bh"),
+        md5h(substring_index(col("bigram"), " ", 1)).as("wh"))
+    val cb = big.groupBy("bh").agg(count(lit(1)).as("c_bi"))
+    val cu = docs.select(explode(toks).as("w1"))
+      .select(md5h(col("w1")).as("wh"))
+      .groupBy("wh").agg(count(lit(1)).as("c_uni"))
+    val perDoc = big
+      .join(cb, "bh")
+      .join(cu, "wh")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(expr("c_bi * 1000000L div (c_uni + 19L)")).as("fluency_sum"))
+    docs.select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("fluency_sum"), lit(0L)).as("fluency_sum"),
+        when(coalesce(col("n_bigrams"), lit(0L)) === 0L, lit(0L))
+          .otherwise(expr("fluency_sum div n_bigrams")).as("avg_fluency_ppm"))
+  }
+
+  val q51 = GraftQuery(
+    "q51_lm_fluency",
+    (s, d) => lmFluency(s, d).orderBy("doc_id"),
+    Some("""WITH t AS (
+        SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        FROM documents),
+      big AS (
+        SELECT doc_id,
+          CAST(('0x' || substr(md5(toks[i+1] || ' ' || toks[i+2]), 1, 15)) AS BIGINT) AS bh,
+          CAST(('0x' || substr(md5(toks[i+1]), 1, 15)) AS BIGINT) AS wh
+        FROM t CROSS JOIN UNNEST(range(0, greatest(len(toks) - 1, 0))) AS u(i)),
+      cb AS (SELECT bh, COUNT(*) AS c_bi FROM big GROUP BY bh),
+      cu AS (
+        SELECT CAST(('0x' || substr(md5(w1), 1, 15)) AS BIGINT) AS wh, COUNT(*) AS c_uni
+        FROM (SELECT unnest(toks) AS w1 FROM t) GROUP BY 1),
+      perdoc AS (
+        SELECT b.doc_id, COUNT(*) AS n_bigrams,
+          SUM(cb.c_bi * 1000000 // (cu.c_uni + 19)) AS fluency_sum
+        FROM big b JOIN cb USING (bh) JOIN cu USING (wh)
+        GROUP BY b.doc_id)
+      SELECT d.doc_id,
+        CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        CAST(COALESCE(p.fluency_sum, 0) AS BIGINT) AS fluency_sum,
+        CAST(CASE WHEN COALESCE(p.n_bigrams, 0) = 0 THEN 0
+                  ELSE p.fluency_sum // p.n_bigrams END AS BIGINT) AS avg_fluency_ppm
+      FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id
+      ORDER BY d.doc_id"""),
+    prod = Some((s, d) => lmFluency(s, d)),
+  )
+
   // ------------------------------------------------------------ q49
 
   /** Misra-Gries counters; presence guaranteed for freq > n/(HhK+1). */
@@ -656,5 +738,5 @@ object TextAnalysis {
   )
 
   def all: Seq[GraftQuery] =
-    Seq(q30, q31, q32, q33, q33md5, q34, q35, q35exact, q36, q37, q42, q46, q48, q49)
+    Seq(q30, q31, q32, q33, q33md5, q34, q35, q35exact, q36, q37, q42, q46, q48, q49, q51)
 }

@@ -69,6 +69,26 @@ class HeavyHittersSpec extends AnyFunSuite {
     assert(got.contains("alpha") && got.contains("beta"))
   }
 
+  test("q51 scores corpus-typical transitions above gibberish") {
+    // 50 docs repeat the same fluent pattern; 1 doc is unique gibberish
+    // (every transition rare); 1 doc is too short for bigrams.
+    val fluent = (0 until 30).map(i => Seq("the", "cat", "sat")(i % 3)).mkString(" ")
+    val rows =
+      (0L until 50L).map(i => (i, fluent, "en", "s", fluent.length.toLong)) ++
+        Seq(
+          (50L, (0 until 30).map(i => s"zx$i").mkString(" "), "en", "s", 100L),
+          (51L, "one", "en", "s", 3L))
+    val dir = PlantedDocs.write(spark, "/tmp/graft-test/fluency", rows)
+    val got = operators.TextAnalysis.q51.run(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    val (nFluent, avgFluent) = got(0L)
+    val (nGib, avgGib) = got(50L)
+    assert(nFluent == 29 && nGib == 29)
+    assert(avgFluent > avgGib * 10,
+      s"fluent $avgFluent must dominate gibberish $avgGib")
+    assert(got(51L) == ((0L, 0L)), "bigram-less doc scores zero, not null")
+  }
+
   test("q48 postings carry df, cf, and the ascending posting head") {
     val dir = PlantedDocs.write(spark, "/tmp/graft-test/postings", Seq(
       (3L, "aa bb aa", "en", "s", 8L),

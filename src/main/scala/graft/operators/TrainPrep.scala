@@ -335,6 +335,45 @@ object TrainPrep {
     prod = Some((s, d) => weightedSample(s, d)),
   )
 
+  // ------------------------------------------------------------ q52
+
+  /** Split fractions on the 52-bit hash axis: train 80%, val 10%,
+    * test 10% — exact binary/decimal fractions of 2^52 as integer
+    * literals, like q39's thresholds.
+    */
+  private val SplitTrain = (1L << 52) / 10 * 8
+  private val SplitVal = (1L << 52) / 10 * 9
+
+  /** Deterministic train/validation/test split: the hash of
+    * "spl:"+doc_id lands each doc in exactly one split, independent of
+    * content edits, reruns, partitioning, or corpus growth (docs never
+    * migrate between splits when new data arrives — the property that
+    * keeps eval sets uncontaminated across dataset versions). One
+    * stateless codegen'd projection; zero shuffles.
+    */
+  private def trainSplit(s: SparkSession, d: String): DataFrame = {
+    val hv = conv(substring(md5(concat(lit("spl:"), col("doc_id").cast("string"))), 1, 13), 16, 10)
+      .cast("long")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), hv.as("hv"))
+      .select(
+        col("doc_id"), col("lang"),
+        when(col("hv") < SplitTrain, lit("train"))
+          .when(col("hv") < SplitVal, lit("val"))
+          .otherwise(lit("test")).as("split"))
+  }
+
+  val q52 = GraftQuery(
+    "q52_train_split",
+    (s, d) => trainSplit(s, d).orderBy("doc_id"),
+    Some(s"""SELECT doc_id, lang,
+        CASE WHEN CAST(('0x' || substr(md5('spl:' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) < $SplitTrain THEN 'train'
+             WHEN CAST(('0x' || substr(md5('spl:' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) < $SplitVal THEN 'val'
+             ELSE 'test' END AS split
+      FROM documents ORDER BY doc_id"""),
+    prod = Some((s, d) => trainSplit(s, d)),
+  )
+
   // ------------------------------------------------------------ q50
 
   /** Curriculum-bucket assignment: each doc's quality decile WITHIN its
@@ -551,5 +590,5 @@ object TrainPrep {
     prod = Some((s, d) => trainShuffle(s, d)),
   )
 
-  def all: Seq[GraftQuery] = Seq(q38, q39, q40, q41, q43, q44, q47, q50)
+  def all: Seq[GraftQuery] = Seq(q38, q39, q40, q41, q43, q44, q47, q50, q52)
 }

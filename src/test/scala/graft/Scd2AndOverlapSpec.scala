@@ -80,6 +80,24 @@ class Scd2AndOverlapSpec extends AnyFunSuite {
       "disjoint vocabularies produce no pair row")
   }
 
+  test("q52 split is total, disjoint, stable under corpus growth, and ~80/10/10") {
+    val rows = (0L until 2000L).map(i => (i, s"doc body $i", "en", "s", 10L))
+    val dir = PlantedDocs.write(spark, "/tmp/graft-test/split", rows)
+    val got = operators.TrainPrep.q52.run(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got.size == 2000, "every doc lands in exactly one split")
+    val sizes = got.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(sizes("train") > 1500 && sizes("train") < 1700, s"train share out of family: $sizes")
+    assert(sizes("val") > 130 && sizes("val") < 270, s"val share out of family: $sizes")
+    assert(sizes("test") > 130 && sizes("test") < 270, s"test share out of family: $sizes")
+    // growth stability: the first 1000 docs keep their split when the
+    // corpus doubles (the doc_id-keyed hash is corpus-independent)
+    val dirSmall = PlantedDocs.write(spark, "/tmp/graft-test/split-small", rows.take(1000))
+    val small = operators.TrainPrep.q52.run(spark, dirSmall)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(small.forall { case (id, s) => got(id) == s }, "splits never migrate on growth")
+  }
+
   test("q47 keeps every max-weight doc, drops empty docs, and is deterministic") {
     val long = (1 to 300).map(i => s"tok$i").mkString(" ")
     val rows =

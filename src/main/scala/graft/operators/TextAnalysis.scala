@@ -606,15 +606,24 @@ object TextAnalysis {
     */
   private def lmFluency(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     val md5h = (c: Column) => conv(substring(md5(c), 1, 15), 16, 10).cast("long")
-    val docs = Tables.documents(s, d)
-    val big = docs
-      .select(col("doc_id"), explode(shingles(toks, 2)).as("bigram"))
+    // Stage table: the hashed bigram stream is consumed by the model-fit
+    // aggregate AND the per-doc scoring join, and the unigram pass needs
+    // the same tokens — pinned once (localCheckpoint locally; a persisted
+    // stage table on a cluster), the corpus text is scanned and
+    // tokenized exactly once instead of four times (same discipline as
+    // Curate.stageTable / the minhash signature stage).
+    val staged = Tables.documents(s, d)
+      .select(col("doc_id"), toks.as("toks"))
+      .localCheckpoint()
+    val big = staged
+      .select(col("doc_id"), explode(shingles(col("toks"), 2)).as("bigram"))
       .select(
         col("doc_id"),
         md5h(col("bigram")).as("bh"),
         md5h(substring_index(col("bigram"), " ", 1)).as("wh"))
+      .localCheckpoint()
     val cb = big.groupBy("bh").agg(count(lit(1)).as("c_bi"))
-    val cu = docs.select(explode(toks).as("w1"))
+    val cu = staged.select(explode(col("toks")).as("w1"))
       .select(md5h(col("w1")).as("wh"))
       .groupBy("wh").agg(count(lit(1)).as("c_uni"))
     val perDoc = big
@@ -624,7 +633,7 @@ object TextAnalysis {
       .agg(
         count(lit(1)).as("n_bigrams"),
         sum(expr("c_bi * 1000000L div (c_uni + 19L)")).as("fluency_sum"))
-    docs.select("doc_id")
+    staged.select("doc_id")
       .join(perDoc, Seq("doc_id"), "left")
       .select(
         col("doc_id"),

@@ -1,0 +1,130 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.unsafe.types.UTF8String
+
+import scala.util.Random
+
+import graft.functions.{BloomKernel, MgBuffer}
+
+/** Randomized-but-seeded laws for the pure (no-Spark) kernels: the q50
+  * ntile closed form over every n, Misra-Gries guarantees under arbitrary
+  * streams and arbitrary partition splits, bloom-filter no-false-negatives
+  * across geometries, and the SCD2 fold against a naive reference —
+  * hundreds of generated cases per law, fixed seeds so failures reproduce.
+  */
+class KernelLawsSpec extends AnyFunSuite {
+
+  /** q50's production decile formula (TrainPrep.curriculumProd). */
+  private def closedFormBucket(r: Long, n: Long, b: Long): Long = {
+    val q = n / b
+    val rem = n % b
+    if (r <= rem * (q + 1)) (r + q) / (q + 1)
+    else rem + ((r - rem * (q + 1) + q - 1) / q)
+  }
+
+  /** ntile semantics per the SQL standard: first (n mod b) buckets get
+    * ceil(n/b) rows, the rest floor(n/b).
+    */
+  private def ntileReference(n: Long, b: Long): Seq[Long] = {
+    val q = n / b
+    val rem = n % b
+    (1L to b).flatMap(i => Seq.fill((if (i <= rem) q + 1 else q).toInt)(i))
+  }
+
+  test("q50 closed form equals ntile semantics for every rank, n = 1..500") {
+    (1L to 500L).foreach { n =>
+      val want = ntileReference(n, 10L)
+      (1L to n).foreach { r =>
+        assert(closedFormBucket(r, n, 10L) == want((r - 1).toInt), s"n=$n r=$r")
+      }
+    }
+  }
+
+  test("Misra-Gries: presence + lower-bound laws hold over 100 random streams") {
+    val rnd = new Random(0xbead)
+    (0 until 100).foreach { trial =>
+      val k = 8 + rnd.nextInt(24)
+      val n = 500 + rnd.nextInt(3000)
+      val stream = Seq.fill(n)(
+        if (rnd.nextInt(6) == 0) "heavy" else s"n${rnd.nextInt(50 + rnd.nextInt(400))}")
+      val b = new MgBuffer(k)
+      stream.foreach(s => b.offer(UTF8String.fromString(s), 1L))
+      val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      assert(b.counts.size <= k, s"trial $trial: state exceeded k")
+      exact.foreach { case (item, c) =>
+        val lower = b.counts.getOrElse(UTF8String.fromString(item), 0L)
+        assert(lower <= c, s"trial $trial: $item overcounted")
+        assert(c - lower <= n.toLong / (k + 1), s"trial $trial: $item undercount beyond n/(k+1)")
+        if (c > n.toLong / (k + 1))
+          assert(b.counts.contains(UTF8String.fromString(item)), s"trial $trial: heavy $item missing")
+      }
+    }
+  }
+
+  test("Misra-Gries: arbitrary partition splits merge to the same laws") {
+    val rnd = new Random(0xfeed)
+    (0 until 60).foreach { trial =>
+      val k = 8 + rnd.nextInt(16)
+      val n = 1000 + rnd.nextInt(2000)
+      val stream = Seq.fill(n)(
+        if (rnd.nextInt(4) == 0) "hot" else s"n${rnd.nextInt(300)}")
+      val nParts = 1 + rnd.nextInt(6)
+      val cuts = (Seq.fill(nParts - 1)(rnd.nextInt(n + 1)).sorted :+ n).prepended(0)
+      val merged = new MgBuffer(k)
+      cuts.sliding(2).foreach { case Seq(a, z) =>
+        val part = new MgBuffer(k)
+        stream.slice(a, z).foreach(s => part.offer(UTF8String.fromString(s), 1L))
+        merged.mergeFrom(part)
+      }
+      val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      assert(merged.counts.size <= k)
+      exact.foreach { case (item, c) =>
+        val lower = merged.counts.getOrElse(UTF8String.fromString(item), 0L)
+        assert(lower <= c && c - lower <= n.toLong / (k + 1),
+          s"trial $trial: merge broke the bound for $item (exact=$c lower=$lower)")
+      }
+    }
+  }
+
+  test("bloom: no false negative across 100 random key sets and geometries") {
+    val rnd = new Random(0xb100)
+    (0 until 100).foreach { trial =>
+      val logBits = 10 + rnd.nextInt(7)
+      val hashes = 1 + rnd.nextInt(8)
+      val keys = Seq.fill(300)(rnd.nextLong())
+      val bytes = new Array[Byte](1 << (logBits - 3))
+      keys.foreach(kk => BloomKernel.set(bytes, kk, hashes))
+      keys.foreach(kk =>
+        assert(BloomKernel.contains(bytes, kk, hashes), s"trial $trial: false negative"))
+    }
+  }
+
+  test("foldScd2 equals the naive interval walk for 200 random event streams") {
+    import streaming.Streams.{foldScd2, Scd2Event}
+    val rnd = new Random(0x5cd2)
+    (0 until 200).foreach { trial =>
+      val events = (0 until (1 + rnd.nextInt(60))).map { i =>
+        Scd2Event(1L, i.toLong, rnd.nextInt(30).toLong, Seq("A", "B", "C")(rnd.nextInt(3)))
+      }
+      val sorted = events.sortBy(e => (e.ts_ms, e.event_id))
+      val changes = sorted.foldLeft(Vector.empty[Scd2Event]) { (acc, e) =>
+        if (acc.isEmpty || acc.last.event_type != e.event_type) acc :+ e else acc
+      }
+      val wantClosed = changes.zip(changes.drop(1)).zipWithIndex.map {
+        case ((from, to), i) => (i + 1L, from.event_type, from.ts_ms, to.ts_ms)
+      }
+      val (closed, open) = foldScd2(1L, events, None)
+      assert(closed.map(r => (r.version, r.state, r.valid_from_ms, r.valid_to_ms)) == wantClosed,
+        s"trial $trial")
+      assert(open.map(_.state) == changes.lastOption.map(_.event_type), s"trial $trial")
+      // micro-batch split anywhere in event-time order: same closed set
+      val cut = rnd.nextInt(sorted.size + 1)
+      val (c1, st1) = foldScd2(1L, sorted.take(cut), None)
+      val (c2, st2) = foldScd2(1L, sorted.drop(cut), st1)
+      assert((c1 ++ c2).map(r => (r.version, r.state, r.valid_from_ms, r.valid_to_ms)) == wantClosed,
+        s"trial $trial split at $cut")
+      assert(st2.map(_.state) == open.map(_.state), s"trial $trial split at $cut")
+    }
+  }
+}

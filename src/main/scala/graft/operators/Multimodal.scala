@@ -143,5 +143,93 @@ object Multimodal {
     }),
   )
 
-  def all: Seq[GraftQuery] = Seq(qBinaryMeta, qMetaMd5)
+  /** Bytes per fixed-size "frame" in the frame-sampling analog. */
+  private val FrameBytes = 64
+  /** Keep every Nth frame. */
+  private val SampleEvery = 4
+
+  /** Frame sampling over the opaque blob — the video-keyframe-sampling
+    * analog: the payload is treated as a sequence of fixed-size frames
+    * and every Nth frame is emitted with its checksum. Stateless per-row
+    * generate (sequence with a step) + codegen'd substring/md5 — zero
+    * shuffle, embarrassingly parallel; the sampled-frame stream is what
+    * a real decoder's keyframe pass would feed downstream.
+    *
+    * HARD-gate note: the oracle reconstructs the blob as a VARCHAR and
+    * slices characters; documents text is all-ASCII (verified: 0 docs
+    * where octet_length(encode(text)) <> length(text)), so char slices
+    * equal byte slices and DuckDB's md5(VARCHAR) hashes the same bytes
+    * Spark's md5(binary frame) does.
+    */
+  private def frameSample(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    binarize(Tables.documents(s, d))
+      .withColumn("n_frames", expr(s"(octet_length(blob) - ${Magic.length}) div $FrameBytes").cast("long"))
+      .filter(col("n_frames") > 0)
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), col("n_frames") - 1L, lit(SampleEvery.toLong))).as("frame_idx"),
+        col("blob"))
+      .select(
+        col("doc_id"),
+        col("frame_idx"),
+        md5(expr(s"substring(blob, ${Magic.length + 1} + frame_idx * $FrameBytes, $FrameBytes)"))
+          .as("frame_md5"))
+  }
+
+  val qFrameSample = GraftQuery(
+    "mm_frame_sample",
+    (s, d) => frameSample(s, d).orderBy("doc_id", "frame_idx"),
+    Some(s"""WITH f AS (
+        SELECT doc_id, 'GFT1' || text AS blob,
+          octet_length(encode(text)) // $FrameBytes AS n_frames
+        FROM documents)
+      SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+        md5(substring(blob, CAST(5 + i * $FrameBytes AS BIGINT), $FrameBytes)) AS frame_md5
+      FROM f CROSS JOIN UNNEST(range(0, n_frames, $SampleEvery)) AS u(i)
+      WHERE n_frames > 0
+      ORDER BY doc_id, frame_idx"""),
+    prod = Some((s, d) => frameSample(s, d)),
+  )
+
+  /** Resized thumbnail for one blob (stub codec). */
+  final case class Thumb(doc_id: Long, orig_bytes: Int, thumb_bytes: Int, thumb_md5: String)
+
+  /** Stride at which the stub "resize" samples payload bytes. */
+  private val ResizeStride = 8
+
+  /** Resize analog: per-partition batched thumbnailing, binary-in /
+    * binary-out — the same shape as [[decodeFeatures]] (codec state
+    * initialized once per partition). The resampler is the STUB (every
+    * ResizeStride-th payload byte stands in for pixel-area averaging);
+    * the plumbing — batch iteration, deterministic output, downstream
+    * checksums — is the real surface a codec drops into. Deterministic,
+    * so DeterminismSpec-style replay holds; rows-only by design.
+    */
+  def resizeThumbs(blobs: DataFrame): Dataset[Thumb] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs
+      .select(col("doc_id").as("_1"), col("blob").as("_2"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // codec init would happen HERE, once per partition
+        it.map { case (id, bytes) =>
+          val body = java.util.Arrays.copyOfRange(bytes, Magic.length, bytes.length)
+          val thumb = body.indices.collect { case i if i % ResizeStride == 0 => body(i) }.toArray
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val hex = md.digest(thumb).map(b => f"$b%02x").mkString
+          Thumb(id, bytes.length, thumb.length, hex)
+        }
+      }
+  }
+
+  val qResize = GraftQuery(
+    "mm_resize",
+    (s, d) => resizeThumbs(binarize(Tables.documents(s, d))).toDF().orderBy("doc_id"),
+    // rows-only: the stride resampler is the stub codec; semantics are
+    // spec-asserted (length law, determinism, magic exclusion)
+    None,
+    prod = Some((s, d) => resizeThumbs(binarize(Tables.documents(s, d))).toDF()),
+  )
+
+  def all: Seq[GraftQuery] = Seq(qBinaryMeta, qMetaMd5, qFrameSample, qResize)
 }

@@ -133,6 +133,36 @@ class SinkAndMultimodalSpec extends AnyFunSuite {
     // multi-byte UTF-8: n_bytes counts BYTES (snowman is 3), not chars
     assert(got(2L) == ((4L + 17L, "47465431", refMd5("snowman ☃ bytes"))))
   }
+  test("mm_frame_sample slices the frames an independent digest agrees on") {
+    val body = (0 until 200).map(i => ('a' + i % 26).toChar).mkString // 200 ASCII bytes
+    val dir = PlantedDocs.write(spark, "/tmp/graft-test/frames", Seq(
+      (1L, body, "en", "s", 200L),
+      (2L, "tiny", "en", "s", 4L), // < one frame: emits nothing
+    ))
+    val got = operators.Multimodal.qFrameSample.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    // 200 bytes = 3 full 64-byte frames; sampling every 4th keeps frame 0
+    assert(got.keySet == Set((1L, 0L)), s"got ${got.keySet}")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val want = md.digest(body.substring(0, 64).getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    assert(got((1L, 0L)) == want, "frame checksum equals an independent digest")
+  }
+
+  test("mm_resize thumbnails obey the stride-length law and are deterministic") {
+    val dir = PlantedDocs.write(spark, "/tmp/graft-test/thumbs", Seq(
+      (1L, "x" * 160, "en", "s", 160L),
+      (2L, "", "en", "s", 0L),
+    ))
+    val run1 = operators.Multimodal.qResize.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    // body 160 bytes, stride 8 -> ceil(160/8) = 20 sampled bytes
+    assert(run1(1L)._1 == 164 && run1(1L)._2 == 20, s"got ${run1(1L)}")
+    assert(run1(2L)._2 == 0, "empty body resizes to an empty thumb")
+    val run2 = operators.Multimodal.qResize.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(run1 == run2, "stub resize is deterministic")
+  }
 }
 
 class CosineSimSpec extends AnyFunSuite {
@@ -174,4 +204,5 @@ class CosineSimSpec extends AnyFunSuite {
     val sims = df.collect().map(_.getDouble(0))
     assert(sims.forall(s => math.abs(s - 1.0) < 1e-9))
   }
+
 }

@@ -501,5 +501,72 @@ object ScrapeEtl {
     prod = Some((s, d) => scd2History(s, d)),
   )
 
-  def all: Seq[GraftQuery] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q45)
+  // ------------------------------------------------------------ q53
+
+  /** Hourly resampling with forward-fill: each user's event stream on a
+    * dense hour spine (min..max observed hour), carrying the last
+    * observed value forward through empty hours — the gap-fill that
+    * turns an irregular scrape/price log into an analysis-ready series.
+    * Hours are exact epoch-hour integers (ts_ms div 3600000) so the
+    * spine is integer arithmetic in both engines; the filled value is
+    * COPIED (never aggregated), so doubles hash-match bit-for-bit.
+    *
+    * Plan shape: per-(user, hour) last-observation via one window rank
+    * over the events, a per-user sequence explode for the spine (spine
+    * length = observed span in hours — data-bounded), then the
+    * forward-fill window. All three share the user partitioning; skew
+    * note as q25: salt by (user, day) and stitch at 100 TB.
+    */
+  private def resampleFfill(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val ev = Events.withEventTime(s, d)
+      .withColumn("ts_ms", unix_millis(col("ts")))
+      .withColumn("hour", expr("ts_ms div 3600000"))
+    val byHour = Window.partitionBy("user_id", "hour")
+      .orderBy(col("ts_ms").desc, col("event_id").desc)
+    val lastPerHour = ev
+      .withColumn("rn", row_number().over(byHour))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("hour"), col("value").as("obs_value"))
+    val spine = ev
+      .groupBy("user_id")
+      .agg(min("hour").as("h0"), max("hour").as("h1"))
+      .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("hour"))
+    val ffill = Window.partitionBy("user_id").orderBy("hour")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine
+      .join(lastPerHour, Seq("user_id", "hour"), "left")
+      .select(
+        col("user_id"),
+        col("hour"),
+        last(col("obs_value"), ignoreNulls = true).over(ffill).as("value"),
+        when(col("obs_value").isNotNull, lit(1L)).otherwise(lit(0L)).as("is_observed"))
+  }
+
+  val q53 = GraftQuery(
+    "q53_resample_ffill",
+    (s, d) => resampleFfill(s, d).orderBy("user_id", "hour"),
+    Some("""WITH e AS (
+        SELECT user_id, event_id, value, epoch_ms(ts) AS ts_ms,
+               epoch_ms(ts) // 3600000 AS hour
+        FROM events),
+      ranked AS (
+        SELECT user_id, hour, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, hour ORDER BY ts_ms DESC, event_id DESC) AS rn
+        FROM e),
+      obs AS (SELECT user_id, hour, value AS obs_value FROM ranked WHERE rn = 1),
+      span AS (SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1 FROM e GROUP BY user_id),
+      spine AS (
+        SELECT user_id, CAST(h AS BIGINT) AS hour
+        FROM span CROSS JOIN UNNEST(range(h0, h1 + 1)) AS u(h))
+      SELECT s.user_id, s.hour,
+        LAST_VALUE(o.obs_value IGNORE NULLS) OVER (
+          PARTITION BY s.user_id ORDER BY s.hour
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+        CAST(CASE WHEN o.obs_value IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_observed
+      FROM spine s LEFT JOIN obs o ON o.user_id = s.user_id AND o.hour = s.hour
+      ORDER BY s.user_id, s.hour"""),
+    prod = Some((s, d) => resampleFfill(s, d)),
+  )
+
+  def all: Seq[GraftQuery] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q45, q53)
 }

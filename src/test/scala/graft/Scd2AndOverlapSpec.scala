@@ -63,6 +63,35 @@ class Scd2AndOverlapSpec extends AnyFunSuite {
     }
   }
 
+  test("q53 densifies the hour spine and forward-fills gaps") {
+    val H = 3600000L
+    val dir = plantEvents("resample", Seq(
+      // user 1: observations in hours 0 and 3 of its span; 1-2 are gaps;
+      // two events in hour 0 — the later one wins
+      (1L, 100L, 1L, "A"), (2L, 200L, 1L, "B"), (3L, 3 * H + 50L, 1L, "C"),
+      // user 2: single event -> single-row spine
+      (9L, 10 * H, 2L, "Z"),
+    ))
+    // plantEvents writes value=1.0 for all rows; re-plant with varied values
+    import spark.implicits._
+    import java.sql.Timestamp
+    Seq(
+      (1L, new Timestamp(100L), 1L, "A", 10.0, "{}"),
+      (2L, new Timestamp(200L), 1L, "B", 20.0, "{}"),
+      (3L, new Timestamp(3 * H + 50L), 1L, "C", 30.0, "{}"),
+      (9L, new Timestamp(10 * H), 2L, "Z", 99.0, "{}"),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = operators.ScrapeEtl.q53.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getDouble(2), r.getLong(3)))).toMap
+    assert(got((1L, 0L)) == ((20.0, 1L)), "later event in the hour wins")
+    assert(got((1L, 1L)) == ((20.0, 0L)) && got((1L, 2L)) == ((20.0, 0L)),
+      "gap hours carry the last observation forward")
+    assert(got((1L, 3L)) == ((30.0, 1L)))
+    assert(got((2L, 10L)) == ((99.0, 1L)), "single-event user gets a one-row spine")
+    assert(got.size == 5, s"dense spine: 4 hours for user 1 + 1 for user 2, got ${got.size}")
+  }
+
   test("q46 computes exact pairwise vocabulary jaccard") {
     val dir = PlantedDocs.write(spark, "/tmp/graft-test/overlap", Seq(
       (1L, "alpha beta gamma", "sA", "sA", 16L),

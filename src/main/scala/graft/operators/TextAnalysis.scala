@@ -673,6 +673,84 @@ object TextAnalysis {
     prod = Some((s, d) => lmFluency(s, d)),
   )
 
+  // ------------------------------------------------------------ q54
+
+  /** Per-source token-distribution drift vs the corpus — the monitoring
+    * signal that catches a source going off-distribution (new crawl
+    * template, language shift, spam injection) before it pollutes a
+    * training mixture. Metric: scaled L1 deviation between the source's
+    * token distribution and the corpus distribution,
+    * l1_dev = Σ_t |o_st·N − T_s·c_t| (+ the absent-token mass
+    * T_s·(N − Σ_present c_t), so the sum runs over the FULL vocabulary
+    * without materializing zero rows), reported as drift_ppm ≈
+    * 10^6 · TV-distance. Exact integer arithmetic end-to-end →
+    * HARD-gate green. BIGINT headroom: o·N stays under 2^63 while
+    * corpus tokens < ~3·10^9 per term-count product; past that, the
+    * same formula moves to DECIMAL(38).
+    *
+    * Plan shape: two map-side-combined aggregates over one explode
+    * (per-(source, token) and per-token), a broadcast of the per-source
+    * totals and the 1-row corpus total, one final per-source aggregate.
+    */
+  private def sourceDrift(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val tok = Tables.documents(s, d).select(col("source"), explode(toks).as("t"))
+    val bySrc = tok.groupBy("source", "t").agg(count(lit(1)).as("o"))
+    val byTok = tok.groupBy("t").agg(count(lit(1)).as("c"))
+    val totals = bySrc.groupBy("source").agg(sum("o").as("ts"))
+    val nRow = byTok.agg(sum("c").as("n"))
+    bySrc
+      .join(byTok, "t")
+      .join(broadcast(totals), "source")
+      .join(broadcast(nRow))
+      .groupBy("source")
+      .agg(
+        first(col("ts")).as("n_tokens"),
+        first(col("n")).as("n"),
+        sum(abs(col("o") * col("n") - col("ts") * col("c"))).as("present_dev"),
+        sum(col("c")).as("c_present"))
+      .select(
+        col("source"),
+        col("n_tokens"),
+        (col("present_dev") + col("n_tokens") * (col("n") - col("c_present")))
+          .as("l1_dev"),
+        col("n"))
+      .select(
+        col("source"),
+        col("n_tokens"),
+        col("l1_dev"),
+        expr("l1_dev div greatest(2 * n_tokens * n div 1000000, 1)").as("drift_ppm"))
+  }
+
+  val q54 = GraftQuery(
+    "q54_source_drift",
+    (s, d) => sourceDrift(s, d).orderBy("source"),
+    Some("""WITH tok AS (
+        SELECT source,
+          unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS t
+        FROM documents),
+      by_src AS (SELECT source, t, COUNT(*) AS o FROM tok GROUP BY 1, 2),
+      by_tok AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY 1),
+      totals AS (SELECT source, SUM(o) AS ts FROM by_src GROUP BY 1),
+      nrow AS (SELECT SUM(c) AS n FROM by_tok),
+      agg AS (
+        SELECT b.source,
+          CAST(MAX(totals.ts) AS BIGINT) AS n_tokens,
+          CAST(MAX(nrow.n) AS BIGINT) AS n,
+          CAST(SUM(abs(b.o * nrow.n - totals.ts * by_tok.c)) AS BIGINT) AS present_dev,
+          CAST(SUM(by_tok.c) AS BIGINT) AS c_present
+        FROM by_src b
+        JOIN by_tok USING (t)
+        JOIN totals ON totals.source = b.source
+        CROSS JOIN nrow
+        GROUP BY b.source)
+      SELECT source, n_tokens,
+        CAST(present_dev + n_tokens * (n - c_present) AS BIGINT) AS l1_dev,
+        CAST((present_dev + n_tokens * (n - c_present))
+             // greatest(2 * n_tokens * n // 1000000, 1) AS BIGINT) AS drift_ppm
+      FROM agg ORDER BY source"""),
+    prod = Some((s, d) => sourceDrift(s, d)),
+  )
+
   // ------------------------------------------------------------ q49
 
   /** Misra-Gries counters; presence guaranteed for freq > n/(HhK+1). */
@@ -747,5 +825,5 @@ object TextAnalysis {
   )
 
   def all: Seq[GraftQuery] =
-    Seq(q30, q31, q32, q33, q33md5, q34, q35, q35exact, q36, q37, q42, q46, q48, q49, q51)
+    Seq(q30, q31, q32, q33, q33md5, q34, q35, q35exact, q36, q37, q42, q46, q48, q49, q51, q54)
 }

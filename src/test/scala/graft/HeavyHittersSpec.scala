@@ -89,6 +89,25 @@ class HeavyHittersSpec extends AnyFunSuite {
     assert(got(51L) == ((0L, 0L)), "bigram-less doc scores zero, not null")
   }
 
+  test("q54 ranks an off-distribution source far above in-distribution ones") {
+    // sources a/b share one distribution and dominate the corpus; source c
+    // is a small disjoint-vocabulary injection (the spam/template-change
+    // scenario). Compare SIZE-NORMALIZED deviation (l1_dev / n_tokens) —
+    // a and b drift a little too, since the corpus mean includes c's mass.
+    val shared = (0 until 40).map(i => s"w${i % 10}").mkString(" ")
+    val alien = (0 until 40).map(i => s"z${i % 10}").mkString(" ")
+    val rows =
+      (0L until 40L).map(i => (i, shared, "en", if (i % 2 == 0) "a" else "b", 100L)) :+
+        (40L, alien, "en", "c", 100L)
+    val dir = PlantedDocs.write(spark, "/tmp/graft-test/drift", rows)
+    val got = operators.TextAnalysis.q54.run(spark, dir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def normDev(s: String): Double = { val (ts, l1) = got(s); l1.toDouble / ts }
+    assert(normDev("c") > 10 * math.max(normDev("a"), normDev("b")),
+      s"disjoint-vocab source must dominate the drift ranking: $got")
+    assert(got("a") == got("b"), "identically distributed sources drift equally")
+  }
+
   test("q48 postings carry df, cf, and the ascending posting head") {
     val dir = PlantedDocs.write(spark, "/tmp/graft-test/postings", Seq(
       (3L, "aa bb aa", "en", "s", 8L),

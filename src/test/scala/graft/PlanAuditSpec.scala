@@ -22,10 +22,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // driver-side count() action); dedup_cosine_verify is a BOUNDED
     // fixed-probe-set pair join (C(40,2)) gating the cosine verify stage
     // — the only legitimate nested-loops
-    // q49 crossJoins a broadcast 1-ROW total like q35 — the scalar-
+    // q49/q54 cross-join a broadcast 1-ROW total like q35 — the scalar-
     // subquery shape, not a data join
     val nljAllowed = Set("ann_bruteforce_topk", "q35_tfidf", "dedup_cosine_verify",
-      "q49_heavy_tokens")
+      "q49_heavy_tokens", "q54_source_drift")
     SparkEntry.registry.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"${q.name} planned a cartesian:\n$p")

@@ -568,5 +568,89 @@ object ScrapeEtl {
     prod = Some((s, d) => resampleFfill(s, d)),
   )
 
-  def all: Seq[GraftQuery] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q45, q53)
+  // ------------------------------------------------------------ q55
+
+  /** Linear-interpolation resampling — q53's spine with gap hours
+    * interpolated between the surrounding observations instead of
+    * carried forward (edges fall back to nearest-observation fill).
+    * The lerp runs in double precision but is PER-ROW arithmetic on
+    * values copied from parquet — no aggregation-order dependence — and
+    * both engines evaluate the same expression tree on the same IEEE
+    * doubles, so the result hash-matches (the q25 duration_sec
+    * precedent, extended to multiplication/division chains).
+    */
+  private def resampleLerp(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val ev = Events.withEventTime(s, d)
+      .withColumn("ts_ms", unix_millis(col("ts")))
+      .withColumn("hour", expr("ts_ms div 3600000"))
+    val byHour = Window.partitionBy("user_id", "hour")
+      .orderBy(col("ts_ms").desc, col("event_id").desc)
+    val lastPerHour = ev
+      .withColumn("rn", row_number().over(byHour))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("hour"), col("value").as("obs_value"))
+    val spine = ev
+      .groupBy("user_id")
+      .agg(min("hour").as("h0"), max("hour").as("h1"))
+      .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("hour"))
+    val back = Window.partitionBy("user_id").orderBy("hour")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy("user_id").orderBy("hour")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    spine
+      .join(lastPerHour, Seq("user_id", "hour"), "left")
+      .withColumn("obs_hour", when(col("obs_value").isNotNull, col("hour")))
+      .withColumn("pv", last(col("obs_value"), ignoreNulls = true).over(back))
+      .withColumn("ph", last(col("obs_hour"), ignoreNulls = true).over(back))
+      .withColumn("nv", first(col("obs_value"), ignoreNulls = true).over(fwd))
+      .withColumn("nh", first(col("obs_hour"), ignoreNulls = true).over(fwd))
+      .select(
+        col("user_id"),
+        col("hour"),
+        when(col("obs_value").isNotNull, col("obs_value"))
+          .when(col("pv").isNotNull && col("nv").isNotNull && col("nh") =!= col("ph"),
+            col("pv") + (col("nv") - col("pv")) * (col("hour") - col("ph")) / (col("nh") - col("ph")))
+          .when(col("pv").isNotNull, col("pv"))
+          .otherwise(col("nv")).as("value"),
+        when(col("obs_value").isNotNull, lit(1L)).otherwise(lit(0L)).as("is_observed"))
+  }
+
+  val q55 = GraftQuery(
+    "q55_resample_lerp",
+    (s, d) => resampleLerp(s, d).orderBy("user_id", "hour"),
+    Some("""WITH e AS (
+        SELECT user_id, event_id, value, epoch_ms(ts) AS ts_ms,
+               epoch_ms(ts) // 3600000 AS hour
+        FROM events),
+      ranked AS (
+        SELECT user_id, hour, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, hour ORDER BY ts_ms DESC, event_id DESC) AS rn
+        FROM e),
+      obs AS (SELECT user_id, hour, value AS obs_value FROM ranked WHERE rn = 1),
+      span AS (SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1 FROM e GROUP BY user_id),
+      spine AS (
+        SELECT user_id, CAST(h AS BIGINT) AS hour
+        FROM span CROSS JOIN UNNEST(range(h0, h1 + 1)) AS u(h)),
+      ctx AS (
+        SELECT s.user_id, s.hour, o.obs_value,
+          LAST_VALUE(o.obs_value IGNORE NULLS) OVER w_back AS pv,
+          LAST_VALUE(CASE WHEN o.obs_value IS NOT NULL THEN s.hour END IGNORE NULLS) OVER w_back AS ph,
+          FIRST_VALUE(o.obs_value IGNORE NULLS) OVER w_fwd AS nv,
+          FIRST_VALUE(CASE WHEN o.obs_value IS NOT NULL THEN s.hour END IGNORE NULLS) OVER w_fwd AS nh
+        FROM spine s LEFT JOIN obs o ON o.user_id = s.user_id AND o.hour = s.hour
+        WINDOW
+          w_back AS (PARTITION BY s.user_id ORDER BY s.hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          w_fwd AS (PARTITION BY s.user_id ORDER BY s.hour ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      SELECT user_id, hour,
+        CASE WHEN obs_value IS NOT NULL THEN obs_value
+             WHEN pv IS NOT NULL AND nv IS NOT NULL AND nh <> ph
+               THEN pv + (nv - pv) * (hour - ph) / (nh - ph)
+             WHEN pv IS NOT NULL THEN pv
+             ELSE nv END AS value,
+        CAST(CASE WHEN obs_value IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_observed
+      FROM ctx ORDER BY user_id, hour"""),
+    prod = Some((s, d) => resampleLerp(s, d)),
+  )
+
+  def all: Seq[GraftQuery] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q45, q53, q55)
 }

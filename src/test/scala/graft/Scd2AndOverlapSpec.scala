@@ -92,6 +92,24 @@ class Scd2AndOverlapSpec extends AnyFunSuite {
     assert(got.size == 5, s"dense spine: 4 hours for user 1 + 1 for user 2, got ${got.size}")
   }
 
+  test("q55 interpolates gaps linearly and nearest-fills the edges") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val H = 3600000L
+    val dir = "/tmp/graft-test/lerp"
+    Seq(
+      // user 1: observations at hours 1 (10.0) and 4 (40.0); hours 2,3 lerp
+      (1L, new Timestamp(1 * H), 1L, "A", 10.0, "{}"),
+      (2L, new Timestamp(4 * H + 5L), 1L, "B", 40.0, "{}"),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = operators.ScrapeEtl.q55.run(spark, dir).collect()
+      .map(r => r.getLong(1) -> ((r.getDouble(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((10.0, 1L)) && got(4L) == ((40.0, 1L)))
+    assert(got(2L) == ((20.0, 0L)), s"hour 2 lerps to 20, got ${got(2L)}")
+    assert(got(3L) == ((30.0, 0L)), s"hour 3 lerps to 30, got ${got(3L)}")
+  }
+
   test("q46 computes exact pairwise vocabulary jaccard") {
     val dir = PlantedDocs.write(spark, "/tmp/graft-test/overlap", Seq(
       (1L, "alpha beta gamma", "sA", "sA", 16L),

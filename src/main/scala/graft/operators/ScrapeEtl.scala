@@ -652,5 +652,53 @@ object ScrapeEtl {
     prod = Some((s, d) => resampleLerp(s, d)),
   )
 
-  def all: Seq[GraftQuery] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q45, q53, q55)
+  // ------------------------------------------------------------ q56
+
+  /** Event-transition (Markov) matrix: P(next event_type | event_type)
+    * over each user's time-ordered stream — the user-journey analytics
+    * behind funnel design (which step follows which, where sessions
+    * leak). Counts via one lag window over the user partitioning, one
+    * hash aggregate; probability as integer ppm (count·10^6 div
+    * row-total) so the matrix hash-matches exactly.
+    */
+  private def transitionMatrix(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
+    val pairs = Events.withEventTime(s, d)
+      .withColumn("ts_ms", unix_millis(col("ts")))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type").as("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("from_type").agg(sum("n").as("row_total"))
+    pairs
+      .join(broadcast(totals), "from_type")
+      .select(
+        col("from_type"),
+        col("to_type"),
+        col("n"),
+        expr("n * 1000000L div row_total").as("p_ppm"))
+  }
+
+  val q56 = GraftQuery(
+    "q56_transition_matrix",
+    (s, d) => transitionMatrix(s, d).orderBy("from_type", "to_type"),
+    Some("""WITH e AS (
+        SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms,
+               LAG(event_type) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev_type
+        FROM events),
+      pairs AS (
+        SELECT prev_type AS from_type, event_type AS to_type, COUNT(*) AS n
+        FROM e WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2),
+      totals AS (SELECT from_type, SUM(n) AS row_total FROM pairs GROUP BY 1)
+      SELECT p.from_type, p.to_type,
+        CAST(p.n AS BIGINT) AS n,
+        CAST(p.n * 1000000 // t.row_total AS BIGINT) AS p_ppm
+      FROM pairs p JOIN totals t USING (from_type)
+      ORDER BY p.from_type, p.to_type"""),
+    prod = Some((s, d) => transitionMatrix(s, d)),
+  )
+
+  def all: Seq[GraftQuery] =
+    Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q45, q53, q55, q56)
 }

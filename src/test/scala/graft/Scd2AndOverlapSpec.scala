@@ -110,6 +110,22 @@ class Scd2AndOverlapSpec extends AnyFunSuite {
     assert(got(3L) == ((30.0, 0L)), s"hour 3 lerps to 30, got ${got(3L)}")
   }
 
+  test("q56 counts time-ordered transitions per user and normalizes rows to ppm") {
+    val dir = plantEvents("markov", Seq(
+      // user 1: A -> B -> A -> C ; user 2: A -> B
+      (1L, 1000L, 1L, "A"), (2L, 2000L, 1L, "B"), (3L, 3000L, 1L, "A"),
+      (4L, 4000L, 1L, "C"), (5L, 1000L, 2L, "A"), (6L, 2000L, 2L, "B"),
+    ))
+    val got = operators.ScrapeEtl.q56.run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // from A: 2x ->B, 1x ->C (cross-user transitions never counted)
+    assert(got(("A", "B")) == ((2L, 666666L)), s"got $got")
+    assert(got(("A", "C")) == ((1L, 333333L)))
+    assert(got(("B", "A")) == ((1L, 1000000L)))
+    assert(!got.contains(("C", "A")), "no transition out of the final event")
+    assert(got.size == 3)
+  }
+
   test("q46 computes exact pairwise vocabulary jaccard") {
     val dir = PlantedDocs.write(spark, "/tmp/graft-test/overlap", Seq(
       (1L, "alpha beta gamma", "sA", "sA", 16L),

@@ -501,23 +501,20 @@ object ScrapeEtl {
     prod = Some((s, d) => scd2History(s, d)),
   )
 
-  // ------------------------------------------------------------ q53
+  // ------------------------------------------------ q53/q55/q58 scaffold
 
-  /** Hourly resampling with forward-fill: each user's event stream on a
-    * dense hour spine (min..max observed hour), carrying the last
-    * observed value forward through empty hours — the gap-fill that
-    * turns an irregular scrape/price log into an analysis-ready series.
-    * Hours are exact epoch-hour integers (ts_ms div 3600000) so the
-    * spine is integer arithmetic in both engines; the filled value is
-    * COPIED (never aggregated), so doubles hash-match bit-for-bit.
-    *
-    * Plan shape: per-(user, hour) last-observation via one window rank
-    * over the events, a per-user sequence explode for the spine (spine
-    * length = observed span in hours — data-bounded), then the
-    * forward-fill window. All three share the user partitioning; skew
-    * note as q25: salt by (user, day) and stitch at 100 TB.
+  /** Shared resampling scaffold: each user's event stream joined onto a
+    * dense hour spine (min..max observed hour). Hours are exact
+    * epoch-hour integers (ts_ms div 3600000) so the spine is integer
+    * arithmetic in both engines; per-(user, hour) last-observation via
+    * one window rank; spine length = observed span in hours —
+    * data-bounded. Yields (user_id, hour, obs_value) with obs_value
+    * null on gap hours. All consumers (q53 ffill, q55 lerp, q58
+    * nearest) layer windows over the SAME user partitioning, so the
+    * whole family costs one user-keyed exchange plus window sorts.
+    * Skew note as q25: salt by (user, day) and stitch at 100 TB.
     */
-  private def resampleFfill(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+  private def hourSpineObs(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     val ev = Events.withEventTime(s, d)
       .withColumn("ts_ms", unix_millis(col("ts")))
       .withColumn("hour", expr("ts_ms div 3600000"))
@@ -531,16 +528,40 @@ object ScrapeEtl {
       .groupBy("user_id")
       .agg(min("hour").as("h0"), max("hour").as("h1"))
       .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("hour"))
-    val ffill = Window.partitionBy("user_id").orderBy("hour")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    spine
-      .join(lastPerHour, Seq("user_id", "hour"), "left")
+    spine.join(lastPerHour, Seq("user_id", "hour"), "left")
+  }
+
+  /** Running frame over ascending hour: O(n) per partition. */
+  private val spineBack = Window.partitionBy("user_id").orderBy(col("hour").asc)
+    .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+  /** Forward-neighbor lookup as a running frame over DESCENDING hour —
+    * the scale-safe mirror of `(currentRow, unboundedFollowing)`.
+    * Spark implements UNBOUNDED FOLLOWING lower-bounded frames with
+    * UnboundedFollowingWindowFunctionFrame, which re-scans to the
+    * partition end for every output row — O(rows²) per user (measured:
+    * 37.9 s vs 1.65 s for the identical-spine q53 at sf0.1). A running
+    * frame over the reversed sort computes the same "first non-null at
+    * or after this hour" in one O(n) pass.
+    */
+  private val spineFwd = Window.partitionBy("user_id").orderBy(col("hour").desc)
+    .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+  // ------------------------------------------------------------ q53
+
+  /** Hourly resampling with forward-fill: carrying the last observed
+    * value forward through empty hours — the gap-fill that turns an
+    * irregular scrape/price log into an analysis-ready series. The
+    * filled value is COPIED (never aggregated), so doubles hash-match
+    * bit-for-bit. Spine semantics in [[hourSpineObs]].
+    */
+  private def resampleFfill(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    hourSpineObs(s, d)
       .select(
         col("user_id"),
         col("hour"),
-        last(col("obs_value"), ignoreNulls = true).over(ffill).as("value"),
+        last(col("obs_value"), ignoreNulls = true).over(spineBack).as("value"),
         when(col("obs_value").isNotNull, lit(1L)).otherwise(lit(0L)).as("is_observed"))
-  }
 
   val q53 = GraftQuery(
     "q53_resample_ffill",
@@ -578,32 +599,20 @@ object ScrapeEtl {
     * both engines evaluate the same expression tree on the same IEEE
     * doubles, so the result hash-matches (the q25 duration_sec
     * precedent, extended to multiplication/division chains).
+    *
+    * The forward neighbor (nv/nh) is computed with [[spineFwd]] — a
+    * running frame over descending hour — NOT an UNBOUNDED FOLLOWING
+    * frame, which is quadratic per partition in Spark. Both passes sort
+    * within the same user exchange; PlanAuditSpec pins the frame shape
+    * registry-wide.
     */
-  private def resampleLerp(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
-    val ev = Events.withEventTime(s, d)
-      .withColumn("ts_ms", unix_millis(col("ts")))
-      .withColumn("hour", expr("ts_ms div 3600000"))
-    val byHour = Window.partitionBy("user_id", "hour")
-      .orderBy(col("ts_ms").desc, col("event_id").desc)
-    val lastPerHour = ev
-      .withColumn("rn", row_number().over(byHour))
-      .filter(col("rn") === 1)
-      .select(col("user_id"), col("hour"), col("value").as("obs_value"))
-    val spine = ev
-      .groupBy("user_id")
-      .agg(min("hour").as("h0"), max("hour").as("h1"))
-      .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("hour"))
-    val back = Window.partitionBy("user_id").orderBy("hour")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val fwd = Window.partitionBy("user_id").orderBy("hour")
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    spine
-      .join(lastPerHour, Seq("user_id", "hour"), "left")
+  private def resampleLerp(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    hourSpineObs(s, d)
       .withColumn("obs_hour", when(col("obs_value").isNotNull, col("hour")))
-      .withColumn("pv", last(col("obs_value"), ignoreNulls = true).over(back))
-      .withColumn("ph", last(col("obs_hour"), ignoreNulls = true).over(back))
-      .withColumn("nv", first(col("obs_value"), ignoreNulls = true).over(fwd))
-      .withColumn("nh", first(col("obs_hour"), ignoreNulls = true).over(fwd))
+      .withColumn("pv", last(col("obs_value"), ignoreNulls = true).over(spineBack))
+      .withColumn("ph", last(col("obs_hour"), ignoreNulls = true).over(spineBack))
+      .withColumn("nv", last(col("obs_value"), ignoreNulls = true).over(spineFwd))
+      .withColumn("nh", last(col("obs_hour"), ignoreNulls = true).over(spineFwd))
       .select(
         col("user_id"),
         col("hour"),
@@ -613,7 +622,6 @@ object ScrapeEtl {
           .when(col("pv").isNotNull, col("pv"))
           .otherwise(col("nv")).as("value"),
         when(col("obs_value").isNotNull, lit(1L)).otherwise(lit(0L)).as("is_observed"))
-  }
 
   val q55 = GraftQuery(
     "q55_resample_lerp",

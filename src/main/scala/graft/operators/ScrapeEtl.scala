@@ -668,18 +668,21 @@ object ScrapeEtl {
     * leak). Counts via one lag window over the user partitioning, one
     * hash aggregate; probability as integer ppm (count·10^6 div
     * row-total) so the matrix hash-matches exactly.
+    *
+    * Row totals come from a window over the ALREADY-AGGREGATED pairs
+    * (|types|² rows), not a re-aggregation joined back: referencing the
+    * pairs plan twice would re-scan the corpus and re-run the lag
+    * window for a second time (plan-audited to one corpus scan).
     */
   private def transitionMatrix(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
-    val pairs = Events.withEventTime(s, d)
+    Events.withEventTime(s, d)
       .withColumn("ts_ms", unix_millis(col("ts")))
       .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
       .filter(col("prev_type").isNotNull)
       .groupBy(col("prev_type").as("from_type"), col("event_type").as("to_type"))
       .agg(count(lit(1)).as("n"))
-    val totals = pairs.groupBy("from_type").agg(sum("n").as("row_total"))
-    pairs
-      .join(broadcast(totals), "from_type")
+      .withColumn("row_total", sum("n").over(Window.partitionBy("from_type")))
       .select(
         col("from_type"),
         col("to_type"),

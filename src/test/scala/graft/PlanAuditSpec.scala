@@ -178,6 +178,54 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected per-stratum summary windows:\n$p")
   }
 
+  test("no registry query plans a shrinking (UNBOUNDED FOLLOWING) window frame") {
+    // Spark executes a frame whose upper bound is UNBOUNDED FOLLOWING and
+    // whose lower bound moves with the current row via
+    // UnboundedFollowingWindowFunctionFrame, which re-scans from the
+    // current row to the partition end for EVERY output row — O(rows²)
+    // per partition. q55 shipped exactly this in round 8 (37.9 s at
+    // sf0.1, 23x its O(n) sibling; ScaleProbe12: 79 s for one 60k-row
+    // user). The whole-partition frame (UNBOUNDED PRECEDING, UNBOUNDED
+    // FOLLOWING) is a single O(n) pass and stays allowed. Frames render
+    // in executedPlan as specifiedwindowframe(type, lower$(), upper$()).
+    val frame = "specifiedwindowframe\\([^)]*\\$\\(\\)[^)]*\\$\\(\\)".r
+    SparkEntry.registry.foreach { q =>
+      val p = plan(q)
+      val shrinking = frame.findAllIn(p)
+        .filter(_.contains("unboundedfollowing"))
+        .filterNot(_.contains("unboundedpreceding"))
+        .toList
+      assert(shrinking.isEmpty,
+        s"${q.name} plans a quadratic shrinking frame: ${shrinking.mkString("; ")}\n$p")
+    }
+  }
+
+  test("q53/q55 resampling rides ONE user-keyed exchange; lerp adds no second") {
+    // the spine groupBy, the forward-fill window, and (for q55) BOTH
+    // lerp direction passes must share the spine's user_id exchange;
+    // the per-(user, hour) last-observation side keys on (user_id, hour)
+    // and is counted separately
+    val userOnly = "Exchange hashpartitioning\\(user_id#\\d+L?, \\d+\\)".r
+    Seq(operators.ScrapeEtl.q53, operators.ScrapeEtl.q55).foreach { q =>
+      val p = q.runProd(spark, sf).queryExecution.executedPlan.toString
+        .replace("ExchangeQueryStage", "")
+      val n = userOnly.findAllIn(p).size
+      assert(n == 1, s"${q.name} must reuse one user exchange, found $n:\n$p")
+    }
+  }
+
+  test("q56 transition matrix scans the corpus once, one user exchange") {
+    // row totals must come from a window over the aggregated pairs — a
+    // totals-join referencing the pairs plan twice re-scans events and
+    // re-runs the lag window (the r8 shape this audit retires)
+    val p = operators.ScrapeEtl.q56.runProd(spark, sf).queryExecution.executedPlan.toString
+      .replace("ExchangeQueryStage", "")
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"events must be scanned once, found $scans:\n$p")
+    val userOnly = "Exchange hashpartitioning\\(user_id#\\d+L?, \\d+\\)".r
+    assert(userOnly.findAllIn(p).size == 1, s"one user exchange expected:\n$p")
+  }
+
   test("prod variants drop the oracle-mode global sort") {
     Seq(operators.RelationalCore.q02, operators.RelationalCore.q08, operators.RelationalCore.q18)
       .foreach { q =>

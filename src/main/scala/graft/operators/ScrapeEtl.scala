@@ -710,6 +710,118 @@ object ScrapeEtl {
     prod = Some((s, d) => transitionMatrix(s, d)),
   )
 
+  // ------------------------------------------------------------ q57
+
+  /** Session-conditioned transition matrix: q56 restricted to
+    * transitions WITHIN a 30-minute-gap session (q25's boundary rule) —
+    * the denominator funnel design actually needs, since a "transition"
+    * across a week-long absence is noise. No session id is
+    * materialized: sessions partition each user's ordered stream
+    * contiguously, so a pair is within-session exactly when the gap to
+    * the previous event is <= the session gap. One lag window over the
+    * same user exchange as q56, one pair aggregate, totals via window.
+    */
+  private def sessionTransitions(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
+    Events.withEventTime(s, d)
+      .withColumn("ts_ms", unix_millis(col("ts")))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .withColumn("prev_ms", lag(col("ts_ms"), 1).over(byUser))
+      .filter(col("prev_type").isNotNull && col("ts_ms") - col("prev_ms") <= 1800000L)
+      .groupBy(col("prev_type").as("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("row_total", sum("n").over(Window.partitionBy("from_type")))
+      .select(
+        col("from_type"),
+        col("to_type"),
+        col("n"),
+        expr("n * 1000000L div row_total").as("p_ppm"))
+  }
+
+  val q57 = GraftQuery(
+    "q57_session_transitions",
+    (s, d) => sessionTransitions(s, d).orderBy("from_type", "to_type"),
+    Some("""WITH e AS (
+        SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms,
+               LAG(event_type) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev_type,
+               LAG(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev_ms
+        FROM events),
+      pairs AS (
+        SELECT prev_type AS from_type, event_type AS to_type, COUNT(*) AS n
+        FROM e WHERE prev_type IS NOT NULL AND ts_ms - prev_ms <= 1800000
+        GROUP BY 1, 2)
+      SELECT from_type, to_type,
+        CAST(n AS BIGINT) AS n,
+        CAST(n * 1000000 // SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS p_ppm
+      FROM pairs
+      ORDER BY from_type, to_type"""),
+    prod = Some((s, d) => sessionTransitions(s, d)),
+  )
+
+  // ------------------------------------------------------------ q58
+
+  /** Nearest-observation resampling — the third consumer of
+    * [[hourSpineObs]]: each gap hour takes the value of whichever
+    * surrounding observation is closer in hours (ties break to the
+    * earlier one, matching ffill's bias); edges fall back to the only
+    * side that exists. The value is COPIED, never computed, so doubles
+    * hash-match bit-for-bit. Same two running frames as q55 — one user
+    * exchange, O(n) passes (plan-audited with its siblings).
+    */
+  private def resampleNearest(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    hourSpineObs(s, d)
+      .withColumn("obs_hour", when(col("obs_value").isNotNull, col("hour")))
+      .withColumn("pv", last(col("obs_value"), ignoreNulls = true).over(spineBack))
+      .withColumn("ph", last(col("obs_hour"), ignoreNulls = true).over(spineBack))
+      .withColumn("nv", last(col("obs_value"), ignoreNulls = true).over(spineFwd))
+      .withColumn("nh", last(col("obs_hour"), ignoreNulls = true).over(spineFwd))
+      .select(
+        col("user_id"),
+        col("hour"),
+        when(col("obs_value").isNotNull, col("obs_value"))
+          .when(col("pv").isNull, col("nv"))
+          .when(col("nv").isNull, col("pv"))
+          .when(col("hour") - col("ph") <= col("nh") - col("hour"), col("pv"))
+          .otherwise(col("nv")).as("value"),
+        when(col("obs_value").isNotNull, lit(1L)).otherwise(lit(0L)).as("is_observed"))
+
+  val q58 = GraftQuery(
+    "q58_resample_nearest",
+    (s, d) => resampleNearest(s, d).orderBy("user_id", "hour"),
+    Some("""WITH e AS (
+        SELECT user_id, event_id, value, epoch_ms(ts) AS ts_ms,
+               epoch_ms(ts) // 3600000 AS hour
+        FROM events),
+      ranked AS (
+        SELECT user_id, hour, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, hour ORDER BY ts_ms DESC, event_id DESC) AS rn
+        FROM e),
+      obs AS (SELECT user_id, hour, value AS obs_value FROM ranked WHERE rn = 1),
+      span AS (SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1 FROM e GROUP BY user_id),
+      spine AS (
+        SELECT user_id, CAST(h AS BIGINT) AS hour
+        FROM span CROSS JOIN UNNEST(range(h0, h1 + 1)) AS u(h)),
+      ctx AS (
+        SELECT s.user_id, s.hour, o.obs_value,
+          LAST_VALUE(o.obs_value IGNORE NULLS) OVER w_back AS pv,
+          LAST_VALUE(CASE WHEN o.obs_value IS NOT NULL THEN s.hour END IGNORE NULLS) OVER w_back AS ph,
+          FIRST_VALUE(o.obs_value IGNORE NULLS) OVER w_fwd AS nv,
+          FIRST_VALUE(CASE WHEN o.obs_value IS NOT NULL THEN s.hour END IGNORE NULLS) OVER w_fwd AS nh
+        FROM spine s LEFT JOIN obs o ON o.user_id = s.user_id AND o.hour = s.hour
+        WINDOW
+          w_back AS (PARTITION BY s.user_id ORDER BY s.hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          w_fwd AS (PARTITION BY s.user_id ORDER BY s.hour ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      SELECT user_id, hour,
+        CASE WHEN obs_value IS NOT NULL THEN obs_value
+             WHEN pv IS NULL THEN nv
+             WHEN nv IS NULL THEN pv
+             WHEN hour - ph <= nh - hour THEN pv
+             ELSE nv END AS value,
+        CAST(CASE WHEN obs_value IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_observed
+      FROM ctx ORDER BY user_id, hour"""),
+    prod = Some((s, d) => resampleNearest(s, d)),
+  )
+
   def all: Seq[GraftQuery] =
-    Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q45, q53, q55, q56)
+    Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q45, q53, q55, q56, q57, q58)
 }

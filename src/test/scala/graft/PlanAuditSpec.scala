@@ -200,13 +200,13 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
-  test("q53/q55 resampling rides ONE user-keyed exchange; lerp adds no second") {
-    // the spine groupBy, the forward-fill window, and (for q55) BOTH
-    // lerp direction passes must share the spine's user_id exchange;
+  test("q53/q55/q58 resampling rides ONE user-keyed exchange per query") {
+    // the spine groupBy, the forward-fill window, and (for q55/q58)
+    // BOTH direction passes must share the spine's user_id exchange;
     // the per-(user, hour) last-observation side keys on (user_id, hour)
     // and is counted separately
     val userOnly = "Exchange hashpartitioning\\(user_id#\\d+L?, \\d+\\)".r
-    Seq(operators.ScrapeEtl.q53, operators.ScrapeEtl.q55).foreach { q =>
+    Seq(operators.ScrapeEtl.q53, operators.ScrapeEtl.q55, operators.ScrapeEtl.q58).foreach { q =>
       val p = q.runProd(spark, sf).queryExecution.executedPlan.toString
         .replace("ExchangeQueryStage", "")
       val n = userOnly.findAllIn(p).size

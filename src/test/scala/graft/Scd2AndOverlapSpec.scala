@@ -126,6 +126,46 @@ class Scd2AndOverlapSpec extends AnyFunSuite {
     assert(got.size == 3)
   }
 
+  test("q57 counts only within-session transitions (gap <= 30 min)") {
+    val G = 1800000L
+    val dir = plantEvents("session-markov", Seq(
+      // user 1: A -> B (5 min gap, counted), B -> A (2 h gap, NOT a
+      // transition — new session), A -> C (exactly 30 min, boundary
+      // inclusive, counted)
+      (1L, 1000L, 1L, "A"), (2L, 300000L, 1L, "B"),
+      (3L, 300000L + 4 * G, 1L, "A"), (4L, 300000L + 5 * G, 1L, "C"),
+      // user 2: A -> B just over the gap -> dropped
+      (5L, 1000L, 2L, "A"), (6L, 1000L + G + 1L, 2L, "B"),
+    ))
+    val got = operators.ScrapeEtl.q57.run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got(("A", "B")) == ((1L, 500000L)), s"got $got")
+    assert(got(("A", "C")) == ((1L, 500000L)), "30-min boundary is within the session")
+    assert(!got.contains(("B", "A")), "cross-session transitions are not counted")
+    assert(got.size == 2, s"got $got")
+  }
+
+  test("q58 fills gaps from the nearer observation; ties and edges resolve backward/nearest") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val H = 3600000L
+    val dir = "/tmp/graft-test/nearest"
+    Seq(
+      // user 1: observations at hours 1 (10.0) and 5 (50.0):
+      // hour 2 nearer to 1, hour 3 an exact tie (breaks backward),
+      // hour 4 nearer to 5
+      (1L, new Timestamp(1 * H), 1L, "A", 10.0, "{}"),
+      (2L, new Timestamp(5 * H + 5L), 1L, "B", 50.0, "{}"),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = operators.ScrapeEtl.q58.run(spark, dir).collect()
+      .map(r => r.getLong(1) -> ((r.getDouble(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((10.0, 1L)) && got(5L) == ((50.0, 1L)))
+    assert(got(2L) == ((10.0, 0L)), s"hour 2 takes the earlier neighbor, got $got")
+    assert(got(3L) == ((10.0, 0L)), s"the exact tie at hour 3 breaks backward, got $got")
+    assert(got(4L) == ((50.0, 0L)), s"hour 4 takes the later neighbor, got $got")
+  }
+
   test("q46 computes exact pairwise vocabulary jaccard") {
     val dir = PlantedDocs.write(spark, "/tmp/graft-test/overlap", Seq(
       (1L, "alpha beta gamma", "sA", "sA", 16L),

@@ -822,6 +822,56 @@ object ScrapeEtl {
     prod = Some((s, d) => resampleNearest(s, d)),
   )
 
+  // ------------------------------------------------------------ q59
+
+  /** Cohort retention: users grouped by first-seen day, activity counted
+    * by day offset from that cohort day — the journey-analytics matrix
+    * behind "do day-0 signups come back on day 7". First-seen day is a
+    * whole-partition window min (one corpus scan, one user exchange —
+    * NOT a per-user aggregate joined back, which would scan events
+    * twice); retention normalizes by the cohort's day-0 active count,
+    * read from a running first() over the already-aggregated cohort
+    * rows (day 0 always exists — the cohort day is itself an active
+    * day). Integer days and ppm, so the matrix hash-matches exactly.
+    */
+  private def retentionCohort(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val active = Events.withEventTime(s, d)
+      .select(col("user_id"), expr("unix_millis(ts) div 86400000").as("day"))
+      .withColumn("cohort_day", min("day").over(Window.partitionBy("user_id")))
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct("user_id").as("n_active"))
+    val byCohort = Window.partitionBy("cohort_day").orderBy("day_offset")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    active
+      .withColumn("cohort_size",
+        first(when(col("day_offset") === 0, col("n_active")), ignoreNulls = true).over(byCohort))
+      .select(
+        col("cohort_day"),
+        col("day_offset"),
+        col("n_active"),
+        expr("n_active * 1000000L div cohort_size").as("retention_ppm"))
+  }
+
+  val q59 = GraftQuery(
+    "q59_retention_cohort",
+    (s, d) => retentionCohort(s, d).orderBy("cohort_day", "day_offset"),
+    Some("""WITH e AS (
+        SELECT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
+      c AS (
+        SELECT user_id, day, MIN(day) OVER (PARTITION BY user_id) AS cohort_day FROM e),
+      a AS (
+        SELECT cohort_day, day - cohort_day AS day_offset,
+               COUNT(DISTINCT user_id) AS n_active
+        FROM c GROUP BY 1, 2),
+      s AS (SELECT cohort_day, n_active AS cohort_size FROM a WHERE day_offset = 0)
+      SELECT a.cohort_day, a.day_offset,
+        CAST(a.n_active AS BIGINT) AS n_active,
+        CAST(a.n_active * 1000000 // s.cohort_size AS BIGINT) AS retention_ppm
+      FROM a JOIN s USING (cohort_day)
+      ORDER BY a.cohort_day, a.day_offset"""),
+    prod = Some((s, d) => retentionCohort(s, d)),
+  )
+
   def all: Seq[GraftQuery] =
-    Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q45, q53, q55, q56, q57, q58)
+    Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q45, q53, q55, q56, q57, q58, q59)
 }

@@ -351,17 +351,20 @@ object TrainPrep {
     * keeps eval sets uncontaminated across dataset versions). One
     * stateless codegen'd projection; zero shuffles.
     */
-  private def trainSplit(s: SparkSession, d: String): DataFrame = {
-    val hv = conv(substring(md5(concat(lit("spl:"), col("doc_id").cast("string"))), 1, 13), 16, 10)
+  /** The split of a doc id — q52's hash rule as a reusable column (the
+    * same stateless expression also stamps q60's leakage sides).
+    */
+  private def splitOf(idCol: Column): Column = {
+    val hv = conv(substring(md5(concat(lit("spl:"), idCol.cast("string"))), 1, 13), 16, 10)
       .cast("long")
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"), hv.as("hv"))
-      .select(
-        col("doc_id"), col("lang"),
-        when(col("hv") < SplitTrain, lit("train"))
-          .when(col("hv") < SplitVal, lit("val"))
-          .otherwise(lit("test")).as("split"))
+    when(hv < SplitTrain, lit("train"))
+      .when(hv < SplitVal, lit("val"))
+      .otherwise(lit("test"))
   }
+
+  private def trainSplit(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), splitOf(col("doc_id")).as("split"))
 
   val q52 = GraftQuery(
     "q52_train_split",
@@ -372,6 +375,86 @@ object TrainPrep {
              ELSE 'test' END AS split
       FROM documents ORDER BY doc_id"""),
     prod = Some((s, d) => trainSplit(s, d)),
+  )
+
+  // ------------------------------------------------------------ q60
+
+  /** Eval-set leakage: for every val/test doc, how many of its 8-token
+    * windows also occur in ANY train doc — the split-boundary twin of
+    * passage dedup (Dedup.passageProfileT) and the reason q52's split
+    * alone is not enough: a near-duplicate of a training doc landing in
+    * the eval split silently inflates eval scores even though no doc id
+    * crosses the boundary. A doc with >= 1/5 leaked windows is flagged.
+    *
+    * Scale shape: one tokenize+digest pass over the corpus (the windows
+    * frame is stage-table-materialized, so the train and eval branches
+    * do not re-run it); the train-side inverted index is DISTINCT
+    * 8-byte hashes with map-side combine; the eval side (a split
+    * fraction of the corpus) joins it on the same slim key. Window text
+    * never shuffles.
+    */
+  private def splitLeakage(s: SparkSession, d: String, k: Int = 8,
+      num: Int = 1, den: Int = 5): DataFrame = {
+    val wins = Dedup.tokenized(Tables.documents(s, d))
+      .select(
+        col("doc_id"),
+        explode_outer(gfunctions.kgram_md5_hashes(col("toks"), k)).as("hash"))
+      .withColumn("split", splitOf(col("doc_id")))
+      .localCheckpoint()
+    val trainIdx = wins
+      .filter(col("split") === "train" && col("hash").isNotNull)
+      .select("hash").distinct()
+      .select(col("hash"), lit(1).as("hit"))
+    wins
+      .filter(col("split") =!= "train")
+      .join(trainIdx, Seq("hash"), "left")
+      .groupBy("doc_id", "split")
+      .agg(
+        count(col("hash")).as("n_windows"),
+        count(col("hit")).as("n_leaked_windows"))
+      .select(
+        col("doc_id"), col("split"), col("n_windows"), col("n_leaked_windows"),
+        when(col("n_windows") > 0 &&
+            col("n_leaked_windows") * den >= col("n_windows") * num,
+          lit(1L)).otherwise(lit(0L)).as("leaked"))
+  }
+
+  val q60 = GraftQuery(
+    "q60_split_leakage",
+    (s, d) => splitLeakage(s, d).orderBy("doc_id"),
+    Some(s"""WITH t AS (
+        SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+        FROM documents),
+      spl AS (
+        SELECT doc_id,
+          CASE WHEN CAST(('0x' || substr(md5('spl:' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) < $SplitTrain THEN 'train'
+               WHEN CAST(('0x' || substr(md5('spl:' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) < $SplitVal THEN 'val'
+               ELSE 'test' END AS split
+        FROM documents),
+      w AS (
+        SELECT DISTINCT doc_id,
+          CAST(('0x' || substr(md5(toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]
+            || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7] || ' ' || toks[i+8]), 1, 15)) AS BIGINT) AS hash
+        FROM t CROSS JOIN UNNEST(range(0, greatest(len(toks) - 7, 0))) AS u(i)),
+      tr AS (SELECT DISTINCT hash FROM w JOIN spl USING (doc_id) WHERE split = 'train'),
+      prof AS (
+        SELECT w.doc_id,
+          CAST(COUNT(*) AS BIGINT) AS n_windows,
+          CAST(COUNT(tr.hash) AS BIGINT) AS n_leaked_windows
+        FROM w JOIN spl USING (doc_id)
+        LEFT JOIN tr ON w.hash = tr.hash
+        WHERE spl.split <> 'train'
+        GROUP BY w.doc_id)
+      SELECT s.doc_id, s.split,
+        COALESCE(p.n_windows, 0) AS n_windows,
+        COALESCE(p.n_leaked_windows, 0) AS n_leaked_windows,
+        CAST(CASE WHEN COALESCE(p.n_windows, 0) > 0
+                   AND COALESCE(p.n_leaked_windows, 0) * 5 >= COALESCE(p.n_windows, 0) * 1
+             THEN 1 ELSE 0 END AS BIGINT) AS leaked
+      FROM spl s LEFT JOIN prof p USING (doc_id)
+      WHERE s.split <> 'train'
+      ORDER BY s.doc_id"""),
+    prod = Some((s, d) => splitLeakage(s, d)),
   )
 
   // ------------------------------------------------------------ q50
@@ -590,5 +673,5 @@ object TrainPrep {
     prod = Some((s, d) => trainShuffle(s, d)),
   )
 
-  def all: Seq[GraftQuery] = Seq(q38, q39, q40, q41, q43, q44, q47, q50, q52)
+  def all: Seq[GraftQuery] = Seq(q38, q39, q40, q41, q43, q44, q47, q50, q52, q60)
 }

@@ -166,6 +166,25 @@ class Scd2AndOverlapSpec extends AnyFunSuite {
     assert(got(4L) == ((50.0, 0L)), s"hour 4 takes the later neighbor, got $got")
   }
 
+  test("q59 cohorts users by first-seen day and normalizes by day-0 actives") {
+    val D = 86400000L
+    val dir = plantEvents("cohort", Seq(
+      // user 1: days 10, 11, 13 -> cohort 10, offsets 0/1/3
+      (1L, 10 * D + 100L, 1L, "A"), (2L, 11 * D + 100L, 1L, "A"), (3L, 13 * D + 100L, 1L, "A"),
+      // user 2: day 10 twice (one active day) and day 11 -> cohort 10
+      (4L, 10 * D + 200L, 2L, "B"), (5L, 10 * D + 300L, 2L, "B"), (6L, 11 * D + 900L, 2L, "B"),
+      // user 3: day 11 only -> its own cohort
+      (7L, 11 * D + 100L, 3L, "C"),
+    ))
+    val got = operators.ScrapeEtl.q59.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got((10L, 0L)) == ((2L, 1000000L)), s"got $got")
+    assert(got((10L, 1L)) == ((2L, 1000000L)), "both cohort-10 users return on day 1")
+    assert(got((10L, 3L)) == ((1L, 500000L)), "half the cohort is active on day 3")
+    assert(got((11L, 0L)) == ((1L, 1000000L)), "day-11 user forms its own cohort")
+    assert(got.size == 4, s"no phantom (cohort, offset) rows: $got")
+  }
+
   test("q46 computes exact pairwise vocabulary jaccard") {
     val dir = PlantedDocs.write(spark, "/tmp/graft-test/overlap", Seq(
       (1L, "alpha beta gamma", "sA", "sA", 16L),

@@ -176,4 +176,39 @@ class TrainPrepSpec extends AnyFunSuite {
       assert(oracle == prod, "offsets must be exact without exchange reuse")
     } finally spark.conf.set("spark.sql.exchange.reuse", prev)
   }
+
+  test("q60 flags eval docs whose passages leak from the train split") {
+    // 40 docs share one 20-token body: with the 80/10/10 id-hash split,
+    // deterministically some land in train and some in val/test — every
+    // eval copy then has ALL windows leaked. Unique-text and short docs
+    // in the eval splits must stay clean.
+    val shared = (1 to 20).map(i => s"leak$i").mkString(" ")
+    val rows =
+      (0L until 40L).map(i => (i, shared, "en", "s", shared.length.toLong)) ++
+        (40L until 80L).map(i => (i, (1 to 20).map(j => s"u${i}w$j").mkString(" "), "en", "s", 100L)) ++
+        (80L until 90L).map(i => (i, "too short", "en", "s", 9L))
+    val dir = planted("leakage", rows)
+    val splits = operators.TrainPrep.q52.run(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert((0L until 40L).exists(splits(_) == "train") &&
+      (0L until 40L).exists(splits(_) != "train"),
+      s"planted ids must straddle the split: ${splits.filterKeys(_ < 40)}")
+    val got = operators.TrainPrep.q60.run(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet == splits.filter(_._2 != "train").keySet,
+      "exactly the val/test docs are graded")
+    got.foreach { case (id, (split, nw, nl, leaked)) =>
+      assert(split == splits(id), s"doc $id split mismatch")
+      if (id < 40) {
+        assert(nw == 13L && nl == 13L && leaked == 1L,
+          s"eval copy of the shared body must fully leak, got doc $id -> ($nw, $nl, $leaked)")
+      } else if (id < 80) {
+        assert(nl == 0L && leaked == 0L, s"unique doc $id must stay clean, got ($nw, $nl)")
+      } else {
+        assert(nw == 0L && nl == 0L && leaked == 0L,
+          s"short doc $id has no windows, got ($nw, $nl, $leaked)")
+      }
+    }
+  }
 }

@@ -388,6 +388,49 @@ object Streams {
       }
   }
 
+  // ------------------------------------------- stateful transition feed
+
+  final case class TransEvent(user_id: Long, event_id: Long, ts_ms: Long, event_type: String)
+  final case class TransLast(ts_ms: Long, event_id: Long, event_type: String)
+  final case class Transition(user_id: Long, event_id: Long, from_type: String,
+      to_type: String, gap_ms: Long)
+
+  /** Time-ordered events against the last-seen event: every arrival
+    * after a user's first emits one (from, to, gap) transition row —
+    * the streaming primitive under the q56/q57 matrices (a downstream
+    * windowed count over this feed is the live matrix; the session
+    * conditioning is a gap_ms filter). State is O(1) per user — the
+    * last event's (ts, id, type).
+    */
+  def foldTransitions(uid: Long, events: Seq[TransEvent], init: Option[TransLast]):
+      (Seq[Transition], Option[TransLast]) = {
+    val sorted = events.sortBy(e => (e.ts_ms, e.event_id))
+    sorted.foldLeft((Vector.empty[Transition], init)) {
+      case ((out, None), e) =>
+        (out, Some(TransLast(e.ts_ms, e.event_id, e.event_type)))
+      case ((out, Some(p)), e) =>
+        (out :+ Transition(uid, e.event_id, p.event_type, e.event_type, e.ts_ms - p.ts_ms),
+          Some(TransLast(e.ts_ms, e.event_id, e.event_type)))
+    } match { case (o, st) => (o.toSeq, st) }
+  }
+
+  /** Streaming transition feed: transition rows emit as events arrive
+    * (Append); the last-seen event lives in per-user state across
+    * micro-batches.
+    */
+  def transitionStream(events: Dataset[TransEvent]): Dataset[Transition] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransLast, Transition](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[TransEvent], state: GroupState[TransLast]) =>
+          val (out, st) = foldTransitions(uid, it.toSeq, state.getOption)
+          st.foreach(state.update)
+          out.iterator
+      }
+  }
+
   // ------------------------------------------------------------- queries
 
   val qWindowed = GraftQuery(
@@ -513,5 +556,38 @@ object Streams {
       .select("user_id", "version", "state", "valid_from_ms", "valid_to_ms")),
   )
 
-  def all: Seq[GraftQuery] = Seq(qWindowed, qSessionize, qIntervalJoin, qDedup, qDecontam, qScd2)
+  /** Batch twin of [[transitionStream]] under the oracle gate: the same
+    * per-user ordered pairs as one lag window. StreamingSpec pins
+    * stream ≡ batch on the same events.
+    */
+  val qTransitions = GraftQuery(
+    "stream_transitions",
+    (s, d) => {
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
+      Events.withEventTime(s, d)
+        .withColumn("ts_ms", unix_millis(col("ts")))
+        .withColumn("from_type", lag(col("event_type"), 1).over(byUser))
+        .withColumn("prev_ms", lag(col("ts_ms"), 1).over(byUser))
+        .filter(col("from_type").isNotNull)
+        .select(
+          col("user_id"), col("event_id"), col("from_type"),
+          col("event_type").as("to_type"),
+          (col("ts_ms") - col("prev_ms")).as("gap_ms"))
+        .orderBy("user_id", "event_id")
+    },
+    Some("""WITH e AS (
+        SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms,
+               LAG(event_type) OVER w AS from_type,
+               LAG(epoch_ms(ts)) OVER w AS prev_ms
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id))
+      SELECT user_id, event_id, from_type, event_type AS to_type,
+             CAST(ts_ms - prev_ms AS BIGINT) AS gap_ms
+      FROM e WHERE from_type IS NOT NULL
+      ORDER BY user_id, event_id"""),
+  )
+
+  def all: Seq[GraftQuery] =
+    Seq(qWindowed, qSessionize, qIntervalJoin, qDedup, qDecontam, qScd2, qTransitions)
 }

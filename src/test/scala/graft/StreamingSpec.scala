@@ -283,6 +283,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(folded == batch, "stream fold and batch windows state the same rule")
   }
 
+  test("streaming transitions span micro-batches; twin parity at sf0.001") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import streaming.Streams.{TransEvent, Transition}
+    val ms = MemoryStream[TransEvent]
+    val q = Streams.transitionStream(ms.toDS())
+      .writeStream.format("memory").queryName("graft_trans_stream")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 A->B; user 2 first event only (no emission)
+      ms.addData(
+        TransEvent(1L, 1L, 1000L, "A"), TransEvent(1L, 2L, 2000L, "B"),
+        TransEvent(2L, 3L, 1000L, "A"))
+      q.processAllAvailable()
+      val v1 = spark.table("graft_trans_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3), r.getLong(4)))
+      assert(v1.toSeq == Seq((1L, 2L, "A", "B", 1000L)), s"got ${v1.toSeq}")
+      // batch 2: user 2's next event pairs against state from batch 1
+      ms.addData(TransEvent(2L, 4L, 4000L, "C"))
+      q.processAllAvailable()
+      val v2 = spark.table("graft_trans_stream").collect()
+        .map(r => (r.getLong(0), r.getString(2), r.getString(3), r.getLong(4))).toSet
+      assert(v2 == Set((1L, "A", "B", 1000L), (2L, "A", "C", 3000L)), s"got $v2")
+    } finally q.stop()
+
+    // twin parity: fold the real sf0.001 events through the SAME step and
+    // compare against the batch lag-window form
+    val sf = "/root/testdata/sf0.001"
+    val events = operators.Events.withEventTime(spark, sf)
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ts_ms"),
+        col("event_type"))
+      .as[TransEvent].collect()
+    val folded = events.groupBy(_.user_id).toSeq.flatMap { case (uid, evs) =>
+      Streams.foldTransitions(uid, evs.toSeq, None)._1
+    }.map(t => (t.user_id, t.event_id, t.from_type, t.to_type, t.gap_ms)).toSet
+    val batch = Streams.qTransitions.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3), r.getLong(4))).toSet
+    assert(folded == batch, "stream fold and batch lag window state the same rule")
+  }
+
   test("stream_decontam batch twin equals the q44 contaminated set") {
     val sf = "/root/testdata/sf0.001"
     val twin = Streams.qDecontam.run(spark, sf).collect().map(_.getLong(0)).toSet

@@ -127,4 +127,31 @@ class KernelLawsSpec extends AnyFunSuite {
       assert(st2.map(_.state) == open.map(_.state), s"trial $trial split at $cut")
     }
   }
+
+  test("foldTransitions equals the naive pair walk for 200 random event streams") {
+    import streaming.Streams.{foldTransitions, TransEvent}
+    val rnd = new Random(0x7a45)
+    (0 until 200).foreach { trial =>
+      // distinct timestamps so the naive zip walk is unambiguous; the
+      // (ts, event_id) tie rule itself is pinned by the batch twin parity
+      val times = rnd.shuffle((0 until 120).toList).take(1 + rnd.nextInt(60))
+      val events = times.zipWithIndex.map { case (t, i) =>
+        TransEvent(1L, i.toLong, t.toLong, Seq("A", "B", "C")(rnd.nextInt(3)))
+      }
+      val sorted = events.sortBy(e => (e.ts_ms, e.event_id))
+      val want = sorted.zip(sorted.drop(1)).map { case (p, e) =>
+        (e.event_id, p.event_type, e.event_type, e.ts_ms - p.ts_ms)
+      }
+      val (out, st) = foldTransitions(1L, events, None)
+      assert(out.map(t => (t.event_id, t.from_type, t.to_type, t.gap_ms)) == want, s"trial $trial")
+      assert(st.map(_.event_type) == sorted.lastOption.map(_.event_type), s"trial $trial")
+      // micro-batch split anywhere in event-time order: same feed
+      val cut = rnd.nextInt(sorted.size + 1)
+      val (o1, s1) = foldTransitions(1L, sorted.take(cut), None)
+      val (o2, s2) = foldTransitions(1L, sorted.drop(cut), s1)
+      assert((o1 ++ o2).map(t => (t.event_id, t.from_type, t.to_type, t.gap_ms)) == want,
+        s"trial $trial split at $cut")
+      assert(s2 == st, s"trial $trial split at $cut")
+    }
+  }
 }

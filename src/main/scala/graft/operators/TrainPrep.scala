@@ -293,6 +293,60 @@ object TrainPrep {
     prod = Some((s, d) => sampleTopK(s, d)),
   )
 
+  // ------------------------------------------------------------ q61
+
+  /** Max docs any one source may contribute. */
+  private val SourceQuota = 15
+
+  /** Per-source contribution quota: at most [[SourceQuota]] docs per
+    * source survive, chosen deterministically by 52-bit
+    * md5("quo:"+doc_id) order — the "no domain dominates the corpus"
+    * gate (C4/RefinedWeb-style per-domain caps). Every doc gets a
+    * verdict row (kept + quota_rank, or cut), so the decision table is
+    * auditable like corpus_curate's.
+    *
+    * Scale shape: the kept set rides the bounded-heap top_k_by_score
+    * aggregate per source — O(quota) state per source per partition,
+    * map-side merges, NO per-source sort (q41's machinery, §2.F2). The
+    * verdict stamp joins the quota-bounded kept table (|sources| ×
+    * quota rows) back on doc_id; AQE broadcasts it while it fits and
+    * falls back to a hash join at extreme source cardinality.
+    */
+  private def sourceQuota(s: SparkSession, d: String): DataFrame = {
+    val h = conv(substring(md5(concat(lit("quo:"), col("doc_id").cast("string"))), 1, 13), 16, 10)
+      .cast("long")
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"), h.as("hv"))
+    val kept = docs
+      .groupBy("source")
+      .agg(gfunctions.top_k_by_score(col("doc_id"), -col("hv").cast("double"), SourceQuota)
+        .as("topk"))
+      .select(posexplode(col("topk")))
+      .select((col("pos") + 1).cast("long").as("quota_rank"), col("col.neighbor_id").as("doc_id"))
+    docs
+      .join(kept, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("source"), col("quota_rank"),
+        when(col("quota_rank").isNotNull, lit(1L)).otherwise(lit(0L)).as("kept"))
+  }
+
+  val q61 = GraftQuery(
+    "q61_source_quota",
+    (s, d) => sourceQuota(s, d).orderBy("doc_id"),
+    Some(s"""WITH h AS (
+        SELECT doc_id, source,
+          CAST(('0x' || substr(md5('quo:' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) AS hv
+        FROM documents),
+      r AS (
+        SELECT doc_id, source,
+          ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rk
+        FROM h)
+      SELECT doc_id, source,
+        CASE WHEN rk <= $SourceQuota THEN CAST(rk AS BIGINT) END AS quota_rank,
+        CAST(CASE WHEN rk <= $SourceQuota THEN 1 ELSE 0 END AS BIGINT) AS kept
+      FROM r ORDER BY doc_id"""),
+    prod = Some((s, d) => sourceQuota(s, d)),
+  )
+
   // ------------------------------------------------------------ q47
 
   /** Token cap for the weighted-sample probability: p = min(n_tokens,
@@ -673,5 +727,5 @@ object TrainPrep {
     prod = Some((s, d) => trainShuffle(s, d)),
   )
 
-  def all: Seq[GraftQuery] = Seq(q38, q39, q40, q41, q43, q44, q47, q50, q52, q60)
+  def all: Seq[GraftQuery] = Seq(q38, q39, q40, q41, q43, q44, q47, q50, q52, q60, q61)
 }

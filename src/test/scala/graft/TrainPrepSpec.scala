@@ -177,6 +177,42 @@ class TrainPrepSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.exchange.reuse", prev)
   }
 
+  test("q61 caps each source at the quota, chosen by hash order") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // source A: 40 docs (25 cut), source B: 15 (all kept, at the quota
+    // boundary), source C: 3 (all kept, under quota)
+    val rows =
+      (0L until 40L).map(i => (i, s"text $i", "en", "A", 10L)) ++
+        (40L until 55L).map(i => (i, s"text $i", "en", "B", 10L)) ++
+        (55L until 58L).map(i => (i, s"text $i", "en", "C", 10L))
+    val dir = planted("quota", rows)
+    val got = operators.TrainPrep.q61.run(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(3)))).toMap
+    assert(got.size == 58, "every doc gets a verdict row")
+    val keptBySource = got.values.groupBy(_._1).view
+      .mapValues(_.count(_._3 == 1L)).toMap
+    assert(keptBySource == Map("A" -> 15, "B" -> 15, "C" -> 3), s"got $keptBySource")
+    // kept docs carry ranks 1..n_kept; cut docs carry no rank
+    got.values.groupBy(_._1).foreach { case (src, vs) =>
+      val ranks = vs.flatMap(_._2).toSeq.sorted
+      assert(ranks == (1L to ranks.size).toSeq, s"source $src ranks: $ranks")
+    }
+    assert(got.values.forall(v => v._2.isDefined == (v._3 == 1L)),
+      "rank present exactly on kept docs")
+    // heap order equals the window-rank reference on the same hashes
+    val hv = conv(substring(md5(concat(lit("quo:"), col("doc_id").cast("string"))), 1, 13), 16, 10)
+      .cast("long")
+    val ref = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"), hv.as("hv"))
+      .withColumn("rk", row_number().over(Window.partitionBy("source").orderBy("hv", "doc_id")))
+      .filter(col("rk") <= 15)
+      .collect().map(r => r.getLong(0) -> r.getInt(3).toLong).toMap
+    assert(got.filter(_._2._3 == 1L).map { case (id, v) => id -> v._2.get } == ref,
+      "bounded heap must equal the sort-based rank")
+  }
+
   test("q60 flags eval docs whose passages leak from the train split") {
     // 40 docs share one 20-token body: with the 80/10/10 id-hash split,
     // deterministically some land in train and some in val/test — every

@@ -872,6 +872,63 @@ object ScrapeEtl {
     prod = Some((s, d) => retentionCohort(s, d)),
   )
 
+  // ------------------------------------------------------------ q62
+
+  /** Inter-event cadence histogram: the distribution of gaps between a
+    * user's consecutive events, bucketed per event_type of the LATER
+    * event — the dwell-time/cadence analytics behind session-gap tuning
+    * (q25's 30-minute rule is a parameter this histogram justifies).
+    * Buckets are a fixed CASE ladder over exact integer millisecond
+    * boundaries (no float log buckets), so both engines bucket
+    * identically and the histogram hash-matches; shares as integer ppm
+    * via a window over the aggregated rows (one corpus scan, q56's
+    * shape).
+    */
+  private def gapHistogram(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
+    val bucket = when(col("gap_ms") < 1000L, "a_lt_1s")
+      .when(col("gap_ms") < 60000L, "b_lt_1m")
+      .when(col("gap_ms") < 600000L, "c_lt_10m")
+      .when(col("gap_ms") < 1800000L, "d_lt_30m")
+      .when(col("gap_ms") < 86400000L, "e_lt_1d")
+      .otherwise("f_ge_1d")
+    Events.withEventTime(s, d)
+      .withColumn("ts_ms", unix_millis(col("ts")))
+      .withColumn("prev_ms", lag(col("ts_ms"), 1).over(byUser))
+      .filter(col("prev_ms").isNotNull)
+      .withColumn("gap_ms", col("ts_ms") - col("prev_ms"))
+      .groupBy(col("event_type"), bucket.as("gap_bucket"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share_ppm",
+        expr("n * 1000000L div sum(n) over (partition by event_type)"))
+  }
+
+  val q62 = GraftQuery(
+    "q62_gap_histogram",
+    (s, d) => gapHistogram(s, d).orderBy("event_type", "gap_bucket"),
+    Some("""WITH e AS (
+        SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms,
+               LAG(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev_ms
+        FROM events),
+      g AS (
+        SELECT event_type, ts_ms - prev_ms AS gap_ms FROM e WHERE prev_ms IS NOT NULL),
+      b AS (
+        SELECT event_type,
+          CASE WHEN gap_ms < 1000 THEN 'a_lt_1s'
+               WHEN gap_ms < 60000 THEN 'b_lt_1m'
+               WHEN gap_ms < 600000 THEN 'c_lt_10m'
+               WHEN gap_ms < 1800000 THEN 'd_lt_30m'
+               WHEN gap_ms < 86400000 THEN 'e_lt_1d'
+               ELSE 'f_ge_1d' END AS gap_bucket
+        FROM g),
+      c AS (SELECT event_type, gap_bucket, COUNT(*) AS n FROM b GROUP BY 1, 2)
+      SELECT event_type, gap_bucket, CAST(n AS BIGINT) AS n,
+        CAST(n * 1000000 // SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS share_ppm
+      FROM c
+      ORDER BY event_type, gap_bucket"""),
+    prod = Some((s, d) => gapHistogram(s, d)),
+  )
+
   def all: Seq[GraftQuery] =
-    Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q45, q53, q55, q56, q57, q58, q59)
+    Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q45, q53, q55, q56, q57, q58, q59, q62)
 }

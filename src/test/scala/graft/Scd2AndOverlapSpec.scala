@@ -185,6 +185,23 @@ class Scd2AndOverlapSpec extends AnyFunSuite {
     assert(got.size == 4, s"no phantom (cohort, offset) rows: $got")
   }
 
+  test("q62 buckets inter-event gaps on exact boundaries per later-event type") {
+    val dir = plantEvents("gaps", Seq(
+      // user 1: gaps of 999 ms (a), 1000 ms (b, boundary), 30 min (e —
+      // exactly 1800000 is NOT < 30m bucket), then a cross-user reset
+      (1L, 0L, 1L, "X"), (2L, 999L, 1L, "Y"),
+      (3L, 1999L, 1L, "Y"), (4L, 1801999L, 1L, "Z"),
+      // user 2: first event emits no gap
+      (5L, 5000L, 2L, "Y"),
+    ))
+    val got = operators.ScrapeEtl.q62.run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got(("Y", "a_lt_1s")) == ((1L, 500000L)), s"999 ms gap, got $got")
+    assert(got(("Y", "b_lt_1m")) == ((1L, 500000L)), "1000 ms is the 1s boundary bucket")
+    assert(got(("Z", "e_lt_1d")) == ((1L, 1000000L)), "exactly 30 min leaves the <30m bucket")
+    assert(got.size == 3, s"cross-user and first events emit no gap: $got")
+  }
+
   test("q46 computes exact pairwise vocabulary jaccard") {
     val dir = PlantedDocs.write(spark, "/tmp/graft-test/overlap", Seq(
       (1L, "alpha beta gamma", "sA", "sA", 16L),

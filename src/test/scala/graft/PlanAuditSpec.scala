@@ -226,6 +226,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(userOnly.findAllIn(p).size == 1, s"one user exchange expected:\n$p")
   }
 
+  test("q57/q59/q62 journey analytics scan the corpus once, one user exchange") {
+    // the lag/min window rides the single user_id exchange and the
+    // downstream ratios come from windows over ALREADY-AGGREGATED rows —
+    // never a totals join that would re-scan events (the q56 r8 shape)
+    val userOnly = "Exchange hashpartitioning\\(user_id#\\d+L?, \\d+\\)".r
+    Seq(operators.ScrapeEtl.q57, operators.ScrapeEtl.q59, operators.ScrapeEtl.q62).foreach { q =>
+      val p = q.runProd(spark, sf).queryExecution.executedPlan.toString
+        .replace("ExchangeQueryStage", "")
+      assert("FileScan parquet".r.findAllIn(p).size == 1,
+        s"${q.name}: events must be scanned once:\n$p")
+      assert(userOnly.findAllIn(p).size == 1, s"${q.name}: one user exchange expected:\n$p")
+    }
+  }
+
+  test("q61 kept set rides the bounded heap — no per-source sort") {
+    val p = operators.TrainPrep.q61.runProd(spark, sf).queryExecution.executedPlan.toString
+    assert(p.contains("top_k_by_score"), "bounded-heap aggregate expected")
+    assert(!p.contains("Sort "), s"quota selection must not sort any stratum:\n$p")
+  }
+
   test("prod variants drop the oracle-mode global sort") {
     Seq(operators.RelationalCore.q02, operators.RelationalCore.q08, operators.RelationalCore.q18)
       .foreach { q =>

@@ -502,7 +502,53 @@ object RelationalCore {
     None,
   )
 
+  val q63 = GraftQuery(
+    "q63_regional_revenue",
+    (s, d) => {
+      // TPC-H Q5 shape: a six-table plan with two fact-fact joins and a
+      // dimension snowflake, plus the local-supplier constraint
+      // (customer and supplier in the SAME nation). Region/nation are
+      // broadcast; lineitem⋈orders and ⋈supplier shuffle on their keys
+      // and AQE picks the final join strategy — the query exists to
+      // exercise join reordering + mixed broadcast/shuffle selection on
+      // one plan.
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+      val c = Tables.customer(s, d)
+      val su = Tables.supplier(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(su, li("l_suppkey") === su("s_suppkey"))
+        .join(c, o("o_custkey") === c("c_custkey") &&
+          c("c_nationkey") === su("s_nationkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"),
+          count(lit(1)).as("n_rows"),
+        )
+        .orderBy("n_name")
+    },
+    Some("""SELECT n_name,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      COUNT(*) AS n_rows
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY n_name ORDER BY n_name"""),
+  )
+
   def all: Seq[GraftQuery] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16, q17,
-      q18, q19, qSketch, qSketchQuantile)
+      q18, q19, q63, qSketch, qSketchQuantile)
 }

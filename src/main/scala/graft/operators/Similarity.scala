@@ -144,5 +144,74 @@ object Similarity {
     None,
   )
 
-  def all: Seq[GraftQuery] = Seq(qBrute, qLsh, qIvf)
+  /** Embedding-space quality control: each vector's cosine to its own
+    * label-group CENTROID — low similarity marks mislabeled/garbage
+    * vectors (the embedding analog of q31's text quality gate). The
+    * centroid mean must be partition-order INVARIANT to sit under the
+    * hash gate, and double sums are not; so components are quantized to
+    * exact integers (floor(x·10^9) — floor, not cast: Spark truncates
+    * casts toward zero while DuckDB rounds) and summed as longs, and
+    * the centroid is the exact integer sum over (n·10^9) in double —
+    * the same deterministic expression tree in both engines. The cosine
+    * itself is the ann_bruteforce sequential-double accumulation
+    * (zip_with/aggregate ≡ list_dot_product, probed there).
+    *
+    * Scale shape: one posexplode pass (rows × dims), map-side-combined
+    * sums keyed by (label, pos), a label-count centroid table of
+    * |labels| rows joined back broadcast — vectors shuffle never.
+    */
+  private def centroidOutliers(s: org.apache.spark.sql.SparkSession, d: String, tau: Double = 0.2): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val comps = emb
+      .select(col("label"), posexplode(col("embedding")))
+      .groupBy("label", "pos")
+      .agg(
+        sum(floor(col("col").cast("double") * lit(1e9)).cast("long")).as("qsum"),
+        count(lit(1)).as("n"))
+    val centroids = comps
+      .groupBy("label")
+      .agg(sort_array(collect_list(struct(col("pos"), (col("qsum").cast("double") /
+        (col("n").cast("double") * lit(1e9))).as("comp")))).as("sorted"))
+      .select(col("label"), expr("transform(sorted, x -> x.comp)").as("centroid"))
+    emb
+      .join(broadcast(centroids), "label")
+      .select(
+        col("vec_id"), col("label"),
+        expr("""aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), centroid, (x, y) -> x * y), 0D, (acc, z) -> acc + z)""").as("dvc"),
+        expr("""aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), CAST(embedding AS ARRAY<DOUBLE>), (x, y) -> x * y), 0D, (acc, z) -> acc + z)""").as("dvv"),
+        expr("""aggregate(zip_with(centroid, centroid, (x, y) -> x * y), 0D, (acc, z) -> acc + z)""").as("dcc"))
+      .select(
+        col("vec_id"), col("label"),
+        when(col("dvv") === 0d || col("dcc") === 0d, lit(0d))
+          .otherwise(col("dvc") / sqrt(col("dvv") * col("dcc"))).as("sim_centroid"))
+      .withColumn("is_outlier", (col("sim_centroid") < tau).cast("long"))
+  }
+
+  val qOutlier = GraftQuery(
+    "q64_embedding_outlier",
+    (s, d) => centroidOutliers(s, d).orderBy("vec_id"),
+    Some("""WITH q AS (
+        SELECT label, u.i AS pos,
+               CAST(FLOOR(CAST(embedding[u.i + 1] AS DOUBLE) * 1000000000) AS BIGINT) AS qv
+        FROM embeddings CROSS JOIN UNNEST(range(0, len(embedding))) AS u(i)),
+      c AS (SELECT label, pos, SUM(qv) AS qsum, COUNT(*) AS n FROM q GROUP BY 1, 2),
+      cent AS (
+        SELECT label,
+               list(CAST(qsum AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000000) ORDER BY pos) AS centroid
+        FROM c GROUP BY label),
+      scored AS (
+        SELECT e.vec_id, e.label,
+          list_dot_product(CAST(e.embedding AS DOUBLE[]), cent.centroid) AS dvc,
+          list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS dvv,
+          list_dot_product(cent.centroid, cent.centroid) AS dcc
+        FROM embeddings e JOIN cent USING (label))
+      SELECT vec_id, label,
+        CASE WHEN dvv = 0 OR dcc = 0 THEN 0.0 ELSE dvc / sqrt(dvv * dcc) END AS sim_centroid,
+        CAST(CASE WHEN (CASE WHEN dvv = 0 OR dcc = 0 THEN 0.0 ELSE dvc / sqrt(dvv * dcc) END) < 0.2
+             THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+      FROM scored ORDER BY vec_id"""),
+    prod = Some((s, d) => centroidOutliers(s, d)),
+  )
+
+  def all: Seq[GraftQuery] = Seq(qBrute, qLsh, qIvf, qOutlier)
 }

@@ -240,6 +240,29 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q63 six-table plan broadcasts the snowflake dims, no cartesian") {
+    val p = plan(operators.RelationalCore.q63)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"six-table join must stay key-equi:\n$p")
+    // nation and region (and whatever else AQE promotes) broadcast; the
+    // fact-fact joins may be shuffle or broadcast depending on stats,
+    // but at least the two explicit dim hints must survive planning
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"snowflake dims must broadcast:\n$p")
+    assert(p.contains("PushedFilters"), "order-date/region filters should reach scans")
+  }
+
+  test("q64 centroids broadcast back to vectors; vectors never shuffle") {
+    val p = operators.Similarity.qOutlier.runProd(spark, sf).queryExecution.executedPlan.toString
+      .replace("ExchangeQueryStage", "")
+    assert(p.contains("BroadcastHashJoin"), s"centroid table must broadcast:\n$p")
+    // the only hash exchanges carry exploded (label, pos) component rows
+    // or label-keyed centroid rows — never a vec_id
+    val badExchange = p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+      .find(_.contains("vec_id#"))
+    assert(badExchange.isEmpty, s"an exchange carries vectors: $badExchange")
+  }
+
   test("q61 kept set rides the bounded heap — no per-source sort") {
     val p = operators.TrainPrep.q61.runProd(spark, sf).queryExecution.executedPlan.toString
     assert(p.contains("top_k_by_score"), "bounded-heap aggregate expected")

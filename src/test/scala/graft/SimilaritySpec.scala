@@ -28,6 +28,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(top.head.getDouble(top.head.fieldIndex("sim")) > 0.999)
   }
 
+  test("q64 flags the planted anti-centroid vector; cluster members score high") {
+    import spark.implicits._
+    val rnd = new Random(64)
+    val dir = "/tmp/graft-test/outlier"
+    def jitter(base: Array[Float]): Array[Float] =
+      base.map(x => x + (rnd.nextGaussian() * 0.01).toFloat)
+    val baseA = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val baseB = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val rows =
+      (0L until 20L).map(i => (i, jitter(baseA), 0)) ++
+        // vec 99: the inverse of cluster A's direction — cosine to the
+        // centroid lands near -1, far below any sane tau
+        Seq((99L, baseA.map(-_), 0)) ++
+        (100L until 120L).map(i => (i, jitter(baseB), 1))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = operators.Similarity.qOutlier.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(2), r.getLong(3)))).toMap
+    assert(got.size == 41, "every vector gets a score row")
+    assert(got(99L)._1 < -0.5 && got(99L)._2 == 1L,
+      s"anti-centroid vector must flag, got ${got(99L)}")
+    (0L until 20L).foreach { i =>
+      assert(got(i)._1 > 0.9 && got(i)._2 == 0L, s"cluster-A member $i: ${got(i)}")
+    }
+    (100L until 120L).foreach { i =>
+      assert(got(i)._1 > 0.9 && got(i)._2 == 0L, s"cluster-B member $i: ${got(i)}")
+    }
+  }
+
   test("LSH top-k recall vs brute force on real embeddings") {
     val sf = "/root/testdata/sf0.001"
     val brute = topSets(operators.Similarity.qBrute.run(spark, sf))

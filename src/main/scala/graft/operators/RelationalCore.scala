@@ -548,7 +548,98 @@ object RelationalCore {
       GROUP BY n_name ORDER BY n_name"""),
   )
 
+  /** CDC-merge classification: target = each customer's latest order
+    * before the cutover, source = orders at/after it; every customer
+    * classifies as insert (source only), update (both, source is newer
+    * by definition), or unchanged (target only) — the decision table a
+    * MERGE INTO executes, materialized for audit. Two latest-per-key
+    * aggregates over one orders scan each side of a pushed date
+    * predicate, then a full outer join on the key.
+    */
+  private def mergeClassify(s: SparkSession, d: String): DataFrame = {
+    val cut = to_timestamp(lit("1998-01-01"))
+    def latest(df: DataFrame, keyOut: String, okey: String): DataFrame =
+      df.groupBy(col("o_custkey").as(keyOut))
+        .agg(max(struct(col("o_orderdate"), col("o_orderkey"))).as("m"))
+        .select(col(keyOut), col("m.o_orderkey").as(okey))
+    val o = Tables.orders(s, d)
+    val target = latest(o.filter(col("o_orderdate") < cut), "tk", "target_orderkey")
+    val source = latest(o.filter(col("o_orderdate") >= cut), "sk", "source_orderkey")
+    target.join(source, col("tk") === col("sk"), "full_outer")
+      .select(
+        coalesce(col("tk"), col("sk")).as("c_custkey"),
+        col("target_orderkey"), col("source_orderkey"),
+        when(col("tk").isNull, "insert")
+          .when(col("sk").isNull, "unchanged")
+          .otherwise("update").as("merge_action"))
+  }
+
+  val q65 = GraftQuery(
+    "q65_merge_classify",
+    (s, d) => mergeClassify(s, d).orderBy("c_custkey"),
+    Some("""WITH rt AS (
+        SELECT o_custkey, o_orderkey,
+          ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
+      target AS (SELECT o_custkey AS c_custkey, o_orderkey AS target_orderkey FROM rt WHERE rn = 1),
+      rs AS (
+        SELECT o_custkey, o_orderkey,
+          ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'),
+      source AS (SELECT o_custkey AS c_custkey, o_orderkey AS source_orderkey FROM rs WHERE rn = 1)
+      SELECT COALESCE(t.c_custkey, s.c_custkey) AS c_custkey,
+        t.target_orderkey, s.source_orderkey,
+        CASE WHEN t.c_custkey IS NULL THEN 'insert'
+             WHEN s.c_custkey IS NULL THEN 'unchanged'
+             ELSE 'update' END AS merge_action
+      FROM target t FULL OUTER JOIN source s USING (c_custkey)
+      ORDER BY c_custkey"""),
+    prod = Some((s, d) => mergeClassify(s, d)),
+  )
+
+  /** The ranking-function battery over ONE window sort: rank,
+    * dense_rank, percent_rank, cume_dist, ntile, lag, lead — the
+    * remaining window surface q07/q08 don't cover, all sharing one
+    * (flag, price, unique-tiebreak) ordering so Catalyst plans a single
+    * exchange + sort. percent_rank/cume_dist are ratios of exact
+    * integer ranks — deterministic doubles in both engines.
+    */
+  private def windowBattery(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    Tables.lineitem(s, d)
+      .filter(col("l_quantity") < 5)
+      .select(
+        col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        percent_rank().over(w).as("prnk"),
+        cume_dist().over(w).as("cdist"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        lag(col("l_extendedprice"), 1).over(w).as("prev_price"),
+        lead(col("l_extendedprice"), 1).over(w).as("next_price"))
+  }
+
+  val q66 = GraftQuery(
+    "q66_window_battery",
+    (s, d) => windowBattery(s, d).orderBy("l_returnflag", "rnk"),
+    Some("""SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+        CAST(RANK() OVER w AS BIGINT) AS rnk,
+        CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+        PERCENT_RANK() OVER w AS prnk,
+        CUME_DIST() OVER w AS cdist,
+        CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+        LAG(l_extendedprice, 1) OVER w AS prev_price,
+        LEAD(l_extendedprice, 1) OVER w AS next_price
+      FROM lineitem WHERE l_quantity < 5
+      WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+      ORDER BY l_returnflag, rnk"""),
+    prod = Some((s, d) => windowBattery(s, d)),
+  )
+
   def all: Seq[GraftQuery] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16, q17,
-      q18, q19, q63, qSketch, qSketchQuantile)
+      q18, q19, q63, q65, q66, qSketch, qSketchQuantile)
 }

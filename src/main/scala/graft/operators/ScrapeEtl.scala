@@ -929,6 +929,41 @@ object ScrapeEtl {
     prod = Some((s, d) => gapHistogram(s, d)),
   )
 
+  // ------------------------------------------------------------ q67
+
+  /** Rolling 24-hour activity per event: for every event, the count and
+    * exact decimal sum of the SAME user's events in the trailing 24 h —
+    * the RANGE-frame shape (frame bounds in VALUE units, not rows) that
+    * q08's running row frame doesn't cover; rate-limit/fraud-style
+    * analytics. Range frames on the ms axis include all tied
+    * timestamps, so the result is tie-order independent; the sum is
+    * decimal, so it is partition-order exact. One user exchange, one
+    * O(n) sliding frame per partition.
+    */
+  private def rolling24h(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_ms"))
+      .rangeBetween(-86399999L, Window.currentRow)
+    Events.withEventTime(s, d)
+      .withColumn("ts_ms", unix_millis(col("ts")))
+      .select(
+        col("event_id"), col("user_id"), col("ts_ms"),
+        count(lit(1)).over(w).as("n_24h"),
+        sum(col("value").cast(DecimalType(18, 4))).over(w).cast("double").as("sum_value_24h"))
+  }
+
+  val q67 = GraftQuery(
+    "q67_rolling_24h",
+    (s, d) => rolling24h(s, d).orderBy("event_id"),
+    Some("""SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+        COUNT(*) OVER w AS n_24h,
+        CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_value_24h
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                   RANGE BETWEEN 86399999 PRECEDING AND CURRENT ROW)
+      ORDER BY event_id"""),
+    prod = Some((s, d) => rolling24h(s, d)),
+  )
+
   def all: Seq[GraftQuery] =
-    Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q45, q53, q55, q56, q57, q58, q59, q62)
+    Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q45, q53, q55, q56, q57, q58, q59, q62, q67)
 }

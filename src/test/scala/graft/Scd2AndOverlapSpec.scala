@@ -202,6 +202,50 @@ class Scd2AndOverlapSpec extends AnyFunSuite {
     assert(got.size == 3, s"cross-user and first events emit no gap: $got")
   }
 
+  test("q67 rolling 24h frame includes the 86399999ms edge, excludes 24h exactly") {
+    val D = 86400000L
+    val dir = plantEvents("rolling", Seq(
+      // user 1: events at t=0, t=D-1 (inside the trailing 24h of each
+      // other), t=2D-1 (exactly 24h after D-1 -> excluded from its frame)
+      (1L, 0L, 1L, "A"), (2L, D - 1L, 1L, "A"), (3L, 2 * D - 1L, 1L, "A"),
+      // user 2: isolated event counts only itself
+      (4L, 500L, 2L, "B"),
+    ))
+    val got = operators.ScrapeEtl.q67.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got(1L) == 1L, s"first event sees only itself: $got")
+    assert(got(2L) == 2L, "t=D-1 includes t=0 (86399999 ms back, inside the frame)")
+    assert(got(3L) == 1L, "exactly 24h back is outside the 86399999-PRECEDING frame")
+    assert(got(4L) == 1L)
+  }
+
+  test("q65 classifies customers as insert/update/unchanged across the cutover") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val dir = "/tmp/graft-test/merge"
+    def ts(s: String) = Timestamp.valueOf(s + " 00:00:00")
+    Seq(
+      // cust 1: orders both sides -> update, latest keys on each side
+      (10L, 1L, "O", 10.0, ts("1997-05-01"), "P"),
+      (11L, 1L, "O", 11.0, ts("1997-06-01"), "P"),
+      (12L, 1L, "O", 12.0, ts("1998-03-01"), "P"),
+      // cust 2: target only -> unchanged
+      (20L, 2L, "O", 20.0, ts("1996-01-01"), "P"),
+      // cust 3: source only -> insert
+      (30L, 3L, "O", 30.0, ts("1999-01-01"), "P"),
+    ).toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = operators.RelationalCore.q65.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        r.getString(3)))).toMap
+    assert(got(1L) == ((Some(11L), Some(12L), "update")), s"got $got")
+    assert(got(2L) == ((Some(20L), None, "unchanged")))
+    assert(got(3L) == ((None, Some(30L), "insert")))
+    assert(got.size == 3)
+  }
+
   test("q46 computes exact pairwise vocabulary jaccard") {
     val dir = PlantedDocs.write(spark, "/tmp/graft-test/overlap", Seq(
       (1L, "alpha beta gamma", "sA", "sA", 16L),

@@ -951,6 +951,59 @@ object ScrapeEtl {
         sum(col("value").cast(DecimalType(18, 4))).over(w).cast("double").as("sum_value_24h"))
   }
 
+  /** Scale-safe q67 (ProdParitySpec pins it row-identical to the RANGE
+    * frame): Spark executes sliding aggregate frames by RE-AGGREGATING
+    * the whole frame every time the bounds move (no retraction), so the
+    * oracle's RANGE frame costs O(rows × frame_width) per partition — a
+    * mega-user whose 24 h holds 86k events did not finish a 300k-row
+    * probe in 10 minutes (ScaleProbe14). This form is three O(n) passes
+    * over the SAME user exchange: (1) running prefix count/decimal-sum
+    * per event; (2) a tagged union of data rows and one PROBE row per
+    * event at ts − 24 h, where a running last(ignoreNulls) carries the
+    * prefix at-or-before each probe (data sorts before probes on ties,
+    * so rows at exactly ts − 24 h land in the excluded prefix, matching
+    * the frame's 86399999-PRECEDING lower edge); (3) trailing count/sum
+    * = own prefix − carried prefix, exact in integers/decimals.
+    */
+  private def rolling24hProd(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val win = 86400000L
+    // RANGE-running prefix (a GROWING frame — Spark updates it
+    // incrementally, unlike sliding frames): every row tied on ts_ms
+    // carries the prefix through its whole tie group, matching the
+    // RANGE frame's all-ties-included semantics.
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts_ms"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val pref = Events.withEventTime(s, d)
+      .withColumn("ts_ms", unix_millis(col("ts")))
+      .select(col("event_id"), col("user_id"), col("ts_ms"), col("value"))
+      .withColumn("pc", count(lit(1)).over(byUser))
+      .withColumn("ps", sum(col("value").cast(DecimalType(18, 4))).over(byUser))
+    val data = pref.select(
+      col("user_id"), col("ts_ms").as("t"), lit(0).as("kind"), col("pc"), col("ps"),
+      lit(null).cast("long").as("probe_event"),
+      lit(null).cast("long").as("probe_ts"),
+      lit(null).cast("long").as("own_pc"),
+      lit(null).cast(DecimalType(28, 4)).as("own_ps"))
+    val probes = pref.select(
+      col("user_id"), (col("ts_ms") - win).as("t"), lit(1).as("kind"),
+      lit(null).cast("long").as("pc"), lit(null).cast(DecimalType(28, 4)).as("ps"),
+      col("event_id").as("probe_event"), col("ts_ms").as("probe_ts"),
+      col("pc").as("own_pc"), col("ps").as("own_ps"))
+    val carry = Window.partitionBy("user_id").orderBy(col("t"), col("kind"), col("pc"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    data.unionByName(probes)
+      .withColumn("cpc", last(col("pc"), ignoreNulls = true).over(carry))
+      .withColumn("cps", last(col("ps"), ignoreNulls = true).over(carry))
+      .filter(col("kind") === 1)
+      .select(
+        col("probe_event").as("event_id"),
+        col("user_id"),
+        col("probe_ts").as("ts_ms"),
+        (col("own_pc") - coalesce(col("cpc"), lit(0L))).as("n_24h"),
+        (col("own_ps") - coalesce(col("cps"), lit(0).cast(DecimalType(28, 4))))
+          .cast("double").as("sum_value_24h"))
+  }
+
   val q67 = GraftQuery(
     "q67_rolling_24h",
     (s, d) => rolling24h(s, d).orderBy("event_id"),
@@ -961,9 +1014,63 @@ object ScrapeEtl {
       WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
                    RANGE BETWEEN 86399999 PRECEDING AND CURRENT ROW)
       ORDER BY event_id"""),
-    prod = Some((s, d) => rolling24h(s, d)),
+    prod = Some((s, d) => rolling24hProd(s, d)),
+  )
+
+  // ------------------------------------------------------------ q68
+
+  /** Windowed conversion funnel: of users who signed up, how many
+    * purchased WITHIN 7 days of their first signup — q26's funnel with
+    * the conversion window product analytics actually uses (unbounded
+    * funnels overcount: a purchase a year later is not attribution).
+    * First-signup time via a whole-partition window min (one scan, one
+    * user exchange — the q59 shape), conversion delay averaged through
+    * an exact decimal sum so the double is partition-order invariant.
+    */
+  private def funnelWindowed(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val week = 7L * 86400000L
+    val perUser = Events.withEventTime(s, d)
+      .withColumn("ts_ms", unix_millis(col("ts")))
+      .withColumn("t_signup",
+        min(when(col("event_type") === "signup", col("ts_ms"))).over(Window.partitionBy("user_id")))
+      .filter(col("t_signup").isNotNull)
+      .groupBy("user_id")
+      .agg(
+        first(col("t_signup")).as("t_signup"),
+        min(when(col("event_type") === "purchase" &&
+            col("ts_ms") > col("t_signup") && col("ts_ms") <= col("t_signup") + week,
+          col("ts_ms"))).as("t_conv"))
+    perUser.agg(
+      count(lit(1)).as("n_signup_users"),
+      count(col("t_conv")).as("n_converted_7d"),
+      expr("count(t_conv) * 1000000L div count(1)").as("conv_ppm"),
+      (sum((col("t_conv") - col("t_signup")).cast(DecimalType(18, 0))).cast("double") /
+        count(col("t_conv")) / 3600000.0).as("avg_hours_to_convert"))
+  }
+
+  val q68 = GraftQuery(
+    "q68_funnel_windowed",
+    (s, d) => funnelWindowed(s, d),
+    Some("""WITH e AS (
+        SELECT user_id, event_type, epoch_ms(ts) AS ts_ms,
+               MIN(CASE WHEN event_type = 'signup' THEN epoch_ms(ts) END)
+                 OVER (PARTITION BY user_id) AS t_signup
+        FROM events),
+      pu AS (
+        SELECT user_id, MIN(t_signup) AS t_signup,
+          MIN(CASE WHEN event_type = 'purchase' AND ts_ms > t_signup
+                    AND ts_ms <= t_signup + 604800000 THEN ts_ms END) AS t_conv
+        FROM e WHERE t_signup IS NOT NULL
+        GROUP BY user_id)
+      SELECT COUNT(*) AS n_signup_users,
+        COUNT(t_conv) AS n_converted_7d,
+        CAST(COUNT(t_conv) * 1000000 // COUNT(*) AS BIGINT) AS conv_ppm,
+        CAST(SUM(CAST(t_conv - t_signup AS DECIMAL(18,0))) AS DOUBLE)
+          / COUNT(t_conv) / 3600000.0 AS avg_hours_to_convert
+      FROM pu"""),
+    prod = Some((s, d) => funnelWindowed(s, d)),
   )
 
   def all: Seq[GraftQuery] =
-    Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q45, q53, q55, q56, q57, q58, q59, q62, q67)
+    Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q45, q53, q55, q56, q57, q58, q59, q62, q67, q68)
 }

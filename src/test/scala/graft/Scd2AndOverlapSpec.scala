@@ -246,6 +246,28 @@ class Scd2AndOverlapSpec extends AnyFunSuite {
     assert(got.size == 3)
   }
 
+  test("q68 counts conversions only within 7 days of first signup") {
+    val D = 86400000L
+    val dir = plantEvents("wfunnel", Seq(
+      // user 1: signup day 0, purchase day 3 -> converted (72h)
+      (1L, 0L, 1L, "signup"), (2L, 3 * D, 1L, "purchase"),
+      // user 2: signup day 0, purchase day 8 -> outside the window
+      (3L, 0L, 2L, "signup"), (4L, 8 * D, 2L, "purchase"),
+      // user 3: purchase BEFORE signup only -> not a conversion
+      (5L, 0L, 3L, "purchase"), (6L, 1 * D, 3L, "signup"),
+      // user 4: purchase at exactly signup + 7d -> boundary INCLUSIVE
+      (7L, 0L, 4L, "signup"), (8L, 7 * D, 4L, "purchase"),
+      // user 5: never signed up -> not in the denominator
+      (9L, 0L, 5L, "click"),
+    ))
+    val r = operators.ScrapeEtl.q68.run(spark, dir).collect()(0)
+    assert(r.getLong(0) == 4L, s"signup users: ${r.getLong(0)}")
+    assert(r.getLong(1) == 2L, s"7d conversions (users 1 and 4): ${r.getLong(1)}")
+    assert(r.getLong(2) == 500000L)
+    assert(math.abs(r.getDouble(3) - (72.0 + 168.0) / 2) < 1e-9,
+      s"mean hours-to-convert: ${r.getDouble(3)}")
+  }
+
   test("q46 computes exact pairwise vocabulary jaccard") {
     val dir = PlantedDocs.write(spark, "/tmp/graft-test/overlap", Seq(
       (1L, "alpha beta gamma", "sA", "sA", 16L),

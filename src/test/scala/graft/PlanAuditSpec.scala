@@ -200,6 +200,22 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("no PROD plan ships a sliding aggregate window frame") {
+    // Spark executes a frame with a finite moving lower bound and
+    // currentRow upper (ROWS/RANGE N PRECEDING .. CURRENT ROW) by
+    // re-aggregating the ENTIRE frame every row — O(rows × width) per
+    // partition (ScaleProbe14: a 300k-row user never finished q67's
+    // sliding form). Oracle mode may state semantics that way; prod
+    // plans must use running prefixes + probe carries instead. Offset
+    // frames (lag/lead render as (-k, -k)) stay allowed.
+    val sliding = "specifiedwindowframe\\([^)]*Frame, -\\d+, currentrow".r
+    SparkEntry.registry.foreach { q =>
+      val p = q.runProd(spark, sf).queryExecution.executedPlan.toString
+      val hits = sliding.findAllIn(p).toList
+      assert(hits.isEmpty, s"${q.name} prod plan slides an aggregate frame: $hits\n$p")
+    }
+  }
+
   test("q53/q55/q58 resampling rides ONE user-keyed exchange per query") {
     // the spine groupBy, the forward-fill window, and (for q55/q58)
     // BOTH direction passes must share the spine's user_id exchange;

@@ -639,7 +639,40 @@ object RelationalCore {
     prod = Some((s, d) => windowBattery(s, d)),
   )
 
+  /** The correlated-scalar-subquery shape ("orders above their
+    * customer's average"), decorrelated by hand to whole-partition
+    * windows: Spark's own decorrelation rewrites the subquery to an
+    * aggregate + self-join (two scans); the window form states the same
+    * semantics over ONE scan and one customer exchange. The average is
+    * a decimal-sum-over-count ratio — partition-order exact — so the
+    * predicate and the emitted double both hash-match.
+    */
+  private def aboveAvgOrders(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey")
+    Tables.orders(s, d)
+      .withColumn("cust_avg",
+        sum(col("o_totalprice").cast(DecimalType(18, 4))).over(w).cast("double") /
+          count(lit(1)).over(w))
+      .filter(col("o_totalprice") > col("cust_avg"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("cust_avg"))
+  }
+
+  val q69 = GraftQuery(
+    "q69_above_avg_orders",
+    (s, d) => aboveAvgOrders(s, d).orderBy("o_orderkey"),
+    Some("""WITH t AS (
+        SELECT o_orderkey, o_custkey, o_totalprice,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (PARTITION BY o_custkey) AS DOUBLE)
+            / COUNT(*) OVER (PARTITION BY o_custkey) AS cust_avg
+        FROM orders)
+      SELECT o_orderkey, o_custkey, o_totalprice, cust_avg
+      FROM t WHERE o_totalprice > cust_avg
+      ORDER BY o_orderkey"""),
+    prod = Some((s, d) => aboveAvgOrders(s, d)),
+  )
+
   def all: Seq[GraftQuery] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16, q17,
-      q18, q19, q63, q65, q66, qSketch, qSketchQuantile)
+      q18, q19, q63, q65, q66, q69, qSketch, qSketchQuantile)
 }

@@ -431,6 +431,60 @@ object Streams {
       }
   }
 
+  // ------------------------------------------- stateful rate limiting
+
+  final case class RateEvent(user_id: Long, event_id: Long, ts_ms: Long)
+  final case class RateViolation(user_id: Long, event_id: Long, ts_ms: Long, n_24h: Long)
+
+  /** Default trailing-24h event limit for the violation feed. */
+  val RateLimit = 5
+
+  /** Trailing-24h rate limiting: an arrival whose user has had more
+    * than `limit` events in the past 24 h (self included) emits a
+    * violation row — the live form of q67's rolling count. State is
+    * the in-window timestamp list, bounded by the rate a user can
+    * physically emit in 24 h and evicted monotonically as event time
+    * advances. Timestamp TIE GROUPS process atomically so every tied
+    * row sees the whole group — the RANGE-frame tie semantics q67's
+    * batch form has (a tie straddling micro-batches is late data: hold
+    * it behind a watermark upstream, the standard answer).
+    */
+  def foldRateLimit(uid: Long, events: Seq[RateEvent], init: Seq[Long],
+      limit: Int = RateLimit): (Seq[RateViolation], Seq[Long]) = {
+    val win = 86400000L
+    val sorted = events.sortBy(e => (e.ts_ms, e.event_id))
+    var entries = init.toVector
+    val out = Vector.newBuilder[RateViolation]
+    var i = 0
+    while (i < sorted.size) {
+      val t = sorted(i).ts_ms
+      var j = i
+      while (j < sorted.size && sorted(j).ts_ms == t) j += 1
+      val group = sorted.slice(i, j)
+      entries = entries.filter(_ > t - win) ++ group.map(_.ts_ms)
+      val n = entries.size.toLong
+      if (n > limit) group.foreach(e => out += RateViolation(uid, e.event_id, t, n))
+      i = j
+    }
+    (out.result(), entries)
+  }
+
+  /** Streaming rate-limit violations via [[foldRateLimit]] per user
+    * through flatMapGroupsWithState (Append).
+    */
+  def rateLimitStream(events: Dataset[RateEvent]): Dataset[RateViolation] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Seq[Long], RateViolation](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[RateEvent], state: GroupState[Seq[Long]]) =>
+          val (out, st) = foldRateLimit(uid, it.toSeq, state.getOption.getOrElse(Seq.empty))
+          state.update(st)
+          out.iterator
+      }
+  }
+
   // ------------------------------------------------------------- queries
 
   val qWindowed = GraftQuery(
@@ -588,6 +642,28 @@ object Streams {
       ORDER BY user_id, event_id"""),
   )
 
+  /** Batch twin of [[rateLimitStream]] under the oracle gate: q67's
+    * rolling count filtered to violations (prod mode rides q67's
+    * scale-safe prefix-sum plan). StreamingSpec pins stream ≡ batch.
+    */
+  val qRateLimit = GraftQuery(
+    "stream_rate_limit",
+    (s, d) => graft.operators.ScrapeEtl.q67.run(s, d)
+      .filter(col("n_24h") > RateLimit)
+      .select("event_id", "user_id", "ts_ms", "n_24h"),
+    Some(s"""WITH r AS (
+        SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+          COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                         RANGE BETWEEN 86399999 PRECEDING AND CURRENT ROW) AS n_24h
+        FROM events)
+      SELECT event_id, user_id, ts_ms, n_24h
+      FROM r WHERE n_24h > $RateLimit
+      ORDER BY event_id"""),
+    prod = Some((s, d) => graft.operators.ScrapeEtl.q67.runProd(s, d)
+      .filter(col("n_24h") > RateLimit)
+      .select("event_id", "user_id", "ts_ms", "n_24h")),
+  )
+
   def all: Seq[GraftQuery] =
-    Seq(qWindowed, qSessionize, qIntervalJoin, qDedup, qDecontam, qScd2, qTransitions)
+    Seq(qWindowed, qSessionize, qIntervalJoin, qDedup, qDecontam, qScd2, qTransitions, qRateLimit)
 }

@@ -323,6 +323,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(folded == batch, "stream fold and batch lag window state the same rule")
   }
 
+  test("streaming rate limit evicts across micro-batches; twin parity at sf0.001") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import streaming.Streams.{RateEvent, RateViolation}
+    val D = 86400000L
+    val ms = MemoryStream[RateEvent]
+    val q = Streams.rateLimitStream(ms.toDS())
+      .writeStream.format("memory").queryName("graft_rate_stream")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 fires 6 events within an hour -> the 6th violates
+      ms.addData((1L to 6L).map(i => RateEvent(1L, i, i * 60000L)): _*)
+      q.processAllAvailable()
+      val v1 = spark.table("graft_rate_stream").collect()
+        .map(r => (r.getLong(1), r.getLong(3))).toSet
+      assert(v1 == Set((6L, 6L)), s"6th event in the hour violates, got $v1")
+      // batch 2: a day later the window has drained — one event is clean,
+      // proving eviction survived the micro-batch boundary
+      ms.addData(RateEvent(1L, 7L, 2 * D))
+      q.processAllAvailable()
+      assert(spark.table("graft_rate_stream").count() == 1L,
+        "post-drain arrival must not violate")
+    } finally q.stop()
+
+    // twin parity: fold the real sf0.001 events and compare to the batch
+    // RANGE-frame form
+    val sf = "/root/testdata/sf0.001"
+    val events = operators.Events.withEventTime(spark, sf)
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ts_ms"))
+      .as[RateEvent].collect()
+    val folded = events.groupBy(_.user_id).toSeq.flatMap { case (uid, evs) =>
+      Streams.foldRateLimit(uid, evs.toSeq, Seq.empty)._1
+    }.map(v => (v.user_id, v.event_id, v.ts_ms, v.n_24h)).toSet
+    val batch = Streams.qRateLimit.run(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    assert(folded == batch, s"stream fold and batch RANGE frame state the same rule " +
+      s"(fold ${folded.size} vs batch ${batch.size})")
+  }
+
   test("stream_decontam batch twin equals the q44 contaminated set") {
     val sf = "/root/testdata/sf0.001"
     val twin = Streams.qDecontam.run(spark, sf).collect().map(_.getLong(0)).toSet

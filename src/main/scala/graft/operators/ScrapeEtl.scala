@@ -1071,6 +1071,66 @@ object ScrapeEtl {
     prod = Some((s, d) => funnelWindowed(s, d)),
   )
 
+  // ------------------------------------------------------------ q70
+
+  /** Session-duration distribution per day: p50/p90/p99 and mean of
+    * q25's session durations, grouped by the day the session started —
+    * the operational dashboard behind session-gap tuning (q62 justifies
+    * the 30-min rule; this tracks what it produces). Reuses q25's exact
+    * two-window sessionization, then one aggregate over session
+    * summaries (corpus-scan-free second stage: sessions are already
+    * thousands-fold smaller than events). percentile_cont is an exact
+    * interpolated percentile over each day's sorted durations —
+    * deterministic in both engines (q14's precedent).
+    */
+  private def sessionPercentiles(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
+    val sessions = Events.withEventTime(s, d)
+      .withColumn("ts_ms", unix_millis(col("ts")))
+      .withColumn("prev_ms", lag(col("ts_ms"), 1).over(byUser))
+      .withColumn("is_new", when(col("prev_ms").isNull || col("ts_ms") - col("prev_ms") > 1800000L, lit(1)).otherwise(lit(0)))
+      .withColumn("session_id", sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(min(col("ts_ms")).as("start_ms"), max(col("ts_ms")).as("end_ms"))
+      .select(
+        expr("start_ms div 86400000").as("day"),
+        ((col("end_ms") - col("start_ms")) / 1000.0).as("duration_sec"))
+    sessions
+      .groupBy("day")
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY duration_sec)").as("p50_sec"),
+        expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY duration_sec)").as("p90_sec"),
+        expr("percentile_cont(0.99) WITHIN GROUP (ORDER BY duration_sec)").as("p99_sec"),
+        davg(col("duration_sec"), 6).as("mean_sec"))
+  }
+
+  val q70 = GraftQuery(
+    "q70_session_percentiles",
+    (s, d) => sessionPercentiles(s, d).orderBy("day"),
+    Some("""WITH lagged AS (
+        SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+               LAG(epoch_ms(ts), 1) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev_ms
+        FROM events),
+      flagged AS (
+        SELECT *, CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 1800000 THEN 1 ELSE 0 END AS is_new
+        FROM lagged),
+      sess AS (
+        SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged),
+      durs AS (
+        SELECT MIN(ts_ms) // 86400000 AS day,
+               (MAX(ts_ms) - MIN(ts_ms)) / 1000.0 AS duration_sec
+        FROM sess GROUP BY user_id, session_id)
+      SELECT day, COUNT(*) AS n_sessions,
+        percentile_cont(0.5) WITHIN GROUP (ORDER BY duration_sec) AS p50_sec,
+        percentile_cont(0.9) WITHIN GROUP (ORDER BY duration_sec) AS p90_sec,
+        percentile_cont(0.99) WITHIN GROUP (ORDER BY duration_sec) AS p99_sec,
+        CAST(SUM(CAST(duration_sec AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mean_sec
+      FROM durs GROUP BY day ORDER BY day"""),
+    prod = Some((s, d) => sessionPercentiles(s, d)),
+  )
+
   def all: Seq[GraftQuery] =
-    Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q45, q53, q55, q56, q57, q58, q59, q62, q67, q68)
+    Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q45, q53, q55, q56, q57, q58, q59, q62, q67, q68, q70)
 }

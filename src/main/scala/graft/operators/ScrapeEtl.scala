@@ -154,24 +154,32 @@ object ScrapeEtl {
       FROM lineitem GROUP BY l_returnflag, year(l_shipdate) ORDER BY l_returnflag, ship_year"""),
   )
 
+  /** 30-minute-gap sessionization: lag -> new-session flag -> running
+    * sum = session id; two window passes over one shuffle (same
+    * partitioning). Windows order by (ts_ms, event_id) — the SAME
+    * truncated key as the oracles' CTEs, so sub-millisecond ties
+    * sessionize identically. The ONE definition of the session rule for
+    * every batch consumer (q25 summaries, q70 percentiles); a gap-rule
+    * change here changes them together.
+    * Scale note: partitionBy(user_id) is skew-exposed on power users and
+    * AQE does not rebalance window partitions — at 100 TB, salt by
+    * (user_id, day) and stitch sessions across day boundaries
+    * ([[sessionizeSkewSafe]], spec-pinned identical), or use
+    * streaming.Streams.sessionizeStream whose state is per-key constant.
+    */
+  private def sessionized(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
+    Events.withEventTime(s, d)
+      .withColumn("ts_ms", unix_millis(col("ts")))
+      .withColumn("prev_ms", lag(col("ts_ms"), 1).over(byUser))
+      .withColumn("is_new", when(col("prev_ms").isNull || col("ts_ms") - col("prev_ms") > 1800000L, lit(1)).otherwise(lit(0)))
+      .withColumn("session_id", sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
   val q25 = GraftQuery(
     "q25_sessionize",
     (s, d) => {
-      // 30-minute-gap sessionization: lag -> new-session flag -> running sum
-      // = session id. Two window passes over one shuffle (same partitioning).
-      // Windows order by (ts_ms, event_id) — the SAME truncated key as the
-      // oracle's CTEs, so sub-millisecond ties sessionize identically.
-      // Scale note: partitionBy(user_id) is skew-exposed on power users and
-      // AQE does not rebalance window partitions — at 100 TB, salt by
-      // (user_id, day) and stitch sessions across day boundaries, or use
-      // streaming.Streams.sessionizeStream whose state is per-key constant.
-      val byUser = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
-      val ev = Events.withEventTime(s, d)
-        .withColumn("ts_ms", unix_millis(col("ts")))
-        .withColumn("prev_ms", lag(col("ts_ms"), 1).over(byUser))
-        .withColumn("is_new", when(col("prev_ms").isNull || col("ts_ms") - col("prev_ms") > 1800000L, lit(1)).otherwise(lit(0)))
-        .withColumn("session_id", sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      ev.groupBy("user_id", "session_id")
+      sessionized(s, d).groupBy("user_id", "session_id")
         .agg(
           count(lit(1)).as("n_events"),
           ((max(col("ts_ms")) - min(col("ts_ms"))) / 1000.0).as("duration_sec"),
@@ -673,13 +681,23 @@ object ScrapeEtl {
     * (|types|² rows), not a re-aggregation joined back: referencing the
     * pairs plan twice would re-scan the corpus and re-run the lag
     * window for a second time (plan-audited to one corpus scan).
+    *
+    * `maxGapMs` bounds the pair to a within-session transition (q57);
+    * None counts every consecutive pair (q56). ONE definition of the
+    * lag/aggregate/ppm pipeline serves both so the tie-break order and
+    * ppm formula cannot diverge between the matrices.
     */
-  private def transitionMatrix(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+  private def transitionMatrix(s: org.apache.spark.sql.SparkSession, d: String,
+      maxGapMs: Option[Long] = None): org.apache.spark.sql.DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
-    Events.withEventTime(s, d)
+    val paired = Events.withEventTime(s, d)
       .withColumn("ts_ms", unix_millis(col("ts")))
       .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
-      .filter(col("prev_type").isNotNull)
+      .withColumn("prev_ms", lag(col("ts_ms"), 1).over(byUser))
+    val inScope = maxGapMs.foldLeft(paired.filter(col("prev_type").isNotNull)) {
+      (df, gap) => df.filter(col("ts_ms") - col("prev_ms") <= gap)
+    }
+    inScope
       .groupBy(col("prev_type").as("from_type"), col("event_type").as("to_type"))
       .agg(count(lit(1)).as("n"))
       .withColumn("row_total", sum("n").over(Window.partitionBy("from_type")))
@@ -718,25 +736,11 @@ object ScrapeEtl {
     * across a week-long absence is noise. No session id is
     * materialized: sessions partition each user's ordered stream
     * contiguously, so a pair is within-session exactly when the gap to
-    * the previous event is <= the session gap. One lag window over the
-    * same user exchange as q56, one pair aggregate, totals via window.
+    * the previous event is <= the session gap. Same [[transitionMatrix]]
+    * pipeline, bounded gap.
     */
-  private def sessionTransitions(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
-    val byUser = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
-    Events.withEventTime(s, d)
-      .withColumn("ts_ms", unix_millis(col("ts")))
-      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
-      .withColumn("prev_ms", lag(col("ts_ms"), 1).over(byUser))
-      .filter(col("prev_type").isNotNull && col("ts_ms") - col("prev_ms") <= 1800000L)
-      .groupBy(col("prev_type").as("from_type"), col("event_type").as("to_type"))
-      .agg(count(lit(1)).as("n"))
-      .withColumn("row_total", sum("n").over(Window.partitionBy("from_type")))
-      .select(
-        col("from_type"),
-        col("to_type"),
-        col("n"),
-        expr("n * 1000000L div row_total").as("p_ppm"))
-  }
+  private def sessionTransitions(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    transitionMatrix(s, d, maxGapMs = Some(1800000L))
 
   val q57 = GraftQuery(
     "q57_session_transitions",
@@ -1084,12 +1088,7 @@ object ScrapeEtl {
     * deterministic in both engines (q14's precedent).
     */
   private def sessionPercentiles(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
-    val byUser = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
-    val sessions = Events.withEventTime(s, d)
-      .withColumn("ts_ms", unix_millis(col("ts")))
-      .withColumn("prev_ms", lag(col("ts_ms"), 1).over(byUser))
-      .withColumn("is_new", when(col("prev_ms").isNull || col("ts_ms") - col("prev_ms") > 1800000L, lit(1)).otherwise(lit(0)))
-      .withColumn("session_id", sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val sessions = sessionized(s, d)
       .groupBy("user_id", "session_id")
       .agg(min(col("ts_ms")).as("start_ms"), max(col("ts_ms")).as("end_ms"))
       .select(

@@ -160,7 +160,13 @@ object Similarity {
     * sums keyed by (label, pos), a label-count centroid table of
     * |labels| rows joined back broadcast — vectors shuffle never.
     */
-  private def centroidOutliers(s: org.apache.spark.sql.SparkSession, d: String, tau: Double = 0.2): DataFrame = {
+  /** Outlier threshold — pinned by q64's oracle SQL (interpolated
+    * below), so it is a constant, not a free parameter.
+    */
+  private val OutlierTau = 0.2
+
+  private def centroidOutliers(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val tau = OutlierTau
     val emb = Tables.embeddings(s, d)
     val comps = emb
       .select(col("label"), posexplode(col("embedding")))
@@ -190,7 +196,7 @@ object Similarity {
   val qOutlier = GraftQuery(
     "q64_embedding_outlier",
     (s, d) => centroidOutliers(s, d).orderBy("vec_id"),
-    Some("""WITH q AS (
+    Some(s"""WITH q AS (
         SELECT label, u.i AS pos,
                CAST(FLOOR(CAST(embedding[u.i + 1] AS DOUBLE) * 1000000000) AS BIGINT) AS qv
         FROM embeddings CROSS JOIN UNNEST(range(0, len(embedding))) AS u(i)),
@@ -207,7 +213,7 @@ object Similarity {
         FROM embeddings e JOIN cent USING (label))
       SELECT vec_id, label,
         CASE WHEN dvv = 0 OR dcc = 0 THEN 0.0 ELSE dvc / sqrt(dvv * dcc) END AS sim_centroid,
-        CAST(CASE WHEN (CASE WHEN dvv = 0 OR dcc = 0 THEN 0.0 ELSE dvc / sqrt(dvv * dcc) END) < 0.2
+        CAST(CASE WHEN (CASE WHEN dvv = 0 OR dcc = 0 THEN 0.0 ELSE dvc / sqrt(dvv * dcc) END) < $OutlierTau
              THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
       FROM scored ORDER BY vec_id"""),
     prod = Some((s, d) => centroidOutliers(s, d)),

@@ -447,8 +447,15 @@ object TrainPrep {
     * fraction of the corpus) joins it on the same slim key. Window text
     * never shuffles.
     */
-  private def splitLeakage(s: SparkSession, d: String, k: Int = 8,
-      num: Int = 1, den: Int = 5): DataFrame = {
+  // The window width and flag threshold are pinned by q60's oracle SQL
+  // (which spells the 8-token window and the 1/5 ratio literally), so
+  // they are constants, not free parameters.
+  private val LeakWindowTokens = 8
+  private val LeakNum = 1
+  private val LeakDen = 5
+
+  private def splitLeakage(s: SparkSession, d: String): DataFrame = {
+    val (k, num, den) = (LeakWindowTokens, LeakNum, LeakDen)
     val wins = Dedup.tokenized(Tables.documents(s, d))
       .select(
         col("doc_id"),

@@ -401,6 +401,14 @@ object Streams {
     * windowed count over this feed is the live matrix; the session
     * conditioning is a gap_ms filter). State is O(1) per user — the
     * last event's (ts, id, type).
+    *
+    * Late data: the fold sorts within its input only, so an event
+    * arriving AFTER a newer event's micro-batch pairs against the
+    * newer state (emitting an inverted, negative-gap transition the
+    * batch twin never produces). As with [[foldRateLimit]], hold
+    * out-of-order arrivals behind a watermark upstream — the standard
+    * event-time answer; the parity spec runs on event-time-ordered
+    * splits for exactly this reason.
     */
   def foldTransitions(uid: Long, events: Seq[TransEvent], init: Option[TransLast]):
       (Seq[Transition], Option[TransLast]) = {

@@ -14,6 +14,7 @@ object SparkEntry {
       operators.Cluster.all ++
       operators.Curate.all ++
       operators.TrainPrep.all ++
+      operators.TrainPipeline.all ++
       operators.Similarity.all ++
       operators.Multimodal.all ++
       streaming.Streams.all

@@ -286,13 +286,27 @@ object Curate {
       runDir: String,
       lang: String = "en",
       minTokens: Int = 5): (DataFrame, Seq[graft.StagedDag.StageReport]) = {
+    val (outs, reports) =
+      graft.StagedDag.run(spark, runDir, decontamStages(docs, lang, minTokens))
+    (outs("decisions"), reports)
+  }
+
+  /** The decontaminating-curation stage list, reusable as the head of a
+    * longer StagedDag (TrainPipeline chains quota/split/pack/shuffle
+    * after "decisions"). Stage names are part of the on-disk contract:
+    * a resume run matches them against `runDir/<stage>/_SUCCESS`.
+    */
+  private[graft] def decontamStages(
+      docs: DataFrame,
+      lang: String = "en",
+      minTokens: Int = 5): Seq[(String, Map[String, DataFrame] => DataFrame)] = {
     def bench(up: Map[String, DataFrame]) = up("staged").filter(col("doc_id") % 20 === 0)
     def corpus(up: Map[String, DataFrame]) = up("staged").filter(col("doc_id") % 20 =!= 0)
     def gated(up: Map[String, DataFrame]) = gatedOf(corpus(up), lang, minTokens)
     def gated2(up: Map[String, DataFrame]) =
       gated(up).join(up("contam"), Seq("doc_id"), "left_anti")
     def reps(up: Map[String, DataFrame]) = repsOf(gated2(up), up("exact"))
-    val (outs, reports) = graft.StagedDag.run(spark, runDir, Seq(
+    Seq(
       "staged" -> (_ => stageTable(docs)),
       "contam" -> (up => contamGate(gated(up), bench(up))),
       "exact" -> (up => exactGate(gated2(up))),
@@ -301,8 +315,7 @@ object Curate {
       "decisions" -> (up =>
         verdicts(corpus(up), up("exact"), up("near"), up("clusters"),
           lang, minTokens, contam = Some(up("contam")))),
-    ))
-    (outs("decisions"), reports)
+    )
   }
 
   /** Survivors only — what downstream tokenization consumes. */
@@ -417,14 +430,14 @@ object Curate {
     prod = Some((s, d) => curate(Tables.documents(s, d), portableHash = true)),
   )
 
-  val qCurateDecontam = GraftQuery(
-    "corpus_curate_decontam",
-    (s, d) => curateDecontam(Tables.documents(s, d)).orderBy("doc_id"),
-    // The decontaminating curation decision table under the HARD gate:
-    // the corpus_curate_md5 oracle with a contamination CTE (benchmark
-    // shingle overlap, the q44 rule) spliced between the per-row gates
-    // and the dedup population.
-    Some("""WITH RECURSIVE t AS (
+  /** The decontaminating-curation oracle CTE chain ending in a `dec`
+    * decision CTE (doc_id, verdict, cluster_id): the corpus_curate_md5
+    * oracle with a contamination CTE (benchmark shingle overlap, the
+    * q44 rule) spliced between the per-row gates and the dedup
+    * population. Shared VERBATIM by qCurateDecontam's final SELECT and
+    * TrainPipeline's end-to-end oracle, so the two gates cannot drift.
+    */
+  private[graft] val decontamOracleDecisions: String = """WITH RECURSIVE t AS (
         SELECT doc_id, lang, md5(text) AS text_md5,
                list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
         FROM documents),
@@ -507,22 +520,29 @@ object Curate {
       fam AS (SELECT a.doc_id, a.cluster_id, sz.cluster_size FROM asg a JOIN sz USING (cluster_id)),
       fam_all AS (
         SELECT e.doc_id, f.cluster_id, f.cluster_size
-        FROM ex e JOIN fam f ON f.doc_id = e.exact_keeper)
-      SELECT s.doc_id,
-        CASE WHEN s.n_toks < 5 THEN 'too_short'
-             WHEN s.lang IS DISTINCT FROM 'en' THEN 'wrong_lang'
-             WHEN contam.doc_id IS NOT NULL THEN 'contaminated'
-             WHEN ex.exact_keeper <> s.doc_id THEN 'exact_dup'
-             WHEN near_all.doc_id IS NOT NULL THEN 'near_dup'
-             WHEN fam_all.cluster_id <> s.doc_id AND fam_all.cluster_size > 1 THEN 'dup_family_alternate'
-             ELSE 'kept' END AS verdict,
-        COALESCE(fam_all.cluster_id, s.doc_id) AS cluster_id
-      FROM corpus s
-      LEFT JOIN contam ON contam.doc_id = s.doc_id
-      LEFT JOIN ex ON ex.doc_id = s.doc_id
-      LEFT JOIN near_all ON near_all.doc_id = s.doc_id
-      LEFT JOIN fam_all ON fam_all.doc_id = s.doc_id
-      ORDER BY s.doc_id"""),
+        FROM ex e JOIN fam f ON f.doc_id = e.exact_keeper),
+      decis AS (
+        SELECT s.doc_id,
+          CASE WHEN s.n_toks < 5 THEN 'too_short'
+               WHEN s.lang IS DISTINCT FROM 'en' THEN 'wrong_lang'
+               WHEN contam.doc_id IS NOT NULL THEN 'contaminated'
+               WHEN ex.exact_keeper <> s.doc_id THEN 'exact_dup'
+               WHEN near_all.doc_id IS NOT NULL THEN 'near_dup'
+               WHEN fam_all.cluster_id <> s.doc_id AND fam_all.cluster_size > 1 THEN 'dup_family_alternate'
+               ELSE 'kept' END AS verdict,
+          COALESCE(fam_all.cluster_id, s.doc_id) AS cluster_id
+        FROM corpus s
+        LEFT JOIN contam ON contam.doc_id = s.doc_id
+        LEFT JOIN ex ON ex.doc_id = s.doc_id
+        LEFT JOIN near_all ON near_all.doc_id = s.doc_id
+        LEFT JOIN fam_all ON fam_all.doc_id = s.doc_id)"""
+
+  val qCurateDecontam = GraftQuery(
+    "corpus_curate_decontam",
+    (s, d) => curateDecontam(Tables.documents(s, d)).orderBy("doc_id"),
+    // The decontaminating curation decision table under the HARD gate.
+    Some(decontamOracleDecisions +
+      "\n      SELECT doc_id, verdict, cluster_id FROM decis ORDER BY doc_id"),
     prod = Some((s, d) => curateDecontam(Tables.documents(s, d))),
   )
 

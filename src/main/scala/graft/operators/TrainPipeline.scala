@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{GraftQuery, Tables}
+
+/** The END-TO-END training-data preparation pipeline: every individually
+  * hash-green stage composed into the one artifact a real 100 TB run
+  * ships — curate+decontaminate → per-source quota → train split →
+  * token packing → training-order shuffle — emitting a per-document
+  * training MANIFEST (pack geometry + epoch order) for exactly the docs
+  * that survive every gate.
+  *
+  * This is the Spark-native analog of the reference's whole
+  * orchestration story (unilever_scraping_pipeline.py:1-109 wraps its
+  * single scrape task in an Airflow DAG with retries/resume); here the
+  * DAG is [[graft.StagedDag]] — per-stage parquet checkpoints whose
+  * `_SUCCESS` markers are the completion flags, so a killed run resumes
+  * from the last committed stage with byte-identical inputs.
+  *
+  * Stage chain and what flows between stages (all slim id-keyed tables;
+  * text/tokens never cross a stage boundary after curation):
+  *
+  *  1. decisions — [[Curate.curateDecontam]]'s verdict table (the
+  *     flagship: per-row gates, benchmark decontamination, exact/near/
+  *     family dedup). Only `verdict = 'kept'` ids continue.
+  *  2. quota    — [[TrainPrep.sourceQuotaOf]] over the SURVIVORS: at
+  *     most [[TrainPrep.SourceQuota]] docs per source (C4/RefinedWeb
+  *     "no domain dominates"), bounded-heap per source, no sort.
+  *  3. split    — [[TrainPrep.splitOf]] stamps train/val/test by salted
+  *     doc_id hash; only the train split is packed (val/test must never
+  *     leak into training shards — q60 audits the window-level version
+  *     of this invariant).
+  *  4. pack     — [[TrainPrep.packTokensProdOf]] global token offsets
+  *     via the distributed two-pass prefix sum, then fixed-budget shard
+  *     geometry.
+  *  5. shuffle  — [[TrainPrep.trainShuffleOf]] reproducible epoch
+  *     order: hierarchical hash-sharded permutation, per-shard windows.
+  *  6. manifest — pack ⋈ shuffle on doc_id: one row per training doc
+  *     with (n_tokens, start_offset, shard_id, n_shards, shuffle_shard,
+  *     shuffle_pos).
+  *
+  * Scale notes: after stage 1 every inter-stage frame is (id, small
+  * ints) — the quota/split/pack/shuffle chain exchanges 8-16 byte rows
+  * regardless of corpus text size. The unstaged composition pins the
+  * survivor id table once (localCheckpoint; a persisted stage table on
+  * a cluster) because BOTH pack and shuffle consume it — re-referencing
+  * the val would re-run the whole curation subtree (the stage-table
+  * discipline recorded in SURVEY §6).
+  */
+object TrainPipeline {
+
+  /** Quota-then-split survivor ids over a decisions table. */
+  private def trainIds(docs: DataFrame, decisions: DataFrame): DataFrame = {
+    val kept = decisions.filter(col("verdict") === "kept").select("doc_id")
+    TrainPrep.sourceQuotaOf(docs.join(kept, Seq("doc_id"), "left_semi"))
+      .filter(col("kept") === 1)
+      .filter(TrainPrep.splitOf(col("doc_id")) === "train")
+      .select("doc_id")
+  }
+
+  /** Pack ⋈ shuffle manifest over a train-survivor id table. */
+  private def manifestOf(docs: DataFrame, train: DataFrame, prodPack: Boolean): DataFrame = {
+    val perDoc = TrainPrep.perDocTokens(docs.join(train, Seq("doc_id"), "left_semi"))
+    val pack =
+      if (prodPack) TrainPrep.packTokensProdOf(perDoc) else TrainPrep.packTokensOf(perDoc)
+    val shuf = TrainPrep.trainShuffleOf(train)
+      .withColumnRenamed("shard_id", "shuffle_shard")
+      .withColumnRenamed("shard_pos", "shuffle_pos")
+    pack.join(shuf, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"), col("start_offset"), col("shard_id"),
+        col("n_shards"), col("shuffle_shard"), col("shuffle_pos"))
+  }
+
+  /** The unstaged composition — what the staged run must reproduce
+    * byte-for-byte (TrainPipelineSpec pins it).
+    */
+  def manifest(docs: DataFrame, prodPack: Boolean = true): DataFrame = {
+    // Survivor ids pinned once: pack AND shuffle branch from here, and
+    // an unmaterialized val would re-execute curation per branch.
+    val train = trainIds(docs, Curate.curateDecontam(docs)).localCheckpoint()
+    manifestOf(docs, train, prodPack)
+  }
+
+  /** The pipeline as one resumable StagedDag run: the six
+    * decontaminating-curation stages ([[Curate.decontamStages]])
+    * followed by quota/split/pack/shuffle/manifest, each a parquet
+    * checkpoint with per-stage retries and `_SUCCESS` resume markers.
+    * Returns (manifest, stage reports).
+    */
+  def trainPrepStaged(
+      spark: SparkSession,
+      docs: DataFrame,
+      runDir: String): (DataFrame, Seq[graft.StagedDag.StageReport]) = {
+    val stages = Curate.decontamStages(docs) ++ Seq[(String, Map[String, DataFrame] => DataFrame)](
+      "quota" -> (up => TrainPrep.sourceQuotaOf(
+        docs.join(
+          up("decisions").filter(col("verdict") === "kept").select("doc_id"),
+          Seq("doc_id"), "left_semi"))),
+      "split" -> (up => up("quota")
+        .filter(col("kept") === 1)
+        .select(col("doc_id"), TrainPrep.splitOf(col("doc_id")).as("split"))),
+      "pack" -> (up => TrainPrep.packTokensProdOf(
+        TrainPrep.perDocTokens(
+          docs.join(up("split").filter(col("split") === "train").select("doc_id"),
+            Seq("doc_id"), "left_semi")))),
+      "shuffle" -> (up => TrainPrep.trainShuffleOf(
+        up("split").filter(col("split") === "train").select("doc_id"))
+        .withColumnRenamed("shard_id", "shuffle_shard")
+        .withColumnRenamed("shard_pos", "shuffle_pos")),
+      "manifest" -> (up => up("pack").join(up("shuffle"), Seq("doc_id"))
+        .select(col("doc_id"), col("n_tokens"), col("start_offset"), col("shard_id"),
+          col("n_shards"), col("shuffle_shard"), col("shuffle_pos"))),
+    )
+    val (outs, reports) = graft.StagedDag.run(spark, runDir, stages)
+    (outs("manifest"), reports)
+  }
+
+  val qE2E = GraftQuery(
+    "train_prep_e2e",
+    (s, d) => manifest(Tables.documents(s, d), prodPack = false).orderBy("doc_id"),
+    // The whole chain under the HARD gate: the corpus_curate_decontam
+    // oracle's `dec` CTE (shared verbatim — Curate.decontamOracleDecisions)
+    // extended with the q61 quota rank, the q52 split threshold, the q40
+    // running-sum packing, and the q43 hierarchical shuffle, all in the
+    // same integer-hash arithmetic the stage oracles already pin.
+    Some(Curate.decontamOracleDecisions + s""",
+      kept AS (SELECT doc_id FROM decis WHERE verdict = 'kept'),
+      qh AS (
+        SELECT d.doc_id, d.source,
+          CAST(('0x' || substr(md5('quo:' || CAST(d.doc_id AS VARCHAR)), 1, 13)) AS BIGINT) AS hv
+        FROM documents d JOIN kept USING (doc_id)),
+      qr AS (
+        SELECT doc_id,
+          ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rk
+        FROM qh),
+      tr AS (
+        SELECT doc_id FROM qr
+        WHERE rk <= ${TrainPrep.SourceQuota}
+          AND CAST(('0x' || substr(md5('spl:' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+              < ${TrainPrep.SplitTrain}),
+      pt AS (
+        SELECT s.doc_id, CAST(s.n_toks AS BIGINT) AS n_tokens
+        FROM staged s JOIN tr USING (doc_id)),
+      po AS (
+        SELECT doc_id, n_tokens,
+          CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+        FROM pt),
+      pk AS (
+        SELECT doc_id, n_tokens, start_offset,
+          CAST(start_offset // ${TrainPrep.ShardTokens} AS BIGINT) AS shard_id,
+          CAST(CASE WHEN n_tokens = 0 THEN 0
+                    ELSE (start_offset + n_tokens - 1) // ${TrainPrep.ShardTokens}
+                         - start_offset // ${TrainPrep.ShardTokens} + 1
+               END AS BIGINT) AS n_shards
+        FROM po),
+      sv AS (
+        SELECT doc_id,
+          CAST(('0x' || substr(md5('shf:' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) AS hv
+        FROM tr),
+      sp AS (
+        SELECT doc_id, hv % ${TrainPrep.ShuffleShards} AS shuffle_shard,
+          CAST(ROW_NUMBER() OVER (PARTITION BY hv % ${TrainPrep.ShuffleShards} ORDER BY hv, doc_id) AS BIGINT) AS shuffle_pos
+        FROM sv)
+      SELECT pk.doc_id, pk.n_tokens, pk.start_offset, pk.shard_id, pk.n_shards,
+        sp.shuffle_shard, sp.shuffle_pos
+      FROM pk JOIN sp USING (doc_id)
+      ORDER BY pk.doc_id"""),
+    prod = Some((s, d) => manifest(Tables.documents(s, d), prodPack = true)),
+  )
+
+  def all: Seq[GraftQuery] = Seq(qE2E)
+}

@@ -296,7 +296,7 @@ object TrainPrep {
   // ------------------------------------------------------------ q61
 
   /** Max docs any one source may contribute. */
-  private val SourceQuota = 15
+  private[graft] val SourceQuota = 15
 
   /** Per-source contribution quota: at most [[SourceQuota]] docs per
     * source survive, chosen deterministically by 52-bit
@@ -312,10 +312,16 @@ object TrainPrep {
     * quota rows) back on doc_id; AQE broadcasts it while it fits and
     * falls back to a hash join at extreme source cardinality.
     */
-  private def sourceQuota(s: SparkSession, d: String): DataFrame = {
+  private def sourceQuota(s: SparkSession, d: String): DataFrame =
+    sourceQuotaOf(Tables.documents(s, d))
+
+  /** [[sourceQuota]] over any (doc_id, source) population — TrainPipeline
+    * applies the quota to curation survivors rather than the raw table.
+    */
+  private[graft] def sourceQuotaOf(population: DataFrame): DataFrame = {
     val h = conv(substring(md5(concat(lit("quo:"), col("doc_id").cast("string"))), 1, 13), 16, 10)
       .cast("long")
-    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"), h.as("hv"))
+    val docs = population.select(col("doc_id"), col("source"), h.as("hv"))
     val kept = docs
       .groupBy("source")
       .agg(gfunctions.top_k_by_score(col("doc_id"), -col("hv").cast("double"), SourceQuota)
@@ -395,8 +401,8 @@ object TrainPrep {
     * test 10% — exact binary/decimal fractions of 2^52 as integer
     * literals, like q39's thresholds.
     */
-  private val SplitTrain = (1L << 52) / 10 * 8
-  private val SplitVal = (1L << 52) / 10 * 9
+  private[graft] val SplitTrain = (1L << 52) / 10 * 8
+  private[graft] val SplitVal = (1L << 52) / 10 * 9
 
   /** Deterministic train/validation/test split: the hash of
     * "spl:"+doc_id lands each doc in exactly one split, independent of
@@ -408,7 +414,7 @@ object TrainPrep {
   /** The split of a doc id — q52's hash rule as a reusable column (the
     * same stateless expression also stamps q60's leakage sides).
     */
-  private def splitOf(idCol: Column): Column = {
+  private[graft] def splitOf(idCol: Column): Column = {
     val hv = conv(substring(md5(concat(lit("spl:"), idCol.cast("string"))), 1, 13), 16, 10)
       .cast("long")
     when(hv < SplitTrain, lit("train"))
@@ -586,7 +592,7 @@ object TrainPrep {
   // ------------------------------------------------------------ q40
 
   /** Tokens per training shard in the concat-and-chunk layout. */
-  private val ShardTokens = 2048L
+  private[graft] val ShardTokens = 2048L
 
   /** Shard geometry from a global start offset: which fixed-size token
     * block a doc starts in, and how many blocks it spans (0 for empty
@@ -607,19 +613,24 @@ object TrainPrep {
     )
 
   private def packTokensBase(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), size(toks).cast("long").as("n_tokens"))
+    perDocTokens(Tables.documents(s, d))
+
+  /** (doc_id, n_tokens) over any docs frame — the packing input. */
+  private[graft] def perDocTokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), size(toks).cast("long").as("n_tokens"))
 
   /** Oracle-mode packing: one global running sum. Correct, and exactly
     * what the ANSI oracle states — but the unbounded ORDER BY window is
     * a single range exchange, so this form is for verify-scale runs
     * only; `packTokensProd` is the plan that holds at 100 TB.
     */
-  private def packTokens(s: SparkSession, d: String): DataFrame = {
+  private def packTokens(s: SparkSession, d: String): DataFrame =
+    packTokensOf(packTokensBase(s, d))
+
+  private[graft] def packTokensOf(perDoc: DataFrame): DataFrame = {
     val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
     withShards(
-      packTokensBase(s, d)
-        .withColumn("start_offset", coalesce(sum("n_tokens").over(w), lit(0L))))
+      perDoc.withColumn("start_offset", coalesce(sum("n_tokens").over(w), lit(0L))))
   }
 
   /** Production packing: two-pass distributed prefix sum. Pass 1 range-
@@ -638,11 +649,17 @@ object TrainPrep {
     * lineage, so the final plan no longer shows it.
     */
   private[graft] def packTokensStage(s: SparkSession, d: String): DataFrame =
-    packTokensBase(s, d)
+    packTokensStageOf(packTokensBase(s, d))
+
+  private def packTokensStageOf(perDoc: DataFrame): DataFrame =
+    perDoc
       .repartitionByRange(col("doc_id"))
       .withColumn("pid", spark_partition_id())
 
-  private def packTokensProd(s: SparkSession, d: String): DataFrame = {
+  private def packTokensProd(s: SparkSession, d: String): DataFrame =
+    packTokensProdOf(packTokensBase(s, d))
+
+  private[graft] def packTokensProdOf(perDocIn: DataFrame): DataFrame = {
     // Materialized BEFORE branching: `local` and `offsets` both key on
     // pid, and spark_partition_id over an unmaterialized range exchange
     // is only consistent across the two branches if the planner happens
@@ -652,7 +669,7 @@ object TrainPrep {
     // wrong offsets — so the slim (doc_id, n_tokens, pid) frame is
     // pinned once, same stage-table discipline as minhashMd5CandidatesT
     // (on a cluster: a persisted stage table).
-    val perDoc = packTokensStage(s, d).localCheckpoint()
+    val perDoc = packTokensStageOf(perDocIn).localCheckpoint()
     val wLocal = Window.partitionBy("pid").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = perDoc
@@ -691,7 +708,7 @@ object TrainPrep {
   // ------------------------------------------------------------ q43
 
   /** Output shards in the training-order shuffle. */
-  private val ShuffleShards = 32
+  private[graft] val ShuffleShards = 32
 
   /** Reproducible global training-order shuffle: every epoch pipeline
     * needs the corpus in a pseudo-random but EXACTLY reproducible order.
@@ -708,11 +725,14 @@ object TrainPrep {
     * 52-bit hashes for the same reason as [[sampleTopK]]; shard_id uses
     * pmod semantics (hv is non-negative, so % and DuckDB's % agree).
     */
-  private def trainShuffle(s: SparkSession, d: String): DataFrame = {
+  private def trainShuffle(s: SparkSession, d: String): DataFrame =
+    trainShuffleOf(Tables.documents(s, d))
+
+  private[graft] def trainShuffleOf(ids: DataFrame): DataFrame = {
     val hv = conv(substring(md5(concat(lit("shf:"), col("doc_id").cast("string"))), 1, 13), 16, 10)
       .cast("long")
     val w = Window.partitionBy("shard_id").orderBy("hv", "doc_id")
-    Tables.documents(s, d)
+    ids
       .select(col("doc_id"), hv.as("hv"))
       .withColumn("shard_id", col("hv") % ShuffleShards)
       .withColumn("shard_pos", row_number().over(w).cast("long"))

@@ -10,16 +10,19 @@ import graft.{GraftQuery, Tables}
   * once per partition, not once per row (the mapInPandas batch shape,
   * expressed Scala-side with mapPartitions).
   *
-  * The codec itself is STUBBED — no image/audio libraries exist in this
-  * container — with a deterministic fake that derives pixel-ish features
-  * from the payload bytes. Everything around it (binary schema, magic
-  * headers, checksums, batched per-partition decode, partition-pruned
-  * writes) is the real engine surface a decoder would drop into.
+  * The IMAGE path is real: [[resizeThumbs]] decodes PNG/JPEG/GIF/BMP via
+  * the JDK's own ImageIO readers and box-filters a true thumbnail, with
+  * a declared stride-sample fallback for payloads that don't decode.
+  * The audio/video feature extractor ([[decodeFeatures]]) remains a
+  * deterministic fake — those codecs don't ship with the JVM — behind
+  * the same batched per-partition shape. Everything around them (binary
+  * schema, magic headers, checksums, batched decode, partition-pruned
+  * writes) is the real engine surface.
   */
 object Multimodal {
 
   /** Fake 4-byte container magic, standing in for PNG/JPEG/RIFF sniffing. */
-  private val Magic: Array[Byte] = Array('G', 'F', 'T', '1').map(_.toByte)
+  private[graft] val Magic: Array[Byte] = Array('G', 'F', 'T', '1').map(_.toByte)
 
   /** Decoded features for one blob. */
   final case class MediaFeatures(doc_id: Long, width: Int, height: Int, mean_luma: Double)
@@ -190,19 +193,74 @@ object Multimodal {
     prod = Some((s, d) => frameSample(s, d)),
   )
 
-  /** Resized thumbnail for one blob (stub codec). */
-  final case class Thumb(doc_id: Long, orig_bytes: Int, thumb_bytes: Int, thumb_md5: String)
+  /** Resized thumbnail for one blob: decode outcome, source and thumb
+    * pixel geometry, and the checksum of the thumb's raw RGB bytes
+    * (fallback path: stride-sampled payload bytes, geometry zeroed).
+    */
+  final case class Thumb(doc_id: Long, orig_bytes: Int, decoded: Boolean,
+      orig_w: Int, orig_h: Int, thumb_w: Int, thumb_h: Int,
+      thumb_bytes: Int, thumb_md5: String)
 
-  /** Stride at which the stub "resize" samples payload bytes. */
+  /** Stride at which the non-image fallback samples payload bytes. */
   private val ResizeStride = 8
 
-  /** Resize analog: per-partition batched thumbnailing, binary-in /
-    * binary-out — the same shape as [[decodeFeatures]] (codec state
-    * initialized once per partition). The resampler is the STUB (every
-    * ResizeStride-th payload byte stands in for pixel-area averaging);
-    * the plumbing — batch iteration, deterministic output, downstream
-    * checksums — is the real surface a codec drops into. Deterministic,
-    * so DeterminismSpec-style replay holds; rows-only by design.
+  /** Longest thumbnail edge; aspect ratio is preserved. */
+  private[graft] val ThumbMaxDim = 16
+
+  /** Deterministic box-filter downscale: target pixel (tx, ty) is the
+    * integer mean RGB of its source box [tx·w/tw, (tx+1)·w/tw) ×
+    * [ty·h/th, (ty+1)·h/th) — pure integer arithmetic over the decoded
+    * ARGB raster (no Graphics2D, whose rendering hints are platform
+    * lottery), so the thumb bytes are bit-identical on every JVM and
+    * every replay. Returns tw×th×3 packed RGB bytes.
+    */
+  private[graft] def areaAverage(
+      img: java.awt.image.BufferedImage, tw: Int, th: Int): Array[Byte] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val out = new Array[Byte](tw * th * 3)
+    var ty = 0
+    while (ty < th) {
+      val y0 = ty * h / th
+      val y1 = math.max((ty + 1) * h / th, y0 + 1)
+      var tx = 0
+      while (tx < tw) {
+        val x0 = tx * w / tw
+        val x1 = math.max((tx + 1) * w / tw, x0 + 1)
+        var r = 0L; var g = 0L; var b = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val p = img.getRGB(x, y)
+            r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val nPix = (x1 - x0).toLong * (y1 - y0)
+        val o = (ty * tw + tx) * 3
+        out(o) = (r / nPix).toByte
+        out(o + 1) = (g / nPix).toByte
+        out(o + 2) = (b / nPix).toByte
+        tx += 1
+      }
+      ty += 1
+    }
+    out
+  }
+
+  /** REAL resize: per-partition batched thumbnailing, binary-in /
+    * binary-out, the same shape as [[decodeFeatures]]. Payloads that
+    * decode as images (JDK ImageIO: PNG/JPEG/GIF/BMP readers ship with
+    * the JVM — no external codec needed) are downscaled to a true
+    * [[ThumbMaxDim]]-bounded thumbnail via [[areaAverage]]'s
+    * deterministic box filter; payloads that are NOT images (this
+    * corpus's text blobs, a decode-corrupt frame at 100 TB) take the
+    * declared stride-sample fallback with `decoded = false` — real
+    * pipelines route exactly this split (decode failure → quarantine
+    * lane), so the fallback is surface, not stub. Deterministic either
+    * way; rows-only by design (blob bytes aren't SQL-comparable).
     */
   def resizeThumbs(blobs: DataFrame): Dataset[Thumb] = {
     val spark = blobs.sparkSession
@@ -211,13 +269,30 @@ object Multimodal {
       .select(col("doc_id").as("_1"), col("blob").as("_2"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // codec init would happen HERE, once per partition
+        // codec init once per partition: ImageIO's disk cache off, so
+        // decode is pure in-memory work on the executor
+        javax.imageio.ImageIO.setUseCache(false)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def hexOf(bytes: Array[Byte]): String = {
+          md.reset()
+          md.digest(bytes).map(b => f"$b%02x").mkString
+        }
         it.map { case (id, bytes) =>
           val body = java.util.Arrays.copyOfRange(bytes, Magic.length, bytes.length)
-          val thumb = body.indices.collect { case i if i % ResizeStride == 0 => body(i) }.toArray
-          val md = java.security.MessageDigest.getInstance("MD5")
-          val hex = md.digest(thumb).map(b => f"$b%02x").mkString
-          Thumb(id, bytes.length, thumb.length, hex)
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(body))
+            catch { case scala.util.control.NonFatal(_) => null }
+          if (img != null && img.getWidth > 0 && img.getHeight > 0) {
+            val w = img.getWidth
+            val h = img.getHeight
+            val tw = if (w >= h) math.min(w, ThumbMaxDim) else math.max(1, w * math.min(h, ThumbMaxDim) / h)
+            val th = if (w >= h) math.max(1, h * math.min(w, ThumbMaxDim) / w) else math.min(h, ThumbMaxDim)
+            val px = areaAverage(img, tw, th)
+            Thumb(id, bytes.length, decoded = true, w, h, tw, th, px.length, hexOf(px))
+          } else {
+            val thumb = body.indices.collect { case i if i % ResizeStride == 0 => body(i) }.toArray
+            Thumb(id, bytes.length, decoded = false, 0, 0, 0, 0, thumb.length, hexOf(thumb))
+          }
         }
       }
   }

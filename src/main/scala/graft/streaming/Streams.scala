@@ -402,13 +402,21 @@ object Streams {
     * conditioning is a gap_ms filter). State is O(1) per user — the
     * last event's (ts, id, type).
     *
-    * Late data: the fold sorts within its input only, so an event
-    * arriving AFTER a newer event's micro-batch pairs against the
-    * newer state (emitting an inverted, negative-gap transition the
-    * batch twin never produces). As with [[foldRateLimit]], hold
-    * out-of-order arrivals behind a watermark upstream — the standard
-    * event-time answer; the parity spec runs on event-time-ordered
-    * splits for exactly this reason.
+    * Late data FAILS SAFE: an event arriving AFTER a newer event's
+    * micro-batch (ts older than the held state) is DROPPED — no pair
+    * emits and the last-seen state never regresses. The alternative
+    * (emitting an inverted negative-gap transition, as this fold did
+    * through round 9) silently poisons downstream session filters: a
+    * `gap_ms <= maxGap` predicate passes every negative gap. Exactly-
+    * ordered replay still requires a watermark upstream — the dropped
+    * pair is the price of unwatermarked input, not a substitute for
+    * one; the parity spec runs on event-time-ordered splits.
+    *
+    * The fold materializes its micro-batch slice to sort it (Spark
+    * hands flatMapGroupsWithState an UNSORTED group iterator, so a
+    * sort needs the slice in memory). Bounded by one user's share of
+    * ONE micro-batch — trigger-interval-sized, not history-sized; a
+    * mega-user burst rides the executor heap like any skewed group.
     */
   def foldTransitions(uid: Long, events: Seq[TransEvent], init: Option[TransLast]):
       (Seq[Transition], Option[TransLast]) = {
@@ -416,6 +424,8 @@ object Streams {
     sorted.foldLeft((Vector.empty[Transition], init)) {
       case ((out, None), e) =>
         (out, Some(TransLast(e.ts_ms, e.event_id, e.event_type)))
+      case ((out, Some(p)), e) if e.ts_ms < p.ts_ms =>
+        (out, Some(p)) // late arrival: drop the pair, keep the newer state
       case ((out, Some(p)), e) =>
         (out :+ Transition(uid, e.event_id, p.event_type, e.event_type, e.ts_ms - p.ts_ms),
           Some(TransLast(e.ts_ms, e.event_id, e.event_type)))
@@ -425,17 +435,35 @@ object Streams {
   /** Streaming transition feed: transition rows emit as events arrive
     * (Append); the last-seen event lives in per-user state across
     * micro-batches.
+    *
+    * State CLEANUP: users idle longer than `idleTimeout` of processing
+    * time are evicted (state would otherwise grow with lifetime key
+    * cardinality — every user ever seen holds a row forever). The
+    * documented trade: a user returning after the timeout starts
+    * fresh, so the one transition spanning that idle gap is not
+    * emitted (the batch twin emits it). Size the timeout to the
+    * longest gap the downstream analysis cares about — q57-style
+    * session conditioning ignores gaps over 30 min anyway.
     */
-  def transitionStream(events: Dataset[TransEvent]): Dataset[Transition] = {
+  def transitionStream(
+      events: Dataset[TransEvent],
+      idleTimeout: String = "30 days"): Dataset[Transition] = {
     val spark = events.sparkSession
     import spark.implicits._
     events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[TransLast, Transition](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[TransLast, Transition](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
         (uid: Long, it: Iterator[TransEvent], state: GroupState[TransLast]) =>
-          val (out, st) = foldTransitions(uid, it.toSeq, state.getOption)
-          st.foreach(state.update)
-          out.iterator
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val (out, st) = foldTransitions(uid, it.toSeq, state.getOption)
+            st.foreach(state.update)
+            state.setTimeoutDuration(idleTimeout)
+            out.iterator
+          }
       }
   }
 
@@ -447,15 +475,24 @@ object Streams {
   /** Default trailing-24h event limit for the violation feed. */
   val RateLimit = 5
 
-  /** Trailing-24h rate limiting: an arrival whose user has had more
-    * than `limit` events in the past 24 h (self included) emits a
-    * violation row — the live form of q67's rolling count. State is
-    * the in-window timestamp list, bounded by the rate a user can
-    * physically emit in 24 h and evicted monotonically as event time
-    * advances. Timestamp TIE GROUPS process atomically so every tied
-    * row sees the whole group — the RANGE-frame tie semantics q67's
-    * batch form has (a tie straddling micro-batches is late data: hold
-    * it behind a watermark upstream, the standard answer).
+  /** Trailing-24h rate limiting at EXACT millisecond precision: an
+    * arrival whose user has had more than `limit` events in the past
+    * 24 h (self included) emits a violation row — the live form of
+    * q67's rolling count, and the ORACLE-SEMANTICS fold (its batch
+    * twin is q67 itself, hash-green). State is the in-window timestamp
+    * list: evicted monotonically as event time advances, but LINEAR in
+    * one user's 24 h volume — and that bound is the attacker's
+    * variable (a 1M-event/day bot holds a 1M-long vector in the state
+    * store). Production streams should run [[foldRateLimitRing]] /
+    * [[rateLimitRingStream]] instead: CONSTANT per-user state at
+    * minute-bucket window granularity — the same oracle-mode/prod-mode
+    * split every expensive operator in this engine has. Timestamp TIE
+    * GROUPS process atomically so every tied row sees the whole group
+    * — the RANGE-frame tie semantics q67's batch form has (a tie
+    * straddling micro-batches is late data: hold it behind a watermark
+    * upstream, the standard answer). Like [[foldTransitions]], the
+    * fold materializes its (unsorted) micro-batch slice to sort it —
+    * bounded by one user's share of one trigger interval.
     */
   def foldRateLimit(uid: Long, events: Seq[RateEvent], init: Seq[Long],
       limit: Int = RateLimit): (Seq[RateViolation], Seq[Long]) = {
@@ -478,18 +515,139 @@ object Streams {
   }
 
   /** Streaming rate-limit violations via [[foldRateLimit]] per user
-    * through flatMapGroupsWithState (Append).
+    * through flatMapGroupsWithState (Append) — the ms-exact oracle-
+    * semantics stream. Users idle past `idleTimeout` of processing
+    * time are evicted, which is SEMANTICS-NEUTRAL whenever the timeout
+    * covers the 24 h window (every held timestamp would have aged out
+    * of the window anyway; the margin over 24 h absorbs processing-
+    * vs-event-time skew) — the state is then reconstructible from
+    * scratch on the user's next arrival.
     */
-  def rateLimitStream(events: Dataset[RateEvent]): Dataset[RateViolation] = {
+  def rateLimitStream(
+      events: Dataset[RateEvent],
+      idleTimeout: String = "25 hours"): Dataset[RateViolation] = {
     val spark = events.sparkSession
     import spark.implicits._
     events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[Seq[Long], RateViolation](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[Seq[Long], RateViolation](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
         (uid: Long, it: Iterator[RateEvent], state: GroupState[Seq[Long]]) =>
-          val (out, st) = foldRateLimit(uid, it.toSeq, state.getOption.getOrElse(Seq.empty))
-          state.update(st)
-          out.iterator
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val (out, st) = foldRateLimit(uid, it.toSeq, state.getOption.getOrElse(Seq.empty))
+            state.update(st)
+            state.setTimeoutDuration(idleTimeout)
+            out.iterator
+          }
+      }
+  }
+
+  // --------------------------------- bounded-state rate limiting (prod)
+
+  /** Minute-bucket geometry for the bounded-state rate limiter: the
+    * trailing-24h window is evaluated at one-minute bucket granularity
+    * — 1,440 buckets of 60,000 ms.
+    */
+  val RateBucketMs = 60000L
+  val RateRingBuckets = 1440
+
+  /** Constant-size rate-limit state: a ring of per-minute event counts
+    * covering the trailing 24 h, the running total, and the bucket the
+    * ring head is parked at. ALWAYS [[RateRingBuckets]] cells — the
+    * state bytes per user are a constant regardless of how fast the
+    * user emits (the exact fold's vector is linear in a bot's daily
+    * volume, which is the attacker's variable).
+    */
+  final case class RateRing(lastBucket: Long, total: Long, counts: Seq[Long])
+
+  /** Bounded-state trailing-24h rate limiting — the PRODUCTION fold.
+    * Window semantics are the industry sliding-window-counter rule: an
+    * event at time t counts peers whose minute bucket lies in the
+    * trailing 1,440 buckets, i.e. exact ms arithmetic on the upper
+    * bound (running count with ms tie-group atomicity, identical to
+    * [[foldRateLimit]]) and minute granularity on the lower bound
+    * (events expire when their BUCKET leaves the window, at most
+    * 59,999 ms later than ms-exact eviction — so the ring count is
+    * sandwiched between the exact 24 h count and the exact count over
+    * 23 h 59 min, and EQUALS the exact fold on minute-aligned
+    * timestamps; KernelLawsSpec pins both laws). O(1) per event:
+    * advance the ring head (zeroing at most a full ring on a long
+    * quiet gap), add the tie group to its cell, read the total.
+    *
+    * Late data: an arrival for a bucket OLDER than the ring head never
+    * rewinds the head — if its bucket is still inside the ring it is
+    * counted into that cell (and into every LATER event's window,
+    * conservatively — fail-safe for a limiter); if it has already
+    * aged out it is counted transiently for its own violation row
+    * only. As everywhere in this family: hold out-of-order input
+    * behind a watermark upstream for exact replay semantics.
+    */
+  def foldRateLimitRing(uid: Long, events: Seq[RateEvent], init: Option[RateRing],
+      limit: Int = RateLimit): (Seq[RateViolation], RateRing) = {
+    val sorted = events.sortBy(e => (e.ts_ms, e.event_id))
+    val counts = init.map(_.counts.toArray).getOrElse(Array.fill(RateRingBuckets)(0L))
+    var last = init.map(_.lastBucket).getOrElse(Long.MinValue)
+    var total = init.map(_.total).getOrElse(0L)
+    def cell(b: Long): Int = (((b % RateRingBuckets) + RateRingBuckets) % RateRingBuckets).toInt
+    val out = Vector.newBuilder[RateViolation]
+    var i = 0
+    while (i < sorted.size) {
+      val t = sorted(i).ts_ms
+      var j = i
+      while (j < sorted.size && sorted(j).ts_ms == t) j += 1
+      val group = sorted.slice(i, j)
+      val b = Math.floorDiv(t, RateBucketMs)
+      if (last == Long.MinValue) last = b - 1
+      if (b > last) {
+        var k = 1L
+        val steps = math.min(b - last, RateRingBuckets.toLong)
+        while (k <= steps) {
+          val idx = cell(last + k)
+          total -= counts(idx)
+          counts(idx) = 0L
+          k += 1
+        }
+        last = b
+      }
+      val inRing = b > last - RateRingBuckets
+      if (inRing) {
+        counts(cell(b)) += group.size.toLong
+        total += group.size.toLong
+      }
+      val n = if (inRing) total else total + group.size.toLong
+      if (n > limit) group.foreach(e => out += RateViolation(uid, e.event_id, t, n))
+      i = j
+    }
+    (out.result(), RateRing(last, total, counts.toSeq))
+  }
+
+  /** Streaming rate-limit violations with CONSTANT per-user state via
+    * [[foldRateLimitRing]] — what a production cluster runs. Idle
+    * users evict after `idleTimeout` (semantics-neutral past 24 h,
+    * as in [[rateLimitStream]]).
+    */
+  def rateLimitRingStream(
+      events: Dataset[RateEvent],
+      idleTimeout: String = "25 hours"): Dataset[RateViolation] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[RateRing, RateViolation](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (uid: Long, it: Iterator[RateEvent], state: GroupState[RateRing]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val (out, st) = foldRateLimitRing(uid, it.toSeq, state.getOption)
+            state.update(st)
+            state.setTimeoutDuration(idleTimeout)
+            out.iterator
+          }
       }
   }
 
@@ -672,6 +830,86 @@ object Streams {
       .select("event_id", "user_id", "ts_ms", "n_24h")),
   )
 
+  /** Batch twin of [[foldRateLimitRing]]: the bucketed trailing count
+    * as three O(n) passes — per-event running count (growing RANGE
+    * frame, incremental), per-(user, minute-bucket) cumulative counts,
+    * and a probe-row carry that hands each bucket the cumulative count
+    * at its window-start bucket (the q67 prefix-sum shape; no sliding
+    * frame anywhere). n = running_count − count_before_window, where
+    * "before window" is exactly "bucket ≤ b − 1440" — the bucket
+    * boundary makes the strictly-before set a pure bucket-level
+    * quantity, which is why the carry join keys on (user, bucket)
+    * instead of per-event timestamps: the carried table is one row per
+    * DISTINCT (user, bucket), not per event.
+    */
+  private def rateBucketedBatch(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Events.withEventTime(s, d)
+      .withColumn("ts_ms", unix_millis(col("ts")))
+      .withColumn("b", expr(s"ts_ms div ${RateBucketMs}L"))
+      .select("event_id", "user_id", "ts_ms", "b")
+    val wLe = Window.partitionBy("user_id").orderBy("ts_ms")
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val withLe = e.withColumn("n_le", count(lit(1)).over(wLe))
+    val wB = Window.partitionBy("user_id").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = e.groupBy("user_id", "b").agg(count(lit(1)).as("c"))
+      .withColumn("cum_le_b", sum("c").over(wB))
+      .select(col("user_id"), col("b"), col("cum_le_b"))
+    // probe-row carry: for each distinct (user, bucket), the cumulative
+    // count at bucket − 1440; real rows sort before probes at the same
+    // bucket because "before window" is INCLUSIVE of bucket b − 1440
+    val real = cum.select(col("user_id"), col("b").as("bq"),
+      col("cum_le_b").as("cumv"), lit(null).cast("long").as("probe_b"))
+    val probes = cum.select(col("user_id"),
+      (col("b") - lit(RateRingBuckets.toLong)).as("bq"),
+      lit(null).cast("long").as("cumv"), col("b").as("probe_b"))
+    val wCarry = Window.partitionBy("user_id")
+      .orderBy(col("bq").asc, col("probe_b").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = real.unionByName(probes)
+      .withColumn("carry", last(col("cumv"), ignoreNulls = true).over(wCarry))
+      .filter(col("probe_b").isNotNull)
+      .select(col("user_id"), col("probe_b").as("b"),
+        coalesce(col("carry"), lit(0L)).as("n_before_win"))
+    withLe.join(carried, Seq("user_id", "b"))
+      .withColumn("n_24h", col("n_le") - col("n_before_win"))
+      .filter(col("n_24h") > RateLimit)
+      .select("event_id", "user_id", "ts_ms", "n_24h")
+  }
+
+  /** The bounded-state rate limiter under the oracle gate. StreamingSpec
+    * pins stream ≡ batch on the same events; KernelLawsSpec pins the
+    * ring fold's sandwich/alignment laws against [[foldRateLimit]].
+    */
+  val qRateLimitBucketed = GraftQuery(
+    "stream_rate_limit_bucketed",
+    (s, d) => rateBucketedBatch(s, d).orderBy("event_id"),
+    Some(s"""WITH e AS (
+        SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+               epoch_ms(ts) // $RateBucketMs AS b
+        FROM events),
+      r AS (
+        SELECT event_id, user_id, ts_ms, b,
+          COUNT(*) OVER (PARTITION BY user_id ORDER BY ts_ms
+                         RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_le
+        FROM e),
+      cb AS (SELECT user_id, b, COUNT(*) AS c FROM e GROUP BY 1, 2),
+      cum AS (
+        SELECT user_id, b, SUM(c) OVER (PARTITION BY user_id ORDER BY b) AS cum_le_b
+        FROM cb),
+      v AS (
+        SELECT r.event_id, r.user_id, r.ts_ms,
+          r.n_le - COALESCE((SELECT MAX(c2.cum_le_b) FROM cum c2
+            WHERE c2.user_id = r.user_id AND c2.b <= r.b - $RateRingBuckets), 0) AS n_24h
+        FROM r)
+      SELECT event_id, user_id, ts_ms, CAST(n_24h AS BIGINT) AS n_24h
+      FROM v WHERE n_24h > $RateLimit
+      ORDER BY event_id"""),
+    prod = Some((s, d) => rateBucketedBatch(s, d)),
+  )
+
   def all: Seq[GraftQuery] =
-    Seq(qWindowed, qSessionize, qIntervalJoin, qDedup, qDecontam, qScd2, qTransitions, qRateLimit)
+    Seq(qWindowed, qSessionize, qIntervalJoin, qDedup, qDecontam, qScd2, qTransitions,
+      qRateLimit, qRateLimitBucketed)
 }

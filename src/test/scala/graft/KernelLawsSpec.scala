@@ -154,4 +154,70 @@ class KernelLawsSpec extends AnyFunSuite {
       assert(s2 == st, s"trial $trial split at $cut")
     }
   }
+
+  test("foldTransitions drops late arrivals instead of emitting negative gaps") {
+    import streaming.Streams.{foldTransitions, TransEvent}
+    val (o1, s1) = foldTransitions(1L, Seq(TransEvent(1L, 10L, 5000L, "A")), None)
+    assert(o1.isEmpty)
+    // a later micro-batch delivers an OLDER event: no inverted pair, and
+    // the last-seen state never regresses below the newest event
+    val (o2, s2) = foldTransitions(1L, Seq(TransEvent(1L, 9L, 1000L, "B")), s1)
+    assert(o2.isEmpty, "late arrival must not emit a negative-gap pair")
+    assert(s2 == s1, "late arrival must not regress the last-seen state")
+    // the next in-order event pairs against the retained newest state
+    val (o3, _) = foldTransitions(1L, Seq(TransEvent(1L, 11L, 9000L, "C")), s2)
+    assert(o3.map(t => (t.from_type, t.to_type, t.gap_ms)) == Seq(("A", "C", 4000L)))
+  }
+
+  test("foldRateLimitRing: naive bucket rule on 200 random streams, split-invariant, constant state") {
+    import streaming.Streams.{foldRateLimitRing, RateEvent, RateBucketMs, RateRingBuckets}
+    val rnd = new Random(0x52a7e)
+    (0 until 200).foreach { trial =>
+      // timestamps spread over ~3 days so buckets genuinely expire
+      val n = 1 + rnd.nextInt(80)
+      val events = (0 until n).map { i =>
+        RateEvent(1L, i.toLong, rnd.nextLong(3L * 86400000L))
+      }
+      val sorted = events.sortBy(e => (e.ts_ms, e.event_id))
+      // naive rule: ms-exact upper bound with tie-group atomicity, bucket-
+      // granular lower bound — peers with bucket > bucket(t) - 1440, ts' <= t
+      val want = sorted.flatMap { e =>
+        val b = Math.floorDiv(e.ts_ms, RateBucketMs)
+        val cnt = sorted.count(p =>
+          p.ts_ms <= e.ts_ms && Math.floorDiv(p.ts_ms, RateBucketMs) > b - RateRingBuckets)
+        if (cnt > 5) Some((e.event_id, e.ts_ms, cnt.toLong)) else None
+      }
+      val (out, st) = foldRateLimitRing(1L, events, None)
+      assert(out.map(v => (v.event_id, v.ts_ms, v.n_24h)) == want, s"trial $trial")
+      assert(st.counts.size == RateRingBuckets, s"trial $trial: state must stay ring-sized")
+      assert(st.counts.sum == st.total, s"trial $trial: total mirrors the ring")
+      // micro-batch split anywhere in event-time order: same feed, same state
+      val cut = rnd.nextInt(sorted.size + 1)
+      val (o1, s1) = foldRateLimitRing(1L, sorted.take(cut), None)
+      val (o2, s2) = foldRateLimitRing(1L, sorted.drop(cut), Some(s1))
+      assert((o1 ++ o2).map(v => (v.event_id, v.ts_ms, v.n_24h)) == want,
+        s"trial $trial split at $cut")
+      assert(s1.counts.size == RateRingBuckets && s2.counts.size == RateRingBuckets,
+        s"trial $trial: state size is constant at every split point")
+      assert(s2.total == st.total, s"trial $trial split at $cut")
+    }
+  }
+
+  test("foldRateLimitRing equals the exact fold on minute-aligned streams") {
+    import streaming.Streams.{foldRateLimit, foldRateLimitRing, RateEvent, RateBucketMs}
+    // on minute-aligned timestamps the bucket window IS the exact 24h
+    // window, so the production ring fold and the oracle-semantics exact
+    // fold must emit identical violation feeds
+    val rnd = new Random(0xa11e)
+    (0 until 100).foreach { trial =>
+      val n = 1 + rnd.nextInt(80)
+      val events = (0 until n).map { i =>
+        RateEvent(1L, i.toLong, rnd.nextLong(3L * 1440L) * RateBucketMs)
+      }
+      val exact = foldRateLimit(1L, events, Seq.empty)._1
+      val ring = foldRateLimitRing(1L, events, None)._1
+      assert(ring.map(v => (v.event_id, v.ts_ms, v.n_24h)) ==
+        exact.map(v => (v.event_id, v.ts_ms, v.n_24h)), s"trial $trial")
+    }
+  }
 }

@@ -149,19 +149,62 @@ class SinkAndMultimodalSpec extends AnyFunSuite {
     assert(got((1L, 0L)) == want, "frame checksum equals an independent digest")
   }
 
-  test("mm_resize thumbnails obey the stride-length law and are deterministic") {
+  test("mm_resize: non-image payloads take the stride fallback law, deterministically") {
     val dir = PlantedDocs.write(spark, "/tmp/graft-test/thumbs", Seq(
       (1L, "x" * 160, "en", "s", 160L),
       (2L, "", "en", "s", 0L),
     ))
-    val run1 = operators.Multimodal.qResize.run(spark, dir).collect()
-      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    def run() = operators.Multimodal.qResize.run(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getBoolean(2), r.getInt(7), r.getString(8)))).toMap
+    val run1 = run()
     // body 160 bytes, stride 8 -> ceil(160/8) = 20 sampled bytes
-    assert(run1(1L)._1 == 164 && run1(1L)._2 == 20, s"got ${run1(1L)}")
-    assert(run1(2L)._2 == 0, "empty body resizes to an empty thumb")
-    val run2 = operators.Multimodal.qResize.run(spark, dir).collect()
-      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
-    assert(run1 == run2, "stub resize is deterministic")
+    assert(run1(1L)._1 == 164 && run1(1L)._3 == 20, s"got ${run1(1L)}")
+    assert(!run1(1L)._2, "text payload is not an image")
+    assert(run1(2L)._3 == 0, "empty body resizes to an empty thumb")
+    assert(run1 == run(), "fallback resize is deterministic")
+  }
+
+  test("mm_resize decodes real PNGs and emits true box-filter thumbnails") {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    // 64x32: left half pure red, right half pure blue
+    def png(w: Int, h: Int, px: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, px(x, y))))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val redBlue = png(64, 32, (x, _) => if (x < 32) 0xff0000 else 0x0000ff)
+    val tallGreen = png(10, 40, (_, _) => 0x00ff00)
+    val blobs = Seq(
+      (1L, operators.Multimodal.Magic ++ redBlue),
+      (2L, operators.Multimodal.Magic ++ tallGreen),
+      (3L, operators.Multimodal.Magic ++ "definitely not a png".getBytes("UTF-8")),
+    ).toDF("doc_id", "blob")
+    val rows = operators.Multimodal.resizeThumbs(blobs).collect()
+      .map(t => t.doc_id -> t).toMap
+    // landscape 64x32 -> 16x8; portrait 10x40 -> 4x16; aspect preserved
+    assert(rows(1L).decoded && rows(1L).orig_w == 64 && rows(1L).orig_h == 32)
+    assert((rows(1L).thumb_w, rows(1L).thumb_h) == ((16, 8)), s"got ${rows(1L)}")
+    assert(rows(1L).thumb_bytes == 16 * 8 * 3, "packed RGB bytes")
+    assert(rows(2L).decoded && (rows(2L).thumb_w, rows(2L).thumb_h) == ((4, 16)))
+    assert(!rows(3L).decoded, "garbage payload takes the fallback lane")
+    // box-filter ground truth: halves stay pure under any box average
+    val img1 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(redBlue))
+    val px = operators.Multimodal.areaAverage(img1, 16, 8)
+    def rgb(i: Int) = (px(i * 3) & 0xff, px(i * 3 + 1) & 0xff, px(i * 3 + 2) & 0xff)
+    assert(rgb(0) == ((255, 0, 0)), "top-left thumb pixel is pure red")
+    assert(rgb(15) == ((0, 0, 255)), "top-right thumb pixel is pure blue")
+    val solid = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(tallGreen))
+    val pxs = operators.Multimodal.areaAverage(solid, 4, 16)
+    assert(pxs.grouped(3).forall(g =>
+      (g(0) & 0xff, g(1) & 0xff, g(2) & 0xff) == ((0, 255, 0))),
+      "solid image downscales to the same solid color")
+    // determinism across replays (same decode, same integer filter)
+    val again = operators.Multimodal.resizeThumbs(blobs).collect().map(t => t.doc_id -> t).toMap
+    assert(again == rows, "real-codec resize is deterministic")
   }
 }
 

@@ -362,6 +362,77 @@ class StreamingSpec extends AnyFunSuite {
       s"(fold ${folded.size} vs batch ${batch.size})")
   }
 
+  test("bounded-state rate limit: ring stream evicts across micro-batches; twin parity at sf0.001") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import streaming.Streams.{RateEvent, RateRing}
+    val D = 86400000L
+    val ms = MemoryStream[RateEvent]
+    val q = Streams.rateLimitRingStream(ms.toDS())
+      .writeStream.format("memory").queryName("graft_ratering_stream")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 fires 6 events within an hour -> the 6th violates
+      ms.addData((1L to 6L).map(i => RateEvent(1L, i, i * 60000L)): _*)
+      q.processAllAvailable()
+      val v1 = spark.table("graft_ratering_stream").collect()
+        .map(r => (r.getLong(1), r.getLong(3))).toSet
+      assert(v1 == Set((6L, 6L)), s"6th event in the hour violates, got $v1")
+      // batch 2: a day later the ring has drained — clean arrival proves
+      // bucket eviction survived the micro-batch boundary
+      ms.addData(RateEvent(1L, 7L, 2 * D))
+      q.processAllAvailable()
+      assert(spark.table("graft_ratering_stream").count() == 1L,
+        "post-drain arrival must not violate")
+    } finally q.stop()
+
+    // twin parity: fold the real sf0.001 events through the ring fold and
+    // compare to the batch prefix-sum + bucket-carry form
+    val sf = "/root/testdata/sf0.001"
+    val events = operators.Events.withEventTime(spark, sf)
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ts_ms"))
+      .as[RateEvent].collect()
+    val folded = events.groupBy(_.user_id).toSeq.flatMap { case (uid, evs) =>
+      Streams.foldRateLimitRing(uid, evs.toSeq, None)._1
+    }.map(v => (v.user_id, v.event_id, v.ts_ms, v.n_24h)).toSet
+    val batch = Streams.qRateLimitBucketed.run(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    assert(folded == batch, s"ring fold and batch bucket-carry form state the same rule " +
+      s"(fold ${folded.size} vs batch ${batch.size})")
+    // every held state is ring-sized no matter the user's volume
+    events.groupBy(_.user_id).foreach { case (uid, evs) =>
+      val st = Streams.foldRateLimitRing(uid, evs.toSeq, None)._2
+      assert(st.counts.size == Streams.RateRingBuckets)
+    }
+  }
+
+  test("idle per-user state times out and is rebuilt from scratch") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import streaming.Streams.TransEvent
+    val ms = MemoryStream[TransEvent]
+    // sub-second timeout so the test can outwait it; production default 30d
+    val q = Streams.transitionStream(ms.toDS(), idleTimeout = "500 milliseconds")
+      .writeStream.format("memory").queryName("graft_trans_timeout")
+      .outputMode("append").start()
+    try {
+      ms.addData(TransEvent(1L, 1L, 1000L, "A"))
+      q.processAllAvailable()
+      Thread.sleep(1500) // let the processing-time timeout expire
+      // an unrelated user's batch advances the clock and fires the timeout
+      ms.addData(TransEvent(2L, 2L, 2000L, "B"))
+      q.processAllAvailable()
+      // user 1 returns: with state evicted this is a FIRST event again —
+      // no pair emits (the documented idle-gap trade)
+      ms.addData(TransEvent(1L, 3L, 3000L, "C"))
+      q.processAllAvailable()
+      val out = spark.table("graft_trans_timeout").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(out.isEmpty,
+        s"timed-out user must restart with no last-seen state, got ${out.toSeq}")
+    } finally q.stop()
+  }
+
   test("stream_decontam batch twin equals the q44 contaminated set") {
     val sf = "/root/testdata/sf0.001"
     val twin = Streams.qDecontam.run(spark, sf).collect().map(_.getLong(0)).toSet

@@ -211,8 +211,12 @@ object Multimodal {
     * integer mean RGB of its source box [tx·w/tw, (tx+1)·w/tw) ×
     * [ty·h/th, (ty+1)·h/th) — pure integer arithmetic over the decoded
     * ARGB raster (no Graphics2D, whose rendering hints are platform
-    * lottery), so the thumb bytes are bit-identical on every JVM and
-    * every replay. Returns tw×th×3 packed RGB bytes.
+    * lottery), so FILTERING never introduces variance. End-to-end thumb
+    * bytes are bit-identical across JVMs for losslessly-specified
+    * containers (PNG/BMP/GIF, where decode is spec-exact); JPEG decode
+    * is NOT spec-exact across JDK vendors, so JPEG thumbs are
+    * deterministic per-JVM replay only. Returns tw×th×3 packed RGB
+    * bytes.
     */
   private[graft] def areaAverage(
       img: java.awt.image.BufferedImage, tw: Int, th: Int): Array[Byte] = {
@@ -248,6 +252,72 @@ object Multimodal {
       ty += 1
     }
     out
+  }
+
+  /** One doc in every [[ImageEvery]] carries a REAL PNG payload in the
+    * resize query's input lane.
+    */
+  private[graft] val ImageEvery = 50L
+
+  /** Deterministic RGB pixel for (doc_id, x, y): a splitmix64-style
+    * finalizer over the coordinates, so planted image bytes are pure
+    * functions of the doc_id — reproducible on any executor, any replay.
+    */
+  private[graft] def pixelOf(docId: Long, x: Int, y: Int): Int = {
+    var z = docId * 0x9e3779b97f4a7c15L + x * 0xbf58476d1ce4e5b9L + y * 0x94d049bb133111ebL
+    z ^= z >>> 30; z *= 0xbf58476d1ce4e5b9L
+    z ^= z >>> 27; z *= 0x94d049bb133111ebL
+    z ^= z >>> 31
+    (z & 0xffffff).toInt
+  }
+
+  /** Planted-image geometry for doc_id: both edges vary, some above and
+    * some below [[ThumbMaxDim]], so the resize path exercises downscale
+    * and identity cases. Package-visible: the spec asserts the decoded
+    * geometry against this.
+    */
+  private[graft] def imageDims(docId: Long): (Int, Int) =
+    (20 + (docId % 13).toInt, 12 + (docId % 7).toInt)
+
+  /** Real PNG bytes (JDK ImageIO encoder) with deterministic pixels. */
+  private[graft] def pngOf(docId: Long): Array[Byte] = {
+    val (w, h) = imageDims(docId)
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, pixelOf(docId, x, y)); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Binarize with a planted REAL-image lane: every [[ImageEvery]]th doc
+    * ships `magic || PNG` (true PNG container, deterministic pixels keyed
+    * on doc_id), the rest the `magic || utf8(text)` blob — so the
+    * driver-gated resize query exercises BOTH decode outcomes on driver
+    * data, not only in spec-synthesized blobs. The hash-gated metadata
+    * queries stay on [[binarize]]: their oracles state the text-blob
+    * byte stream.
+    */
+  def binarizeWithImages(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("doc_id").as("_1"), col("source").as("_2"), col("text").as("_3"))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, src, text) =>
+          val blob =
+            if (id % ImageEvery == 0L) Magic ++ pngOf(id)
+            else Magic ++ text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          (id, src, blob)
+        }
+      }
+      .toDF("doc_id", "source", "blob")
   }
 
   /** REAL resize: per-partition batched thumbnailing, binary-in /
@@ -299,11 +369,13 @@ object Multimodal {
 
   val qResize = GraftQuery(
     "mm_resize",
-    (s, d) => resizeThumbs(binarize(Tables.documents(s, d))).toDF().orderBy("doc_id"),
-    // rows-only: the stride resampler is the stub codec; semantics are
-    // spec-asserted (length law, determinism, magic exclusion)
+    (s, d) => resizeThumbs(binarizeWithImages(Tables.documents(s, d))).toDF().orderBy("doc_id"),
+    // rows-only: blob bytes aren't SQL-comparable; semantics are
+    // spec-asserted (planted-PNG geometry + thumb checksums, fallback
+    // length law, determinism, magic exclusion). The planted-image lane
+    // makes BOTH decode outcomes visible in the driver-gated rows.
     None,
-    prod = Some((s, d) => resizeThumbs(binarize(Tables.documents(s, d))).toDF()),
+    prod = Some((s, d) => resizeThumbs(binarizeWithImages(Tables.documents(s, d))).toDF()),
   )
 
   def all: Seq[GraftQuery] = Seq(qBinaryMeta, qMetaMd5, qFrameSample, qResize)

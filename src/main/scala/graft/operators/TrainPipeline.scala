@@ -50,18 +50,38 @@ import graft.{GraftQuery, Tables}
   */
 object TrainPipeline {
 
-  /** Quota-then-split survivor ids over a decisions table. */
-  private def trainIds(docs: DataFrame, decisions: DataFrame): DataFrame = {
+  /** Quota-then-split survivor ids over a decisions table. The quota
+    * population is projected to (doc_id, source) BEFORE the survivor
+    * semi-join, so even a sort-merge plan exchanges slim rows — the
+    * no-text-past-curation property holds structurally, not just when
+    * the planner happens to broadcast the id side (PlanAuditSpec pins
+    * it on the e2e plan).
+    */
+  private[graft] def trainIds(docs: DataFrame, decisions: DataFrame): DataFrame = {
     val kept = decisions.filter(col("verdict") === "kept").select("doc_id")
-    TrainPrep.sourceQuotaOf(docs.join(kept, Seq("doc_id"), "left_semi"))
+    TrainPrep.sourceQuotaOf(
+      docs.select("doc_id", "source").join(kept, Seq("doc_id"), "left_semi"))
       .filter(col("kept") === 1)
       .filter(TrainPrep.splitOf(col("doc_id")) === "train")
       .select("doc_id")
   }
 
+  /** Pre-checkpoint pack-stage frame over a train-survivor id table:
+    * n_tokens is computed in the SCAN stage and only the slim
+    * (doc_id, n_tokens) frame meets the survivor semi-join and the
+    * range exchange — text never reaches an exchange no matter how the
+    * join is planned. Package-visible so PlanAuditSpec can audit the
+    * one corpus text scan and the slim range exchange (the prod
+    * checkpoint in packTokensProdOf truncates lineage in the final
+    * plan).
+    */
+  private[graft] def packStage(docs: DataFrame, train: DataFrame): DataFrame =
+    TrainPrep.packTokensStageOf(
+      TrainPrep.perDocTokens(docs).join(train, Seq("doc_id"), "left_semi"))
+
   /** Pack ⋈ shuffle manifest over a train-survivor id table. */
   private def manifestOf(docs: DataFrame, train: DataFrame, prodPack: Boolean): DataFrame = {
-    val perDoc = TrainPrep.perDocTokens(docs.join(train, Seq("doc_id"), "left_semi"))
+    val perDoc = TrainPrep.perDocTokens(docs).join(train, Seq("doc_id"), "left_semi")
     val pack =
       if (prodPack) TrainPrep.packTokensProdOf(perDoc) else TrainPrep.packTokensOf(perDoc)
     val shuf = TrainPrep.trainShuffleOf(train)
@@ -94,16 +114,16 @@ object TrainPipeline {
       runDir: String): (DataFrame, Seq[graft.StagedDag.StageReport]) = {
     val stages = Curate.decontamStages(docs) ++ Seq[(String, Map[String, DataFrame] => DataFrame)](
       "quota" -> (up => TrainPrep.sourceQuotaOf(
-        docs.join(
+        docs.select("doc_id", "source").join(
           up("decisions").filter(col("verdict") === "kept").select("doc_id"),
           Seq("doc_id"), "left_semi"))),
       "split" -> (up => up("quota")
         .filter(col("kept") === 1)
         .select(col("doc_id"), TrainPrep.splitOf(col("doc_id")).as("split"))),
       "pack" -> (up => TrainPrep.packTokensProdOf(
-        TrainPrep.perDocTokens(
-          docs.join(up("split").filter(col("split") === "train").select("doc_id"),
-            Seq("doc_id"), "left_semi")))),
+        TrainPrep.perDocTokens(docs)
+          .join(up("split").filter(col("split") === "train").select("doc_id"),
+            Seq("doc_id"), "left_semi"))),
       "shuffle" -> (up => TrainPrep.trainShuffleOf(
         up("split").filter(col("split") === "train").select("doc_id"))
         .withColumnRenamed("shard_id", "shuffle_shard")

@@ -651,7 +651,7 @@ object TrainPrep {
   private[graft] def packTokensStage(s: SparkSession, d: String): DataFrame =
     packTokensStageOf(packTokensBase(s, d))
 
-  private def packTokensStageOf(perDoc: DataFrame): DataFrame =
+  private[graft] def packTokensStageOf(perDoc: DataFrame): DataFrame =
     perDoc
       .repartitionByRange(col("doc_id"))
       .withColumn("pid", spark_partition_id())

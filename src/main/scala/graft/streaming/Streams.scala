@@ -436,32 +436,51 @@ object Streams {
     * (Append); the last-seen event lives in per-user state across
     * micro-batches.
     *
-    * State CLEANUP: users idle longer than `idleTimeout` of processing
-    * time are evicted (state would otherwise grow with lifetime key
-    * cardinality — every user ever seen holds a row forever). The
-    * documented trade: a user returning after the timeout starts
-    * fresh, so the one transition spanning that idle gap is not
-    * emitted (the batch twin emits it). Size the timeout to the
-    * longest gap the downstream analysis cares about — q57-style
-    * session conditioning ignores gaps over 30 min anyway.
+    * State CLEANUP: users idle longer than `idleTimeout` of EVENT time
+    * are evicted — the per-user timeout timestamp is (last seen event
+    * ts + idleTimeout) and fires when the stream's watermark passes it
+    * (state would otherwise grow with lifetime key cardinality — every
+    * user ever seen holds a row forever). Event-time eviction is
+    * deterministic under replay and outage-safe: a processing backlog
+    * does not advance event time, so state never evicts mid-outage
+    * (a wall-clock timeout would — and it also livelocks
+    * `processAllAvailable`, which spins empty micro-batches forever
+    * because every clock tick is a potential timeout). The documented
+    * trade: a user returning after the idle horizon starts fresh, so
+    * the one transition spanning that idle gap is not emitted (the
+    * batch twin emits it). Size the timeout to the longest gap the
+    * downstream analysis cares about — q57-style session conditioning
+    * ignores gaps over 30 min anyway.
+    *
+    * `maxLateness` is the watermark delay on the derived `event_ts`
+    * column: input older than (max seen event ts − maxLateness) is
+    * dropped by the engine's late-row rule before the fold ever sees
+    * it. The fold's own late handling (drop the inverted pair, keep
+    * the newer state) covers in-horizon disorder.
     */
   def transitionStream(
       events: Dataset[TransEvent],
-      idleTimeout: String = "30 days"): Dataset[Transition] = {
+      idleTimeout: String = "30 days",
+      maxLateness: String = "0 seconds"): Dataset[Transition] = {
     val spark = events.sparkSession
     import spark.implicits._
     events
+      .withColumn("event_ts", timestamp_millis(col("ts_ms")))
+      .withWatermark("event_ts", maxLateness)
+      .as[TransEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[TransLast, Transition](
-        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, it: Iterator[TransEvent], state: GroupState[TransLast]) =>
           if (state.hasTimedOut) {
             state.remove()
             Iterator.empty
           } else {
-            val (out, st) = foldTransitions(uid, it.toSeq, state.getOption)
+            val evs = it.toSeq
+            val (out, st) = foldTransitions(uid, evs, state.getOption)
             st.foreach(state.update)
-            state.setTimeoutDuration(idleTimeout)
+            val maxSeen = (evs.iterator.map(_.ts_ms) ++ st.iterator.map(_.ts_ms)).max
+            state.setTimeoutTimestamp(maxSeen, idleTimeout)
             out.iterator
           }
       }
@@ -516,30 +535,42 @@ object Streams {
 
   /** Streaming rate-limit violations via [[foldRateLimit]] per user
     * through flatMapGroupsWithState (Append) — the ms-exact oracle-
-    * semantics stream. Users idle past `idleTimeout` of processing
-    * time are evicted, which is SEMANTICS-NEUTRAL whenever the timeout
-    * covers the 24 h window (every held timestamp would have aged out
-    * of the window anyway; the margin over 24 h absorbs processing-
-    * vs-event-time skew) — the state is then reconstructible from
-    * scratch on the user's next arrival.
+    * semantics stream. Users idle past `idleTimeout` of EVENT time are
+    * evicted (timeout timestamp = last seen event ts + idleTimeout,
+    * fired by the watermark), which is SEMANTICS-NEUTRAL whenever the
+    * timeout covers the 24 h window: every held timestamp would have
+    * aged out of the window anyway, measured on the SAME event-time
+    * axis the window itself uses — so unlike a wall-clock timeout
+    * there is no outage hazard (a backlog does not advance the
+    * watermark, so state cannot evict while its window is still live)
+    * and no skew margin to size. The state is reconstructible from
+    * scratch on the user's next arrival. `maxLateness` as in
+    * [[transitionStream]]: input behind the watermark is dropped
+    * before the fold.
     */
   def rateLimitStream(
       events: Dataset[RateEvent],
-      idleTimeout: String = "25 hours"): Dataset[RateViolation] = {
+      idleTimeout: String = "25 hours",
+      maxLateness: String = "0 seconds"): Dataset[RateViolation] = {
     val spark = events.sparkSession
     import spark.implicits._
     events
+      .withColumn("event_ts", timestamp_millis(col("ts_ms")))
+      .withWatermark("event_ts", maxLateness)
+      .as[RateEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[Seq[Long], RateViolation](
-        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, it: Iterator[RateEvent], state: GroupState[Seq[Long]]) =>
           if (state.hasTimedOut) {
             state.remove()
             Iterator.empty
           } else {
-            val (out, st) = foldRateLimit(uid, it.toSeq, state.getOption.getOrElse(Seq.empty))
+            val evs = it.toSeq
+            val (out, st) = foldRateLimit(uid, evs, state.getOption.getOrElse(Seq.empty))
             state.update(st)
-            state.setTimeoutDuration(idleTimeout)
+            val maxSeen = (evs.iterator.map(_.ts_ms) ++ st.iterator).max
+            state.setTimeoutTimestamp(maxSeen, idleTimeout)
             out.iterator
           }
       }
@@ -582,8 +613,15 @@ object Streams {
     * counted into that cell (and into every LATER event's window,
     * conservatively — fail-safe for a limiter); if it has already
     * aged out it is counted transiently for its own violation row
-    * only. As everywhere in this family: hold out-of-order input
-    * behind a watermark upstream for exact replay semantics.
+    * only. A late row's OWN n_24h reads the whole live ring (the
+    * aged-out transient path adds its group on top of it), so it is a
+    * conservative UPPER BOUND that can include events with timestamps
+    * NEWER than the late row — by design: under-counting a limiter
+    * fails open, over-counting only fires the violation early.
+    * KernelLawsSpec pins these rules against a naive reference on
+    * out-of-order splits. As everywhere in this family: hold
+    * out-of-order input behind a watermark upstream for exact replay
+    * semantics.
     */
   def foldRateLimitRing(uid: Long, events: Seq[RateEvent], init: Option[RateRing],
       limit: Int = RateLimit): (Seq[RateViolation], RateRing) = {
@@ -626,26 +664,33 @@ object Streams {
 
   /** Streaming rate-limit violations with CONSTANT per-user state via
     * [[foldRateLimitRing]] — what a production cluster runs. Idle
-    * users evict after `idleTimeout` (semantics-neutral past 24 h,
-    * as in [[rateLimitStream]]).
+    * users evict after `idleTimeout` of EVENT time (semantics-neutral
+    * past 24 h and outage-safe, as in [[rateLimitStream]]).
     */
   def rateLimitRingStream(
       events: Dataset[RateEvent],
-      idleTimeout: String = "25 hours"): Dataset[RateViolation] = {
+      idleTimeout: String = "25 hours",
+      maxLateness: String = "0 seconds"): Dataset[RateViolation] = {
     val spark = events.sparkSession
     import spark.implicits._
     events
+      .withColumn("event_ts", timestamp_millis(col("ts_ms")))
+      .withWatermark("event_ts", maxLateness)
+      .as[RateEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[RateRing, RateViolation](
-        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, it: Iterator[RateEvent], state: GroupState[RateRing]) =>
           if (state.hasTimedOut) {
             state.remove()
             Iterator.empty
           } else {
-            val (out, st) = foldRateLimitRing(uid, it.toSeq, state.getOption)
+            val evs = it.toSeq
+            val (out, st) = foldRateLimitRing(uid, evs, state.getOption)
             state.update(st)
-            state.setTimeoutDuration(idleTimeout)
+            val maxSeen = (evs.iterator.map(_.ts_ms) ++
+              Iterator.single(st.lastBucket * RateBucketMs)).max
+            state.setTimeoutTimestamp(maxSeen, idleTimeout)
             out.iterator
           }
       }

@@ -203,6 +203,84 @@ class KernelLawsSpec extends AnyFunSuite {
     }
   }
 
+  test("foldRateLimitRing: OUT-OF-ORDER micro-batch splits obey the documented late rules") {
+    import streaming.Streams.{foldRateLimitRing, RateEvent, RateRing, RateBucketMs, RateRingBuckets}
+    // Naive reference stating the DOCUMENTED late-data rule directly with
+    // an unbounded bucket map (no ring aliasing): head = max bucket ever
+    // seen and NEVER rewinds; advancing the head evicts buckets that left
+    // the trailing window; an in-ring event (late or not) adds its tie
+    // group to its bucket cell and reads the WHOLE live window — so a
+    // late row's own n_24h is the documented conservative UPPER BOUND
+    // that includes newer-bucket events; an aged-out event counts its own
+    // group transiently without touching state.
+    def naive(batches: Seq[Seq[RateEvent]], limit: Int)
+        : (Seq[(Long, Long, Long)], Long, Map[Long, Long]) = {
+      var head = Long.MinValue
+      var cells = Map.empty[Long, Long]
+      val out = Seq.newBuilder[(Long, Long, Long)]
+      batches.foreach { batch =>
+        val sorted = batch.sortBy(e => (e.ts_ms, e.event_id))
+        var i = 0
+        while (i < sorted.size) {
+          val t = sorted(i).ts_ms
+          var j = i
+          while (j < sorted.size && sorted(j).ts_ms == t) j += 1
+          val group = sorted.slice(i, j)
+          val b = Math.floorDiv(t, RateBucketMs)
+          if (head == Long.MinValue) head = b - 1
+          if (b > head) {
+            head = b
+            cells = cells.filter { case (cb, _) => cb > head - RateRingBuckets }
+          }
+          val inRing = b > head - RateRingBuckets
+          if (inRing) cells = cells.updated(b, cells.getOrElse(b, 0L) + group.size)
+          val total = cells.valuesIterator.sum
+          val n = if (inRing) total else total + group.size
+          if (n > limit) group.foreach(e => out += ((e.event_id, t, n)))
+          i = j
+        }
+      }
+      (out.result(), head, cells)
+    }
+    val rnd = new Random(0x00d3a)
+    (0 until 200).foreach { trial =>
+      val n = 1 + rnd.nextInt(60)
+      val events = (0 until n).map { i =>
+        // clustered over ~2 days so in-ring lateness AND age-out both occur
+        RateEvent(1L, i.toLong, rnd.nextLong(2L * 86400000L))
+      }
+      // shuffled assignment into contiguous batches: batches are mutually
+      // OUT OF EVENT-TIME ORDER (unlike the split-invariance law, which
+      // splits the sorted stream) — this is the replay shape an
+      // unwatermarked out-of-order feed produces
+      val shuffled = rnd.shuffle(events.toVector)
+      val nBatches = 1 + rnd.nextInt(4)
+      val cutPts = Vector.fill(nBatches - 1)(rnd.nextInt(n + 1)).sorted
+      val batches = (Vector(0) ++ cutPts ++ Vector(n)).sliding(2)
+        .map(w => shuffled.slice(w(0), w(1))).toVector.filter(_.nonEmpty)
+      var st: Option[RateRing] = None
+      val got = Vector.newBuilder[(Long, Long, Long)]
+      var prevHead = Long.MinValue
+      batches.foreach { batch =>
+        val (o, s) = foldRateLimitRing(1L, batch, st)
+        got ++= o.map(v => (v.event_id, v.ts_ms, v.n_24h))
+        assert(s.lastBucket >= prevHead, s"trial $trial: head must never rewind")
+        prevHead = s.lastBucket
+        st = Some(s)
+      }
+      val (want, wantHead, wantCells) = naive(batches, 5)
+      assert(got.result() == want, s"trial $trial: violation feed diverged from the documented rule")
+      val fin = st.get
+      assert(fin.lastBucket == wantHead, s"trial $trial: head mismatch")
+      assert(fin.total == wantCells.valuesIterator.sum, s"trial $trial: total mismatch")
+      def cell(b: Long): Int = (((b % RateRingBuckets) + RateRingBuckets) % RateRingBuckets).toInt
+      ((wantHead - RateRingBuckets + 1) to wantHead).foreach { b =>
+        assert(fin.counts(cell(b)) == wantCells.getOrElse(b, 0L),
+          s"trial $trial: live cell $b mismatch")
+      }
+    }
+  }
+
   test("foldRateLimitRing equals the exact fold on minute-aligned streams") {
     import streaming.Streams.{foldRateLimit, foldRateLimitRing, RateEvent, RateBucketMs}
     // on minute-aligned timestamps the bucket window IS the exact 24h

@@ -285,6 +285,47 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Sort "), s"quota selection must not sort any stratum:\n$p")
   }
 
+  test("train_prep_e2e prod: slim post-curation chain, one corpus text scan in the pack stage") {
+    // The composed prod plan runs quota/split/pack/shuffle/manifest over
+    // checkpointed slim id tables: the corpus text column must appear
+    // NOWHERE in the final plan (no exchange can carry it, because it
+    // isn't even in scope), and the chain must not rescan any parquet —
+    // both branches ride the pinned stage tables.
+    val p = operators.TrainPipeline.qE2E.runProd(spark, sf)
+      .queryExecution.executedPlan.toString.replace("ExchangeQueryStage", "")
+    assert(!p.contains("text#"), s"corpus text leaked past curation into the manifest plan:\n$p")
+    assert(!p.contains("FileScan"),
+      s"post-curation chain must ride stage tables, not rescan parquet:\n$p")
+
+    // The ONE place text is re-read after the decisions table — the pack
+    // stage recomputing n_tokens for train survivors — audited on its
+    // pre-checkpoint form (the prod checkpoint truncates lineage):
+    // exactly one documents scan, n_tokens computed in the scan stage,
+    // and every exchange (survivor semi-join and the doc_id range
+    // partition) carrying only slim (doc_id, n_tokens) rows.
+    val docs = Tables.documents(spark, sf)
+    val train = operators.TrainPipeline
+      .trainIds(docs, operators.Curate.curateDecontam(docs)).localCheckpoint()
+    val stage = operators.TrainPipeline.packStage(docs, train).queryExecution
+    val sp = stage.executedPlan.toString.replace("ExchangeQueryStage", "")
+    assert("FileScan parquet".r.findAllIn(sp).size == 1,
+      s"pack stage must scan the corpus exactly once:\n$sp")
+    assert(sp.contains("rangepartitioning(doc_id"),
+      s"pack stage must range-partition by doc_id:\n$sp")
+    val fm = stage.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val exchangeInputs = fm.linesIterator.foldLeft((List.empty[String], false)) {
+      case ((acc, expectInput), line) =>
+        if (line.matches("""\(\d+\) Exchange.*""")) (acc, true)
+        else if (expectInput && line.startsWith("Input")) (line :: acc, false)
+        else (acc, expectInput)
+    }._1
+    assert(exchangeInputs.nonEmpty, s"expected at least the range exchange:\n$fm")
+    exchangeInputs.foreach { in =>
+      assert(!in.contains("text#"),
+        s"an exchange in the pack stage carries corpus text: $in\n$fm")
+    }
+  }
+
   test("prod variants drop the oracle-mode global sort") {
     Seq(operators.RelationalCore.q02, operators.RelationalCore.q08, operators.RelationalCore.q18)
       .foreach { q =>

@@ -206,6 +206,38 @@ class SinkAndMultimodalSpec extends AnyFunSuite {
     val again = operators.Multimodal.resizeThumbs(blobs).collect().map(t => t.doc_id -> t).toMap
     assert(again == rows, "real-codec resize is deterministic")
   }
+
+  test("mm_resize planted-image lane: driver data carries BOTH decode outcomes, PNG geometry pinned") {
+    import operators.Multimodal
+    val sf = "/root/testdata/sf0.001"
+    val rows = Multimodal.qResize.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getBoolean(2), r.getInt(3), r.getInt(4),
+        r.getInt(5), r.getInt(6), r.getInt(7), r.getString(8)))
+    val (dec, fall) = rows.partition(_._2)
+    assert(dec.nonEmpty && fall.nonEmpty,
+      s"driver data must show both decode outcomes (decoded=${dec.length}, fallback=${fall.length})")
+    // exactly the planted lane decodes, with the generator's geometry and
+    // the aspect-preserving thumbnail law
+    assert(rows.count(_._1 % Multimodal.ImageEvery == 0L) == dec.length,
+      "every planted PNG doc must decode; no other doc may")
+    dec.foreach { case (id, _, w, h, tw, th, tb, _) =>
+      assert(id % Multimodal.ImageEvery == 0L, s"non-planted doc $id decoded")
+      val (ew, eh) = Multimodal.imageDims(id)
+      assert((w, h) == ((ew, eh)), s"doc $id decoded geometry: got ($w,$h), want ($ew,$eh)")
+      val etw = math.min(ew, Multimodal.ThumbMaxDim)
+      val eth = math.max(1, eh * etw / ew) // landscape: 20..32 wide x 12..18 tall
+      assert((tw, th) == ((etw, eth)), s"doc $id thumb geometry: got ($tw,$th), want ($etw,$eth)")
+      assert(tb == tw * th * 3, s"doc $id packed RGB thumb bytes")
+    }
+    // thumb checksum ties the query row to an independent decode + box
+    // filter of the same deterministic planted PNG
+    val (id0, _, _, _, tw0, th0, _, md50) = dec.minBy(_._1)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(Multimodal.pngOf(id0)))
+    val px = Multimodal.areaAverage(img, tw0, th0)
+    val want = java.security.MessageDigest.getInstance("MD5")
+      .digest(px).map(b => f"$b%02x").mkString
+    assert(md50 == want, s"doc $id0 thumb md5 must match the independent box filter")
+  }
 }
 
 class CosineSimSpec extends AnyFunSuite {

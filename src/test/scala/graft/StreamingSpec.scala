@@ -406,30 +406,40 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
-  test("idle per-user state times out and is rebuilt from scratch") {
+  test("idle per-user state times out on event time and is rebuilt from scratch") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
     import streaming.Streams.TransEvent
     val ms = MemoryStream[TransEvent]
-    // sub-second timeout so the test can outwait it; production default 30d
+    // short event-time idle horizon; production default 30d. Eviction is
+    // driven by the WATERMARK (event time), never wall clock — later
+    // events advance it, Thread.sleep cannot.
     val q = Streams.transitionStream(ms.toDS(), idleTimeout = "500 milliseconds")
       .writeStream.format("memory").queryName("graft_trans_timeout")
       .outputMode("append").start()
     try {
       ms.addData(TransEvent(1L, 1L, 1000L, "A"))
-      q.processAllAvailable()
-      Thread.sleep(1500) // let the processing-time timeout expire
-      // an unrelated user's batch advances the clock and fires the timeout
-      ms.addData(TransEvent(2L, 2L, 2000L, "B"))
+      q.processAllAvailable() // watermark -> 1000; user 1 timeout at 1500
+      // an unrelated user's much-later event advances the watermark past
+      // user 1's timeout; the post-batch timeout pass evicts user 1
+      ms.addData(TransEvent(2L, 2L, 60000L, "B"))
       q.processAllAvailable()
       // user 1 returns: with state evicted this is a FIRST event again —
       // no pair emits (the documented idle-gap trade)
-      ms.addData(TransEvent(1L, 3L, 3000L, "C"))
+      ms.addData(TransEvent(1L, 3L, 120000L, "C"))
       q.processAllAvailable()
       val out = spark.table("graft_trans_timeout").collect()
         .map(r => (r.getLong(0), r.getLong(1)))
       assert(out.isEmpty,
         s"timed-out user must restart with no last-seen state, got ${out.toSeq}")
+      // control: user 1's NEXT event inside the horizon pairs normally,
+      // proving the state was rebuilt (not permanently dead)
+      ms.addData(TransEvent(1L, 4L, 120100L, "D"))
+      q.processAllAvailable()
+      val out2 = spark.table("graft_trans_timeout").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+      assert(out2.toSeq == Seq((1L, 4L, 100L)),
+        s"returning user must pair within the horizon, got ${out2.toSeq}")
     } finally q.stop()
   }
 

@@ -104,6 +104,17 @@ class StreamingGuardSpec extends AnyFunSuite {
         .writeStream.format("memory").queryName("guard_neardup")
         .outputMode("append").start()
     },
+    "nearDupStreamRefreshing" -> { s =>
+      import s.implicits._
+      implicit val sc = s.sqlContext
+      val dir = "/tmp/graft-test/guard_neardup_refresh"
+      Streams.writeNearDupRef(
+        Seq((100L, (0 until 40).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text"), dir)
+      val ms = MemoryStream[(Long, String)]
+      ms.addData((1L, (0 until 40).map(i => s"w$i").mkString(" ")))
+      Streams.nearDupStreamRefreshing(
+        ms.toDF().toDF("doc_id", "text"), dir, (_, _) => ())
+    },
     "decontamStream" -> { s =>
       import s.implicits._
       implicit val sc = s.sqlContext

@@ -217,6 +217,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("refreshing near-dup stream picks up a rebuilt reference table WITHOUT restart") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    def doc(seed: Int) = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(80)(s"w${r.nextInt(40)}").mkString(" ")
+    }
+    val near1 = doc(1).split(" ").updated(40, "CHANGED").mkString(" ")
+    val near2 = doc(2).split(" ").updated(10, "ALSO").mkString(" ")
+    val refDir = "/tmp/graft-test/neardup_ref_swap"
+    // corpus A: doc(1)'s family only
+    Streams.writeNearDupRef(Seq((100L, doc(1))).toDF("doc_id", "text"), refDir)
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val ms = MemoryStream[(Long, String)]
+    val q = Streams.nearDupStreamRefreshing(
+      ms.toDF().toDF("doc_id", "text"), refDir,
+      (df, _) => results ++= df.collect().map(r => (r.getLong(0), r.getLong(1))))
+    try {
+      ms.addData((1L, near1), (2L, near2))
+      q.processAllAvailable()
+      assert(results.toSet == Set((1L, 100L)),
+        s"against corpus A only the A-near doc matches, got $results")
+      // the periodic batch rebuild swaps the reference to corpus B —
+      // the SAME running query must see it on its next micro-batch
+      Streams.writeNearDupRef(Seq((200L, doc(2))).toDF("doc_id", "text"), refDir)
+      results.clear()
+      ms.addData((3L, near1), (4L, near2))
+      q.processAllAvailable()
+      assert(results.toSet == Set((4L, 200L)),
+        s"after the swap the running query matches corpus B only, got $results")
+    } finally q.stop()
+  }
+
   test("streaming decontamination flags arrivals against the static benchmark") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
@@ -404,6 +437,35 @@ class StreamingSpec extends AnyFunSuite {
       val st = Streams.foldRateLimitRing(uid, evs.toSeq, None)._2
       assert(st.counts.size == Streams.RateRingBuckets)
     }
+  }
+
+  test("rows behind the watermark are dropped before the fold (late-row rule)") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import streaming.Streams.RateEvent
+    // with maxLateness = 0 the watermark sits at the previous batch's max
+    // event time; a later micro-batch's OLDER row must be dropped by the
+    // engine before the fold sees it — observable here because the fold
+    // WOULD emit a violation for it (6 in-window entries + itself = 7)
+    val ms = MemoryStream[RateEvent]
+    val q = Streams.rateLimitStream(ms.toDS())
+      .writeStream.format("memory").queryName("graft_rate_late")
+      .outputMode("append").start()
+    try {
+      ms.addData((1L to 6L).map(i => RateEvent(1L, i, i * 60000L)): _*)
+      q.processAllAvailable() // watermark -> 360000; the 6th event violates
+      assert(spark.table("graft_rate_late").count() == 1L)
+      ms.addData(RateEvent(1L, 7L, 30000L)) // behind the watermark
+      q.processAllAvailable()
+      assert(spark.table("graft_rate_late").count() == 1L,
+        "a behind-watermark row must be dropped, not folded into a violation")
+      // an in-order arrival still processes normally afterwards
+      ms.addData(RateEvent(1L, 8L, 400000L))
+      q.processAllAvailable()
+      val last = spark.table("graft_rate_late").collect()
+        .map(r => (r.getLong(1), r.getLong(3))).toSet
+      assert(last == Set((6L, 6L), (8L, 7L)), s"got $last")
+    } finally q.stop()
   }
 
   test("idle per-user state times out on event time and is rebuilt from scratch") {

@@ -185,34 +185,42 @@ object Dedup {
       docs: DataFrame, k: Int, bands: Int, bucketCap: Int): (DataFrame, DataFrame) =
     minhashMd5CandidatesT(tokenized(docs), k, bands, bucketCap)
 
-  private def minhashMd5CandidatesT(
-      toked: DataFrame, k: Int, bands: Int, bucketCap: Int): (DataFrame, DataFrame) = {
+  /** (sigged, banded): md5-minhash signature stage table (localCheckpoint
+    * — the plan reuses it for banding AND verify sides; without
+    * materialization each use re-runs the per-shingle digest fold,
+    * measured 3x the whole query's cost at sf0.1) plus its UNCAPPED
+    * (doc_id, band_idx, band_val) band rows. Shared by the self-join
+    * candidate path below and the asymmetric stream-vs-corpus twin
+    * ([[graft.streaming.Streams.nearDupBatchMd5]]), which caps only the
+    * corpus side like the streaming match.
+    */
+  private[graft] def md5SigBanded(
+      toked: DataFrame, k: Int, bands: Int): (DataFrame, DataFrame) = {
     val r = k / bands
     // Native kernel — VALUE-identical to the declarative ANSI md5+conv
     // fold (Md5KernelsSpec pins exact equality; the driver gate's oracle
     // SQL is unchanged), one digest walk per row instead of an
     // interpreted per-shingle expression tree.
     val sig = graft.gfunctions.minhash_md5_sig(col("toks"), k)
-    // Materialize the signature table ONCE (doc_id + 16 longs, ~140 B/doc).
-    // The plan uses it three times (banding + both verify sides); without
-    // materialization each use re-runs the per-shingle digest fold —
-    // measured 3x the whole query's cost at sf0.1 (37.7 s -> 13.6 s).
-    // At cluster scale this is the signature STAGE TABLE every production
-    // minhash pipeline persists; locally localCheckpoint is its analog.
     val sigged = toked.select(col("doc_id"), sig.as("sig"))
       .filter(col("sig").isNotNull)
       .localCheckpoint()
-    val banded = Lsh.capBuckets(
-      sigged.select(
-        col("doc_id"),
-        explode(array((0 until bands).map { b =>
-          struct(
-            lit(b).as("band_idx"),
-            concat_ws(",", transform(slice(col("sig"), b * r + 1, r), h => h.cast("string")))
-              .as("band_val"))
-        }: _*)).as("band"))
-        .select(col("doc_id"), col("band.band_idx"), col("band.band_val")),
-      Seq("band_idx", "band_val"), bucketCap)
+    val banded = sigged.select(
+      col("doc_id"),
+      explode(array((0 until bands).map { b =>
+        struct(
+          lit(b).as("band_idx"),
+          concat_ws(",", transform(slice(col("sig"), b * r + 1, r), h => h.cast("string")))
+            .as("band_val"))
+      }: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_idx"), col("band.band_val"))
+    (sigged, banded)
+  }
+
+  private def minhashMd5CandidatesT(
+      toked: DataFrame, k: Int, bands: Int, bucketCap: Int): (DataFrame, DataFrame) = {
+    val (sigged, banded0) = md5SigBanded(toked, k, bands)
+    val banded = Lsh.capBuckets(banded0, Seq("band_idx", "band_val"), bucketCap)
     val pairs = banded.alias("a")
       .join(banded.alias("b"),
         col("a.band_idx") === col("b.band_idx") &&

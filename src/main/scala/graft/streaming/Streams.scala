@@ -1036,7 +1036,159 @@ object Streams {
     prod = Some((s, d) => rateBucketedBatch(s, d)),
   )
 
+  /** [[curateStream]]'s input shape from the documents table: arrival
+    * time synthesized deterministically and MONOTONE in doc_id, so the
+    * stream's keeper rule (min-(ts, doc_id) arrival) reduces to min
+    * doc_id — the property the oracle SQL states.
+    */
+  private def curateInput(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    graft.Tables.documents(s, d).withColumn(
+      "ts", timestamp_millis(lit(1700000000000L) + col("doc_id") * 1000L))
+
+  /** The LITERAL [[curateStream]] code under the oracle gate: Spark runs
+    * flatMapGroupsWithState in batch mode too (each key's rows arrive as
+    * one complete group, state starts empty, timeouts never fire), so
+    * the same per-row gates + exact-dedup fold that serves streaming
+    * ingest is what the driver hash-compares against DuckDB — not a
+    * re-derivation that could drift. Batch-mode semantics = one
+    * micro-batch containing the whole table: keeper is the min-(ts,
+    * doc_id) arrival, every other same-text copy is exact_dup.
+    * StreamingSpec pins batch-run ≡ streamed-run on the same rows split
+    * across micro-batches (the seenBefore state path).
+    *
+    * Plan note: the failed/deduped branch split references the staged
+    * projection twice — two corpus scans in batch mode. That is the
+    * price of running the stream's literal code (in a micro-batch the
+    * "scan" is the in-memory batch, where the split is free); BATCH
+    * curation at scale is [[graft.operators.Curate]]'s one-scan stage
+    * table, and this entry exists to gate the STREAM's fold.
+    */
+  val qCurate = GraftQuery(
+    "stream_curate",
+    (s, d) => curateStream(curateInput(s, d)).orderBy("doc_id"),
+    Some("""WITH staged AS (
+        SELECT doc_id, lang, md5(text) AS text_md5,
+          len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_toks
+        FROM documents),
+      failed AS (
+        SELECT doc_id, CASE WHEN n_toks < 5 THEN 'too_short' ELSE 'wrong_lang' END AS verdict
+        FROM staged WHERE n_toks < 5 OR lang IS DISTINCT FROM 'en'),
+      ded AS (
+        SELECT doc_id, CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY text_md5)
+          THEN 'kept' ELSE 'exact_dup' END AS verdict
+        FROM staged WHERE n_toks >= 5 AND lang IS NOT DISTINCT FROM 'en')
+      SELECT doc_id, verdict FROM failed
+      UNION ALL SELECT doc_id, verdict FROM ded
+      ORDER BY doc_id"""),
+    prod = Some((s, d) => curateStream(curateInput(s, d))),
+  )
+
+  /** Batch twin of the stream-vs-corpus near-dup match on the md5 twin
+    * kernel (ANSI-expressible, so the gate is the HARD hash compare —
+    * the xxhash production path keeps its planted-recall specs): the
+    * asymmetric version of dedup_minhash_md5's LSH. Arrivals band-join
+    * the capped corpus signature table (never all-pairs; the cap bounds
+    * a degenerate boilerplate bucket's fan-out exactly like the stream),
+    * candidates verify on full signatures, and every arrival gets a
+    * decision row. Exchanges carry (doc_id, band strings) then
+    * (doc_id, 16-long sigs) — no text crosses a shuffle.
+    */
+  def nearDupBatchMd5(
+      arrivals: DataFrame,
+      corpus: DataFrame,
+      k: Int = 16,
+      bands: Int = 4,
+      tau: Double = 0.5,
+      bucketCap: Int = 10000): DataFrame = {
+    import graft.operators.{Dedup, Lsh}
+    val (aSig, aBand) = Dedup.md5SigBanded(Dedup.tokenized(arrivals), k, bands)
+    val (cSig, cBand) = Dedup.md5SigBanded(Dedup.tokenized(corpus), k, bands)
+    val ref = Lsh.capBuckets(cBand, Seq("band_idx", "band_val"), bucketCap)
+      .select(col("doc_id").as("ref_id"), col("band_idx"), col("band_val"))
+    val cand = aBand
+      .join(ref, Seq("band_idx", "band_val"))
+      .select(col("doc_id"), col("ref_id"))
+      .dropDuplicates("doc_id", "ref_id")
+    val est = aggregate(
+      zip_with(col("sig"), col("ref_sig"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / k
+    val matches = cand
+      .join(aSig, Seq("doc_id"))
+      .join(cSig.select(col("doc_id").as("ref_id"), col("sig").as("ref_sig")), Seq("ref_id"))
+      .withColumn("est_jaccard", est)
+      .filter(col("est_jaccard") >= tau)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matches"), max(col("est_jaccard")).as("best_est"))
+    arrivals.select("doc_id")
+      .join(matches, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_matches").isNotNull.as("is_match"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        coalesce(col("best_est"), lit(0.0)).as("best_est"))
+  }
+
+  /** Driver gate for [[nearDupBatchMd5]]: every 10th doc plays the
+    * arriving stream, the rest are the existing curated corpus.
+    */
+  val qNearDup = GraftQuery(
+    "stream_neardup",
+    (s, d) => {
+      val docs = graft.Tables.documents(s, d)
+      nearDupBatchMd5(
+        docs.filter(col("doc_id") % 10 === 0),
+        docs.filter(col("doc_id") % 10 =!= 0)).orderBy("doc_id")
+    },
+    Some("""WITH t AS (
+        SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        FROM documents),
+      sh AS (
+        SELECT doc_id, toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS s
+        FROM t CROSS JOIN UNNEST(range(0, greatest(len(toks) - 2, 0))) AS u(i)),
+      hx AS (
+        SELECT doc_id, j,
+          MIN(CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)
+              + j * CAST(('0x' || substr(md5(s), 16, 8)) AS BIGINT)) AS h
+        FROM sh CROSS JOIN UNNEST(range(0, 16)) AS v(j)
+        GROUP BY doc_id, j),
+      sigb AS (
+        SELECT doc_id, j // 4 AS band_idx, string_agg(h, ',' ORDER BY j) AS band_val
+        FROM hx GROUP BY doc_id, j // 4),
+      corp AS (SELECT * FROM sigb WHERE doc_id % 10 <> 0),
+      bs AS (
+        SELECT band_idx, band_val, COUNT(*) AS bucket_n FROM corp GROUP BY 1, 2),
+      kept AS (
+        SELECT corp.* FROM corp JOIN bs USING (band_idx, band_val) WHERE bs.bucket_n <= 10000),
+      arr AS (SELECT * FROM sigb WHERE doc_id % 10 = 0),
+      cand AS (
+        SELECT DISTINCT a.doc_id, kept.doc_id AS ref_id
+        FROM arr a JOIN kept
+          ON a.band_idx = kept.band_idx AND a.band_val = kept.band_val),
+      est AS (
+        SELECT c.doc_id, c.ref_id,
+               SUM(CASE WHEN ha.h = hb.h THEN 1 ELSE 0 END) / 16.0 AS est_jaccard
+        FROM cand c
+        JOIN hx ha ON ha.doc_id = c.doc_id
+        JOIN hx hb ON hb.doc_id = c.ref_id AND hb.j = ha.j
+        GROUP BY c.doc_id, c.ref_id),
+      m AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches, MAX(est_jaccard) AS best_est
+        FROM est WHERE est_jaccard >= 0.5 GROUP BY doc_id)
+      SELECT d.doc_id, m.doc_id IS NOT NULL AS is_match,
+             CAST(COALESCE(m.n_matches, 0) AS BIGINT) AS n_matches,
+             COALESCE(m.best_est, 0.0) AS best_est
+      FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+      WHERE d.doc_id % 10 = 0
+      ORDER BY d.doc_id"""),
+    prod = Some((s, d) => {
+      val docs = graft.Tables.documents(s, d)
+      nearDupBatchMd5(
+        docs.filter(col("doc_id") % 10 === 0),
+        docs.filter(col("doc_id") % 10 =!= 0))
+    }),
+  )
+
   def all: Seq[GraftQuery] =
     Seq(qWindowed, qSessionize, qIntervalJoin, qDedup, qDecontam, qScd2, qTransitions,
-      qRateLimit, qRateLimitBucketed)
+      qRateLimit, qRateLimitBucketed, qCurate, qNearDup)
 }

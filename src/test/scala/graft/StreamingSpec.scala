@@ -250,6 +250,62 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream_curate: batch-mode run of the literal fold equals the streamed run") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val body = (0 until 30).map(i => s"tok$i").mkString(" ")
+    // (doc_id, text, lang, ts): keeper of the dup family arrives FIRST
+    // (min ts is also min doc_id, matching curateInput's monotone rule);
+    // rows cover all four verdicts plus the NULL-lang branch.
+    def t(m: Long) = new Timestamp(1700000000000L + m * 60000L)
+    val rows = Seq(
+      (1L, body, "en", t(0)),               // kept (keeper of the family)
+      (2L, body, "en", t(1)),               // exact_dup, same micro-batch
+      (3L, "tiny doc", "en", t(2)),         // too_short
+      (4L, body + " unique4", "fr", t(3)),  // wrong_lang
+      (5L, body, "en", t(10)),              // exact_dup, LATER micro-batch (state path)
+      (6L, body + " unique6", null.asInstanceOf[String], t(4))) // NULL lang => wrong_lang
+    val batchRun = Streams.curateStream(
+      rows.toDF("doc_id", "text", "lang", "ts"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val ms = MemoryStream[(Long, String, String, Timestamp)]
+    val q = Streams.curateStream(ms.toDF().toDF("doc_id", "text", "lang", "ts"))
+      .writeStream.format("memory").queryName("graft_curate_twin")
+      .outputMode("append").start()
+    try {
+      ms.addData(rows.take(4): _*)
+      q.processAllAvailable()
+      ms.addData(rows.drop(4): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("graft_curate_twin")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(streamed == batchRun, s"batch-mode fold must equal streamed: $streamed vs $batchRun")
+      assert(batchRun == Set(
+        (1L, "kept"), (2L, "exact_dup"), (3L, "too_short"),
+        (4L, "wrong_lang"), (5L, "exact_dup"), (6L, "wrong_lang")))
+    } finally q.stop()
+  }
+
+  test("nearDupBatchMd5 flags planted near-dups of the corpus and nothing else") {
+    import spark.implicits._
+    def doc(seed: Int) = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(80)(s"w${r.nextInt(40)}").mkString(" ")
+    }
+    val corpus = Seq((100L, doc(1)), (200L, doc(2))).toDF("doc_id", "text")
+    val arrivals = Seq(
+      (10L, doc(1).split(" ").updated(40, "CHANGED").mkString(" ")), // near-dup of 100
+      (20L, doc(3))                                                   // unrelated
+    ).toDF("doc_id", "text")
+    val out = Streams.nearDupBatchMd5(arrivals, corpus)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(out.map(t => (t._1, t._2)).toSeq == Seq((10L, true), (20L, false)), s"got ${out.toSeq}")
+    val hit = out.find(_._1 == 10L).get
+    assert(hit._3 == 1L && hit._4 >= 0.5, s"one partner above tau: $hit")
+    assert(out.find(_._1 == 20L).get._4 == 0.0)
+  }
+
   test("streaming decontamination flags arrivals against the static benchmark") {
     import spark.implicits._
     implicit val sc = spark.sqlContext

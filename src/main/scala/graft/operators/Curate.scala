@@ -131,15 +131,17 @@ object Curate {
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
 
   /** Benchmark-contamination gate over the gated stage table: docs
-    * sharing a 3-shingle with the benchmark set, via q44's bloom-
-    * prefilter + exact-confirm shape (the output is exact; the bloom
-    * only cuts the shingle stream entering the confirm join). Shingles
-    * come from the stage table's token arrays — no extra text scan.
-    * Returns the contaminated doc_ids.
+    * sharing an 8-gram ([[TrainPrep.DecontamN]] — the published
+    * contamination-filter width; 3-grams over-flag catastrophically at
+    * scale, see that constant's scaladoc) with the benchmark set, via
+    * q44's bloom-prefilter + exact-confirm shape (the output is exact;
+    * the bloom only cuts the n-gram stream entering the confirm join).
+    * N-grams come from the stage table's token arrays — no extra text
+    * scan. Returns the contaminated doc_ids.
     */
   def contamGate(gated: DataFrame, bench: DataFrame,
       numBits: Long = 1L << 20, numHashes: Int = 6): DataFrame = {
-    val sh = (t: Column) => graft.gfunctions.shingle_md5_hashes(t)
+    val sh = (t: Column) => graft.gfunctions.kgram_md5_hashes(t, TrainPrep.DecontamN)
     val benchSet = bench.select(explode(sh(col("toks"))).as("hash")).distinct()
     // Model-fit step: the bloom is a Literal, never a join row — a blob
     // riding a join row is re-copied by every probe (see bloomDecontam).
@@ -216,7 +218,7 @@ object Curate {
 
   /** Curation with a benchmark-decontamination gate: the corpus slice
     * (doc_id % 20 != 0, the convention shared with q38/q44) is curated
-    * as in [[curate]], with contaminated docs — sharing a 3-shingle with
+    * as in [[curate]], with contaminated docs — sharing an 8-gram with
     * the benchmark slice — dropped AFTER the per-row gates and BEFORE
     * dedup, so a contaminated doc never survives as an exact keeper and
     * dedup evidence points only at docs still in the running. The gate
@@ -432,7 +434,7 @@ object Curate {
 
   /** The decontaminating-curation oracle CTE chain ending in a `dec`
     * decision CTE (doc_id, verdict, cluster_id): the corpus_curate_md5
-    * oracle with a contamination CTE (benchmark shingle overlap, the
+    * oracle with a contamination CTE (benchmark 8-gram overlap, the
     * q44 rule) spliced between the per-row gates and the dedup
     * population. Shared VERBATIM by qCurateDecontam's final SELECT and
     * TrainPipeline's end-to-end oracle, so the two gates cannot drift.
@@ -446,8 +448,9 @@ object Curate {
       gated AS (SELECT * FROM corpus WHERE n_toks >= 5 AND lang = 'en'),
       shc AS (
         SELECT DISTINCT doc_id,
-          CAST(('0x' || substr(md5(toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]), 1, 15)) AS BIGINT) AS hash
-        FROM staged CROSS JOIN UNNEST(range(0, greatest(len(toks) - 2, 0))) AS u(i)),
+          CAST(('0x' || substr(md5(toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]
+            || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7] || ' ' || toks[i+8]), 1, 15)) AS BIGINT) AS hash
+        FROM staged CROSS JOIN UNNEST(range(0, greatest(len(toks) - 7, 0))) AS u(i)),
       bset AS (SELECT DISTINCT hash FROM shc WHERE doc_id % 20 = 0),
       contam AS (
         SELECT DISTINCT shc.doc_id

@@ -14,8 +14,8 @@ import graft.{GraftQuery, Tables, gfunctions}
   * token-budget shards, T5/GPT-3 style).
   *
   * Scale design notes:
-  * - Decontamination joins on 60-bit md5 shingle hashes in BOTH engines
-  *   — the overlap exchange ships 8-byte keys, never shingle strings,
+  * - Decontamination joins on 60-bit md5 8-gram hashes in BOTH engines
+  *   — the overlap exchange ships 8-byte keys, never n-gram strings,
   *   and the benchmark side (eval sets are tiny vs a 100 TB corpus) is
   *   broadcast, so the corpus side never shuffles at all.
   * - Sampling is one stateless codegen'd filter — zero shuffles, and
@@ -39,6 +39,18 @@ object TrainPrep {
   private val BenchMod = 20
   private def isBench: Column = col("doc_id") % BenchMod === 0
 
+  /** Decontamination n-gram width: 8 tokens, the published
+    * contamination-filter standard (GPT-3 appendix C uses 13-gram/8-gram
+    * family rules; Llama-style pipelines use 8). Short n-grams invert at
+    * scale: with 3-grams, common-phrase collisions flag 84% of the
+    * sf0.01 corpus and 95% at sf0.1 (measured — rising with corpus
+    * size, so a 100 TB corpus would be annihilated), while 8-grams flag
+    * exactly the verbatim-overlap docs (2 at sf0.01, 27 at sf0.1). Every
+    * decontam oracle's SQL hardcodes this width in its n-gram concat —
+    * keep them in lockstep.
+    */
+  private[graft] val DecontamN = 8
+
   /** 60-bit md5 hash of a string column — equals DuckDB's
     * CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT).
     */
@@ -47,28 +59,27 @@ object TrainPrep {
 
   // ------------------------------------------------------------ q38
 
-  /** Per-document contamination decision table: distinct 3-shingle
-    * hashes of each corpus doc joined against the distinct shingle-hash
+  /** Per-document contamination decision table: distinct [[DecontamN]]-gram
+    * hashes of each corpus doc joined against the distinct n-gram-hash
     * set of the benchmark slice. A single overlapping n-gram marks the
-    * doc contaminated (the GPT-3 appendix-C rule, on 3-shingles because
-    * the synthetic docs are ~10-100 tokens).
+    * doc contaminated (the GPT-3 appendix-C rule).
     */
   private def contamination(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    // Sorted distinct md5-h1 shingle hashes per doc — the native kernel
-    // computes exactly conv(substr(md5(shingle),1,15),16,10), so the
+    // Sorted distinct md5-h1 n-gram hashes per doc — the native kernel
+    // computes exactly conv(substr(md5(gram),1,15),16,10), so the
     // oracle reproduces every joined value in ANSI SQL.
     val benchSet = docs.filter(isBench)
-      .select(explode(gfunctions.shingle_md5_hashes(toks)).as("hash"))
+      .select(explode(gfunctions.kgram_md5_hashes(toks, DecontamN)).as("hash"))
       .distinct()
       .withColumn("hit", lit(1))
-    // ONE corpus pass: explode_outer keeps zero-shingle docs (NULL hash),
+    // ONE corpus pass: explode_outer keeps zero-gram docs (NULL hash),
     // the left broadcast join marks benchmark matches, and a single
     // count-the-non-nulls aggregate recovers both totals — the exchange
     // sees map-side-combined per-doc rows, never the exploded stream.
     docs.filter(!isBench)
       .select(col("doc_id"),
-        explode_outer(gfunctions.shingle_md5_hashes(toks)).as("hash"))
+        explode_outer(gfunctions.kgram_md5_hashes(toks, DecontamN)).as("hash"))
       .join(broadcast(benchSet), Seq("hash"), "left")
       .groupBy("doc_id")
       .agg(
@@ -89,8 +100,9 @@ object TrainPrep {
         FROM documents),
       sh AS (
         SELECT DISTINCT doc_id,
-          CAST(('0x' || substr(md5(toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]), 1, 15)) AS BIGINT) AS hash
-        FROM t CROSS JOIN UNNEST(range(0, greatest(len(toks) - 2, 0))) AS u(i)),
+          CAST(('0x' || substr(md5(toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]
+            || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7] || ' ' || toks[i+8]), 1, 15)) AS BIGINT) AS hash
+        FROM t CROSS JOIN UNNEST(range(0, greatest(len(toks) - 7, 0))) AS u(i)),
       bench AS (
         SELECT DISTINCT hash FROM sh WHERE doc_id % $BenchMod = 0),
       corpus AS (
@@ -114,7 +126,7 @@ object TrainPrep {
 
   // ------------------------------------------------------------ q44
 
-  /** Bloom geometry for the benchmark shingle set. 2^20 bits / 6 hashes
+  /** Bloom geometry for the benchmark n-gram set. 2^20 bits / 6 hashes
     * holds ~100k keys under 1% FPR; at a real eval-suite scale (10^8
     * shingles) the same code takes numBits = 2^30 (128 MB) — still one
     * broadcast blob where the exact hash SET would be gigabytes.
@@ -123,7 +135,7 @@ object TrainPrep {
   private val BloomHashes = 6
 
   /** q38's contamination decision via a bloom-prefiltered exact join —
-    * the 100 TB shape when the benchmark shingle set outgrows the
+    * the 100 TB shape when the benchmark n-gram set outgrows the
     * broadcast-join threshold. The corpus side probes the
     * [[graft.functions.BloomAgg]]-built filter inside its scan stage
     * (codegen'd [[graft.functions.BloomContains]], no shuffle), so only
@@ -131,7 +143,7 @@ object TrainPrep {
     * residue — enter the exact confirm join. The OUTPUT is exact: false
     * positives die in the confirm join, so this hash-compares against
     * the same oracle rule as q38 despite the probabilistic prefilter.
-    * Corpus shingles never shuffle at all; the confirm exchange carries
+    * Corpus n-grams never shuffle at all; the confirm exchange carries
     * only the survivor stream of 8-byte keys.
     *
     * The bloom is built by a SEPARATE tiny job over the benchmark side
@@ -146,13 +158,13 @@ object TrainPrep {
   private[graft] def bloomDecontam(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val benchSet = docs.filter(isBench)
-      .select(explode(gfunctions.shingle_md5_hashes(toks)).as("hash"))
+      .select(explode(gfunctions.kgram_md5_hashes(toks, DecontamN)).as("hash"))
       .distinct()
     val bloom = benchSet
       .agg(gfunctions.bloom_agg(col("hash"), BloomBits, BloomHashes).as("bf"))
       .collect()(0).getAs[Array[Byte]](0)
     val candidates = docs.filter(!isBench)
-      .select(col("doc_id"), explode(gfunctions.shingle_md5_hashes(toks)).as("hash"))
+      .select(col("doc_id"), explode(gfunctions.kgram_md5_hashes(toks, DecontamN)).as("hash"))
       .filter(gfunctions.bloom_contains(lit(bloom), col("hash"), BloomHashes))
     val hits = candidates
       .join(benchSet, Seq("hash"), "leftsemi")
@@ -176,8 +188,9 @@ object TrainPrep {
         FROM documents),
       sh AS (
         SELECT DISTINCT doc_id,
-          CAST(('0x' || substr(md5(toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]), 1, 15)) AS BIGINT) AS hash
-        FROM t CROSS JOIN UNNEST(range(0, greatest(len(toks) - 2, 0))) AS u(i)),
+          CAST(('0x' || substr(md5(toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]
+            || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7] || ' ' || toks[i+8]), 1, 15)) AS BIGINT) AS hash
+        FROM t CROSS JOIN UNNEST(range(0, greatest(len(toks) - 7, 0))) AS u(i)),
       bench AS (
         SELECT DISTINCT hash FROM sh WHERE doc_id % $BenchMod = 0),
       hits AS (

@@ -285,7 +285,7 @@ object Streams {
       }
       .start()
 
-  /** Streaming decontamination gate: each arriving doc's shingle hashes
+  /** Streaming decontamination gate: each arriving doc's 8-gram hashes
     * probe a bloom filter of the STATIC benchmark corpus inside the scan
     * stage (codegen'd, stateless), and only bloom survivors enter the
     * stream-static confirm semi-join — so false positives die before any
@@ -305,7 +305,8 @@ object Streams {
       numBits: Long = 1L << 20,
       numHashes: Int = 6): DataFrame = {
     val shingles = (c: Column) =>
-      graft.gfunctions.shingle_md5_hashes(graft.gfunctions.ws_tokens(c))
+      graft.gfunctions.kgram_md5_hashes(
+        graft.gfunctions.ws_tokens(c), graft.operators.TrainPrep.DecontamN)
     val benchSet = bench.select(explode(shingles(col("text"))).as("hash")).distinct()
     val bloom = benchSet
       .agg(graft.gfunctions.bloom_agg(col("hash"), numBits, numHashes).as("bf"))
@@ -862,8 +863,9 @@ object Streams {
         FROM documents),
       sh AS (
         SELECT DISTINCT doc_id,
-          CAST(('0x' || substr(md5(toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]), 1, 15)) AS BIGINT) AS hash
-        FROM t CROSS JOIN UNNEST(range(0, greatest(len(toks) - 2, 0))) AS u(i)),
+          CAST(('0x' || substr(md5(toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]
+            || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7] || ' ' || toks[i+8]), 1, 15)) AS BIGINT) AS hash
+        FROM t CROSS JOIN UNNEST(range(0, greatest(len(toks) - 7, 0))) AS u(i)),
       bench AS (
         SELECT DISTINCT hash FROM sh WHERE doc_id % 20 = 0)
       SELECT DISTINCT sh.doc_id

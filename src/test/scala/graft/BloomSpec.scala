@@ -53,9 +53,11 @@ class BloomSpec extends AnyFunSuite {
 
   test("q44 decision table is exactly q38's (doc_id, contaminated) columns") {
     val rows = (0L until 240L).map { i =>
+      // quoting docs embed bench doc 0's first 8-gram verbatim (decontam
+      // width = TrainPrep.DecontamN = 8 tokens)
       val text =
         if (i % 20 == 0) s"benchmark eval passage number $i with shared tail tokens"
-        else if (i % 7 == 0) "benchmark eval passage number 0 quoted verbatim inside corpus"
+        else if (i % 7 == 0) "benchmark eval passage number 0 with shared tail quoted inside corpus"
         else s"ordinary corpus document $i body text with enough tokens"
       (i, text, "en", "s", text.length.toLong)
     }

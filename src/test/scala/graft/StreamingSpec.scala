@@ -313,7 +313,9 @@ class StreamingSpec extends AnyFunSuite {
       (100L, "held out benchmark question about spark joins here"),
       (101L, "another eval passage with distinctive token sequences"),
     ).toDF("doc_id", "text")
-    val quoted = "prefix words then held out benchmark question about spark and more"
+    // the quoted arrival embeds bench 100's full 8-token text verbatim
+    // (decontam n-grams are 8 tokens wide)
+    val quoted = "prefix words then held out benchmark question about spark joins here and more"
     val clean = "completely unrelated corpus text body with plenty of tokens"
     def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
     val ms = MemoryStream[(Long, String, Timestamp)]

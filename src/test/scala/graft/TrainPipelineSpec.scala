@@ -12,7 +12,7 @@ class TrainPipelineSpec extends AnyFunSuite {
   lazy val spark = TestSession.spark
 
   /** Planted corpus hitting every gate at once: a benchmark doc (id%20=0),
-    * a doc quoting its opening 3-shingle (contaminated), an exact-dup
+    * a doc quoting its opening 8-gram (contaminated), an exact-dup
     * pair, a too-short doc, a wrong-lang doc, 20 unique keepers in ONE
     * source (quota = 15 cuts 5), and 2 keepers in another source.
     * Token vocabularies are doc-local (d<id>t<i>) so no accidental
@@ -23,7 +23,7 @@ class TrainPipelineSpec extends AnyFunSuite {
     def toks(id: Long, n: Int) = (0 until n).map(i => s"d${id}t$i").mkString(" ")
     val base = Seq(
       (20L, toks(20, 60), "en", "sB"),
-      (3L, toks(3, 30) + " " + toks(20, 60).split(" ").take(3).mkString(" "), "en", "sB"),
+      (3L, toks(3, 30) + " " + toks(20, 60).split(" ").take(10).mkString(" "), "en", "sB"),
       (5L, toks(5, 40), "en", "sB"),
       (7L, toks(5, 40), "en", "sB"), // same text as 5 -> exact_dup
       (9L, "ab cd", "en", "sB"),

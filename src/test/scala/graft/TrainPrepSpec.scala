@@ -12,25 +12,32 @@ class TrainPrepSpec extends AnyFunSuite {
   private def planted(name: String, rows: Seq[(Long, String, String, String, Long)]): String =
     PlantedDocs.write(spark, s"/tmp/graft-test/$name", rows)
 
-  test("q38 flags corpus docs sharing a 3-gram with the benchmark slice") {
-    // doc_id % 20 == 0 -> benchmark member (docs 0 and 20).
+  test("q38 flags corpus docs sharing an 8-gram with the benchmark slice") {
+    // doc_id % 20 == 0 -> benchmark member (docs 0 and 20). Decontam
+    // n-grams are 8 tokens wide (TrainPrep.DecontamN), so only a
+    // contiguous 8-token verbatim span flags — a shared phrase shorter
+    // than that stays clean.
+    val benchA = "alpha beta gamma delta epsilon zeta eta theta iota kappa" // 10 toks
+    val benchB = "held out eval question here with trailing filler tokens padding ok" // 11 toks
     val dir = planted("contam", Seq(
-      (0L, "alpha beta gamma delta", "en", "s", 22L), // bench: shingles {alpha beta gamma, beta gamma delta}
-      (20L, "held out eval question here", "en", "s", 27L), // bench
-      (1L, "zzz alpha beta gamma yyy", "en", "s", 24L), // contains a bench shingle
-      (2L, "totally unrelated clean text body", "en", "s", 33L), // clean
-      (3L, "held out eval question here", "en", "s", 27L), // verbatim bench copy
-      (4L, "xy", "en", "s", 2L), // <3 tokens: no shingles, clean
+      (0L, benchA, "en", "s", 22L),
+      (20L, benchB, "en", "s", 27L),
+      // embeds benchA's first 8 tokens verbatim -> exactly one hit
+      (1L, "zzz1 zzz2 alpha beta gamma delta epsilon zeta eta theta yyy", "en", "s", 24L),
+      // shares a 7-token span with benchA: UNDER the width, stays clean
+      (2L, "alpha beta gamma delta epsilon zeta eta other words here now", "en", "s", 33L),
+      (3L, benchB, "en", "s", 27L), // verbatim bench copy
+      (4L, "only seven tokens in this doc here", "en", "s", 2L), // <8 tokens: no grams
     ))
     val got = operators.TrainPrep.q38.run(spark, dir)
       .collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
       .toMap
     assert(!got.contains(0L) && !got.contains(20L), "benchmark docs are not graded")
-    assert(got(1L) == ((3L, 1L, 1L)), "one overlapping shingle -> contaminated")
-    assert(got(2L)._2 == 0L && got(2L)._3 == 0L, "disjoint doc stays clean")
-    assert(got(3L) == ((3L, 3L, 1L)), "verbatim eval copy: every shingle hits")
-    assert(got(4L) == ((0L, 0L, 0L)), "short doc has no shingles and stays clean")
+    assert(got(1L) == ((4L, 1L, 1L)), s"one overlapping 8-gram -> contaminated, got ${got(1L)}")
+    assert(got(2L) == ((4L, 0L, 0L)), s"7-token overlap is under the width, got ${got(2L)}")
+    assert(got(3L) == ((4L, 4L, 1L)), "verbatim eval copy: every 8-gram hits")
+    assert(got(4L) == ((0L, 0L, 0L)), "short doc has no 8-grams and stays clean")
   }
 
   test("q41 fixed-size sample equals the sort-based reference and ignores text edits") {

@@ -824,6 +824,55 @@ object TextAnalysis {
     prod = Some((s, d) => sourceOverlap(s, d)),
   )
 
+  /** BPE-style pre-tokenizer pieces: maximal letter runs, digit runs,
+    * and single non-alphanumeric symbols — the GPT-2-family pre-split
+    * shape (contractions and unicode classes dropped so the SAME
+    * pattern is leftmost-longest-identical under Java regex and
+    * DuckDB's RE2; the classes are disjoint, so alternation order
+    * cannot diverge either). Counting these approximates subword token
+    * budgets far better than whitespace words: "don't stop, it's
+    * 2024!" is 4 whitespace tokens but 10 pieces.
+    */
+  private[graft] val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Per-source BPE-piece budget next to the whitespace-token budget:
+    * piece counts, davg, and FERTILITY (pieces per whitespace token —
+    * the standard tokenizer-cost metric; rising fertility marks
+    * sources that will eat disproportionate sequence length). One
+    * stateless scan + one per-source aggregate, exact-integer sums
+    * with the decimal-division determinism rule.
+    */
+  val q71 = GraftQuery(
+    "q71_bpe_tokens",
+    (s, d) => {
+      val perDoc = Tables.documents(s, d).select(
+        col("source"),
+        size(toks).cast("long").as("n_ws"),
+        size(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
+          .cast("long").as("n_pieces"))
+      perDoc
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_pieces")).as("sum_pieces"),
+          davg(col("n_pieces")).as("avg_pieces"),
+          (sum(col("n_pieces").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+            .cast("double") / sum(col("n_ws"))).as("fertility"),
+        )
+        .orderBy("source")
+    },
+    Some("""SELECT source, COUNT(*) AS n_docs,
+      CAST(SUM(n_pieces) AS BIGINT) AS sum_pieces,
+      CAST(SUM(CAST(n_pieces AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_pieces,
+      CAST(SUM(CAST(n_pieces AS DECIMAL(18,4))) AS DOUBLE) / SUM(n_ws) AS fertility
+      FROM (SELECT source,
+              len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_ws,
+              len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_pieces
+            FROM documents) t
+      GROUP BY source ORDER BY source"""),
+  )
+
   def all: Seq[GraftQuery] =
-    Seq(q30, q31, q32, q33, q33md5, q34, q35, q35exact, q36, q37, q42, q46, q48, q49, q51, q54)
+    Seq(q30, q31, q32, q33, q33md5, q34, q35, q35exact, q36, q37, q42, q46, q48, q49,
+      q51, q54, q71)
 }

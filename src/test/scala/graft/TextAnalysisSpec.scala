@@ -34,6 +34,23 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got == Set(("en", "en", 1L), ("de", "de", 1L), ("es", "es", 1L), ("fr", "fr", 1L), ("zh", "und", 1L)))
   }
 
+  test("q71 counts BPE-style pieces and fertility against hand-counted docs") {
+    val dir = planted("bpe", Seq(
+      // don|'|t| |stop|,| |it|'|s| |2024|! -> 10 pieces, 4 ws tokens
+      (1L, "don't stop, it's 2024!", "en", "sA", 22L),
+      // plain|words|only -> 3 pieces = 3 ws tokens (fertility 1.0)
+      (2L, "plain words only", "en", "sB", 16L),
+      // x1y2 -> x|1|y|2 = 4 pieces, 1 ws token
+      (3L, "x1y2", "en", "sB", 4L),
+    ))
+    val got = operators.TextAnalysis.q71.run(spark, dir)
+      .collect().map(r =>
+        r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(got("sA") == ((1L, 10L, 10.0, 2.5)), s"got ${got("sA")}")
+    assert(got("sB") == ((2L, 7L, 3.5, 7.0 / 4.0)), s"got ${got("sB")}")
+  }
+
   test("q42 vocab head orders by count then token, with doc frequency") {
     val dir = planted("vocab", Seq(
       (1L, "aa bb aa cc", "en", "s", 11L),

@@ -378,5 +378,67 @@ object Multimodal {
     prod = Some((s, d) => resizeThumbs(binarizeWithImages(Tables.documents(s, d))).toDF()),
   )
 
-  def all: Seq[GraftQuery] = Seq(qBinaryMeta, qMetaMd5, qFrameSample, qResize)
+  /** Per-image decoded features: exact integer channel sums and pixel
+    * count (means are a downstream division — integers keep the row
+    * bit-stable across partition order and replay, the same
+    * exact-sums-first discipline the text metrics use). Fallback lane
+    * (non-image payloads) reports decoded=false with zeroed features —
+    * the quarantine split again.
+    */
+  final case class ImgFeatures(doc_id: Long, decoded: Boolean, w: Int, h: Int,
+      n_pix: Long, sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** REAL image feature extraction over the decoded raster — upgrades
+    * the feature-extract leg from [[decodeFeatures]]'s declared stub to
+    * an actual decode for image payloads: per-partition batched ImageIO
+    * decode (codec init once, same shape as [[resizeThumbs]]), then one
+    * integer pass over the ARGB raster. At 100 TB this is the
+    * embarrassing-parallel scan stage a vision-corpus pipeline runs
+    * before any shuffle; features (8 small ints) are what crosses into
+    * downstream aggregates, never pixels.
+    */
+  def imageFeatures(blobs: DataFrame): Dataset[ImgFeatures] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs
+      .select(col("doc_id").as("_1"), col("blob").as("_2"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, bytes) =>
+          val body = java.util.Arrays.copyOfRange(bytes, Magic.length, bytes.length)
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(body))
+            catch { case scala.util.control.NonFatal(_) => null }
+          if (img != null && img.getWidth > 0 && img.getHeight > 0) {
+            val w = img.getWidth
+            val h = img.getHeight
+            var r = 0L; var g = 0L; var b = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = img.getRGB(x, y)
+                r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            ImgFeatures(id, decoded = true, w, h, w.toLong * h, r, g, b)
+          } else ImgFeatures(id, decoded = false, 0, 0, 0L, 0L, 0L, 0L)
+        }
+      }
+  }
+
+  val qFeatures = GraftQuery(
+    "mm_features",
+    (s, d) => imageFeatures(binarizeWithImages(Tables.documents(s, d))).toDF().orderBy("doc_id"),
+    // rows-only: the values are pure functions of decoded pixels, not
+    // SQL-derivable from the parquet; the spec recomputes the planted
+    // PNGs' channel sums independently from the pixel generator.
+    None,
+    prod = Some((s, d) => imageFeatures(binarizeWithImages(Tables.documents(s, d))).toDF()),
+  )
+
+  def all: Seq[GraftQuery] = Seq(qBinaryMeta, qMetaMd5, qFrameSample, qResize, qFeatures)
 }

@@ -238,6 +238,34 @@ class SinkAndMultimodalSpec extends AnyFunSuite {
       .digest(px).map(b => f"$b%02x").mkString
     assert(md50 == want, s"doc $id0 thumb md5 must match the independent box filter")
   }
+
+  test("mm_features: decoded channel sums equal the pixel generator; fallback zeroes") {
+    import operators.Multimodal
+    val sf = "/root/testdata/sf0.001"
+    val rows = Multimodal.qFeatures.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getInt(2), r.getInt(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    val (dec, fall) = rows.partition(_._2)
+    assert(dec.nonEmpty && fall.nonEmpty, "both lanes must appear on driver data")
+    assert(rows.count(_._1 % Multimodal.ImageEvery == 0L) == dec.length,
+      "exactly the planted PNG lane decodes")
+    fall.foreach { case (id, _, w, h, np, r, g, b) =>
+      assert((w, h, np, r, g, b) == ((0, 0, 0L, 0L, 0L, 0L)), s"doc $id fallback must zero")
+    }
+    // every decoded row's exact integer channel sums must equal an
+    // independent recomputation from the deterministic pixel generator
+    dec.foreach { case (id, _, w, h, np, r, g, b) =>
+      val (ew, eh) = Multimodal.imageDims(id)
+      assert((w, h, np) == ((ew, eh, ew.toLong * eh)), s"doc $id geometry")
+      var er = 0L; var eg = 0L; var eb = 0L
+      for (y <- 0 until eh; x <- 0 until ew) {
+        val p = Multimodal.pixelOf(id, x, y)
+        er += (p >> 16) & 0xff; eg += (p >> 8) & 0xff; eb += p & 0xff
+      }
+      assert((r, g, b) == ((er, eg, eb)),
+        s"doc $id channel sums: got ($r,$g,$b), want ($er,$eg,$eb)")
+    }
+  }
 }
 
 class CosineSimSpec extends AnyFunSuite {

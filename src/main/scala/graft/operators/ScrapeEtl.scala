@@ -1130,6 +1130,76 @@ object ScrapeEtl {
     prod = Some((s, d) => sessionPercentiles(s, d)),
   )
 
+  /** Canonicalize a raw URL column — the crawl-frontier dedup rule every
+    * large-scale scraping/corpus pipeline applies before "have I fetched
+    * this?" (the reference re-crawls category pages; URL aliasing is why
+    * naive frontiers balloon): lowercase scheme+host, strip the default
+    * :443 port, drop the fragment, strip trailing path slashes, drop
+    * tracking params (utm*, ref), and SORT the surviving query params so
+    * param order cannot alias. Pure codegen'd string/regex/array ops —
+    * stateless map work; the only exchange in [[q74]] is the final
+    * canonical-key aggregate. Policy note: `utm%`/`ref=` prefixes are the
+    * canonicalization contract here, stated identically in the oracle.
+    */
+  def canonicalizeUrl(raw: Column): Column = {
+    val noFrag = regexp_replace(raw, "#.*$", "")
+    val host = regexp_replace(
+      lower(regexp_extract(noFrag, "^[A-Za-z]+://([^/?#]+)", 1)), ":443$", "")
+    val path = regexp_replace(
+      regexp_extract(noFrag, "^[A-Za-z]+://[^/?#]+([^?#]*)", 1), "/+$", "")
+    val query = regexp_extract(noFrag, "\\?([^#]*)", 1)
+    val kept = array_join(
+      array_sort(filter(split(query, "&"),
+        p => !(p.like("utm%") || p.like("ref=%") || p === ""))), "&")
+    concat(lit("https://"), host, path,
+      when(kept === "", lit("")).otherwise(concat(lit("?"), kept)))
+  }
+
+  val q74 = GraftQuery(
+    "q74_url_canonical",
+    (s, d) => {
+      // Three deterministic alias spellings per product page (case, default
+      // port + trailing slash + fragment, tracking params + param order) —
+      // the q28 synthesize-then-operate pattern; canonicalization must
+      // collapse each page's aliases to ONE frontier key.
+      val k = col("p_partkey").cast("string")
+      val raws = Tables.part(s, d).select(
+        explode(array(
+          concat(lit("HTTPS://Shop.Example.COM/p/"), k, lit("?sku="), k, lit("&a=1&utm_source=mail")),
+          concat(lit("https://shop.example.com:443/p/"), k, lit("/?a=1&sku="), k, lit("#frag")),
+          concat(lit("https://shop.example.com/p/"), k, lit("?utm_campaign=x&ref=home&a=1&sku="), k),
+        )).as("raw_url"))
+      raws
+        .select(canonicalizeUrl(col("raw_url")).as("canonical_url"), col("raw_url"))
+        .groupBy("canonical_url")
+        .agg(
+          count(lit(1)).as("n_raw"),
+          countDistinct(col("raw_url")).as("n_distinct_raw"))
+        .orderBy("canonical_url")
+    },
+    Some("""WITH raws AS (
+        SELECT unnest([
+          'HTTPS://Shop.Example.COM/p/' || CAST(p_partkey AS VARCHAR) || '?sku=' || CAST(p_partkey AS VARCHAR) || '&a=1&utm_source=mail',
+          'https://shop.example.com:443/p/' || CAST(p_partkey AS VARCHAR) || '/?a=1&sku=' || CAST(p_partkey AS VARCHAR) || '#frag',
+          'https://shop.example.com/p/' || CAST(p_partkey AS VARCHAR) || '?utm_campaign=x&ref=home&a=1&sku=' || CAST(p_partkey AS VARCHAR)
+        ]) AS raw_url
+        FROM part),
+      canon AS (
+        SELECT raw_url,
+          'https://'
+          || regexp_replace(lower(regexp_extract(regexp_replace(raw_url, '#.*$', ''), '^[A-Za-z]+://([^/?#]+)', 1)), ':443$', '')
+          || regexp_replace(regexp_extract(regexp_replace(raw_url, '#.*$', ''), '^[A-Za-z]+://[^/?#]+([^?#]*)', 1), '/+$', '')
+          || CASE WHEN array_to_string(list_sort(list_filter(string_split(regexp_extract(regexp_replace(raw_url, '#.*$', ''), '\?([^#]*)', 1), '&'), p -> NOT (p LIKE 'utm%' OR p LIKE 'ref=%' OR p = ''))), '&') = ''
+               THEN ''
+               ELSE '?' || array_to_string(list_sort(list_filter(string_split(regexp_extract(regexp_replace(raw_url, '#.*$', ''), '\?([^#]*)', 1), '&'), p -> NOT (p LIKE 'utm%' OR p LIKE 'ref=%' OR p = ''))), '&')
+          END AS canonical_url
+        FROM raws)
+      SELECT canonical_url,
+        COUNT(*) AS n_raw,
+        CAST(COUNT(DISTINCT raw_url) AS BIGINT) AS n_distinct_raw
+      FROM canon GROUP BY canonical_url ORDER BY canonical_url"""),
+  )
+
   def all: Seq[GraftQuery] =
-    Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q45, q53, q55, q56, q57, q58, q59, q62, q67, q68, q70)
+    Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q45, q53, q55, q56, q57, q58, q59, q62, q67, q68, q70, q74)
 }

@@ -219,5 +219,97 @@ object Similarity {
     prod = Some((s, d) => centroidOutliers(s, d)),
   )
 
-  def all: Seq[GraftQuery] = Seq(qBrute, qLsh, qIvf, qOutlier)
+  // ------------------------------------------------- int8 quantization
+
+  /** Per-vector symmetric int8 quantization — the storage/memory scale
+    * path for ANN: codes are 1 byte per dimension vs 4 (float), so a
+    * 100 TB embedding store serves from a quarter of the executor
+    * memory, and integer dot products SIMD-vectorize. Scheme: amax =
+    * max |v_i| (exact — float→double cast and abs are exact, max is
+    * order-free), code_i = floor(v_i·127/amax + 0.5) ∈ [-127, 127],
+    * dequant scale = amax/127. floor(x + 0.5) rather than round():
+    * Spark HALF_UP vs DuckDB's away-from-zero disagree on negative
+    * halves, floor is the same correctly-rounded IEEE op in both.
+    * Quantized cosine needs NO dequantization: per-vector scales cancel
+    * in dot/sqrt(norm·norm), so ranking runs on pure integer products.
+    * All-zero vectors take the declared zero lane (codes 0, scale 0).
+    */
+  def quantizeInt8(emb: DataFrame): DataFrame =
+    emb
+      .withColumn("amax",
+        expr("aggregate(CAST(embedding AS ARRAY<DOUBLE>), 0D, (acc, x) -> greatest(acc, abs(x)))"))
+      .withColumn("codes",
+        when(col("amax") === 0d, expr("transform(embedding, x -> 0)"))
+          .otherwise(expr("transform(CAST(embedding AS ARRAY<DOUBLE>), x -> CAST(floor(x * 127.0D / amax + 0.5D) AS INT))")))
+      .withColumn("qscale",
+        when(col("amax") === 0d, lit(0d)).otherwise(col("amax") / lit(127.0)))
+
+  /** Quantized brute-force top-k: the ann_bruteforce shape (corpus ×
+    * broadcast queries, bounded-heap rank) over int8 codes. Codes are
+    * cast to float for the native cosine kernel — exact (|code| ≤ 127),
+    * and the scales cancel, so sim = int dot / sqrt(int norms).
+    */
+  def int8TopK(corpus: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
+    def coded(df: DataFrame): DataFrame =
+      quantizeInt8(df).select(
+        col("vec_id"),
+        expr("transform(codes, c -> CAST(c AS FLOAT))").as("fcodes"))
+    val scored = coded(corpus).alias("c")
+      .join(
+        broadcast(coded(queries).select(col("vec_id").as("query_id"), col("fcodes").as("qcodes"))),
+        col("query_id") =!= col("c.vec_id"))
+      .select(
+        col("query_id"),
+        col("c.vec_id").as("neighbor_id"),
+        cosine_sim(col("c.fcodes"), col("qcodes")).as("sim"))
+    rankTopK(scored, k)
+  }
+
+  private def quantSummary(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    quantizeInt8(Tables.embeddings(s, d)).select(
+      col("vec_id"),
+      col("qscale"),
+      expr("aggregate(codes, 0L, (acc, c) -> acc + CAST(c AS BIGINT))").as("code_sum"),
+      expr("aggregate(codes, 0L, (acc, c) -> acc + CAST(abs(c) AS BIGINT))").as("code_abs_sum"),
+      size(expr("filter(codes, c -> abs(c) = 127)")).cast("long").as("n_sat"))
+
+  val qQuant = GraftQuery(
+    "q73_embed_quantize",
+    (s, d) => quantSummary(s, d).orderBy("vec_id"),
+    // The checksum projection (code sums, |code| sums, saturation count)
+    // pins every code value under the HARD gate without hashing arrays:
+    // a single flipped code moves code_abs_sum or code_sum.
+    Some("""WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+      a AS (
+        SELECT vec_id, dv,
+          list_max(list_transform(dv, x -> abs(x))) AS amax
+        FROM v),
+      q AS (
+        SELECT vec_id, amax,
+          CASE WHEN amax = 0 THEN list_transform(dv, x -> 0)
+               ELSE list_transform(dv, x -> CAST(floor(x * 127.0 / amax + 0.5) AS INT)) END AS codes
+        FROM a)
+      SELECT vec_id,
+        CASE WHEN amax = 0 THEN 0.0 ELSE amax / 127.0 END AS qscale,
+        CAST(list_aggregate(codes, 'sum') AS BIGINT) AS code_sum,
+        CAST(list_aggregate(list_transform(codes, c -> abs(c)), 'sum') AS BIGINT) AS code_abs_sum,
+        CAST(len(list_filter(codes, c -> abs(c) = 127)) AS BIGINT) AS n_sat
+      FROM q ORDER BY vec_id"""),
+    prod = Some((s, d) => quantSummary(s, d)),
+  )
+
+  val qInt8 = GraftQuery(
+    "ann_int8_topk",
+    // rows-only: ranking quality is a recall property, not SQL-equality —
+    // the spec pins recall@10 vs the exact brute force and the per-component
+    // dequantization error bound (<= qscale/2).
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      int8TopK(emb, querySet(emb))
+    },
+    None,
+  )
+
+  def all: Seq[GraftQuery] = Seq(qBrute, qLsh, qIvf, qOutlier, qQuant, qInt8)
 }

@@ -872,7 +872,77 @@ object TextAnalysis {
       GROUP BY source ORDER BY source"""),
   )
 
+  /** Linear quality-classifier weights — the fasttext-style model-based
+    * document filter (q31 reports corpus-level signal aggregates; this
+    * scores and GATES each doc). The model enters the plan as literals
+    * (the bloom/IVF model-fit discipline: fitting is a declared
+    * driver-side step, inference is distributed); here the weights are a
+    * fixed hand-fit stand-in with the real model's shape — a dot product
+    * over engineered ratio features plus a length feature.
+    */
+  private val QcW =
+    Map("stop" -> 2.0, "len" -> 0.8, "punct" -> -3.0, "digit" -> -2.0, "upper" -> -1.5)
+  private val QcThreshold = 0.15
+  private val QcLenCap = 256L
+
+  /** Per-doc quality classification: exact integer counts → one guarded
+    * double division per ratio → a fixed-order weighted sum. Every op is
+    * correctly-rounded IEEE (+,-,×,÷ only, no transcendentals) in the
+    * SAME order as the oracle SQL, so scores sit under the HARD hash
+    * gate. Stateless scan, zero shuffle before the caller's use — at
+    * 100 TB this is the map-side gate fused into the corpus read.
+    */
+  private def qualityClassify(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val counted = Tables.documents(s, d).select(
+      col("doc_id"), col("source"),
+      length(col("text")).cast("long").as("n_chars"),
+      size(toks).cast("long").as("n_toks"),
+      hits(toks, enWords).cast("long").as("n_stop"),
+      (length(col("text")) - length(regexp_replace(col("text"), "[.,;:!?]", ""))).cast("long").as("n_punct"),
+      (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", ""))).cast("long").as("n_digit"),
+      (length(col("text")) - length(regexp_replace(col("text"), "[A-Z]", ""))).cast("long").as("n_upper"))
+    def ratio(num: Column, den: Column): Column =
+      when(den === 0L, lit(0d)).otherwise(num.cast("double") / den.cast("double"))
+    val scored = counted.select(
+      col("doc_id"), col("source"),
+      (lit(QcW("stop")) * ratio(col("n_stop"), col("n_toks"))
+        + lit(QcW("len")) * (least(col("n_toks"), lit(QcLenCap)).cast("double") / lit(QcLenCap.toDouble))
+        + lit(QcW("punct")) * ratio(col("n_punct"), col("n_chars"))
+        + lit(QcW("digit")) * ratio(col("n_digit"), col("n_chars"))
+        + lit(QcW("upper")) * ratio(col("n_upper"), col("n_chars"))).as("score"))
+    scored.select(
+      col("doc_id"), col("source"), col("score"),
+      (col("score") >= lit(QcThreshold)).cast("long").as("keep"))
+  }
+
+  val q72 = GraftQuery(
+    "q72_quality_classifier",
+    (s, d) => qualityClassify(s, d).orderBy("doc_id"),
+    Some(s"""WITH counted AS (
+        SELECT doc_id, source,
+          CAST(length(text) AS BIGINT) AS n_chars,
+          CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_toks,
+          CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS BIGINT) AS n_stop,
+          CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+          CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+          CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS BIGINT) AS n_upper
+        FROM documents),
+      scored AS (
+        SELECT doc_id, source,
+          ${QcW("stop")} * (CASE WHEN n_toks = 0 THEN 0.0 ELSE CAST(n_stop AS DOUBLE) / CAST(n_toks AS DOUBLE) END)
+          + ${QcW("len")} * (CAST(least(n_toks, $QcLenCap) AS DOUBLE) / ${QcLenCap.toDouble})
+          + ${QcW("punct")} * (CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) END)
+          + ${QcW("digit")} * (CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(n_digit AS DOUBLE) / CAST(n_chars AS DOUBLE) END)
+          + ${QcW("upper")} * (CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(n_upper AS DOUBLE) / CAST(n_chars AS DOUBLE) END)
+          AS score
+        FROM counted)
+      SELECT doc_id, source, score,
+        CAST(CASE WHEN score >= $QcThreshold THEN 1 ELSE 0 END AS BIGINT) AS keep
+      FROM scored ORDER BY doc_id"""),
+    prod = Some((s, d) => qualityClassify(s, d)),
+  )
+
   def all: Seq[GraftQuery] =
     Seq(q30, q31, q32, q33, q33md5, q34, q35, q35exact, q36, q37, q42, q46, q48, q49,
-      q51, q54, q71)
+      q51, q54, q71, q72)
 }

@@ -106,6 +106,34 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally df.unpersist()
   }
 
+  test("q74 URL canonicalization: aliases collapse, distinct pages don't") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val got = Seq(
+      "HTTPS://Shop.Example.COM/a/B?z=2&utm_source=x&a=1",
+      "https://shop.example.com:443/a/B/?a=1&z=2#frag",
+      "https://shop.example.com/a/B?ref=home&a=1&z=2",
+      // different path case = a DIFFERENT page (paths are case-sensitive)
+      "https://shop.example.com/a/b?a=1&z=2",
+      // no query, trailing slashes, non-default port survives
+      "https://shop.example.com/c///",
+      "https://shop.example.com:8443/c?utm_x=1",
+    ).toDF("raw").select(operators.ScrapeEtl.canonicalizeUrl(col("raw")).as("c"))
+      .collect().map(_.getString(0))
+    assert(got(0) == "https://shop.example.com/a/B?a=1&z=2")
+    assert(got(1) == got(0), "default port + trailing slash + fragment alias")
+    assert(got(2) == got(0), "tracking params + param order alias")
+    assert(got(3) == "https://shop.example.com/a/b?a=1&z=2", "path case is significant")
+    assert(got(4) == "https://shop.example.com/c")
+    assert(got(5) == "https://shop.example.com:8443/c", "non-default port is kept")
+    // on driver data every product page's 3 alias spellings collapse to 1
+    val agg = operators.ScrapeEtl.q74.run(spark, sf)
+    val nParts = Tables.part(spark, sf).count()
+    assert(agg.count() == nParts, "one canonical frontier key per product page")
+    assert(agg.filter(col("n_raw") =!= 3L || col("n_distinct_raw") =!= 3L).count() == 0,
+      "each canonical key folds exactly its 3 distinct alias spellings")
+  }
+
   test("q29 frontier stops at the first empty or missing page, not at max(page)") {
     import spark.implicits._
     // catalog 1: pages 1-3 valid, 4 empty, 5-6 valid again -> frontier 3

@@ -99,6 +99,45 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mean >= 0.2, f"IVF recall collapsed: $mean%.3f")
   }
 
+  test("int8 quantization: codes in range, dequant error <= qscale/2, zero lane") {
+    import spark.implicits._
+    val rnd = new Random(73)
+    val emb = ((0L until 40L).map(i => (i, Array.fill(64)(rnd.nextGaussian().toFloat), 0)) ++
+      Seq((99L, Array.fill(64)(0f), 0))).toDF("vec_id", "embedding", "label")
+    val rows = operators.Similarity.quantizeInt8(emb)
+      .select("vec_id", "embedding", "codes", "qscale").collect()
+    assert(rows.length == 41)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val v = r.getSeq[Float](1)
+      val codes = r.getSeq[Int](2)
+      val scale = r.getDouble(3)
+      if (id == 99L) {
+        assert(scale == 0d && codes.forall(_ == 0), "all-zero vector takes the zero lane")
+      } else {
+        assert(codes.forall(c => c >= -127 && c <= 127), s"vec $id code out of range")
+        assert(codes.exists(c => math.abs(c) == 127), s"vec $id: amax component must saturate")
+        v.zip(codes).foreach { case (x, c) =>
+          val err = math.abs(c * scale - x)
+          assert(err <= scale / 2 + 1e-12, s"vec $id dequant error $err > half-step ${scale / 2}")
+        }
+      }
+    }
+  }
+
+  test("int8 ANN recall vs exact brute force on real embeddings") {
+    val sf = "/root/testdata/sf0.001"
+    val brute = topSets(operators.Similarity.qBrute.run(spark, sf))
+    val int8 = topSets(operators.Similarity.qInt8.run(spark, sf))
+    val recalls = brute.map { case (q, truth) =>
+      int8.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"int8 mean recall@10 = $mean%.3f over ${recalls.size} queries")
+    assert(recalls.size == 8, "all 8 registry queries answered")
+    assert(mean >= 0.8, f"int8 quantized recall collapsed: $mean%.3f")
+  }
+
   test("native top_k_by_score aggregate matches a window ranking exactly") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._

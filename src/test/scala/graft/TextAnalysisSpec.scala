@@ -51,6 +51,30 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got("sB") == ((2L, 7L, 3.5, 7.0 / 4.0)), s"got ${got("sB")}")
   }
 
+  test("q72 quality classifier keeps clean prose and gates spammy docs") {
+    val clean = "the cat sat on a mat and the dog is in the house of the " +
+      "town and a bird is of the air to see in a tree"
+    val digitSpam = "98765 43210 11111 22222 33333 44444 55555 66666 77777 88888"
+    val punctSpam = "!!! ??? ;;; ... !!! ??? ;;; ... !!! ???"
+    val shouty = "BUY NOW LIMITED OFFER CLICK HERE WIN BIG PRIZES TODAY ONLY"
+    val dir = planted("qclass", Seq(
+      (1L, clean, "en", "s", clean.length.toLong),
+      (2L, digitSpam, "en", "s", digitSpam.length.toLong),
+      (3L, punctSpam, "en", "s", punctSpam.length.toLong),
+      (4L, shouty, "en", "s", shouty.length.toLong),
+      (5L, "", "en", "s", 0L),
+    ))
+    val got = operators.TextAnalysis.q72.run(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(2), r.getLong(3)))).toMap
+    assert(got(1L)._2 == 1L, s"clean prose must keep, got ${got(1L)}")
+    assert(got(2L)._2 == 0L, s"digit spam must gate, got ${got(2L)}")
+    assert(got(3L)._2 == 0L, s"punct spam must gate, got ${got(3L)}")
+    assert(got(4L)._2 == 0L, s"all-caps shouting must gate, got ${got(4L)}")
+    assert(got(5L) == ((0.0, 0L)), s"empty doc scores 0 via the zero guards, got ${got(5L)}")
+    assert(got(1L)._1 > got(4L)._1 && got(4L)._1 > got(2L)._1,
+      "score must order clean > shouty > digit spam")
+  }
+
   test("q42 vocab head orders by count then token, with doc frequency") {
     val dir = planted("vocab", Seq(
       (1L, "aa bb aa cc", "en", "s", 11L),

@@ -24,8 +24,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // — the only legitimate nested-loops
     // q49/q54 cross-join a broadcast 1-ROW total like q35 — the scalar-
     // subquery shape, not a data join
-    val nljAllowed = Set("ann_bruteforce_topk", "q35_tfidf", "dedup_cosine_verify",
-      "q49_heavy_tokens", "q54_source_drift")
+    // ann_int8_topk is ann_bruteforce's shape over int8 codes — same
+    // designed corpus x broadcast-8-query NLJ, same justification
+    val nljAllowed = Set("ann_bruteforce_topk", "ann_int8_topk", "q35_tfidf",
+      "dedup_cosine_verify", "q49_heavy_tokens", "q54_source_drift")
     SparkEntry.registry.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"${q.name} planned a cartesian:\n$p")

@@ -27,14 +27,14 @@ object Ivf {
   /** (similarity, cluster) argmax over literal centroids; ties break on the
     * lower cluster id via the struct ordering (sim desc, then -id desc).
     */
-  private def nearestClusters(vec: Column, centroids: Array[Array[Float]]): Column = {
+  private[operators] def nearestClusters(vec: Column, centroids: Array[Array[Float]]): Column = {
     val scored = array(centroids.zipWithIndex.toIndexedSeq.map { case (c, i) =>
       struct(cosine_sim(vec, typedlit(c)).as("sim"), lit(-i).as("neg_id"))
     }: _*)
     reverse(array_sort(scored))
   }
 
-  private def clusterOf(vec: Column, centroids: Array[Array[Float]]): Column =
+  private[operators] def clusterOf(vec: Column, centroids: Array[Array[Float]]): Column =
     -element_at(nearestClusters(vec, centroids), 1).getField("neg_id")
 
   /** Deterministic spherical k-means: seeds = the k lowest vec_ids, then

@@ -1,0 +1,224 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** Checkpoint-RECOVERY lifecycle for the stateful streams: every test runs
+  * a real file source -> transform -> file sink pipeline with a durable
+  * `checkpointLocation`, STOPS the query mid-stream (between micro-batches,
+  * the only boundary a graceful stop has), RESTARTS it from the same
+  * checkpoint, and pins:
+  *
+  *   (a) STATE RESTORATION — per-key state written before the stop drives
+  *       emissions after the restart (a transition pairs across the stop, a
+  *       rate-limit ring keeps its trailing counts, an SCD2 open interval
+  *       closes with the pre-stop version counter, an exact-dup key is
+  *       still known);
+  *   (b) EXACTLY-ONCE OUTPUT — the file sink's _spark_metadata view of the
+  *       output equals the batch fold over all events: nothing emitted
+  *       before the stop duplicates, nothing is lost;
+  *   (c) WATERMARK + EventTimeTimeout PERSISTENCE — the restored watermark
+  *       drops behind-watermark arrivals after the restart, and a timeout
+  *       timestamp set BEFORE the stop fires AFTER it once the watermark
+  *       crosses (the key is never touched post-restart, so only the
+  *       checkpointed timestamp can fire it).
+  *
+  * The suite's MemoryStream specs pin semantics within one query lifetime;
+  * this spec pins the restart lifecycle those never exercise. Files are
+  * written one per micro-batch (`maxFilesPerTrigger=1`) and each
+  * `processAllAvailable()` drains before the next file is written, so
+  * batch order — and therefore watermark progression — is deterministic.
+  */
+class StreamingRecoverySpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSession.spark
+  import streaming.Streams
+  import streaming.Streams.{RateEvent, Scd2Event, Scd2Rec, TransEvent, Transition}
+
+  private def tmp(tag: String): String =
+    Files.createTempDirectory(s"graft_recovery_$tag").toFile.getAbsolutePath
+
+  /** One streamed run over the file source in `in`: start, drain, stop. */
+  private def runOnce(build: DataFrame => DataFrame, in: String, out: String,
+      ckpt: String, schema: org.apache.spark.sql.types.StructType,
+      afterStart: org.apache.spark.sql.streaming.StreamingQuery => Unit = _ => ()): Unit = {
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val q = build(src).writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .start()
+    try { q.processAllAvailable(); afterStart(q) } finally q.stop()
+  }
+
+  /** Append one parquet file (= one micro-batch under maxFilesPerTrigger=1). */
+  private def addFile(df: DataFrame, dir: String): Unit = {
+    df.coalesce(1).write.mode("append").parquet(dir)
+    Thread.sleep(15) // space file mtimes so the source's oldest-first order is stable
+  }
+
+  // ---------------------------------------------------------- transitions
+
+  test("transitionStream recovers last-seen state, watermark, and timeout across restart") {
+    import spark.implicits._
+    val in = tmp("trans_in"); val out = tmp("trans_out"); val ckpt = tmp("trans_ck")
+    val enc = implicitly[org.apache.spark.sql.Encoder[TransEvent]]
+    def build(df: DataFrame): DataFrame =
+      Streams.transitionStream(df.as[TransEvent], idleTimeout = "1 hour").toDF()
+
+    val h = 3600000L
+    // base > 0: the engine's late filter drops rows at or behind the initial
+    // watermark (epoch 0), so epoch-0 test events would never reach the fold
+    val t0 = 86400000L
+    // phase 1: u1 A -> B +60s (emits A->B); u2 X (no emission yet);
+    // u9 A@t0 — will idle out via the timeout set HERE (t0 + 1h)
+    addFile(Seq(
+      TransEvent(1L, 1L, t0, "A"), TransEvent(1L, 2L, t0 + 60000L, "B"),
+      TransEvent(2L, 3L, t0 + 60000L, "X"), TransEvent(9L, 4L, t0, "A")).toDF(), in)
+    runOnce(build, in, out, ckpt, enc.schema)
+
+    // phase 2, same checkpoint: pairs must bridge the restart
+    val q2src = spark.readStream.schema(enc.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val q2 = build(q2src).writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      // (a) state restored: C pairs with the pre-stop B, Y with the pre-stop X
+      addFile(Seq(
+        TransEvent(1L, 5L, t0 + 120000L, "C"), TransEvent(2L, 6L, t0 + 120000L, "Y")).toDF(), in)
+      q2.processAllAvailable()
+      // (c) watermark advance to t0+5h; the engine's post-advance timeout pass
+      // evicts u9 (timeout ts t0+1h was set before the stop — only the
+      // checkpoint can carry it here)
+      addFile(Seq(TransEvent(8L, 7L, t0 + 5L * h, "W")).toDF(), in)
+      q2.processAllAvailable()
+      // u9 returns after the idle horizon: evicted state => first event again,
+      // NO A->B transition spanning the idle gap may emit
+      addFile(Seq(TransEvent(9L, 8L, t0 + 5L * h + 60000L, "B")).toDF(), in)
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val got = spark.read.schema(implicitly[org.apache.spark.sql.Encoder[Transition]].schema)
+      .parquet(out).as[Transition].collect().toSet
+    assert(got == Set(
+      Transition(1L, 2L, "A", "B", 60000L),
+      Transition(1L, 5L, "B", "C", 60000L),
+      Transition(2L, 6L, "X", "Y", 60000L)),
+      s"expected exactly the three bridged transitions and no u9 idle-gap pair, got: $got")
+  }
+
+  // ------------------------------------------------------ rate-limit ring
+
+  test("rateLimitRingStream recovers ring counts and restored watermark drops late rows") {
+    import spark.implicits._
+    val in = tmp("ring_in"); val out = tmp("ring_out"); val ckpt = tmp("ring_ck")
+    val enc = implicitly[org.apache.spark.sql.Encoder[RateEvent]]
+    def build(df: DataFrame): DataFrame =
+      Streams.rateLimitRingStream(df.as[RateEvent]).toDF()
+
+    val m = 60000L
+    val t0 = 86400000L // base > 0: epoch-0 rows die on the initial watermark
+    // phase 1: u1 fires 7 events a minute apart -> events 6 and 7 violate
+    // (n_24h = 6, 7); the ring holds 7 in-window counts at the stop
+    addFile((1 to 7).map(i => RateEvent(1L, i.toLong, t0 + (i - 1) * m)).toDF(), in)
+    runOnce(build, in, out, ckpt, enc.schema)
+
+    // phase 2: one more u1 event -> n_24h = 8 REQUIRES the restored ring
+    // (a fresh ring would count 1: no violation); u3's burst sits entirely
+    // behind the restored watermark (t0 + 6 min) and must be engine-dropped —
+    // 6 same-ts events would otherwise violate with n_24h = 6
+    addFile((Seq(RateEvent(1L, 8L, t0 + 7 * m)) ++
+      (1 to 6).map(i => RateEvent(3L, 100L + i, t0 - m))).toDF(), in)
+    runOnce(build, in, out, ckpt, enc.schema)
+
+    val got = spark.read
+      .schema(implicitly[org.apache.spark.sql.Encoder[Streams.RateViolation]].schema)
+      .parquet(out).as[Streams.RateViolation].collect().toSet
+    assert(got == Set(
+      Streams.RateViolation(1L, 6L, t0 + 5 * m, 6L),
+      Streams.RateViolation(1L, 7L, t0 + 6 * m, 7L),
+      Streams.RateViolation(1L, 8L, t0 + 7 * m, 8L)),
+      s"expected pre-stop violations once each + the ring-restored n_24h=8, got: $got")
+  }
+
+  // ----------------------------------------------------------------- scd2
+
+  test("scd2Stream recovers the open interval (state + version counter) across restart") {
+    import spark.implicits._
+    val in = tmp("scd2_in"); val out = tmp("scd2_out"); val ckpt = tmp("scd2_ck")
+    val enc = implicitly[org.apache.spark.sql.Encoder[Scd2Event]]
+    def build(df: DataFrame): DataFrame = Streams.scd2Stream(df.as[Scd2Event]).toDF()
+
+    // phase 1: new@0 -> active@100 closes v1; open interval = (v2, active, 100)
+    addFile(Seq(
+      Scd2Event(1L, 1L, 0L, "new"), Scd2Event(1L, 2L, 100L, "active")).toDF(), in)
+    runOnce(build, in, out, ckpt, enc.schema)
+
+    // phase 2: churned@200 must close (v2, active, 100, 200) — version and
+    // since_ms only exist in the checkpointed state
+    addFile(Seq(Scd2Event(1L, 3L, 200L, "churned")).toDF(), in)
+    runOnce(build, in, out, ckpt, enc.schema)
+
+    val got = spark.read.schema(implicitly[org.apache.spark.sql.Encoder[Scd2Rec]].schema)
+      .parquet(out).as[Scd2Rec].collect().toSet
+    assert(got == Set(
+      Scd2Rec(1L, 1L, "new", 0L, 100L),
+      Scd2Rec(1L, 2L, "active", 100L, 200L)),
+      s"expected v1 emitted once and v2 closed with restored state, got: $got")
+  }
+
+  // --------------------------------------------------------------- curate
+
+  test("curateStream recovers exact-dup state and fires a pre-stop timeout after restart") {
+    import spark.implicits._
+    val in = tmp("cur_in"); val out = tmp("cur_out"); val ckpt = tmp("cur_ck")
+    val t0 = 1700000000000L
+    val h = 3600000L
+    def doc(id: Long, text: String, tsMs: Long): (Long, String, Timestamp, String) =
+      (id, "en", new Timestamp(tsMs), text)
+    def mk(rows: (Long, String, Timestamp, String)*): DataFrame =
+      rows.toDF("doc_id", "lang", "ts", "text")
+    val schema = mk(doc(0L, "x", 0L)).schema
+    val textX = "alpha beta gamma delta epsilon zeta"
+    val textY = "one two three four five six seven"
+    def build(df: DataFrame): DataFrame = Streams.curateStream(df)
+
+    // phase 1: X kept + exact_dup in one batch (min-rule), Y kept.
+    // X's timeout ts is set here: (t0 + 10min) + 1h
+    addFile(mk(
+      doc(1L, textX, t0), doc(2L, textX, t0 + 600000L), doc(3L, textY, t0 + 600000L)), in)
+    runOnce(build, in, out, ckpt, schema)
+
+    val q2src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val q2 = build(q2src).writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      // (a) state restored: another Y copy is exact_dup, not kept
+      addFile(mk(doc(4L, textY, t0 + 1800000L)), in)
+      q2.processAllAvailable()
+      // (c) advance the watermark past X's checkpointed timeout (set before
+      // the stop, key untouched since): the post-advance timeout pass evicts X
+      addFile(mk(doc(5L, "brand new unseen words here now", t0 + 4 * h)), in)
+      q2.processAllAvailable()
+      // X returns after eviction: kept again (state gone), proving the
+      // pre-stop timeout timestamp survived the restart and fired
+      addFile(mk(doc(6L, textX, t0 + 4 * h + 60000L)), in)
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val got = spark.read.parquet(out).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      1L -> "kept", 2L -> "exact_dup", 3L -> "kept",
+      4L -> "exact_dup", 5L -> "kept", 6L -> "kept"),
+      s"expected restored dedup state (4) and post-restart timeout eviction (6), got: $got")
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.{Column, SparkSessionExtensions}
 import org.apache.spark.sql.functions.call_function
 
-import graft.functions.{BloomAgg, BloomContains, HeavyHitters, CosineSim, HyperplaneBands, JaccardSim, KgramMd5Hashes, MinhashMd5Sig, MinhashSig, ShingleHashes, ShingleMd5Hashes, ShingleXor64, SimHash64, SimHashMd5, TopKByScore, WsTokens}
+import graft.functions.{BloomAgg, BloomContains, HeavyHitters, CosineSim, HyperplaneBands, Int8Codes, Int8Cosine, JaccardSim, KgramMd5Hashes, MinhashMd5Sig, MinhashSig, ShingleHashes, ShingleMd5Hashes, ShingleXor64, SimHash64, SimHashMd5, TopKByScore, WsTokens}
 
 /** Engine extension point, installed via spark.sql.extensions (GraftSession
   * sets it). Registers native expressions as SQL functions so both
@@ -120,6 +120,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     )
     ext.injectFunction(
       (
+        new FunctionIdentifier("int8_codes"),
+        new ExpressionInfo(classOf[Int8Codes].getName, "int8_codes"),
+        (children: Seq[Expression]) => Int8Codes(children(0)),
+      )
+    )
+    ext.injectFunction(
+      (
+        new FunctionIdentifier("int8_cosine"),
+        new ExpressionInfo(classOf[Int8Cosine].getName, "int8_cosine"),
+        (children: Seq[Expression]) => Int8Cosine(children(0), children(1)),
+      )
+    )
+    ext.injectFunction(
+      (
         new FunctionIdentifier("hyperplane_bands"),
         new ExpressionInfo(classOf[HyperplaneBands].getName, "hyperplane_bands"),
         (children: Seq[Expression]) =>
@@ -220,6 +234,17 @@ object gfunctions {
     */
   def heavy_hitters(item: Column, k: Int): Column =
     call_function("heavy_hitters", item, org.apache.spark.sql.functions.lit(k))
+
+  /** Symmetric-int8 codes of a float vector PACKED as binary — exactly
+    * dims bytes per vector (the 1-byte/dim storage form; scale = the
+    * SQL-side amax/127, which cosine ranking never reads).
+    */
+  def int8_codes(vec: Column): Column = call_function("int8_codes", vec)
+
+  /** Cosine similarity of two packed int8 code vectors (native integer
+    * kernel) — bit-equal to cosine_sim over the float-cast codes.
+    */
+  def int8_cosine(a: Column, b: Column): Column = call_function("int8_cosine", a, b)
 
   /** Random-hyperplane LSH band values of a float vector — all plane
     * dots in one native pass, sign bits packed per band.

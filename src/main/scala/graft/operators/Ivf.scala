@@ -27,14 +27,14 @@ object Ivf {
   /** (similarity, cluster) argmax over literal centroids; ties break on the
     * lower cluster id via the struct ordering (sim desc, then -id desc).
     */
-  private[operators] def nearestClusters(vec: Column, centroids: Array[Array[Float]]): Column = {
+  private def nearestClusters(vec: Column, centroids: Array[Array[Float]]): Column = {
     val scored = array(centroids.zipWithIndex.toIndexedSeq.map { case (c, i) =>
       struct(cosine_sim(vec, typedlit(c)).as("sim"), lit(-i).as("neg_id"))
     }: _*)
     reverse(array_sort(scored))
   }
 
-  private[operators] def clusterOf(vec: Column, centroids: Array[Array[Float]]): Column =
+  private def clusterOf(vec: Column, centroids: Array[Array[Float]]): Column =
     -element_at(nearestClusters(vec, centroids), 1).getField("neg_id")
 
   /** Deterministic spherical k-means: seeds = the k lowest vec_ids, then
@@ -85,6 +85,44 @@ object Ivf {
       .select(
         col("query_id"), col("c.vec_id").as("neighbor_id"),
         cosine_sim(col("c.embedding"), col("qvec")).as("sim"))
+    Similarity.rankTopK(cand, k)
+  }
+
+  /** QUANTIZED IVF search — the 100 TB ANN serving shape: IVF prunes the
+    * COMPUTE (a query touches nprobe lists, not the corpus) and packed
+    * int8 prunes the MEMORY (1 byte/dim in the inverted lists instead of
+    * 4+), so the index a 1000-executor cluster holds hot is dims bytes
+    * per vector plus a cluster id.
+    *
+    * List assignment stays FULL-precision — it happens once at index
+    * build, where the float vectors are already in hand, so quantization
+    * error never moves a vector into the wrong list (the standard
+    * IVF-then-quantize build order). Only the per-candidate scoring
+    * inside probed lists runs on packed codes via the native integer
+    * [[graft.functions.Int8Cosine]] kernel; per-vector scales cancel in
+    * cosine, so the scale column is never read at search time.
+    */
+  def topKInt8(
+      corpus: DataFrame,
+      queries: DataFrame,
+      centroids: Array[Array[Float]],
+      k: Int = 10,
+      nprobe: Int = 2): DataFrame = {
+    import graft.gfunctions.{int8_codes, int8_cosine}
+    val listed = corpus.select(
+      col("vec_id"), int8_codes(col("embedding")).as("codes_bin"),
+      clusterOf(col("embedding"), centroids).as("cluster"))
+    val probes = queries.select(
+      col("vec_id").as("query_id"), int8_codes(col("embedding")).as("qcodes"),
+      explode(transform(
+        slice(nearestClusters(col("embedding"), centroids), 1, nprobe),
+        s => -s.getField("neg_id"))).as("cluster"))
+    val cand = listed.alias("c")
+      .join(broadcast(probes.alias("q")),
+        col("c.cluster") === col("q.cluster") && col("query_id") =!= col("c.vec_id"))
+      .select(
+        col("query_id"), col("c.vec_id").as("neighbor_id"),
+        int8_cosine(col("c.codes_bin"), col("qcodes")).as("sim"))
     Similarity.rankTopK(cand, k)
   }
 }

@@ -244,24 +244,39 @@ object Similarity {
       .withColumn("qscale",
         when(col("amax") === 0d, lit(0d)).otherwise(col("amax") / lit(127.0)))
 
+  /** The PHYSICAL form of the int8 story: codes packed as a BINARY column
+    * of exactly dims bytes (1 byte/dim — the array<int> form above is the
+    * oracle-gated VALUE contract, 4-16 bytes/dim on disk and in every
+    * exchange) plus the dequant scale as a separate double. Same rounding
+    * rule as [[quantizeInt8]] byte for byte — the spec unpacks and
+    * compares — via the native [[graft.functions.Int8Codes]] kernel.
+    */
+  def quantizeInt8Packed(emb: DataFrame): DataFrame =
+    emb.select(
+      col("vec_id"),
+      graft.gfunctions.int8_codes(col("embedding")).as("codes_bin"),
+      (expr("aggregate(CAST(embedding AS ARRAY<DOUBLE>), 0D, (acc, x) -> greatest(acc, abs(x)))")
+        / lit(127.0)).as("qscale"))
+
   /** Quantized brute-force top-k: the ann_bruteforce shape (corpus ×
-    * broadcast queries, bounded-heap rank) over int8 codes. Codes are
-    * cast to float for the native cosine kernel — exact (|code| ≤ 127),
-    * and the scales cancel, so sim = int dot / sqrt(int norms).
+    * broadcast queries, bounded-heap rank) over PACKED int8 codes scored
+    * by the native integer [[graft.functions.Int8Cosine]] kernel —
+    * bit-equal sims to routing the codes through the float kernel
+    * (|code| <= 127 keeps every product an exact integer), at 1 byte/dim
+    * in the scan, the broadcast, and the exchange. Scales cancel in
+    * cosine, so the ranking never dequantizes.
     */
   def int8TopK(corpus: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
     def coded(df: DataFrame): DataFrame =
-      quantizeInt8(df).select(
-        col("vec_id"),
-        expr("transform(codes, c -> CAST(c AS FLOAT))").as("fcodes"))
+      df.select(col("vec_id"), graft.gfunctions.int8_codes(col("embedding")).as("codes_bin"))
     val scored = coded(corpus).alias("c")
       .join(
-        broadcast(coded(queries).select(col("vec_id").as("query_id"), col("fcodes").as("qcodes"))),
+        broadcast(coded(queries).select(col("vec_id").as("query_id"), col("codes_bin").as("qcodes"))),
         col("query_id") =!= col("c.vec_id"))
       .select(
         col("query_id"),
         col("c.vec_id").as("neighbor_id"),
-        cosine_sim(col("c.fcodes"), col("qcodes")).as("sim"))
+        graft.gfunctions.int8_cosine(col("c.codes_bin"), col("qcodes")).as("sim"))
     rankTopK(scored, k)
   }
 
@@ -311,5 +326,18 @@ object Similarity {
     None,
   )
 
-  def all: Seq[GraftQuery] = Seq(qBrute, qLsh, qIvf, qOutlier, qQuant, qInt8)
+  val qIvfInt8 = GraftQuery(
+    "ann_ivf_int8_topk",
+    // rows-only like the other approximate ANN entries: the spec pins
+    // recall@10 vs exact brute force at >= the float IVF floor, and the
+    // packed-codes parity/size laws live in SimilaritySpec.
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val centroids = centroidCache.getOrElseUpdate(d, Ivf.train(emb, k = 8, iters = 1))
+      Ivf.topKInt8(emb, querySet(emb), centroids)
+    },
+    None,
+  )
+
+  def all: Seq[GraftQuery] = Seq(qBrute, qLsh, qIvf, qOutlier, qQuant, qInt8, qIvfInt8)
 }

@@ -125,6 +125,73 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("packed int8 codes: 1 byte per dim, byte-identical to the array form") {
+    import spark.implicits._
+    val rnd = new Random(74)
+    val emb = ((0L until 40L).map(i => (i, Array.fill(64)(rnd.nextGaussian().toFloat), 0)) ++
+      Seq((99L, Array.fill(64)(0f), 0))).toDF("vec_id", "embedding", "label")
+    val arrayForm = operators.Similarity.quantizeInt8(emb)
+      .select("vec_id", "codes", "qscale").collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[Int](1), r.getDouble(2)))).toMap
+    val packed = operators.Similarity.quantizeInt8Packed(emb)
+      .select("vec_id", "codes_bin", "qscale").collect()
+    assert(packed.length == 41)
+    packed.foreach { r =>
+      val id = r.getLong(0)
+      val bytes = r.getAs[Array[Byte]](1)
+      val (codes, scale) = arrayForm(id)
+      // the storage law the packed form exists for: bytes per vector = dims
+      assert(bytes.length == 64, s"vec $id stored ${bytes.length} bytes, want dims=64")
+      assert(bytes.map(_.toInt).toSeq == codes, s"vec $id packed codes drift from array form")
+      assert(r.getDouble(2) == scale, s"vec $id qscale drift")
+    }
+  }
+
+  test("native int8_cosine is bit-equal to the float kernel over cast codes") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, sf)
+    def floatCoded(df: DataFrame) = operators.Similarity.quantizeInt8(df)
+      .select(col("vec_id"), expr("transform(codes, c -> CAST(c AS FLOAT))").as("fcodes"))
+    def packCoded(df: DataFrame) =
+      df.select(col("vec_id"), gfunctions.int8_codes(col("embedding")).as("codes_bin"))
+    val queries = emb.filter(col("vec_id") < 8)
+    val viaFloat = floatCoded(emb).alias("c")
+      .join(broadcast(floatCoded(queries)
+        .select(col("vec_id").as("query_id"), col("fcodes").as("qc"))),
+        col("query_id") =!= col("c.vec_id"))
+      .select(col("query_id"), col("c.vec_id").as("neighbor_id"),
+        gfunctions.cosine_sim(col("c.fcodes"), col("qc")).as("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val viaInt8 = packCoded(emb).alias("c")
+      .join(broadcast(packCoded(queries)
+        .select(col("vec_id").as("query_id"), col("codes_bin").as("qc"))),
+        col("query_id") =!= col("c.vec_id"))
+      .select(col("query_id"), col("c.vec_id").as("neighbor_id"),
+        gfunctions.int8_cosine(col("c.codes_bin"), col("qc")).as("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(viaInt8.size == viaFloat.size && viaInt8.nonEmpty)
+    viaInt8.foreach { case (k, s) =>
+      // exact ==: every |code| <= 127 keeps both paths on exact integers
+      assert(viaFloat(k) == s, s"pair $k: int8 kernel ${s} != float path ${viaFloat(k)}")
+    }
+  }
+
+  test("quantized IVF recall vs exact brute force on real embeddings") {
+    val sf = "/root/testdata/sf0.001"
+    val brute = topSets(operators.Similarity.qBrute.run(spark, sf))
+    val ivf8 = topSets(operators.Similarity.qIvfInt8.run(spark, sf))
+    val recalls = brute.map { case (q, truth) =>
+      ivf8.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"IVF-int8 mean recall@10 = $mean%.3f over ${recalls.size} queries")
+    assert(recalls.size == 8, "all 8 registry queries answered")
+    // floor = the float IVF's measured recall at this SF (0.91): int8
+    // scoring inside probed lists must not cost recall vs float scoring
+    assert(mean >= 0.9, f"quantized IVF recall collapsed: $mean%.3f")
+  }
+
   test("int8 ANN recall vs exact brute force on real embeddings") {
     val sf = "/root/testdata/sf0.001"
     val brute = topSets(operators.Similarity.qBrute.run(spark, sf))

@@ -218,10 +218,67 @@ object Multimodal {
     * deterministic per-JVM replay only. Returns tw×th×3 packed RGB
     * bytes.
     */
+  /** One BULK ARGB read of the whole raster, replacing per-pixel
+    * `getRGB(x, y)` in the arithmetic passes below.
+    *
+    * The fast lane walks the Raster's backing byte array directly for
+    * the interleaved-byte layouts ImageIO actually decodes into
+    * (3BYTE_BGR for opaque PNG/JPEG/BMP, 4BYTE_ABGR for alpha PNG):
+    * those store plain non-premultiplied sRGB bytes, so repacking them
+    * is bit-identical to what getRGB returns — without getRGB's
+    * per-pixel ColorModel dispatch and per-pixel transfer-array
+    * allocation. ScaleProbe15 measured the alternatives on this JDK:
+    * the bulk `getRGB(0,0,w,h,buf,0,w)` overload is NOT faster (it
+    * loops the same per-pixel conversion internally for byte rasters);
+    * the direct walk is ~5x. Anything but the two known layouts — or a
+    * layout with a nonstandard stride/offset — takes the bulk-getRGB
+    * fallback, which is conversion-correct for every ColorModel.
+    * Either way every downstream sum and thumb byte is unchanged; the
+    * specs' independent planted-PNG recomputation pins that.
+    */
+  private[graft] def argbOf(img: java.awt.image.BufferedImage): Array[Int] = {
+    import java.awt.image.{BufferedImage, DataBufferByte}
+    val w = img.getWidth
+    val h = img.getHeight
+    val n = w * h
+    val out = new Array[Int](n)
+    val raster = img.getRaster
+    val tight = raster.getDataBuffer.getOffset == 0 &&
+      raster.getSampleModelTranslateX == 0 && raster.getSampleModelTranslateY == 0
+    img.getType match {
+      case BufferedImage.TYPE_3BYTE_BGR
+          if tight && raster.getDataBuffer.getSize == n * 3 =>
+        val d = raster.getDataBuffer.asInstanceOf[DataBufferByte].getData
+        var i = 0
+        var o = 0
+        while (o < n) {
+          out(o) = 0xff000000 | ((d(i + 2) & 0xff) << 16) |
+            ((d(i + 1) & 0xff) << 8) | (d(i) & 0xff)
+          i += 3
+          o += 1
+        }
+      case BufferedImage.TYPE_4BYTE_ABGR
+          if tight && raster.getDataBuffer.getSize == n * 4 =>
+        val d = raster.getDataBuffer.asInstanceOf[DataBufferByte].getData
+        var i = 0
+        var o = 0
+        while (o < n) {
+          out(o) = ((d(i) & 0xff) << 24) | ((d(i + 3) & 0xff) << 16) |
+            ((d(i + 2) & 0xff) << 8) | (d(i + 1) & 0xff)
+          i += 4
+          o += 1
+        }
+      case _ =>
+        img.getRGB(0, 0, w, h, out, 0, w)
+    }
+    out
+  }
+
   private[graft] def areaAverage(
       img: java.awt.image.BufferedImage, tw: Int, th: Int): Array[Byte] = {
     val w = img.getWidth
     val h = img.getHeight
+    val argb = argbOf(img)
     val out = new Array[Byte](tw * th * 3)
     var ty = 0
     while (ty < th) {
@@ -234,9 +291,10 @@ object Multimodal {
         var r = 0L; var g = 0L; var b = 0L
         var y = y0
         while (y < y1) {
+          val row = y * w
           var x = x0
           while (x < x1) {
-            val p = img.getRGB(x, y)
+            val p = argb(row + x)
             r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
             x += 1
           }
@@ -413,16 +471,13 @@ object Multimodal {
           if (img != null && img.getWidth > 0 && img.getHeight > 0) {
             val w = img.getWidth
             val h = img.getHeight
+            val argb = argbOf(img)
             var r = 0L; var g = 0L; var b = 0L
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val p = img.getRGB(x, y)
-                r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
-                x += 1
-              }
-              y += 1
+            var i = 0
+            while (i < argb.length) {
+              val p = argb(i)
+              r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+              i += 1
             }
             ImgFeatures(id, decoded = true, w, h, w.toLong * h, r, g, b)
           } else ImgFeatures(id, decoded = false, 0, 0, 0L, 0L, 0L, 0L)

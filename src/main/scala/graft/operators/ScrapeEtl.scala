@@ -1133,25 +1133,34 @@ object ScrapeEtl {
   /** Canonicalize a raw URL column — the crawl-frontier dedup rule every
     * large-scale scraping/corpus pipeline applies before "have I fetched
     * this?" (the reference re-crawls category pages; URL aliasing is why
-    * naive frontiers balloon): lowercase scheme+host, strip the default
-    * :443 port, drop the fragment, strip trailing path slashes, drop
-    * tracking params (utm*, ref), and SORT the surviving query params so
-    * param order cannot alias. Pure codegen'd string/regex/array ops —
-    * stateless map work; the only exchange in [[q74]] is the final
-    * canonical-key aggregate. Policy note: `utm%`/`ref=` prefixes are the
-    * canonicalization contract here, stated identically in the oracle.
+    * naive frontiers balloon): lowercase scheme+host, strip the scheme's
+    * own default port (`:443` for https, `:80` for http — symmetric, a
+    * non-default port always survives), drop the fragment, strip
+    * trailing path slashes, drop tracking params (utm*, ref), and SORT
+    * the surviving query params so param order cannot alias. The scheme
+    * is PRESERVED: http://x and https://x are different fetches (servers
+    * may answer them differently), so collapsing them would alias
+    * distinct frontier entries — a crawler that treats them as one page
+    * should redirect-normalize upstream, not here. Pure codegen'd
+    * string/regex/array ops — stateless map work; the only exchange in
+    * [[q74]] is the final canonical-key aggregate. Policy note:
+    * `utm%`/`ref=` prefixes are the canonicalization contract here,
+    * stated identically in the oracle.
     */
   def canonicalizeUrl(raw: Column): Column = {
     val noFrag = regexp_replace(raw, "#.*$", "")
-    val host = regexp_replace(
-      lower(regexp_extract(noFrag, "^[A-Za-z]+://([^/?#]+)", 1)), ":443$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z]+)://", 1))
+    val host0 = lower(regexp_extract(noFrag, "^[A-Za-z]+://([^/?#]+)", 1))
+    val host = when(scheme === "https", regexp_replace(host0, ":443$", ""))
+      .when(scheme === "http", regexp_replace(host0, ":80$", ""))
+      .otherwise(host0)
     val path = regexp_replace(
       regexp_extract(noFrag, "^[A-Za-z]+://[^/?#]+([^?#]*)", 1), "/+$", "")
     val query = regexp_extract(noFrag, "\\?([^#]*)", 1)
     val kept = array_join(
       array_sort(filter(split(query, "&"),
         p => !(p.like("utm%") || p.like("ref=%") || p === ""))), "&")
-    concat(lit("https://"), host, path,
+    concat(scheme, lit("://"), host, path,
       when(kept === "", lit("")).otherwise(concat(lit("?"), kept)))
   }
 
@@ -1184,16 +1193,24 @@ object ScrapeEtl {
           'https://shop.example.com/p/' || CAST(p_partkey AS VARCHAR) || '?utm_campaign=x&ref=home&a=1&sku=' || CAST(p_partkey AS VARCHAR)
         ]) AS raw_url
         FROM part),
+      nofrag AS (
+        SELECT raw_url, regexp_replace(raw_url, '#.*$', '') AS nf FROM raws),
+      pieces AS (
+        SELECT raw_url,
+          lower(regexp_extract(nf, '^([A-Za-z]+)://', 1)) AS scheme,
+          lower(regexp_extract(nf, '^[A-Za-z]+://([^/?#]+)', 1)) AS host0,
+          regexp_replace(regexp_extract(nf, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1), '/+$', '') AS path,
+          array_to_string(list_sort(list_filter(string_split(regexp_extract(nf, '\?([^#]*)', 1), '&'), p -> NOT (p LIKE 'utm%' OR p LIKE 'ref=%' OR p = ''))), '&') AS kept
+        FROM nofrag),
       canon AS (
         SELECT raw_url,
-          'https://'
-          || regexp_replace(lower(regexp_extract(regexp_replace(raw_url, '#.*$', ''), '^[A-Za-z]+://([^/?#]+)', 1)), ':443$', '')
-          || regexp_replace(regexp_extract(regexp_replace(raw_url, '#.*$', ''), '^[A-Za-z]+://[^/?#]+([^?#]*)', 1), '/+$', '')
-          || CASE WHEN array_to_string(list_sort(list_filter(string_split(regexp_extract(regexp_replace(raw_url, '#.*$', ''), '\?([^#]*)', 1), '&'), p -> NOT (p LIKE 'utm%' OR p LIKE 'ref=%' OR p = ''))), '&') = ''
-               THEN ''
-               ELSE '?' || array_to_string(list_sort(list_filter(string_split(regexp_extract(regexp_replace(raw_url, '#.*$', ''), '\?([^#]*)', 1), '&'), p -> NOT (p LIKE 'utm%' OR p LIKE 'ref=%' OR p = ''))), '&')
-          END AS canonical_url
-        FROM raws)
+          scheme || '://'
+          || CASE WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
+                  WHEN scheme = 'http' THEN regexp_replace(host0, ':80$', '')
+                  ELSE host0 END
+          || path
+          || CASE WHEN kept = '' THEN '' ELSE '?' || kept END AS canonical_url
+        FROM pieces)
       SELECT canonical_url,
         COUNT(*) AS n_raw,
         CAST(COUNT(DISTINCT raw_url) AS BIGINT) AS n_distinct_raw

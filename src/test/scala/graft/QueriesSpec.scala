@@ -118,6 +118,11 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       // no query, trailing slashes, non-default port survives
       "https://shop.example.com/c///",
       "https://shop.example.com:8443/c?utm_x=1",
+      // http policy: scheme preserved (http != https fetches), its OWN
+      // default port :80 stripped, :443 on http is a real port and stays
+      "HTTP://Shop.Example.COM:80/a/B?z=2&a=1",
+      "http://shop.example.com/a/B?a=1&z=2#frag",
+      "http://shop.example.com:443/d",
     ).toDF("raw").select(operators.ScrapeEtl.canonicalizeUrl(col("raw")).as("c"))
       .collect().map(_.getString(0))
     assert(got(0) == "https://shop.example.com/a/B?a=1&z=2")
@@ -126,6 +131,10 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(3) == "https://shop.example.com/a/b?a=1&z=2", "path case is significant")
     assert(got(4) == "https://shop.example.com/c")
     assert(got(5) == "https://shop.example.com:8443/c", "non-default port is kept")
+    assert(got(6) == "http://shop.example.com/a/B?a=1&z=2", ":80 stripped for http")
+    assert(got(7) == got(6), "http aliases collapse among themselves")
+    assert(got(6) != got(0), "scheme is preserved: http and https are distinct frontier keys")
+    assert(got(8) == "http://shop.example.com:443/d", ":443 on http is a non-default port")
     // on driver data every product page's 3 alias spellings collapse to 1
     val agg = operators.ScrapeEtl.q74.run(spark, sf)
     val nParts = Tables.part(spark, sf).count()

@@ -12,44 +12,58 @@ package graft
   *    comparisons should use `queries` (medians);
   *  - noop-format write as the action: consumes every row and column and
   *    does NOT let the optimizer drop final sorts/projections the way a
-  *    bare count() does.
+  *    bare count() does;
+  *  - BOTH modes in one run: `queries`/`value` stay ORACLE mode (the
+  *    BASELINE.md comparable — global sorts included), and
+  *    `queries_prod`/`total_prod` record the PRODUCTION plans (what a
+  *    cluster actually ships: no oracle-mode final sorts) so the 100 TB
+  *    shape is tracked per round, not just per audit.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
-    // SPARK_GRAFT_PROD=1 measures production plans (no oracle-mode final
-    // sorts); default measures oracle mode for baseline comparability.
-    val prodMode = sys.env.get("SPARK_GRAFT_PROD").contains("1")
+    // SPARK_GRAFT_PROD=1 narrows to production plans only (debug aid);
+    // the default measures oracle mode AND appends the prod-mode pass.
+    val prodOnly = sys.env.get("SPARK_GRAFT_PROD").contains("1")
     val spark = GraftSession.build(s"local[$cpus]", cpus)
     spark.sparkContext.setLogLevel("WARN")
 
-    def run(q: graft.GraftQuery): Unit = {
-      val df = if (prodMode) q.runProd(spark, sfDir) else q.run(spark, sfDir)
+    def run(q: graft.GraftQuery, prod: Boolean): Unit = {
+      val df = if (prod) q.runProd(spark, sfDir) else q.run(spark, sfDir)
       df.write.format("noop").mode("overwrite").save()
     }
 
-    // Warm-up: every query once, untimed.
-    SparkEntry.registry.foreach { q =>
-      try run(q) catch { case _: Throwable => () }
-    }
-
-    def timed(q: graft.GraftQuery): Double = {
+    def timed(q: graft.GraftQuery, prod: Boolean): Double = {
       val t0 = System.nanoTime()
-      try run(q) catch { case _: Throwable => () }
+      try run(q, prod) catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.registry.map { q =>
-      val samples = Seq(timed(q), timed(q), timed(q)).sorted
-      q.name -> ((samples(1), samples(0))) // (median, min)
+
+    /** Warm-up + three timed passes over the whole registry in one mode. */
+    def pass(prod: Boolean): Seq[(String, (Double, Double))] = {
+      SparkEntry.registry.foreach { q =>
+        try run(q, prod) catch { case _: Throwable => () }
+      }
+      SparkEntry.registry.map { q =>
+        val samples = Seq(timed(q, prod), timed(q, prod), timed(q, prod)).sorted
+        q.name -> ((samples(1), samples(0))) // (median, min)
+      }
     }
-    def obj(f: ((Double, Double)) => Double) = results
-      .map { case (k, v) => s"\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
-    val qsMedian = obj(_._1)
-    val qsMin = obj(_._2)
-    val total = results.map(_._2._1).sum
-    val totalMin = results.map(_._2._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsMedian,"queries_min":$qsMin,"total_min":$totalMin,"sf":"$sfDir"}""")
+    def obj(results: Seq[(String, (Double, Double))])(f: ((Double, Double)) => Double) =
+      results.map { case (k, v) => s"\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
+
+    if (prodOnly) {
+      val results = pass(prod = true)
+      val total = results.map(_._2._1).sum
+      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(results)(_._1)},"queries_min":${obj(results)(_._2)},"total_min":${results.map(_._2._2).sum},"mode":"prod","sf":"$sfDir"}""")
+    } else {
+      val oracle = pass(prod = false)
+      val prod = pass(prod = true)
+      val total = oracle.map(_._2._1).sum
+      val totalProd = prod.map(_._2._1).sum
+      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(oracle)(_._1)},"queries_min":${obj(oracle)(_._2)},"total_min":${oracle.map(_._2._2).sum},"queries_prod":${obj(prod)(_._1)},"total_prod":$totalProd,"sf":"$sfDir"}""")
+    }
     spark.stop()
   }
 }

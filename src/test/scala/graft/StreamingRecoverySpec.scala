@@ -6,6 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import java.nio.file.Files
 import java.sql.Timestamp
+import scala.jdk.CollectionConverters._
 
 /** Checkpoint-RECOVERY lifecycle for the stateful streams: every test runs
   * a real file source -> transform -> file sink pipeline with a durable
@@ -171,6 +172,44 @@ class StreamingRecoverySpec extends AnyFunSuite {
       Scd2Rec(1L, 1L, "new", 0L, 100L),
       Scd2Rec(1L, 2L, "active", 100L, 200L)),
       s"expected v1 emitted once and v2 closed with restored state, got: $got")
+  }
+
+  // ------------------------------------------------ scd2 under RocksDB
+
+  test("scd2Stream recovery works under the RocksDB state store provider") {
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, GraftSession.RocksDbProvider)
+    try {
+      val in = tmp("rocks_in"); val out = tmp("rocks_out"); val ckpt = tmp("rocks_ck")
+      val enc = implicitly[org.apache.spark.sql.Encoder[Scd2Event]]
+      def build(df: DataFrame): DataFrame = Streams.scd2Stream(df.as[Scd2Event]).toDF()
+
+      addFile(Seq(
+        Scd2Event(5L, 1L, 0L, "new"), Scd2Event(5L, 2L, 100L, "active")).toDF(), in)
+      var engaged = false
+      runOnce(build, in, out, ckpt, enc.schema, q => {
+        val custom = q.lastProgress.stateOperators(0).customMetrics
+        engaged = custom.keySet().iterator().asScala.exists(_.startsWith("rocksdb"))
+      })
+      assert(engaged, "RocksDB provider must actually back the state store")
+
+      // the restart must load the open interval back out of RocksDB
+      // checkpoint files (snapshot + changelog), not a fresh store
+      addFile(Seq(Scd2Event(5L, 3L, 200L, "churned")).toDF(), in)
+      runOnce(build, in, out, ckpt, enc.schema)
+
+      val got = spark.read.schema(implicitly[org.apache.spark.sql.Encoder[Scd2Rec]].schema)
+        .parquet(out).as[Scd2Rec].collect().toSet
+      assert(got == Set(
+        Scd2Rec(5L, 1L, "new", 0L, 100L),
+        Scd2Rec(5L, 2L, "active", 100L, 200L)),
+        s"RocksDB-backed state must bridge the restart, got: $got")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   // --------------------------------------------------------------- curate

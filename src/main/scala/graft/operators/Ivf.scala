@@ -125,4 +125,52 @@ object Ivf {
         int8_cosine(col("c.codes_bin"), col("qcodes")).as("sim"))
     Similarity.rankTopK(cand, k)
   }
+
+  /** PERSIST the quantized IVF index: one parquet table of (vec_id,
+    * packed codes) PARTITIONED BY cluster id — the inverted lists ARE
+    * the partition layout. Build once per corpus snapshot (train +
+    * assign + quantize in a single pass over the float vectors), serve
+    * many: the index a 100 TB corpus keeps on disk is dims bytes per
+    * vector plus the directory structure.
+    */
+  def writeIndex(corpus: DataFrame, centroids: Array[Array[Float]], dir: String): Unit =
+    corpus.select(
+      col("vec_id"), graft.gfunctions.int8_codes(col("embedding")).as("codes_bin"),
+      clusterOf(col("embedding"), centroids).as("cluster"))
+      .write.partitionBy("cluster").mode("overwrite").parquet(dir)
+
+  /** Serve from a [[writeIndex]] directory. The probed cluster ids are
+    * collected from the QUERY set (small by contract — it rides a
+    * broadcast) and pushed as a literal `cluster IN (...)` filter, so
+    * the parquet scan STATICALLY PRUNES to the probed partitions —
+    * serving I/O is (lists touched)/(corpus), not a full index scan;
+    * the spec asserts the pruning is in the plan, not assumed. The
+    * per-query refinement is the same broadcast equi-join as
+    * [[topKInt8]], scored by the native integer kernel.
+    */
+  def searchIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      queries: DataFrame,
+      centroids: Array[Array[Float]],
+      k: Int = 10,
+      nprobe: Int = 2): DataFrame = {
+    import graft.gfunctions.{int8_codes, int8_cosine}
+    val probes = queries.select(
+      col("vec_id").as("query_id"), int8_codes(col("embedding")).as("qcodes"),
+      explode(transform(
+        slice(nearestClusters(col("embedding"), centroids), 1, nprobe),
+        s => -s.getField("neg_id"))).as("cluster"))
+    val probedClusters = probes.select("cluster").distinct()
+      .collect().map(_.getInt(0))
+    val listed = spark.read.parquet(dir)
+      .filter(col("cluster").isin(probedClusters.toIndexedSeq: _*))
+    val cand = listed.alias("c")
+      .join(broadcast(probes.alias("q")),
+        col("c.cluster") === col("q.cluster") && col("query_id") =!= col("c.vec_id"))
+      .select(
+        col("query_id"), col("c.vec_id").as("neighbor_id"),
+        int8_cosine(col("c.codes_bin"), col("qcodes")).as("sim"))
+    Similarity.rankTopK(cand, k)
+  }
 }

@@ -192,6 +192,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mean >= 0.9, f"quantized IVF recall collapsed: $mean%.3f")
   }
 
+  test("persisted IVF index: partition-pruned serving equals the in-memory search") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val dir = "/tmp/graft-test/ivf_index"
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 8)
+    val centroids = operators.Ivf.train(emb, k = 8, iters = 1)
+    operators.Ivf.writeIndex(emb, centroids, dir)
+
+    val served = operators.Ivf.searchIndex(spark, dir, queries, centroids)
+    val inMem = operators.Ivf.topKInt8(emb, queries, centroids)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(rows(served) == rows(inMem),
+      "index round-trip must not change a single ranked row or sim")
+
+    // the scale property itself: the scan statically prunes to probed lists
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cluster"),
+      s"expected a cluster partition filter in the index scan:\n$plan")
+    val probed = plan.linesIterator.find(_.contains("PartitionFilters"))
+    info(probed.getOrElse("").trim.take(120))
+  }
+
   test("int8 ANN recall vs exact brute force on real embeddings") {
     val sf = "/root/testdata/sf0.001"
     val brute = topSets(operators.Similarity.qBrute.run(spark, sf))

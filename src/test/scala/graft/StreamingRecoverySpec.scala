@@ -174,6 +174,72 @@ class StreamingRecoverySpec extends AnyFunSuite {
       s"expected v1 emitted once and v2 closed with restored state, got: $got")
   }
 
+  // ------------------------------------------- stream-stream join state
+
+  test("intervalJoinStream recovers the buffered click across restart") {
+    import spark.implicits._
+    val inC = tmp("join_clicks"); val inP = tmp("join_purch")
+    val out = tmp("join_out"); val ckpt = tmp("join_ck")
+    def t(ms: Long) = new Timestamp(86400000L + ms)
+    val clickSchema = Seq((1L, 1L, t(0))).toDF("user_id", "click_id", "cts").schema
+    val purchSchema = Seq((1L, 1L, t(0))).toDF("user_id", "purchase_id", "pts").schema
+    def start() = {
+      val clicks = spark.readStream.schema(clickSchema)
+        .option("maxFilesPerTrigger", "1").parquet(inC)
+      val purchases = spark.readStream.schema(purchSchema)
+        .option("maxFilesPerTrigger", "1").parquet(inP)
+      Streams.intervalJoinStream(clicks, purchases).writeStream
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+    }
+
+    // phase 1: two clicks arrive, no purchases — both sit in join state
+    addFile(Seq((1L, 10L, t(0)), (2L, 20L, t(60000L))).toDF("user_id", "click_id", "cts"), inC)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(!new java.io.File(out).exists() ||
+      spark.read.parquet(out).where("click_id is not null").count() == 0L,
+      "nothing may emit before a purchase arrives")
+
+    // phase 2: purchases inside each click's 30-min window — the pairs can
+    // only form if the restart reloaded the buffered clicks
+    addFile(Seq((1L, 100L, t(600000L)), (2L, 200L, t(660000L)))
+      .toDF("user_id", "purchase_id", "pts"), inP)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val got = spark.read.parquet(out)
+      .select("user_id", "click_id", "purchase_id", "gap_ms").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set((1L, 10L, 100L, 600000L), (2L, 20L, 200L, 600000L)),
+      s"expected both cross-restart attributions exactly once, got: $got")
+  }
+
+  // ------------------------------------------- watermark-dedup state
+
+  test("dedupStream suppresses a post-restart redelivery of a pre-stop key") {
+    import spark.implicits._
+    val in = tmp("dedup_in"); val out = tmp("dedup_out"); val ckpt = tmp("dedup_ck")
+    def t(ms: Long) = new Timestamp(86400000L + ms)
+    val schema = Seq((t(0), 1L, "x")).toDF("ts", "event_id", "payload").schema
+    def build(df: DataFrame): DataFrame = Streams.dedupStream(df, "event_id")
+
+    // phase 1: keys 1 and 2 emit once each; their ids enter dedup state
+    addFile(Seq((t(0), 1L, "a"), (t(60000L), 2L, "b")).toDF("ts", "event_id", "payload"), in)
+    runOnce(build, in, out, ckpt, schema)
+
+    // phase 2: key 1 redelivered within the watermark horizon (must be
+    // suppressed by RESTORED state) + a fresh key 3 (must emit)
+    addFile(Seq((t(120000L), 1L, "a-redelivery"), (t(120000L), 3L, "c"))
+      .toDF("ts", "event_id", "payload"), in)
+    runOnce(build, in, out, ckpt, schema)
+
+    val ids = spark.read.parquet(out).select("event_id", "payload").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(ids == Set((1L, "a"), (2L, "b"), (3L, "c")),
+      s"pre-stop keys emit once, redelivery suppressed by restored state, got: $ids")
+  }
+
   // ------------------------------------------------ scd2 under RocksDB
 
   test("scd2Stream recovery works under the RocksDB state store provider") {

@@ -17,7 +17,13 @@ package graft
   *    BASELINE.md comparable — global sorts included), and
   *    `queries_prod`/`total_prod` record the PRODUCTION plans (what a
   *    cluster actually ships: no oracle-mode final sorts) so the 100 TB
-  *    shape is tracked per round, not just per audit.
+  *    shape is tracked per round, not just per audit;
+  *  - modes INTERLEAVE per query (oracle sample, prod sample, x3):
+  *    sequential whole-registry passes put the second mode ~20 minutes
+  *    deeper into the JVM/box lifetime, which measured as a systematic
+  *    +35 s on the later pass (isolated reruns showed the prod plans
+  *    faster, as designed) — alternating samples make drift land on
+  *    both modes equally, keeping the oracle/prod comparison honest.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -40,26 +46,34 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    /** Warm-up + three timed passes over the whole registry in one mode. */
-    def pass(prod: Boolean): Seq[(String, (Double, Double))] = {
-      SparkEntry.registry.foreach { q =>
-        try run(q, prod) catch { case _: Throwable => () }
-      }
-      SparkEntry.registry.map { q =>
-        val samples = Seq(timed(q, prod), timed(q, prod), timed(q, prod)).sorted
-        q.name -> ((samples(1), samples(0))) // (median, min)
-      }
+    def medianMin(samples: Seq[Double]): (Double, Double) = {
+      val s = samples.sorted
+      (s(1), s(0))
     }
     def obj(results: Seq[(String, (Double, Double))])(f: ((Double, Double)) => Double) =
       results.map { case (k, v) => s"\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
 
     if (prodOnly) {
-      val results = pass(prod = true)
+      SparkEntry.registry.foreach { q =>
+        try run(q, prod = true) catch { case _: Throwable => () }
+      }
+      val results = SparkEntry.registry.map { q =>
+        q.name -> medianMin(Seq(timed(q, true), timed(q, true), timed(q, true)))
+      }
       val total = results.map(_._2._1).sum
       println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(results)(_._1)},"queries_min":${obj(results)(_._2)},"total_min":${results.map(_._2._2).sum},"mode":"prod","sf":"$sfDir"}""")
     } else {
-      val oracle = pass(prod = false)
-      val prod = pass(prod = true)
+      // warm both modes, then alternate oracle/prod samples per query
+      SparkEntry.registry.foreach { q =>
+        try run(q, prod = false) catch { case _: Throwable => () }
+        try run(q, prod = true) catch { case _: Throwable => () }
+      }
+      val both = SparkEntry.registry.map { q =>
+        val samples = (1 to 3).map(_ => (timed(q, false), timed(q, true)))
+        (q.name, medianMin(samples.map(_._1)), medianMin(samples.map(_._2)))
+      }
+      val oracle = both.map { case (n, o, _) => n -> o }
+      val prod = both.map { case (n, _, p) => n -> p }
       val total = oracle.map(_._2._1).sum
       val totalProd = prod.map(_._2._1).sum
       println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(oracle)(_._1)},"queries_min":${obj(oracle)(_._2)},"total_min":${oracle.map(_._2._2).sum},"queries_prod":${obj(prod)(_._1)},"total_prod":$totalProd,"sf":"$sfDir"}""")

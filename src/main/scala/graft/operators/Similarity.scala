@@ -280,6 +280,35 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Two-phase quantized search — the standard fix for int8 recall decay
+    * in DENSE corpora (quantization error ~qscale/2 per component starts
+    * to exceed true neighbor gaps as candidates pack tighter; measured:
+    * recall@10 1.000 at 500 real vectors, 0.963 at 2k, 0.62 on a 200k
+    * dense synthetic manifold — ScaleProbe16): the coarse pass scans
+    * ONLY packed codes (1 byte/dim) and keeps k*oversample candidates
+    * per query; the rerank re-scores just those candidates with the
+    * exact float kernel. At 100 TB the corpus's float vectors are
+    * touched for k*oversample rows per query — a broadcast-driven
+    * point-lookup against the coarse scan's full-corpus stream.
+    */
+  def int8RerankTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 10,
+      oversample: Int = 10): DataFrame = {
+    val cand = int8TopK(corpus, queries, k * oversample)
+      .select(col("query_id"), col("neighbor_id"))
+    val rescored = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("nvec"))
+      .join(broadcast(cand), Seq("neighbor_id"))
+      .join(
+        broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("qvec"))),
+        Seq("query_id"))
+      .select(
+        col("query_id"), col("neighbor_id"),
+        cosine_sim(col("nvec"), col("qvec")).as("sim"))
+    rankTopK(rescored, k)
+  }
+
   private def quantSummary(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
     quantizeInt8(Tables.embeddings(s, d)).select(
       col("vec_id"),
@@ -326,6 +355,18 @@ object Similarity {
     None,
   )
 
+  val qInt8Rerank = GraftQuery(
+    "ann_int8_rerank_topk",
+    // rows-only like the other approximate entries; the spec pins the
+    // rerank's recall recovery on the dense synthetic set where pure
+    // int8 ranking measurably decays.
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      int8RerankTopK(emb, querySet(emb))
+    },
+    None,
+  )
+
   val qIvfInt8 = GraftQuery(
     "ann_ivf_int8_topk",
     // rows-only like the other approximate ANN entries: the spec pins
@@ -339,5 +380,6 @@ object Similarity {
     None,
   )
 
-  def all: Seq[GraftQuery] = Seq(qBrute, qLsh, qIvf, qOutlier, qQuant, qInt8, qIvfInt8)
+  def all: Seq[GraftQuery] =
+    Seq(qBrute, qLsh, qIvf, qOutlier, qQuant, qInt8, qInt8Rerank, qIvfInt8)
 }

@@ -25,8 +25,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // q49/q54 cross-join a broadcast 1-ROW total like q35 — the scalar-
     // subquery shape, not a data join
     // ann_int8_topk is ann_bruteforce's shape over int8 codes — same
-    // designed corpus x broadcast-8-query NLJ, same justification
-    val nljAllowed = Set("ann_bruteforce_topk", "ann_int8_topk", "q35_tfidf",
+    // designed corpus x broadcast-8-query NLJ, same justification; the
+    // rerank entry runs that same coarse scan as its first phase
+    val nljAllowed = Set("ann_bruteforce_topk", "ann_int8_topk",
+      "ann_int8_rerank_topk", "q35_tfidf",
       "dedup_cosine_verify", "q49_heavy_tokens", "q54_source_drift")
     SparkEntry.registry.foreach { q =>
       val p = plan(q)

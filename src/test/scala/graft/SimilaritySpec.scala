@@ -192,6 +192,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mean >= 0.9, f"quantized IVF recall collapsed: $mean%.3f")
   }
 
+  test("int8 rerank recovers recall where pure int8 ranking decays (dense corpus)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // dense synthetic manifold: at 200k sin-lattice vectors neighbors pack
+    // closer than the quantization half-step, so PURE int8 ranking loses
+    // truth rows (ScaleProbe16: 0.62); the float rerank over k*10 coarse
+    // candidates must win them back (probe: 1.000)
+    val dims = 64
+    val emb = spark.range(0, 200000).select(
+      col("id").as("vec_id"),
+      org.apache.spark.sql.functions.expr(
+        s"transform(sequence(0, ${dims - 1}), " +
+          "j -> CAST(sin(CAST(id * 131 + j * 17 AS DOUBLE)) AS FLOAT))").as("embedding"))
+    val queries = emb.filter(col("vec_id") < 8)
+    val truth = topSets(operators.Similarity.bruteForceTopK(emb, queries))
+    def recallOf(m: Map[Long, Set[Long]]): Double = {
+      val rs = truth.map { case (q, t) => m.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size }
+      rs.sum / rs.size
+    }
+    val pure = recallOf(topSets(operators.Similarity.int8TopK(emb, queries)))
+    val rerank = recallOf(topSets(operators.Similarity.int8RerankTopK(emb, queries)))
+    info(f"dense-corpus recall@10: pure int8 $pure%.3f, rerank $rerank%.3f")
+    assert(pure < 0.95, f"probe premise broken: pure int8 no longer decays here ($pure%.3f)")
+    assert(rerank >= 0.99, f"rerank must recover near-exact recall, got $rerank%.3f")
+  }
+
   test("persisted IVF index: partition-pruned serving equals the in-memory search") {
     import org.apache.spark.sql.functions.col
     val sf = "/root/testdata/sf0.001"

@@ -285,6 +285,83 @@ object Streams {
       }
       .start()
 
+  /** Stream-vs-corpus SEMANTIC near-dup matching — the embedding analog
+    * of [[nearDupStream]]: each arriving vector is hyperplane-banded
+    * per row (native kernel, stateless), band-joined against the STATIC
+    * curated corpus's banded table (capped — a degenerate semantic
+    * cluster cannot fan arrivals across its whole bucket), and
+    * candidates verify on the exact float cosine kernel at `tau`. The
+    * only streaming state is the watermark-bounded (vec, ref) pair
+    * dedup. Exchanges carry band strings + ids; the corpus's float
+    * vectors re-attach only to band-matched candidates. Emits
+    * (vec_id, ref_id, sim >= tau) — the live gate a training-ingest
+    * pipeline runs so semantically-duplicate documents of an existing
+    * corpus never reach curation.
+    */
+  def embNearDupStream(
+      vecs: DataFrame,
+      corpus: DataFrame,
+      tau: Double = 0.85,
+      planes: Int = 32,
+      bands: Int = 4,
+      dims: Int = 64,
+      bucketCap: Int = 10000): DataFrame = {
+    import graft.operators.Lsh
+    val ref = Lsh.capBuckets(
+      Lsh.banded(corpus.select("vec_id", "embedding"), "embedding", planes, bands, dims)
+        .select(col("band_idx"), col("band_val"),
+          col("vec_id").as("ref_id"), col("embedding").as("ref_vec")),
+      Seq("band_idx", "band_val"), bucketCap)
+    vecs
+      .select(col("vec_id"), col("ts"),
+        col("embedding"),
+        posexplode(graft.gfunctions.hyperplane_bands(col("embedding"), planes, bands, dims))
+          .as(Seq("band_idx", "band_val")))
+      .withWatermark("ts", "1 hour")
+      .join(ref, Seq("band_idx", "band_val"))
+      .filter(col("vec_id") =!= col("ref_id"))
+      .withColumn("sim", graft.gfunctions.cosine_sim(col("embedding"), col("ref_vec")))
+      .filter(col("sim") >= tau)
+      .dropDuplicatesWithinWatermark("vec_id", "ref_id")
+      .select("vec_id", "ref_id", "sim")
+  }
+
+  /** One batch of arriving vectors against the static banded corpus —
+    * the [[embNearDupStream]] match core as a plain batch frame (band
+    * join, exact cosine verify, pair dedup), reduced to one decision
+    * row per arrival. The driver-gated twin runs it on driver data.
+    */
+  def embNearDupBatch(
+      arrivals: DataFrame,
+      corpus: DataFrame,
+      tau: Double = 0.85,
+      planes: Int = 32,
+      bands: Int = 4,
+      dims: Int = 64,
+      bucketCap: Int = 10000): DataFrame = {
+    import graft.operators.Lsh
+    val ref = Lsh.capBuckets(
+      Lsh.banded(corpus.select("vec_id", "embedding"), "embedding", planes, bands, dims)
+        .select(col("band_idx"), col("band_val"),
+          col("vec_id").as("ref_id"), col("embedding").as("ref_vec")),
+      Seq("band_idx", "band_val"), bucketCap)
+    val matches = Lsh.banded(arrivals.select("vec_id", "embedding"), "embedding", planes, bands, dims)
+      .join(ref, Seq("band_idx", "band_val"))
+      .filter(col("vec_id") =!= col("ref_id"))
+      .dropDuplicates("vec_id", "ref_id")
+      .withColumn("sim", graft.gfunctions.cosine_sim(col("embedding"), col("ref_vec")))
+      .filter(col("sim") >= tau)
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_matches"), max(col("sim")).as("best_sim"))
+    arrivals.select("vec_id")
+      .join(matches, Seq("vec_id"), "left")
+      .select(
+        col("vec_id"),
+        col("n_matches").isNotNull.as("is_match"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        coalesce(col("best_sim"), lit(0.0)).as("best_sim"))
+  }
+
   /** Streaming decontamination gate: each arriving doc's 8-gram hashes
     * probe a bloom filter of the STATIC benchmark corpus inside the scan
     * stage (codegen'd, stateless), and only bloom survivors enter the
@@ -1190,7 +1267,33 @@ object Streams {
     }),
   )
 
+  /** Driver gate for [[embNearDupBatch]]: every 10th vector plays the
+    * arriving stream, the rest are the curated corpus. rows-only by
+    * design: the candidate set depends on the native hyperplane bands,
+    * which have no ANSI formulation (same standing as
+    * dedup_embedding_cosine); StreamingSpec pins stream ≡ batch on
+    * arrivals split across micro-batches plus planted match/non-match
+    * vectors, and the exact-cosine verify core is hash-gated by
+    * dedup_cosine_verify.
+    */
+  val qEmbNearDup = GraftQuery(
+    "stream_emb_neardup",
+    (s, d) => {
+      val emb = graft.Tables.embeddings(s, d)
+      embNearDupBatch(
+        emb.filter(col("vec_id") % 10 === 0),
+        emb.filter(col("vec_id") % 10 =!= 0)).orderBy("vec_id")
+    },
+    None,
+    prod = Some((s, d) => {
+      val emb = graft.Tables.embeddings(s, d)
+      embNearDupBatch(
+        emb.filter(col("vec_id") % 10 === 0),
+        emb.filter(col("vec_id") % 10 =!= 0))
+    }),
+  )
+
   def all: Seq[GraftQuery] =
     Seq(qWindowed, qSessionize, qIntervalJoin, qDedup, qDecontam, qScd2, qTransitions,
-      qRateLimit, qRateLimitBucketed, qCurate, qNearDup)
+      qRateLimit, qRateLimitBucketed, qCurate, qNearDup, qEmbNearDup)
 }

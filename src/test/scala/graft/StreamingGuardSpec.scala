@@ -104,6 +104,17 @@ class StreamingGuardSpec extends AnyFunSuite {
         .writeStream.format("memory").queryName("guard_neardup")
         .outputMode("append").start()
     },
+    "embNearDupStream" -> { s =>
+      import s.implicits._
+      implicit val sc = s.sqlContext
+      val v = Array.fill(64)(0.1f)
+      val corpus = Seq((100L, v)).toDF("vec_id", "embedding")
+      val ms = MemoryStream[(Long, Timestamp, Array[Float])]
+      ms.addData((1L, ts(0), v.map(x => x + 0.001f)), (2L, ts(1), v.map(-_)))
+      Streams.embNearDupStream(ms.toDF().toDF("vec_id", "ts", "embedding"), corpus)
+        .writeStream.format("memory").queryName("guard_embneardup")
+        .outputMode("append").start()
+    },
     "nearDupStreamRefreshing" -> { s =>
       import s.implicits._
       implicit val sc = s.sqlContext

@@ -571,4 +571,52 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(twin == exact, "batch twin must equal the q44 decision")
   }
+
+  test("streaming embedding near-dup flags a planted semantic copy; pair state dedups") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(64)(r.nextGaussian().toFloat)
+    }
+    val base = vec(1)
+    val near = base.map(x => x + 0.01f) // cosine ~0.9999, well over tau
+    val corpus = (Seq((100L, base)) ++ (101L to 105L).map(i => (i, vec(i.toInt))))
+      .toDF("vec_id", "embedding")
+    def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+    val ms = MemoryStream[(Long, Timestamp, Array[Float])]
+    val q = Streams.embNearDupStream(ms.toDF().toDF("vec_id", "ts", "embedding"), corpus)
+      .writeStream.format("memory").queryName("graft_embneardup_stream")
+      .outputMode("append").start()
+    try {
+      // batch 1: the near copy matches its source only; a fresh random
+      // vector matches nothing (64-dim gaussians sit near cosine 0)
+      ms.addData((1L, ts(0), near), (2L, ts(1), vec(999)))
+      q.processAllAvailable()
+      val rows = spark.table("graft_embneardup_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(rows.map(t => (t._1, t._2)).toSet == Set((1L, 100L)),
+        s"planted semantic copy flags against its corpus source only, got ${rows.toSeq}")
+      assert(rows.head._3 > 0.99, s"sim must be the exact float cosine, got ${rows.head._3}")
+      // batch 2: re-delivery within the watermark horizon emits nothing new
+      ms.addData((1L, ts(2), near))
+      q.processAllAvailable()
+      assert(spark.table("graft_embneardup_stream").count() == 1L)
+    } finally q.stop()
+
+    // batch-twin parity on the same arrivals: decision rows for BOTH
+    val decisions = Streams.embNearDupBatch(
+      Seq((1L, near), (2L, vec(999))).toDF("vec_id", "embedding"), corpus)
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2)))).toMap
+    assert(decisions(1L) == ((true, 1L)) && decisions(2L) == ((false, 0L)),
+      s"batch twin decisions must mirror the stream, got $decisions")
+  }
+
+  test("stream_emb_neardup driver gate returns one decision row per arrival") {
+    val sf = "/root/testdata/sf0.001"
+    val df = Streams.qEmbNearDup.run(spark, sf)
+    val n = df.count()
+    val arrivals = Tables.embeddings(spark, sf).filter(col("vec_id") % 10 === 0).count()
+    assert(n == arrivals, "every arriving vector gets exactly one decision row")
+  }
 }

@@ -23,7 +23,16 @@ package graft
   *    deeper into the JVM/box lifetime, which measured as a systematic
   *    +35 s on the later pass (isolated reruns showed the prod plans
   *    faster, as designed) — alternating samples make drift land on
-  *    both modes equally, keeping the oracle/prod comparison honest.
+  *    both modes equally, keeping the oracle/prod comparison honest;
+  *  - WITHIN each pair the mode order swaps on alternate iterations
+  *    (oracle-first on odd samples, prod-first on even), so per-pair
+  *    warm-up/page-cache carryover averages out across the 3 samples
+  *    instead of systematically landing on whichever mode ran second;
+  *  - the full result JSON is also WRITTEN to a file
+  *    (SPARK_GRAFT_BENCH_OUT, default `bench/latest.json`) so the
+  *    committed per-round artifact carries every per-query median+min in
+  *    both modes even when the driver truncates stdout — SURVEY §6
+  *    quotes totals only from that artifact.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -53,6 +62,18 @@ object Bench {
     def obj(results: Seq[(String, (Double, Double))])(f: ((Double, Double)) => Double) =
       results.map { case (k, v) => s"\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
 
+    // stdout (the driver tails it) AND a durable artifact file: the
+    // committed per-round copy is what SURVEY §6 quotes, so no number
+    // depends on an untruncated driver tail.
+    def emit(line: String): Unit = {
+      println(line)
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench/latest.json"))
+      Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(out,
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+
     if (prodOnly) {
       SparkEntry.registry.foreach { q =>
         try run(q, prod = true) catch { case _: Throwable => () }
@@ -61,22 +82,29 @@ object Bench {
         q.name -> medianMin(Seq(timed(q, true), timed(q, true), timed(q, true)))
       }
       val total = results.map(_._2._1).sum
-      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(results)(_._1)},"queries_min":${obj(results)(_._2)},"total_min":${results.map(_._2._2).sum},"mode":"prod","sf":"$sfDir"}""")
+      emit(s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(results)(_._1)},"queries_min":${obj(results)(_._2)},"total_min":${results.map(_._2._2).sum},"mode":"prod","sf":"$sfDir"}""")
     } else {
-      // warm both modes, then alternate oracle/prod samples per query
+      // warm both modes, then alternate oracle/prod samples per query;
+      // within-pair order swaps per iteration so carryover averages out
       SparkEntry.registry.foreach { q =>
         try run(q, prod = false) catch { case _: Throwable => () }
         try run(q, prod = true) catch { case _: Throwable => () }
       }
       val both = SparkEntry.registry.map { q =>
-        val samples = (1 to 3).map(_ => (timed(q, false), timed(q, true)))
+        val samples = (1 to 3).map { i =>
+          if (i % 2 == 1) {
+            val o = timed(q, false); val p = timed(q, true); (o, p)
+          } else {
+            val p = timed(q, true); val o = timed(q, false); (o, p)
+          }
+        }
         (q.name, medianMin(samples.map(_._1)), medianMin(samples.map(_._2)))
       }
       val oracle = both.map { case (n, o, _) => n -> o }
       val prod = both.map { case (n, _, p) => n -> p }
       val total = oracle.map(_._2._1).sum
       val totalProd = prod.map(_._2._1).sum
-      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(oracle)(_._1)},"queries_min":${obj(oracle)(_._2)},"total_min":${oracle.map(_._2._2).sum},"queries_prod":${obj(prod)(_._1)},"total_prod":$totalProd,"sf":"$sfDir"}""")
+      emit(s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(oracle)(_._1)},"queries_min":${obj(oracle)(_._2)},"total_min":${oracle.map(_._2._2).sum},"queries_prod":${obj(prod)(_._1)},"total_prod":$totalProd,"sf":"$sfDir"}""")
     }
     spark.stop()
   }

@@ -147,6 +147,12 @@ object Ivf {
     * the spec asserts the pruning is in the plan, not assumed. The
     * per-query refinement is the same broadcast equi-join as
     * [[topKInt8]], scored by the native integer kernel.
+    *
+    * NOTE: deriving the literal IN-list fires an EAGER Spark job at call
+    * time (the price of static pruning — the filter must be a literal
+    * before the plan is built). The probe frame is localCheckpoint'ed
+    * first so the query-banding subplan runs ONCE and the join reuses
+    * the materialized probes instead of recomputing them.
     */
   def searchIndex(
       spark: org.apache.spark.sql.SparkSession,
@@ -161,6 +167,7 @@ object Ivf {
       explode(transform(
         slice(nearestClusters(col("embedding"), centroids), 1, nprobe),
         s => -s.getField("neg_id"))).as("cluster"))
+      .localCheckpoint(eager = true)
     val probedClusters = probes.select("cluster").distinct()
       .collect().map(_.getInt(0))
     val listed = spark.read.parquet(dir)
@@ -172,5 +179,43 @@ object Ivf {
         col("query_id"), col("c.vec_id").as("neighbor_id"),
         int8_cosine(col("c.codes_bin"), col("qcodes")).as("sim"))
     Similarity.rankTopK(cand, k)
+  }
+
+  /** Two-phase serving from a persisted index — [[searchIndex]] composed
+    * with the exact-float rerank of
+    * [[Similarity.int8RerankTopK]]: the coarse pass scores PACKED codes
+    * over the statically pruned partitions and keeps k*oversample
+    * candidates per query; the rerank re-scores just those candidates
+    * with the exact float kernel via an equi-join on candidate id
+    * against the float corpus. ScaleProbe16 measured the decay this
+    * exists to fix (pure int8 recall@10 0.62 on a 200k dense manifold,
+    * rerank 1.000) — the persisted index is the serving shape, so it
+    * inherits the decay exactly and needs the fix most.
+    *
+    * At 100 TB: the index scan touches nprobe lists of 1-byte/dim codes;
+    * the float corpus is touched for k*oversample rows per query — a
+    * broadcast-driven point-lookup, never a float-corpus scan.
+    */
+  def searchIndexRerank(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      queries: DataFrame,
+      corpus: DataFrame,
+      centroids: Array[Array[Float]],
+      k: Int = 10,
+      nprobe: Int = 2,
+      oversample: Int = 10): DataFrame = {
+    val cand = searchIndex(spark, dir, queries, centroids, k * oversample, nprobe)
+      .select(col("query_id"), col("neighbor_id"))
+    val rescored = corpus
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("nvec"))
+      .join(broadcast(cand), Seq("neighbor_id"))
+      .join(
+        broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("qvec"))),
+        Seq("query_id"))
+      .select(
+        col("query_id"), col("neighbor_id"),
+        cosine_sim(col("nvec"), col("qvec")).as("sim"))
+    Similarity.rankTopK(rescored, k)
   }
 }

@@ -242,6 +242,62 @@ class SimilaritySpec extends AnyFunSuite {
     info(probed.getOrElse("").trim.take(120))
   }
 
+  test("persisted-IVF rerank serving: ranked-row parity with int8RerankTopK at full probe") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val dir = "/tmp/graft-test/ivf_index_rerank"
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 8)
+    val centroids = operators.Ivf.train(emb, k = 8, iters = 1)
+    operators.Ivf.writeIndex(emb, centroids, dir)
+
+    // nprobe = k probes every list, so the coarse candidate set equals the
+    // brute int8 scan's — the served two-phase result must then match
+    // int8RerankTopK row for row (rank, neighbor AND sim), proving the
+    // rerank phase composed over the index is the Similarity.int8RerankTopK
+    // second phase, not a lookalike
+    val served = operators.Ivf.searchIndexRerank(
+      spark, dir, queries, emb, centroids, nprobe = 8)
+    val inMem = operators.Similarity.int8RerankTopK(emb, queries)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(rows(served) == rows(inMem),
+      "served two-phase ranking must equal the in-memory int8+rerank row for row")
+  }
+
+  test("persisted-IVF rerank serving recovers dense-corpus recall from disk") {
+    import org.apache.spark.sql.functions.col
+    // the ScaleProbe16 dense manifold, served from a written index: pure
+    // int8 index scoring inherits the measured decay; the composed float
+    // rerank must restore near-exact recall. Full probe (nprobe = k)
+    // isolates quantization decay from list pruning — the decay under test.
+    val dims = 64
+    val dir = "/tmp/graft-test/ivf_index_dense"
+    val emb = spark.range(0, 200000).select(
+      col("id").as("vec_id"),
+      org.apache.spark.sql.functions.expr(
+        s"transform(sequence(0, ${dims - 1}), " +
+          "j -> CAST(sin(CAST(id * 131 + j * 17 AS DOUBLE)) AS FLOAT))").as("embedding"))
+      .localCheckpoint()
+    val queries = emb.filter(col("vec_id") < 8)
+    val centroids = operators.Ivf.train(emb, k = 8, iters = 1)
+    operators.Ivf.writeIndex(emb, centroids, dir)
+
+    val truth = topSets(operators.Similarity.bruteForceTopK(emb, queries))
+    def recallOf(m: Map[Long, Set[Long]]): Double = {
+      val rs = truth.map { case (q, t) => m.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size }
+      rs.sum / rs.size
+    }
+    val int8Only = recallOf(topSets(
+      operators.Ivf.searchIndex(spark, dir, queries, centroids, nprobe = 8)))
+    val reranked = recallOf(topSets(
+      operators.Ivf.searchIndexRerank(spark, dir, queries, emb, centroids, nprobe = 8)))
+    info(f"dense index-served recall@10: int8-only $int8Only%.3f, rerank $reranked%.3f")
+    assert(int8Only < 0.95,
+      f"probe premise broken: int8-only index serving no longer decays here ($int8Only%.3f)")
+    assert(reranked >= 0.99, f"index-served rerank must recover recall, got $reranked%.3f")
+  }
+
   test("int8 ANN recall vs exact brute force on real embeddings") {
     val sf = "/root/testdata/sf0.001"
     val brute = topSets(operators.Similarity.qBrute.run(spark, sf))

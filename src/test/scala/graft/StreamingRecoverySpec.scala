@@ -114,6 +114,78 @@ class StreamingRecoverySpec extends AnyFunSuite {
       s"expected exactly the three bridged transitions and no u9 idle-gap pair, got: $got")
   }
 
+  // ----------------------------------------------------------- sessions
+
+  test("sessionizeStream closes a pre-stop open session with restored state after restart") {
+    import spark.implicits._
+    import streaming.Streams.{SessEvent, SessionRec}
+    val in = tmp("sess_in"); val out = tmp("sess_out"); val ckpt = tmp("sess_ck")
+    val enc = implicitly[org.apache.spark.sql.Encoder[SessEvent]]
+    def build(df: DataFrame): DataFrame =
+      Streams.sessionizeStream(df.as[SessEvent]).toDF()
+
+    val t0 = 86400000L
+    val h = 3600000L
+    // phase 1: u1 two events 60s apart, u2 one event — both sessions stay
+    // OPEN (nothing emits); the open-session state (start, end, n, next_id)
+    // exists only in the checkpoint at the stop
+    addFile(Seq(
+      SessEvent(1L, 1L, t0), SessEvent(1L, 2L, t0 + 60000L),
+      SessEvent(2L, 3L, t0)).toDF(), in)
+    runOnce(build, in, out, ckpt, enc.schema)
+    assert(!new java.io.File(out).exists() ||
+      spark.read.parquet(out).count() == 0L,
+      "no session may close before a gap-proving event arrives")
+
+    // phase 2, same checkpoint: u2 extends within the gap (n must reach 2 —
+    // counting the PRE-STOP event), then both users gap out: the closed
+    // sessions' start/end/n are reconstructible only from restored state
+    addFile(Seq(SessEvent(2L, 4L, t0 + 120000L)).toDF(), in)
+    addFile(Seq(SessEvent(1L, 5L, t0 + 2 * h), SessEvent(2L, 6L, t0 + 2 * h)).toDF(), in)
+    runOnce(build, in, out, ckpt, enc.schema)
+
+    val got = spark.read.schema(implicitly[org.apache.spark.sql.Encoder[SessionRec]].schema)
+      .parquet(out).as[SessionRec].collect().toSet
+    assert(got == Set(
+      SessionRec(1L, 1L, 2L, t0, t0 + 60000L),
+      SessionRec(2L, 1L, 2L, t0, t0 + 120000L)),
+      s"expected both pre-stop sessions closed once each with restored fold state, got: $got")
+  }
+
+  // ------------------------------------------- exact-fold rate limiting
+
+  test("rateLimitStream (exact fold) recovers the timestamp-list state and drops late rows") {
+    import spark.implicits._
+    val in = tmp("rate_in"); val out = tmp("rate_out"); val ckpt = tmp("rate_ck")
+    val enc = implicitly[org.apache.spark.sql.Encoder[RateEvent]]
+    def build(df: DataFrame): DataFrame =
+      Streams.rateLimitStream(df.as[RateEvent]).toDF()
+
+    val m = 60000L
+    val t0 = 86400000L // base > 0: epoch-0 rows die on the initial watermark
+    // phase 1: u1 fires 7 events a minute apart -> events 6 and 7 violate
+    // (n_24h = 6, 7); the timestamp-list state holds 7 entries at the stop
+    addFile((1 to 7).map(i => RateEvent(1L, i.toLong, t0 + (i - 1) * m)).toDF(), in)
+    runOnce(build, in, out, ckpt, enc.schema)
+
+    // phase 2: one more u1 event -> n_24h = 8 REQUIRES the restored list (a
+    // fresh fold would count 1); u3's same-ts burst sits behind the restored
+    // watermark (t0 + 6 min) and must be engine-dropped before the fold —
+    // 6 events at one ts would otherwise emit n_24h = 6 violations
+    addFile((Seq(RateEvent(1L, 8L, t0 + 7 * m)) ++
+      (1 to 6).map(i => RateEvent(3L, 100L + i, t0 - m))).toDF(), in)
+    runOnce(build, in, out, ckpt, enc.schema)
+
+    val got = spark.read
+      .schema(implicitly[org.apache.spark.sql.Encoder[Streams.RateViolation]].schema)
+      .parquet(out).as[Streams.RateViolation].collect().toSet
+    assert(got == Set(
+      Streams.RateViolation(1L, 6L, t0 + 5 * m, 6L),
+      Streams.RateViolation(1L, 7L, t0 + 6 * m, 7L),
+      Streams.RateViolation(1L, 8L, t0 + 7 * m, 8L)),
+      s"expected pre-stop violations once each + the list-restored n_24h=8, got: $got")
+  }
+
   // ------------------------------------------------------ rate-limit ring
 
   test("rateLimitRingStream recovers ring counts and restored watermark drops late rows") {

@@ -37,16 +37,55 @@ object Ivf {
   private def clusterOf(vec: Column, centroids: Array[Array[Float]]): Column =
     -element_at(nearestClusters(vec, centroids), 1).getField("neg_id")
 
-  /** Deterministic spherical k-means: seeds = the k lowest vec_ids, then
-    * `iters` Lloyd rounds with decimal-exact means.
+  /** Bounded deterministic training sample: once the corpus outgrows
+    * `sampleFactor * k` vectors, keep a vector iff its salted 52-bit md5
+    * hash falls under the proportional threshold — the q39/q47
+    * hash-sampling discipline (a pure function of vec_id: same sample
+    * across reruns, partitionings, and cluster sizes; no RNG state).
+    *
+    * Why: every Lloyd iteration in [[train]] posexplodes EVERY corpus
+    * vector (dims rows each) into a (cluster, pos) aggregate — at 100 TB
+    * that is iters full-corpus passes to fit a model of k*dims floats.
+    * The coarse quantizer only needs the cluster STRUCTURE, and ~100
+    * vectors per centroid pins it: sampling bounds training cost by the
+    * MODEL size instead of the corpus size, while assignment (the one
+    * full pass that must see every vector) stays exact in
+    * [[topK]]/[[topKInt8]]/[[writeIndex]]. `sampleFactor <= 0` disables.
     */
-  def train(emb: DataFrame, k: Int = 8, iters: Int = 3, dims: Int = 64): Array[Array[Float]] = {
-    var centroids: Array[Array[Float]] = emb
+  private[graft] def trainingSample(emb: DataFrame, k: Int, sampleFactor: Long): DataFrame = {
+    if (sampleFactor <= 0) emb
+    else {
+      val target = sampleFactor * k
+      val n = emb.count()
+      if (n <= target) emb
+      else {
+        // 52-bit hash: exactly representable in the double math below
+        val bound = ((1L << 52).toDouble * (target.toDouble / n)).toLong
+        val h = conv(
+          substring(md5(concat(lit("ivftrain:"), col("vec_id").cast("string"))), 1, 13),
+          16, 10).cast("long")
+        emb.filter(h < bound)
+      }
+    }
+  }
+
+  /** Deterministic spherical k-means: seeds = the k lowest vec_ids, then
+    * `iters` Lloyd rounds with decimal-exact means. Past
+    * `sampleFactor * k` corpus vectors, training runs on the bounded
+    * deterministic [[trainingSample]] (seeds = the k lowest SAMPLED
+    * vec_ids) — the corpus-sized passes belong to assignment, not to
+    * fitting a k*dims-float model.
+    */
+  def train(
+      emb: DataFrame, k: Int = 8, iters: Int = 3, dims: Int = 64,
+      sampleFactor: Long = 100L): Array[Array[Float]] = {
+    val base = trainingSample(emb, k, sampleFactor)
+    var centroids: Array[Array[Float]] = base
       .orderBy("vec_id").limit(k)
       .select("embedding").collect()
       .map(_.getSeq[Float](0).toArray)
     for (_ <- 1 to iters) {
-      val assigned = emb.select(
+      val assigned = base.select(
         clusterOf(col("embedding"), centroids).as("cluster"),
         posexplode(col("embedding")).as(Seq("pos", "v")))
       val means = assigned
@@ -134,9 +173,17 @@ object Ivf {
     * vector plus the directory structure.
     */
   def writeIndex(corpus: DataFrame, centroids: Array[Array[Float]], dir: String): Unit =
+    writeIndexAssigned(corpus, clusterOf(col("embedding"), centroids), dir)
+
+  /** [[writeIndex]] core over an explicit cluster-assignment column —
+    * the layout/IO path isolated from the quantizer, so scale probes can
+    * exercise 1000-partition-class index layouts without paying a
+    * 1000-centroid k-means.
+    */
+  private[graft] def writeIndexAssigned(corpus: DataFrame, cluster: Column, dir: String): Unit =
     corpus.select(
       col("vec_id"), graft.gfunctions.int8_codes(col("embedding")).as("codes_bin"),
-      clusterOf(col("embedding"), centroids).as("cluster"))
+      cluster.cast("int").as("cluster"))
       .write.partitionBy("cluster").mode("overwrite").parquet(dir)
 
   /** Serve from a [[writeIndex]] directory. The probed cluster ids are
@@ -161,13 +208,29 @@ object Ivf {
       centroids: Array[Array[Float]],
       k: Int = 10,
       nprobe: Int = 2): DataFrame = {
-    import graft.gfunctions.{int8_codes, int8_cosine}
+    import graft.gfunctions.int8_codes
     val probes = queries.select(
       col("vec_id").as("query_id"), int8_codes(col("embedding")).as("qcodes"),
       explode(transform(
         slice(nearestClusters(col("embedding"), centroids), 1, nprobe),
         s => -s.getField("neg_id"))).as("cluster"))
       .localCheckpoint(eager = true)
+    searchIndexProbed(spark, dir, probes, k)
+  }
+
+  /** [[searchIndex]] core over an explicit (query_id, qcodes, cluster)
+    * probe frame (already materialized by the caller): literal IN-list
+    * from the probed clusters -> statically pruned index scan -> the
+    * broadcast refinement join, integer-kernel scored. The serving read
+    * path isolated from the quantizer for the same reason as
+    * [[writeIndexAssigned]].
+    */
+  private[graft] def searchIndexProbed(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      probes: DataFrame,
+      k: Int): DataFrame = {
+    import graft.gfunctions.int8_cosine
     val probedClusters = probes.select("cluster").distinct()
       .collect().map(_.getInt(0))
     val listed = spark.read.parquet(dir)

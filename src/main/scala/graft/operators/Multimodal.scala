@@ -207,6 +207,85 @@ object Multimodal {
   /** Longest thumbnail edge; aspect ratio is preserved. */
   private[graft] val ThumbMaxDim = 16
 
+  /** Row writer over the decoded raster: `(y, dst, off)` fills `dst`
+    * from `off` with row y's ARGB ints — the ONE place the layout lanes
+    * live. [[argbOf]] materializes the full frame through it (the
+    * ScaleProbe15 measurement shape); the arithmetic passes
+    * ([[areaAverage]], [[imageFeatures]]) stream rows through a single
+    * reused w-int buffer, so their extra heap is O(w) regardless of
+    * frame size (a full-frame int array would add ~133% transient heap
+    * on top of the 3-byte raster for large frames).
+    *
+    * The fast lanes walk the Raster's backing byte array directly for
+    * the interleaved-byte layouts ImageIO actually decodes into
+    * (3BYTE_BGR for opaque PNG/JPEG/BMP, 4BYTE_ABGR for alpha PNG):
+    * those store plain non-premultiplied sRGB bytes, so repacking them
+    * is bit-identical to what getRGB returns — without getRGB's
+    * per-pixel ColorModel dispatch and per-pixel transfer-array
+    * allocation. ScaleProbe15 measured the alternatives on this JDK:
+    * the bulk `getRGB(0,0,w,h,buf,0,w)` overload is NOT faster (it
+    * loops the same per-pixel conversion internally for byte rasters);
+    * the direct walk is ~5x. Anything but the two known layouts — or a
+    * layout with a nonstandard stride/offset — takes the row-getRGB
+    * fallback, which is conversion-correct for every ColorModel.
+    * Either way every downstream sum and thumb byte is unchanged; the
+    * specs' independent planted-PNG recomputation pins that.
+    */
+  private[graft] def argbRowWriter(
+      img: java.awt.image.BufferedImage): (Int, Array[Int], Int) => Unit = {
+    import java.awt.image.{BufferedImage, DataBufferByte}
+    val w = img.getWidth
+    val n = w * img.getHeight
+    val raster = img.getRaster
+    val tight = raster.getDataBuffer.getOffset == 0 &&
+      raster.getSampleModelTranslateX == 0 && raster.getSampleModelTranslateY == 0
+    img.getType match {
+      case BufferedImage.TYPE_3BYTE_BGR
+          if tight && raster.getDataBuffer.getSize == n * 3 =>
+        val d = raster.getDataBuffer.asInstanceOf[DataBufferByte].getData
+        (y, dst, off) => {
+          var i = y * w * 3
+          var o = off
+          val end = off + w
+          while (o < end) {
+            dst(o) = 0xff000000 | ((d(i + 2) & 0xff) << 16) |
+              ((d(i + 1) & 0xff) << 8) | (d(i) & 0xff)
+            i += 3
+            o += 1
+          }
+        }
+      case BufferedImage.TYPE_4BYTE_ABGR
+          if tight && raster.getDataBuffer.getSize == n * 4 =>
+        val d = raster.getDataBuffer.asInstanceOf[DataBufferByte].getData
+        (y, dst, off) => {
+          var i = y * w * 4
+          var o = off
+          val end = off + w
+          while (o < end) {
+            dst(o) = ((d(i) & 0xff) << 24) | ((d(i + 3) & 0xff) << 16) |
+              ((d(i + 2) & 0xff) << 8) | (d(i + 1) & 0xff)
+            i += 4
+            o += 1
+          }
+        }
+      case _ =>
+        (y, dst, off) => { img.getRGB(0, y, w, 1, dst, off, w); () }
+    }
+  }
+
+  private[graft] def argbOf(img: java.awt.image.BufferedImage): Array[Int] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val out = new Array[Int](w * h)
+    val write = argbRowWriter(img)
+    var y = 0
+    while (y < h) {
+      write(y, out, y * w)
+      y += 1
+    }
+    out
+  }
+
   /** Deterministic box-filter downscale: target pixel (tx, ty) is the
     * integer mean RGB of its source box [tx·w/tw, (tx+1)·w/tw) ×
     * [ty·h/th, (ty+1)·h/th) — pure integer arithmetic over the decoded
@@ -217,94 +296,62 @@ object Multimodal {
     * is NOT spec-exact across JDK vendors, so JPEG thumbs are
     * deterministic per-JVM replay only. Returns tw×th×3 packed RGB
     * bytes.
-    */
-  /** One BULK ARGB read of the whole raster, replacing per-pixel
-    * `getRGB(x, y)` in the arithmetic passes below.
     *
-    * The fast lane walks the Raster's backing byte array directly for
-    * the interleaved-byte layouts ImageIO actually decodes into
-    * (3BYTE_BGR for opaque PNG/JPEG/BMP, 4BYTE_ABGR for alpha PNG):
-    * those store plain non-premultiplied sRGB bytes, so repacking them
-    * is bit-identical to what getRGB returns — without getRGB's
-    * per-pixel ColorModel dispatch and per-pixel transfer-array
-    * allocation. ScaleProbe15 measured the alternatives on this JDK:
-    * the bulk `getRGB(0,0,w,h,buf,0,w)` overload is NOT faster (it
-    * loops the same per-pixel conversion internally for byte rasters);
-    * the direct walk is ~5x. Anything but the two known layouts — or a
-    * layout with a nonstandard stride/offset — takes the bulk-getRGB
-    * fallback, which is conversion-correct for every ColorModel.
-    * Either way every downstream sum and thumb byte is unchanged; the
-    * specs' independent planted-PNG recomputation pins that.
+    * Source rows stream through one w-int buffer into per-target-cell
+    * integer sums (tw*th*3 longs) — the same additions the full-frame
+    * walk performed, reordered y-outermost, so every sum and output
+    * byte is unchanged while extra heap drops from O(w*h) to
+    * O(w + tw*th). Boxes may OVERLAP on an upscaled axis (x1/y1 are
+    * clamped to at least one source pixel), so a source row feeds every
+    * target row whose box contains it, not just one.
     */
-  private[graft] def argbOf(img: java.awt.image.BufferedImage): Array[Int] = {
-    import java.awt.image.{BufferedImage, DataBufferByte}
-    val w = img.getWidth
-    val h = img.getHeight
-    val n = w * h
-    val out = new Array[Int](n)
-    val raster = img.getRaster
-    val tight = raster.getDataBuffer.getOffset == 0 &&
-      raster.getSampleModelTranslateX == 0 && raster.getSampleModelTranslateY == 0
-    img.getType match {
-      case BufferedImage.TYPE_3BYTE_BGR
-          if tight && raster.getDataBuffer.getSize == n * 3 =>
-        val d = raster.getDataBuffer.asInstanceOf[DataBufferByte].getData
-        var i = 0
-        var o = 0
-        while (o < n) {
-          out(o) = 0xff000000 | ((d(i + 2) & 0xff) << 16) |
-            ((d(i + 1) & 0xff) << 8) | (d(i) & 0xff)
-          i += 3
-          o += 1
-        }
-      case BufferedImage.TYPE_4BYTE_ABGR
-          if tight && raster.getDataBuffer.getSize == n * 4 =>
-        val d = raster.getDataBuffer.asInstanceOf[DataBufferByte].getData
-        var i = 0
-        var o = 0
-        while (o < n) {
-          out(o) = ((d(i) & 0xff) << 24) | ((d(i + 3) & 0xff) << 16) |
-            ((d(i + 2) & 0xff) << 8) | (d(i + 1) & 0xff)
-          i += 4
-          o += 1
-        }
-      case _ =>
-        img.getRGB(0, 0, w, h, out, 0, w)
-    }
-    out
-  }
-
   private[graft] def areaAverage(
       img: java.awt.image.BufferedImage, tw: Int, th: Int): Array[Byte] = {
     val w = img.getWidth
     val h = img.getHeight
-    val argb = argbOf(img)
+    val write = argbRowWriter(img)
+    val rowBuf = new Array[Int](w)
+    val sums = new Array[Long](tw * th * 3)
+    val x0s = Array.tabulate(tw)(tx => tx * w / tw)
+    val x1s = Array.tabulate(tw)(tx => math.max((tx + 1) * w / tw, x0s(tx) + 1))
+    val y0s = Array.tabulate(th)(ty => ty * h / th)
+    val y1s = Array.tabulate(th)(ty => math.max((ty + 1) * h / th, y0s(ty) + 1))
+    var y = 0
+    while (y < h) {
+      var read = false
+      var ty = 0
+      while (ty < th) {
+        if (y >= y0s(ty) && y < y1s(ty)) {
+          if (!read) { write(y, rowBuf, 0); read = true }
+          var tx = 0
+          while (tx < tw) {
+            var r = 0L; var g = 0L; var b = 0L
+            var x = x0s(tx)
+            val x1 = x1s(tx)
+            while (x < x1) {
+              val p = rowBuf(x)
+              r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+              x += 1
+            }
+            val o = (ty * tw + tx) * 3
+            sums(o) += r; sums(o + 1) += g; sums(o + 2) += b
+            tx += 1
+          }
+        }
+        ty += 1
+      }
+      y += 1
+    }
     val out = new Array[Byte](tw * th * 3)
     var ty = 0
     while (ty < th) {
-      val y0 = ty * h / th
-      val y1 = math.max((ty + 1) * h / th, y0 + 1)
       var tx = 0
       while (tx < tw) {
-        val x0 = tx * w / tw
-        val x1 = math.max((tx + 1) * w / tw, x0 + 1)
-        var r = 0L; var g = 0L; var b = 0L
-        var y = y0
-        while (y < y1) {
-          val row = y * w
-          var x = x0
-          while (x < x1) {
-            val p = argb(row + x)
-            r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
-            x += 1
-          }
-          y += 1
-        }
-        val nPix = (x1 - x0).toLong * (y1 - y0)
+        val nPix = (x1s(tx) - x0s(tx)).toLong * (y1s(ty) - y0s(ty))
         val o = (ty * tw + tx) * 3
-        out(o) = (r / nPix).toByte
-        out(o + 1) = (g / nPix).toByte
-        out(o + 2) = (b / nPix).toByte
+        out(o) = (sums(o) / nPix).toByte
+        out(o + 1) = (sums(o + 1) / nPix).toByte
+        out(o + 2) = (sums(o + 2) / nPix).toByte
         tx += 1
       }
       ty += 1
@@ -471,13 +518,21 @@ object Multimodal {
           if (img != null && img.getWidth > 0 && img.getHeight > 0) {
             val w = img.getWidth
             val h = img.getHeight
-            val argb = argbOf(img)
+            // rows stream through one w-int buffer: O(w) extra heap per
+            // frame, identical integer sums to the full-frame walk
+            val write = argbRowWriter(img)
+            val rowBuf = new Array[Int](w)
             var r = 0L; var g = 0L; var b = 0L
-            var i = 0
-            while (i < argb.length) {
-              val p = argb(i)
-              r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
-              i += 1
+            var y = 0
+            while (y < h) {
+              write(y, rowBuf, 0)
+              var x = 0
+              while (x < w) {
+                val p = rowBuf(x)
+                r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+                x += 1
+              }
+              y += 1
             }
             ImgFeatures(id, decoded = true, w, h, w.toLong * h, r, g, b)
           } else ImgFeatures(id, decoded = false, 0, 0, 0L, 0L, 0L, 0L)

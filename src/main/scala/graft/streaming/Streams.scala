@@ -285,18 +285,40 @@ object Streams {
       }
       .start()
 
+  /** The SLIM banded side of the semantic matcher: (band_idx, band_val,
+    * ref_id) only, degenerate buckets capped. Keeping the corpus float
+    * vectors OUT of the band table is what keeps band exchanges cheap —
+    * they re-attach post-match via [[embNearDupVecs]].
+    */
+  private[graft] def embNearDupBands(
+      corpus: DataFrame, planes: Int, bands: Int, dims: Int, bucketCap: Int): DataFrame = {
+    import graft.operators.Lsh
+    Lsh.capBuckets(
+      Lsh.banded(corpus.select("vec_id", "embedding"), "embedding", planes, bands, dims)
+        .select(col("band_idx"), col("band_val"), col("vec_id").as("ref_id")),
+      Seq("band_idx", "band_val"), bucketCap)
+  }
+
+  private[graft] def embNearDupVecs(corpus: DataFrame): DataFrame =
+    corpus.select(col("vec_id").as("ref_id"), col("embedding").as("ref_vec"))
+
   /** Stream-vs-corpus SEMANTIC near-dup matching — the embedding analog
     * of [[nearDupStream]]: each arriving vector is hyperplane-banded
     * per row (native kernel, stateless), band-joined against the STATIC
-    * curated corpus's banded table (capped — a degenerate semantic
-    * cluster cannot fan arrivals across its whole bucket), and
-    * candidates verify on the exact float cosine kernel at `tau`. The
-    * only streaming state is the watermark-bounded (vec, ref) pair
-    * dedup. Exchanges carry band strings + ids; the corpus's float
-    * vectors re-attach only to band-matched candidates. Emits
-    * (vec_id, ref_id, sim >= tau) — the live gate a training-ingest
-    * pipeline runs so semantically-duplicate documents of an existing
-    * corpus never reach curation.
+    * curated corpus's SLIM banded table (band keys + ref_id only,
+    * capped — a degenerate semantic cluster cannot fan arrivals across
+    * its whole bucket), then band-matched candidates attach the
+    * corpus's float vector via a second static equi-join on ref_id and
+    * verify on the exact float cosine kernel at `tau`. The only
+    * streaming state is the watermark-bounded (vec, ref) pair dedup.
+    *
+    * Exchange shape: the corpus floats never ride band rows — they
+    * attach only to band-matched candidates; the ARRIVING embedding
+    * does ride its own exploded band rows, a bounded x`bands`
+    * duplication of the arrival (never a function of bucket width).
+    * Emits (vec_id, ref_id, sim >= tau) — the live gate a
+    * training-ingest pipeline runs so semantically-duplicate documents
+    * of an existing corpus never reach curation.
     */
   def embNearDupStream(
       vecs: DataFrame,
@@ -305,31 +327,51 @@ object Streams {
       planes: Int = 32,
       bands: Int = 4,
       dims: Int = 64,
-      bucketCap: Int = 10000): DataFrame = {
-    import graft.operators.Lsh
-    val ref = Lsh.capBuckets(
-      Lsh.banded(corpus.select("vec_id", "embedding"), "embedding", planes, bands, dims)
-        .select(col("band_idx"), col("band_val"),
-          col("vec_id").as("ref_id"), col("embedding").as("ref_vec")),
-      Seq("band_idx", "band_val"), bucketCap)
+      bucketCap: Int = 10000): DataFrame =
     vecs
       .select(col("vec_id"), col("ts"),
         col("embedding"),
         posexplode(graft.gfunctions.hyperplane_bands(col("embedding"), planes, bands, dims))
           .as(Seq("band_idx", "band_val")))
       .withWatermark("ts", "1 hour")
-      .join(ref, Seq("band_idx", "band_val"))
+      .join(embNearDupBands(corpus, planes, bands, dims, bucketCap), Seq("band_idx", "band_val"))
       .filter(col("vec_id") =!= col("ref_id"))
+      .join(embNearDupVecs(corpus), Seq("ref_id"))
       .withColumn("sim", graft.gfunctions.cosine_sim(col("embedding"), col("ref_vec")))
       .filter(col("sim") >= tau)
       .dropDuplicatesWithinWatermark("vec_id", "ref_id")
       .select("vec_id", "ref_id", "sim")
+
+  /** One batch of arriving vectors against a prebuilt slim band table +
+    * vector table: band per row, slim band-join, pair dedup BEFORE the
+    * vector attach (batch mode owes no watermark, so the exact cosine
+    * runs once per candidate pair, not once per shared band), exact
+    * verify at `tau`. The shared match core under the static-corpus
+    * batch twin and the refreshing foreachBatch stream.
+    */
+  private[graft] def embNearDupMatch(
+      arrivals: DataFrame,
+      refBands: DataFrame,
+      refVecs: DataFrame,
+      tau: Double,
+      planes: Int,
+      bands: Int,
+      dims: Int): DataFrame = {
+    import graft.operators.Lsh
+    Lsh.banded(arrivals.select("vec_id", "embedding"), "embedding", planes, bands, dims)
+      .join(refBands, Seq("band_idx", "band_val"))
+      .filter(col("vec_id") =!= col("ref_id"))
+      .dropDuplicates("vec_id", "ref_id")
+      .join(refVecs, Seq("ref_id"))
+      .withColumn("sim", graft.gfunctions.cosine_sim(col("embedding"), col("ref_vec")))
+      .filter(col("sim") >= tau)
+      .select("vec_id", "ref_id", "sim")
   }
 
   /** One batch of arriving vectors against the static banded corpus —
-    * the [[embNearDupStream]] match core as a plain batch frame (band
-    * join, exact cosine verify, pair dedup), reduced to one decision
-    * row per arrival. The driver-gated twin runs it on driver data.
+    * [[embNearDupMatch]] over an in-memory ref build, reduced to one
+    * decision row per arrival. The driver-gated twin runs it on driver
+    * data.
     */
   def embNearDupBatch(
       arrivals: DataFrame,
@@ -339,18 +381,11 @@ object Streams {
       bands: Int = 4,
       dims: Int = 64,
       bucketCap: Int = 10000): DataFrame = {
-    import graft.operators.Lsh
-    val ref = Lsh.capBuckets(
-      Lsh.banded(corpus.select("vec_id", "embedding"), "embedding", planes, bands, dims)
-        .select(col("band_idx"), col("band_val"),
-          col("vec_id").as("ref_id"), col("embedding").as("ref_vec")),
-      Seq("band_idx", "band_val"), bucketCap)
-    val matches = Lsh.banded(arrivals.select("vec_id", "embedding"), "embedding", planes, bands, dims)
-      .join(ref, Seq("band_idx", "band_val"))
-      .filter(col("vec_id") =!= col("ref_id"))
-      .dropDuplicates("vec_id", "ref_id")
-      .withColumn("sim", graft.gfunctions.cosine_sim(col("embedding"), col("ref_vec")))
-      .filter(col("sim") >= tau)
+    val matches = embNearDupMatch(
+      arrivals,
+      embNearDupBands(corpus, planes, bands, dims, bucketCap),
+      embNearDupVecs(corpus),
+      tau, planes, bands, dims)
       .groupBy("vec_id")
       .agg(count(lit(1)).as("n_matches"), max(col("sim")).as("best_sim"))
     arrivals.select("vec_id")
@@ -361,6 +396,62 @@ object Streams {
         coalesce(col("n_matches"), lit(0L)).as("n_matches"),
         coalesce(col("best_sim"), lit(0.0)).as("best_sim"))
   }
+
+  /** Build (or REBUILD) the reference tables [[embNearDupStreamRefreshing]]
+    * reads: `dir/bands` — the slim capped band table (band_idx,
+    * band_val, ref_id) — and `dir/vecs` — (ref_id, ref_vec). Two tables
+    * so a refresh read keeps the scale shape of the static matcher: the
+    * per-micro-batch band join scans band keys + ids only, and the
+    * float vectors are read just for band-matched candidates. The
+    * producer side of the semantic refresh story: a periodic batch
+    * re-curation recomputes both over the current corpus and overwrites
+    * the directory; the running stream picks the swap up on its next
+    * micro-batch, no restart.
+    */
+  def writeEmbNearDupRef(
+      corpus: DataFrame,
+      dir: String,
+      planes: Int = 32,
+      bands: Int = 4,
+      dims: Int = 64,
+      bucketCap: Int = 10000): Unit = {
+    embNearDupBands(corpus, planes, bands, dims, bucketCap)
+      .write.mode("overwrite").parquet(dir + "/bands")
+    embNearDupVecs(corpus).write.mode("overwrite").parquet(dir + "/vecs")
+  }
+
+  /** REFRESHABLE stream-vs-corpus semantic matching — the embedding
+    * analog of [[nearDupStreamRefreshing]]: the banded reference tables
+    * are RE-READ from `refDir` inside `foreachBatch` on EVERY
+    * micro-batch, so a periodic [[writeEmbNearDupRef]] rebuild over the
+    * re-curated corpus is picked up by the running stream without
+    * restart (a plain stream-static join — [[embNearDupStream]] — pins
+    * its file listing when the query starts). Same trade as the minhash
+    * variant: cross-micro-batch (vec, ref) pair dedup moves from
+    * watermark state to the SINK's idempotence rule — `sink` receives
+    * per-batch-deduped match rows and must upsert by (vec_id, ref_id),
+    * the q27 idempotent-load discipline. Matching semantics are
+    * [[embNearDupMatch]], shared with the batch twin.
+    */
+  def embNearDupStreamRefreshing(
+      vecs: DataFrame,
+      refDir: String,
+      sink: (DataFrame, Long) => Unit,
+      tau: Double = 0.85,
+      planes: Int = 32,
+      bands: Int = 4,
+      dims: Int = 64): org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        sink(
+          embNearDupMatch(
+            batch.toDF(), s.read.parquet(refDir + "/bands"), s.read.parquet(refDir + "/vecs"),
+            tau, planes, bands, dims),
+          batchId)
+      }
+      .start()
 
   /** Streaming decontamination gate: each arriving doc's 8-gram hashes
     * probe a bloom filter of the STATIC benchmark corpus inside the scan

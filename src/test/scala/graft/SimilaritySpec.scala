@@ -350,4 +350,43 @@ class SimilaritySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("IVF sampled training: centroids partition-invariant; recall holds with sampling engaged") {
+    import org.apache.spark.sql.functions.{col, desc}
+    val sf = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, sf)
+    // sampleFactor=8 with k=8 -> target 64 of 500 vectors: the sample
+    // path ENGAGES here (the default 100x engages only past 100*k)
+    val n = operators.Ivf.trainingSample(emb, 8, 8L).count()
+    assert(n < 500 && n >= 32, s"sample must engage and keep ~64 of 500 vectors, got $n")
+    // determinism: the sample is a pure function of vec_id, so training
+    // over a reshuffled, re-sorted input yields bit-equal centroids
+    val c1 = operators.Ivf.train(emb.repartition(7), k = 8, iters = 1, sampleFactor = 8L)
+    val c2 = operators.Ivf.train(
+      emb.repartition(3).sortWithinPartitions(desc("vec_id")), k = 8, iters = 1, sampleFactor = 8L)
+    assert(c1.length == 8 && c1.zip(c2).forall { case (a, b) => a.sameElements(b) },
+      "sampled centroids must be a pure function of the data, not its partitioning")
+    // recall floors with the sampled quantizer. The SIZING matters:
+    // the 8x-per-centroid sample above is fine for pinning determinism
+    // but measured recall 0.387 — a quantizer trained that thin carves
+    // lists that scatter true neighbors outside the probe budget. At
+    // the design sizing (~100 vectors per centroid; here 50x = 400 of
+    // 500, the largest engaging sample this corpus allows) the floors
+    // of the full-train specs must hold — which is exactly why train's
+    // default is sampleFactor = 100, not "as small as possible".
+    val cSized = operators.Ivf.train(emb, k = 8, iters = 1, sampleFactor = 50L)
+    val brute = topSets(operators.Similarity.qBrute.run(spark, sf))
+    def recallOf(m: Map[Long, Set[Long]]): Double = {
+      val rs = brute.map { case (q, truth) =>
+        m.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+      }
+      rs.sum / rs.size
+    }
+    val queries = emb.filter(col("vec_id") < 8)
+    val fMean = recallOf(topSets(operators.Ivf.topK(emb, queries, cSized)))
+    val iMean = recallOf(topSets(operators.Ivf.topKInt8(emb, queries, cSized)))
+    info(f"sampled-train recall@10: float $fMean%.3f, int8 $iMean%.3f")
+    assert(fMean >= 0.9, f"sampled-train float IVF recall collapsed: $fMean%.3f")
+    assert(iMean >= 0.9, f"sampled-train int8 IVF recall collapsed: $iMean%.3f")
+  }
 }

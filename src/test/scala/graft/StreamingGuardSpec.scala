@@ -126,6 +126,17 @@ class StreamingGuardSpec extends AnyFunSuite {
       Streams.nearDupStreamRefreshing(
         ms.toDF().toDF("doc_id", "text"), dir, (_, _) => ())
     },
+    "embNearDupStreamRefreshing" -> { s =>
+      import s.implicits._
+      implicit val sc = s.sqlContext
+      val dir = "/tmp/graft-test/guard_embneardup_refresh"
+      val v = Array.fill(64)(0.1f)
+      Streams.writeEmbNearDupRef(Seq((100L, v)).toDF("vec_id", "embedding"), dir)
+      val ms = MemoryStream[(Long, Array[Float])]
+      ms.addData((1L, v.map(x => x + 0.001f)), (2L, v.map(-_)))
+      Streams.embNearDupStreamRefreshing(
+        ms.toDF().toDF("vec_id", "embedding"), dir, (_, _) => ())
+    },
     "decontamStream" -> { s =>
       import s.implicits._
       implicit val sc = s.sqlContext

@@ -612,6 +612,41 @@ class StreamingSpec extends AnyFunSuite {
       s"batch twin decisions must mirror the stream, got $decisions")
   }
 
+  test("refreshing embedding near-dup stream picks up a rebuilt banded corpus WITHOUT restart") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(64)(r.nextGaussian().toFloat)
+    }
+    val baseA = vec(11)
+    val baseB = vec(22)
+    val nearA = baseA.map(x => x + 0.01f) // cosine ~0.9999 vs baseA
+    val nearB = baseB.map(x => x + 0.01f)
+    val refDir = "/tmp/graft-test/embneardup_ref_swap"
+    // corpus A: baseA only
+    Streams.writeEmbNearDupRef(Seq((100L, baseA)).toDF("vec_id", "embedding"), refDir)
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val ms = MemoryStream[(Long, Array[Float])]
+    val q = Streams.embNearDupStreamRefreshing(
+      ms.toDF().toDF("vec_id", "embedding"), refDir,
+      (df, _) => results ++= df.collect().map(r => (r.getLong(0), r.getLong(1))))
+    try {
+      ms.addData((1L, nearA), (2L, nearB))
+      q.processAllAvailable()
+      assert(results.toSet == Set((1L, 100L)),
+        s"against corpus A only the A-near vector matches, got $results")
+      // the periodic re-curation swaps the banded corpus to B — the SAME
+      // running query must match against B on its next micro-batch
+      Streams.writeEmbNearDupRef(Seq((200L, baseB)).toDF("vec_id", "embedding"), refDir)
+      results.clear()
+      ms.addData((3L, nearA), (4L, nearB))
+      q.processAllAvailable()
+      assert(results.toSet == Set((4L, 200L)),
+        s"after the swap the running query matches corpus B only, got $results")
+    } finally q.stop()
+  }
+
   test("stream_emb_neardup driver gate returns one decision row per arrival") {
     val sf = "/root/testdata/sf0.001"
     val df = Streams.qEmbNearDup.run(spark, sf)

@@ -179,11 +179,24 @@ object Ivf {
     * the layout/IO path isolated from the quantizer, so scale probes can
     * exercise 1000-partition-class index layouts without paying a
     * 1000-centroid k-means.
+    *
+    * The rows SHUFFLE onto their cluster before the partitioned write:
+    * without it every write task fans a file into every cluster dir it
+    * sees — ScaleProbe17 measured 32,768 files for a k=1024 index from
+    * 32 tasks (tasks x clusters), with the write at 57.9 s and every
+    * pruned serve paying a file listing/open tax (4.3 s/probe set) that
+    * grows with executor count. Cluster-aligned, each inverted list is
+    * one file (tasks carrying several clusters still cut one file per
+    * cluster): same index, 1,024 files, write 9.0 s, warm pruned serve
+    * 1.8 s. Lists that outgrow a sane file size split via
+    * `spark.sql.files.maxRecordsPerFile` — a size bound, not a
+    * task-count artifact.
     */
   private[graft] def writeIndexAssigned(corpus: DataFrame, cluster: Column, dir: String): Unit =
     corpus.select(
       col("vec_id"), graft.gfunctions.int8_codes(col("embedding")).as("codes_bin"),
       cluster.cast("int").as("cluster"))
+      .repartition(col("cluster"))
       .write.partitionBy("cluster").mode("overwrite").parquet(dir)
 
   /** Serve from a [[writeIndex]] directory. The probed cluster ids are

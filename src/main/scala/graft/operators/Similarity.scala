@@ -380,6 +380,32 @@ object Similarity {
     None,
   )
 
+  // The on-disk index is a build-once artifact like the centroids: one
+  // write per (JVM, data dir), then every serve reads the parquet lists.
+  private val indexDirCache = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  val qIndexRerank = GraftQuery(
+    "ann_index_rerank_topk",
+    // rows-only like the other approximate entries. This is the full
+    // 100 TB serving lifecycle as ONE driver-gated query: persist the
+    // quantized inverted lists partitioned by cluster, statically prune
+    // the serving scan to probed partitions, coarse-score packed codes,
+    // exact-float-rerank the k*oversample survivors. Specs pin
+    // ranked-row parity with int8RerankTopK at full probe and
+    // dense-corpus recall recovery served from disk.
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val centroids = centroidCache.getOrElseUpdate(d, Ivf.train(emb, k = 8, iters = 1))
+      val dir = indexDirCache.getOrElseUpdate(d, {
+        val out = s"/tmp/graft-index/idx_${java.lang.Integer.toHexString(d.hashCode)}"
+        Ivf.writeIndex(emb, centroids, out)
+        out
+      })
+      Ivf.searchIndexRerank(s, dir, querySet(emb), emb, centroids)
+    },
+    None,
+  )
+
   def all: Seq[GraftQuery] =
-    Seq(qBrute, qLsh, qIvf, qOutlier, qQuant, qInt8, qInt8Rerank, qIvfInt8)
+    Seq(qBrute, qLsh, qIvf, qOutlier, qQuant, qInt8, qInt8Rerank, qIvfInt8, qIndexRerank)
 }

@@ -351,6 +351,23 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("ann_index_rerank_topk registry entry: k rows per query, sims are exact float cosines") {
+    val sf = "/root/testdata/sf0.001"
+    val served = operators.Similarity.qIndexRerank.run(spark, sf).collect()
+    assert(served.length == 80, s"8 registry queries x top-10, got ${served.length}")
+    // the rerank phase must emit EXACT float-kernel cosines: every
+    // (query, neighbor) pair that brute force also ranks carries a
+    // bit-identical sim (the same subset law the LSH entry pins)
+    val brute = operators.Similarity.qBrute.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    served.foreach { r =>
+      val key = (r.getLong(r.fieldIndex("query_id")), r.getLong(r.fieldIndex("neighbor_id")))
+      brute.get(key).foreach { s =>
+        assert(s == r.getDouble(r.fieldIndex("sim")), s"rerank sim not the exact cosine for $key")
+      }
+    }
+  }
+
   test("IVF sampled training: centroids partition-invariant; recall holds with sampling engaged") {
     import org.apache.spark.sql.functions.{col, desc}
     val sf = "/root/testdata/sf0.001"

@@ -137,6 +137,19 @@ class StreamingGuardSpec extends AnyFunSuite {
       Streams.embNearDupStreamRefreshing(
         ms.toDF().toDF("vec_id", "embedding"), dir, (_, _) => ())
     },
+    "decontamStreamRefreshing" -> { s =>
+      import s.implicits._
+      implicit val sc = s.sqlContext
+      val dir = "/tmp/graft-test/guard_decontam_refresh"
+      Streams.writeDecontamRef(
+        Seq((100L, "held out benchmark question about spark joins here"))
+          .toDF("doc_id", "text"), dir)
+      val ms = MemoryStream[(Long, String)]
+      ms.addData(
+        (1L, "prefix then held out benchmark question about spark joins here too"),
+        (2L, "unrelated clean corpus body with plenty of distinct tokens"))
+      Streams.decontamStreamRefreshing(ms.toDF().toDF("doc_id", "text"), dir, (_, _) => ())
+    },
     "decontamStream" -> { s =>
       import s.implicits._
       implicit val sc = s.sqlContext

@@ -334,6 +334,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("refreshing decontamination gate picks up a GROWN benchmark suite WITHOUT restart") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val benchA = Seq((100L, "held out benchmark question about spark joins here")).toDF("doc_id", "text")
+    // suite B: A plus a NEW eval that landed after the stream started
+    val benchB = Seq(
+      (100L, "held out benchmark question about spark joins here"),
+      (101L, "fresh evaluation passage with eight distinctive ordered tokens inside"),
+    ).toDF("doc_id", "text")
+    val quotesA = "prefix words then held out benchmark question about spark joins here and more"
+    val quotesB = "body embedding fresh evaluation passage with eight distinctive ordered tokens inside verbatim"
+    val refDir = "/tmp/graft-test/decontam_ref_swap"
+    Streams.writeDecontamRef(benchA, refDir)
+    val results = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val ms = MemoryStream[(Long, String)]
+    val q = Streams.decontamStreamRefreshing(
+      ms.toDF().toDF("doc_id", "text"), refDir,
+      (df, _) => results ++= df.collect().map(_.getLong(0)))
+    try {
+      ms.addData((1L, quotesA), (2L, quotesB))
+      q.processAllAvailable()
+      assert(results.toSet == Set(1L),
+        s"against suite A only the A-quoter flags, got $results")
+      // the monthly benchmark refresh lands eval 101 — the SAME running
+      // gate must flag its quoters on the next micro-batch
+      Streams.writeDecontamRef(benchB, refDir)
+      results.clear()
+      ms.addData((3L, quotesA), (4L, quotesB))
+      q.processAllAvailable()
+      assert(results.toSet == Set(3L, 4L),
+        s"after the refresh both suites' quoters flag, got $results")
+    } finally q.stop()
+  }
+
   test("streaming SCD2 closes intervals across micro-batches; twin parity at sf0.001") {
     import spark.implicits._
     implicit val sc = spark.sqlContext

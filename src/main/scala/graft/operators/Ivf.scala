@@ -257,6 +257,50 @@ object Ivf {
     Similarity.rankTopK(cand, k)
   }
 
+  /** APPEND a delta of new vectors to a persisted [[writeIndex]]
+    * directory — the index lifecycle between rebuilds: a growing corpus
+    * adds vectors far more often than the coarse quantizer needs
+    * retraining, so deltas assign at full precision against the SAME
+    * centroids the index was built with (the quantizer is versioned
+    * with the index; retraining means a rebuild) and land in their
+    * cluster partitions as NEW files, cluster-aligned like the base
+    * write. Serving needs no coordination: the next [[searchIndex]]
+    * listing sees the appended files inside the same pruned partitions.
+    *
+    * Each append adds one file per touched cluster, so lists fragment
+    * over time — [[compactIndex]] is the maintenance pass that folds
+    * them back to one file per list (the ScaleProbe17 layout cost is
+    * exactly what unbounded fragmentation re-creates).
+    */
+  def appendIndex(delta: DataFrame, centroids: Array[Array[Float]], dir: String): Unit =
+    delta.select(
+      col("vec_id"), graft.gfunctions.int8_codes(col("embedding")).as("codes_bin"),
+      clusterOf(col("embedding"), centroids).cast("int").as("cluster"))
+      .repartition(col("cluster"))
+      .write.partitionBy("cluster").mode("append").parquet(dir)
+
+  /** Fold an appended-to index back to one file per inverted list. The
+    * compacted copy is written CLUSTER-ALIGNED to a sibling directory
+    * first and swapped in with filesystem renames (Hadoop FileSystem
+    * API — works on HDFS/object stores with a rename primitive), so a
+    * crash mid-compaction leaves either the old or the new index fully
+    * readable, never a truncated one. Row content is unchanged —
+    * compaction is a LAYOUT operation; the spec pins search-result
+    * identity across it.
+    */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val tmp = dir + ".compacting"
+    spark.read.parquet(dir)
+      .repartition(col("cluster"))
+      .write.partitionBy("cluster").mode("overwrite").parquet(tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    val old = new org.apache.hadoop.fs.Path(dir + ".old")
+    fs.rename(new org.apache.hadoop.fs.Path(dir), old)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(dir))
+    fs.delete(old, true)
+  }
+
   /** Two-phase serving from a persisted index — [[searchIndex]] composed
     * with the exact-float rerank of
     * [[Similarity.int8RerankTopK]]: the coarse pass scores PACKED codes

@@ -351,6 +351,41 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("persisted-index lifecycle: append serves like a rebuild; compact folds to one file per list") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, sf)
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val delta = emb.filter(col("vec_id") % 5 === 0)
+    val queries = emb.filter(col("vec_id") < 8)
+    val centroids = operators.Ivf.train(emb, k = 8, iters = 1)
+    val grown = "/tmp/graft-test/ivf_index_lifecycle"
+    val rebuilt = "/tmp/graft-test/ivf_index_rebuilt"
+    def files(dir: String): Long = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try s.filter(p => p.toString.endsWith(".parquet")).count() finally s.close()
+    }
+    def rows(dir: String) = operators.Ivf.searchIndex(spark, dir, queries, centroids).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+
+    operators.Ivf.writeIndex(base, centroids, grown)
+    val filesBase = files(grown)
+    operators.Ivf.appendIndex(delta, centroids, grown)
+    assert(files(grown) > filesBase, "an append lands new files in the touched lists")
+    // the appended index must serve EXACTLY like an index rebuilt from
+    // the union under the same quantizer — same ranked rows, same sims
+    operators.Ivf.writeIndex(emb, centroids, rebuilt)
+    assert(rows(grown) == rows(rebuilt),
+      "append must be invisible to serving vs a full rebuild")
+    // compaction is layout-only: one file per inverted list again,
+    // identical ranked rows
+    operators.Ivf.compactIndex(spark, grown)
+    val nLists = spark.read.parquet(grown).select("cluster").distinct().count()
+    assert(files(grown) == nLists,
+      s"compaction folds to one file per list, got ${files(grown)} files for $nLists lists")
+    assert(rows(grown) == rows(rebuilt), "compaction must not change a single served row")
+  }
+
   test("ann_index_rerank_topk registry entry: k rows per query, sims are exact float cosines") {
     val sf = "/root/testdata/sf0.001"
     val served = operators.Similarity.qIndexRerank.run(spark, sf).collect()

@@ -172,8 +172,39 @@ object Ivf {
     * many: the index a 100 TB corpus keeps on disk is dims bytes per
     * vector plus the directory structure.
     */
-  def writeIndex(corpus: DataFrame, centroids: Array[Array[Float]], dir: String): Unit =
+  def writeIndex(corpus: DataFrame, centroids: Array[Array[Float]], dir: String): Unit = {
     writeIndexAssigned(corpus, clusterOf(col("embedding"), centroids), dir)
+    writeCentroids(corpus.sparkSession, centroids, dir)
+  }
+
+  /** The quantizer is VERSIONED WITH the index, literally: [[writeIndex]]
+    * persists the centroids under `dir/_quantizer` (the underscore
+    * prefix hides the subdir from Spark's data-file listing, so reading
+    * the inverted lists at `dir` is unaffected — the `_spark_metadata`
+    * convention). Serving and appending can then be self-describing:
+    * the [[searchIndex]]/[[searchIndexRerank]]/[[appendIndex]] overloads
+    * without a centroids argument read it back, which makes the
+    * append contract ("assign against the index's OWN centroids")
+    * impossible to get wrong by passing a retrained array.
+    */
+  private val QuantizerSubdir = "_quantizer"
+
+  private def writeCentroids(
+      spark: org.apache.spark.sql.SparkSession,
+      centroids: Array[Array[Float]], dir: String): Unit = {
+    import spark.implicits._
+    centroids.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq) }
+      .toDF("cluster", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/$QuantizerSubdir")
+  }
+
+  def readCentroids(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Array[Array[Float]] =
+    spark.read.parquet(s"$dir/$QuantizerSubdir")
+      .orderBy("cluster").collect()
+      .map(_.getSeq[Float](1).toArray)
 
   /** [[writeIndex]] core over an explicit cluster-assignment column —
     * the layout/IO path isolated from the quantizer, so scale probes can
@@ -231,6 +262,23 @@ object Ivf {
     searchIndexProbed(spark, dir, probes, k)
   }
 
+  /** Self-describing serve: probes against the quantizer persisted with
+    * the index (`dir/_quantizer`) — no caller-carried centroid state.
+    */
+  def searchIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      queries: DataFrame): DataFrame =
+    searchIndex(spark, dir, queries, readCentroids(spark, dir))
+
+  def searchIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      queries: DataFrame,
+      k: Int,
+      nprobe: Int): DataFrame =
+    searchIndex(spark, dir, queries, readCentroids(spark, dir), k, nprobe)
+
   /** [[searchIndex]] core over an explicit (query_id, qcodes, cluster)
     * probe frame (already materialized by the caller): literal IN-list
     * from the probed clusters -> statically pruned index scan -> the
@@ -279,6 +327,12 @@ object Ivf {
       .repartition(col("cluster"))
       .write.partitionBy("cluster").mode("append").parquet(dir)
 
+  /** Self-describing append: assigns against the index's OWN persisted
+    * quantizer — the contract by construction.
+    */
+  def appendIndex(delta: DataFrame, dir: String): Unit =
+    appendIndex(delta, readCentroids(delta.sparkSession, dir), dir)
+
   /** Fold an appended-to index back to one file per inverted list. The
     * compacted copy is written CLUSTER-ALIGNED to a sibling directory
     * first and swapped in with filesystem renames (Hadoop FileSystem
@@ -295,6 +349,11 @@ object Ivf {
       .write.partitionBy("cluster").mode("overwrite").parquet(tmp)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    // the quantizer rides along: _-prefixed, so the list read above
+    // never saw it — move it into the compacted copy before the swap
+    val quant = new org.apache.hadoop.fs.Path(s"$dir/$QuantizerSubdir")
+    if (fs.exists(quant))
+      fs.rename(quant, new org.apache.hadoop.fs.Path(s"$tmp/$QuantizerSubdir"))
     val old = new org.apache.hadoop.fs.Path(dir + ".old")
     fs.rename(new org.apache.hadoop.fs.Path(dir), old)
     fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(dir))
@@ -338,4 +397,14 @@ object Ivf {
         cosine_sim(col("nvec"), col("qvec")).as("sim"))
     Similarity.rankTopK(rescored, k)
   }
+
+  /** Self-describing two-phase serve — the persisted quantizer edition
+    * of [[searchIndexRerank]].
+    */
+  def searchIndexRerank(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      queries: DataFrame,
+      corpus: DataFrame): DataFrame =
+    searchIndexRerank(spark, dir, queries, corpus, readCentroids(spark, dir))
 }

@@ -361,9 +361,13 @@ class SimilaritySpec extends AnyFunSuite {
     val centroids = operators.Ivf.train(emb, k = 8, iters = 1)
     val grown = "/tmp/graft-test/ivf_index_lifecycle"
     val rebuilt = "/tmp/graft-test/ivf_index_rebuilt"
+    // count only inverted-list data files — the persisted _quantizer
+    // parquet is index metadata, not a list file
     def files(dir: String): Long = {
       val s = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
-      try s.filter(p => p.toString.endsWith(".parquet")).count() finally s.close()
+      try s.filter(p => p.toString.endsWith(".parquet") && p.toString.contains("cluster="))
+        .count()
+      finally s.close()
     }
     def rows(dir: String) = operators.Ivf.searchIndex(spark, dir, queries, centroids).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
@@ -384,6 +388,40 @@ class SimilaritySpec extends AnyFunSuite {
     assert(files(grown) == nLists,
       s"compaction folds to one file per list, got ${files(grown)} files for $nLists lists")
     assert(rows(grown) == rows(rebuilt), "compaction must not change a single served row")
+  }
+
+  test("index carries its quantizer: round-trip, self-describing serve/append, survives compaction") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 8)
+    val centroids = operators.Ivf.train(emb, k = 8, iters = 1)
+    val dir = "/tmp/graft-test/ivf_index_selfdesc"
+    val rebuilt = "/tmp/graft-test/ivf_index_selfdesc_rebuilt"
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+
+    operators.Ivf.writeIndex(emb.filter(col("vec_id") % 5 =!= 0), centroids, dir)
+    val rc = operators.Ivf.readCentroids(spark, dir)
+    assert(rc.length == centroids.length &&
+      rc.zip(centroids).forall { case (a, b) => a.sameElements(b) },
+      "persisted quantizer must round-trip bit-equal")
+    // the _quantizer subdir must be invisible to the list scan: the
+    // self-describing serve equals the explicit-centroid serve
+    assert(rows(operators.Ivf.searchIndex(spark, dir, queries)) ==
+      rows(operators.Ivf.searchIndex(spark, dir, queries, centroids)),
+      "self-describing serve must equal the explicit-centroid serve")
+    // self-describing append (assigns against the index's own persisted
+    // quantizer) + compaction (quantizer rides along) ≡ full rebuild
+    operators.Ivf.appendIndex(emb.filter(col("vec_id") % 5 === 0), dir)
+    operators.Ivf.compactIndex(spark, dir)
+    val rc2 = operators.Ivf.readCentroids(spark, dir)
+    assert(rc2.zip(centroids).forall { case (a, b) => a.sameElements(b) },
+      "quantizer must survive compaction")
+    operators.Ivf.writeIndex(emb, centroids, rebuilt)
+    assert(rows(operators.Ivf.searchIndex(spark, dir, queries)) ==
+      rows(operators.Ivf.searchIndex(spark, rebuilt, queries)),
+      "append+compact via the persisted quantizer must serve like a rebuild")
   }
 
   test("ann_index_rerank_topk registry entry: k rows per query, sims are exact float cosines") {

@@ -172,8 +172,21 @@ object Ivf {
     * many: the index a 100 TB corpus keeps on disk is dims bytes per
     * vector plus the directory structure.
     */
-  def writeIndex(corpus: DataFrame, centroids: Array[Array[Float]], dir: String): Unit = {
-    writeIndexAssigned(corpus, clusterOf(col("embedding"), centroids), dir)
+  def writeIndex(corpus: DataFrame, centroids: Array[Array[Float]], dir: String): Unit =
+    writeIndex(corpus, centroids, dir, Nil)
+
+  /** [[writeIndex]] carrying passthrough METADATA columns into the
+    * inverted lists (source, license, date — whatever serving filters
+    * on). The cost is explicit: metadata rides every list row, so keep
+    * it to the few small columns queries actually filter by — the
+    * standard filtered-ANN trade (filter state lives IN the index so
+    * the scan can push it down; a post-join attribute lookup would
+    * re-touch the corpus per candidate instead).
+    */
+  def writeIndex(
+      corpus: DataFrame, centroids: Array[Array[Float]], dir: String,
+      metaCols: Seq[String]): Unit = {
+    writeIndexAssigned(corpus, clusterOf(col("embedding"), centroids), dir, metaCols)
     writeCentroids(corpus.sparkSession, centroids, dir)
   }
 
@@ -223,10 +236,12 @@ object Ivf {
     * `spark.sql.files.maxRecordsPerFile` — a size bound, not a
     * task-count artifact.
     */
-  private[graft] def writeIndexAssigned(corpus: DataFrame, cluster: Column, dir: String): Unit =
+  private[graft] def writeIndexAssigned(
+      corpus: DataFrame, cluster: Column, dir: String,
+      metaCols: Seq[String] = Nil): Unit =
     corpus.select(
-      col("vec_id"), graft.gfunctions.int8_codes(col("embedding")).as("codes_bin"),
-      cluster.cast("int").as("cluster"))
+      Seq(col("vec_id"), graft.gfunctions.int8_codes(col("embedding")).as("codes_bin"),
+        cluster.cast("int").as("cluster")) ++ metaCols.map(col): _*)
       .repartition(col("cluster"))
       .write.partitionBy("cluster").mode("overwrite").parquet(dir)
 
@@ -279,6 +294,35 @@ object Ivf {
       nprobe: Int): DataFrame =
     searchIndex(spark, dir, queries, readCentroids(spark, dir), k, nprobe)
 
+  /** Attribute-FILTERED serve from a `writeIndex(..., metaCols)`
+    * directory: `predicate` (over the persisted metadata columns)
+    * applies INSIDE the statically pruned list scan — Parquet pushes it
+    * down (PushedFilters, spec-asserted), so a selective filter cuts
+    * list I/O before any scoring — and top-k ranks the SURVIVORS
+    * (post-filter semantics: k results that all satisfy the predicate,
+    * the filtered-ANN contract). Standard caveat applies: a highly
+    * selective predicate thins the probed lists, so recall under fixed
+    * nprobe drops with selectivity — raise nprobe (or oversample) for
+    * narrow filters.
+    */
+  def searchIndexFiltered(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      queries: DataFrame,
+      predicate: Column,
+      k: Int = 10,
+      nprobe: Int = 2): DataFrame = {
+    import graft.gfunctions.int8_codes
+    val centroids = readCentroids(spark, dir)
+    val probes = queries.select(
+      col("vec_id").as("query_id"), int8_codes(col("embedding")).as("qcodes"),
+      explode(transform(
+        slice(nearestClusters(col("embedding"), centroids), 1, nprobe),
+        s => -s.getField("neg_id"))).as("cluster"))
+      .localCheckpoint(eager = true)
+    searchIndexProbed(spark, dir, probes, k, Some(predicate))
+  }
+
   /** [[searchIndex]] core over an explicit (query_id, qcodes, cluster)
     * probe frame (already materialized by the caller): literal IN-list
     * from the probed clusters -> statically pruned index scan -> the
@@ -290,12 +334,14 @@ object Ivf {
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
       probes: DataFrame,
-      k: Int): DataFrame = {
+      k: Int,
+      predicate: Option[Column] = None): DataFrame = {
     import graft.gfunctions.int8_cosine
     val probedClusters = probes.select("cluster").distinct()
       .collect().map(_.getInt(0))
-    val listed = spark.read.parquet(dir)
+    val pruned = spark.read.parquet(dir)
       .filter(col("cluster").isin(probedClusters.toIndexedSeq: _*))
+    val listed = predicate.fold(pruned)(pruned.filter)
     val cand = listed.alias("c")
       .join(broadcast(probes.alias("q")),
         col("c.cluster") === col("q.cluster") && col("query_id") =!= col("c.vec_id"))

@@ -276,14 +276,17 @@ object Streams {
       sink: (DataFrame, Long) => Unit,
       k: Int = 16,
       bands: Int = 4,
-      tau: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
+      tau: Double = 0.5,
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val ref = batch.sparkSession.read.parquet(refSigDir)
         sink(nearDupMatch(batch.toDF(), ref, k, bands, tau), batchId)
       }
-      .start()
+    checkpoint.foreach(c => w.option("checkpointLocation", c))
+    w.start()
+  }
 
   /** The SLIM banded side of the semantic matcher: (band_idx, band_val,
     * ref_id) only, degenerate buckets capped. Keeping the corpus float
@@ -440,8 +443,9 @@ object Streams {
       tau: Double = 0.85,
       planes: Int = 32,
       bands: Int = 4,
-      dims: Int = 64): org.apache.spark.sql.streaming.StreamingQuery =
-    vecs.writeStream
+      dims: Int = 64,
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = vecs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val s = batch.sparkSession
@@ -451,7 +455,9 @@ object Streams {
             tau, planes, bands, dims),
           batchId)
       }
-      .start()
+    checkpoint.foreach(c => w.option("checkpointLocation", c))
+    w.start()
+  }
 
   /** Streaming decontamination gate: each arriving doc's 8-gram hashes
     * probe a bloom filter of the STATIC benchmark corpus inside the scan
@@ -546,8 +552,9 @@ object Streams {
       docs: DataFrame,
       refDir: String,
       sink: (DataFrame, Long) => Unit,
-      numHashes: Int = 6): org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
+      numHashes: Int = 6,
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val s = batch.sparkSession
@@ -557,7 +564,9 @@ object Streams {
           decontamMatch(batch.toDF(), bloom, s.read.parquet(refDir + "/hashes"), numHashes),
           batchId)
       }
-      .start()
+    checkpoint.foreach(c => w.option("checkpointLocation", c))
+    w.start()
+  }
 
   // -------------------------------------------------- stateful sessions
 

@@ -424,6 +424,35 @@ class SimilaritySpec extends AnyFunSuite {
       "append+compact via the persisted quantizer must serve like a rebuild")
   }
 
+  test("filtered ANN serving: predicate pushed into the pruned list scan, post-filter top-k") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, sf)
+      .withColumn("label", (col("vec_id") % 3).cast("int"))
+    val queries = emb.filter(col("vec_id") < 8)
+    val centroids = operators.Ivf.train(emb, k = 8, iters = 1)
+    val dir = "/tmp/graft-test/ivf_index_filtered"
+    operators.Ivf.writeIndex(emb, centroids, dir, Seq("label"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    // full probe: the filtered serve must equal brute int8 ranking over
+    // the pre-filtered corpus, ranked row for ranked row
+    val served = operators.Ivf.searchIndexFiltered(
+      spark, dir, queries, col("label") === 1, nprobe = 8)
+    val expect = operators.Similarity.int8TopK(emb.filter(col("label") === 1), queries)
+    assert(rows(served) == rows(expect),
+      "filtered serving must rank exactly like brute int8 over the filtered corpus")
+    // post-filter contract: every returned neighbor satisfies the predicate
+    served.collect().foreach { r =>
+      assert(r.getLong(r.fieldIndex("neighbor_id")) % 3 == 1,
+        s"neighbor ${r.getLong(r.fieldIndex("neighbor_id"))} violates the filter")
+    }
+    // the scale property: the predicate reached the parquet scan
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(label,1)"),
+      s"expected the label predicate pushed to the list scan:\n$plan")
+  }
+
   test("ann_index_rerank_topk registry entry: k rows per query, sims are exact float cosines") {
     val sf = "/root/testdata/sf0.001"
     val served = operators.Similarity.qIndexRerank.run(spark, sf).collect()

@@ -398,4 +398,50 @@ class StreamingRecoverySpec extends AnyFunSuite {
       4L -> "exact_dup", 5L -> "kept", 6L -> "kept"),
       s"expected restored dedup state (4) and post-restart timeout eviction (6), got: $got")
   }
+
+  // ------------------------------------------- refreshing (foreachBatch)
+
+  test("refreshing decontam gate: restart skips committed batches; a ref swap while DOWN takes effect") {
+    import spark.implicits._
+    val in = tmp("refresh_in"); val ckpt = tmp("refresh_ck"); val refDir = tmp("refresh_ref")
+    val schema = Seq((0L, "")).toDF("doc_id", "text").schema
+    val benchA = Seq((100L, "held out benchmark question about spark joins here")).toDF("doc_id", "text")
+    val benchB = Seq((101L, "fresh evaluation passage with eight distinctive ordered tokens inside"))
+      .toDF("doc_id", "text")
+    val quotesA = "prefix words then held out benchmark question about spark joins here and more"
+    val quotesB = "body embedding fresh evaluation passage with eight distinctive ordered tokens inside verbatim"
+
+    def start(buf: scala.collection.mutable.ArrayBuffer[(Long, Long)]) = {
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      Streams.decontamStreamRefreshing(src, refDir,
+        (df, id) => buf ++= df.collect().map(r => (id, r.getLong(0))),
+        checkpoint = Some(ckpt))
+    }
+
+    // phase 1 against suite A: the A-quoter flags, the clean doc passes
+    Streams.writeDecontamRef(benchA, refDir)
+    addFile(Seq((1L, quotesA), (2L, "completely unrelated clean body with plenty of distinct tokens"))
+      .toDF("doc_id", "text"), in)
+    val seen1 = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q1 = start(seen1)
+    try q1.processAllAvailable() finally q1.stop()
+    assert(seen1.map(_._2).toSet == Set(1L), s"phase 1 flags the A-quoter only, got $seen1")
+
+    // the benchmark refresh lands WHILE the gate is down; the restarted
+    // query must (a) NOT reprocess the committed phase-1 file — source
+    // offsets live in the checkpoint, which is what makes the sink's
+    // upsert idempotence sufficient — and (b) gate new arrivals against B
+    Streams.writeDecontamRef(benchB, refDir)
+    val seen2 = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q2 = start(seen2)
+    try {
+      addFile(Seq((3L, quotesA), (4L, quotesB)).toDF("doc_id", "text"), in)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(seen2.map(_._2).toSet == Set(4L),
+      s"post-restart: committed batch skipped (no doc 1/2) and suite B active (doc 4, not 3), got $seen2")
+    assert(seen2.forall(_._1 >= 1L),
+      s"batch ids continue from the checkpoint, not from zero: $seen2")
+  }
 }

@@ -300,10 +300,15 @@ object Ivf {
     * down (PushedFilters, spec-asserted), so a selective filter cuts
     * list I/O before any scoring — and top-k ranks the SURVIVORS
     * (post-filter semantics: k results that all satisfy the predicate,
-    * the filtered-ANN contract). Standard caveat applies: a highly
-    * selective predicate thins the probed lists, so recall under fixed
-    * nprobe drops with selectivity — raise nprobe (or oversample) for
-    * narrow filters.
+    * the filtered-ANN contract). The recall caveat is about
+    * CORRELATION, not selectivity — measured (ScaleProbe19, 200k
+    * vectors): filters independent of embedding space thin every list
+    * uniformly and cost nothing (recall@10 = 1.000 at nprobe=2 down to
+    * 1/100 selectivity), while a filter aligned with cluster structure
+    * concentrates survivors in lists the query may not probe (recall
+    * 0.250 at nprobe=2 when the filter keeps exactly one cluster —
+    * the probe-hit chance — restored to 1.000 at full probe). Raise
+    * nprobe for predicates that correlate with the vector space.
     */
   def searchIndexFiltered(
       spark: org.apache.spark.sql.SparkSession,

@@ -394,20 +394,30 @@ object Ivf {
     * identity across it.
     */
   def compactIndex(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
     val tmp = dir + ".compacting"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(dir).getFileSystem(conf)
+    // a crashed prior compaction may have left .old behind (its swap
+    // completed or never started — either way `dir` is the live index);
+    // clear it so this run's staging rename cannot silently fail
+    val old = new Path(dir + ".old")
+    if (fs.exists(old)) fs.delete(old, true)
     spark.read.parquet(dir)
       .repartition(col("cluster"))
       .write.partitionBy("cluster").mode("overwrite").parquet(tmp)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
     // the quantizer rides along: _-prefixed, so the list read above
     // never saw it — move it into the compacted copy before the swap
-    val quant = new org.apache.hadoop.fs.Path(s"$dir/$QuantizerSubdir")
+    val quant = new Path(s"$dir/$QuantizerSubdir")
     if (fs.exists(quant))
-      fs.rename(quant, new org.apache.hadoop.fs.Path(s"$tmp/$QuantizerSubdir"))
-    val old = new org.apache.hadoop.fs.Path(dir + ".old")
-    fs.rename(new org.apache.hadoop.fs.Path(dir), old)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(dir))
+      require(fs.rename(quant, new Path(s"$tmp/$QuantizerSubdir")),
+        s"compactIndex: could not carry $QuantizerSubdir into $tmp")
+    // rename returns FALSE on failure instead of throwing — check both
+    // legs so a failed swap surfaces instead of leaving a stale index
+    require(fs.rename(new Path(dir), old),
+      s"compactIndex: could not stage $dir aside")
+    require(fs.rename(new Path(tmp), new Path(dir)),
+      s"compactIndex: could not swap $tmp into place")
     fs.delete(old, true)
   }
 

@@ -388,6 +388,11 @@ class SimilaritySpec extends AnyFunSuite {
     assert(files(grown) == nLists,
       s"compaction folds to one file per list, got ${files(grown)} files for $nLists lists")
     assert(rows(grown) == rows(rebuilt), "compaction must not change a single served row")
+    // a stale .old left by a crashed prior compaction must not wedge the
+    // next run (rename onto an existing dir returns false, not throws)
+    assert(new java.io.File(grown + ".old").mkdirs())
+    operators.Ivf.compactIndex(spark, grown)
+    assert(rows(grown) == rows(rebuilt), "compaction after crash residue must still serve identically")
   }
 
   test("index carries its quantizer: round-trip, self-describing serve/append, survives compaction") {

@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.{Column, SparkSessionExtensions}
 import org.apache.spark.sql.functions.call_function
 
-import graft.functions.{BloomAgg, BloomContains, HeavyHitters, CosineSim, HyperplaneBands, Int8Codes, Int8Cosine, JaccardSim, KgramMd5Hashes, MinhashMd5Sig, MinhashSig, ShingleHashes, ShingleMd5Hashes, ShingleXor64, SimHash64, SimHashMd5, TopKByScore, WsTokens}
+import graft.functions.{BloomAgg, BloomContains, HeavyHitters, CosineSim, HyperplaneBands, Int8Codes, Int8Cosine, JaccardSim, KgramMd5Hashes, MinhashMd5Sig, MinhashSig, PqAdcSim, PqCodes, PqLut, ShingleHashes, ShingleMd5Hashes, ShingleXor64, SimHash64, SimHashMd5, TopKByScore, WsTokens}
+import org.apache.spark.sql.catalyst.util.ArrayData
 
 /** Engine extension point, installed via spark.sql.extensions (GraftSession
   * sets it). Registers native expressions as SQL functions so both
@@ -134,6 +135,43 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     )
     ext.injectFunction(
       (
+        new FunctionIdentifier("pq_codes"),
+        new ExpressionInfo(classOf[PqCodes].getName, "pq_codes"),
+        (children: Seq[Expression]) =>
+          PqCodes(
+            children(0),
+            children(1).eval().asInstanceOf[ArrayData].toFloatArray(),
+            children(2).eval().asInstanceOf[Int],
+            children(3).eval().asInstanceOf[Int]),
+      )
+    )
+    ext.injectFunction(
+      (
+        new FunctionIdentifier("pq_lut"),
+        new ExpressionInfo(classOf[PqLut].getName, "pq_lut"),
+        (children: Seq[Expression]) =>
+          PqLut(
+            children(0),
+            children(1).eval().asInstanceOf[ArrayData].toFloatArray(),
+            children(2).eval().asInstanceOf[Int],
+            children(3).eval().asInstanceOf[Int]),
+      )
+    )
+    ext.injectFunction(
+      (
+        new FunctionIdentifier("pq_adc_sim"),
+        new ExpressionInfo(classOf[PqAdcSim].getName, "pq_adc_sim"),
+        (children: Seq[Expression]) =>
+          PqAdcSim(
+            children(0),
+            children(1),
+            children(2).eval().asInstanceOf[ArrayData].toFloatArray(),
+            children(3).eval().asInstanceOf[Int],
+            children(4).eval().asInstanceOf[Int]),
+      )
+    )
+    ext.injectFunction(
+      (
         new FunctionIdentifier("hyperplane_bands"),
         new ExpressionInfo(classOf[HyperplaneBands].getName, "hyperplane_bands"),
         (children: Seq[Expression]) =>
@@ -245,6 +283,31 @@ object gfunctions {
     * kernel) — bit-equal to cosine_sim over the float-cast codes.
     */
   def int8_cosine(a: Column, b: Column): Column = call_function("int8_cosine", a, b)
+
+  /** Product-quantization codes of a float vector — m bytes per vector
+    * (one codebook index per dsub-dim subspace; the storage step after
+    * [[int8_codes]]'s 1 byte/dim). Codebook is flattened subspace-major.
+    */
+  def pq_codes(vec: Column, codebook: Array[Float], m: Int, ksub: Int): Column = {
+    import org.apache.spark.sql.functions.{lit, typedlit}
+    call_function("pq_codes", vec, typedlit(codebook.toSeq), lit(m), lit(ksub))
+  }
+
+  /** Per-query ADC lookup table (m*ksub subspace dots + ||q||^2) — built
+    * once per query row; rides the broadcast query side.
+    */
+  def pq_lut(qvec: Column, codebook: Array[Float], m: Int, ksub: Int): Column = {
+    import org.apache.spark.sql.functions.{lit, typedlit}
+    call_function("pq_lut", qvec, typedlit(codebook.toSeq), lit(m), lit(ksub))
+  }
+
+  /** ADC cosine of (pq codes, query LUT): m table lookups per candidate —
+    * scoring cost scales with m, not dims.
+    */
+  def pq_adc_sim(codes: Column, lut: Column, codebook: Array[Float], m: Int, ksub: Int): Column = {
+    import org.apache.spark.sql.functions.{lit, typedlit}
+    call_function("pq_adc_sim", codes, lut, typedlit(codebook.toSeq), lit(m), lit(ksub))
+  }
 
   /** Random-hyperplane LSH band values of a float vector — all plane
     * dots in one native pass, sign bits packed per band.

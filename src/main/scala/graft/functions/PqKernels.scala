@@ -1,0 +1,292 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Product-quantization kernels — the compression step AFTER int8 in the
+  * ANN storage ladder. Int8 ([[Int8Codes]]) stores 1 byte per DIMENSION
+  * (64 B for a 64-dim vector); PQ stores 1 byte per SUBSPACE (m bytes per
+  * vector, m=8 default → 8 B), because each byte indexes a trained
+  * codebook centroid for a dsub-dim slice of the vector instead of
+  * quantizing one scalar. At 100 TB that is the difference between an
+  * index that fits the cluster page cache at 64 B/vector and one that
+  * fits at 8 B/vector — 32x smaller than float32, 8x smaller than int8.
+  *
+  * The scoring side is ADC (asymmetric distance computation): the QUERY
+  * stays full-precision; per query a lookup table of m*ksub subspace dot
+  * products is built ONCE ([[PqLut]]), and each candidate scores with m
+  * table lookups + adds ([[PqAdcSim]]) instead of dims multiplies.
+  * Cosine decomposes exactly over the concatenated reconstruction:
+  * dot(q, recon) = sum_j dot(q_j, C[j][code_j]) and ||recon||^2 =
+  * sum_j ||C[j][code_j]||^2, so sim = sumDot / sqrt(||q||^2 * sumNorm)
+  * needs only the LUT, the codes, and a centroid-norm table derived from
+  * the codebook at plan time.
+  *
+  * The codebook rides into generated code as a reference object (the
+  * [[HyperplaneBands]] pattern), never as per-row literals. All three
+  * kernels fail loudly on a vector/codebook shape mismatch — silently
+  * scoring a prefix produces plausible-but-wrong neighbors.
+  */
+object PqKernels {
+
+  /** Encode one vector: per subspace, argmin squared-L2 over the ksub
+    * centroids; ties break on the LOWER centroid id. One byte per
+    * subspace (ksub <= 256; codes stored as the low 8 bits, read back
+    * `& 0xFF`).
+    */
+  def encode(
+      vec: ArrayData, codebook: Array[Float], m: Int, ksub: Int, dsub: Int): Array[Byte] = {
+    val n = vec.numElements()
+    if (n != m * dsub) {
+      throw new IllegalArgumentException(
+        s"pq_codes: vector has $n elements but m=$m * dsub=$dsub was configured")
+    }
+    val out = new Array[Byte](m)
+    var j = 0
+    while (j < m) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < ksub) {
+        val base = (j * ksub + c) * dsub
+        var d = 0.0
+        var i = 0
+        while (i < dsub) {
+          val diff = vec.getFloat(j * dsub + i).toDouble - codebook(base + i).toDouble
+          d += diff * diff
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(j) = best.toByte
+      j += 1
+    }
+    out
+  }
+
+  /** Per-query ADC lookup table: m*ksub subspace dot products (entry
+    * [j*ksub + c] = dot(q_j, C[j][c]), each subspace dot accumulated
+    * sequentially in doubles) followed by ONE trailing entry ||q||^2 —
+    * length m*ksub + 1. Built once per query row; queries are a small
+    * broadcast set by the ANN operators' contract, so the table rides
+    * the broadcast, not the corpus exchange.
+    */
+  def lut(
+      qvec: ArrayData, codebook: Array[Float], m: Int, ksub: Int, dsub: Int): ArrayData = {
+    val n = qvec.numElements()
+    if (n != m * dsub) {
+      throw new IllegalArgumentException(
+        s"pq_lut: query vector has $n elements but m=$m * dsub=$dsub was configured")
+    }
+    val out = new Array[Double](m * ksub + 1)
+    var qnorm2 = 0.0
+    var i = 0
+    while (i < n) {
+      val v = qvec.getFloat(i).toDouble
+      qnorm2 += v * v
+      i += 1
+    }
+    var j = 0
+    while (j < m) {
+      var c = 0
+      while (c < ksub) {
+        val base = (j * ksub + c) * dsub
+        var dot = 0.0
+        var k = 0
+        while (k < dsub) {
+          dot += qvec.getFloat(j * dsub + k).toDouble * codebook(base + k).toDouble
+          k += 1
+        }
+        out(j * ksub + c) = dot
+        c += 1
+      }
+      j += 1
+    }
+    out(m * ksub) = qnorm2
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** Squared norms of every codebook centroid — query-independent, so
+    * computed once at plan time and shipped as a reference object
+    * alongside the codebook (entry [j*ksub + c] = ||C[j][c]||^2).
+    */
+  def centroidNorms(codebook: Array[Float], m: Int, ksub: Int, dsub: Int): Array[Double] = {
+    val out = new Array[Double](m * ksub)
+    var e = 0
+    while (e < m * ksub) {
+      var s = 0.0
+      var i = 0
+      while (i < dsub) {
+        val v = codebook(e * dsub + i).toDouble
+        s += v * v
+        i += 1
+      }
+      out(e) = s
+      e += 1
+    }
+    out
+  }
+
+  /** ADC cosine: m lookups into the dot table + m into the norm table.
+    * Exactly cosine(q, reconstruction) with per-subspace summation
+    * order — deterministic across partitionings because every term is
+    * a pure function of (codes, query, codebook).
+    */
+  def adcSim(
+      codes: Array[Byte], lut: ArrayData, norms: Array[Double], m: Int, ksub: Int): Double = {
+    if (codes.length != m) {
+      throw new IllegalArgumentException(
+        s"pq_adc_sim: codes have ${codes.length} bytes but m=$m was configured")
+    }
+    if (lut.numElements() != m * ksub + 1) {
+      throw new IllegalArgumentException(
+        s"pq_adc_sim: lut has ${lut.numElements()} entries, want ${m * ksub + 1}")
+    }
+    var dot = 0.0
+    var rnorm2 = 0.0
+    var j = 0
+    while (j < m) {
+      val e = j * ksub + (codes(j) & 0xFF)
+      dot += lut.getDouble(e)
+      rnorm2 += norms(e)
+      j += 1
+    }
+    val qnorm2 = lut.getDouble(m * ksub)
+    if (qnorm2 == 0.0 || rnorm2 == 0.0) 0.0
+    else dot / math.sqrt(qnorm2 * rnorm2)
+  }
+}
+
+/** PQ codes of a float vector: exactly m bytes (one codebook index per
+  * subspace). The codebook (flattened subspace-major: entry
+  * [(j*ksub + c)*dsub + i]) is a plan-time constant.
+  */
+case class PqCodes(vec: Expression, codebook: Array[Float], m: Int, ksub: Int)
+    extends UnaryExpression {
+
+  private val dsub: Int = codebook.length / (m * ksub)
+
+  override def child: Expression = vec
+
+  override def checkInputDataTypes(): TypeCheckResult = vec.dataType match {
+    case ArrayType(FloatType, _)
+        if m > 0 && ksub > 0 && ksub <= 256 && codebook.length == m * ksub * dsub &&
+          dsub > 0 =>
+      TypeCheckResult.TypeCheckSuccess
+    case ArrayType(FloatType, _) =>
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: codebook of ${codebook.length} floats does not factor as " +
+          s"m=$m * ksub=$ksub (<=256) * dsub")
+    case t =>
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = BinaryType
+
+  override def prettyName: String = "pq_codes"
+
+  override protected def nullSafeEval(v: Any): Any =
+    PqKernels.encode(v.asInstanceOf[ArrayData], codebook, m, ksub, dsub)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebook", codebook, "float[]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.PqKernels.encode($v, $cbRef, $m, $ksub, $dsub);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqCodes =
+    copy(vec = newChild)
+}
+
+/** Per-query ADC lookup table (array<double> of m*ksub dots + ||q||^2). */
+case class PqLut(qvec: Expression, codebook: Array[Float], m: Int, ksub: Int)
+    extends UnaryExpression {
+
+  private val dsub: Int = codebook.length / (m * ksub)
+
+  override def child: Expression = qvec
+
+  override def checkInputDataTypes(): TypeCheckResult = qvec.dataType match {
+    case ArrayType(FloatType, _)
+        if m > 0 && ksub > 0 && ksub <= 256 && codebook.length == m * ksub * dsub &&
+          dsub > 0 =>
+      TypeCheckResult.TypeCheckSuccess
+    case ArrayType(FloatType, _) =>
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: codebook of ${codebook.length} floats does not factor as " +
+          s"m=$m * ksub=$ksub (<=256) * dsub")
+    case t =>
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def prettyName: String = "pq_lut"
+
+  override protected def nullSafeEval(v: Any): Any =
+    PqKernels.lut(v.asInstanceOf[ArrayData], codebook, m, ksub, dsub)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebook", codebook, "float[]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.PqKernels.lut($v, $cbRef, $m, $ksub, $dsub);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqLut =
+    copy(qvec = newChild)
+}
+
+/** ADC cosine of (pq codes, query LUT): m table lookups per candidate —
+  * the scoring cost no longer scales with dims. The centroid-norm table
+  * derives from the codebook once at plan time.
+  */
+case class PqAdcSim(codes: Expression, lut: Expression, codebook: Array[Float], m: Int, ksub: Int)
+    extends BinaryExpression {
+
+  private val dsub: Int = codebook.length / (m * ksub)
+
+  override def left: Expression = codes
+  override def right: Expression = lut
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (codes.dataType, lut.dataType) match {
+      case (BinaryType, ArrayType(DoubleType, _))
+          if m > 0 && ksub > 0 && ksub <= 256 && codebook.length == m * ksub * dsub &&
+            dsub > 0 =>
+        TypeCheckResult.TypeCheckSuccess
+      case (BinaryType, ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName: codebook of ${codebook.length} floats does not factor as " +
+            s"m=$m * ksub=$ksub (<=256) * dsub")
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (binary, array<double>), got " +
+            s"${l.simpleString} and ${r.simpleString}")
+    }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "pq_adc_sim"
+
+  @transient private lazy val norms: Array[Double] =
+    PqKernels.centroidNorms(codebook, m, ksub, dsub)
+
+  override protected def nullSafeEval(c: Any, l: Any): Any =
+    PqKernels.adcSim(c.asInstanceOf[Array[Byte]], l.asInstanceOf[ArrayData], norms, m, ksub)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val normsRef = ctx.addReferenceObj("pqCentroidNorms", norms, "double[]")
+    nullSafeCodeGen(ctx, ev, (c, l) =>
+      s"${ev.value} = graft.functions.PqKernels.adcSim($c, $l, $normsRef, $m, $ksub);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdcSim =
+    copy(codes = newLeft, lut = newRight)
+}

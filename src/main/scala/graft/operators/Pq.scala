@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.gfunctions.{cosine_sim, pq_adc_sim, pq_codes, pq_lut}
+
+/** Product quantization — the ANN storage step after int8. Int8 keeps
+  * 1 byte per dimension; PQ keeps 1 byte per SUBSPACE: the vector splits
+  * into m contiguous dsub-dim slices, each snapped to its nearest of
+  * ksub trained centroids, so a vector is m codebook indices (m bytes at
+  * ksub <= 256). At 64 dims / m=8 that is 8 B per vector — 8x below the
+  * int8 codes, 32x below float32 — the compression that decides whether
+  * a 100 TB corpus's ANN index is a cluster-memory object or a disk one.
+  *
+  * Scale shapes:
+  *  - TRAINING is model fitting = orchestration: m independent k-means
+  *    of ksub centroids each over dsub-dim slices. The sample is the
+  *    bounded deterministic hash sample ([[Ivf.trainingSample]] — same
+  *    q39/q47 discipline), collected once to the driver (~sampleFactor
+  *    * ksub vectors, bounded by the MODEL size, not the corpus), and
+  *    Lloyd runs locally in deterministic vec_id order. The corpus-sized
+  *    pass is ENCODING, which runs once, distributed, codegen'd.
+  *  - SCORING is ADC: the query stays full-precision; a per-query lookup
+  *    table of m*ksub subspace dots rides the broadcast query side and
+  *    each candidate costs m lookups + adds — scoring no longer scales
+  *    with dims. Cosine decomposes exactly over the reconstruction
+  *    (see [[graft.functions.PqKernels]]), so ADC sim IS cosine(query,
+  *    reconstructed vector), not an approximation of the formula.
+  *  - PQ ranks by the RECONSTRUCTION's cosine, so recall decays where
+  *    neighbors sit closer than the quantization cells — the same decay
+  *    int8 showed on dense corpora (ScaleProbe16), amplified by the
+  *    coarser cells. [[pqRerankTopK]] is the standard fix: coarse PQ
+  *    keeps k*oversample candidates (touching only m-byte codes), exact
+  *    float rerank touches k*oversample corpus rows per query via a
+  *    broadcast candidate-id join — never a float-corpus scan. Measured
+  *    on the 500x64-dim gate embeddings (recall@10 vs exact brute force,
+  *    8 queries): m=8/ksub=32 coarse 0.375; m=8/ksub=64 coarse 0.475,
+  *    rerank@10x 0.950, rerank@20x 1.000; m=16/ksub=64 (16 B) coarse
+  *    0.612, rerank@10x 1.000. The defaults (m=8, ksub=64,
+  *    oversample=20) take the deepest compression and buy recall back in
+  *    the rerank — oversample is 2x the int8 default because the cells
+  *    are coarser.
+  */
+object Pq {
+
+  /** Trained PQ model: flattened codebook (entry [(j*ksub+c)*dsub + i])
+    * plus its shape. `dims = m * dsub`.
+    */
+  final case class Model(codebook: Array[Float], m: Int, ksub: Int) {
+    def dsub: Int = codebook.length / (m * ksub)
+    def dims: Int = m * dsub
+  }
+
+  /** Per-subspace Lloyd on the driver over a bounded deterministic
+    * sample. Seeds = the ksub lowest-vec_id sample vectors' slices;
+    * iteration order is sorted vec_id and means accumulate in doubles,
+    * so the codebook is identical across reruns, partitionings, and
+    * cluster sizes. Empty cells keep their seed (the [[Ivf.train]]
+    * convention). Requires sample size >= ksub.
+    */
+  def train(
+      emb: DataFrame, m: Int = 8, ksub: Int = 64, dims: Int = 64,
+      iters: Int = 10, sampleFactor: Long = 100L): Model = {
+    require(dims % m == 0, s"pq train: dims=$dims not divisible by m=$m")
+    require(ksub <= 256, s"pq train: ksub=$ksub exceeds one byte")
+    val dsub = dims / m
+    val sample: Array[Array[Float]] = Ivf.trainingSample(emb, ksub, sampleFactor)
+      .select("vec_id", "embedding").orderBy("vec_id").collect()
+      .map(_.getSeq[Float](1).toArray)
+    require(sample.length >= ksub,
+      s"pq train: sample of ${sample.length} vectors < ksub=$ksub")
+    val codebook = new Array[Float](m * ksub * dsub)
+    var j = 0
+    while (j < m) {
+      val cents: Array[Array[Double]] =
+        Array.tabulate(ksub)(c => Array.tabulate(dsub)(i => sample(c)(j * dsub + i).toDouble))
+      for (_ <- 1 to iters) {
+        val sums = Array.fill(ksub)(new Array[Double](dsub))
+        val counts = new Array[Long](ksub)
+        var s = 0
+        while (s < sample.length) {
+          val v = sample(s)
+          var best = 0
+          var bestD = Double.MaxValue
+          var c = 0
+          while (c < ksub) {
+            var d = 0.0
+            var i = 0
+            while (i < dsub) {
+              val diff = v(j * dsub + i).toDouble - cents(c)(i)
+              d += diff * diff
+              i += 1
+            }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          var i = 0
+          while (i < dsub) { sums(best)(i) += v(j * dsub + i).toDouble; i += 1 }
+          counts(best) += 1
+          s += 1
+        }
+        var c = 0
+        while (c < ksub) {
+          if (counts(c) > 0) {
+            var i = 0
+            while (i < dsub) { cents(c)(i) = sums(c)(i) / counts(c); i += 1 }
+          } // empty cell keeps its seed
+          c += 1
+        }
+      }
+      var c = 0
+      while (c < ksub) {
+        var i = 0
+        while (i < dsub) {
+          codebook((j * ksub + c) * dsub + i) = cents(c)(i).toFloat
+          i += 1
+        }
+        c += 1
+      }
+      j += 1
+    }
+    Model(codebook, m, ksub)
+  }
+
+  /** Encode a corpus to (vec_id, codes_pq): m bytes per vector. */
+  def encode(emb: DataFrame, model: Model): DataFrame =
+    emb.select(
+      col("vec_id"),
+      pq_codes(col("embedding"), model.codebook, model.m, model.ksub).as("codes_pq"))
+
+  /** ADC top-k over PQ codes: corpus scan touches m-byte codes only;
+    * the broadcast query side carries the per-query LUT.
+    */
+  def topKPq(
+      corpus: DataFrame, queries: DataFrame, model: Model, k: Int = 10): DataFrame = {
+    val coded = encode(corpus, model)
+    val probes = queries.select(
+      col("vec_id").as("query_id"),
+      pq_lut(col("embedding"), model.codebook, model.m, model.ksub).as("qlut"))
+    val scored = coded.alias("c")
+      .join(broadcast(probes.alias("q")), col("query_id") =!= col("c.vec_id"))
+      .select(
+        col("query_id"), col("c.vec_id").as("neighbor_id"),
+        pq_adc_sim(col("c.codes_pq"), col("qlut"), model.codebook, model.m, model.ksub)
+          .as("sim"))
+    Similarity.rankTopK(scored, k)
+  }
+
+  /** Two-phase PQ search: coarse ADC keeps k*oversample candidates per
+    * query (the scan touches m-byte codes), exact float rerank re-scores
+    * only those candidates via a broadcast candidate-id equi-join
+    * against the float corpus — the [[Similarity.int8RerankTopK]]
+    * second phase over the deeper compression.
+    */
+  def pqRerankTopK(
+      corpus: DataFrame, queries: DataFrame, model: Model,
+      k: Int = 10, oversample: Int = 20): DataFrame = {
+    val cand = topKPq(corpus, queries, model, k * oversample)
+      .select(col("query_id"), col("neighbor_id"))
+    val rescored = corpus
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("nvec"))
+      .join(broadcast(cand), Seq("neighbor_id"))
+      .join(
+        broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("qvec"))),
+        Seq("query_id"))
+      .select(
+        col("query_id"), col("neighbor_id"),
+        cosine_sim(col("nvec"), col("qvec")).as("sim"))
+    Similarity.rankTopK(rescored, k)
+  }
+}

@@ -406,6 +406,41 @@ object Similarity {
     None,
   )
 
+  // PQ codebooks are model artifacts like the IVF centroids: train once
+  // per (JVM, data dir) on the bounded deterministic sample, reuse across
+  // registry entries.
+  private val pqModelCache = scala.collection.concurrent.TrieMap.empty[String, Pq.Model]
+
+  private def pqModel(d: String, emb: DataFrame): Pq.Model =
+    pqModelCache.getOrElseUpdate(d, Pq.train(emb))
+
+  val qPq = GraftQuery(
+    "ann_pq_topk",
+    // rows-only like the other approximate entries: PQ ranks by the
+    // reconstruction's cosine (8 bytes/vector at m=8 — 8x below the
+    // packed int8 codes), so quality is a recall property; the spec pins
+    // recall@10 vs exact brute force and the ADC = reconstructed-cosine
+    // identity lives in PqSpec.
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Pq.topKPq(emb, querySet(emb), pqModel(d, emb))
+    },
+    None,
+  )
+
+  val qPqRerank = GraftQuery(
+    "ann_pq_rerank_topk",
+    // rows-only: coarse ADC over m-byte codes keeps k*oversample, exact
+    // float rerank restores the recall the coarser cells give up — the
+    // deepest-compression edition of the two-phase search family.
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Pq.pqRerankTopK(emb, querySet(emb), pqModel(d, emb))
+    },
+    None,
+  )
+
   def all: Seq[GraftQuery] =
-    Seq(qBrute, qLsh, qIvf, qOutlier, qQuant, qInt8, qInt8Rerank, qIvfInt8, qIndexRerank)
+    Seq(qBrute, qLsh, qIvf, qOutlier, qQuant, qInt8, qInt8Rerank, qIvfInt8, qIndexRerank,
+      qPq, qPqRerank)
 }

@@ -26,9 +26,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // subquery shape, not a data join
     // ann_int8_topk is ann_bruteforce's shape over int8 codes — same
     // designed corpus x broadcast-8-query NLJ, same justification; the
-    // rerank entry runs that same coarse scan as its first phase
+    // rerank entry runs that same coarse scan as its first phase; the PQ
+    // pair is that shape again over m-BYTE codes (the coarse scan streams
+    // 8 B/vector against the broadcast query LUTs)
     val nljAllowed = Set("ann_bruteforce_topk", "ann_int8_topk",
-      "ann_int8_rerank_topk", "q35_tfidf",
+      "ann_int8_rerank_topk", "ann_pq_topk", "ann_pq_rerank_topk", "q35_tfidf",
       "dedup_cosine_verify", "q49_heavy_tokens", "q54_source_drift")
     SparkEntry.registry.foreach { q =>
       val p = plan(q)

@@ -468,4 +468,152 @@ object Ivf {
       queries: DataFrame,
       corpus: DataFrame): DataFrame =
     searchIndexRerank(spark, dir, queries, corpus, readCentroids(spark, dir))
+
+  // ------------------------------------------------------------- IVF-PQ
+
+  /** IVF-PQ: compute pruning (nprobe lists per query) x the DEEPEST
+    * memory pruning (m-byte PQ codes in the lists instead of the int8
+    * path's dims bytes — 8 B vs 64 B at the defaults). List assignment
+    * stays full-precision like [[topKInt8]]; scoring inside probed lists
+    * is ADC — the per-query LUT rides the broadcast probe side, each
+    * candidate costs m table lookups. At full probe the candidate set is
+    * the whole corpus, so results equal [[Pq.topKPq]] row for row (the
+    * parity spec).
+    */
+  def topKPq(
+      corpus: DataFrame,
+      queries: DataFrame,
+      centroids: Array[Array[Float]],
+      model: Pq.Model,
+      k: Int = 10,
+      nprobe: Int = 2): DataFrame = {
+    import graft.gfunctions.{pq_adc_sim, pq_codes, pq_lut}
+    val listed = corpus.select(
+      col("vec_id"), pq_codes(col("embedding"), model.codebook, model.m, model.ksub).as("codes_pq"),
+      clusterOf(col("embedding"), centroids).as("cluster"))
+    val probes = queries.select(
+      col("vec_id").as("query_id"),
+      pq_lut(col("embedding"), model.codebook, model.m, model.ksub).as("qlut"),
+      explode(transform(
+        slice(nearestClusters(col("embedding"), centroids), 1, nprobe),
+        s => -s.getField("neg_id"))).as("cluster"))
+    val cand = listed.alias("c")
+      .join(broadcast(probes.alias("q")),
+        col("c.cluster") === col("q.cluster") && col("query_id") =!= col("c.vec_id"))
+      .select(
+        col("query_id"), col("c.vec_id").as("neighbor_id"),
+        pq_adc_sim(col("c.codes_pq"), col("qlut"), model.codebook, model.m, model.ksub).as("sim"))
+    Similarity.rankTopK(cand, k)
+  }
+
+  /** The PQ codebook is versioned with the index like the coarse
+    * quantizer: persisted under `dir/_pq` (underscore-hidden from the
+    * list scan), one row per codebook entry plus the (m, ksub) shape.
+    */
+  private val PqSubdir = "_pq"
+
+  private def writePqModel(
+      spark: org.apache.spark.sql.SparkSession, model: Pq.Model, dir: String): Unit = {
+    import spark.implicits._
+    val dsub = model.dsub
+    (0 until model.m * model.ksub)
+      .map(e => (model.m, model.ksub, e,
+        (0 until dsub).map(i => model.codebook(e * dsub + i))))
+      .toDF("m", "ksub", "entry", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/$PqSubdir")
+  }
+
+  def readPqModel(spark: org.apache.spark.sql.SparkSession, dir: String): Pq.Model = {
+    val rows = spark.read.parquet(s"$dir/$PqSubdir").orderBy("entry").collect()
+    val m = rows.head.getInt(0)
+    val ksub = rows.head.getInt(1)
+    val codebook = rows.flatMap(_.getSeq[Float](3)).toArray
+    Pq.Model(codebook, m, ksub)
+  }
+
+  /** Persist an IVF-PQ index: inverted lists of (vec_id, m-byte codes_pq)
+    * partitioned by cluster, cluster-aligned like [[writeIndexAssigned]]
+    * (one file per list); both models — the coarse quantizer AND the PQ
+    * codebook — ride under `dir/_quantizer` / `dir/_pq`, so serving is
+    * fully self-describing. This is the index shape where a 100 TB
+    * corpus's lists are m bytes per vector: 8 B at the defaults, 8x
+    * below the int8 index, 32x below float32.
+    */
+  def writeIndexPq(
+      corpus: DataFrame, centroids: Array[Array[Float]], model: Pq.Model,
+      dir: String): Unit = {
+    import graft.gfunctions.pq_codes
+    corpus.select(
+      col("vec_id"),
+      pq_codes(col("embedding"), model.codebook, model.m, model.ksub).as("codes_pq"),
+      clusterOf(col("embedding"), centroids).cast("int").as("cluster"))
+      .repartition(col("cluster"))
+      .write.partitionBy("cluster").mode("overwrite").parquet(dir)
+    writeCentroids(corpus.sparkSession, centroids, dir)
+    writePqModel(corpus.sparkSession, model, dir)
+  }
+
+  /** Serve ADC top-k from a [[writeIndexPq]] directory: probed cluster
+    * ids push as a literal IN-filter (static partition pruning, same as
+    * [[searchIndex]]); candidates inside the pruned lists score via the
+    * per-query LUT riding the broadcast probe frame. Self-describing:
+    * both models read back from the index directory.
+    */
+  def searchIndexPq(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      queries: DataFrame,
+      k: Int = 10,
+      nprobe: Int = 2): DataFrame = {
+    import graft.gfunctions.{pq_adc_sim, pq_lut}
+    val centroids = readCentroids(spark, dir)
+    val model = readPqModel(spark, dir)
+    val probes = queries.select(
+      col("vec_id").as("query_id"),
+      pq_lut(col("embedding"), model.codebook, model.m, model.ksub).as("qlut"),
+      explode(transform(
+        slice(nearestClusters(col("embedding"), centroids), 1, nprobe),
+        s => -s.getField("neg_id"))).as("cluster"))
+      .localCheckpoint(eager = true)
+    val probedClusters = probes.select("cluster").distinct()
+      .collect().map(_.getInt(0))
+    val listed = spark.read.parquet(dir)
+      .filter(col("cluster").isin(probedClusters.toIndexedSeq: _*))
+    val cand = listed.alias("c")
+      .join(broadcast(probes.alias("q")),
+        col("c.cluster") === col("q.cluster") && col("query_id") =!= col("c.vec_id"))
+      .select(
+        col("query_id"), col("c.vec_id").as("neighbor_id"),
+        pq_adc_sim(col("c.codes_pq"), col("qlut"), model.codebook, model.m, model.ksub).as("sim"))
+    Similarity.rankTopK(cand, k)
+  }
+
+  /** Two-phase IVF-PQ serving — the deepest-compression edition of
+    * [[searchIndexRerank]]: coarse ADC over the pruned m-byte lists
+    * keeps k*oversample, exact float rerank via broadcast candidate-id
+    * join. Oversample default is the PQ rerank's 20x (coarser cells
+    * than int8 — see [[Pq.pqRerankTopK]]).
+    */
+  def searchIndexPqRerank(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int = 10,
+      nprobe: Int = 2,
+      oversample: Int = 20): DataFrame = {
+    val cand = searchIndexPq(spark, dir, queries, k * oversample, nprobe)
+      .select(col("query_id"), col("neighbor_id"))
+    val rescored = corpus
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("nvec"))
+      .join(broadcast(cand), Seq("neighbor_id"))
+      .join(
+        broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("qvec"))),
+        Seq("query_id"))
+      .select(
+        col("query_id"), col("neighbor_id"),
+        cosine_sim(col("nvec"), col("qvec")).as("sim"))
+    Similarity.rankTopK(rescored, k)
+  }
 }

@@ -440,7 +440,33 @@ object Similarity {
     None,
   )
 
+  private val pqIndexDirCache = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  val qIndexPqRerank = GraftQuery(
+    "ann_index_pq_rerank_topk",
+    // rows-only like the other approximate entries. The deepest-
+    // compression serving lifecycle as ONE driver-gated query: persist
+    // m-BYTE PQ inverted lists partitioned by cluster (8 B/vector —
+    // both models versioned inside the index dir), statically prune the
+    // serving scan to probed partitions, ADC-score via the broadcast
+    // query LUTs, exact-float-rerank the k*oversample survivors. Specs
+    // pin full-probe parity with the in-memory PQ path served from disk
+    // and the rerank recall floor.
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val centroids = centroidCache.getOrElseUpdate(d, Ivf.train(emb, k = 8, iters = 1))
+      val model = pqModel(d, emb)
+      val dir = pqIndexDirCache.getOrElseUpdate(d, {
+        val out = s"/tmp/graft-index/pq_${java.lang.Integer.toHexString(d.hashCode)}"
+        Ivf.writeIndexPq(emb, centroids, model, out)
+        out
+      })
+      Ivf.searchIndexPqRerank(s, dir, querySet(emb), emb)
+    },
+    None,
+  )
+
   def all: Seq[GraftQuery] =
     Seq(qBrute, qLsh, qIvf, qOutlier, qQuant, qInt8, qInt8Rerank, qIvfInt8, qIndexRerank,
-      qPq, qPqRerank)
+      qPq, qPqRerank, qIndexPqRerank)
 }

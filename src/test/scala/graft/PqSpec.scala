@@ -152,6 +152,64 @@ class PqSpec extends AnyFunSuite {
     assert(rRerank >= rPq, "rerank can only improve on the coarse ranking")
   }
 
+  test("IVF-PQ at full probe equals pure PQ row for row (list pruning loses nothing it shouldn't)") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 8)
+    val model = Pq.train(emb)
+    val centroids = operators.Ivf.train(emb, k = 8, iters = 1)
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val full = rows(operators.Ivf.topKPq(emb, queries, centroids, model, k = 10, nprobe = 8))
+    val pure = rows(Pq.topKPq(emb, queries, model, k = 10))
+    assert(full == pure,
+      "at nprobe = k-clusters the candidate set is the corpus — ranked rows must match exactly")
+  }
+
+  test("persisted IVF-PQ index: self-describing round-trip, full-probe parity, static pruning") {
+    val dir = "/tmp/graft-test/pq_index"
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 8)
+    val model = Pq.train(emb)
+    val centroids = operators.Ivf.train(emb, k = 8, iters = 1)
+    operators.Ivf.writeIndexPq(emb, centroids, model, dir)
+
+    // both models survive the directory round-trip bit-for-bit
+    val back = operators.Ivf.readPqModel(spark, dir)
+    assert(back.m == model.m && back.ksub == model.ksub)
+    assert(java.util.Arrays.equals(back.codebook, model.codebook))
+
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val served = operators.Ivf.searchIndexPq(spark, dir, queries, k = 10, nprobe = 8)
+    assert(rows(served) == rows(Pq.topKPq(emb, queries, model, k = 10)),
+      "full-probe serve from disk must equal the in-memory PQ ranking row for row")
+
+    // the scale property: a pruned serve scans only probed partitions
+    val pruned = operators.Ivf.searchIndexPq(spark, dir, queries, k = 10, nprobe = 2)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cluster"),
+      s"expected a cluster partition filter in the PQ index scan:\n$plan")
+    info(plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("").trim.take(120))
+  }
+
+  test("persisted IVF-PQ rerank serving recovers recall from 8-byte lists on disk") {
+    val dir = "/tmp/graft-test/pq_index_rerank"
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 8)
+    val model = Pq.train(emb)
+    val centroids = operators.Ivf.train(emb, k = 8, iters = 1)
+    operators.Ivf.writeIndexPq(emb, centroids, model, dir)
+    val brute = topSets(Similarity.qBrute.run(spark, sf))
+    val served = topSets(
+      operators.Ivf.searchIndexPqRerank(spark, dir, queries, emb, nprobe = 8))
+    val rs = brute.map { case (q, t) =>
+      served.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+    }
+    val recall = rs.sum / rs.size
+    info(f"IVF-PQ rerank served-from-disk recall@10 = $recall%.3f")
+    assert(recall >= 0.95, f"served PQ rerank recall collapsed: $recall%.3f")
+  }
+
   test("planted near-duplicate survives 8-byte codes as top-1 after rerank") {
     import spark.implicits._
     val rnd = new Random(41)

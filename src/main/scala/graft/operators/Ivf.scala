@@ -384,6 +384,76 @@ object Ivf {
   def appendIndex(delta: DataFrame, dir: String): Unit =
     appendIndex(delta, readCentroids(delta.sparkSession, dir), dir)
 
+  /** IDEMPOTENT append for exactly-once streaming ingest
+    * ([[graft.streaming.Streams.indexAppendStream]]). Structured
+    * Streaming's foreachBatch re-delivers a batch after a crash between
+    * the sink write and the checkpoint commit, so a bare
+    * [[appendIndex]] (mode=append, fresh file names per run) would
+    * duplicate vectors on replay. This variant makes the whole append a
+    * pure function of (batch content, batchId):
+    *
+    *  1. the delta stages cluster-aligned under `dir/.append-<batchId>`
+    *     (dot-prefixed — invisible to the list scan, like `_quantizer`);
+    *  2. each staged list file MOVES into its live `cluster=X/` dir
+    *     under the DETERMINISTIC name `append-<batchId>-<i>.parquet`,
+    *     deleting any same-named crash residue first — a replay
+    *     re-creates the same files, never adds new ones;
+    *  3. a marker lands at `dir/_appends/<batchId>`: a replay that sees
+    *     it returns without touching the index at all.
+    *
+    * Batch content is identical across replays by Structured Streaming's
+    * source-replayability contract, and assignment is deterministic
+    * against the persisted centroids, so the staged cluster set — and
+    * therefore the residue sweep — covers every file a crashed attempt
+    * could have left.
+    */
+  def appendIndexBatch(delta: DataFrame, dir: String, batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = delta.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(dir).getFileSystem(conf)
+    val marker = new Path(s"$dir/$AppendsSubdir/$batchId")
+    if (fs.exists(marker)) return // replay of a fully committed batch
+    val centroids = readCentroids(spark, dir)
+    val staging = s"$dir/.append-$batchId"
+    delta.select(
+      col("vec_id"), graft.gfunctions.int8_codes(col("embedding")).as("codes_bin"),
+      clusterOf(col("embedding"), centroids).cast("int").as("cluster"))
+      .repartition(col("cluster"))
+      .write.partitionBy("cluster").mode("overwrite").parquet(staging)
+    val stagingPath = new Path(staging)
+    val clusterDirs = fs.listStatus(stagingPath).filter(_.isDirectory)
+      .filter(_.getPath.getName.startsWith("cluster="))
+    clusterDirs.foreach { cd =>
+      val live = new Path(s"$dir/${cd.getPath.getName}")
+      fs.mkdirs(live)
+      // sweep residue from a crashed prior attempt of THIS batch
+      if (fs.exists(live)) {
+        fs.listStatus(live)
+          .filter(_.getPath.getName.startsWith(s"append-$batchId-"))
+          .foreach(st => fs.delete(st.getPath, false))
+      }
+      val files = fs.listStatus(cd.getPath)
+        .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+        .sortBy(_.getPath.getName)
+      files.zipWithIndex.foreach { case (st, i) =>
+        val target = new Path(live, s"append-$batchId-$i.parquet")
+        require(fs.rename(st.getPath, target),
+          s"appendIndexBatch: could not move ${st.getPath} to $target")
+      }
+    }
+    fs.delete(stagingPath, true)
+    fs.mkdirs(new Path(s"$dir/$AppendsSubdir"))
+    fs.create(marker, true).close()
+  }
+
+  /** Batch-commit markers for [[appendIndexBatch]] — underscore-hidden
+    * from the list scan and carried through [[compactIndex]], so a
+    * replay arriving AFTER a compaction folded its batch in still
+    * short-circuits instead of re-appending folded rows.
+    */
+  private val AppendsSubdir = "_appends"
+
   /** Fold an appended-to index back to one file per inverted list. The
     * compacted copy is written CLUSTER-ALIGNED to a sibling directory
     * first and swapped in with filesystem renames (Hadoop FileSystem
@@ -406,12 +476,16 @@ object Ivf {
     spark.read.parquet(dir)
       .repartition(col("cluster"))
       .write.partitionBy("cluster").mode("overwrite").parquet(tmp)
-    // the quantizer rides along: _-prefixed, so the list read above
-    // never saw it — move it into the compacted copy before the swap
-    val quant = new Path(s"$dir/$QuantizerSubdir")
-    if (fs.exists(quant))
-      require(fs.rename(quant, new Path(s"$tmp/$QuantizerSubdir")),
-        s"compactIndex: could not carry $QuantizerSubdir into $tmp")
+    // the model/marker subdirs ride along: _-prefixed, so the list read
+    // above never saw them — move them into the compacted copy before
+    // the swap (markers especially: a batch replay arriving after its
+    // rows were folded in must still see its commit marker)
+    Seq(QuantizerSubdir, PqSubdir, AppendsSubdir).foreach { sub =>
+      val p = new Path(s"$dir/$sub")
+      if (fs.exists(p))
+        require(fs.rename(p, new Path(s"$tmp/$sub")),
+          s"compactIndex: could not carry $sub into $tmp")
+    }
     // rename returns FALSE on failure instead of throwing — check both
     // legs so a failed swap surfaces instead of leaving a stale index
     require(fs.rename(new Path(dir), old),

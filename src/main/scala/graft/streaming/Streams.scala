@@ -459,6 +459,38 @@ object Streams {
     w.start()
   }
 
+  /** STREAMING INDEX INGEST — the live leg of the persisted-ANN-index
+    * lifecycle (build [[graft.operators.Ivf.writeIndex]] → append →
+    * compact → serve): arriving vectors append to the on-disk inverted
+    * lists per micro-batch, assigned at full precision against the
+    * index's own persisted quantizer, landing cluster-aligned in their
+    * partitions. The next [[graft.operators.Ivf.searchIndex]] listing
+    * serves them with zero coordination — a freshly ingested corpus is
+    * searchable at micro-batch latency without rebuilds.
+    *
+    * Exactly-once is the sink's job here, and it is structural, not a
+    * convention: [[graft.operators.Ivf.appendIndexBatch]] stages each
+    * batch under a batch-scoped dir, moves files to DETERMINISTIC
+    * per-batch names, and commits a `_appends/<batchId>` marker — a
+    * foreachBatch replay after a crash either short-circuits on the
+    * marker or overwrites its own files, never duplicates a vector
+    * (marker survival across [[graft.operators.Ivf.compactIndex]] is
+    * spec-pinned). Fragmentation from many small batches is the
+    * documented compaction trigger.
+    */
+  def indexAppendStream(
+      vectors: DataFrame,
+      indexDir: String,
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = vectors.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Ivf.appendIndexBatch(batch.toDF(), indexDir, batchId)
+      }
+    checkpoint.foreach(c => w.option("checkpointLocation", c))
+    w.start()
+  }
+
   /** Streaming decontamination gate: each arriving doc's 8-gram hashes
     * probe a bloom filter of the STATIC benchmark corpus inside the scan
     * stage (codegen'd, stateless), and only bloom survivors enter the

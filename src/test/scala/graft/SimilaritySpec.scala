@@ -395,6 +395,56 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows(grown) == rows(rebuilt), "compaction after crash residue must still serve identically")
   }
 
+  test("idempotent batch append: replay, crash residue, and post-compaction replay never duplicate") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, sf)
+    val base = emb.filter(col("vec_id") >= 50)
+    val delta0 = emb.filter(col("vec_id") < 25)
+    val delta1 = emb.filter(col("vec_id") >= 25 && col("vec_id") < 50)
+    val centroids = operators.Ivf.train(emb, k = 8, iters = 1)
+    val dir = "/tmp/graft-test/ivf_index_idem"
+    operators.Ivf.writeIndex(base, centroids, dir)
+
+    def counts(): (Long, Long) = {
+      val df = spark.read.parquet(dir)
+      (df.count(), df.groupBy("vec_id").count().filter(col("count") > 1).count())
+    }
+
+    operators.Ivf.appendIndexBatch(delta0, dir, 0L)
+    assert(counts() == (475L, 0L), "first append lands each vector once")
+    // full replay of a committed batch short-circuits on the marker
+    operators.Ivf.appendIndexBatch(delta0, dir, 0L)
+    assert(counts() == (475L, 0L), "replay of a committed batch must be a no-op")
+
+    // crash between the file moves and the marker write: the data files
+    // landed but no marker — the replay must overwrite its own
+    // deterministically-named files, not add beside them
+    operators.Ivf.appendIndexBatch(delta1, dir, 1L)
+    val marker = new java.io.File(s"$dir/_appends/1")
+    assert(marker.exists())
+    assert(marker.delete(), "simulate a crash before the marker commit")
+    operators.Ivf.appendIndexBatch(delta1, dir, 1L)
+    assert(counts() == (500L, 0L),
+      "replay over crash residue overwrites the same files — still exactly once")
+
+    // served rows equal a rebuild from the union under the same quantizer
+    val queries = emb.filter(col("vec_id") < 8)
+    val rebuilt = "/tmp/graft-test/ivf_index_idem_rebuilt"
+    operators.Ivf.writeIndex(emb, centroids, rebuilt)
+    def rows(d: String) = operators.Ivf.searchIndex(spark, d, queries, centroids).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(rows(dir) == rows(rebuilt), "batched appends must serve exactly like a rebuild")
+
+    // markers ride through compaction: a replay arriving AFTER its rows
+    // were folded in must still short-circuit
+    operators.Ivf.compactIndex(spark, dir)
+    operators.Ivf.appendIndexBatch(delta0, dir, 0L)
+    assert(counts() == (500L, 0L),
+      "post-compaction replay of a folded batch must not re-append")
+    assert(rows(dir) == rows(rebuilt), "post-compaction serve unchanged")
+  }
+
   test("index carries its quantizer: round-trip, self-describing serve/append, survives compaction") {
     import org.apache.spark.sql.functions.col
     val sf = "/root/testdata/sf0.001"

@@ -444,4 +444,51 @@ class StreamingRecoverySpec extends AnyFunSuite {
     assert(seen2.forall(_._1 >= 1L),
       s"batch ids continue from the checkpoint, not from zero: $seen2")
   }
+
+  test("indexAppendStream: streamed vectors become searchable; restart skips committed batches") {
+    import spark.implicits._
+    val in = tmp("ingest_in"); val ckpt = tmp("ingest_ck")
+    val idx = tmp("ingest_idx") + "/index"
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val centroids = operators.Ivf.train(emb, k = 8, iters = 1)
+    operators.Ivf.writeIndex(emb, centroids, idx)
+
+    val rnd = new scala.util.Random(29)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val base0 = emb.filter($"vec_id" === 0L).collect()(0).getSeq[Float](1).toArray
+    // vec 1000 is a near-copy of corpus vector 0 — once ingested, a
+    // query at vector 0 must surface it as top-1 from the live index
+    val wave1 = (Seq((1000L, base0.map(x => x + 0.001f))) ++
+      (1001L to 1004L).map(i => (i, vec()))).toDF("vec_id", "embedding")
+    val wave2 = (1005L to 1009L).map(i => (i, vec())).toDF("vec_id", "embedding")
+    val schema = wave1.schema
+
+    def run(): Unit = {
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      val q = Streams.indexAppendStream(src, idx, Some(ckpt))
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    addFile(wave1, in)
+    run()
+    val afterWave1 = spark.read.parquet(idx)
+    assert(afterWave1.filter($"vec_id" >= 1000L).count() == 5,
+      "wave-1 vectors landed in the inverted lists")
+    val top = operators.Ivf.searchIndex(
+      spark, idx, emb.filter($"vec_id" === 0L), centroids, k = 1, nprobe = 8).collect()
+    assert(top.head.getLong(top.head.fieldIndex("neighbor_id")) == 1000L,
+      "the freshly ingested near-duplicate must win a serve from the live index")
+
+    // restart from the checkpoint with a new wave queued: the committed
+    // wave-1 file must NOT re-append (the batch markers + source offsets
+    // make the ingest exactly-once), the new wave must land
+    addFile(wave2, in)
+    run()
+    val all = spark.read.parquet(idx)
+    assert(all.filter($"vec_id" >= 1000L).count() == 10,
+      "post-restart: wave 1 exactly once, wave 2 appended")
+    assert(all.groupBy("vec_id").count().filter($"count" > 1).count() == 0,
+      "no vector duplicated across the restart")
+  }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.{Column, SparkSessionExtensions}
 import org.apache.spark.sql.functions.call_function
 
-import graft.functions.{BloomAgg, BloomContains, HeavyHitters, CosineSim, HyperplaneBands, Int8Codes, Int8Cosine, JaccardSim, KgramMd5Hashes, MinhashMd5Sig, MinhashSig, PqAdcSim, PqCodes, PqLut, ShingleHashes, ShingleMd5Hashes, ShingleXor64, SimHash64, SimHashMd5, TopKByScore, WsTokens}
+import graft.functions.{BloomAgg, BloomContains, HeavyHitters, CosineSim, HyperplaneBands, Int8Codes, Int8Cosine, JaccardSim, KgramMd5Hashes, MinhashMd5Sig, MinhashSig, PqAdcSim, PqAsymSim, PqCodes, PqLut, ShingleHashes, ShingleMd5Hashes, ShingleXor64, SimHash64, SimHashMd5, TopKByScore, WsTokens}
 import org.apache.spark.sql.catalyst.util.ArrayData
 
 /** Engine extension point, installed via spark.sql.extensions (GraftSession
@@ -172,6 +172,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     )
     ext.injectFunction(
       (
+        new FunctionIdentifier("pq_asym_sim"),
+        new ExpressionInfo(classOf[PqAsymSim].getName, "pq_asym_sim"),
+        (children: Seq[Expression]) =>
+          PqAsymSim(
+            children(0),
+            children(1),
+            children(2).eval().asInstanceOf[ArrayData].toFloatArray(),
+            children(3).eval().asInstanceOf[Int],
+            children(4).eval().asInstanceOf[Int]),
+      )
+    )
+    ext.injectFunction(
+      (
         new FunctionIdentifier("hyperplane_bands"),
         new ExpressionInfo(classOf[HyperplaneBands].getName, "hyperplane_bands"),
         (children: Seq[Expression]) =>
@@ -307,6 +320,15 @@ object gfunctions {
   def pq_adc_sim(codes: Column, lut: Column, codebook: Array[Float], m: Int, ksub: Int): Column = {
     import org.apache.spark.sql.functions.{lit, typedlit}
     call_function("pq_adc_sim", codes, lut, typedlit(codebook.toSeq), lit(m), lit(ksub))
+  }
+
+  /** Asymmetric PQ cosine of (codes, query float vector) — bit-equal to
+    * pq_adc_sim over the pq_lut, without a LUT column riding every
+    * joined row (the row-at-a-time join's preferred form).
+    */
+  def pq_asym_sim(codes: Column, qvec: Column, codebook: Array[Float], m: Int, ksub: Int): Column = {
+    import org.apache.spark.sql.functions.{lit, typedlit}
+    call_function("pq_asym_sim", codes, qvec, typedlit(codebook.toSeq), lit(m), lit(ksub))
   }
 
   /** Random-hyperplane LSH band values of a float vector — all plane

@@ -131,6 +131,63 @@ object PqKernels {
     out
   }
 
+  /** ASYMMETRIC cosine computed directly from (codes, query vector,
+    * codebook) — no LUT column. Bit-identical to [[adcSim]] over
+    * [[lut]]: each subspace dot accumulates in the same sequential
+    * order the LUT builder uses, qnorm2 accumulates over the whole
+    * vector first, and the norm table contributes the same entries —
+    * so both paths evaluate the identical IEEE expression tree.
+    *
+    * Why this exists when ADC is "the" PQ scoring trick: the LUT is
+    * m*ksub+1 doubles PER QUERY ROW (16 KiB at ksub=256) riding the
+    * broadcast, so its payload scales with the query-set size — fine
+    * for the bounded query sets the ANN operators contract (measured
+    * over stored codes at 200k x 32: LUT 0.45 s vs asym 0.62 s —
+    * whole-stage codegen keeps the LUT in the broadcast relation, the
+    * textbook shape wins), but at a LARGE query side (query-set x
+    * corpus candidate joins) this kernel carries ~60x less broadcast
+    * bytes per query for a measured ~1.4x scoring cost. Both paths are
+    * bit-equal, so the choice is pure execution shape.
+    */
+  def asymSim(
+      codes: Array[Byte], qvec: ArrayData, codebook: Array[Float], norms: Array[Double],
+      m: Int, ksub: Int, dsub: Int): Double = {
+    if (codes.length != m) {
+      throw new IllegalArgumentException(
+        s"pq_asym_sim: codes have ${codes.length} bytes but m=$m was configured")
+    }
+    val n = qvec.numElements()
+    if (n != m * dsub) {
+      throw new IllegalArgumentException(
+        s"pq_asym_sim: query vector has $n elements but m=$m * dsub=$dsub was configured")
+    }
+    var qnorm2 = 0.0
+    var i = 0
+    while (i < n) {
+      val v = qvec.getFloat(i).toDouble
+      qnorm2 += v * v
+      i += 1
+    }
+    var dot = 0.0
+    var rnorm2 = 0.0
+    var j = 0
+    while (j < m) {
+      val e = j * ksub + (codes(j) & 0xFF)
+      val base = e * dsub
+      var d = 0.0
+      var k = 0
+      while (k < dsub) {
+        d += qvec.getFloat(j * dsub + k).toDouble * codebook(base + k).toDouble
+        k += 1
+      }
+      dot += d
+      rnorm2 += norms(e)
+      j += 1
+    }
+    if (qnorm2 == 0.0 || rnorm2 == 0.0) 0.0
+    else dot / math.sqrt(qnorm2 * rnorm2)
+  }
+
   /** ADC cosine: m lookups into the dot table + m into the norm table.
     * Exactly cosine(q, reconstruction) with per-subspace summation
     * order — deterministic across partitionings because every term is
@@ -240,6 +297,60 @@ case class PqLut(qvec: Expression, codebook: Array[Float], m: Int, ksub: Int)
 
   override protected def withNewChildInternal(newChild: Expression): PqLut =
     copy(qvec = newChild)
+}
+
+/** Asymmetric PQ cosine of (codes, query float vector) — the scoring
+  * form the row-at-a-time join wants (see [[PqKernels.asymSim]]): the
+  * joined row carries the 256-byte query vector, not a LUT; the
+  * codebook and its norm table ride as reference objects. Bit-identical
+  * results to the [[PqAdcSim]]/[[PqLut]] pair (spec-pinned).
+  */
+case class PqAsymSim(
+    codes: Expression, qvec: Expression, codebook: Array[Float], m: Int, ksub: Int)
+    extends BinaryExpression {
+
+  private val dsub: Int = codebook.length / (m * ksub)
+
+  override def left: Expression = codes
+  override def right: Expression = qvec
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (codes.dataType, qvec.dataType) match {
+      case (BinaryType, ArrayType(FloatType, _))
+          if m > 0 && ksub > 0 && ksub <= 256 && codebook.length == m * ksub * dsub &&
+            dsub > 0 =>
+        TypeCheckResult.TypeCheckSuccess
+      case (BinaryType, ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName: codebook of ${codebook.length} floats does not factor as " +
+            s"m=$m * ksub=$ksub (<=256) * dsub")
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (binary, array<float>), got " +
+            s"${l.simpleString} and ${r.simpleString}")
+    }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "pq_asym_sim"
+
+  @transient private lazy val norms: Array[Double] =
+    PqKernels.centroidNorms(codebook, m, ksub, dsub)
+
+  override protected def nullSafeEval(c: Any, q: Any): Any =
+    PqKernels.asymSim(
+      c.asInstanceOf[Array[Byte]], q.asInstanceOf[ArrayData], codebook, norms, m, ksub, dsub)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebook", codebook, "float[]")
+    val normsRef = ctx.addReferenceObj("pqCentroidNorms", norms, "double[]")
+    nullSafeCodeGen(ctx, ev, (c, q) =>
+      s"${ev.value} = graft.functions.PqKernels.asymSim($c, $q, $cbRef, $normsRef, $m, $ksub, $dsub);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAsymSim =
+    copy(codes = newLeft, qvec = newRight)
 }
 
 /** ADC cosine of (pq codes, query LUT): m table lookups per candidate —

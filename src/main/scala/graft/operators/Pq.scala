@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.gfunctions.{cosine_sim, pq_adc_sim, pq_codes, pq_lut}
+import graft.gfunctions.{cosine_sim, pq_codes}
 
 /** Product quantization — the ANN storage step after int8. Int8 keeps
   * 1 byte per dimension; PQ keeps 1 byte per SUBSPACE: the vector splits
@@ -39,7 +39,14 @@ import graft.gfunctions.{cosine_sim, pq_adc_sim, pq_codes, pq_lut}
   *    0.612, rerank@10x 1.000. The defaults (m=8, ksub=64,
   *    oversample=20) take the deepest compression and buy recall back in
   *    the rerank — oversample is 2x the int8 default because the cells
-  *    are coarser.
+  *    are coarser. On the WORST case — ScaleProbe20's 200k dense
+  *    synthetic manifold, true top-10 gaps far inside the cell radius —
+  *    coarse m=8/ksub=256 recall@10 is 0.125 and the rerank needs real
+  *    oversample: 0.259@20x, 0.981@100x, 1.000@500x (m=16 barely moves
+  *    the coarse number, 0.144). The operating rule: PQ is a CANDIDATE
+  *    GENERATOR; on dense corpora size oversample in the hundreds, or
+  *    prefer the int8 index (0.62 coarse there, ScaleProbe16) when 8x
+  *    more index memory is affordable.
   */
 object Pq {
 
@@ -128,12 +135,34 @@ object Pq {
       col("vec_id"),
       pq_codes(col("embedding"), model.codebook, model.m, model.ksub).as("codes_pq"))
 
-  /** ADC top-k over PQ codes: corpus scan touches m-byte codes only;
-    * the broadcast query side carries the per-query LUT.
+  /** ADC top-k over PQ codes: the corpus scan touches m-byte codes
+    * only; the broadcast query side carries the per-query LUT. Measured
+    * over STORED codes (ScaleProbe20, 200k x 32, ksub=256): LUT-ADC
+    * 0.45 s vs the asym kernel's 0.62 s vs int8's 0.72 s — whole-stage
+    * codegen fuses the join projection, so the LUT lives in the
+    * broadcast relation and is never copied per candidate row; the
+    * textbook ADC shape wins in Spark too. (The LUT itself is m*ksub+1
+    * doubles per query — 16 KiB at ksub=256 — so for a LARGE query set
+    * the [[graft.gfunctions.pq_asym_sim]] form carries ~60x less
+    * broadcast payload at a measured ~1.4x scoring cost; the two are
+    * bit-equal, spec-pinned.)
+    *
+    * NOTE this in-memory path pays the ENCODE of the float corpus
+    * inline (argmin over m*ksub centroids per vector — measured ~10x
+    * the scoring cost); encode once and use [[topKPqCoded]], or better
+    * the persisted [[Ivf.writeIndexPq]] lists, when the corpus is
+    * reused across query batches.
     */
   def topKPq(
-      corpus: DataFrame, queries: DataFrame, model: Model, k: Int = 10): DataFrame = {
-    val coded = encode(corpus, model)
+      corpus: DataFrame, queries: DataFrame, model: Model, k: Int = 10): DataFrame =
+    topKPqCoded(encode(corpus, model), queries, model, k)
+
+  /** [[topKPq]] over an already-encoded (vec_id, codes_pq) corpus —
+    * the stored-codes serving shape.
+    */
+  def topKPqCoded(
+      coded: DataFrame, queries: DataFrame, model: Model, k: Int = 10): DataFrame = {
+    import graft.gfunctions.{pq_adc_sim, pq_lut}
     val probes = queries.select(
       col("vec_id").as("query_id"),
       pq_lut(col("embedding"), model.codebook, model.m, model.ksub).as("qlut"))

@@ -130,6 +130,34 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("asym kernel is bit-equal to the LUT ADC path over every scored pair") {
+    val emb = Tables.embeddings(spark, sf)
+    val model = Pq.train(emb)
+    val queries = emb.filter(col("vec_id") < 8)
+    val coded = Pq.encode(emb, model)
+    val viaLut = coded.alias("c")
+      .join(
+        broadcast(queries.select(col("vec_id").as("query_id"),
+          gfunctions.pq_lut(col("embedding"), model.codebook, model.m, model.ksub).as("qlut"))),
+        col("query_id") =!= col("c.vec_id"))
+      .select(col("query_id"), col("c.vec_id").as("neighbor_id"),
+        gfunctions.pq_adc_sim(col("c.codes_pq"), col("qlut"), model.codebook, model.m, model.ksub)
+          .as("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val viaAsym = coded.alias("c")
+      .join(
+        broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("qvec"))),
+        col("query_id") =!= col("c.vec_id"))
+      .select(col("query_id"), col("c.vec_id").as("neighbor_id"),
+        gfunctions.pq_asym_sim(col("c.codes_pq"), col("qvec"), model.codebook, model.m, model.ksub)
+          .as("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(viaLut.size == viaAsym.size && viaLut.nonEmpty)
+    viaLut.foreach { case (k, s) =>
+      assert(viaAsym(k) == s, s"pair $k: asym ${viaAsym(k)} != LUT path $s")
+    }
+  }
+
   test("PQ recall@10 vs brute force on real embeddings; rerank restores it") {
     val brute = topSets(Similarity.qBrute.run(spark, sf))
     val pq = topSets(Similarity.qPq.run(spark, sf))

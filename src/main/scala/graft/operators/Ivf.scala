@@ -379,10 +379,14 @@ object Ivf {
       .write.partitionBy("cluster").mode("append").parquet(dir)
 
   /** Self-describing append: assigns against the index's OWN persisted
-    * quantizer — the contract by construction.
+    * quantizer AND encodes to the index's own code form (PQ if a `_pq`
+    * codebook is persisted, int8 otherwise) — the contract by
+    * construction.
     */
   def appendIndex(delta: DataFrame, dir: String): Unit =
-    appendIndex(delta, readCentroids(delta.sparkSession, dir), dir)
+    encodeForIndex(delta, dir)
+      .repartition(col("cluster"))
+      .write.partitionBy("cluster").mode("append").parquet(dir)
 
   /** IDEMPOTENT append for exactly-once streaming ingest
     * ([[graft.streaming.Streams.indexAppendStream]]). Structured
@@ -414,11 +418,8 @@ object Ivf {
     val fs = new Path(dir).getFileSystem(conf)
     val marker = new Path(s"$dir/$AppendsSubdir/$batchId")
     if (fs.exists(marker)) return // replay of a fully committed batch
-    val centroids = readCentroids(spark, dir)
     val staging = s"$dir/.append-$batchId"
-    delta.select(
-      col("vec_id"), graft.gfunctions.int8_codes(col("embedding")).as("codes_bin"),
-      clusterOf(col("embedding"), centroids).cast("int").as("cluster"))
+    encodeForIndex(delta, dir)
       .repartition(col("cluster"))
       .write.partitionBy("cluster").mode("overwrite").parquet(staging)
     val stagingPath = new Path(staging)
@@ -453,6 +454,33 @@ object Ivf {
     * short-circuits instead of re-appending folded rows.
     */
   private val AppendsSubdir = "_appends"
+
+  /** Delta rows encoded to the index's OWN code form — PQ m-byte codes
+    * if the directory carries a persisted `_pq` codebook, packed int8
+    * otherwise — with cluster assignment against the persisted
+    * quantizer. One ingest path serves both index layouts, and an
+    * append can never mix code columns into a foreign index (the
+    * partitioned read would otherwise silently union the two schemas).
+    */
+  private def encodeForIndex(delta: DataFrame, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val spark = delta.sparkSession
+    val centroids = readCentroids(spark, dir)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cluster = clusterOf(col("embedding"), centroids).cast("int").as("cluster")
+    if (fs.exists(new Path(s"$dir/$PqSubdir"))) {
+      val model = readPqModel(spark, dir)
+      delta.select(
+        col("vec_id"),
+        graft.gfunctions.pq_codes(col("embedding"), model.codebook, model.m, model.ksub)
+          .as("codes_pq"),
+        cluster)
+    } else {
+      delta.select(
+        col("vec_id"), graft.gfunctions.int8_codes(col("embedding")).as("codes_bin"),
+        cluster)
+    }
+  }
 
   /** Fold an appended-to index back to one file per inverted list. The
     * compacted copy is written CLUSTER-ALIGNED to a sibling directory

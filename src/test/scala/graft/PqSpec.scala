@@ -238,6 +238,33 @@ class PqSpec extends AnyFunSuite {
     assert(recall >= 0.95, f"served PQ rerank recall collapsed: $recall%.3f")
   }
 
+  test("index ingest is self-describing on code form: appends to a PQ index land PQ codes, exactly once") {
+    val dir = "/tmp/graft-test/pq_index_ingest"
+    val emb = Tables.embeddings(spark, sf)
+    val base = emb.filter(col("vec_id") >= 100)
+    val delta = emb.filter(col("vec_id") < 100)
+    val model = Pq.train(emb)
+    val centroids = operators.Ivf.train(emb, k = 8, iters = 1)
+    operators.Ivf.writeIndexPq(base, centroids, model, dir)
+
+    operators.Ivf.appendIndexBatch(delta, dir, 0L)
+    operators.Ivf.appendIndexBatch(delta, dir, 0L) // committed replay: no-op
+    val lists = spark.read.parquet(dir)
+    assert(lists.columns.toSet == Set("vec_id", "codes_pq", "cluster"),
+      s"appends must encode to the index's own code form, got ${lists.columns.mkString(",")}")
+    assert(lists.count() == 500 &&
+      lists.groupBy("vec_id").count().filter(col("count") > 1).count() == 0,
+      "each appended vector lands exactly once")
+
+    val queries = emb.filter(col("vec_id") < 8)
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(
+      rows(operators.Ivf.searchIndexPq(spark, dir, queries, k = 10, nprobe = 8)) ==
+        rows(Pq.topKPqCoded(Pq.encode(emb, model), queries, model, k = 10)),
+      "the appended-to PQ index must serve exactly like the in-memory ranking over the union")
+  }
+
   test("planted near-duplicate survives 8-byte codes as top-1 after rerank") {
     import spark.implicits._
     val rnd = new Random(41)

@@ -644,12 +644,27 @@ object Ivf {
     */
   def writeIndexPq(
       corpus: DataFrame, centroids: Array[Array[Float]], model: Pq.Model,
-      dir: String): Unit = {
+      dir: String): Unit =
+    writeIndexPq(corpus, centroids, model, dir, Nil)
+
+  /** [[writeIndexPq]] carrying passthrough METADATA columns into the
+    * m-byte lists — the same filtered-ANN trade as the int8
+    * `writeIndex(..., metaCols)`: filter state lives IN the index so
+    * the pruned scan pushes it down, at the cost of riding every list
+    * row. With 8-byte codes the metadata is often LARGER than the
+    * vector payload — keep it to the few small columns serving
+    * actually filters by.
+    */
+  def writeIndexPq(
+      corpus: DataFrame, centroids: Array[Array[Float]], model: Pq.Model,
+      dir: String, metaCols: Seq[String]): Unit = {
     import graft.gfunctions.pq_codes
     corpus.select(
-      col("vec_id"),
-      pq_codes(col("embedding"), model.codebook, model.m, model.ksub).as("codes_pq"),
-      clusterOf(col("embedding"), centroids).cast("int").as("cluster"))
+      Seq(
+        col("vec_id"),
+        pq_codes(col("embedding"), model.codebook, model.m, model.ksub).as("codes_pq"),
+        clusterOf(col("embedding"), centroids).cast("int").as("cluster")) ++
+        metaCols.map(col): _*)
       .repartition(col("cluster"))
       .write.partitionBy("cluster").mode("overwrite").parquet(dir)
     writeCentroids(corpus.sparkSession, centroids, dir)
@@ -667,7 +682,33 @@ object Ivf {
       dir: String,
       queries: DataFrame,
       k: Int = 10,
-      nprobe: Int = 2): DataFrame = {
+      nprobe: Int = 2): DataFrame =
+    searchIndexPqCore(spark, dir, queries, k, nprobe, None)
+
+  /** Attribute-FILTERED ADC serve from a `writeIndexPq(..., metaCols)`
+    * directory — the PQ edition of [[searchIndexFiltered]]: the
+    * predicate applies INSIDE the statically pruned m-byte list scan
+    * (Parquet pushdown, spec-asserted) and top-k ranks the survivors
+    * (post-filter semantics). The ScaleProbe19 correlation caveat
+    * applies unchanged — it is a property of list pruning, not of the
+    * code form.
+    */
+  def searchIndexPqFiltered(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      queries: DataFrame,
+      predicate: Column,
+      k: Int = 10,
+      nprobe: Int = 2): DataFrame =
+    searchIndexPqCore(spark, dir, queries, k, nprobe, Some(predicate))
+
+  private def searchIndexPqCore(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      queries: DataFrame,
+      k: Int,
+      nprobe: Int,
+      predicate: Option[Column]): DataFrame = {
     import graft.gfunctions.{pq_adc_sim, pq_lut}
     val centroids = readCentroids(spark, dir)
     val model = readPqModel(spark, dir)
@@ -680,8 +721,9 @@ object Ivf {
       .localCheckpoint(eager = true)
     val probedClusters = probes.select("cluster").distinct()
       .collect().map(_.getInt(0))
-    val listed = spark.read.parquet(dir)
+    val pruned = spark.read.parquet(dir)
       .filter(col("cluster").isin(probedClusters.toIndexedSeq: _*))
+    val listed = predicate.fold(pruned)(pruned.filter)
     val cand = listed.alias("c")
       .join(broadcast(probes.alias("q")),
         col("c.cluster") === col("q.cluster") && col("query_id") =!= col("c.vec_id"))

@@ -238,6 +238,34 @@ class PqSpec extends AnyFunSuite {
     assert(recall >= 0.95, f"served PQ rerank recall collapsed: $recall%.3f")
   }
 
+  test("filtered PQ serving: predicate pushed into the pruned m-byte list scan, post-filter top-k") {
+    val emb = Tables.embeddings(spark, sf)
+      .withColumn("label", (col("vec_id") % 3).cast("int"))
+    val queries = emb.filter(col("vec_id") < 8)
+    val model = Pq.train(emb)
+    val centroids = operators.Ivf.train(emb, k = 8, iters = 1)
+    val dir = "/tmp/graft-test/pq_index_filtered"
+    operators.Ivf.writeIndexPq(emb, centroids, model, dir, Seq("label"))
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    // full probe: the filtered serve must equal the in-memory ADC
+    // ranking over the pre-filtered corpus, ranked row for ranked row
+    val served = operators.Ivf.searchIndexPqFiltered(
+      spark, dir, queries, col("label") === 1, nprobe = 8)
+    val expect = Pq.topKPq(emb.filter(col("label") === 1), queries, model)
+    assert(rows(served) == rows(expect),
+      "filtered PQ serving must rank exactly like in-memory ADC over the filtered corpus")
+    // post-filter contract: every returned neighbor satisfies the predicate
+    served.collect().foreach { r =>
+      assert(r.getLong(r.fieldIndex("neighbor_id")) % 3 == 1,
+        s"neighbor ${r.getLong(r.fieldIndex("neighbor_id"))} violates the filter")
+    }
+    // the scale property: the predicate reached the parquet scan
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(label,1)"),
+      s"expected the label predicate pushed to the list scan:\n$plan")
+  }
+
   test("index ingest is self-describing on code form: appends to a PQ index land PQ codes, exactly once") {
     val dir = "/tmp/graft-test/pq_index_ingest"
     val emb = Tables.embeddings(spark, sf)

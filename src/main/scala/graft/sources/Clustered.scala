@@ -1,0 +1,94 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Range-clustered parquet layout: the data-skipping discipline for
+  * SELECTIVE predicates on keys too fine for directory partitioning.
+  *
+  * Directory partitioning ([[ParquetSink]]) prunes on coarse keys —
+  * date, platform — but a 100 TB fact table cannot partition by user_id
+  * or price (millions of directories). What scans CAN skip on is parquet
+  * row-group statistics: every row group stores min/max per column, and
+  * the pushed predicate drops whole row groups whose range excludes it —
+  * IF the data is clustered so those ranges are tight. A shuffled write
+  * leaves every row group spanning the whole key domain (min/max ~
+  * global min/max → zero skipping, the stats are dead weight); this
+  * write makes them disjoint:
+  *
+  *  - `repartitionByRange(key)` gives each output file a disjoint key
+  *    range (one range-exchange, paid once at write);
+  *  - `sortWithinPartitions(key)` orders rows inside the file so each
+  *    ROW GROUP covers a narrow contiguous slice of the file's range.
+  *
+  * A point or range predicate then touches the few row groups whose
+  * slice intersects it — scan cost tracks SELECTIVITY, not table size
+  * (ScaleProbe22 receipt in SURVEY §6; the disjointness itself is
+  * asserted structurally from the parquet footers in ClusteredSpec, not
+  * assumed). This composes with directory partitioning: partition by
+  * the coarse key, range-cluster by the fine one within each partition.
+  *
+  * vs [[Bucketed]]: bucketing pre-shuffles for JOIN locality (hash
+  * buckets, exchange-free joins); clustering pre-sorts for SCAN
+  * selectivity (range files, row-group skipping). A table can need
+  * either or both — they are different levers.
+  */
+object Clustered {
+
+  /** Write `df` range-clustered on `key` into `files` output files. */
+  def save(df: DataFrame, dir: String, key: String, files: Int = 32): Unit =
+    df.repartitionByRange(files, col(key))
+      .sortWithinPartitions(key)
+      .write.mode("overwrite").parquet(dir)
+
+  def read(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(dir)
+
+  /** Per-row-group (min, max) statistics of a LONG column across every
+    * parquet file under `dir` — the structural evidence data skipping
+    * acts on, read straight from the footers (exposed for specs/probes;
+    * uses the parquet-hadoop classes Spark ships).
+    */
+  def rowGroupRanges(
+      spark: SparkSession, dir: String, key: String): Seq[(Long, Long)] = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    fs.listStatus(root).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .flatMap { st =>
+        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(st.getPath, conf))
+        try {
+          reader.getFooter.getBlocks.asScala.toSeq.map { block =>
+            val colMeta = block.getColumns.asScala
+              .find(_.getPath.toDotString == key)
+              .getOrElse(throw new IllegalArgumentException(
+                s"column $key not found in ${st.getPath}"))
+            val stats = colMeta.getStatistics
+            (stats.genericGetMin.asInstanceOf[Number].longValue(),
+              stats.genericGetMax.asInstanceOf[Number].longValue())
+          }
+        } finally reader.close()
+      }
+  }
+
+  /** Count of row-group pairs whose key ranges strictly overlap (shared
+    * single boundary values do not count). 0 = perfectly skippable
+    * layout: any point/range predicate touches the minimal set of row
+    * groups.
+    */
+  def overlappingPairs(ranges: Seq[(Long, Long)]): Int = {
+    // index-pair walk, NOT Seq.combinations — combinations dedups equal
+    // elements, and identical whole-domain ranges are exactly the
+    // degenerate layout this must count
+    val a = ranges.toIndexedSeq
+    (for { i <- a.indices; j <- (i + 1) until a.size } yield (i, j)).count { case (i, j) =>
+      val (aMin, aMax) = a(i)
+      val (bMin, bMax) = a(j)
+      aMin < bMax && bMin < aMax
+    }
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.{Column, SparkSessionExtensions}
 import org.apache.spark.sql.functions.call_function
 
-import graft.functions.{BloomAgg, BloomContains, HeavyHitters, CosineSim, HyperplaneBands, Int8Codes, Int8Cosine, JaccardSim, KgramMd5Hashes, MinhashMd5Sig, MinhashSig, PqAdcSim, PqAsymSim, PqCodes, PqLut, ShingleHashes, ShingleMd5Hashes, ShingleXor64, SimHash64, SimHashMd5, TopKByScore, WsTokens}
+import graft.functions.{BloomAgg, BloomContains, HeavyHitters, CosineSim, HyperplaneBands, Int8Codes, Int8Cosine, JaccardSim, KgramMd5Hashes, MinhashMd5Sig, MinhashSig, PqAdcSim, PqAsymSim, PqCodes, PqLut, PqResidCodes, PqResidLut, PqResidSim, ShingleHashes, ShingleMd5Hashes, ShingleXor64, SimHash64, SimHashMd5, TopKByScore, WsTokens}
 import org.apache.spark.sql.catalyst.util.ArrayData
 
 /** Engine extension point, installed via spark.sql.extensions (GraftSession
@@ -172,6 +172,48 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     )
     ext.injectFunction(
       (
+        new FunctionIdentifier("pq_resid_codes"),
+        new ExpressionInfo(classOf[PqResidCodes].getName, "pq_resid_codes"),
+        (children: Seq[Expression]) =>
+          PqResidCodes(
+            children(0),
+            children(1),
+            children(2).eval().asInstanceOf[ArrayData].toFloatArray(),
+            children(3).eval().asInstanceOf[ArrayData].toFloatArray(),
+            children(4).eval().asInstanceOf[Int],
+            children(5).eval().asInstanceOf[Int]),
+      )
+    )
+    ext.injectFunction(
+      (
+        new FunctionIdentifier("pq_resid_lut"),
+        new ExpressionInfo(classOf[PqResidLut].getName, "pq_resid_lut"),
+        (children: Seq[Expression]) =>
+          PqResidLut(
+            children(0),
+            children(1).eval().asInstanceOf[ArrayData].toFloatArray(),
+            children(2).eval().asInstanceOf[ArrayData].toFloatArray(),
+            children(3).eval().asInstanceOf[Int],
+            children(4).eval().asInstanceOf[Int]),
+      )
+    )
+    ext.injectFunction(
+      (
+        new FunctionIdentifier("pq_resid_sim"),
+        new ExpressionInfo(classOf[PqResidSim].getName, "pq_resid_sim"),
+        (children: Seq[Expression]) =>
+          PqResidSim(
+            children(0),
+            children(1),
+            children(2),
+            children(3).eval().asInstanceOf[ArrayData].toFloatArray(),
+            children(4).eval().asInstanceOf[ArrayData].toFloatArray(),
+            children(5).eval().asInstanceOf[Int],
+            children(6).eval().asInstanceOf[Int]),
+      )
+    )
+    ext.injectFunction(
+      (
         new FunctionIdentifier("pq_asym_sim"),
         new ExpressionInfo(classOf[PqAsymSim].getName, "pq_asym_sim"),
         (children: Seq[Expression]) =>
@@ -320,6 +362,39 @@ object gfunctions {
   def pq_adc_sim(codes: Column, lut: Column, codebook: Array[Float], m: Int, ksub: Int): Column = {
     import org.apache.spark.sql.functions.{lit, typedlit}
     call_function("pq_adc_sim", codes, lut, typedlit(codebook.toSeq), lit(m), lit(ksub))
+  }
+
+  /** Residual-PQ codes of (vec, cluster): m bytes indexing the residual
+    * codebook for vec - centroid[cluster] (the textbook IVFPQ encode).
+    */
+  def pq_resid_codes(
+      vec: Column, cluster: Column, centroids: Array[Float], codebook: Array[Float],
+      m: Int, ksub: Int): Column = {
+    import org.apache.spark.sql.functions.{lit, typedlit}
+    call_function("pq_resid_codes", vec, cluster,
+      typedlit(centroids.toSeq), typedlit(codebook.toSeq), lit(m), lit(ksub))
+  }
+
+  /** Per-query residual-PQ LUT (residual dots, per-centroid dots,
+    * ||q||^2) — rides the broadcast query side.
+    */
+  def pq_resid_lut(
+      qvec: Column, centroids: Array[Float], codebook: Array[Float],
+      m: Int, ksub: Int): Column = {
+    import org.apache.spark.sql.functions.{lit, typedlit}
+    call_function("pq_resid_lut", qvec,
+      typedlit(centroids.toSeq), typedlit(codebook.toSeq), lit(m), lit(ksub))
+  }
+
+  /** Exact cosine over centroid + residual reconstruction from (codes,
+    * LUT, cluster) — cluster-conditioned tables as plan-time constants.
+    */
+  def pq_resid_sim(
+      codes: Column, lut: Column, cluster: Column,
+      centroids: Array[Float], codebook: Array[Float], m: Int, ksub: Int): Column = {
+    import org.apache.spark.sql.functions.{lit, typedlit}
+    call_function("pq_resid_sim", codes, lut, cluster,
+      typedlit(centroids.toSeq), typedlit(codebook.toSeq), lit(m), lit(ksub))
   }
 
   /** Asymmetric PQ cosine of (codes, query float vector) — bit-equal to

@@ -142,6 +142,21 @@ object ScaleProbe20 {
       val r = recallOf(tops(operators.Pq.pqRerankTopK(emb, queries, model, oversample = ov)))
       println(f"[probe20] PQ m=8 rerank@${ov}x recall@10: $r%.3f")
     }
+    // residual refinement at the same byte budget: with a real k=64
+    // coarse quantizer the residuals are small — does the textbook
+    // IVFPQ trick move the dense-manifold number?
+    val ivfCentroids = operators.Ivf.train(emb, k = 64, iters = 3)
+    var residModel: operators.Pq.Model = null
+    timeOnce("residual PQ train m=8 ksub=256 (k=64 quantizer, sampled)") {
+      residModel = operators.Ivf.trainResidualPq(emb, ivfCentroids, m = 8, ksub = 256, iters = 10)
+    }
+    val rawSameK = recallOf(tops(
+      operators.Ivf.topKPq(emb, queries, ivfCentroids, model, k = 10, nprobe = 64)))
+    val residFull = recallOf(tops(
+      operators.Ivf.topKPqResidual(emb, queries, ivfCentroids, residModel, k = 10, nprobe = 64)))
+    println(f"[probe20] dense full-probe recall@10 at 8 B: raw PQ $rawSameK%.3f, " +
+      f"residual PQ (k=64) $residFull%.3f")
+
     var model16: operators.Pq.Model = null
     timeOnce("PQ train m=16 ksub=256 (sampled ~100x)") {
       model16 = operators.Pq.train(emb, m = 16, ksub = 256, iters = 10)

@@ -218,6 +218,203 @@ object PqKernels {
   }
 }
 
+/** Residual-PQ kernels — the textbook IVFPQ refinement: instead of
+  * quantizing raw vectors, quantize r = vec - centroid[cluster]. The
+  * residuals of a decent coarse quantizer are smaller-magnitude and
+  * better-centered than the raw vectors, so the SAME m bytes buy finer
+  * cells. Exact cosine still falls out of table lookups because the
+  * reconstruction is centroid + residual-reconstruction:
+  *
+  *   dot(q, recon)   = dot(q, c) + sum_j dot(q_j, R[j][code_j])
+  *   ||recon||^2     = ||c||^2 + sum_j (2*dot(c_j, R[j][code_j])
+  *                                       + ||R[j][code_j]||^2)
+  *
+  * dot(q, c) rides the per-query LUT (k entries); the cross terms
+  * dot(c_j, R[j][e]) are query-INDEPENDENT — a k*m*ksub double table
+  * computed once at plan time from (centroids, codebook) and shipped as
+  * a reference object. Scoring stays m lookups + a few adds per
+  * candidate.
+  */
+object PqResidKernels {
+
+  /** Residual codes: r = vec - centroid[cluster], per-subspace argmin
+    * over the RESIDUAL codebook; ties to the lower id.
+    */
+  def encode(
+      vec: ArrayData, cluster: Int, centroids: Array[Float], codebook: Array[Float],
+      m: Int, ksub: Int, dsub: Int): Array[Byte] = {
+    val dims = m * dsub
+    val n = vec.numElements()
+    if (n != dims) {
+      throw new IllegalArgumentException(
+        s"pq_resid_codes: vector has $n elements but m=$m * dsub=$dsub was configured")
+    }
+    val k = centroids.length / dims
+    if (cluster < 0 || cluster >= k) {
+      throw new IllegalArgumentException(
+        s"pq_resid_codes: cluster $cluster outside [0, $k)")
+    }
+    val out = new Array[Byte](m)
+    var j = 0
+    while (j < m) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < ksub) {
+        val base = (j * ksub + c) * dsub
+        var d = 0.0
+        var i = 0
+        while (i < dsub) {
+          val idx = j * dsub + i
+          val r = vec.getFloat(idx).toDouble - centroids(cluster * dims + idx).toDouble
+          val diff = r - codebook(base + i).toDouble
+          d += diff * diff
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(j) = best.toByte
+      j += 1
+    }
+    out
+  }
+
+  /** Per-query residual LUT: [0, m*ksub) = dot(q_j, R[j][e]) (subspace-
+    * sequential); [m*ksub, m*ksub+k) = dot(q, centroid_c) (full-dims
+    * sequential); [m*ksub+k] = ||q||^2. Length m*ksub + k + 1.
+    */
+  def lut(
+      qvec: ArrayData, centroids: Array[Float], codebook: Array[Float],
+      m: Int, ksub: Int, dsub: Int): ArrayData = {
+    val dims = m * dsub
+    val n = qvec.numElements()
+    if (n != dims) {
+      throw new IllegalArgumentException(
+        s"pq_resid_lut: query vector has $n elements but m=$m * dsub=$dsub was configured")
+    }
+    val k = centroids.length / dims
+    val out = new Array[Double](m * ksub + k + 1)
+    var j = 0
+    while (j < m) {
+      var c = 0
+      while (c < ksub) {
+        val base = (j * ksub + c) * dsub
+        var dot = 0.0
+        var i = 0
+        while (i < dsub) {
+          dot += qvec.getFloat(j * dsub + i).toDouble * codebook(base + i).toDouble
+          i += 1
+        }
+        out(j * ksub + c) = dot
+        c += 1
+      }
+      j += 1
+    }
+    var c = 0
+    while (c < k) {
+      var dot = 0.0
+      var i = 0
+      while (i < dims) {
+        dot += qvec.getFloat(i).toDouble * centroids(c * dims + i).toDouble
+        i += 1
+      }
+      out(m * ksub + c) = dot
+      c += 1
+    }
+    var qnorm2 = 0.0
+    var i = 0
+    while (i < dims) {
+      val v = qvec.getFloat(i).toDouble
+      qnorm2 += v * v
+      i += 1
+    }
+    out(m * ksub + k) = qnorm2
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** Query-independent tables, computed once at plan time. */
+  def crossTable(
+      centroids: Array[Float], codebook: Array[Float],
+      m: Int, ksub: Int, dsub: Int): Array[Double] = {
+    val dims = m * dsub
+    val k = centroids.length / dims
+    val out = new Array[Double](k * m * ksub)
+    var c = 0
+    while (c < k) {
+      var j = 0
+      while (j < m) {
+        var e = 0
+        while (e < ksub) {
+          val base = (j * ksub + e) * dsub
+          var dot = 0.0
+          var i = 0
+          while (i < dsub) {
+            dot += centroids(c * dims + j * dsub + i).toDouble * codebook(base + i).toDouble
+            i += 1
+          }
+          out(c * m * ksub + j * ksub + e) = dot
+          e += 1
+        }
+        j += 1
+      }
+      c += 1
+    }
+    out
+  }
+
+  def centroidNorms2(centroids: Array[Float], dims: Int): Array[Double] = {
+    val k = centroids.length / dims
+    val out = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      var s = 0.0
+      var i = 0
+      while (i < dims) {
+        val v = centroids(c * dims + i).toDouble
+        s += v * v
+        i += 1
+      }
+      out(c) = s
+      c += 1
+    }
+    out
+  }
+
+  /** Exact cosine(q, centroid + residual reconstruction) from tables:
+    * m dot-lookups + m cross-lookups + m norm-lookups per candidate.
+    */
+  def sim(
+      codes: Array[Byte], lut: ArrayData, cluster: Int,
+      cross: Array[Double], residNorms: Array[Double], cnorm2: Array[Double],
+      m: Int, ksub: Int): Double = {
+    if (codes.length != m) {
+      throw new IllegalArgumentException(
+        s"pq_resid_sim: codes have ${codes.length} bytes but m=$m was configured")
+    }
+    val k = cnorm2.length
+    if (lut.numElements() != m * ksub + k + 1) {
+      throw new IllegalArgumentException(
+        s"pq_resid_sim: lut has ${lut.numElements()} entries, want ${m * ksub + k + 1}")
+    }
+    if (cluster < 0 || cluster >= k) {
+      throw new IllegalArgumentException(s"pq_resid_sim: cluster $cluster outside [0, $k)")
+    }
+    var dot = lut.getDouble(m * ksub + cluster)
+    var rnorm2 = cnorm2(cluster)
+    var j = 0
+    while (j < m) {
+      val e = j * ksub + (codes(j) & 0xFF)
+      dot += lut.getDouble(e)
+      rnorm2 += 2.0 * cross(cluster * m * ksub + e) + residNorms(e)
+      j += 1
+    }
+    val qnorm2 = lut.getDouble(m * ksub + k)
+    if (qnorm2 == 0.0 || rnorm2 <= 0.0) 0.0
+    else dot / math.sqrt(qnorm2 * rnorm2)
+  }
+}
+
 /** PQ codes of a float vector: exactly m bytes (one codebook index per
   * subspace). The codebook (flattened subspace-major: entry
   * [(j*ksub + c)*dsub + i]) is a plan-time constant.
@@ -297,6 +494,152 @@ case class PqLut(qvec: Expression, codebook: Array[Float], m: Int, ksub: Int)
 
   override protected def withNewChildInternal(newChild: Expression): PqLut =
     copy(qvec = newChild)
+}
+
+/** Residual-PQ codes of (float vector, cluster id): m bytes indexing
+  * the RESIDUAL codebook for vec - centroid[cluster].
+  */
+case class PqResidCodes(
+    vec: Expression, cluster: Expression,
+    centroids: Array[Float], codebook: Array[Float], m: Int, ksub: Int)
+    extends BinaryExpression {
+
+  private val dsub: Int = codebook.length / (m * ksub)
+
+  override def left: Expression = vec
+  override def right: Expression = cluster
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (vec.dataType, cluster.dataType) match {
+      case (ArrayType(FloatType, _), IntegerType)
+          if m > 0 && ksub > 0 && ksub <= 256 && dsub > 0 &&
+            codebook.length == m * ksub * dsub && centroids.length % (m * dsub) == 0 =>
+        TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(FloatType, _), IntegerType) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName: codebook/centroid shapes do not factor as m=$m * ksub=$ksub * dsub")
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (array<float>, int), got ${l.simpleString} and ${r.simpleString}")
+    }
+
+  override def dataType: DataType = BinaryType
+
+  override def prettyName: String = "pq_resid_codes"
+
+  override protected def nullSafeEval(v: Any, c: Any): Any =
+    PqResidKernels.encode(
+      v.asInstanceOf[ArrayData], c.asInstanceOf[Int], centroids, codebook, m, ksub, dsub)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cents = ctx.addReferenceObj("pqResidCentroids", centroids, "float[]")
+    val cb = ctx.addReferenceObj("pqResidCodebook", codebook, "float[]")
+    nullSafeCodeGen(ctx, ev, (v, c) =>
+      s"${ev.value} = graft.functions.PqResidKernels.encode($v, $c, $cents, $cb, $m, $ksub, $dsub);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqResidCodes =
+    copy(vec = newLeft, cluster = newRight)
+}
+
+/** Per-query residual-PQ LUT (residual dots + per-centroid dots +
+  * ||q||^2; length m*ksub + k + 1).
+  */
+case class PqResidLut(
+    qvec: Expression, centroids: Array[Float], codebook: Array[Float], m: Int, ksub: Int)
+    extends UnaryExpression {
+
+  private val dsub: Int = codebook.length / (m * ksub)
+
+  override def child: Expression = qvec
+
+  override def checkInputDataTypes(): TypeCheckResult = qvec.dataType match {
+    case ArrayType(FloatType, _)
+        if m > 0 && ksub > 0 && ksub <= 256 && dsub > 0 &&
+          codebook.length == m * ksub * dsub && centroids.length % (m * dsub) == 0 =>
+      TypeCheckResult.TypeCheckSuccess
+    case ArrayType(FloatType, _) =>
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: codebook/centroid shapes do not factor as m=$m * ksub=$ksub * dsub")
+    case t =>
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def prettyName: String = "pq_resid_lut"
+
+  override protected def nullSafeEval(v: Any): Any =
+    PqResidKernels.lut(v.asInstanceOf[ArrayData], centroids, codebook, m, ksub, dsub)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cents = ctx.addReferenceObj("pqResidCentroids", centroids, "float[]")
+    val cb = ctx.addReferenceObj("pqResidCodebook", codebook, "float[]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.PqResidKernels.lut($v, $cents, $cb, $m, $ksub, $dsub);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqResidLut =
+    copy(qvec = newChild)
+}
+
+/** Exact cosine over the residual reconstruction from (codes, LUT,
+  * cluster): the cluster-conditioned cross/norm tables ride as
+  * reference objects.
+  */
+case class PqResidSim(
+    codes: Expression, lut: Expression, cluster: Expression,
+    centroids: Array[Float], codebook: Array[Float], m: Int, ksub: Int)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  private val dsub: Int = codebook.length / (m * ksub)
+
+  override def first: Expression = codes
+  override def second: Expression = lut
+  override def third: Expression = cluster
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (codes.dataType, lut.dataType, cluster.dataType) match {
+      case (BinaryType, ArrayType(DoubleType, _), IntegerType)
+          if m > 0 && ksub > 0 && ksub <= 256 && dsub > 0 &&
+            codebook.length == m * ksub * dsub && centroids.length % (m * dsub) == 0 =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (binary, array<double>, int), got " +
+            s"${a.simpleString}, ${b.simpleString}, ${c.simpleString}")
+    }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "pq_resid_sim"
+
+  @transient private lazy val cross: Array[Double] =
+    PqResidKernels.crossTable(centroids, codebook, m, ksub, dsub)
+  @transient private lazy val residNorms: Array[Double] =
+    PqKernels.centroidNorms(codebook, m, ksub, dsub)
+  @transient private lazy val cnorm2: Array[Double] =
+    PqResidKernels.centroidNorms2(centroids, m * dsub)
+
+  override protected def nullSafeEval(c: Any, l: Any, cl: Any): Any =
+    PqResidKernels.sim(
+      c.asInstanceOf[Array[Byte]], l.asInstanceOf[ArrayData], cl.asInstanceOf[Int],
+      cross, residNorms, cnorm2, m, ksub)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val crossRef = ctx.addReferenceObj("pqResidCross", cross, "double[]")
+    val normsRef = ctx.addReferenceObj("pqResidNorms", residNorms, "double[]")
+    val cnormRef = ctx.addReferenceObj("pqResidCnorm2", cnorm2, "double[]")
+    nullSafeCodeGen(ctx, ev, (c, l, cl) =>
+      s"${ev.value} = graft.functions.PqResidKernels.sim(" +
+        s"$c, $l, $cl, $crossRef, $normsRef, $cnormRef, $m, $ksub);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): PqResidSim =
+    copy(codes = newFirst, lut = newSecond, cluster = newThird)
 }
 
 /** Asymmetric PQ cosine of (codes, query float vector) — the scoring

@@ -455,12 +455,13 @@ object Ivf {
     */
   private val AppendsSubdir = "_appends"
 
-  /** Delta rows encoded to the index's OWN code form — PQ m-byte codes
-    * if the directory carries a persisted `_pq` codebook, packed int8
-    * otherwise — with cluster assignment against the persisted
-    * quantizer. One ingest path serves both index layouts, and an
-    * append can never mix code columns into a foreign index (the
-    * partitioned read would otherwise silently union the two schemas).
+  /** Delta rows encoded to the index's OWN code form — residual PQ
+    * codes if the directory carries a persisted `_pq_resid` codebook,
+    * raw-vector PQ codes under `_pq`, packed int8 otherwise — with
+    * cluster assignment against the persisted quantizer. One ingest
+    * path serves all three index layouts, and an append can never mix
+    * code columns into a foreign index (the partitioned read would
+    * otherwise silently union the two schemas).
     */
   private def encodeForIndex(delta: DataFrame, dir: String): DataFrame = {
     import org.apache.hadoop.fs.Path
@@ -468,7 +469,17 @@ object Ivf {
     val centroids = readCentroids(spark, dir)
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cluster = clusterOf(col("embedding"), centroids).cast("int").as("cluster")
-    if (fs.exists(new Path(s"$dir/$PqSubdir"))) {
+    if (fs.exists(new Path(s"$dir/$PqResidSubdir"))) {
+      val model = readPqModel(spark, dir, PqResidSubdir)
+      val flat = centroids.flatten
+      delta.select(col("vec_id"), col("embedding"), cluster)
+        .select(
+          col("vec_id"),
+          graft.gfunctions.pq_resid_codes(
+            col("embedding"), col("cluster"), flat, model.codebook, model.m, model.ksub)
+            .as("codes_pqr"),
+          col("cluster"))
+    } else if (fs.exists(new Path(s"$dir/$PqSubdir"))) {
       val model = readPqModel(spark, dir)
       delta.select(
         col("vec_id"),
@@ -508,7 +519,7 @@ object Ivf {
     // above never saw them — move them into the compacted copy before
     // the swap (markers especially: a batch replay arriving after its
     // rows were folded in must still see its commit marker)
-    Seq(QuantizerSubdir, PqSubdir, AppendsSubdir).foreach { sub =>
+    Seq(QuantizerSubdir, PqSubdir, PqResidSubdir, AppendsSubdir).foreach { sub =>
       val p = new Path(s"$dir/$sub")
       if (fs.exists(p))
         require(fs.rename(p, new Path(s"$tmp/$sub")),
@@ -608,14 +619,118 @@ object Ivf {
     Similarity.rankTopK(cand, k)
   }
 
+  // -------------------------------------------------- residual IVF-PQ
+
+  /** Driver-side cosine assignment matching [[clusterOf]]'s rule (sim
+    * desc, lower cluster id on ties) — training-time residuals must
+    * come from the SAME assignment the engine applies at encode time.
+    */
+  private def nearestByCosine(v: Array[Float], centroids: Array[Array[Float]]): Int = {
+    var best = 0
+    var bestSim = Double.NegativeInfinity
+    var c = 0
+    while (c < centroids.length) {
+      var dot = 0.0
+      var nv = 0.0
+      var nc = 0.0
+      var i = 0
+      while (i < v.length) {
+        val vi = v(i).toDouble
+        val ci = centroids(c)(i).toDouble
+        dot += vi * ci
+        nv += vi * vi
+        nc += ci * ci
+        i += 1
+      }
+      val sim = if (nv == 0.0 || nc == 0.0) 0.0 else dot / math.sqrt(nv * nc)
+      if (sim > bestSim) { bestSim = sim; best = c } // strict > keeps the lower id on ties
+      c += 1
+    }
+    best
+  }
+
+  /** Train a RESIDUAL PQ codebook against a coarse quantizer — the
+    * textbook IVFPQ refinement: the residuals vec - centroid[cluster]
+    * of a decent quantizer are smaller-magnitude and better-centered
+    * than raw vectors, so the same m bytes buy finer cells. Same
+    * bounded-sample / driver-local discipline as [[Pq.train]]; the
+    * sample assigns with the engine's own cosine rule so training sees
+    * the distribution encoding will see.
+    */
+  def trainResidualPq(
+      emb: DataFrame, centroids: Array[Array[Float]],
+      m: Int = 8, ksub: Int = 64, dims: Int = 64,
+      iters: Int = 10, sampleFactor: Long = 100L): Pq.Model = {
+    val sample = trainingSample(emb, ksub, sampleFactor)
+      .select("vec_id", "embedding").orderBy("vec_id").collect()
+      .map(_.getSeq[Float](1).toArray)
+    val residuals = sample.map { v =>
+      val c = centroids(nearestByCosine(v, centroids))
+      Array.tabulate(v.length)(i => v(i) - c(i))
+    }
+    Pq.trainOnVectors(residuals, m, ksub, dims, iters)
+  }
+
+  /** Residual IVF-PQ search: lists carry m-byte RESIDUAL codes; scoring
+    * is exact cosine over centroid + residual reconstruction via
+    * cluster-conditioned tables ([[graft.gfunctions.pq_resid_sim]] —
+    * the cross terms dot(centroid_j, residCentroid_e) are plan-time
+    * constants, so a candidate still costs table lookups). Same probe /
+    * equi-join / rank shape as [[topKPq]]; at full probe this ranks by
+    * the exact reconstruction cosine of the residual model (the parity
+    * and recall specs quantify what the residual refinement buys over
+    * raw-vector PQ at the same byte budget).
+    */
+  def topKPqResidual(
+      corpus: DataFrame,
+      queries: DataFrame,
+      centroids: Array[Array[Float]],
+      model: Pq.Model,
+      k: Int = 10,
+      nprobe: Int = 2): DataFrame = {
+    import graft.gfunctions.{pq_resid_codes, pq_resid_lut, pq_resid_sim}
+    val flat = centroids.flatten
+    val assigned = corpus.select(
+      col("vec_id"), col("embedding"),
+      clusterOf(col("embedding"), centroids).cast("int").as("cluster"))
+    val listed = assigned.select(
+      col("vec_id"), col("cluster"),
+      pq_resid_codes(col("embedding"), col("cluster"), flat, model.codebook, model.m, model.ksub)
+        .as("codes_pqr"))
+    val probes = queries.select(
+      col("vec_id").as("query_id"),
+      pq_resid_lut(col("embedding"), flat, model.codebook, model.m, model.ksub).as("qlut"),
+      explode(transform(
+        slice(nearestClusters(col("embedding"), centroids), 1, nprobe),
+        s => -s.getField("neg_id"))).as("cluster"))
+    val cand = listed.alias("c")
+      .join(broadcast(probes.alias("q")),
+        col("c.cluster") === col("q.cluster") && col("query_id") =!= col("c.vec_id"))
+      .select(
+        col("query_id"), col("c.vec_id").as("neighbor_id"),
+        pq_resid_sim(
+          col("c.codes_pqr"), col("qlut"), col("c.cluster"),
+          flat, model.codebook, model.m, model.ksub).as("sim"))
+    Similarity.rankTopK(cand, k)
+  }
+
   /** The PQ codebook is versioned with the index like the coarse
     * quantizer: persisted under `dir/_pq` (underscore-hidden from the
     * list scan), one row per codebook entry plus the (m, ksub) shape.
     */
   private val PqSubdir = "_pq"
 
+  /** The residual codebook versions under a DISTINCT subdir from `_pq`
+    * because the code meaning differs: `codes_pq` index the raw-vector
+    * codebook, `codes_pqr` index the residual codebook against the
+    * persisted quantizer. The subdir that exists IS the dispatch bit
+    * for self-describing serve and append ([[encodeForIndex]]).
+    */
+  private val PqResidSubdir = "_pq_resid"
+
   private def writePqModel(
-      spark: org.apache.spark.sql.SparkSession, model: Pq.Model, dir: String): Unit = {
+      spark: org.apache.spark.sql.SparkSession, model: Pq.Model, dir: String,
+      subdir: String = PqSubdir): Unit = {
     import spark.implicits._
     val dsub = model.dsub
     (0 until model.m * model.ksub)
@@ -623,16 +738,24 @@ object Ivf {
         (0 until dsub).map(i => model.codebook(e * dsub + i))))
       .toDF("m", "ksub", "entry", "centroid")
       .coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/$PqSubdir")
+      .write.mode("overwrite").parquet(s"$dir/$subdir")
   }
 
-  def readPqModel(spark: org.apache.spark.sql.SparkSession, dir: String): Pq.Model = {
-    val rows = spark.read.parquet(s"$dir/$PqSubdir").orderBy("entry").collect()
+  def readPqModel(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      subdir: String = PqSubdir): Pq.Model = {
+    val rows = spark.read.parquet(s"$dir/$subdir").orderBy("entry").collect()
     val m = rows.head.getInt(0)
     val ksub = rows.head.getInt(1)
     val codebook = rows.flatMap(_.getSeq[Float](3)).toArray
     Pq.Model(codebook, m, ksub)
   }
+
+  /** Read the RESIDUAL codebook persisted with a [[writeIndexPqResid]]
+    * index (specs use this for the round-trip pin).
+    */
+  def readPqResidModel(spark: org.apache.spark.sql.SparkSession, dir: String): Pq.Model =
+    readPqModel(spark, dir, PqResidSubdir)
 
   /** Persist an IVF-PQ index: inverted lists of (vec_id, m-byte codes_pq)
     * partitioned by cluster, cluster-aligned like [[writeIndexAssigned]]
@@ -748,6 +871,139 @@ object Ivf {
       nprobe: Int = 2,
       oversample: Int = 20): DataFrame = {
     val cand = searchIndexPq(spark, dir, queries, k * oversample, nprobe)
+      .select(col("query_id"), col("neighbor_id"))
+    val rescored = corpus
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("nvec"))
+      .join(broadcast(cand), Seq("neighbor_id"))
+      .join(
+        broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("qvec"))),
+        Seq("query_id"))
+      .select(
+        col("query_id"), col("neighbor_id"),
+        cosine_sim(col("nvec"), col("qvec")).as("sim"))
+    Similarity.rankTopK(rescored, k)
+  }
+
+  // ------------------------------------ persisted RESIDUAL IVF-PQ index
+
+  /** Persist a residual IVF-PQ index: inverted lists of (vec_id, m-byte
+    * codes_pqr) partitioned by cluster, cluster-aligned (one file per
+    * list), with the coarse quantizer under `dir/_quantizer` and the
+    * RESIDUAL codebook under `dir/_pq_resid` — the subdir name is the
+    * self-describing dispatch bit ([[encodeForIndex]] appends encode
+    * residually, [[searchIndexPqResid]] scores residually). Same 8 B/
+    * vector hot size as [[writeIndexPq]]; the residual refinement buys
+    * recall at that byte budget (PqSpec measures it on the gate set).
+    */
+  def writeIndexPqResid(
+      corpus: DataFrame, centroids: Array[Array[Float]], model: Pq.Model,
+      dir: String): Unit =
+    writeIndexPqResid(corpus, centroids, model, dir, Nil)
+
+  /** [[writeIndexPqResid]] carrying passthrough METADATA columns into
+    * the lists — same filtered-serving trade as `writeIndexPq(...,
+    * metaCols)`.
+    */
+  def writeIndexPqResid(
+      corpus: DataFrame, centroids: Array[Array[Float]], model: Pq.Model,
+      dir: String, metaCols: Seq[String]): Unit = {
+    import graft.gfunctions.pq_resid_codes
+    val flat = centroids.flatten
+    corpus
+      .select(
+        Seq(col("vec_id"), col("embedding"),
+          clusterOf(col("embedding"), centroids).cast("int").as("cluster")) ++
+          metaCols.map(col): _*)
+      .select(
+        Seq(
+          col("vec_id"),
+          pq_resid_codes(
+            col("embedding"), col("cluster"), flat, model.codebook, model.m, model.ksub)
+            .as("codes_pqr"),
+          col("cluster")) ++ metaCols.map(col): _*)
+      .repartition(col("cluster"))
+      .write.partitionBy("cluster").mode("overwrite").parquet(dir)
+    writeCentroids(corpus.sparkSession, centroids, dir)
+    writePqModel(corpus.sparkSession, model, dir, PqResidSubdir)
+  }
+
+  /** Serve residual-ADC top-k from a [[writeIndexPqResid]] directory:
+    * probed cluster ids push as a literal IN-filter (static partition
+    * pruning); candidates inside the pruned lists score by the EXACT
+    * reconstruction cosine via cluster-conditioned tables — the
+    * partition column itself feeds [[graft.gfunctions.pq_resid_sim]],
+    * so the list rows stay m bytes with no extra state. Self-
+    * describing: both models read back from the index directory.
+    */
+  def searchIndexPqResid(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      queries: DataFrame,
+      k: Int = 10,
+      nprobe: Int = 2): DataFrame =
+    searchIndexPqResidCore(spark, dir, queries, k, nprobe, None)
+
+  /** Attribute-FILTERED residual serve — predicate applies inside the
+    * statically pruned scan (Parquet pushdown), post-filter top-k. The
+    * ScaleProbe19 correlation caveat applies unchanged.
+    */
+  def searchIndexPqResidFiltered(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      queries: DataFrame,
+      predicate: Column,
+      k: Int = 10,
+      nprobe: Int = 2): DataFrame =
+    searchIndexPqResidCore(spark, dir, queries, k, nprobe, Some(predicate))
+
+  private def searchIndexPqResidCore(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      queries: DataFrame,
+      k: Int,
+      nprobe: Int,
+      predicate: Option[Column]): DataFrame = {
+    import graft.gfunctions.{pq_resid_lut, pq_resid_sim}
+    val centroids = readCentroids(spark, dir)
+    val flat = centroids.flatten
+    val model = readPqModel(spark, dir, PqResidSubdir)
+    val probes = queries.select(
+      col("vec_id").as("query_id"),
+      pq_resid_lut(col("embedding"), flat, model.codebook, model.m, model.ksub).as("qlut"),
+      explode(transform(
+        slice(nearestClusters(col("embedding"), centroids), 1, nprobe),
+        s => -s.getField("neg_id"))).as("cluster"))
+      .localCheckpoint(eager = true)
+    val probedClusters = probes.select("cluster").distinct()
+      .collect().map(_.getInt(0))
+    val pruned = spark.read.parquet(dir)
+      .filter(col("cluster").isin(probedClusters.toIndexedSeq: _*))
+    val listed = predicate.fold(pruned)(pruned.filter)
+    val cand = listed.alias("c")
+      .join(broadcast(probes.alias("q")),
+        col("c.cluster") === col("q.cluster") && col("query_id") =!= col("c.vec_id"))
+      .select(
+        col("query_id"), col("c.vec_id").as("neighbor_id"),
+        pq_resid_sim(
+          col("c.codes_pqr"), col("qlut"), col("c.cluster").cast("int"),
+          flat, model.codebook, model.m, model.ksub).as("sim"))
+    Similarity.rankTopK(cand, k)
+  }
+
+  /** Two-phase residual IVF-PQ serving: coarse residual-ADC over the
+    * pruned m-byte lists keeps k*oversample, exact float rerank via
+    * broadcast candidate-id join. Oversample default matches
+    * [[searchIndexPqRerank]]'s 20x (same cell coarseness class).
+    */
+  def searchIndexPqResidRerank(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int = 10,
+      nprobe: Int = 2,
+      oversample: Int = 20): DataFrame = {
+    val cand = searchIndexPqResid(spark, dir, queries, k * oversample, nprobe)
       .select(col("query_id"), col("neighbor_id"))
     val rescored = corpus
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("nvec"))

@@ -68,12 +68,21 @@ object Pq {
   def train(
       emb: DataFrame, m: Int = 8, ksub: Int = 64, dims: Int = 64,
       iters: Int = 10, sampleFactor: Long = 100L): Model = {
-    require(dims % m == 0, s"pq train: dims=$dims not divisible by m=$m")
-    require(ksub <= 256, s"pq train: ksub=$ksub exceeds one byte")
-    val dsub = dims / m
     val sample: Array[Array[Float]] = Ivf.trainingSample(emb, ksub, sampleFactor)
       .select("vec_id", "embedding").orderBy("vec_id").collect()
       .map(_.getSeq[Float](1).toArray)
+    trainOnVectors(sample, m, ksub, dims, iters)
+  }
+
+  /** Driver-local training core over an in-memory sample (vec_id order
+    * already fixed by the caller) — shared by [[train]] and the
+    * residual-vector training in [[Ivf.trainResidualPq]].
+    */
+  private[graft] def trainOnVectors(
+      sample: Array[Array[Float]], m: Int, ksub: Int, dims: Int, iters: Int): Model = {
+    require(dims % m == 0, s"pq train: dims=$dims not divisible by m=$m")
+    require(ksub <= 256, s"pq train: ksub=$ksub exceeds one byte")
+    val dsub = dims / m
     require(sample.length >= ksub,
       s"pq train: sample of ${sample.length} vectors < ksub=$ksub")
     val codebook = new Array[Float](m * ksub * dsub)

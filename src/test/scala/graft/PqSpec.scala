@@ -293,6 +293,166 @@ class PqSpec extends AnyFunSuite {
       "the appended-to PQ index must serve exactly like the in-memory ranking over the union")
   }
 
+  test("residual sim is exact: kernel == driver table-order reference, ~= naive reconstruction cosine") {
+    val emb = Tables.embeddings(spark, sf)
+    val centroids = operators.Ivf.train(emb, k = 8, iters = 1)
+    val model = operators.Ivf.trainResidualPq(emb, centroids)
+    val flat = centroids.flatten
+    val m = model.m; val ksub = model.ksub; val dsub = model.dsub; val dims = model.dims
+    val k = centroids.length
+
+    // driver tables in the kernel's exact layout
+    val cross = functions.PqResidKernels.crossTable(flat, model.codebook, m, ksub, dsub)
+    val residNorms = functions.PqKernels.centroidNorms(model.codebook, m, ksub, dsub)
+    val cnorm2 = functions.PqResidKernels.centroidNorms2(flat, dims)
+
+    val vecs = emb.filter(col("vec_id") < 64).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def assign(v: Array[Float]): Int = {
+      // engine rule re-derived: cosine argmax, lower id on ties
+      (0 until k).map { c =>
+        var dot = 0.0; var nv = 0.0; var nc = 0.0
+        for (i <- 0 until dims) {
+          dot += v(i).toDouble * centroids(c)(i); nv += v(i).toDouble * v(i)
+          nc += centroids(c)(i).toDouble * centroids(c)(i)
+        }
+        (if (nv == 0 || nc == 0) 0.0 else dot / math.sqrt(nv * nc), c)
+      }.maxBy { case (s, c) => (s, -c) }._2
+    }
+
+    val got = operators.Ivf.topKPqResidual(
+      emb.filter(col("vec_id") < 64), emb.filter(col("vec_id") < 4), centroids, model,
+      k = 60, nprobe = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    assert(got.size == 4 * 60, s"top-60 at full probe over 64 vectors: ${got.size}")
+
+    got.foreach { case ((q, n), sim) =>
+      val qv = vecs(q); val nv = vecs(n)
+      val cl = assign(nv)
+      val codes = functions.PqResidKernels.encode(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(nv), cl, flat,
+        model.codebook, m, ksub, dsub)
+      // reference 1: the kernel's own table summation order
+      var dot = 0.0
+      for (i <- 0 until dims) dot += qv(i).toDouble * centroids(cl)(i).toDouble
+      var rnorm2 = cnorm2(cl)
+      for (j <- 0 until m) {
+        val e = j * ksub + (codes(j) & 0xFF)
+        var d = 0.0
+        for (i <- 0 until dsub) d += qv(j * dsub + i).toDouble * model.codebook(e * dsub + i).toDouble
+        dot += d
+        rnorm2 += 2.0 * cross(cl * m * ksub + e) + residNorms(e)
+      }
+      var qnorm2 = 0.0
+      for (i <- 0 until dims) qnorm2 += qv(i).toDouble * qv(i).toDouble
+      val want = if (qnorm2 == 0 || rnorm2 <= 0) 0.0 else dot / math.sqrt(qnorm2 * rnorm2)
+      assert(sim == want, s"pair ($q,$n): kernel $sim != table reference $want")
+      // reference 2: naive cosine over the materialized reconstruction
+      val recon = Array.tabulate(dims) { i =>
+        val j = i / dsub
+        val e = j * ksub + (codes(j) & 0xFF)
+        centroids(cl)(i) + model.codebook(e * dsub + (i % dsub))
+      }
+      var nDot = 0.0; var nQ = 0.0; var nR = 0.0
+      for (i <- 0 until dims) {
+        nDot += qv(i).toDouble * recon(i); nQ += qv(i).toDouble * qv(i)
+        nR += recon(i).toDouble * recon(i)
+      }
+      val naive = if (nQ == 0 || nR == 0) 0.0 else nDot / math.sqrt(nQ * nR)
+      // the materialized recon rounds centroid+residual to FLOAT per
+      // component; the kernel's tables keep that sum in doubles — so
+      // this is a representation check, not a bit-equality one
+      assert(math.abs(sim - naive) < 1e-6,
+        s"pair ($q,$n): kernel $sim vs naive reconstruction cosine $naive")
+    }
+  }
+
+  test("residual PQ at the same byte budget: recall vs raw PQ on the gate set") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 8)
+    val centroids = operators.Ivf.train(emb, k = 8, iters = 1)
+    val raw = Pq.train(emb)
+    val resid = operators.Ivf.trainResidualPq(emb, centroids)
+    val brute = topSets(Similarity.qBrute.run(spark, sf))
+    def recallOf(got: Map[Long, Set[Long]]): Double = {
+      val rs = brute.map { case (q, t) =>
+        got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+      }
+      rs.sum / rs.size
+    }
+    val rRaw = recallOf(topSets(operators.Ivf.topKPq(emb, queries, centroids, raw, nprobe = 8)))
+    val rResid = recallOf(topSets(operators.Ivf.topKPqResidual(emb, queries, centroids, resid, nprobe = 8)))
+    info(f"full-probe recall@10 at 8 B/vec: raw PQ $rRaw%.3f, residual PQ $rResid%.3f")
+    assert(rResid >= rRaw - 0.05,
+      f"residual refinement must not lose recall at the same byte budget: $rResid%.3f vs $rRaw%.3f")
+    assert(rResid >= 0.35, f"residual PQ recall collapsed: $rResid%.3f")
+  }
+
+  test("persisted residual index: round-trip, full-probe parity, pruning, residual appends, compaction") {
+    val dir = "/tmp/graft-test/pq_resid_index"
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 8)
+    val centroids = operators.Ivf.train(emb, k = 8, iters = 1)
+    val model = operators.Ivf.trainResidualPq(emb, centroids)
+    val base = emb.filter(col("vec_id") >= 100)
+    val delta = emb.filter(col("vec_id") < 100)
+    operators.Ivf.writeIndexPqResid(base, centroids, model, dir)
+
+    // the residual codebook versions under its own subdir and round-trips bit-for-bit
+    val back = operators.Ivf.readPqResidModel(spark, dir)
+    assert(back.m == model.m && back.ksub == model.ksub)
+    assert(java.util.Arrays.equals(back.codebook, model.codebook))
+
+    // self-describing append: the delta encodes RESIDUALLY (the _pq_resid
+    // subdir is the dispatch bit), exactly once under replay
+    operators.Ivf.appendIndexBatch(delta, dir, 0L)
+    operators.Ivf.appendIndexBatch(delta, dir, 0L) // committed replay: no-op
+    val lists = spark.read.parquet(dir)
+    assert(lists.columns.toSet == Set("vec_id", "codes_pqr", "cluster"),
+      s"appends must encode to the index's own (residual) code form, got ${lists.columns.mkString(",")}")
+    assert(lists.count() == 500 &&
+      lists.groupBy("vec_id").count().filter(col("count") > 1).count() == 0,
+      "each appended vector lands exactly once")
+
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val inMem = rows(operators.Ivf.topKPqResidual(emb, queries, centroids, model, k = 10, nprobe = 8))
+    assert(rows(operators.Ivf.searchIndexPqResid(spark, dir, queries, k = 10, nprobe = 8)) == inMem,
+      "full-probe residual serve from disk must equal the in-memory residual ranking row for row")
+
+    // the scale property: a pruned serve scans only probed partitions
+    val pruned = operators.Ivf.searchIndexPqResid(spark, dir, queries, k = 10, nprobe = 2)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cluster"),
+      s"expected a cluster partition filter in the residual index scan:\n$plan")
+
+    // compaction folds the appended files and carries _pq_resid through
+    operators.Ivf.compactIndex(spark, dir)
+    assert(java.util.Arrays.equals(
+      operators.Ivf.readPqResidModel(spark, dir).codebook, model.codebook),
+      "the residual codebook must survive compaction")
+    assert(rows(operators.Ivf.searchIndexPqResid(spark, dir, queries, k = 10, nprobe = 8)) == inMem,
+      "compaction is layout-only: the residual serve must be unchanged")
+  }
+
+  test("persisted residual rerank serving recovers recall from 8-byte residual lists on disk") {
+    val dir = "/tmp/graft-test/pq_resid_index_rerank"
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 8)
+    val centroids = operators.Ivf.train(emb, k = 8, iters = 1)
+    val model = operators.Ivf.trainResidualPq(emb, centroids)
+    operators.Ivf.writeIndexPqResid(emb, centroids, model, dir)
+    val brute = topSets(Similarity.qBrute.run(spark, sf))
+    val served = topSets(
+      operators.Ivf.searchIndexPqResidRerank(spark, dir, queries, emb, nprobe = 8))
+    val rs = brute.map { case (q, t) =>
+      served.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+    }
+    val recall = rs.sum / rs.size
+    info(f"residual IVF-PQ rerank served-from-disk recall@10 = $recall%.3f")
+    assert(recall >= 0.95, f"served residual rerank recall collapsed: $recall%.3f")
+  }
+
   test("planted near-duplicate survives 8-byte codes as top-1 after rerank") {
     import spark.implicits._
     val rnd = new Random(41)

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.{Column, SparkSessionExtensions}
 import org.apache.spark.sql.functions.call_function
 
-import graft.functions.{BloomAgg, BloomContains, HeavyHitters, CosineSim, HyperplaneBands, Int8Codes, Int8Cosine, JaccardSim, KgramMd5Hashes, MinhashMd5Sig, MinhashSig, PqAdcSim, PqAsymSim, PqCodes, PqLut, PqResidCodes, PqResidLut, PqResidSim, ShingleHashes, ShingleMd5Hashes, ShingleXor64, SimHash64, SimHashMd5, TopKByScore, WsTokens}
+import graft.functions.{BloomAgg, BloomContains, HeavyHitters, CosineSim, HyperplaneBands, Int8Codes, Int8Cosine, JaccardSim, KgramMd5Hashes, MatVecF, MinhashMd5Sig, MinhashSig, PqAdcSim, PqAsymSim, PqCodes, PqLut, PqResidCodes, PqResidLut, PqResidSim, ShingleHashes, ShingleMd5Hashes, ShingleXor64, SimHash64, SimHashMd5, TopKByScore, WsTokens, ZValue2}
 import org.apache.spark.sql.catalyst.util.ArrayData
 
 /** Engine extension point, installed via spark.sql.extensions (GraftSession
@@ -227,6 +227,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     )
     ext.injectFunction(
       (
+        new FunctionIdentifier("mat_vec"),
+        new ExpressionInfo(classOf[MatVecF].getName, "mat_vec"),
+        (children: Seq[Expression]) =>
+          MatVecF(
+            children(0),
+            children(1).eval().asInstanceOf[ArrayData].toFloatArray(),
+            children(2).eval().asInstanceOf[Int]),
+      )
+    )
+    ext.injectFunction(
+      (
+        new FunctionIdentifier("z_value2"),
+        new ExpressionInfo(classOf[ZValue2].getName, "z_value2"),
+        (children: Seq[Expression]) =>
+          ZValue2(
+            children(0),
+            children(1),
+            children(2).eval().asInstanceOf[ArrayData].toLongArray(),
+            children(3).eval().asInstanceOf[Int]),
+      )
+    )
+    ext.injectFunction(
+      (
         new FunctionIdentifier("hyperplane_bands"),
         new ExpressionInfo(classOf[HyperplaneBands].getName, "hyperplane_bands"),
         (children: Seq[Expression]) =>
@@ -404,6 +427,24 @@ object gfunctions {
   def pq_asym_sim(codes: Column, qvec: Column, codebook: Array[Float], m: Int, ksub: Int): Column = {
     import org.apache.spark.sql.functions.{lit, typedlit}
     call_function("pq_asym_sim", codes, qvec, typedlit(codebook.toSeq), lit(m), lit(ksub))
+  }
+
+  /** Rotation of a float vector by a plan-time row-major d x d matrix
+    * — the OPQ projection ([[graft.operators.Opq]]).
+    */
+  def mat_vec(vec: Column, mat: Array[Float], d: Int): Column = {
+    import org.apache.spark.sql.functions.{lit, typedlit}
+    call_function("mat_vec", vec, typedlit(mat.toSeq), lit(d))
+  }
+
+  /** Z-order sort value of two long keys against plan-time quantile
+    * boundaries (flattened: key 0 at [0, stride), key 1 at [stride,
+    * 2*stride)) — the multi-key clustering key for
+    * [[graft.sources.Clustered.saveZOrder]].
+    */
+  def z_value2(k0: Column, k1: Column, bounds: Array[Long], stride: Int): Column = {
+    import org.apache.spark.sql.functions.{lit, typedlit}
+    call_function("z_value2", k0, k1, typedlit(bounds.toSeq), lit(stride))
   }
 
   /** Random-hyperplane LSH band values of a float vector — all plane

@@ -41,6 +41,46 @@ object Clustered {
       .sortWithinPartitions(key)
       .write.mode("overwrite").parquet(dir)
 
+  /** Write `df` Z-ORDER-clustered on TWO long keys: the multi-predicate
+    * data-skipping layout. [[save]] makes `key`'s row-group stats tight
+    * and every other column's useless; this interleaves the bits of
+    * both keys' QUANTILE buckets (2^bits each, boundaries from one
+    * mergeable-sketch pass — no global sort) into a Morton value and
+    * range-clusters on THAT, so each row group covers a small
+    * hyper-rectangle in (key0, key1) space and a selective predicate on
+    * EITHER key skips most row groups. Per-key skipping is weaker than
+    * a dedicated single-key sort — for an N-row-group layout a point
+    * predicate on one key touches ~sqrt(N) groups instead of 1 — but
+    * the second key gets sqrt(N)-of-N skipping instead of NONE, which
+    * is the right trade whenever the workload filters on more than one
+    * column (the ScaleProbe23 receipt quantifies both sides). The
+    * Morton column is a sort key only — dropped before the write; the
+    * layout lives in the row order and the per-key footer stats.
+    */
+  def saveZOrder(
+      df: DataFrame, dir: String, key0: String, key1: String,
+      files: Int = 32, bits: Int = 12, relErr: Double = 1e-4): Unit = {
+    val buckets = 1 << bits
+    val probs = Array.tabulate(buckets - 1)(i => (i + 1).toDouble / buckets)
+    // one sketch pass covers both keys (approxQuantile merges per-partition
+    // KLL-style summaries — no shuffle, no sort)
+    val Array(b0, b1) = df.stat
+      .approxQuantile(Array(key0, key1), probs, relErr)
+      .map(_.map(_.toLong))
+    val stride = buckets - 1
+    df.withColumn("__z", graft.gfunctions.z_value2(col(key0), col(key1), b0 ++ b1, stride))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  /** Row groups whose [min, max] contains `v` — what a point predicate
+    * on the column must touch (footer-derived, like [[rowGroupRanges]]).
+    */
+  def touchedBy(ranges: Seq[(Long, Long)], v: Long): Int =
+    ranges.count { case (mn, mx) => mn <= v && v <= mx }
+
   def read(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(dir)
 
   /** Per-row-group (min, max) statistics of a LONG column across every

@@ -31,6 +31,91 @@ class ClusteredSpec extends AnyFunSuite {
       s"control layout should overlap heavily, got ${Clustered.overlappingPairs(control)}")
   }
 
+  test("z-order write: BOTH keys' row groups get tight stats; single-key layout gives the second key nothing") {
+    val n = 100000L
+    // two independent keys arriving shuffled — the layout must create
+    // locality for both, from nothing
+    val rows = spark.range(0, n).select(
+      pmod(hash(col("id")).cast("long") * 2654435761L + col("id"), lit(n)).as("k0"),
+      pmod(hash(col("id") + 7).cast("long") * 40503L + col("id") * 31, lit(n)).as("k1"),
+      col("id").as("payload"))
+      .localCheckpoint()
+    val zDir = "/tmp/graft-test/clustered_z"
+    val singleDir = "/tmp/graft-test/clustered_single"
+    Clustered.saveZOrder(rows, zDir, "k0", "k1", files = 64)
+    Clustered.save(rows, singleDir, "k0", files = 64)
+
+    val v = n / 2
+    val zK0 = Clustered.rowGroupRanges(spark, zDir, "k0")
+    val zK1 = Clustered.rowGroupRanges(spark, zDir, "k1")
+    val sK0 = Clustered.rowGroupRanges(spark, singleDir, "k0")
+    val sK1 = Clustered.rowGroupRanges(spark, singleDir, "k1")
+    assert(zK0.size == zK1.size && zK0.size >= 64)
+
+    // single-key layout: k0 point predicate touches ~1 group; k1 gets
+    // NOTHING (every group spans the whole k1 domain)
+    assert(Clustered.touchedBy(sK0, v) <= 2,
+      s"range-clustered k0 should touch ~1 group, got ${Clustered.touchedBy(sK0, v)}")
+    assert(Clustered.touchedBy(sK1, v) == sK1.size,
+      "the un-clustered key's stats must be useless in the single-key layout " +
+        s"(got ${Clustered.touchedBy(sK1, v)} of ${sK1.size})")
+
+    // z-order: BOTH keys skip most groups. With N groups the Morton
+    // prefix gives each key ~sqrt(N) slabs -> a point touches ~sqrt(N)
+    // of N (64 groups: theoretical 8; up to ~2x slack where sampled
+    // file boundaries split Morton cells)
+    val zT0 = Clustered.touchedBy(zK0, v)
+    val zT1 = Clustered.touchedBy(zK1, v)
+    info(s"z-order: k0 point touches $zT0 of ${zK0.size} groups, k1 touches $zT1 of ${zK1.size}")
+    assert(zT0 <= zK0.size / 3, s"z-order k0 skipping collapsed: $zT0 of ${zK0.size}")
+    assert(zT1 <= zK1.size / 3, s"z-order k1 skipping collapsed: $zT1 of ${zK1.size}")
+
+    // layout changes nothing about results: identical rows, pushed predicates
+    val back = spark.read.parquet(zDir)
+    assert(back.count() == n)
+    assert(back.agg(sum("k0"), sum("k1")).head ==
+      rows.agg(sum("k0"), sum("k1")).head)
+    val q = back.filter(col("k0") === v)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains(s"EqualTo(k0,$v)"),
+      s"point predicate must push to the scan:\n$plan")
+    assert(q.count() == rows.filter(col("k0") === v).count())
+  }
+
+  test("z_value2 kernel: quantile bucketing and Morton interleave (driver reference)") {
+    import graft.functions.ZOrderKernels
+    // bucketOf == count of boundaries <= v, on a hand-built array
+    val bounds = Array(10L, 20L, 30L, 10L, 100L, 1000L) // two keys, stride 3
+    assert(ZOrderKernels.bucketOf(5, bounds, 0, 3) == 0)
+    assert(ZOrderKernels.bucketOf(10, bounds, 0, 3) == 1) // boundary inclusive
+    assert(ZOrderKernels.bucketOf(25, bounds, 0, 3) == 2)
+    assert(ZOrderKernels.bucketOf(999, bounds, 0, 3) == 3)
+    assert(ZOrderKernels.bucketOf(99, bounds, 3, 3) == 1)
+    // interleave: bit j of b0 -> 2j, of b1 -> 2j+1
+    assert(ZOrderKernels.interleave2(0, 0, 2) == 0L)
+    assert(ZOrderKernels.interleave2(3, 0, 2) == 5L) // 0b0101
+    assert(ZOrderKernels.interleave2(0, 3, 2) == 10L) // 0b1010
+    assert(ZOrderKernels.interleave2(2, 1, 2) == 6L) // 0b0110
+    // the engine expression agrees with the driver kernel row for row
+    val vals = spark.range(0, 1000).select(
+      col("id").as("k0"), (col("id") * 37 % 1000).as("k1"))
+    val got = vals.select(col("k0"), col("k1"),
+      graft.gfunctions.z_value2(col("k0"), col("k1"), bounds2(1000, 7), 7).as("z"))
+      .collect()
+    got.foreach { r =>
+      val want = ZOrderKernels.zValue2(r.getLong(0), r.getLong(1), bounds2(1000, 7), 7)
+      assert(r.getLong(2) == want, s"(${r.getLong(0)}, ${r.getLong(1)}): ${r.getLong(2)} != $want")
+    }
+  }
+
+  /** Equal-width boundaries over [0, n) for both keys — a deterministic
+    * stand-in for the quantile sketch in kernel-identity tests.
+    */
+  private def bounds2(n: Long, stride: Int): Array[Long] = {
+    val one = Array.tabulate(stride)(i => (i + 1) * n / (stride + 1))
+    one ++ one
+  }
+
   test("clustered round-trip loses nothing and the point predicate reaches the scan") {
     Clustered.save(events, dir, "user_id", files = 8)
     val back = Clustered.read(spark, dir)

@@ -156,6 +156,16 @@ object ScaleProbe20 {
       operators.Ivf.topKPqResidual(emb, queries, ivfCentroids, residModel, k = 10, nprobe = 64)))
     println(f"[probe20] dense full-probe recall@10 at 8 B: raw PQ $rawSameK%.3f, " +
       f"residual PQ (k=64) $residFull%.3f")
+    // the other refinement at the same byte budget: a learned rotation
+    // (OPQ) — does decorrelating the sin-manifold's dimensions move the
+    // dense number where extra cells (m=16) and residuals barely did?
+    var opqModel: operators.Opq.Model = null
+    timeOnce("OPQ train m=8 ksub=256 (4 Procrustes alternations, sampled)") {
+      opqModel = operators.Opq.train(emb, m = 8, ksub = 256, opqIters = 4)
+    }
+    val opqDense = recallOf(tops(operators.Opq.topKOpq(emb, queries, opqModel)))
+    println(f"[probe20] dense coarse recall@10 at 8 B: OPQ $opqDense%.3f " +
+      f"(raw 0-rotation baseline above)")
 
     var model16: operators.Pq.Model = null
     timeOnce("PQ train m=16 ksub=256 (sampled ~100x)") {

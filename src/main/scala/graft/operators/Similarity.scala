@@ -485,6 +485,26 @@ object Similarity {
     None,
   )
 
+  private val opqModelCache = scala.collection.concurrent.TrieMap.empty[String, Opq.Model]
+
+  val qOpq = GraftQuery(
+    "ann_opq_topk",
+    // rows-only like the other approximate entries: OPQ — a learned
+    // orthogonal rotation in front of the m-byte quantizer, trained by
+    // Procrustes alternation on the bounded sample. Cosine is rotation-
+    // invariant, so the rotated-space ADC estimates the ORIGINAL cosine
+    // with the rotated space's (provably no worse, spec-pinned) cell
+    // error. OpqSpec pins orthogonality, the monotone-error guarantee,
+    // SVD/Procrustes correctness, engine==driver rotation parity, and
+    // the recall floor vs raw PQ.
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val model = opqModelCache.getOrElseUpdate(d, Opq.train(emb))
+      Opq.topKOpq(emb, querySet(emb), model)
+    },
+    None,
+  )
+
   private val pqResidIndexDirCache = scala.collection.concurrent.TrieMap.empty[String, String]
 
   val qIndexPqResidRerank = GraftQuery(
@@ -514,5 +534,5 @@ object Similarity {
 
   def all: Seq[GraftQuery] =
     Seq(qBrute, qLsh, qIvf, qOutlier, qQuant, qInt8, qInt8Rerank, qIvfInt8, qIndexRerank,
-      qPq, qPqRerank, qIndexPqRerank, qIvfPqResid, qIndexPqResidRerank)
+      qPq, qPqRerank, qIndexPqRerank, qIvfPqResid, qIndexPqResidRerank, qOpq)
 }

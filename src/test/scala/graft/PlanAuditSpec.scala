@@ -28,10 +28,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // designed corpus x broadcast-8-query NLJ, same justification; the
     // rerank entry runs that same coarse scan as its first phase; the PQ
     // pair is that shape again over m-BYTE codes (the coarse scan streams
-    // 8 B/vector against the broadcast query LUTs)
+    // 8 B/vector against the broadcast query LUTs); ann_opq_topk is the
+    // PQ shape with a rotate step fused into the scan projection
     val nljAllowed = Set("ann_bruteforce_topk", "ann_int8_topk",
-      "ann_int8_rerank_topk", "ann_pq_topk", "ann_pq_rerank_topk", "q35_tfidf",
-      "dedup_cosine_verify", "q49_heavy_tokens", "q54_source_drift")
+      "ann_int8_rerank_topk", "ann_pq_topk", "ann_pq_rerank_topk", "ann_opq_topk",
+      "q35_tfidf", "dedup_cosine_verify", "q49_heavy_tokens", "q54_source_drift")
     SparkEntry.registry.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"${q.name} planned a cartesian:\n$p")

@@ -455,13 +455,14 @@ object Ivf {
     */
   private val AppendsSubdir = "_appends"
 
-  /** Delta rows encoded to the index's OWN code form — residual PQ
-    * codes if the directory carries a persisted `_pq_resid` codebook,
-    * raw-vector PQ codes under `_pq`, packed int8 otherwise — with
-    * cluster assignment against the persisted quantizer. One ingest
-    * path serves all three index layouts, and an append can never mix
-    * code columns into a foreign index (the partitioned read would
-    * otherwise silently union the two schemas).
+  /** Delta rows encoded to the index's OWN code form — rotated OPQ
+    * codes if the directory carries a persisted `_opq` model, residual
+    * PQ codes under `_pq_resid`, raw-vector PQ codes under `_pq`,
+    * packed int8 otherwise — with cluster assignment against the
+    * persisted quantizer. One ingest path serves all four index
+    * layouts, and an append can never mix code columns into a foreign
+    * index (the partitioned read would otherwise silently union the
+    * two schemas).
     */
   private def encodeForIndex(delta: DataFrame, dir: String): DataFrame = {
     import org.apache.hadoop.fs.Path
@@ -469,7 +470,15 @@ object Ivf {
     val centroids = readCentroids(spark, dir)
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cluster = clusterOf(col("embedding"), centroids).cast("int").as("cluster")
-    if (fs.exists(new Path(s"$dir/$PqResidSubdir"))) {
+    if (fs.exists(new Path(s"$dir/$OpqSubdir"))) {
+      val model = readOpqModel(spark, dir)
+      delta.select(
+        col("vec_id"),
+        graft.gfunctions.pq_codes(
+          graft.gfunctions.mat_vec(col("embedding"), model.rotation, model.dims),
+          model.pq.codebook, model.pq.m, model.pq.ksub).as("codes_opq"),
+        cluster)
+    } else if (fs.exists(new Path(s"$dir/$PqResidSubdir"))) {
       val model = readPqModel(spark, dir, PqResidSubdir)
       val flat = centroids.flatten
       delta.select(col("vec_id"), col("embedding"), cluster)
@@ -519,7 +528,7 @@ object Ivf {
     // above never saw them — move them into the compacted copy before
     // the swap (markers especially: a batch replay arriving after its
     // rows were folded in must still see its commit marker)
-    Seq(QuantizerSubdir, PqSubdir, PqResidSubdir, AppendsSubdir).foreach { sub =>
+    Seq(QuantizerSubdir, PqSubdir, PqResidSubdir, OpqSubdir, AppendsSubdir).foreach { sub =>
       val p = new Path(s"$dir/$sub")
       if (fs.exists(p))
         require(fs.rename(p, new Path(s"$tmp/$sub")),
@@ -756,6 +765,33 @@ object Ivf {
     */
   def readPqResidModel(spark: org.apache.spark.sql.SparkSession, dir: String): Pq.Model =
     readPqModel(spark, dir, PqResidSubdir)
+
+  /** The OPQ model versions under `dir/_opq`: the rotation at
+    * `_opq/rotation` (one row per matrix row) and the ROTATED-space PQ
+    * codebook at `_opq/pq` (the `_pq` row shape). Like `_pq` /
+    * `_pq_resid`, the subdir that exists is the dispatch bit for
+    * self-describing serve and append.
+    */
+  private val OpqSubdir = "_opq"
+
+  private def writeOpqModel(
+      spark: org.apache.spark.sql.SparkSession, model: Opq.Model, dir: String): Unit = {
+    import spark.implicits._
+    val d = model.dims
+    (0 until d)
+      .map(i => (d, i, (0 until d).map(j => model.rotation(i * d + j))))
+      .toDF("dims", "row", "values")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/$OpqSubdir/rotation")
+    writePqModel(spark, model.pq, dir, s"$OpqSubdir/pq")
+  }
+
+  /** Read the OPQ model persisted with a [[writeIndexOpq]] index. */
+  def readOpqModel(spark: org.apache.spark.sql.SparkSession, dir: String): Opq.Model = {
+    val rows = spark.read.parquet(s"$dir/$OpqSubdir/rotation").orderBy("row").collect()
+    val rotation = rows.flatMap(_.getSeq[Float](2)).toArray
+    Opq.Model(rotation, readPqModel(spark, dir, s"$OpqSubdir/pq"))
+  }
 
   /** Persist an IVF-PQ index: inverted lists of (vec_id, m-byte codes_pq)
     * partitioned by cluster, cluster-aligned like [[writeIndexAssigned]]
@@ -1004,6 +1040,167 @@ object Ivf {
       nprobe: Int = 2,
       oversample: Int = 20): DataFrame = {
     val cand = searchIndexPqResid(spark, dir, queries, k * oversample, nprobe)
+      .select(col("query_id"), col("neighbor_id"))
+    val rescored = corpus
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("nvec"))
+      .join(broadcast(cand), Seq("neighbor_id"))
+      .join(
+        broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("qvec"))),
+        Seq("query_id"))
+      .select(
+        col("query_id"), col("neighbor_id"),
+        cosine_sim(col("nvec"), col("qvec")).as("sim"))
+    Similarity.rankTopK(rescored, k)
+  }
+
+  // ---------------------------------------- persisted OPQ (IVF-OPQ) index
+
+  /** In-memory IVF-OPQ: [[topKPq]] with the rotation fused into both
+    * projections. Cluster assignment stays in the RAW space (orthogonal
+    * rotations preserve cosine, so raw-space and rotated-space k-means
+    * partitions are metrically equivalent — keeping assignment raw means
+    * the same coarse quantizer serves every code form in the ladder);
+    * codes and the query LUT live in the ROTATED space where the cells
+    * fit better.
+    */
+  def topKOpq(
+      corpus: DataFrame,
+      queries: DataFrame,
+      centroids: Array[Array[Float]],
+      model: Opq.Model,
+      k: Int = 10,
+      nprobe: Int = 2): DataFrame = {
+    import graft.gfunctions.{mat_vec, pq_adc_sim, pq_codes, pq_lut}
+    val listed = corpus.select(
+      col("vec_id"),
+      pq_codes(
+        mat_vec(col("embedding"), model.rotation, model.dims),
+        model.pq.codebook, model.pq.m, model.pq.ksub).as("codes_opq"),
+      clusterOf(col("embedding"), centroids).as("cluster"))
+    val probes = queries.select(
+      col("vec_id").as("query_id"),
+      pq_lut(
+        mat_vec(col("embedding"), model.rotation, model.dims),
+        model.pq.codebook, model.pq.m, model.pq.ksub).as("qlut"),
+      explode(transform(
+        slice(nearestClusters(col("embedding"), centroids), 1, nprobe),
+        s => -s.getField("neg_id"))).as("cluster"))
+    val cand = listed.alias("c")
+      .join(broadcast(probes.alias("q")),
+        col("c.cluster") === col("q.cluster") && col("query_id") =!= col("c.vec_id"))
+      .select(
+        col("query_id"), col("c.vec_id").as("neighbor_id"),
+        pq_adc_sim(col("c.codes_opq"), col("qlut"), model.pq.codebook, model.pq.m, model.pq.ksub)
+          .as("sim"))
+    Similarity.rankTopK(cand, k)
+  }
+
+  /** Persist an IVF-OPQ index: inverted lists of (vec_id, m-byte
+    * codes_opq) cluster-aligned, the raw-space coarse quantizer under
+    * `_quantizer` and the OPQ model (rotation + rotated-space codebook)
+    * under `_opq` — the dispatch bit, so [[encodeForIndex]] appends
+    * rotate-and-encode with zero new ingest code. Same 8 B/vector hot
+    * size as the other PQ indexes; the rotation buys quantization error
+    * (OpqSpec: 82.8% of plain PQ's on real embeddings).
+    */
+  def writeIndexOpq(
+      corpus: DataFrame, centroids: Array[Array[Float]], model: Opq.Model,
+      dir: String): Unit =
+    writeIndexOpq(corpus, centroids, model, dir, Nil)
+
+  /** [[writeIndexOpq]] carrying passthrough METADATA columns — the
+    * filtered-serving trade of `writeIndexPq(..., metaCols)`.
+    */
+  def writeIndexOpq(
+      corpus: DataFrame, centroids: Array[Array[Float]], model: Opq.Model,
+      dir: String, metaCols: Seq[String]): Unit = {
+    import graft.gfunctions.{mat_vec, pq_codes}
+    corpus.select(
+      Seq(
+        col("vec_id"),
+        pq_codes(
+          mat_vec(col("embedding"), model.rotation, model.dims),
+          model.pq.codebook, model.pq.m, model.pq.ksub).as("codes_opq"),
+        clusterOf(col("embedding"), centroids).cast("int").as("cluster")) ++
+        metaCols.map(col): _*)
+      .repartition(col("cluster"))
+      .write.partitionBy("cluster").mode("overwrite").parquet(dir)
+    writeCentroids(corpus.sparkSession, centroids, dir)
+    writeOpqModel(corpus.sparkSession, model, dir)
+  }
+
+  /** Serve rotated-ADC top-k from a [[writeIndexOpq]] directory: probed
+    * cluster ids (raw-space assignment) push as a literal IN-filter;
+    * candidates score against the ROTATED query LUT. Self-describing.
+    */
+  def searchIndexOpq(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      queries: DataFrame,
+      k: Int = 10,
+      nprobe: Int = 2): DataFrame =
+    searchIndexOpqCore(spark, dir, queries, k, nprobe, None)
+
+  /** Attribute-FILTERED OPQ serve — pushed predicates inside the pruned
+    * scan, post-filter top-k; the ScaleProbe19 correlation caveat
+    * applies unchanged.
+    */
+  def searchIndexOpqFiltered(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      queries: DataFrame,
+      predicate: Column,
+      k: Int = 10,
+      nprobe: Int = 2): DataFrame =
+    searchIndexOpqCore(spark, dir, queries, k, nprobe, Some(predicate))
+
+  private def searchIndexOpqCore(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      queries: DataFrame,
+      k: Int,
+      nprobe: Int,
+      predicate: Option[Column]): DataFrame = {
+    import graft.gfunctions.{mat_vec, pq_adc_sim, pq_lut}
+    val centroids = readCentroids(spark, dir)
+    val model = readOpqModel(spark, dir)
+    val probes = queries.select(
+      col("vec_id").as("query_id"),
+      pq_lut(
+        mat_vec(col("embedding"), model.rotation, model.dims),
+        model.pq.codebook, model.pq.m, model.pq.ksub).as("qlut"),
+      explode(transform(
+        slice(nearestClusters(col("embedding"), centroids), 1, nprobe),
+        s => -s.getField("neg_id"))).as("cluster"))
+      .localCheckpoint(eager = true)
+    val probedClusters = probes.select("cluster").distinct()
+      .collect().map(_.getInt(0))
+    val pruned = spark.read.parquet(dir)
+      .filter(col("cluster").isin(probedClusters.toIndexedSeq: _*))
+    val listed = predicate.fold(pruned)(pruned.filter)
+    val cand = listed.alias("c")
+      .join(broadcast(probes.alias("q")),
+        col("c.cluster") === col("q.cluster") && col("query_id") =!= col("c.vec_id"))
+      .select(
+        col("query_id"), col("c.vec_id").as("neighbor_id"),
+        pq_adc_sim(col("c.codes_opq"), col("qlut"), model.pq.codebook, model.pq.m, model.pq.ksub)
+          .as("sim"))
+    Similarity.rankTopK(cand, k)
+  }
+
+  /** Two-phase OPQ serving: coarse rotated-ADC over the pruned lists
+    * keeps k*oversample, exact float rerank on ORIGINAL vectors (the
+    * invariance means the exact phase needs no rotation).
+    */
+  def searchIndexOpqRerank(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int = 10,
+      nprobe: Int = 2,
+      oversample: Int = 20): DataFrame = {
+    val cand = searchIndexOpq(spark, dir, queries, k * oversample, nprobe)
       .select(col("query_id"), col("neighbor_id"))
     val rescored = corpus
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("nvec"))

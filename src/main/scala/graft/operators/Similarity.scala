@@ -532,7 +532,33 @@ object Similarity {
     None,
   )
 
+  private val opqIndexDirCache = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  val qIndexOpqRerank = GraftQuery(
+    "ann_index_opq_rerank_topk",
+    // rows-only like the other approximate entries. The OPQ edition of
+    // the persisted lifecycle, completing the compression ladder's
+    // serving story (int8 / PQ / residual / OPQ, one ingest path): the
+    // rotation + rotated-space codebook version under _opq (the
+    // dispatch bit - self-describing appends rotate-and-encode),
+    // cluster assignment stays raw-space so the same coarse quantizer
+    // serves every code form, statically pruned serve scores the
+    // rotated query LUT, float rerank on original vectors.
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val centroids = centroidCache.getOrElseUpdate(d, Ivf.train(emb, k = 8, iters = 1))
+      val model = opqModelCache.getOrElseUpdate(d, Opq.train(emb))
+      val dir = opqIndexDirCache.getOrElseUpdate(d, {
+        val out = s"/tmp/graft-index/opq_${java.lang.Integer.toHexString(d.hashCode)}"
+        Ivf.writeIndexOpq(emb, centroids, model, out)
+        out
+      })
+      Ivf.searchIndexOpqRerank(s, dir, querySet(emb), emb)
+    },
+    None,
+  )
+
   def all: Seq[GraftQuery] =
     Seq(qBrute, qLsh, qIvf, qOutlier, qQuant, qInt8, qInt8Rerank, qIvfInt8, qIndexRerank,
-      qPq, qPqRerank, qIndexPqRerank, qIvfPqResid, qIndexPqResidRerank, qOpq)
+      qPq, qPqRerank, qIndexPqRerank, qIvfPqResid, qIndexPqResidRerank, qOpq, qIndexOpqRerank)
 }

@@ -148,6 +148,63 @@ class OpqSpec extends AnyFunSuite {
     }
   }
 
+  test("persisted OPQ index: round-trip, full-probe parity, pruning, rotated appends, compaction") {
+    val dir = "/tmp/graft-test/opq_index"
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 8)
+    val centroids = Ivf.train(emb, k = 8, iters = 1)
+    val model = Opq.train(emb)
+    val base = emb.filter(col("vec_id") >= 100)
+    val delta = emb.filter(col("vec_id") < 100)
+    Ivf.writeIndexOpq(base, centroids, model, dir)
+
+    // the OPQ model versions with the index and round-trips bit-for-bit
+    val back = Ivf.readOpqModel(spark, dir)
+    assert(java.util.Arrays.equals(back.rotation, model.rotation))
+    assert(back.pq.m == model.pq.m && back.pq.ksub == model.pq.ksub)
+    assert(java.util.Arrays.equals(back.pq.codebook, model.pq.codebook))
+
+    // self-describing append: the delta ROTATES and encodes (the _opq
+    // subdir is the dispatch bit), exactly once under replay
+    Ivf.appendIndexBatch(delta, dir, 0L)
+    Ivf.appendIndexBatch(delta, dir, 0L) // committed replay: no-op
+    val lists = spark.read.parquet(dir)
+    assert(lists.columns.toSet == Set("vec_id", "codes_opq", "cluster"),
+      s"appends must encode to the index's own (rotated) code form, got ${lists.columns.mkString(",")}")
+    assert(lists.count() == 500 &&
+      lists.groupBy("vec_id").count().filter(col("count") > 1).count() == 0,
+      "each appended vector lands exactly once")
+
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val inMem = rows(Ivf.topKOpq(emb, queries, centroids, model, k = 10, nprobe = 8))
+    assert(rows(Ivf.searchIndexOpq(spark, dir, queries, k = 10, nprobe = 8)) == inMem,
+      "full-probe OPQ serve from disk must equal the in-memory rotated ranking row for row")
+
+    // the scale property: a pruned serve scans only probed partitions
+    val pruned = Ivf.searchIndexOpq(spark, dir, queries, k = 10, nprobe = 2)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cluster"),
+      s"expected a cluster partition filter in the OPQ index scan:\n$plan")
+
+    // compaction folds the appended files and carries _opq through
+    Ivf.compactIndex(spark, dir)
+    assert(java.util.Arrays.equals(Ivf.readOpqModel(spark, dir).rotation, model.rotation),
+      "the rotation must survive compaction")
+    assert(rows(Ivf.searchIndexOpq(spark, dir, queries, k = 10, nprobe = 8)) == inMem,
+      "compaction is layout-only: the OPQ serve must be unchanged")
+
+    // served rerank recovers exact recall from disk
+    val brute = topSets(Similarity.qBrute.run(spark, sf))
+    val served = topSets(Ivf.searchIndexOpqRerank(spark, dir, queries, emb, nprobe = 8))
+    val rs = brute.map { case (q, t) =>
+      served.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+    }
+    val recall = rs.sum / rs.size
+    info(f"OPQ rerank served-from-disk recall@10 = $recall%.3f")
+    assert(recall >= 0.95, f"served OPQ rerank recall collapsed: $recall%.3f")
+  }
+
   test("OPQ recall on the gate set: coarse >= raw PQ - 0.05, rerank recovers") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.filter(col("vec_id") < 8)

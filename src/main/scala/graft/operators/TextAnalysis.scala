@@ -942,7 +942,130 @@ object TextAnalysis {
     prod = Some((s, d) => qualityClassify(s, d)),
   )
 
+  /** Document-level repetition battery — the Gopher-rule class (Rae et
+    * al. 2021 §A1.1: massive-web docs are gated on duplicate-line /
+    * top-n-gram / duplicated-n-gram character fractions; C4 and
+    * RefinedWeb apply the same family). [[q37]] measures repetition per
+    * SOURCE; a curation gate needs it per DOCUMENT: boilerplate,
+    * keyword stuffing, and template spam all show up as one n-gram
+    * owning an outsized share of the text.
+    *
+    * Two signals per doc, exact integers + one division each:
+    *  - `top_bigram_frac`: tokens covered by ALL occurrences of the
+    *    most frequent bigram / n_tokens (2 tokens per occurrence);
+    *  - `dup_trigram_frac`: trigram POSITIONS whose trigram occurs >= 2
+    *    times / total trigram positions.
+    * The `gopher_ok` flag gates at (0.12, 0.02) — this corpus's ~p90,
+    * chosen so BOTH branches are exercised at the driver gate; the
+    * published web-scale thresholds (0.20 for top-2-gram, 0.30-class
+    * for duplicated n-gram chars) sit where real web text puts them and
+    * are the operator's parameters in spirit, not magic constants.
+    *
+    * Scale shapes: the ORACLE plan explodes n-grams into two hash
+    * aggregates keyed (doc_id, gram) — map-side combine collapses each
+    * doc's grams before the exchange. The PROD plan needs NO exchange
+    * at all: each doc sorts its own gram array and folds run lengths
+    * with an `aggregate` higher-order function (top count = longest
+    * run, duplicated positions = sum of runs >= 2), so per-doc signals
+    * stay per-row — scan, project, done. ProdParitySpec pins the two
+    * plans row-for-row.
+    */
+  val q75 = {
+    def grams(t: Column, n: Int): Column =
+      transform(
+        sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", (0 until n).map(o => element_at(t, (i + o + 1).cast("int"))): _*))
+    // longest equal-run in a SORTED array = max occurrence count
+    def maxRun(sorted: Column): Column =
+      aggregate(
+        sorted,
+        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+        (acc, x) => {
+          val run = when(x === acc.getField("prev"), acc.getField("run") + 1L).otherwise(lit(1L))
+          struct(x.as("prev"), run.as("run"),
+            greatest(acc.getField("best"), run).as("best"))
+        },
+        acc => acc.getField("best"))
+    // sum of equal-run lengths >= 2 in a SORTED array = positions whose
+    // element occurs at least twice (a run hitting 2 contributes both
+    // members, each further member adds itself)
+    def dupPositions(sorted: Column): Column =
+      aggregate(
+        sorted,
+        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("dup")),
+        (acc, x) => {
+          val run = when(x === acc.getField("prev"), acc.getField("run") + 1L).otherwise(lit(1L))
+          struct(x.as("prev"), run.as("run"),
+            (acc.getField("dup") + when(run === 2L, 2L).when(run > 2L, 1L).otherwise(0L))
+              .as("dup"))
+        },
+        acc => acc.getField("dup"))
+    def finish(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.select(
+        col("doc_id"), col("n_tokens"), col("top_bigram_n"), col("dup_trigram_n"),
+        (col("top_bigram_n") * 2 / col("n_tokens")).as("top_bigram_frac"),
+        (col("dup_trigram_n") / (col("n_tokens") - 2)).as("dup_trigram_frac"),
+        (col("top_bigram_n") * 2 / col("n_tokens") <= 0.12 &&
+          col("dup_trigram_n") / (col("n_tokens") - 2) <= 0.02).as("gopher_ok"),
+      ).orderBy("doc_id")
+    GraftQuery(
+      "q75_gopher_repetition",
+      (s, d) => {
+        val base = Tables.documents(s, d)
+          .select(col("doc_id"), toks.as("t"))
+          .select(col("doc_id"), col("t"), size(col("t")).cast("long").as("n_tokens"))
+          .filter(col("n_tokens") >= 3)
+        val top = base
+          .select(col("doc_id"), col("n_tokens"), explode(grams(col("t"), 2)).as("bg"))
+          .groupBy("doc_id", "n_tokens", "bg").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id", "n_tokens").agg(max("c").as("top_bigram_n"))
+        val dup = base
+          .select(col("doc_id"), explode(grams(col("t"), 3)).as("tg"))
+          .groupBy("doc_id", "tg").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("dup_trigram_n"))
+        finish(top.join(dup, Seq("doc_id")))
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+          FROM documents),
+        base AS (
+          SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n_tokens FROM toks
+          WHERE len(t) >= 3),
+        bg AS (
+          SELECT doc_id, n_tokens,
+                 unnest(list_transform(range(len(t) - 1), i -> t[i+1] || ' ' || t[i+2])) AS bg
+          FROM base),
+        bgc AS (SELECT doc_id, n_tokens, bg, COUNT(*) AS c FROM bg GROUP BY doc_id, n_tokens, bg),
+        top AS (SELECT doc_id, n_tokens, MAX(c) AS top_bigram_n FROM bgc GROUP BY doc_id, n_tokens),
+        tg AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS tg
+          FROM base),
+        tgc AS (SELECT doc_id, tg, COUNT(*) AS c FROM tg GROUP BY doc_id, tg),
+        dup AS (SELECT doc_id, CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_trigram_n
+                FROM tgc GROUP BY doc_id)
+        SELECT top.doc_id, n_tokens, top_bigram_n, dup_trigram_n,
+               top_bigram_n * 2 / n_tokens AS top_bigram_frac,
+               dup_trigram_n / (n_tokens - 2) AS dup_trigram_frac,
+               (top_bigram_n * 2 / n_tokens <= 0.12 AND
+                dup_trigram_n / (n_tokens - 2) <= 0.02) AS gopher_ok
+        FROM top JOIN dup ON top.doc_id = dup.doc_id
+        ORDER BY top.doc_id"""),
+      prod = Some((s, d) =>
+        finish(
+          Tables.documents(s, d)
+            .select(col("doc_id"), toks.as("t"))
+            .select(col("doc_id"), col("t"), size(col("t")).cast("long").as("n_tokens"))
+            .filter(col("n_tokens") >= 3)
+            .select(
+              col("doc_id"), col("n_tokens"),
+              maxRun(array_sort(grams(col("t"), 2))).as("top_bigram_n"),
+              dupPositions(array_sort(grams(col("t"), 3))).as("dup_trigram_n")))),
+    )
+  }
+
   def all: Seq[GraftQuery] =
     Seq(q30, q31, q32, q33, q33md5, q34, q35, q35exact, q36, q37, q42, q46, q48, q49,
-      q51, q54, q71, q72)
+      q51, q54, q71, q72, q75)
 }

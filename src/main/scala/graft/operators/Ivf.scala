@@ -929,7 +929,10 @@ object Ivf {
     * self-describing dispatch bit ([[encodeForIndex]] appends encode
     * residually, [[searchIndexPqResid]] scores residually). Same 8 B/
     * vector hot size as [[writeIndexPq]]; the residual refinement buys
-    * recall at that byte budget (PqSpec measures it on the gate set).
+    * recall at that byte budget (PqSpec measures it on the gate set),
+    * and it is the DEFAULT 8-byte rung: in the ladder probe
+    * (ScaleProbe24, dense 200k corpus, rerank@100x) the residual index
+    * recovers recall@10 = 1.000 where raw PQ and OPQ leave 0.981.
     */
   def writeIndexPqResid(
       corpus: DataFrame, centroids: Array[Array[Float]], model: Pq.Model,

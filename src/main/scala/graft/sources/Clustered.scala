@@ -81,6 +81,54 @@ object Clustered {
   def touchedBy(ranges: Seq[(Long, Long)], v: Long): Int =
     ranges.count { case (mn, mx) => mn <= v && v <= mx }
 
+  /** Append a batch to a clustered directory. The batch sorts WITHIN
+    * itself (its own files stay skippable against each other) but
+    * overlaps the resident files' ranges — clustering quality degrades
+    * monotonically with every append, exactly like the ANN index's
+    * list fragmentation ([[graft.operators.Ivf.appendIndex]]). That is
+    * the honest ingest contract: a global re-sort per batch would cost
+    * a full-table rewrite each time; instead appends are cheap and
+    * [[optimize]] is the periodic maintenance pass that restores the
+    * layout (the OPTIMIZE-style compaction discipline of the lakehouse
+    * table formats).
+    */
+  def append(df: DataFrame, dir: String, key: String, files: Int = 4): Unit =
+    df.repartitionByRange(files, col(key))
+      .sortWithinPartitions(key)
+      .write.mode("append").parquet(dir)
+
+  /** Re-cluster a fragmented directory back to a pristine [[save]]
+    * layout (or [[saveZOrder]] when `key1` is given), crash-safely: the
+    * rewritten copy lands in a sibling directory first and swaps in
+    * with FileSystem renames — a crash mid-optimize leaves either the
+    * old or the new directory fully readable, never a truncated one
+    * (the [[graft.operators.Ivf.compactIndex]] pattern). Row content is
+    * unchanged: optimize is a LAYOUT operation, and the spec pins
+    * read-back identity across it.
+    */
+  def optimize(
+      spark: SparkSession, dir: String, key: String,
+      key1: Option[String] = None, files: Int = 32): Unit = {
+    import org.apache.hadoop.fs.Path
+    val tmp = dir + ".optimizing"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(dir).getFileSystem(conf)
+    // a crashed prior optimize may have left .old behind (its swap
+    // completed or never started — either way `dir` is live); clear it
+    // so this run's rename cannot silently fail
+    val old = new Path(dir + ".old")
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(new Path(tmp))) fs.delete(new Path(tmp), true)
+    val rows = spark.read.parquet(dir)
+    key1 match {
+      case Some(k1) => saveZOrder(rows, tmp, key, k1, files)
+      case None => save(rows, tmp, key, files)
+    }
+    require(fs.rename(new Path(dir), old), s"optimize: could not stage $dir aside")
+    require(fs.rename(new Path(tmp), new Path(dir)), s"optimize: could not swap $tmp into place")
+    fs.delete(old, true)
+  }
+
   def read(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(dir)
 
   /** Per-row-group (min, max) statistics of a LONG column across every

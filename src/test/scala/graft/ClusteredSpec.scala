@@ -116,6 +116,66 @@ class ClusteredSpec extends AnyFunSuite {
     one ++ one
   }
 
+  test("append/optimize lifecycle: appends degrade clustering monotonically, optimize restores it crash-safely") {
+    val dir = "/tmp/graft-test/clustered_lifecycle"
+    val all = events.localCheckpoint()
+    val n = all.count()
+    val Array(seed, b1, b2) = Array(
+      all.filter(col("event_id") % 3 === 0),
+      all.filter(col("event_id") % 3 === 1),
+      all.filter(col("event_id") % 3 === 2))
+    Clustered.save(seed, dir, "user_id", files = 8)
+    assert(Clustered.overlappingPairs(Clustered.rowGroupRanges(spark, dir, "user_id")) == 0)
+
+    // ingest: each batch is internally clustered but overlaps the
+    // resident layout — quality degrades, rows are conserved
+    Clustered.append(b1, dir, "user_id")
+    val afterOne = Clustered.overlappingPairs(Clustered.rowGroupRanges(spark, dir, "user_id"))
+    assert(afterOne > 0, "an appended batch must overlap the resident ranges")
+    Clustered.append(b2, dir, "user_id")
+    val afterTwo = Clustered.overlappingPairs(Clustered.rowGroupRanges(spark, dir, "user_id"))
+    assert(afterTwo > afterOne, s"fragmentation must grow with appends: $afterOne -> $afterTwo")
+    assert(spark.read.parquet(dir).count() == n)
+
+    val wantSum = all.agg(sum("user_id"), sum("event_id")).head
+
+    // crash residue from a prior optimize must not block this one
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir + ".old"))
+
+    Clustered.optimize(spark, dir, "user_id", files = 8)
+    assert(Clustered.overlappingPairs(Clustered.rowGroupRanges(spark, dir, "user_id")) == 0,
+      "optimize must restore a zero-overlap layout")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".old")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(dir + ".optimizing")),
+      "optimize must clean up its staging directories")
+    assert(spark.read.parquet(dir).count() == n &&
+      spark.read.parquet(dir).agg(sum("user_id"), sum("event_id")).head == wantSum,
+      "optimize is layout-only: rows must be unchanged")
+  }
+
+  test("optimize to z-order: a fragmented single-key directory becomes a two-key-skippable one") {
+    val dir = "/tmp/graft-test/clustered_lifecycle_z"
+    val n = 100000L
+    val rows = spark.range(0, n).select(
+      pmod(hash(col("id")).cast("long") * 2654435761L + col("id"), lit(n)).as("k0"),
+      pmod(hash(col("id") + 7).cast("long") * 40503L + col("id") * 31, lit(n)).as("k1"),
+      col("id").as("payload"))
+      .localCheckpoint()
+    Clustered.save(rows.filter(col("payload") % 2 === 0), dir, "k0", files = 16)
+    Clustered.append(rows.filter(col("payload") % 2 === 1), dir, "k0")
+    Clustered.optimize(spark, dir, "k0", key1 = Some("k1"), files = 64)
+    val v = n / 2
+    val zK0 = Clustered.rowGroupRanges(spark, dir, "k0")
+    val zK1 = Clustered.rowGroupRanges(spark, dir, "k1")
+    assert(Clustered.touchedBy(zK0, v) <= zK0.size / 3,
+      s"optimized z-order must skip on k0: ${Clustered.touchedBy(zK0, v)} of ${zK0.size}")
+    assert(Clustered.touchedBy(zK1, v) <= zK1.size / 3,
+      s"optimized z-order must skip on k1: ${Clustered.touchedBy(zK1, v)} of ${zK1.size}")
+    assert(spark.read.parquet(dir).count() == n)
+  }
+
   test("clustered round-trip loses nothing and the point predicate reaches the scan") {
     Clustered.save(events, dir, "user_id", files = 8)
     val back = Clustered.read(spark, dir)

@@ -968,7 +968,11 @@ object TextAnalysis {
     * with an `aggregate` higher-order function (top count = longest
     * run, duplicated positions = sum of runs >= 2), so per-doc signals
     * stay per-row — scan, project, done. ProdParitySpec pins the two
-    * plans row-for-row.
+    * plans row-for-row. The trade, measured at sf0.1: the in-row fold
+    * pays ~1.4x CPU (1.43 vs 1.04 s — per-doc string sorts) to remove
+    * two full-corpus exchanges; on a page-cached local run the
+    * exchange is nearly free so the CPU shows, at 100 TB the two
+    * corpus-sized shuffles are the bottleneck and the trade inverts.
     */
   val q75 = {
     def grams(t: Column, n: Int): Column =

@@ -1004,14 +1004,20 @@ object TextAnalysis {
               .as("dup"))
         },
         acc => acc.getField("dup"))
-    def finish(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-      df.select(
+    // ordered=false is the prod form: the per-doc signal table needs no
+    // global order, and dropping the oracle-comparability sort removes
+    // the prod plan's LAST exchange (ScaleProbe25: what remains is then
+    // zero shuffled bytes vs the oracle's gram exchanges)
+    def finish(df: org.apache.spark.sql.DataFrame, ordered: Boolean): org.apache.spark.sql.DataFrame = {
+      val out = df.select(
         col("doc_id"), col("n_tokens"), col("top_bigram_n"), col("dup_trigram_n"),
         (col("top_bigram_n") * 2 / col("n_tokens")).as("top_bigram_frac"),
         (col("dup_trigram_n") / (col("n_tokens") - 2)).as("dup_trigram_frac"),
         (col("top_bigram_n") * 2 / col("n_tokens") <= 0.12 &&
           col("dup_trigram_n") / (col("n_tokens") - 2) <= 0.02).as("gopher_ok"),
-      ).orderBy("doc_id")
+      )
+      if (ordered) out.orderBy("doc_id") else out
+    }
     GraftQuery(
       "q75_gopher_repetition",
       (s, d) => {
@@ -1028,7 +1034,7 @@ object TextAnalysis {
           .groupBy("doc_id", "tg").agg(count(lit(1)).as("c"))
           .groupBy("doc_id")
           .agg(sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("dup_trigram_n"))
-        finish(top.join(dup, Seq("doc_id")))
+        finish(top.join(dup, Seq("doc_id")), ordered = true)
       },
       Some("""WITH toks AS (
           SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
@@ -1065,7 +1071,8 @@ object TextAnalysis {
             .select(
               col("doc_id"), col("n_tokens"),
               maxRun(array_sort(grams(col("t"), 2))).as("top_bigram_n"),
-              dupPositions(array_sort(grams(col("t"), 3))).as("dup_trigram_n")))),
+              dupPositions(array_sort(grams(col("t"), 3))).as("dup_trigram_n")),
+          ordered = false)),
     )
   }
 

@@ -968,11 +968,12 @@ object TextAnalysis {
     * with an `aggregate` higher-order function (top count = longest
     * run, duplicated positions = sum of runs >= 2), so per-doc signals
     * stay per-row — scan, project, done. ProdParitySpec pins the two
-    * plans row-for-row. The trade, measured at sf0.1: the in-row fold
-    * pays ~1.4x CPU (1.43 vs 1.04 s — per-doc string sorts) to remove
-    * two full-corpus exchanges; on a page-cached local run the
-    * exchange is nearly free so the CPU shows, at 100 TB the two
-    * corpus-sized shuffles are the bottleneck and the trade inverts.
+    * plans row-for-row. Measured (bench/r13.json at sf0.1, and
+    * ScaleProbe25 at 1M docs): the prod form is exchange-free — ZERO
+    * shuffled bytes vs the oracle plan's 1.27 GiB of (doc_id, gram)
+    * aggregate traffic per 1M docs — and faster even locally (0.85 vs
+    * 1.22 s) once its output order is left unsorted; at 100 TB the
+    * removed corpus-sized shuffles are the entire story.
     */
   val q75 = {
     def grams(t: Column, n: Int): Column =

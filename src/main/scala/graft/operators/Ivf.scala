@@ -335,13 +335,21 @@ object Ivf {
     * path isolated from the quantizer for the same reason as
     * [[writeIndexAssigned]].
     */
+  /** The shared serving scaffold for EVERY persisted layout: collect
+    * the probed cluster ids into a literal IN-filter (static partition
+    * pruning), apply the optional metadata predicate inside the pruned
+    * scan, equi-join the broadcast probes on cluster, score with the
+    * layout's `sim` expression (int8 kernel by default; the PQ-family
+    * cores pass their ADC forms), rank. One implementation so a fix to
+    * the prune/join/rank logic lands in all four layouts at once.
+    */
   private[graft] def searchIndexProbed(
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
       probes: DataFrame,
       k: Int,
-      predicate: Option[Column] = None): DataFrame = {
-    import graft.gfunctions.int8_cosine
+      predicate: Option[Column] = None,
+      sim: Column = graft.gfunctions.int8_cosine(col("c.codes_bin"), col("qcodes"))): DataFrame = {
     val probedClusters = probes.select("cluster").distinct()
       .collect().map(_.getInt(0))
     val pruned = spark.read.parquet(dir)
@@ -350,9 +358,7 @@ object Ivf {
     val cand = listed.alias("c")
       .join(broadcast(probes.alias("q")),
         col("c.cluster") === col("q.cluster") && col("query_id") =!= col("c.vec_id"))
-      .select(
-        col("query_id"), col("c.vec_id").as("neighbor_id"),
-        int8_cosine(col("c.codes_bin"), col("qcodes")).as("sim"))
+      .select(col("query_id"), col("c.vec_id").as("neighbor_id"), sim.as("sim"))
     Similarity.rankTopK(cand, k)
   }
 
@@ -470,35 +476,48 @@ object Ivf {
     val centroids = readCentroids(spark, dir)
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cluster = clusterOf(col("embedding"), centroids).cast("int").as("cluster")
+    // the index's OWN schema defines the passthrough metadata contract:
+    // a `writeIndex*(..., metaCols)` index carries filter columns in its
+    // lists, and an append that dropped them would leave appended rows
+    // invisible to (or failing under) the filtered serve — so carry
+    // every non-code column the live lists have, and fail LOUDLY
+    // (AnalysisException) if the delta lacks one
+    val codeCols = Set("vec_id", "cluster", "codes_bin", "codes_pq", "codes_pqr", "codes_opq")
+    val meta: Seq[Column] = spark.read.parquet(dir).schema.fieldNames.toSeq
+      .filterNot(codeCols).map(col)
     if (fs.exists(new Path(s"$dir/$OpqSubdir"))) {
       val model = readOpqModel(spark, dir)
       delta.select(
-        col("vec_id"),
-        graft.gfunctions.pq_codes(
-          graft.gfunctions.mat_vec(col("embedding"), model.rotation, model.dims),
-          model.pq.codebook, model.pq.m, model.pq.ksub).as("codes_opq"),
-        cluster)
+        Seq(
+          col("vec_id"),
+          graft.gfunctions.pq_codes(
+            graft.gfunctions.mat_vec(col("embedding"), model.rotation, model.dims),
+            model.pq.codebook, model.pq.m, model.pq.ksub).as("codes_opq"),
+          cluster) ++ meta: _*)
     } else if (fs.exists(new Path(s"$dir/$PqResidSubdir"))) {
       val model = readPqModel(spark, dir, PqResidSubdir)
       val flat = centroids.flatten
-      delta.select(col("vec_id"), col("embedding"), cluster)
+      delta.select(Seq(col("vec_id"), col("embedding"), cluster) ++ meta: _*)
         .select(
-          col("vec_id"),
-          graft.gfunctions.pq_resid_codes(
-            col("embedding"), col("cluster"), flat, model.codebook, model.m, model.ksub)
-            .as("codes_pqr"),
-          col("cluster"))
+          Seq(
+            col("vec_id"),
+            graft.gfunctions.pq_resid_codes(
+              col("embedding"), col("cluster"), flat, model.codebook, model.m, model.ksub)
+              .as("codes_pqr"),
+            col("cluster")) ++ meta: _*)
     } else if (fs.exists(new Path(s"$dir/$PqSubdir"))) {
       val model = readPqModel(spark, dir)
       delta.select(
-        col("vec_id"),
-        graft.gfunctions.pq_codes(col("embedding"), model.codebook, model.m, model.ksub)
-          .as("codes_pq"),
-        cluster)
+        Seq(
+          col("vec_id"),
+          graft.gfunctions.pq_codes(col("embedding"), model.codebook, model.m, model.ksub)
+            .as("codes_pq"),
+          cluster) ++ meta: _*)
     } else {
       delta.select(
-        col("vec_id"), graft.gfunctions.int8_codes(col("embedding")).as("codes_bin"),
-        cluster)
+        Seq(
+          col("vec_id"), graft.gfunctions.int8_codes(col("embedding")).as("codes_bin"),
+          cluster) ++ meta: _*)
     }
   }
 
@@ -516,10 +535,18 @@ object Ivf {
     val tmp = dir + ".compacting"
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(dir).getFileSystem(conf)
-    // a crashed prior compaction may have left .old behind (its swap
-    // completed or never started — either way `dir` is the live index);
-    // clear it so this run's staging rename cannot silently fail
+    val live = new Path(dir)
     val old = new Path(dir + ".old")
+    // crash triage BEFORE any delete: a crash BETWEEN the two swap
+    // renames leaves `dir` gone and the original index in `.old` —
+    // restore it first (a blind `.old` sweep there would delete the
+    // only surviving copy; the unswapped `.compacting` staging is never
+    // promoted automatically). Crashes before the first rename or
+    // after the swap leave `dir` live and `.old`/staging as residue.
+    if (!fs.exists(live) && fs.exists(old)) {
+      require(fs.rename(old, live),
+        s"compactIndex: could not restore $dir from a crashed prior swap")
+    }
     if (fs.exists(old)) fs.delete(old, true)
     spark.read.parquet(dir)
       .repartition(col("cluster"))
@@ -566,20 +593,9 @@ object Ivf {
       centroids: Array[Array[Float]],
       k: Int = 10,
       nprobe: Int = 2,
-      oversample: Int = 10): DataFrame = {
-    val cand = searchIndex(spark, dir, queries, centroids, k * oversample, nprobe)
-      .select(col("query_id"), col("neighbor_id"))
-    val rescored = corpus
-      .select(col("vec_id").as("neighbor_id"), col("embedding").as("nvec"))
-      .join(broadcast(cand), Seq("neighbor_id"))
-      .join(
-        broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("qvec"))),
-        Seq("query_id"))
-      .select(
-        col("query_id"), col("neighbor_id"),
-        cosine_sim(col("nvec"), col("qvec")).as("sim"))
-    Similarity.rankTopK(rescored, k)
-  }
+      oversample: Int = 10): DataFrame =
+    Similarity.exactRerank(
+      searchIndex(spark, dir, queries, centroids, k * oversample, nprobe), queries, corpus, k)
 
   /** Self-describing two-phase serve — the persisted quantizer edition
     * of [[searchIndexRerank]].
@@ -878,18 +894,8 @@ object Ivf {
         slice(nearestClusters(col("embedding"), centroids), 1, nprobe),
         s => -s.getField("neg_id"))).as("cluster"))
       .localCheckpoint(eager = true)
-    val probedClusters = probes.select("cluster").distinct()
-      .collect().map(_.getInt(0))
-    val pruned = spark.read.parquet(dir)
-      .filter(col("cluster").isin(probedClusters.toIndexedSeq: _*))
-    val listed = predicate.fold(pruned)(pruned.filter)
-    val cand = listed.alias("c")
-      .join(broadcast(probes.alias("q")),
-        col("c.cluster") === col("q.cluster") && col("query_id") =!= col("c.vec_id"))
-      .select(
-        col("query_id"), col("c.vec_id").as("neighbor_id"),
-        pq_adc_sim(col("c.codes_pq"), col("qlut"), model.codebook, model.m, model.ksub).as("sim"))
-    Similarity.rankTopK(cand, k)
+    searchIndexProbed(spark, dir, probes, k, predicate,
+      sim = pq_adc_sim(col("c.codes_pq"), col("qlut"), model.codebook, model.m, model.ksub))
   }
 
   /** Two-phase IVF-PQ serving — the deepest-compression edition of
@@ -905,20 +911,9 @@ object Ivf {
       corpus: DataFrame,
       k: Int = 10,
       nprobe: Int = 2,
-      oversample: Int = 20): DataFrame = {
-    val cand = searchIndexPq(spark, dir, queries, k * oversample, nprobe)
-      .select(col("query_id"), col("neighbor_id"))
-    val rescored = corpus
-      .select(col("vec_id").as("neighbor_id"), col("embedding").as("nvec"))
-      .join(broadcast(cand), Seq("neighbor_id"))
-      .join(
-        broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("qvec"))),
-        Seq("query_id"))
-      .select(
-        col("query_id"), col("neighbor_id"),
-        cosine_sim(col("nvec"), col("qvec")).as("sim"))
-    Similarity.rankTopK(rescored, k)
-  }
+      oversample: Int = 20): DataFrame =
+    Similarity.exactRerank(
+      searchIndexPq(spark, dir, queries, k * oversample, nprobe), queries, corpus, k)
 
   // ------------------------------------ persisted RESIDUAL IVF-PQ index
 
@@ -1013,20 +1008,10 @@ object Ivf {
         slice(nearestClusters(col("embedding"), centroids), 1, nprobe),
         s => -s.getField("neg_id"))).as("cluster"))
       .localCheckpoint(eager = true)
-    val probedClusters = probes.select("cluster").distinct()
-      .collect().map(_.getInt(0))
-    val pruned = spark.read.parquet(dir)
-      .filter(col("cluster").isin(probedClusters.toIndexedSeq: _*))
-    val listed = predicate.fold(pruned)(pruned.filter)
-    val cand = listed.alias("c")
-      .join(broadcast(probes.alias("q")),
-        col("c.cluster") === col("q.cluster") && col("query_id") =!= col("c.vec_id"))
-      .select(
-        col("query_id"), col("c.vec_id").as("neighbor_id"),
-        pq_resid_sim(
-          col("c.codes_pqr"), col("qlut"), col("c.cluster").cast("int"),
-          flat, model.codebook, model.m, model.ksub).as("sim"))
-    Similarity.rankTopK(cand, k)
+    searchIndexProbed(spark, dir, probes, k, predicate,
+      sim = pq_resid_sim(
+        col("c.codes_pqr"), col("qlut"), col("c.cluster").cast("int"),
+        flat, model.codebook, model.m, model.ksub))
   }
 
   /** Two-phase residual IVF-PQ serving: coarse residual-ADC over the
@@ -1041,20 +1026,9 @@ object Ivf {
       corpus: DataFrame,
       k: Int = 10,
       nprobe: Int = 2,
-      oversample: Int = 20): DataFrame = {
-    val cand = searchIndexPqResid(spark, dir, queries, k * oversample, nprobe)
-      .select(col("query_id"), col("neighbor_id"))
-    val rescored = corpus
-      .select(col("vec_id").as("neighbor_id"), col("embedding").as("nvec"))
-      .join(broadcast(cand), Seq("neighbor_id"))
-      .join(
-        broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("qvec"))),
-        Seq("query_id"))
-      .select(
-        col("query_id"), col("neighbor_id"),
-        cosine_sim(col("nvec"), col("qvec")).as("sim"))
-    Similarity.rankTopK(rescored, k)
-  }
+      oversample: Int = 20): DataFrame =
+    Similarity.exactRerank(
+      searchIndexPqResid(spark, dir, queries, k * oversample, nprobe), queries, corpus, k)
 
   // ---------------------------------------- persisted OPQ (IVF-OPQ) index
 
@@ -1176,19 +1150,9 @@ object Ivf {
         slice(nearestClusters(col("embedding"), centroids), 1, nprobe),
         s => -s.getField("neg_id"))).as("cluster"))
       .localCheckpoint(eager = true)
-    val probedClusters = probes.select("cluster").distinct()
-      .collect().map(_.getInt(0))
-    val pruned = spark.read.parquet(dir)
-      .filter(col("cluster").isin(probedClusters.toIndexedSeq: _*))
-    val listed = predicate.fold(pruned)(pruned.filter)
-    val cand = listed.alias("c")
-      .join(broadcast(probes.alias("q")),
-        col("c.cluster") === col("q.cluster") && col("query_id") =!= col("c.vec_id"))
-      .select(
-        col("query_id"), col("c.vec_id").as("neighbor_id"),
-        pq_adc_sim(col("c.codes_opq"), col("qlut"), model.pq.codebook, model.pq.m, model.pq.ksub)
-          .as("sim"))
-    Similarity.rankTopK(cand, k)
+    searchIndexProbed(spark, dir, probes, k, predicate,
+      sim = pq_adc_sim(
+        col("c.codes_opq"), col("qlut"), model.pq.codebook, model.pq.m, model.pq.ksub))
   }
 
   /** Two-phase OPQ serving: coarse rotated-ADC over the pruned lists
@@ -1202,18 +1166,7 @@ object Ivf {
       corpus: DataFrame,
       k: Int = 10,
       nprobe: Int = 2,
-      oversample: Int = 20): DataFrame = {
-    val cand = searchIndexOpq(spark, dir, queries, k * oversample, nprobe)
-      .select(col("query_id"), col("neighbor_id"))
-    val rescored = corpus
-      .select(col("vec_id").as("neighbor_id"), col("embedding").as("nvec"))
-      .join(broadcast(cand), Seq("neighbor_id"))
-      .join(
-        broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("qvec"))),
-        Seq("query_id"))
-      .select(
-        col("query_id"), col("neighbor_id"),
-        cosine_sim(col("nvec"), col("qvec")).as("sim"))
-    Similarity.rankTopK(rescored, k)
-  }
+      oversample: Int = 20): DataFrame =
+    Similarity.exactRerank(
+      searchIndexOpq(spark, dir, queries, k * oversample, nprobe), queries, corpus, k)
 }

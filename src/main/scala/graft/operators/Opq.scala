@@ -238,36 +238,23 @@ object Opq {
     r
   }
 
-  private def encodeLocal(pq: Pq.Model, v: Array[Float]): Array[Int] = {
-    val out = new Array[Int](pq.m)
-    var j = 0
-    while (j < pq.m) {
-      var best = 0
-      var bestD = Double.MaxValue
-      var c = 0
-      while (c < pq.ksub) {
-        val base = (j * pq.ksub + c) * pq.dsub
-        var dsum = 0.0
-        var i = 0
-        while (i < pq.dsub) {
-          val diff = v(j * pq.dsub + i).toDouble - pq.codebook(base + i).toDouble
-          dsum += diff * diff
-          i += 1
-        }
-        if (dsum < bestD) { bestD = dsum; best = c }
-        c += 1
-      }
-      out(j) = best
-      j += 1
-    }
-    out
-  }
+  /** Driver-side encode = THE ENGINE'S kernel ([[graft.functions
+    * .PqKernels.encode]] via ArrayData, no re-implementation): the
+    * rotation is trained against reconstructions of exactly the codes
+    * the engine will assign at index-build time, so a tie-break or
+    * accumulation-order change in the kernel can never silently
+    * diverge training from serving.
+    */
+  private def encodeLocal(pq: Pq.Model, v: Array[Float]): Array[Byte] =
+    graft.functions.PqKernels.encode(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(v),
+      pq.codebook, pq.m, pq.ksub, pq.dsub)
 
-  private def reconstructLocal(pq: Pq.Model, codes: Array[Int]): Array[Float] = {
+  private def reconstructLocal(pq: Pq.Model, codes: Array[Byte]): Array[Float] = {
     val out = new Array[Float](pq.dims)
     var j = 0
     while (j < pq.m) {
-      val base = (j * pq.ksub + codes(j)) * pq.dsub
+      val base = (j * pq.ksub + (codes(j) & 0xFF)) * pq.dsub
       var i = 0
       while (i < pq.dsub) { out(j * pq.dsub + i) = pq.codebook(base + i); i += 1 }
       j += 1
@@ -341,18 +328,6 @@ object Opq {
     */
   def opqRerankTopK(
       corpus: DataFrame, queries: DataFrame, model: Model,
-      k: Int = 10, oversample: Int = 20): DataFrame = {
-    val cand = topKOpq(corpus, queries, model, k * oversample)
-      .select(col("query_id"), col("neighbor_id"))
-    val rescored = corpus
-      .select(col("vec_id").as("neighbor_id"), col("embedding").as("nvec"))
-      .join(broadcast(cand), Seq("neighbor_id"))
-      .join(
-        broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("qvec"))),
-        Seq("query_id"))
-      .select(
-        col("query_id"), col("neighbor_id"),
-        cosine_sim(col("nvec"), col("qvec")).as("sim"))
-    Similarity.rankTopK(rescored, k)
-  }
+      k: Int = 10, oversample: Int = 20): DataFrame =
+    Similarity.exactRerank(topKOpq(corpus, queries, model, k * oversample), queries, corpus, k)
 }

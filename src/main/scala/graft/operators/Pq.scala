@@ -192,18 +192,6 @@ object Pq {
     */
   def pqRerankTopK(
       corpus: DataFrame, queries: DataFrame, model: Model,
-      k: Int = 10, oversample: Int = 20): DataFrame = {
-    val cand = topKPq(corpus, queries, model, k * oversample)
-      .select(col("query_id"), col("neighbor_id"))
-    val rescored = corpus
-      .select(col("vec_id").as("neighbor_id"), col("embedding").as("nvec"))
-      .join(broadcast(cand), Seq("neighbor_id"))
-      .join(
-        broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("qvec"))),
-        Seq("query_id"))
-      .select(
-        col("query_id"), col("neighbor_id"),
-        cosine_sim(col("nvec"), col("qvec")).as("sim"))
-    Similarity.rankTopK(rescored, k)
-  }
+      k: Int = 10, oversample: Int = 20): DataFrame =
+    Similarity.exactRerank(topKPq(corpus, queries, model, k * oversample), queries, corpus, k)
 }

@@ -41,6 +41,27 @@ object Similarity {
         col("nb.sim").as("sim"))
       .orderBy("query_id", "rank")
 
+  /** The shared EXACT phase of every two-phase search (int8, PQ,
+    * residual, OPQ; in-memory and served-from-disk): re-score ONLY the
+    * (query_id, neighbor_id) pairs the coarse pass kept, via broadcast
+    * candidate-id equi-joins against the float corpus — k*oversample
+    * point lookups per query, never a float-corpus scan. One
+    * implementation so a fix to the exact phase lands everywhere.
+    */
+  def exactRerank(
+      cand: DataFrame, queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val rescored = corpus
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("nvec"))
+      .join(broadcast(cand.select(col("query_id"), col("neighbor_id"))), Seq("neighbor_id"))
+      .join(
+        broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("qvec"))),
+        Seq("query_id"))
+      .select(
+        col("query_id"), col("neighbor_id"),
+        cosine_sim(col("nvec"), col("qvec")).as("sim"))
+    rankTopK(rescored, k)
+  }
+
   /** Exact top-k: corpus x broadcast(queries) scored, ranked per query. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
     val scored = corpus.alias("c")
@@ -296,17 +317,7 @@ object Similarity {
       queries: DataFrame,
       k: Int = 10,
       oversample: Int = 10): DataFrame = {
-    val cand = int8TopK(corpus, queries, k * oversample)
-      .select(col("query_id"), col("neighbor_id"))
-    val rescored = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("nvec"))
-      .join(broadcast(cand), Seq("neighbor_id"))
-      .join(
-        broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("qvec"))),
-        Seq("query_id"))
-      .select(
-        col("query_id"), col("neighbor_id"),
-        cosine_sim(col("nvec"), col("qvec")).as("sim"))
-    rankTopK(rescored, k)
+    exactRerank(int8TopK(corpus, queries, k * oversample), queries, corpus, k)
   }
 
   private def quantSummary(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =

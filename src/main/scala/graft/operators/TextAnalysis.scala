@@ -952,7 +952,9 @@ object TextAnalysis {
     *
     * Two signals per doc, exact integers + one division each:
     *  - `top_bigram_frac`: tokens covered by ALL occurrences of the
-    *    most frequent bigram / n_tokens (2 tokens per occurrence);
+    *    most frequent bigram / n_tokens (2 tokens per occurrence;
+    *    overlapping occurrences each count, so the raw product is
+    *    capped at 1.0 — a single-token run is full coverage);
     *  - `dup_trigram_frac`: trigram POSITIONS whose trigram occurs >= 2
     *    times / total trigram positions.
     * The `gopher_ok` flag gates at (0.12, 0.02) — this corpus's ~p90,
@@ -1010,11 +1012,17 @@ object TextAnalysis {
     // the prod plan's LAST exchange (ScaleProbe25: what remains is then
     // zero shuffled bytes vs the oracle's gram exchanges)
     def finish(df: org.apache.spark.sql.DataFrame, ordered: Boolean): org.apache.spark.sql.DataFrame = {
+      // count*2/n_tokens over OVERLAPPING occurrences can exceed 1
+      // ("a a a a": 3 occurrences of "a a" -> 6/4) — the public
+      // implementations keep the raw product, but a "fraction covered"
+      // that reads above 1 is uninterpretable, so it caps at 1.0 (a
+      // single-token run IS full coverage); the gate threshold sits far
+      // below the cap either way
       val out = df.select(
         col("doc_id"), col("n_tokens"), col("top_bigram_n"), col("dup_trigram_n"),
-        (col("top_bigram_n") * 2 / col("n_tokens")).as("top_bigram_frac"),
+        least(col("top_bigram_n") * 2 / col("n_tokens"), lit(1.0)).as("top_bigram_frac"),
         (col("dup_trigram_n") / (col("n_tokens") - 2)).as("dup_trigram_frac"),
-        (col("top_bigram_n") * 2 / col("n_tokens") <= 0.12 &&
+        (least(col("top_bigram_n") * 2 / col("n_tokens"), lit(1.0)) <= 0.12 &&
           col("dup_trigram_n") / (col("n_tokens") - 2) <= 0.02).as("gopher_ok"),
       )
       if (ordered) out.orderBy("doc_id") else out
@@ -1057,9 +1065,9 @@ object TextAnalysis {
         dup AS (SELECT doc_id, CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_trigram_n
                 FROM tgc GROUP BY doc_id)
         SELECT top.doc_id, n_tokens, top_bigram_n, dup_trigram_n,
-               top_bigram_n * 2 / n_tokens AS top_bigram_frac,
+               LEAST(top_bigram_n * 2 / n_tokens, 1.0) AS top_bigram_frac,
                dup_trigram_n / (n_tokens - 2) AS dup_trigram_frac,
-               (top_bigram_n * 2 / n_tokens <= 0.12 AND
+               (LEAST(top_bigram_n * 2 / n_tokens, 1.0) <= 0.12 AND
                 dup_trigram_n / (n_tokens - 2) <= 0.02) AS gopher_ok
         FROM top JOIN dup ON top.doc_id = dup.doc_id
         ORDER BY top.doc_id"""),

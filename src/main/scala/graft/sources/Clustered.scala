@@ -113,10 +113,18 @@ object Clustered {
     val tmp = dir + ".optimizing"
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(dir).getFileSystem(conf)
-    // a crashed prior optimize may have left .old behind (its swap
-    // completed or never started — either way `dir` is live); clear it
-    // so this run's rename cannot silently fail
+    val live = new Path(dir)
     val old = new Path(dir + ".old")
+    // crash triage BEFORE any delete. A crash can land in three states:
+    // (a) before the first rename — dir live, maybe stale tmp;
+    // (b) BETWEEN the two renames — dir GONE, the original is .old:
+    //     restore it first, or this preamble would delete the only
+    //     surviving copies;
+    // (c) after the swap — dir live (the new copy), stale .old.
+    if (!fs.exists(live) && fs.exists(old)) {
+      require(fs.rename(old, live),
+        s"optimize: could not restore $dir from a crashed prior swap")
+    }
     if (fs.exists(old)) fs.delete(old, true)
     if (fs.exists(new Path(tmp))) fs.delete(new Path(tmp), true)
     val rows = spark.read.parquet(dir)

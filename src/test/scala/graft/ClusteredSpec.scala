@@ -155,6 +155,27 @@ class ClusteredSpec extends AnyFunSuite {
       "optimize is layout-only: rows must be unchanged")
   }
 
+  test("optimize recovers from a crash between its two swap renames without losing the table") {
+    val dir = "/tmp/graft-test/clustered_crash_swap"
+    val all = events.localCheckpoint()
+    val n = all.count()
+    Clustered.save(all, dir, "user_id", files = 8)
+    val wantSum = all.agg(sum("user_id"), sum("event_id")).head
+    // simulate the mid-swap crash state: dir staged aside, swap never ran
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + ".old")))
+    Clustered.optimize(spark, dir, "user_id", files = 8)
+    assert(spark.read.parquet(dir).count() == n &&
+      spark.read.parquet(dir).agg(sum("user_id"), sum("event_id")).head == wantSum,
+      "a retried optimize after a mid-swap crash must restore the original rows")
+    assert(Clustered.overlappingPairs(Clustered.rowGroupRanges(spark, dir, "user_id")) == 0)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".old")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(dir + ".optimizing")),
+      "recovery must clean up the staging directories")
+  }
+
   test("optimize to z-order: a fragmented single-key directory becomes a two-key-skippable one") {
     val dir = "/tmp/graft-test/clustered_lifecycle_z"
     val n = 100000L

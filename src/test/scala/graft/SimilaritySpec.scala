@@ -508,6 +508,56 @@ class SimilaritySpec extends AnyFunSuite {
       s"expected the label predicate pushed to the list scan:\n$plan")
   }
 
+  test("appends to a metaCols index carry the metadata: filtered serving finds appended vectors") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, sf)
+      .withColumn("label", (col("vec_id") % 3).cast("int"))
+    val queries = emb.filter(col("vec_id") < 8)
+    val centroids = operators.Ivf.train(emb, k = 8, iters = 1)
+    val dir = "/tmp/graft-test/ivf_index_filtered_append"
+    operators.Ivf.writeIndex(emb.filter(col("vec_id") >= 100), centroids, dir, Seq("label"))
+    // the append must read the index's own schema and carry `label`
+    // through - a metadata-dropping append would leave appended rows
+    // invisible to (or failing under) the filtered serve
+    operators.Ivf.appendIndexBatch(emb.filter(col("vec_id") < 100), dir, 0L)
+    val lists = spark.read.parquet(dir)
+    assert(lists.columns.toSet == Set("vec_id", "codes_bin", "cluster", "label"),
+      s"appends must carry the index's metadata columns, got ${lists.columns.mkString(",")}")
+    assert(lists.filter(col("label").isNull).count() == 0, "appended metadata must be populated")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val served = operators.Ivf.searchIndexFiltered(
+      spark, dir, queries, col("label") === 1, nprobe = 8)
+    val expect = operators.Similarity.int8TopK(emb.filter(col("label") === 1), queries)
+    assert(rows(served) == rows(expect),
+      "filtered serving over the appended-to index must equal brute int8 over the filtered corpus")
+  }
+
+  test("compactIndex recovers from a crash between its two swap renames without losing the index") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 8)
+    val centroids = operators.Ivf.train(emb, k = 8, iters = 1)
+    val dir = "/tmp/graft-test/ivf_index_crash_swap"
+    operators.Ivf.writeIndex(emb, centroids, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val want = rows(operators.Ivf.searchIndex(spark, dir, queries, k = 10, nprobe = 8))
+    // simulate the mid-swap crash state: dir staged aside, swap-in never ran
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + ".old")))
+    operators.Ivf.compactIndex(spark, dir)
+    assert(rows(operators.Ivf.searchIndex(spark, dir, queries, k = 10, nprobe = 8)) == want,
+      "a retried compaction after a mid-swap crash must restore and serve the original index")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".old")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(dir + ".compacting")),
+      "recovery must clean up the staging directories")
+  }
+
   test("ann_index_rerank_topk registry entry: k rows per query, sims are exact float cosines") {
     val sf = "/root/testdata/sf0.001"
     val served = operators.Similarity.qIndexRerank.run(spark, sf).collect()

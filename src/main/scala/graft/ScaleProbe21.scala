@@ -70,7 +70,7 @@ object ScaleProbe21 {
     println(f"[probe21] compacted warm pruned serve: ${serve()}%.2f s")
 
     // the folded index serves every ingested vector exactly once
-    val all = spark.read.parquet(dir)
+    val all = operators.Ivf.readIndex(spark, dir)
     val total = all.count()
     val dup = all.groupBy("vec_id").count().filter(col("count") > 1).count()
     println(s"[probe21] rows after cycle: $total (expect ${n + 100000}), dup keys: $dup")

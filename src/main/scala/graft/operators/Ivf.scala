@@ -215,9 +215,46 @@ object Ivf {
 
   def readCentroids(
       spark: org.apache.spark.sql.SparkSession, dir: String): Array[Array[Float]] =
-    spark.read.parquet(s"$dir/$QuantizerSubdir")
+    spark.read.parquet(s"${liveRoot(spark, dir)}/$QuantizerSubdir")
       .orderBy("cluster").collect()
       .map(_.getSeq[Float](1).toArray)
+
+  private def fsOf(
+      spark: org.apache.spark.sql.SparkSession, dir: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The current base-generation root of an index directory — `dir`
+    * itself until the first [[compactIndex]], the `_current`-pointed
+    * generation after ([[graft.sources.Generations]] is the shared
+    * commit protocol). Model subdirs live under this root.
+    */
+  private def liveRoot(spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    graft.sources.Generations.resolveRoot(fsOf(spark, dir), dir)
+
+  /** The live inverted lists of a persisted index: the current base
+    * generation UNION every committed-but-not-yet-folded append batch
+    * (each an atomically visible directory under `_appends_data` — see
+    * [[appendIndexBatch]]). This is THE read path every serve goes
+    * through; reading `dir` with a bare `spark.read.parquet` sees only
+    * the flat layout and goes stale after the first compaction.
+    *
+    * Concurrency: the resolution is a point-in-time snapshot. A reader
+    * racing a compaction flip may fail against just-collected files and
+    * must retry; it can never observe a half-folded state (a batch is
+    * either visible in full or already in the base generation, and the
+    * `_folded` manifest says which).
+    */
+  def readIndex(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val fs = fsOf(spark, dir)
+    val root = graft.sources.Generations.resolveRoot(fs, dir)
+    val folded = graft.sources.Generations.foldedIds(fs, root)
+    val extras = graft.sources.Generations.visibleBatches(fs, dir, AppendsDataSubdir)
+      .filterNot(folded)
+    extras.foldLeft(spark.read.parquet(root)) { (df, b) =>
+      df.unionByName(spark.read.parquet(s"$dir/$AppendsDataSubdir/$b"))
+    }
+  }
 
   /** [[writeIndex]] core over an explicit cluster-assignment column —
     * the layout/IO path isolated from the quantizer, so scale probes can
@@ -352,7 +389,7 @@ object Ivf {
       sim: Column = graft.gfunctions.int8_cosine(col("c.codes_bin"), col("qcodes"))): DataFrame = {
     val probedClusters = probes.select("cluster").distinct()
       .collect().map(_.getInt(0))
-    val pruned = spark.read.parquet(dir)
+    val pruned = readIndex(spark, dir)
       .filter(col("cluster").isin(probedClusters.toIndexedSeq: _*))
     val listed = predicate.fold(pruned)(pruned.filter)
     val cand = listed.alias("c")
@@ -367,99 +404,136 @@ object Ivf {
     * adds vectors far more often than the coarse quantizer needs
     * retraining, so deltas assign at full precision against the SAME
     * centroids the index was built with (the quantizer is versioned
-    * with the index; retraining means a rebuild) and land in their
-    * cluster partitions as NEW files, cluster-aligned like the base
-    * write. Serving needs no coordination: the next [[searchIndex]]
-    * listing sees the appended files inside the same pruned partitions.
+    * with the index; retraining means a rebuild). The batch lands as
+    * ONE atomically visible cluster-aligned directory under
+    * `_appends_data` — appends never modify the base generation, which
+    * is what makes a concurrent [[compactIndex]] unable to lose them
+    * (the [[graft.sources.Generations]] protocol; FencingSpec proves
+    * the interleaving). Serving needs no coordination: the next
+    * [[readIndex]] resolution unions the committed batches in.
     *
-    * Each append adds one file per touched cluster, so lists fragment
-    * over time — [[compactIndex]] is the maintenance pass that folds
-    * them back to one file per list (the ScaleProbe17 layout cost is
-    * exactly what unbounded fragmentation re-creates).
+    * Each append adds one directory of one-file-per-touched-cluster, so
+    * the list read fragments over time — [[compactIndex]] is the
+    * maintenance pass that folds batches back into one file per list
+    * (the ScaleProbe17 layout cost is exactly what unbounded
+    * fragmentation re-creates).
+    *
+    * LEGACY GUARD: this explicit-centroid overload int8-encodes, so it
+    * refuses (IllegalArgumentException) an index whose lists carry PQ /
+    * residual / OPQ codes or metadata columns — a silently unioned
+    * foreign code column would leave appended rows null-coded under the
+    * serve path. Use the self-describing `appendIndex(delta, dir)`,
+    * which encodes to the index's own form.
+    *
+    * Concurrency contract: any number of appenders may run concurrently
+    * with each other, with readers, and with ONE [[compactIndex]]; an
+    * append may fail transiently during a compaction flip (stale model
+    * read) and must be retried — it is never silently lost.
     */
-  def appendIndex(delta: DataFrame, centroids: Array[Array[Float]], dir: String): Unit =
-    delta.select(
-      col("vec_id"), graft.gfunctions.int8_codes(col("embedding")).as("codes_bin"),
-      clusterOf(col("embedding"), centroids).cast("int").as("cluster"))
-      .repartition(col("cluster"))
-      .write.partitionBy("cluster").mode("append").parquet(dir)
+  def appendIndex(delta: DataFrame, centroids: Array[Array[Float]], dir: String): Unit = {
+    val spark = delta.sparkSession
+    val root = liveRoot(spark, dir)
+    val fs = fsOf(spark, dir)
+    Seq(PqSubdir, PqResidSubdir, OpqSubdir).foreach { sub =>
+      require(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/$sub")),
+        s"appendIndex(delta, centroids, dir): $dir carries a $sub model — its lists are " +
+          "not int8-coded. Use the self-describing appendIndex(delta, dir), which encodes " +
+          "to the index's own code form.")
+    }
+    val baseCols = spark.read.parquet(root).schema.fieldNames.toSet
+    require(baseCols == Set("vec_id", "codes_bin", "cluster"),
+      s"appendIndex(delta, centroids, dir): $dir carries metadata columns " +
+        s"(${baseCols.mkString(",")}) this overload would drop. Use appendIndex(delta, dir).")
+    landBatch(
+      delta.select(
+        col("vec_id"), graft.gfunctions.int8_codes(col("embedding")).as("codes_bin"),
+        clusterOf(col("embedding"), centroids).cast("int").as("cluster")),
+      dir, "adhoc-" + java.util.UUID.randomUUID.toString)
+  }
 
   /** Self-describing append: assigns against the index's OWN persisted
-    * quantizer AND encodes to the index's own code form (PQ if a `_pq`
-    * codebook is persisted, int8 otherwise) — the contract by
-    * construction.
+    * quantizer AND encodes to the index's own code form (rotated OPQ /
+    * residual / raw PQ if the matching model subdir is persisted, int8
+    * otherwise), carrying the index's metadata columns — the contract
+    * by construction. Same landing discipline and concurrency contract
+    * as the batch path: one atomic directory, compaction-safe.
     */
   def appendIndex(delta: DataFrame, dir: String): Unit =
-    encodeForIndex(delta, dir)
-      .repartition(col("cluster"))
-      .write.partitionBy("cluster").mode("append").parquet(dir)
+    landBatch(encodeForIndex(delta, dir), dir,
+      "adhoc-" + java.util.UUID.randomUUID.toString)
 
   /** IDEMPOTENT append for exactly-once streaming ingest
     * ([[graft.streaming.Streams.indexAppendStream]]). Structured
     * Streaming's foreachBatch re-delivers a batch after a crash between
-    * the sink write and the checkpoint commit, so a bare
-    * [[appendIndex]] (mode=append, fresh file names per run) would
-    * duplicate vectors on replay. This variant makes the whole append a
+    * the sink write and the checkpoint commit, so the append must be a
     * pure function of (batch content, batchId):
     *
-    *  1. the delta stages cluster-aligned under `dir/.append-<batchId>`
-    *     (dot-prefixed — invisible to the list scan, like `_quantizer`);
-    *  2. each staged list file MOVES into its live `cluster=X/` dir
-    *     under the DETERMINISTIC name `append-<batchId>-<i>.parquet`,
-    *     deleting any same-named crash residue first — a replay
-    *     re-creates the same files, never adds new ones;
+    *  1. the delta stages cluster-aligned under
+    *     `dir/_appends_data/.b-<batchId>` (dot-prefixed — invisible);
+    *  2. ONE atomic rename makes it visible at
+    *     `dir/_appends_data/<batchId>` — visibility is the data commit,
+    *     so a concurrent [[compactIndex]] snapshot sees the whole batch
+    *     or none of it, never a prefix;
     *  3. a marker lands at `dir/_appends/<batchId>`: a replay that sees
-    *     it returns without touching the index at all.
+    *     it returns without touching the index. A replay that finds the
+    *     visible data dir but no marker (crash in the gap) re-creates
+    *     only the marker — batch content is replay-identical by
+    *     Structured Streaming's source-replayability contract and the
+    *     encode is deterministic against the persisted models.
     *
-    * Batch content is identical across replays by Structured Streaming's
-    * source-replayability contract, and assignment is deterministic
-    * against the persisted centroids, so the staged cluster set — and
-    * therefore the residue sweep — covers every file a crashed attempt
-    * could have left.
+    * Markers live at the top level and are NEVER deleted: compaction
+    * garbage-collects a folded batch's data directory, and the
+    * surviving marker is what makes a late replay of that batch a
+    * no-op instead of a re-append. One empty file per micro-batch is
+    * the price (bounded by ingest cadence; at a 5-minute trigger that
+    * is ~100k markers/year — fold into a manifest file if the listing
+    * ever matters).
+    *
+    * Concurrency contract: see [[appendIndex]] — concurrent with other
+    * appenders, readers, and one compactor; transient failure during a
+    * flip is retried by the streaming lane (same batchId, idempotent).
     */
   def appendIndexBatch(delta: DataFrame, dir: String, batchId: Long): Unit = {
     import org.apache.hadoop.fs.Path
     val spark = delta.sparkSession
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new Path(dir).getFileSystem(conf)
+    val fs = fsOf(spark, dir)
     val marker = new Path(s"$dir/$AppendsSubdir/$batchId")
     if (fs.exists(marker)) return // replay of a fully committed batch
-    val staging = s"$dir/.append-$batchId"
-    encodeForIndex(delta, dir)
-      .repartition(col("cluster"))
-      .write.partitionBy("cluster").mode("overwrite").parquet(staging)
-    val stagingPath = new Path(staging)
-    val clusterDirs = fs.listStatus(stagingPath).filter(_.isDirectory)
-      .filter(_.getPath.getName.startsWith("cluster="))
-    clusterDirs.foreach { cd =>
-      val live = new Path(s"$dir/${cd.getPath.getName}")
-      fs.mkdirs(live)
-      // sweep residue from a crashed prior attempt of THIS batch
-      if (fs.exists(live)) {
-        fs.listStatus(live)
-          .filter(_.getPath.getName.startsWith(s"append-$batchId-"))
-          .foreach(st => fs.delete(st.getPath, false))
-      }
-      val files = fs.listStatus(cd.getPath)
-        .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
-        .sortBy(_.getPath.getName)
-      files.zipWithIndex.foreach { case (st, i) =>
-        val target = new Path(live, s"append-$batchId-$i.parquet")
-        require(fs.rename(st.getPath, target),
-          s"appendIndexBatch: could not move ${st.getPath} to $target")
-      }
-    }
-    fs.delete(stagingPath, true)
+    landBatch(encodeForIndex(delta, dir), dir, batchId.toString)
     fs.mkdirs(new Path(s"$dir/$AppendsSubdir"))
     fs.create(marker, true).close()
   }
 
-  /** Batch-commit markers for [[appendIndexBatch]] — underscore-hidden
-    * from the list scan and carried through [[compactIndex]], so a
-    * replay arriving AFTER a compaction folded its batch in still
-    * short-circuits instead of re-appending folded rows.
+  /** Land an encoded batch as one atomically visible cluster-aligned
+    * directory under `_appends_data` — the single write path every
+    * append form shares. If the visible directory already exists the
+    * batch is already committed (crash residue from a prior attempt of
+    * the same id) and the landing is a no-op.
+    */
+  private def landBatch(encoded: DataFrame, dir: String, id: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = fsOf(encoded.sparkSession, dir)
+    val visible = new Path(s"$dir/$AppendsDataSubdir/$id")
+    if (fs.exists(visible)) return
+    val staging = s"$dir/$AppendsDataSubdir/.b-$id"
+    encoded
+      .repartition(col("cluster"))
+      .write.partitionBy("cluster").mode("overwrite").parquet(staging)
+    fs.mkdirs(visible.getParent)
+    require(fs.rename(new Path(staging), visible),
+      s"appendIndex: could not commit $staging to $visible")
+  }
+
+  /** Batch-commit markers for [[appendIndexBatch]] — underscore-hidden,
+    * top-level, immortal (see the marker note there).
     */
   private val AppendsSubdir = "_appends"
+
+  /** Committed append-batch data directories — each one atomic unit of
+    * ingest, unioned into [[readIndex]] until [[compactIndex]] folds it
+    * into the next base generation and garbage-collects it.
+    */
+  private val AppendsDataSubdir = "_appends_data"
 
   /** Delta rows encoded to the index's OWN code form — rotated OPQ
     * codes if the directory carries a persisted `_opq` model, residual
@@ -474,7 +548,8 @@ object Ivf {
     import org.apache.hadoop.fs.Path
     val spark = delta.sparkSession
     val centroids = readCentroids(spark, dir)
-    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = fsOf(spark, dir)
+    val root = liveRoot(spark, dir)
     val cluster = clusterOf(col("embedding"), centroids).cast("int").as("cluster")
     // the index's OWN schema defines the passthrough metadata contract:
     // a `writeIndex*(..., metaCols)` index carries filter columns in its
@@ -483,9 +558,9 @@ object Ivf {
     // every non-code column the live lists have, and fail LOUDLY
     // (AnalysisException) if the delta lacks one
     val codeCols = Set("vec_id", "cluster", "codes_bin", "codes_pq", "codes_pqr", "codes_opq")
-    val meta: Seq[Column] = spark.read.parquet(dir).schema.fieldNames.toSeq
+    val meta: Seq[Column] = spark.read.parquet(root).schema.fieldNames.toSeq
       .filterNot(codeCols).map(col)
-    if (fs.exists(new Path(s"$dir/$OpqSubdir"))) {
+    if (fs.exists(new Path(s"$root/$OpqSubdir"))) {
       val model = readOpqModel(spark, dir)
       delta.select(
         Seq(
@@ -494,7 +569,7 @@ object Ivf {
             graft.gfunctions.mat_vec(col("embedding"), model.rotation, model.dims),
             model.pq.codebook, model.pq.m, model.pq.ksub).as("codes_opq"),
           cluster) ++ meta: _*)
-    } else if (fs.exists(new Path(s"$dir/$PqResidSubdir"))) {
+    } else if (fs.exists(new Path(s"$root/$PqResidSubdir"))) {
       val model = readPqModel(spark, dir, PqResidSubdir)
       val flat = centroids.flatten
       delta.select(Seq(col("vec_id"), col("embedding"), cluster) ++ meta: _*)
@@ -505,7 +580,7 @@ object Ivf {
               col("embedding"), col("cluster"), flat, model.codebook, model.m, model.ksub)
               .as("codes_pqr"),
             col("cluster")) ++ meta: _*)
-    } else if (fs.exists(new Path(s"$dir/$PqSubdir"))) {
+    } else if (fs.exists(new Path(s"$root/$PqSubdir"))) {
       val model = readPqModel(spark, dir)
       delta.select(
         Seq(
@@ -521,53 +596,117 @@ object Ivf {
     }
   }
 
-  /** Fold an appended-to index back to one file per inverted list. The
-    * compacted copy is written CLUSTER-ALIGNED to a sibling directory
-    * first and swapped in with filesystem renames (Hadoop FileSystem
-    * API — works on HDFS/object stores with a rename primitive), so a
-    * crash mid-compaction leaves either the old or the new index fully
-    * readable, never a truncated one. Row content is unchanged —
-    * compaction is a LAYOUT operation; the spec pins search-result
+  /** Fold an appended-to index back to one file per inverted list, via
+    * the [[graft.sources.Generations]] commit protocol: the folded copy
+    * lands cluster-aligned in a brand-new `_gen-N+1` directory together
+    * with COPIES of the model subdirs and a cumulative `_folded`
+    * manifest of the batch ids it absorbed, is marked `_complete`, and
+    * the `_current` pointer flips atomically. Row content is unchanged
+    * — compaction is a LAYOUT operation; the spec pins search-result
     * identity across it.
+    *
+    * Concurrency contract — this is the round-14 writer fencing: at
+    * most ONE compactor per index (the pointer flip is not arbitrated
+    * between compactors), but compaction runs safely CONCURRENT with
+    * any number of [[appendIndexBatch]]/[[appendIndex]] writers and
+    * readers. An append that commits after the fold snapshot simply
+    * stays outside the `_folded` manifest and remains live under the
+    * new generation — it can never be deleted by the flip, because
+    * appends and generations never share files (FencingSpec interleaves
+    * a real append inside this function and proves zero lost rows and
+    * marker integrity). Crash-safety: every pre-flip crash leaves the
+    * old generation current and the partial new one invisible
+    * (`_complete` is last); a mid-flip crash resolves to the completed
+    * generation; all residue is swept on the next run's entry GC.
     */
-  def compactIndex(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
-    import org.apache.hadoop.fs.Path
-    val tmp = dir + ".compacting"
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, dir: String): Unit =
+    compactIndexHooked(spark, dir, () => ())
+
+  /** [[compactIndex]] with a test seam: `afterSnapshot` runs between
+    * the fold snapshot (the visible-batch listing) and the generation
+    * write — exactly the window where the old in-place swap lost
+    * concurrent appends.
+    */
+  private[graft] def compactIndexHooked(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      afterSnapshot: () => Unit): Unit = {
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    import graft.sources.Generations
     val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new Path(dir).getFileSystem(conf)
-    val live = new Path(dir)
-    val old = new Path(dir + ".old")
-    // crash triage BEFORE any delete: a crash BETWEEN the two swap
-    // renames leaves `dir` gone and the original index in `.old` —
-    // restore it first (a blind `.old` sweep there would delete the
-    // only surviving copy; the unswapped `.compacting` staging is never
-    // promoted automatically). Crashes before the first rename or
-    // after the swap leave `dir` live and `.old`/staging as residue.
-    if (!fs.exists(live) && fs.exists(old)) {
-      require(fs.rename(old, live),
-        s"compactIndex: could not restore $dir from a crashed prior swap")
-    }
-    if (fs.exists(old)) fs.delete(old, true)
-    spark.read.parquet(dir)
+    val fs = fsOf(spark, dir)
+    // ---- entry GC: sweep residue of crashed prior runs. The current
+    // generation (pointer target, or the mid-flip fallback) is the one
+    // source of truth; every other generation — incomplete writes,
+    // complete-but-unflipped orphans, the pre-flip previous base — is
+    // invisible to resolution and deletable.
+    val cur = Generations.currentGen(fs, dir)
+    Generations.allGens(fs, dir).filterNot(cur.contains)
+      .foreach(n => fs.delete(new Path(Generations.genDir(dir, n)), true))
+    if (cur.isDefined) deleteFlatResidue(fs, dir)
+    val root = Generations.resolveRoot(fs, dir)
+    // batch data already folded into the current base is dead weight a
+    // crashed post-flip GC may have left — markers stay forever
+    val foldedNow = Generations.foldedIds(fs, root)
+    foldedNow.foreach(id => fs.delete(new Path(s"$dir/$AppendsDataSubdir/$id"), true))
+    // ---- fold snapshot: the committed batches to absorb. Batches that
+    // commit after this listing stay visible extras under the new
+    // generation — that is the fence.
+    val toFold = Generations.visibleBatches(fs, dir, AppendsDataSubdir)
+      .filterNot(foldedNow)
+    afterSnapshot()
+    val next = cur.getOrElse(0) + 1
+    val nextRoot = Generations.genDir(dir, next)
+    toFold
+      .foldLeft(spark.read.parquet(root)) { (df, b) =>
+        df.unionByName(spark.read.parquet(s"$dir/$AppendsDataSubdir/$b"))
+      }
       .repartition(col("cluster"))
-      .write.partitionBy("cluster").mode("overwrite").parquet(tmp)
-    // the model/marker subdirs ride along: _-prefixed, so the list read
-    // above never saw them — move them into the compacted copy before
-    // the swap (markers especially: a batch replay arriving after its
-    // rows were folded in must still see its commit marker)
-    Seq(QuantizerSubdir, PqSubdir, PqResidSubdir, OpqSubdir, AppendsSubdir).foreach { sub =>
-      val p = new Path(s"$dir/$sub")
-      if (fs.exists(p))
-        require(fs.rename(p, new Path(s"$tmp/$sub")),
-          s"compactIndex: could not carry $sub into $tmp")
+      .write.partitionBy("cluster").mode("overwrite").parquet(nextRoot)
+    // COPY (never move) the model subdirs: the live root keeps its
+    // models until the flip, so a crash here leaves the current
+    // generation fully readable and a concurrent append can still
+    // encode against it
+    Seq(QuantizerSubdir, PqSubdir, PqResidSubdir, OpqSubdir).foreach { sub =>
+      val src = new Path(s"$root/$sub")
+      if (fs.exists(src))
+        require(
+          FileUtil.copy(fs, src, fs, new Path(s"$nextRoot/$sub"), false, conf),
+          s"compactIndex: could not copy $sub into $nextRoot")
     }
-    // rename returns FALSE on failure instead of throwing — check both
-    // legs so a failed swap surfaces instead of leaving a stale index
-    require(fs.rename(new Path(dir), old),
-      s"compactIndex: could not stage $dir aside")
-    require(fs.rename(new Path(tmp), new Path(dir)),
-      s"compactIndex: could not swap $tmp into place")
-    fs.delete(old, true)
+    Generations.writeFolded(fs, nextRoot, foldedNow ++ toFold)
+    Generations.markComplete(fs, nextRoot)
+    Generations.flip(fs, dir, next)
+    // ---- post-flip GC: the previous base and the batch data just
+    // folded. A reader or appender that resolved the old generation
+    // moments before the flip may fail here and retry — it cannot lose
+    // data (its batches live under _appends_data, which this never
+    // touches except for ids recorded as folded).
+    if (cur.isDefined) fs.delete(new Path(root), true) else deleteFlatResidue(fs, dir)
+    toFold.foreach(id => fs.delete(new Path(s"$dir/$AppendsDataSubdir/$id"), true))
+  }
+
+  /** Delete the flat (generation-0) base layout's data and model files
+    * at the top of `dir`, leaving the protocol state (`_current`,
+    * `_gen-*`, `_appends`, `_appends_data`) untouched. Called only once
+    * a generation directory is current, i.e. the flat layout is no
+    * longer resolvable.
+    */
+  private def deleteFlatResidue(
+      fs: org.apache.hadoop.fs.FileSystem, dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val keep = Set(AppendsSubdir, AppendsDataSubdir,
+      graft.sources.Generations.Pointer)
+    if (fs.exists(new Path(dir)))
+      fs.listStatus(new Path(dir)).toSeq
+        .filterNot(st => st.getPath.getName.startsWith("_gen-"))
+        .filterNot(st => keep(st.getPath.getName))
+        .filter(st =>
+          st.getPath.getName.startsWith("cluster=") ||
+            st.getPath.getName.endsWith(".parquet") ||
+            st.getPath.getName == "_SUCCESS" ||
+            Seq(QuantizerSubdir, PqSubdir, PqResidSubdir, OpqSubdir)
+              .contains(st.getPath.getName))
+        .foreach(st => fs.delete(st.getPath, true))
   }
 
   /** Two-phase serving from a persisted index — [[searchIndex]] composed
@@ -769,7 +908,7 @@ object Ivf {
   def readPqModel(
       spark: org.apache.spark.sql.SparkSession, dir: String,
       subdir: String = PqSubdir): Pq.Model = {
-    val rows = spark.read.parquet(s"$dir/$subdir").orderBy("entry").collect()
+    val rows = spark.read.parquet(s"${liveRoot(spark, dir)}/$subdir").orderBy("entry").collect()
     val m = rows.head.getInt(0)
     val ksub = rows.head.getInt(1)
     val codebook = rows.flatMap(_.getSeq[Float](3)).toArray
@@ -804,7 +943,8 @@ object Ivf {
 
   /** Read the OPQ model persisted with a [[writeIndexOpq]] index. */
   def readOpqModel(spark: org.apache.spark.sql.SparkSession, dir: String): Opq.Model = {
-    val rows = spark.read.parquet(s"$dir/$OpqSubdir/rotation").orderBy("row").collect()
+    val rows = spark.read.parquet(s"${liveRoot(spark, dir)}/$OpqSubdir/rotation")
+      .orderBy("row").collect()
     val rotation = rows.flatMap(_.getSeq[Float](2)).toArray
     Opq.Model(rotation, readPqModel(spark, dir, s"$OpqSubdir/pq"))
   }

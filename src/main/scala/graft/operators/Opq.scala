@@ -23,10 +23,11 @@ import graft.gfunctions.{cosine_sim, mat_vec, pq_codes}
   *     U S V^T, R = V U^T — computed by a one-sided Jacobi SVD written
   *     here (d x d, deterministic, no library).
   *
-  * Both steps monotonically decrease the quantization error
-  * sum ||R x - recon||^2, and R = I is the starting point, so the final
-  * rotated-space error NEVER exceeds plain PQ's raw-space error (the
-  * spec asserts exactly this, plus R's orthogonality, on real data).
+  * Training returns the ARGMIN (R, codebook) over all iterates with
+  * plain PQ at R = I as candidate 0, so the final rotated-space error
+  * NEVER exceeds plain PQ's raw-space error — by construction, not by
+  * an assumed per-iteration monotonicity (see [[train]]; the spec
+  * asserts the guarantee, plus R's orthogonality, on real data).
   *
   * Scale shape: training is model fitting on the hash sample (driver-
   * local, bounded by the model not the corpus — the [[Pq.train]]
@@ -276,8 +277,22 @@ object Opq {
     }.sum
 
   /** Alternate codebook fitting and Procrustes rotation on the bounded
-    * deterministic sample. opqIters=0 degenerates to plain PQ with
-    * R = I.
+    * deterministic sample, returning the ARGMIN iterate. The Procrustes
+    * step alone is monotone, but [[Pq.trainOnVectors]] re-runs k-means
+    * from fresh deterministic seeds on each re-rotated sample instead
+    * of warm-starting the previous codebook, so a single iteration CAN
+    * increase total error — tracking the best (R, pq, error) across
+    * iterations (error via [[quantError]], already in hand) restores
+    * the never-worse-than-plain-PQ guarantee unconditionally: candidate
+    * 0 is plain PQ with R = I, so the returned model's rotated-space
+    * error is <= the raw-space PQ error by construction, regardless of
+    * k-means re-seeding (the spec asserts exactly this on real data).
+    *
+    * Each candidate is evaluated — and kept — under the FLOAT32
+    * rotation serving will actually apply ([[graft.functions.MatVecF]]
+    * takes a float matrix), so there is no train/serve precision
+    * mismatch: the error the argmin compares is the error the index
+    * will realize. opqIters=0 degenerates to plain PQ with R = I.
     */
   def train(
       emb: DataFrame, m: Int = 8, ksub: Int = 64, dims: Int = 64,
@@ -285,18 +300,24 @@ object Opq {
     val sample: Array[Array[Float]] = Ivf.trainingSample(emb, ksub, sampleFactor)
       .select("vec_id", "embedding").orderBy("vec_id").collect()
       .map(_.getSeq[Float](1).toArray)
-    var r = identity(dims)
     var rotated = sample
     var pq = Pq.trainOnVectors(rotated, m, ksub, dims, pqIters)
+    var bestR = identity(dims)
+    var bestPq = pq
+    var bestErr = quantError(pq, sample) // candidate 0: plain PQ, R = I
     var it = 0
     while (it < opqIters) {
       val recon = rotated.map(v => reconstructLocal(pq, encodeLocal(pq, v)))
-      r = procrustes(xtY(sample, recon, dims), dims)
-      rotated = sample.map(v => applyR(r, v, dims))
+      // round the iterate to the float32 serving precision BEFORE
+      // fitting and scoring against it
+      val r32 = procrustes(xtY(sample, recon, dims), dims).map(x => x.toFloat.toDouble)
+      rotated = sample.map(v => applyR(r32, v, dims))
       pq = Pq.trainOnVectors(rotated, m, ksub, dims, pqIters)
+      val err = quantError(pq, rotated)
+      if (err < bestErr) { bestErr = err; bestR = r32; bestPq = pq }
       it += 1
     }
-    Model(r.map(_.toFloat), pq)
+    Model(bestR.map(_.toFloat), bestPq)
   }
 
   /** Encode a corpus to (vec_id, codes_pq) in the rotated space: one

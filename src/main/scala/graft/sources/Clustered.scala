@@ -35,11 +35,34 @@ import org.apache.spark.sql.functions.col
   */
 object Clustered {
 
-  /** Write `df` range-clustered on `key` into `files` output files. */
-  def save(df: DataFrame, dir: String, key: String, files: Int = 32): Unit =
+  /** Per-column parquet bloom filter writer options. Range clustering
+    * makes the SORT key's row-group min/max stats tight; every OTHER
+    * high-cardinality column's stats stay useless (each row group spans
+    * the whole domain), so a point probe on doc_id/url/vec_id still
+    * reads every row group. A bloom filter per such lookup column
+    * closes that gap: the reader tests the probe value against each
+    * row group's filter and skips groups that definitely lack it —
+    * membership pruning where ordering gives none. Parquet-mr applies
+    * them at scan time under Spark's pushed predicates
+    * (`parquet.filter.bloom.enabled`, default true); the write cost is
+    * one filter per (row group, column), sized by
+    * `parquet.bloom.filter.max.bytes` (default 1 MiB cap).
+    * ClusteredSpec asserts filter presence straight from the footers;
+    * ScaleProbe26 measures the row-group skip rate on a point probe.
+    */
+  private def bloomOpts(cols: Seq[String]): Map[String, String] =
+    cols.map(c => s"parquet.bloom.filter.enabled#$c" -> "true").toMap
+
+  /** Write `df` range-clustered on `key` into `files` output files,
+    * with parquet bloom filters on `bloomCols` (point-lookup columns
+    * OTHER than the sort key — the key skips via min/max already).
+    */
+  def save(
+      df: DataFrame, dir: String, key: String, files: Int = 32,
+      bloomCols: Seq[String] = Nil): Unit =
     df.repartitionByRange(files, col(key))
       .sortWithinPartitions(key)
-      .write.mode("overwrite").parquet(dir)
+      .write.options(bloomOpts(bloomCols)).mode("overwrite").parquet(dir)
 
   /** Write `df` Z-ORDER-clustered on TWO long keys: the multi-predicate
     * data-skipping layout. [[save]] makes `key`'s row-group stats tight
@@ -59,7 +82,8 @@ object Clustered {
     */
   def saveZOrder(
       df: DataFrame, dir: String, key0: String, key1: String,
-      files: Int = 32, bits: Int = 12, relErr: Double = 1e-4): Unit = {
+      files: Int = 32, bits: Int = 12, relErr: Double = 1e-4,
+      bloomCols: Seq[String] = Nil): Unit = {
     val buckets = 1 << bits
     val probs = Array.tabulate(buckets - 1)(i => (i + 1).toDouble / buckets)
     // one sketch pass covers both keys (approxQuantile merges per-partition
@@ -72,7 +96,7 @@ object Clustered {
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
-      .write.mode("overwrite").parquet(dir)
+      .write.options(bloomOpts(bloomCols)).mode("overwrite").parquet(dir)
   }
 
   /** Row groups whose [min, max] contains `v` — what a point predicate
@@ -80,6 +104,16 @@ object Clustered {
     */
   def touchedBy(ranges: Seq[(Long, Long)], v: Long): Int =
     ranges.count { case (mn, mx) => mn <= v && v <= mx }
+
+  /** Committed append batches live here, one atomically visible
+    * directory each — the [[Generations]] discipline, so [[optimize]]
+    * can never delete a batch it raced with.
+    */
+  private val BatchesSubdir = "_batches"
+
+  private def fsOf(spark: SparkSession, dir: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Append a batch to a clustered directory. The batch sorts WITHIN
     * itself (its own files stay skippable against each other) but
@@ -91,53 +125,119 @@ object Clustered {
     * [[optimize]] is the periodic maintenance pass that restores the
     * layout (the OPTIMIZE-style compaction discipline of the lakehouse
     * table formats).
+    *
+    * The batch stages dot-prefixed under `_batches` and becomes visible
+    * with ONE atomic rename, so a concurrent [[optimize]] snapshot sees
+    * all of it or none of it — and since appends never touch the base
+    * layout, the optimize flip can never delete them (FencingSpec
+    * interleaves the two and proves zero lost rows).
+    *
+    * Concurrency contract: any number of appenders, concurrent with
+    * readers and with ONE [[optimize]]. No replay semantics — calling
+    * append twice lands the rows twice, exactly like the
+    * `mode("append")` write it replaces.
     */
-  def append(df: DataFrame, dir: String, key: String, files: Int = 4): Unit =
+  def append(
+      df: DataFrame, dir: String, key: String, files: Int = 4,
+      bloomCols: Seq[String] = Nil): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = fsOf(df.sparkSession, dir)
+    val id = "b-" + java.util.UUID.randomUUID.toString
+    val staging = s"$dir/$BatchesSubdir/.$id"
     df.repartitionByRange(files, col(key))
       .sortWithinPartitions(key)
-      .write.mode("append").parquet(dir)
+      .write.options(bloomOpts(bloomCols)).mode("overwrite").parquet(staging)
+    fs.mkdirs(new Path(s"$dir/$BatchesSubdir"))
+    require(fs.rename(new Path(staging), new Path(s"$dir/$BatchesSubdir/$id")),
+      s"Clustered.append: could not commit $staging")
+  }
 
   /** Re-cluster a fragmented directory back to a pristine [[save]]
-    * layout (or [[saveZOrder]] when `key1` is given), crash-safely: the
-    * rewritten copy lands in a sibling directory first and swaps in
-    * with FileSystem renames — a crash mid-optimize leaves either the
-    * old or the new directory fully readable, never a truncated one
-    * (the [[graft.operators.Ivf.compactIndex]] pattern). Row content is
-    * unchanged: optimize is a LAYOUT operation, and the spec pins
-    * read-back identity across it.
+    * layout (or [[saveZOrder]] when `key1` is given) via the
+    * [[Generations]] commit protocol: the rewrite lands in a fresh
+    * `_gen-N+1` with a cumulative `_folded` manifest of the batch ids
+    * it absorbed, is marked `_complete`, and the `_current` pointer
+    * flips atomically. Row content is unchanged: optimize is a LAYOUT
+    * operation, and the spec pins read-back identity across it.
+    *
+    * Concurrency contract — the round-14 writer fencing: at most ONE
+    * optimizer per directory, safely concurrent with appenders and
+    * readers. A batch that commits after the fold snapshot stays
+    * outside the manifest and remains live under the new generation;
+    * every pre-flip crash leaves the old layout current, and residue is
+    * swept on the next run's entry GC.
     */
   def optimize(
       spark: SparkSession, dir: String, key: String,
-      key1: Option[String] = None, files: Int = 32): Unit = {
+      key1: Option[String] = None, files: Int = 32,
+      bloomCols: Seq[String] = Nil): Unit =
+    optimizeHooked(spark, dir, key, key1, files, bloomCols, () => ())
+
+  /** [[optimize]] with a test seam: `afterSnapshot` runs between the
+    * fold snapshot and the generation write — the window where the old
+    * in-place swap lost concurrent appends.
+    */
+  private[graft] def optimizeHooked(
+      spark: SparkSession, dir: String, key: String,
+      key1: Option[String], files: Int, bloomCols: Seq[String],
+      afterSnapshot: () => Unit): Unit = {
     import org.apache.hadoop.fs.Path
-    val tmp = dir + ".optimizing"
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new Path(dir).getFileSystem(conf)
-    val live = new Path(dir)
-    val old = new Path(dir + ".old")
-    // crash triage BEFORE any delete. A crash can land in three states:
-    // (a) before the first rename — dir live, maybe stale tmp;
-    // (b) BETWEEN the two renames — dir GONE, the original is .old:
-    //     restore it first, or this preamble would delete the only
-    //     surviving copies;
-    // (c) after the swap — dir live (the new copy), stale .old.
-    if (!fs.exists(live) && fs.exists(old)) {
-      require(fs.rename(old, live),
-        s"optimize: could not restore $dir from a crashed prior swap")
-    }
-    if (fs.exists(old)) fs.delete(old, true)
-    if (fs.exists(new Path(tmp))) fs.delete(new Path(tmp), true)
-    val rows = spark.read.parquet(dir)
+    val fs = fsOf(spark, dir)
+    // entry GC: non-current generations (incomplete writes, unflipped
+    // orphans, the pre-flip previous base) and already-folded batch data
+    val cur = Generations.currentGen(fs, dir)
+    Generations.allGens(fs, dir).filterNot(cur.contains)
+      .foreach(n => fs.delete(new Path(Generations.genDir(dir, n)), true))
+    if (cur.isDefined) deleteFlatData(fs, dir)
+    val root = Generations.resolveRoot(fs, dir)
+    val foldedNow = Generations.foldedIds(fs, root)
+    foldedNow.foreach(id => fs.delete(new Path(s"$dir/$BatchesSubdir/$id"), true))
+    // fold snapshot — batches committing after this stay live extras
+    val toFold = Generations.visibleBatches(fs, dir, BatchesSubdir).filterNot(foldedNow)
+    afterSnapshot()
+    val next = cur.getOrElse(0) + 1
+    val nextRoot = Generations.genDir(dir, next)
+    val rows = toFold
+      .foldLeft(spark.read.parquet(root)) { (df, b) =>
+        df.unionByName(spark.read.parquet(s"$dir/$BatchesSubdir/$b"))
+      }
     key1 match {
-      case Some(k1) => saveZOrder(rows, tmp, key, k1, files)
-      case None => save(rows, tmp, key, files)
+      case Some(k1) => saveZOrder(rows, nextRoot, key, k1, files, bloomCols = bloomCols)
+      case None => save(rows, nextRoot, key, files, bloomCols = bloomCols)
     }
-    require(fs.rename(new Path(dir), old), s"optimize: could not stage $dir aside")
-    require(fs.rename(new Path(tmp), new Path(dir)), s"optimize: could not swap $tmp into place")
-    fs.delete(old, true)
+    Generations.writeFolded(fs, nextRoot, foldedNow ++ toFold)
+    Generations.markComplete(fs, nextRoot)
+    Generations.flip(fs, dir, next)
+    // post-flip GC: previous base + just-folded batch data
+    if (cur.isDefined) fs.delete(new Path(root), true) else deleteFlatData(fs, dir)
+    toFold.foreach(id => fs.delete(new Path(s"$dir/$BatchesSubdir/$id"), true))
   }
 
-  def read(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(dir)
+  /** Delete the flat (generation-0) data files at the top of `dir`,
+    * leaving protocol state (`_current`, `_gen-*`, `_batches`) intact.
+    */
+  private def deleteFlatData(fs: org.apache.hadoop.fs.FileSystem, dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    if (fs.exists(new Path(dir)))
+      fs.listStatus(new Path(dir)).toSeq
+        .filter(st => st.isFile &&
+          (st.getPath.getName.endsWith(".parquet") || st.getPath.getName == "_SUCCESS"))
+        .foreach(st => fs.delete(st.getPath, false))
+  }
+
+  /** The live table: current base generation plus committed-but-not-
+    * yet-folded append batches. The resolution is a point-in-time
+    * snapshot — a reader racing an [[optimize]] flip may fail against
+    * just-collected files and should retry; it can never observe a
+    * half-folded state.
+    */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    val fs = fsOf(spark, dir)
+    val root = Generations.resolveRoot(fs, dir)
+    val folded = Generations.foldedIds(fs, root)
+    val extras = Generations.visibleBatches(fs, dir, BatchesSubdir).filterNot(folded)
+    spark.read.parquet(root +: extras.map(b => s"$dir/$BatchesSubdir/$b"): _*)
+  }
 
   /** Per-row-group (min, max) statistics of a LONG column across every
     * parquet file under `dir` — the structural evidence data skipping
@@ -151,9 +251,13 @@ object Clustered {
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import scala.jdk.CollectionConverters._
     val conf = spark.sparkContext.hadoopConfiguration
-    val root = new Path(dir)
-    val fs = root.getFileSystem(conf)
-    fs.listStatus(root).toSeq
+    val fs = new Path(dir).getFileSystem(conf)
+    // the same resolution as [[read]]: current generation + live batches
+    val base = Generations.resolveRoot(fs, dir)
+    val folded = Generations.foldedIds(fs, base)
+    val roots = base +: Generations.visibleBatches(fs, dir, BatchesSubdir)
+      .filterNot(folded).map(b => s"$dir/$BatchesSubdir/$b")
+    roots.map(new Path(_)).flatMap(fs.listStatus(_).toSeq)
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       .flatMap { st =>
         val reader = ParquetFileReader.open(HadoopInputFile.fromPath(st.getPath, conf))
@@ -169,6 +273,48 @@ object Clustered {
           }
         } finally reader.close()
       }
+  }
+
+  /** Footer-derived bloom-filter evidence for a point probe `value` on
+    * `key` across the resolved layout: (row groups carrying a bloom
+    * filter for the column, row groups whose filter PROVES the value
+    * absent — the skippable set, total row groups). The middle number
+    * is what the reader's row-group filter acts on: bloom-negative
+    * groups are never read. Structural, not assumed — the same
+    * discipline as [[rowGroupRanges]].
+    */
+  def bloomStats(
+      spark: SparkSession, dir: String, key: String,
+      value: Long): (Int, Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(dir).getFileSystem(conf)
+    val base = Generations.resolveRoot(fs, dir)
+    val folded = Generations.foldedIds(fs, base)
+    val roots = base +: Generations.visibleBatches(fs, dir, BatchesSubdir)
+      .filterNot(folded).map(b => s"$dir/$BatchesSubdir/$b")
+    var withBloom = 0; var negative = 0; var total = 0
+    roots.map(new Path(_)).flatMap(fs.listStatus(_).toSeq)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .foreach { st =>
+        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(st.getPath, conf))
+        try {
+          reader.getFooter.getBlocks.asScala.foreach { block =>
+            total += 1
+            block.getColumns.asScala.find(_.getPath.toDotString == key).foreach { colMeta =>
+              if (colMeta.getBloomFilterOffset >= 0) {
+                withBloom += 1
+                val bf = reader.getBloomFilterDataReader(block).readBloomFilter(colMeta)
+                if (bf != null && !bf.findHash(bf.hash(value))) negative += 1
+              }
+            }
+          }
+        } finally reader.close()
+      }
+    (withBloom, negative, total)
   }
 
   /** Count of row-group pairs whose key ranges strictly overlap (shared

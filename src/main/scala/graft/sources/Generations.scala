@@ -1,0 +1,143 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import java.nio.charset.StandardCharsets
+
+/** Generation-pointer commit protocol shared by the maintained on-disk
+  * layouts (the persisted ANN index [[graft.operators.Ivf]] and the
+  * range/Z-order clustered tables [[Clustered]]). It exists to make the
+  * append/compact maintenance lifecycle MULTI-WRITER safe: with an
+  * in-place swap, a concurrent append landing between compaction's
+  * listing snapshot and its directory swap is renamed into the doomed
+  * copy and silently deleted. Under this protocol the two writers never
+  * touch the same files at all:
+  *
+  *  - the BASE layout lives in a generation directory (`dir/_gen-N`;
+  *    the flat `dir` itself is the implicit generation 0 every fresh
+  *    write produces). Underscore-prefixed, so Spark's file listing
+  *    never sees an old generation through the flat path;
+  *  - APPENDS never modify a generation: each batch stages under a
+  *    dot-prefixed directory and becomes visible with ONE atomic
+  *    directory rename into the append area (`_appends_data` for the
+  *    index, `_batches` for clustered tables). Compaction either sees a
+  *    whole committed batch or none of it — never a prefix;
+  *  - COMPACTION folds base + visible batches into a brand-new
+  *    generation, records the folded batch ids in the new generation's
+  *    `_folded` manifest, marks it `_complete`, and atomically flips
+  *    the `_current` pointer. Batches that commit while compaction is
+  *    running simply miss the snapshot, stay out of the manifest, and
+  *    remain visible as live extras under the new generation — zero
+  *    coordination, zero loss (FencingSpec interleaves a real append
+  *    between the snapshot and the flip and proves it);
+  *  - READERS resolve `_current` -> generation root and read base plus
+  *    committed-minus-folded batches. Resolution is a point-in-time
+  *    snapshot: a reader that raced a flip may fail against
+  *    just-collected files and must retry (the streaming ingest lane
+  *    retries by construction) — it can never read a half-folded state.
+  *
+  * Crash matrix (single compactor, any number of appenders/readers):
+  * a crash during the new generation's write leaves the pointer on the
+  * old generation and an incomplete `_gen-N+1` that resolution ignores
+  * (`_complete` is written last) and the next run garbage-collects; a
+  * crash between `_complete` and the pointer flip leaves a complete but
+  * unreferenced generation — pointer still wins, next run deletes and
+  * redoes it; a crash mid-flip (pointer deleted, rename pending) is the
+  * only pointerless state, and there the highest COMPLETE generation is
+  * by construction the newest committed layout, which is exactly what
+  * [[resolveRoot]] falls back to.
+  */
+object Generations {
+
+  val Pointer = "_current"
+  val Complete = "_complete"
+  val Folded = "_folded"
+  private val GenPrefix = "_gen-"
+
+  private def readSmall(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+    finally in.close()
+  }
+
+  private def writeSmall(fs: FileSystem, p: Path, content: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  def genDir(dir: String, n: Int): String = s"$dir/$GenPrefix$n"
+
+  /** Every `_gen-N` directory present, complete or not (entry GC sweeps
+    * the incomplete and the unreferenced ones).
+    */
+  def allGens(fs: FileSystem, dir: String): Seq[Int] =
+    if (!fs.exists(new Path(dir))) Nil
+    else fs.listStatus(new Path(dir)).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(GenPrefix))
+      .flatMap(st =>
+        scala.util.Try(st.getPath.getName.stripPrefix(GenPrefix).toInt).toOption)
+
+  /** Generation numbers whose `_complete` marker exists. */
+  def completeGens(fs: FileSystem, dir: String): Seq[Int] =
+    allGens(fs, dir).filter(n => fs.exists(new Path(s"${genDir(dir, n)}/$Complete")))
+
+  /** The current generation number; None = the flat dir (generation 0). */
+  def currentGen(fs: FileSystem, dir: String): Option[Int] = {
+    val ptr = new Path(s"$dir/$Pointer")
+    val fromPtr =
+      if (fs.exists(ptr))
+        scala.util.Try(readSmall(fs, ptr).toInt).toOption
+          .filter(n => fs.exists(new Path(s"${genDir(dir, n)}/$Complete")))
+      else None
+    fromPtr.orElse(completeGens(fs, dir).sorted.lastOption)
+  }
+
+  /** Resolve the live data root: the pointer target if it names a
+    * complete generation, else the highest complete generation (the
+    * mid-flip crash state — see the class doc), else the flat dir.
+    */
+  def resolveRoot(fs: FileSystem, dir: String): String =
+    currentGen(fs, dir).map(genDir(dir, _)).getOrElse(dir)
+
+  /** Flip the pointer to generation `n`: write a dot-staged copy, then
+    * delete-and-rename into place. The gap between delete and rename is
+    * the mid-flip crash window [[resolveRoot]]'s highest-complete-gen
+    * fallback covers (generation `n` is already `_complete` here).
+    */
+  def flip(fs: FileSystem, dir: String, n: Int): Unit = {
+    val tmp = new Path(s"$dir/.$Pointer-$n")
+    writeSmall(fs, tmp, n.toString)
+    val ptr = new Path(s"$dir/$Pointer")
+    if (fs.exists(ptr)) fs.delete(ptr, false)
+    require(fs.rename(tmp, ptr), s"Generations: could not flip $dir/$Pointer to $n")
+  }
+
+  /** Batch ids already folded into the generation at `root` (empty for
+    * a flat root). The manifest is cumulative across generations, so a
+    * straggler writer that resolved an older generation can always tell
+    * whether its batch survived.
+    */
+  def foldedIds(fs: FileSystem, root: String): Set[String] = {
+    val p = new Path(s"$root/$Folded")
+    if (!fs.exists(p)) Set.empty
+    else readSmall(fs, p).split("\n").iterator.filter(_.nonEmpty).toSet
+  }
+
+  def writeFolded(fs: FileSystem, root: String, ids: Set[String]): Unit =
+    writeSmall(fs, new Path(s"$root/$Folded"), ids.toSeq.sorted.mkString("\n"))
+
+  def markComplete(fs: FileSystem, root: String): Unit =
+    writeSmall(fs, new Path(s"$root/$Complete"), "")
+
+  /** Committed batch directory names under `dir/<area>` — visibility IS
+    * the commit (a batch becomes visible via one atomic rename from its
+    * dot-staged twin), so dot-prefixed staging is excluded by name.
+    */
+  def visibleBatches(fs: FileSystem, dir: String, area: String): Seq[String] = {
+    val p = new Path(s"$dir/$area")
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && !st.getPath.getName.startsWith("."))
+      .map(_.getPath.getName).sorted
+  }
+}

@@ -470,12 +470,16 @@ object Streams {
     *
     * Exactly-once is the sink's job here, and it is structural, not a
     * convention: [[graft.operators.Ivf.appendIndexBatch]] stages each
-    * batch under a batch-scoped dir, moves files to DETERMINISTIC
-    * per-batch names, and commits a `_appends/<batchId>` marker — a
-    * foreachBatch replay after a crash either short-circuits on the
-    * marker or overwrites its own files, never duplicates a vector
-    * (marker survival across [[graft.operators.Ivf.compactIndex]] is
-    * spec-pinned). Fragmentation from many small batches is the
+    * batch dot-prefixed and commits it with ONE atomic rename into
+    * `_appends_data/<batchId>`, then lands a `_appends/<batchId>`
+    * marker — a foreachBatch replay after a crash short-circuits on
+    * the marker, or on the already-visible batch dir, never duplicates
+    * a vector (marker survival across
+    * [[graft.operators.Ivf.compactIndex]] is spec-pinned). Because the
+    * batch never touches the base generation, the ingest stream may run
+    * CONCURRENTLY with compaction — the generation-pointer protocol
+    * guarantees a racing batch stays live instead of being folded away
+    * (FencingSpec). Fragmentation from many small batches is the
     * documented compaction trigger.
     */
   def indexAppendStream(

@@ -135,45 +135,49 @@ class ClusteredSpec extends AnyFunSuite {
     Clustered.append(b2, dir, "user_id")
     val afterTwo = Clustered.overlappingPairs(Clustered.rowGroupRanges(spark, dir, "user_id"))
     assert(afterTwo > afterOne, s"fragmentation must grow with appends: $afterOne -> $afterTwo")
-    assert(spark.read.parquet(dir).count() == n)
+    assert(Clustered.read(spark, dir).count() == n)
 
     val wantSum = all.agg(sum("user_id"), sum("event_id")).head
 
-    // crash residue from a prior optimize must not block this one
+    // crash residue from a prior optimize — an incomplete generation and
+    // abandoned batch staging — must not block or pollute this one
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.mkdirs(new org.apache.hadoop.fs.Path(dir + ".old"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/_gen-7"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/_batches/.b-junk"))
 
     Clustered.optimize(spark, dir, "user_id", files = 8)
     assert(Clustered.overlappingPairs(Clustered.rowGroupRanges(spark, dir, "user_id")) == 0,
       "optimize must restore a zero-overlap layout")
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".old")) &&
-      !fs.exists(new org.apache.hadoop.fs.Path(dir + ".optimizing")),
-      "optimize must clean up its staging directories")
-    assert(spark.read.parquet(dir).count() == n &&
-      spark.read.parquet(dir).agg(sum("user_id"), sum("event_id")).head == wantSum,
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_gen-7")),
+      "entry GC must sweep incomplete generation residue")
+    assert(Clustered.read(spark, dir).count() == n &&
+      Clustered.read(spark, dir).agg(sum("user_id"), sum("event_id")).head == wantSum,
       "optimize is layout-only: rows must be unchanged")
   }
 
-  test("optimize recovers from a crash between its two swap renames without losing the table") {
+  test("optimize re-run is idempotent and keeps exactly one live generation") {
     val dir = "/tmp/graft-test/clustered_crash_swap"
     val all = events.localCheckpoint()
     val n = all.count()
     Clustered.save(all, dir, "user_id", files = 8)
-    val wantSum = all.agg(sum("user_id"), sum("event_id")).head
-    // simulate the mid-swap crash state: dir staged aside, swap never ran
+    val extra = all.limit(500).localCheckpoint()
+    Clustered.append(extra, dir, "user_id")
+    val wantSum = all.unionAll(extra).agg(sum("user_id"), sum("event_id")).head
+    Clustered.optimize(spark, dir, "user_id", files = 8)
+    Clustered.optimize(spark, dir, "user_id", files = 8)
+    assert(Clustered.read(spark, dir).count() == n + 500 &&
+      Clustered.read(spark, dir).agg(sum("user_id"), sum("event_id")).head == wantSum,
+      "repeated optimize must not lose or duplicate rows")
+    assert(Clustered.overlappingPairs(Clustered.rowGroupRanges(spark, dir, "user_id")) == 0)
+    // storage discipline: the previous generation and the folded batch
+    // data are GC'd — exactly one generation dir remains, no stragglers
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.rename(new org.apache.hadoop.fs.Path(dir),
-      new org.apache.hadoop.fs.Path(dir + ".old")))
-    Clustered.optimize(spark, dir, "user_id", files = 8)
-    assert(spark.read.parquet(dir).count() == n &&
-      spark.read.parquet(dir).agg(sum("user_id"), sum("event_id")).head == wantSum,
-      "a retried optimize after a mid-swap crash must restore the original rows")
-    assert(Clustered.overlappingPairs(Clustered.rowGroupRanges(spark, dir, "user_id")) == 0)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".old")) &&
-      !fs.exists(new org.apache.hadoop.fs.Path(dir + ".optimizing")),
-      "recovery must clean up the staging directories")
+    assert(graft.sources.Generations.allGens(fs, dir).size == 1,
+      "old generations must be garbage-collected")
+    assert(graft.sources.Generations.visibleBatches(fs, dir, "_batches").isEmpty,
+      "folded batch data must be garbage-collected")
   }
 
   test("optimize to z-order: a fragmented single-key directory becomes a two-key-skippable one") {
@@ -194,7 +198,38 @@ class ClusteredSpec extends AnyFunSuite {
       s"optimized z-order must skip on k0: ${Clustered.touchedBy(zK0, v)} of ${zK0.size}")
     assert(Clustered.touchedBy(zK1, v) <= zK1.size / 3,
       s"optimized z-order must skip on k1: ${Clustered.touchedBy(zK1, v)} of ${zK1.size}")
-    assert(spark.read.parquet(dir).count() == n)
+    assert(Clustered.read(spark, dir).count() == n)
+  }
+
+  test("bloom filters on a non-key lookup column: footer presence and point-probe skippability") {
+    val bDir = "/tmp/graft-test/clustered_bloom"
+    // cluster by user_id; event_id is the high-cardinality NON-key
+    // column a point lookup would otherwise full-scan (its min/max
+    // spans the whole domain in every row group)
+    Clustered.save(events, bDir, "user_id", files = 8, bloomCols = Seq("event_id"))
+    val someId = events.select("event_id").head.getLong(0)
+    val (withBloom, negPresent, total) = Clustered.bloomStats(spark, bDir, "event_id", someId)
+    assert(total > 0 && withBloom == total,
+      s"every row group must carry an event_id bloom filter, got $withBloom of $total")
+    // a PRESENT value: its own row group must be bloom-positive; the
+    // rest are negative (skippable) modulo bloom false positives
+    assert(negPresent < total, "the row group holding the value must stay positive")
+    assert(negPresent >= total - 2,
+      s"a point probe must skip nearly all foreign row groups, skipped $negPresent of $total")
+    // an ABSENT value: (almost) everything is provably skippable
+    val (_, negAbsent, _) = Clustered.bloomStats(spark, bDir, "event_id", -987654321L)
+    assert(negAbsent >= total - 1,
+      s"an absent value must be bloom-negative nearly everywhere, got $negAbsent of $total")
+    // correctness under the filters, and the control: no bloomCols -> no filters
+    assert(Clustered.read(spark, bDir).filter(col("event_id") === someId).count() ==
+      events.filter(col("event_id") === someId).count())
+    val (none, _, t2) = Clustered.bloomStats(spark, dir, "event_id", someId)
+    assert(none == 0 && t2 > 0, "the default layout must carry no bloom filters")
+    // appends and optimize keep the bloom discipline
+    Clustered.append(events.limit(1000), bDir, "user_id", bloomCols = Seq("event_id"))
+    Clustered.optimize(spark, bDir, "user_id", files = 8, bloomCols = Seq("event_id"))
+    val (wb2, _, tot2) = Clustered.bloomStats(spark, bDir, "event_id", someId)
+    assert(tot2 > 0 && wb2 == tot2, "optimize must re-write the bloom filters")
   }
 
   test("clustered round-trip loses nothing and the point predicate reaches the scan") {

@@ -168,7 +168,7 @@ class OpqSpec extends AnyFunSuite {
     // subdir is the dispatch bit), exactly once under replay
     Ivf.appendIndexBatch(delta, dir, 0L)
     Ivf.appendIndexBatch(delta, dir, 0L) // committed replay: no-op
-    val lists = spark.read.parquet(dir)
+    val lists = Ivf.readIndex(spark, dir)
     assert(lists.columns.toSet == Set("vec_id", "codes_opq", "cluster"),
       s"appends must encode to the index's own (rotated) code form, got ${lists.columns.mkString(",")}")
     assert(lists.count() == 500 &&

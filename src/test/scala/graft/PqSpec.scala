@@ -277,7 +277,7 @@ class PqSpec extends AnyFunSuite {
 
     operators.Ivf.appendIndexBatch(delta, dir, 0L)
     operators.Ivf.appendIndexBatch(delta, dir, 0L) // committed replay: no-op
-    val lists = spark.read.parquet(dir)
+    val lists = operators.Ivf.readIndex(spark, dir)
     assert(lists.columns.toSet == Set("vec_id", "codes_pq", "cluster"),
       s"appends must encode to the index's own code form, got ${lists.columns.mkString(",")}")
     assert(lists.count() == 500 &&
@@ -407,7 +407,7 @@ class PqSpec extends AnyFunSuite {
     // subdir is the dispatch bit), exactly once under replay
     operators.Ivf.appendIndexBatch(delta, dir, 0L)
     operators.Ivf.appendIndexBatch(delta, dir, 0L) // committed replay: no-op
-    val lists = spark.read.parquet(dir)
+    val lists = operators.Ivf.readIndex(spark, dir)
     assert(lists.columns.toSet == Set("vec_id", "codes_pqr", "cluster"),
       s"appends must encode to the index's own (residual) code form, got ${lists.columns.mkString(",")}")
     assert(lists.count() == 500 &&

@@ -384,15 +384,20 @@ class SimilaritySpec extends AnyFunSuite {
     // compaction is layout-only: one file per inverted list again,
     // identical ranked rows
     operators.Ivf.compactIndex(spark, grown)
-    val nLists = spark.read.parquet(grown).select("cluster").distinct().count()
+    val nLists = operators.Ivf.readIndex(spark, grown).select("cluster").distinct().count()
     assert(files(grown) == nLists,
       s"compaction folds to one file per list, got ${files(grown)} files for $nLists lists")
     assert(rows(grown) == rows(rebuilt), "compaction must not change a single served row")
-    // a stale .old left by a crashed prior compaction must not wedge the
-    // next run (rename onto an existing dir returns false, not throws)
-    assert(new java.io.File(grown + ".old").mkdirs())
+    // stale residue from a crashed prior compaction — an incomplete
+    // generation dir and an abandoned batch staging dir — must not wedge
+    // or pollute the next run (resolution ignores both; entry GC sweeps
+    // the incomplete generation; dot-staging stays invisible)
+    assert(new java.io.File(grown + "/_gen-99/cluster=0").mkdirs())
+    assert(new java.io.File(grown + "/_appends_data/.b-junk").mkdirs())
     operators.Ivf.compactIndex(spark, grown)
     assert(rows(grown) == rows(rebuilt), "compaction after crash residue must still serve identically")
+    assert(!new java.io.File(grown + "/_gen-99").exists(),
+      "entry GC must sweep incomplete generation residue")
   }
 
   test("idempotent batch append: replay, crash residue, and post-compaction replay never duplicate") {
@@ -407,7 +412,7 @@ class SimilaritySpec extends AnyFunSuite {
     operators.Ivf.writeIndex(base, centroids, dir)
 
     def counts(): (Long, Long) = {
-      val df = spark.read.parquet(dir)
+      val df = operators.Ivf.readIndex(spark, dir)
       (df.count(), df.groupBy("vec_id").count().filter(col("count") > 1).count())
     }
 
@@ -521,7 +526,7 @@ class SimilaritySpec extends AnyFunSuite {
     // through - a metadata-dropping append would leave appended rows
     // invisible to (or failing under) the filtered serve
     operators.Ivf.appendIndexBatch(emb.filter(col("vec_id") < 100), dir, 0L)
-    val lists = spark.read.parquet(dir)
+    val lists = operators.Ivf.readIndex(spark, dir)
     assert(lists.columns.toSet == Set("vec_id", "codes_bin", "cluster", "label"),
       s"appends must carry the index's metadata columns, got ${lists.columns.mkString(",")}")
     assert(lists.filter(col("label").isNull).count() == 0, "appended metadata must be populated")
@@ -534,7 +539,7 @@ class SimilaritySpec extends AnyFunSuite {
       "filtered serving over the appended-to index must equal brute int8 over the filtered corpus")
   }
 
-  test("compactIndex recovers from a crash between its two swap renames without losing the index") {
+  test("compactIndex crash matrix: every pointer-protocol crash state serves the committed layout") {
     import org.apache.spark.sql.functions.col
     val sf = "/root/testdata/sf0.001"
     val emb = Tables.embeddings(spark, sf)
@@ -545,17 +550,45 @@ class SimilaritySpec extends AnyFunSuite {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
     val want = rows(operators.Ivf.searchIndex(spark, dir, queries, k = 10, nprobe = 8))
-    // simulate the mid-swap crash state: dir staged aside, swap-in never ran
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.rename(new org.apache.hadoop.fs.Path(dir),
-      new org.apache.hadoop.fs.Path(dir + ".old")))
+    // state 1 — crash DURING the new generation's write: a partial
+    // _gen-1 without _complete. Resolution must ignore it and serve the
+    // flat original; a retried compaction must sweep it and succeed.
+    assert(new java.io.File(s"$dir/_gen-1/cluster=0").mkdirs())
+    assert(rows(operators.Ivf.searchIndex(spark, dir, queries, k = 10, nprobe = 8)) == want,
+      "an incomplete generation must be invisible to serving")
     operators.Ivf.compactIndex(spark, dir)
     assert(rows(operators.Ivf.searchIndex(spark, dir, queries, k = 10, nprobe = 8)) == want,
-      "a retried compaction after a mid-swap crash must restore and serve the original index")
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".old")) &&
-      !fs.exists(new org.apache.hadoop.fs.Path(dir + ".compacting")),
-      "recovery must clean up the staging directories")
+      "a retried compaction over partial-write residue must serve identically")
+    // state 2 — crash MID-FLIP: the pointer file is gone but the new
+    // generation is _complete (the flip deletes then renames). The
+    // highest-complete-generation fallback must resolve it; the next
+    // compaction heals the pointer.
+    val cur = graft.sources.Generations
+      .currentGen(fs, dir).getOrElse(fail("expected a generation after compaction"))
+    require(fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_current"), false))
+    assert(rows(operators.Ivf.searchIndex(spark, dir, queries, k = 10, nprobe = 8)) == want,
+      "mid-flip crash (no pointer): the completed generation must still serve")
+    operators.Ivf.compactIndex(spark, dir)
+    assert(graft.sources.Generations.currentGen(fs, dir).contains(cur + 1),
+      "the retried compaction must advance from the healed generation")
+    assert(rows(operators.Ivf.searchIndex(spark, dir, queries, k = 10, nprobe = 8)) == want,
+      "post-heal serve unchanged")
+    // state 3 — crash between _complete and the flip: a complete but
+    // unreferenced HIGHER generation. The pointer wins; the orphan is
+    // swept and redone on the next run.
+    val orphan = s"$dir/_gen-${cur + 5}"
+    operators.Ivf.readIndex(spark, dir).limit(1)
+      .write.mode("overwrite").parquet(orphan)
+    graft.sources.Generations.markComplete(fs, orphan)
+    assert(rows(operators.Ivf.searchIndex(spark, dir, queries, k = 10, nprobe = 8)) == want,
+      "a complete-but-unflipped orphan generation must be invisible (pointer wins)")
+    operators.Ivf.compactIndex(spark, dir)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(orphan)),
+      "entry GC must sweep the orphan generation")
+    assert(rows(operators.Ivf.searchIndex(spark, dir, queries, k = 10, nprobe = 8)) == want,
+      "serve unchanged after orphan sweep")
   }
 
   test("ann_index_rerank_topk registry entry: k rows per query, sims are exact float cosines") {

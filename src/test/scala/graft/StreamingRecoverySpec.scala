@@ -472,7 +472,7 @@ class StreamingRecoverySpec extends AnyFunSuite {
 
     addFile(wave1, in)
     run()
-    val afterWave1 = spark.read.parquet(idx)
+    val afterWave1 = operators.Ivf.readIndex(spark, idx)
     assert(afterWave1.filter($"vec_id" >= 1000L).count() == 5,
       "wave-1 vectors landed in the inverted lists")
     val top = operators.Ivf.searchIndex(
@@ -485,7 +485,7 @@ class StreamingRecoverySpec extends AnyFunSuite {
     // make the ingest exactly-once), the new wave must land
     addFile(wave2, in)
     run()
-    val all = spark.read.parquet(idx)
+    val all = operators.Ivf.readIndex(spark, idx)
     assert(all.filter($"vec_id" >= 1000L).count() == 10,
       "post-restart: wave 1 exactly once, wave 2 appended")
     assert(all.groupBy("vec_id").count().filter($"count" > 1).count() == 0,

@@ -32,7 +32,17 @@ package graft
   *    (SPARK_GRAFT_BENCH_OUT, default `bench/latest.json`) so the
   *    committed per-round artifact carries every per-query median+min in
   *    both modes even when the driver truncates stdout — SURVEY §6
-  *    quotes totals only from that artifact.
+  *    quotes totals only from that artifact;
+  *  - SHUFFLE-BYTE ACCOUNTING (round 14): wall time on this shared box
+  *    has a documented ±30% drift band that swamps most real effects, so
+  *    the artifact now ALSO records, per query and mode, the shuffle
+  *    bytes written and read (SparkListener stage metrics, bus-drained
+  *    between queries for exact attribution) plus the oracle-mode output
+  *    row count. Bytes are a property of the PLAN + data, bit-stable
+  *    across reruns — cross-round comparisons should read
+  *    `shuffle_write`/`shuffle_write_prod` FIRST and wall medians
+  *    second. Measured in one dedicated warm pass per query/mode (one
+  *    sample suffices: deterministic), before the timed passes.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -54,6 +64,33 @@ object Bench {
       try run(q, prod) catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }
+
+    // stage-level shuffle accounting — reset, run, drain the async
+    // listener bus, read: exact per-query attribution, bit-stable
+    val shufWrite = new java.util.concurrent.atomic.AtomicLong
+    val shufRead = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = s.stageInfo.taskMetrics
+        if (m != null) {
+          shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          shufRead.addAndGet(
+            m.shuffleReadMetrics.remoteBytesRead + m.shuffleReadMetrics.localBytesRead)
+        }
+      }
+    })
+    def bytesOf(q: graft.GraftQuery, prod: Boolean): (Long, Long) = {
+      org.apache.spark.graft.ListenerSync.drain(spark.sparkContext)
+      shufWrite.set(0L); shufRead.set(0L)
+      try run(q, prod) catch { case _: Throwable => () }
+      org.apache.spark.graft.ListenerSync.drain(spark.sparkContext)
+      (shufWrite.get, shufRead.get)
+    }
+    def rowsOf(q: graft.GraftQuery): Long =
+      try q.run(spark, sfDir).count() catch { case _: Throwable => -1L }
+    def objL(results: Seq[(String, Long)]) =
+      results.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
 
     def medianMin(samples: Seq[Double]): (Double, Double) = {
       val s = samples.sorted
@@ -78,11 +115,12 @@ object Bench {
       SparkEntry.registry.foreach { q =>
         try run(q, prod = true) catch { case _: Throwable => () }
       }
+      val bytesProd = SparkEntry.registry.map(q => q.name -> bytesOf(q, prod = true))
       val results = SparkEntry.registry.map { q =>
         q.name -> medianMin(Seq(timed(q, true), timed(q, true), timed(q, true)))
       }
       val total = results.map(_._2._1).sum
-      emit(s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(results)(_._1)},"queries_min":${obj(results)(_._2)},"total_min":${results.map(_._2._2).sum},"mode":"prod","sf":"$sfDir"}""")
+      emit(s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(results)(_._1)},"queries_min":${obj(results)(_._2)},"total_min":${results.map(_._2._2).sum},"shuffle_write_prod":${objL(bytesProd.map(b => b._1 -> b._2._1))},"shuffle_read_prod":${objL(bytesProd.map(b => b._1 -> b._2._2))},"mode":"prod","sf":"$sfDir"}""")
     } else {
       // warm both modes, then alternate oracle/prod samples per query;
       // within-pair order swaps per iteration so carryover averages out
@@ -90,6 +128,11 @@ object Bench {
         try run(q, prod = false) catch { case _: Throwable => () }
         try run(q, prod = true) catch { case _: Throwable => () }
       }
+      // the bit-stable columns first: per-query shuffle bytes (one warm
+      // dedicated pass per mode) and oracle output rows
+      val bytesOracle = SparkEntry.registry.map(q => q.name -> bytesOf(q, prod = false))
+      val bytesProd = SparkEntry.registry.map(q => q.name -> bytesOf(q, prod = true))
+      val rowCounts = SparkEntry.registry.map(q => q.name -> rowsOf(q))
       val both = SparkEntry.registry.map { q =>
         val samples = (1 to 3).map { i =>
           if (i % 2 == 1) {
@@ -104,7 +147,7 @@ object Bench {
       val prod = both.map { case (n, _, p) => n -> p }
       val total = oracle.map(_._2._1).sum
       val totalProd = prod.map(_._2._1).sum
-      emit(s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(oracle)(_._1)},"queries_min":${obj(oracle)(_._2)},"total_min":${oracle.map(_._2._2).sum},"queries_prod":${obj(prod)(_._1)},"total_prod":$totalProd,"sf":"$sfDir"}""")
+      emit(s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(oracle)(_._1)},"queries_min":${obj(oracle)(_._2)},"total_min":${oracle.map(_._2._2).sum},"queries_prod":${obj(prod)(_._1)},"total_prod":$totalProd,"shuffle_write":${objL(bytesOracle.map(b => b._1 -> b._2._1))},"shuffle_read":${objL(bytesOracle.map(b => b._1 -> b._2._2))},"shuffle_write_prod":${objL(bytesProd.map(b => b._1 -> b._2._1))},"shuffle_read_prod":${objL(bytesProd.map(b => b._1 -> b._2._2))},"rows":${objL(rowCounts)},"sf":"$sfDir"}""")
     }
     spark.stop()
   }

@@ -406,18 +406,23 @@ object ScrapeEtl {
 
   private def htmlExtract(s: org.apache.spark.sql.SparkSession, d: String) = {
       // Typed field extraction from a RAW HTML string column — the
-      // reference's core extract, re-expressed columnar: it selects fields
-      // by (tag, attrs) from product pages with BeautifulSoup
-      // (scrap_tokopedia.py:50-73 selector table, :231-277 extraction +
-      // parse). Here the selector table becomes anchored regexp patterns
-      // over the same data-testid attributes, and the parse rules are the
-      // reference's verbatim (strip "Rp"/dots -> int, strip "%" -> /100;
-      // optional fields null when the tag is absent, :257-264).
-      // Round-trip discipline (same as q20): the page is RENDERED from part
-      // columns with the reference's exact tags/attrs, then the operator
-      // under test extracts the fields back out — both engines render
-      // identically, so the oracle grades extraction, not synthesis.
-      // All codegen'd string expressions, zero shuffle before the final
+      // reference's core extract with its REAL selector semantics: it
+      // selects fields by (tag, attrs-dict) from a PARSED tree with
+      // BeautifulSoup (scrap_tokopedia.py:50-73 selector table, :231-277
+      // extraction + parse), which an anchored regex only approximates
+      // (attribute order/extras, multi-class tokens, nested elements in
+      // field text — see [[HtmlTree]]). Round 14 moved the engine side
+      // to the tolerant tree extractor, per partition in the mm_resize
+      // batched-codec shape; the parse rules stay the reference's
+      // verbatim (strip "Rp"/dots -> int, strip "%" -> /100; optional
+      // fields null when the tag is absent, :257-264).
+      // Round-trip discipline (same as q20): the page is RENDERED from
+      // part columns with the reference's exact tags/attrs, then the
+      // operator under test extracts the fields back out. The DuckDB
+      // oracle keeps the regex formulation — on the well-formed
+      // synthesized pages tree and regex agree exactly (hash-green),
+      // and HtmlTreeSpec pins the cases regex cannot survive.
+      // One embarrassingly parallel pass, zero shuffle before the final
       // oracle-mode sort.
       val fmtIdr = (c: Column) =>
         regexp_replace(format_number(c.cast(LongType), 0), ",", ".")
@@ -433,24 +438,12 @@ object ScrapeEtl {
           .otherwise(lit("")),
         lit("""<div data-testid="lblPDPDescriptionProduk">"""),
         col("p_type"), lit("</div></body></html>"))
-      val nameRe = "<h1[^>]*data-testid=\"lblPDPDetailProductName\"[^>]*>([^<]*)</h1>"
-      val priceRe = "<div[^>]*data-testid=\"lblPDPDetailProductPrice\"[^>]*>([^<]*)</div>"
-      val origRe = "<span[^>]*data-testid=\"lblPDPDetailOriginalPrice\"[^>]*>([^<]*)</span>"
-      val discRe = "<span[^>]*data-testid=\"lblPDPDetailDiscountPercentage\"[^>]*>([^<]*)</span>"
-      val detailRe = "<div[^>]*data-testid=\"lblPDPDescriptionProduk\"[^>]*>([^<]*)</div>"
-      val rp = (c: Column) =>
-        regexp_replace(regexp_replace(c, "Rp", ""), "\\.", "").cast(LongType)
+      import s.implicits._
       Tables.part(s, d)
         .select(col("p_partkey"), html.as("html"))
-        .select(
-          col("p_partkey"),
-          regexp_extract(col("html"), nameRe, 1).as("name"),
-          rp(regexp_extract(col("html"), priceRe, 1)).as("price"),
-          rp(nullif(regexp_extract(col("html"), origRe, 1), lit(""))).as("originalprice"),
-          (regexp_replace(nullif(regexp_extract(col("html"), discRe, 1), lit("")), "%", "")
-            .cast("double") / 100).as("discountpercentage"),
-          regexp_extract(col("html"), detailRe, 1).as("detail"),
-        )
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (k, page) => HtmlTree.extractProduct(k, page) })
+        .toDF()
   }
 
   // ------------------------------------------------------------ q45

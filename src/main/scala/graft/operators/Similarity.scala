@@ -417,6 +417,47 @@ object Similarity {
     None,
   )
 
+  val qIndexRerankFull = GraftQuery(
+    "ann_index_rerank_fullprobe",
+    // the one persisted-serving entry under the HARD DuckDB gate
+    // (round 14): at FULL probe (every inverted list scanned) with the
+    // exact float rerank, the two-phase serve write -> prune -> coarse
+    // int8 -> rerank must equal brute-force exact cosine ROW FOR ROW —
+    // ann_bruteforce_topk's list_dot_product oracle already hash-matches
+    // the float kernel bit for bit, so the same SQL grades the whole
+    // persisted lifecycle end-to-end instead of resting on specs alone.
+    // Oversample 50 keeps 500 coarse candidates per query (the corpus
+    // tables are 500-2000 vectors), a wide margin over the measured
+    // int8 rank displacement while staying an honest two-phase serve.
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val centroids = centroidCache.getOrElseUpdate(d, Ivf.train(emb, k = 8, iters = 1))
+      val dir = indexDirCache.getOrElseUpdate(d, {
+        val out = s"/tmp/graft-index/idx_${java.lang.Integer.toHexString(d.hashCode)}"
+        Ivf.writeIndex(emb, centroids, out)
+        out
+      })
+      Ivf.searchIndexRerank(
+        s, dir, querySet(emb), emb, centroids, k = 10, nprobe = 8, oversample = 50)
+    },
+    Some("""WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < 8),
+      c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+      scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+          CASE WHEN list_dot_product(cv, cv) = 0 OR list_dot_product(qv, qv) = 0 THEN 0.0
+               ELSE list_dot_product(cv, qv)
+                    / sqrt(list_dot_product(cv, cv) * list_dot_product(qv, qv)) END AS sim
+        FROM c JOIN q ON c.vec_id <> q.query_id),
+      ranked AS (
+        SELECT query_id, neighbor_id, sim,
+          row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        FROM scored)
+      SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, sim
+      FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""),
+  )
+
   // PQ codebooks are model artifacts like the IVF centroids: train once
   // per (JVM, data dir) on the bounded deterministic sample, reuse across
   // registry entries.
@@ -571,5 +612,6 @@ object Similarity {
 
   def all: Seq[GraftQuery] =
     Seq(qBrute, qLsh, qIvf, qOutlier, qQuant, qInt8, qInt8Rerank, qIvfInt8, qIndexRerank,
-      qPq, qPqRerank, qIndexPqRerank, qIvfPqResid, qIndexPqResidRerank, qOpq, qIndexOpqRerank)
+      qIndexRerankFull, qPq, qPqRerank, qIndexPqRerank, qIvfPqResid, qIndexPqResidRerank,
+      qOpq, qIndexOpqRerank)
 }

@@ -675,6 +675,18 @@ object Ivf {
     }
     Generations.writeFolded(fs, nextRoot, foldedNow ++ toFold)
     Generations.markComplete(fs, nextRoot)
+    // folded ⇒ marker, ALWAYS: a batch that crashed between its atomic
+    // visibility rename and its marker write is legitimately foldable
+    // (visibility means the data landed in full, and batch content is
+    // replay-identical), but once its data dir is GC'd a marker-less
+    // fold would let the stream's replay re-append the rows. Creating
+    // the missing marker here closes that window — the replay
+    // short-circuits on it exactly as if the appender had finished.
+    fs.mkdirs(new Path(s"$dir/$AppendsSubdir"))
+    toFold.foreach { id =>
+      val marker = new Path(s"$dir/$AppendsSubdir/$id")
+      if (!fs.exists(marker)) fs.create(marker, true).close()
+    }
     Generations.flip(fs, dir, next)
     // ---- post-flip GC: the previous base and the batch data just
     // folded. A reader or appender that resolved the old generation

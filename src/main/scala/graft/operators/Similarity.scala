@@ -417,6 +417,31 @@ object Similarity {
     None,
   )
 
+  /** Brute-force exact-cosine SQL — the shared oracle of every
+    * full-probe + exact-rerank hard gate: the rerank phase emits the
+    * float kernel's cosines, bit-identical to DuckDB's
+    * list_dot_product form (proved by ann_bruteforce_topk), so any
+    * serve whose candidate set provably contains the float top-10
+    * hash-matches this SQL exactly.
+    */
+  private val bruteOracleSql =
+    """WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < 8),
+      c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+      scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+          CASE WHEN list_dot_product(cv, cv) = 0 OR list_dot_product(qv, qv) = 0 THEN 0.0
+               ELSE list_dot_product(cv, qv)
+                    / sqrt(list_dot_product(cv, cv) * list_dot_product(qv, qv)) END AS sim
+        FROM c JOIN q ON c.vec_id <> q.query_id),
+      ranked AS (
+        SELECT query_id, neighbor_id, sim,
+          row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        FROM scored)
+      SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, sim
+      FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
+
   val qIndexRerankFull = GraftQuery(
     "ann_index_rerank_fullprobe",
     // the one persisted-serving entry under the HARD DuckDB gate
@@ -440,22 +465,7 @@ object Similarity {
       Ivf.searchIndexRerank(
         s, dir, querySet(emb), emb, centroids, k = 10, nprobe = 8, oversample = 50)
     },
-    Some("""WITH q AS (
-        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-        FROM embeddings WHERE vec_id < 8),
-      c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
-      scored AS (
-        SELECT q.query_id, c.vec_id AS neighbor_id,
-          CASE WHEN list_dot_product(cv, cv) = 0 OR list_dot_product(qv, qv) = 0 THEN 0.0
-               ELSE list_dot_product(cv, qv)
-                    / sqrt(list_dot_product(cv, cv) * list_dot_product(qv, qv)) END AS sim
-        FROM c JOIN q ON c.vec_id <> q.query_id),
-      ranked AS (
-        SELECT query_id, neighbor_id, sim,
-          row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
-        FROM scored)
-      SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, sim
-      FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""),
+    Some(bruteOracleSql),
   )
 
   // PQ codebooks are model artifacts like the IVF centroids: train once
@@ -584,6 +594,68 @@ object Similarity {
     None,
   )
 
+  val qIndexPqRerankFull = GraftQuery(
+    "ann_index_pq_rerank_fullprobe",
+    // the 8-byte serving rung under the HARD gate (r14): full probe +
+    // exact float rerank at oversample 100 (1000 coarse ADC candidates
+    // against 500-2000-vector corpora) makes the served result equal
+    // brute force row for row — verified exact at sf0.001/0.01/0.1
+    // before registration; everything in the path (PQ training, codes,
+    // LUT scoring, rerank) is deterministic, so local exactness IS the
+    // gate guarantee.
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val centroids = centroidCache.getOrElseUpdate(d, Ivf.train(emb, k = 8, iters = 1))
+      val model = pqModel(d, emb)
+      val dir = pqIndexDirCache.getOrElseUpdate(d, {
+        val out = s"/tmp/graft-index/pq_${java.lang.Integer.toHexString(d.hashCode)}"
+        Ivf.writeIndexPq(emb, centroids, model, out)
+        out
+      })
+      Ivf.searchIndexPqRerank(s, dir, querySet(emb), emb, k = 10, nprobe = 8, oversample = 100)
+    },
+    Some(bruteOracleSql),
+  )
+
+  val qIndexPqResidRerankFull = GraftQuery(
+    "ann_index_pq_resid_rerank_fullprobe",
+    // residual rung under the HARD gate — same construction as
+    // ann_index_pq_rerank_fullprobe (full probe, oversample 100,
+    // deterministic end to end, exactness verified at every SF before
+    // registration).
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val centroids = centroidCache.getOrElseUpdate(d, Ivf.train(emb, k = 8, iters = 1))
+      val model = pqResidModelCache.getOrElseUpdate(d, Ivf.trainResidualPq(emb, centroids))
+      val dir = pqResidIndexDirCache.getOrElseUpdate(d, {
+        val out = s"/tmp/graft-index/pqr_${java.lang.Integer.toHexString(d.hashCode)}"
+        Ivf.writeIndexPqResid(emb, centroids, model, out)
+        out
+      })
+      Ivf.searchIndexPqResidRerank(s, dir, querySet(emb), emb, k = 10, nprobe = 8, oversample = 100)
+    },
+    Some(bruteOracleSql),
+  )
+
+  val qIndexOpqRerankFull = GraftQuery(
+    "ann_index_opq_rerank_fullprobe",
+    // OPQ rung under the HARD gate — same construction (the rerank
+    // scores ORIGINAL vectors, rotation invariance means the exact
+    // phase needs no rotation, so sims stay bit-identical to brute).
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val centroids = centroidCache.getOrElseUpdate(d, Ivf.train(emb, k = 8, iters = 1))
+      val model = opqModelCache.getOrElseUpdate(d, Opq.train(emb))
+      val dir = opqIndexDirCache.getOrElseUpdate(d, {
+        val out = s"/tmp/graft-index/opq_${java.lang.Integer.toHexString(d.hashCode)}"
+        Ivf.writeIndexOpq(emb, centroids, model, out)
+        out
+      })
+      Ivf.searchIndexOpqRerank(s, dir, querySet(emb), emb, k = 10, nprobe = 8, oversample = 100)
+    },
+    Some(bruteOracleSql),
+  )
+
   private val opqIndexDirCache = scala.collection.concurrent.TrieMap.empty[String, String]
 
   val qIndexOpqRerank = GraftQuery(
@@ -612,6 +684,6 @@ object Similarity {
 
   def all: Seq[GraftQuery] =
     Seq(qBrute, qLsh, qIvf, qOutlier, qQuant, qInt8, qInt8Rerank, qIvfInt8, qIndexRerank,
-      qIndexRerankFull, qPq, qPqRerank, qIndexPqRerank, qIvfPqResid, qIndexPqResidRerank,
-      qOpq, qIndexOpqRerank)
+      qIndexRerankFull, qPq, qPqRerank, qIndexPqRerank, qIndexPqRerankFull, qIvfPqResid,
+      qIndexPqResidRerank, qIndexPqResidRerankFull, qOpq, qIndexOpqRerank, qIndexOpqRerankFull)
 }

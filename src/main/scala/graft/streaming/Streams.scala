@@ -210,6 +210,12 @@ object Streams {
     * run recomputes it over the current curated corpus and overwrites
     * the directory; the running stream picks the swap up on its next
     * micro-batch, no restart.
+    *
+    * Concurrency contract: ONE producer per reference directory (the
+    * overwrite is not arbitrated between producers); safe concurrent
+    * with any number of stream readers — a reader that races the swap
+    * sees the old or the new reference in full, and the next
+    * micro-batch re-lists (the SURVEY §4 contract table).
     */
   def writeNearDupRef(
       corpus: DataFrame,
@@ -410,6 +416,10 @@ object Streams {
     * re-curation recomputes both over the current corpus and overwrites
     * the directory; the running stream picks the swap up on its next
     * micro-batch, no restart.
+    *
+    * Concurrency contract: ONE producer per reference directory, any
+    * number of stream readers ([[writeNearDupRef]]'s contract; SURVEY
+    * §4 table).
     */
   def writeEmbNearDupRef(
       corpus: DataFrame,
@@ -541,6 +551,10 @@ object Streams {
     * story: benchmark suites GROW (new evals land monthly); the periodic
     * rebuild overwrites the directory and the running gate picks it up
     * on its next micro-batch.
+    *
+    * Concurrency contract: ONE producer per reference directory, any
+    * number of stream readers ([[writeNearDupRef]]'s contract; SURVEY
+    * §4 table).
     */
   def writeDecontamRef(
       bench: DataFrame,

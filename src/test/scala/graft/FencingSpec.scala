@@ -79,6 +79,34 @@ class FencingSpec extends AnyFunSuite {
     assert(rows(dir) == rows(rebuilt), "post-fold serve unchanged")
   }
 
+  test("a batch that crashed before its marker is folded WITH a marker: replay cannot duplicate") {
+    // the ADVICE-flagged exactly-once hole, closed structurally: crash
+    // lands the atomic visibility rename but not the _appends marker;
+    // compaction folds the visible batch, creates the missing marker,
+    // GCs the data dir — the stream's replay must short-circuit on the
+    // created marker instead of re-appending the folded rows
+    val emb = Tables.embeddings(spark, sf)
+    val base = emb.filter(col("vec_id") >= 100)
+    val delta = emb.filter(col("vec_id") < 100)
+    val centroids = operators.Ivf.train(emb, k = 8, iters = 1)
+    val dir = "/tmp/graft-test/fence_crash_marker"
+    operators.Ivf.writeIndex(base, centroids, dir)
+    operators.Ivf.appendIndexBatch(delta, dir, 5L)
+    // simulate the crash window: marker gone, visible batch dir intact
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/_appends/5")
+    require(hfs(dir).delete(marker, false))
+    operators.Ivf.compactIndex(spark, dir)
+    assert(hfs(dir).exists(marker),
+      "compaction must create the missing marker for a folded unmarked batch")
+    assert(!hfs(dir).exists(new org.apache.hadoop.fs.Path(s"$dir/_appends_data/5")),
+      "the folded batch's data dir is GC'd")
+    operators.Ivf.appendIndexBatch(delta, dir, 5L) // the stream's replay
+    val df = operators.Ivf.readIndex(spark, dir)
+    assert(df.count() == 500 &&
+      df.groupBy("vec_id").count().filter(col("count") > 1).count() == 0,
+      "replay after a folded crash-window batch must be a no-op — exactly once")
+  }
+
   test("IVF index: an append racing compaction on a PQ index keeps its code form") {
     // the fence must hold for every index layout — the PQ dispatch bit
     // (model subdirs) is resolved through the generation pointer, so a

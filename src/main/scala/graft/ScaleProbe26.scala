@@ -23,10 +23,18 @@ object ScaleProbe26 {
     val spark = GraftSession.build("local[32]", 32)
     spark.sparkContext.setLogLevel("ERROR")
 
+    // doc_id is a SPARSE unique key: 2x a permutation of [0, n) (40503
+    // coprime with n) — even values present exactly once, odd values
+    // in-range but ABSENT. Two deliberate properties: (a) a
+    // low-cardinality column would truthfully skip nothing (every row
+    // group really contains every popular value — the first version of
+    // this probe measured exactly that 0); (b) absent probes must be
+    // IN-RANGE, or min/max stats prune them without any bloom and the
+    // receipt measures the wrong mechanism.
     val n = 5000000L
     val rows = spark.range(0, n).select(
       (col("id") * 2654435761L % 1000000).as("user_id"),
-      (col("id") * 40503L % 104729).as("doc_id"),
+      (col("id") * 40503L % n * 2).as("doc_id"),
       col("id").as("payload"))
       .localCheckpoint()
 
@@ -50,7 +58,7 @@ object ScaleProbe26 {
       f"bloom $tBloom%.1f s / ${du(s"$base/bloom") / 1048576.0}%.1f MiB")
 
     // structural skip rate: 32 point probes, footer-evaluated
-    val probeIds = (0 until 32).map(i => (i * 131L * 40503L) % 104729)
+    val probeIds = (0 until 32).map(i => (i * 131L * 40503L) % n * 2)
     val stats = probeIds.map(v => sources.Clustered.bloomStats(spark, s"$base/bloom", "doc_id", v))
     val total = stats.head._3
     val skipped = stats.map(_._2)
@@ -68,6 +76,29 @@ object ScaleProbe26 {
     scan(s"$base/plain"); scan(s"$base/bloom") // warm-up
     println(f"[probe26] point-probe scan warm median: plain ${scan(s"$base/plain")}%.3f s, " +
       f"bloom ${scan(s"$base/bloom")}%.3f s")
+    // absent IN-RANGE key (odd): min/max stats cannot prune it — only
+    // the bloom proves absence, so the reader decodes nothing
+    def scanAbsent(dir: String): Double = {
+      val ts = (0 until 5).map { i =>
+        timed(sources.Clustered.read(spark, dir)
+          .filter(col("doc_id") === (2L * i + 1001)).count())._2
+      }.sorted
+      ts(2)
+    }
+    scanAbsent(s"$base/plain"); scanAbsent(s"$base/bloom")
+    println(f"[probe26] ABSENT-key scan warm median: plain ${scanAbsent(s"$base/plain")}%.3f s, " +
+      f"bloom ${scanAbsent(s"$base/bloom")}%.3f s")
+    // the mechanism, not just the wall time: rows the scan DECODES for
+    // an in-range absent key (scan-node numOutputRows). Stats can't
+    // prune it (every group's [min,max] contains it); only the bloom
+    // proves absence before decode.
+    Seq("plain", "bloom").foreach { layout =>
+      val df = sources.Clustered.read(spark, s"$base/$layout").filter(col("doc_id") === 1001L)
+      df.collect()
+      val decoded = df.queryExecution.executedPlan.collectLeaves().head
+        .metrics("numOutputRows").value
+      println(s"[probe26] $layout: scan decoded $decoded rows for the in-range absent key")
+    }
     spark.stop()
   }
 }

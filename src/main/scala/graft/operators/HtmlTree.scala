@@ -126,9 +126,14 @@ object HtmlTree {
                   attrs += aname -> decodeEntities(html.substring(v0, math.min(k, n)))
                   j = if (k < n) k + 1 else n
                 } else {
+                  // unquoted value: ends at whitespace or '>' ONLY —
+                  // '/' is a legal value character (href=/p/item);
+                  // HTML5 treats a trailing x/ in src=x/> as part of
+                  // the value, and void/self-closing handling does not
+                  // depend on it
                   val v0 = j
                   while (j < n && !html.charAt(j).isWhitespace &&
-                    html.charAt(j) != '>' && html.charAt(j) != '/') j += 1
+                    html.charAt(j) != '>') j += 1
                   attrs += aname -> decodeEntities(html.substring(v0, j))
                 }
               } else attrs += aname -> ""
@@ -141,9 +146,16 @@ object HtmlTree {
         stack.last.children += el
         if (!selfClose && !VoidTags(tag)) {
           if (RawText(tag)) {
-            // raw text content up to the matching close tag
+            // raw text content up to the matching close tag —
+            // case-insensitive scan WITHOUT allocating a lowercase
+            // copy of the page per script/style element
             val close = s"</$tag"
-            val at = html.toLowerCase.indexOf(close, i)
+            var at = -1
+            var k = i
+            while (at < 0 && k <= n - close.length) {
+              if (html.regionMatches(true, k, close, 0, close.length)) at = k
+              k += 1
+            }
             val end = if (at < 0) n else at
             if (end > i) el.children += Text(html.substring(i, end))
             val gt = html.indexOf('>', if (at < 0) n - 1 else at)

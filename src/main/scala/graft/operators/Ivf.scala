@@ -245,16 +245,10 @@ object Ivf {
     * either visible in full or already in the base generation, and the
     * `_folded` manifest says which).
     */
-  def readIndex(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    val fs = fsOf(spark, dir)
-    val root = graft.sources.Generations.resolveRoot(fs, dir)
-    val folded = graft.sources.Generations.foldedIds(fs, root)
-    val extras = graft.sources.Generations.visibleBatches(fs, dir, AppendsDataSubdir)
-      .filterNot(folded)
-    extras.foldLeft(spark.read.parquet(root)) { (df, b) =>
-      df.unionByName(spark.read.parquet(s"$dir/$AppendsDataSubdir/$b"))
-    }
-  }
+  def readIndex(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    graft.sources.Generations.liveRoots(fsOf(spark, dir), dir, AppendsDataSubdir)
+      .map(spark.read.parquet(_))
+      .reduceLeft(_ unionByName _)
 
   /** [[writeIndex]] core over an explicit cluster-assignment column —
     * the layout/IO path isolated from the quantizer, so scale probes can
@@ -273,14 +267,30 @@ object Ivf {
     * `spark.sql.files.maxRecordsPerFile` — a size bound, not a
     * task-count artifact.
     */
+  /** Full-rebuild reset: a rebuild is a NEW index, so the generation
+    * pointer, old generations, batch areas, replay markers, AND the
+    * model subdirs all go — a stale `_opq`/`_pq_resid` dispatch bit
+    * from a previous layout would otherwise make self-describing
+    * appends encode to the WRONG code form against the new lists.
+    * (Contract: use a fresh stream checkpoint after a rebuild — an old
+    * checkpoint would re-deliver batches the new index never saw.)
+    */
+  private def resetIndexState(spark: org.apache.spark.sql.SparkSession, dir: String): Unit =
+    graft.sources.Generations.reset(
+      fsOf(spark, dir), dir,
+      Seq(AppendsDataSubdir, AppendsSubdir,
+        QuantizerSubdir, PqSubdir, PqResidSubdir, OpqSubdir))
+
   private[graft] def writeIndexAssigned(
       corpus: DataFrame, cluster: Column, dir: String,
-      metaCols: Seq[String] = Nil): Unit =
+      metaCols: Seq[String] = Nil): Unit = {
+    resetIndexState(corpus.sparkSession, dir)
     corpus.select(
       Seq(col("vec_id"), graft.gfunctions.int8_codes(col("embedding")).as("codes_bin"),
         cluster.cast("int").as("cluster")) ++ metaCols.map(col): _*)
       .repartition(col("cluster"))
       .write.partitionBy("cluster").mode("overwrite").parquet(dir)
+  }
 
   /** Serve from a [[writeIndex]] directory. The probed cluster ids are
     * collected from the QUERY set (small by contract — it rides a
@@ -634,11 +644,23 @@ object Ivf {
     import graft.sources.Generations
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = fsOf(spark, dir)
+    // migration heal for the r13-era in-place-swap protocol: a crash
+    // between ITS two renames left the only copy at `dir + ".old"` with
+    // the live dir missing — restore it before anything else, or the
+    // table stays stranded forever under the new protocol
+    val legacyOld = new Path(dir + ".old")
+    if (!fs.exists(new Path(dir)) && fs.exists(legacyOld)) {
+      require(fs.rename(legacyOld, new Path(dir)),
+        s"compactIndex: could not restore $dir from a legacy .old crash state")
+    } else if (fs.exists(legacyOld)) fs.delete(legacyOld, true) // stale legacy residue
     // ---- entry GC: sweep residue of crashed prior runs. The current
     // generation (pointer target, or the mid-flip fallback) is the one
     // source of truth; every other generation — incomplete writes,
     // complete-but-unflipped orphans, the pre-flip previous base — is
-    // invisible to resolution and deletable.
+    // invisible to resolution and deletable. Abandoned dot-staging from
+    // crashed appends goes too (an in-flight append that loses its
+    // staging fails its commit rename and retries — transient, no loss).
+    Generations.sweepStaging(fs, dir, AppendsDataSubdir)
     val cur = Generations.currentGen(fs, dir)
     Generations.allGens(fs, dir).filterNot(cur.contains)
       .foreach(n => fs.delete(new Path(Generations.genDir(dir, n)), true))
@@ -674,19 +696,23 @@ object Ivf {
           s"compactIndex: could not copy $sub into $nextRoot")
     }
     Generations.writeFolded(fs, nextRoot, foldedNow ++ toFold)
-    Generations.markComplete(fs, nextRoot)
-    // folded ⇒ marker, ALWAYS: a batch that crashed between its atomic
-    // visibility rename and its marker write is legitimately foldable
-    // (visibility means the data landed in full, and batch content is
-    // replay-identical), but once its data dir is GC'd a marker-less
-    // fold would let the stream's replay re-append the rows. Creating
-    // the missing marker here closes that window — the replay
-    // short-circuits on it exactly as if the appender had finished.
+    // folded ⇒ marker, ALWAYS — and BEFORE markComplete: a batch that
+    // crashed between its atomic visibility rename and its marker
+    // write is legitimately foldable (visibility means the data landed
+    // in full, and batch content is replay-identical), but once its
+    // data dir is GC'd a marker-less fold would let the stream's
+    // replay re-append the rows. Ordering matters on a FIRST
+    // compaction: with no pointer yet, `_complete` alone commits the
+    // fold (the highest-complete-gen fallback), so markers must exist
+    // by then or a crash in between re-opens the hole. Ad-hoc
+    // (`adhoc-<uuid>`) batches have no replay semantics and get no
+    // marker — markers exist solely for the streaming replay check.
     fs.mkdirs(new Path(s"$dir/$AppendsSubdir"))
-    toFold.foreach { id =>
+    toFold.filterNot(_.startsWith("adhoc-")).foreach { id =>
       val marker = new Path(s"$dir/$AppendsSubdir/$id")
       if (!fs.exists(marker)) fs.create(marker, true).close()
     }
+    Generations.markComplete(fs, nextRoot)
     Generations.flip(fs, dir, next)
     // ---- post-flip GC: the previous base and the batch data just
     // folded. A reader or appender that resolved the old generation
@@ -986,6 +1012,7 @@ object Ivf {
       corpus: DataFrame, centroids: Array[Array[Float]], model: Pq.Model,
       dir: String, metaCols: Seq[String]): Unit = {
     import graft.gfunctions.pq_codes
+    resetIndexState(corpus.sparkSession, dir)
     corpus.select(
       Seq(
         col("vec_id"),
@@ -1094,6 +1121,7 @@ object Ivf {
       corpus: DataFrame, centroids: Array[Array[Float]], model: Pq.Model,
       dir: String, metaCols: Seq[String]): Unit = {
     import graft.gfunctions.pq_resid_codes
+    resetIndexState(corpus.sparkSession, dir)
     val flat = centroids.flatten
     corpus
       .select(
@@ -1244,6 +1272,7 @@ object Ivf {
       corpus: DataFrame, centroids: Array[Array[Float]], model: Opq.Model,
       dir: String, metaCols: Seq[String]): Unit = {
     import graft.gfunctions.{mat_vec, pq_codes}
+    resetIndexState(corpus.sparkSession, dir)
     corpus.select(
       Seq(
         col("vec_id"),

@@ -59,10 +59,15 @@ object Clustered {
     */
   def save(
       df: DataFrame, dir: String, key: String, files: Int = 32,
-      bloomCols: Seq[String] = Nil): Unit =
+      bloomCols: Seq[String] = Nil): Unit = {
+    // full rebuild = new table: without this reset a stale _current
+    // would keep readers resolving into a dead generation beside the
+    // fresh flat data
+    Generations.reset(fsOf(df.sparkSession, dir), dir, Seq(BatchesSubdir))
     df.repartitionByRange(files, col(key))
       .sortWithinPartitions(key)
       .write.options(bloomOpts(bloomCols)).mode("overwrite").parquet(dir)
+  }
 
   /** Write `df` Z-ORDER-clustered on TWO long keys: the multi-predicate
     * data-skipping layout. [[save]] makes `key`'s row-group stats tight
@@ -84,6 +89,7 @@ object Clustered {
       df: DataFrame, dir: String, key0: String, key1: String,
       files: Int = 32, bits: Int = 12, relErr: Double = 1e-4,
       bloomCols: Seq[String] = Nil): Unit = {
+    Generations.reset(fsOf(df.sparkSession, dir), dir, Seq(BatchesSubdir)) // full rebuild
     val buckets = 1 << bits
     val probs = Array.tabulate(buckets - 1)(i => (i + 1).toDouble / buckets)
     // one sketch pass covers both keys (approxQuantile merges per-partition
@@ -183,8 +189,19 @@ object Clustered {
       afterSnapshot: () => Unit): Unit = {
     import org.apache.hadoop.fs.Path
     val fs = fsOf(spark, dir)
+    // migration heal for the r13-era in-place-swap crash state (only
+    // copy stranded at dir + ".old", live dir missing)
+    val legacyOld = new Path(dir + ".old")
+    if (!fs.exists(new Path(dir)) && fs.exists(legacyOld)) {
+      require(fs.rename(legacyOld, new Path(dir)),
+        s"optimize: could not restore $dir from a legacy .old crash state")
+    } else if (fs.exists(legacyOld)) fs.delete(legacyOld, true) // stale legacy residue
     // entry GC: non-current generations (incomplete writes, unflipped
-    // orphans, the pre-flip previous base) and already-folded batch data
+    // orphans, the pre-flip previous base), already-folded batch data,
+    // and abandoned dot-staging from crashed appends (an in-flight
+    // append that loses its staging fails its commit rename and the
+    // caller retries — transient, no loss)
+    Generations.sweepStaging(fs, dir, BatchesSubdir)
     val cur = Generations.currentGen(fs, dir)
     Generations.allGens(fs, dir).filterNot(cur.contains)
       .foreach(n => fs.delete(new Path(Generations.genDir(dir, n)), true))
@@ -231,13 +248,9 @@ object Clustered {
     * just-collected files and should retry; it can never observe a
     * half-folded state.
     */
-  def read(spark: SparkSession, dir: String): DataFrame = {
-    val fs = fsOf(spark, dir)
-    val root = Generations.resolveRoot(fs, dir)
-    val folded = Generations.foldedIds(fs, root)
-    val extras = Generations.visibleBatches(fs, dir, BatchesSubdir).filterNot(folded)
-    spark.read.parquet(root +: extras.map(b => s"$dir/$BatchesSubdir/$b"): _*)
-  }
+  def read(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(
+      Generations.liveRoots(fsOf(spark, dir), dir, BatchesSubdir): _*)
 
   /** Per-row-group (min, max) statistics of a LONG column across every
     * parquet file under `dir` — the structural evidence data skipping
@@ -253,10 +266,7 @@ object Clustered {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(dir).getFileSystem(conf)
     // the same resolution as [[read]]: current generation + live batches
-    val base = Generations.resolveRoot(fs, dir)
-    val folded = Generations.foldedIds(fs, base)
-    val roots = base +: Generations.visibleBatches(fs, dir, BatchesSubdir)
-      .filterNot(folded).map(b => s"$dir/$BatchesSubdir/$b")
+    val roots = Generations.liveRoots(fs, dir, BatchesSubdir)
     roots.map(new Path(_)).flatMap(fs.listStatus(_).toSeq)
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       .flatMap { st =>
@@ -292,10 +302,7 @@ object Clustered {
     import scala.jdk.CollectionConverters._
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(dir).getFileSystem(conf)
-    val base = Generations.resolveRoot(fs, dir)
-    val folded = Generations.foldedIds(fs, base)
-    val roots = base +: Generations.visibleBatches(fs, dir, BatchesSubdir)
-      .filterNot(folded).map(b => s"$dir/$BatchesSubdir/$b")
+    val roots = Generations.liveRoots(fs, dir, BatchesSubdir)
     var withBloom = 0; var negative = 0; var total = 0
     roots.map(new Path(_)).flatMap(fs.listStatus(_).toSeq)
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))

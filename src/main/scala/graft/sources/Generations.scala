@@ -129,6 +129,24 @@ object Generations {
   def markComplete(fs: FileSystem, root: String): Unit =
     writeSmall(fs, new Path(s"$root/$Complete"), "")
 
+  /** Reset every trace of the protocol under `dir` — pointer,
+    * generations, and the given batch areas. Called by FULL REBUILD
+    * writers (`Ivf.writeIndex*`, `Clustered.save`) before their
+    * overwrite: a rebuild is a NEW table, and without the reset a
+    * stale `_current` would keep resolving readers into a dead
+    * generation beside the fresh flat data. (Markers under `_appends`
+    * go too: rebuild + an old stream checkpoint means duplicates by
+    * construction — the contract is a fresh checkpoint per rebuild,
+    * documented at the writers.)
+    */
+  def reset(fs: FileSystem, dir: String, areas: Seq[String]): Unit = {
+    if (fs.exists(new Path(dir))) {
+      fs.delete(new Path(s"$dir/$Pointer"), false)
+      allGens(fs, dir).foreach(n => fs.delete(new Path(genDir(dir, n)), true))
+      areas.foreach(a => fs.delete(new Path(s"$dir/$a"), true))
+    }
+  }
+
   /** Committed batch directory names under `dir/<area>` — visibility IS
     * the commit (a batch becomes visible via one atomic rename from its
     * dot-staged twin), so dot-prefixed staging is excluded by name.
@@ -139,5 +157,32 @@ object Generations {
     else fs.listStatus(p).toSeq
       .filter(st => st.isDirectory && !st.getPath.getName.startsWith("."))
       .map(_.getPath.getName).sorted
+  }
+
+  /** THE live-layout resolution, shared by every reader and evidence
+    * inspector (one implementation so the semantics cannot drift):
+    * current generation root first, then every committed batch dir not
+    * yet recorded in that root's `_folded` manifest.
+    */
+  def liveRoots(fs: FileSystem, dir: String, area: String): Seq[String] = {
+    val root = resolveRoot(fs, dir)
+    val folded = foldedIds(fs, root)
+    root +: visibleBatches(fs, dir, area).filterNot(folded).map(b => s"$dir/$area/$b")
+  }
+
+  /** Sweep abandoned dot-staging under `dir/<area>` — crash residue of
+    * appends that died mid-write. Called from maintenance entry GC: an
+    * IN-FLIGHT append whose staging is swept fails its commit rename
+    * and must retry (the same transient-failure rule as the flip — a
+    * retried append is idempotent for marker-carrying batch ids and a
+    * caller re-run for ad-hoc ones); without the sweep every crashed
+    * append leaks its full batch size forever.
+    */
+  def sweepStaging(fs: FileSystem, dir: String, area: String): Unit = {
+    val p = new Path(s"$dir/$area")
+    if (fs.exists(p))
+      fs.listStatus(p).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("."))
+        .foreach(st => fs.delete(st.getPath, true))
   }
 }

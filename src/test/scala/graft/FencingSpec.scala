@@ -195,6 +195,69 @@ class FencingSpec extends AnyFunSuite {
     assert(sources.Clustered.read(spark, dir).count() == 22000, "fold keeps every row")
   }
 
+  test("legacy r13 mid-swap crash state (.old, live dir missing) is healed on entry") {
+    val emb = Tables.embeddings(spark, sf)
+    val centroids = operators.Ivf.train(emb, k = 8, iters = 1)
+    val dir = "/tmp/graft-test/fence_legacy_old"
+    operators.Ivf.writeIndex(emb, centroids, dir)
+    def served() = operators.Ivf
+      .searchIndex(spark, dir, emb.filter(col("vec_id") < 8), centroids, k = 10, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val want = served()
+    // the r13 in-place swap's crash window: dir staged aside, swap never ran
+    require(hfs(dir).rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + ".old")))
+    operators.Ivf.compactIndex(spark, dir)
+    assert(served() == want,
+      "an upgraded table stranded in the legacy .old state must be restored and serve identically")
+    assert(!hfs(dir).exists(new org.apache.hadoop.fs.Path(dir + ".old")))
+  }
+
+  test("a full rebuild over a generational dir resets the protocol: readers see the NEW data") {
+    // without the writers' reset, a stale _current would keep resolving
+    // readers into the dead generation beside the fresh flat data
+    val emb = Tables.embeddings(spark, sf)
+    val centroids = operators.Ivf.train(emb, k = 8, iters = 1)
+    val dir = "/tmp/graft-test/fence_rebuild"
+    operators.Ivf.writeIndex(emb.filter(col("vec_id") >= 250), centroids, dir)
+    operators.Ivf.appendIndex(emb.filter(col("vec_id") < 250), dir)
+    operators.Ivf.compactIndex(spark, dir) // now generational
+    assert(graft.sources.Generations.currentGen(hfs(dir), dir).isDefined)
+    // REBUILD over it with a different corpus slice
+    operators.Ivf.writeIndex(emb.filter(col("vec_id") < 100), centroids, dir)
+    val df = operators.Ivf.readIndex(spark, dir)
+    assert(df.count() == 100 && df.agg(max(col("vec_id"))).collect()(0).getLong(0) < 100,
+      "after a rebuild, readers must see ONLY the new corpus — no stale generation")
+    assert(graft.sources.Generations.currentGen(hfs(dir), dir).isEmpty,
+      "the rebuild must clear the generation pointer")
+
+    // CODE-FORM switch: an OPQ dir rebuilt as a plain-PQ index must not
+    // leave the stale _opq dispatch bit — the self-describing append
+    // would otherwise rotate-and-encode against non-rotated lists
+    val sdir = "/tmp/graft-test/fence_rebuild_form"
+    val opqModel = operators.Opq.train(emb)
+    operators.Ivf.writeIndexOpq(emb.filter(col("vec_id") >= 250), centroids, opqModel, sdir)
+    val pqModel = operators.Pq.train(emb)
+    operators.Ivf.writeIndexPq(emb.filter(col("vec_id") >= 100), centroids, pqModel, sdir)
+    operators.Ivf.appendIndex(emb.filter(col("vec_id") < 100), sdir)
+    val lists = operators.Ivf.readIndex(spark, sdir)
+    assert(lists.columns.toSet == Set("vec_id", "codes_pq", "cluster"),
+      s"rebuild must clear the old layout's dispatch bit, got ${lists.columns.mkString(",")}")
+    assert(lists.filter(col("codes_pq").isNull).count() == 0)
+
+    val cdir = "/tmp/graft-test/fence_rebuild_clustered"
+    val a = spark.range(0, 1000).select(col("id").as("user_id"), col("id").as("payload"))
+    val b = spark.range(5000, 5500).select(col("id").as("user_id"), col("id").as("payload"))
+    sources.Clustered.save(a, cdir, "user_id", files = 2)
+    sources.Clustered.append(a, cdir, "user_id")
+    sources.Clustered.optimize(spark, cdir, "user_id", files = 2) // generational
+    sources.Clustered.save(b, cdir, "user_id", files = 2) // rebuild
+    val back = sources.Clustered.read(spark, cdir)
+    assert(back.count() == 500 &&
+      back.agg(min(col("user_id"))).collect()(0).getLong(0) == 5000,
+      "Clustered.save over a generational dir must fully reset the table")
+  }
+
   test("Clustered: crash states — partial generation invisible, mid-flip fallback, heal") {
     val dir = "/tmp/graft-test/fence_clustered_crash"
     val base = spark.range(0, 5000).select(

@@ -91,6 +91,13 @@ class HtmlTreeSpec extends AnyFunSuite {
     val links = HtmlTree.collectValidLinks(page, anchorSel)
     assert(links == Seq("/p/valid-1", "/p/valid-2"),
       s"the DEEPLY nested marker must exclude only its own anchor, got $links")
+    // UNQUOTED href with slashes — legal HTML5; a value scan that stops
+    // at '/' would silently emit "" instead of the link
+    val unquoted =
+      """<body><a class=product-card href=/p/unq-1>one</a>""" +
+        """<a class=product-card href=/p/unq-2 data-x=1>two</a></body>"""
+    assert(HtmlTree.collectValidLinks(unquoted, anchorSel) == Seq("/p/unq-1", "/p/unq-2"),
+      "unquoted attribute values must keep '/' characters")
   }
 
   test("tag-soup tolerance: quotes, void elements, comments, raw script, unclosed tags") {

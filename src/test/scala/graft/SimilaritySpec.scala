@@ -389,15 +389,17 @@ class SimilaritySpec extends AnyFunSuite {
       s"compaction folds to one file per list, got ${files(grown)} files for $nLists lists")
     assert(rows(grown) == rows(rebuilt), "compaction must not change a single served row")
     // stale residue from a crashed prior compaction — an incomplete
-    // generation dir and an abandoned batch staging dir — must not wedge
-    // or pollute the next run (resolution ignores both; entry GC sweeps
-    // the incomplete generation; dot-staging stays invisible)
+    // generation dir and an abandoned append-staging dir — must not
+    // wedge or pollute the next run (resolution ignores both; entry GC
+    // sweeps both)
     assert(new java.io.File(grown + "/_gen-99/cluster=0").mkdirs())
     assert(new java.io.File(grown + "/_appends_data/.b-junk").mkdirs())
     operators.Ivf.compactIndex(spark, grown)
     assert(rows(grown) == rows(rebuilt), "compaction after crash residue must still serve identically")
     assert(!new java.io.File(grown + "/_gen-99").exists(),
       "entry GC must sweep incomplete generation residue")
+    assert(!new java.io.File(grown + "/_appends_data/.b-junk").exists(),
+      "entry GC must sweep abandoned append staging")
   }
 
   test("idempotent batch append: replay, crash residue, and post-compaction replay never duplicate") {

@@ -658,8 +658,9 @@ object Ivf {
     // source of truth; every other generation — incomplete writes,
     // complete-but-unflipped orphans, the pre-flip previous base — is
     // invisible to resolution and deletable. Abandoned dot-staging from
-    // crashed appends goes too (an in-flight append that loses its
-    // staging fails its commit rename and retries — transient, no loss).
+    // crashed appends goes too — but ONLY past the age threshold: a
+    // sweep racing a live append's commit rename can interleave into a
+    // partially-deleted committed batch (see Generations.sweepStaging).
     Generations.sweepStaging(fs, dir, AppendsDataSubdir)
     val cur = Generations.currentGen(fs, dir)
     Generations.allGens(fs, dir).filterNot(cur.contains)

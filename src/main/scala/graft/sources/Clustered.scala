@@ -198,9 +198,9 @@ object Clustered {
     } else if (fs.exists(legacyOld)) fs.delete(legacyOld, true) // stale legacy residue
     // entry GC: non-current generations (incomplete writes, unflipped
     // orphans, the pre-flip previous base), already-folded batch data,
-    // and abandoned dot-staging from crashed appends (an in-flight
-    // append that loses its staging fails its commit rename and the
-    // caller retries — transient, no loss)
+    // and abandoned dot-staging from crashed appends — only past the
+    // age threshold (see Generations.sweepStaging for the race a
+    // fresh-staging sweep would open)
     Generations.sweepStaging(fs, dir, BatchesSubdir)
     val cur = Generations.currentGen(fs, dir)
     Generations.allGens(fs, dir).filterNot(cur.contains)

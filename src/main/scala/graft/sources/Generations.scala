@@ -170,19 +170,32 @@ object Generations {
     root +: visibleBatches(fs, dir, area).filterNot(folded).map(b => s"$dir/$area/$b")
   }
 
+  /** Appends must finish inside this window or risk their staging
+    * being garbage-collected mid-write (the [[sweepStaging]] bound —
+    * part of the concurrency contract, documented in SURVEY §4).
+    */
+  val StagingSweepAgeMs: Long = 24L * 3600 * 1000
+
   /** Sweep abandoned dot-staging under `dir/<area>` — crash residue of
-    * appends that died mid-write. Called from maintenance entry GC: an
-    * IN-FLIGHT append whose staging is swept fails its commit rename
-    * and must retry (the same transient-failure rule as the flip — a
-    * retried append is idempotent for marker-carrying batch ids and a
-    * caller re-run for ad-hoc ones); without the sweep every crashed
-    * append leaks its full batch size forever.
+    * appends that died mid-write; without the sweep every crashed
+    * append leaks its full batch size forever. ONLY staging older than
+    * [[StagingSweepAgeMs]] is touched: a recursive delete racing a
+    * live append's atomic commit rename can interleave (POSIX renames
+    * a directory out from under an in-progress delete walk), which
+    * would commit a PARTIALLY deleted batch — the FencingSpec stress
+    * run caught exactly that as silently lost rows. An in-flight
+    * append's staging is by construction fresh, so the age gate makes
+    * the sweep touch only dead residue; the residual race needs an
+    * append mid-write for longer than the threshold, which is the
+    * documented contract bound.
     */
   def sweepStaging(fs: FileSystem, dir: String, area: String): Unit = {
     val p = new Path(s"$dir/$area")
+    val cutoff = System.currentTimeMillis() - StagingSweepAgeMs
     if (fs.exists(p))
       fs.listStatus(p).toSeq
         .filter(st => st.isDirectory && st.getPath.getName.startsWith("."))
+        .filter(_.getModificationTime < cutoff)
         .foreach(st => fs.delete(st.getPath, true))
   }
 }

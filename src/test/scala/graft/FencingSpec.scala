@@ -195,6 +195,63 @@ class FencingSpec extends AnyFunSuite {
     assert(sources.Clustered.read(spark, dir).count() == 22000, "fold keeps every row")
   }
 
+  test("two-thread stress: a live append stream racing repeated compactions loses nothing") {
+    // the hooked tests pin ONE interleaving; this drives REAL
+    // concurrency — a thread of sequential batch appends against a
+    // thread of back-to-back compactions — and asserts the global
+    // invariant the protocol promises: every batch lands exactly once,
+    // markers all present, regardless of how the schedules interleave.
+    // Appends/compactions may fail TRANSIENTLY around a flip (the
+    // documented contract); the retry loop below is exactly what the
+    // streaming lane does.
+    val emb = Tables.embeddings(spark, sf).localCheckpoint()
+    val centroids = operators.Ivf.train(emb, k = 8, iters = 1)
+    val dir = "/tmp/graft-test/fence_stress"
+    operators.Ivf.writeIndex(emb.filter(col("vec_id") >= 400), centroids, dir)
+    val batches = (0 until 8).map(b =>
+      b.toLong -> emb.filter(col("vec_id") >= b * 50 && col("vec_id") < (b + 1) * 50))
+    @volatile var appendErr: Option[Throwable] = None
+    val appender = new Thread(() => {
+      try batches.foreach { case (id, delta) =>
+        var done = false
+        var tries = 0
+        while (!done) {
+          try { operators.Ivf.appendIndexBatch(delta, dir, id); done = true }
+          catch { case e: Throwable =>
+            tries += 1
+            if (tries > 5) throw e // transient-retry contract, bounded
+            Thread.sleep(50)
+          }
+        }
+      } catch { case e: Throwable => appendErr = Some(e) }
+    })
+    @volatile var compactErr: Option[Throwable] = None
+    val compactor = new Thread(() => {
+      try (0 until 4).foreach { _ =>
+        operators.Ivf.compactIndex(spark, dir)
+        Thread.sleep(30)
+      } catch { case e: Throwable => compactErr = Some(e) }
+    })
+    appender.start(); compactor.start()
+    appender.join(300000); compactor.join(300000)
+    assert(appendErr.isEmpty, s"appender died: $appendErr")
+    assert(compactErr.isEmpty, s"compactor died: $compactErr")
+    // one final fold so everything is in the base generation
+    operators.Ivf.compactIndex(spark, dir)
+    val df = operators.Ivf.readIndex(spark, dir)
+    assert(df.count() == 500,
+      s"every appended batch must survive the races, got ${df.count()}")
+    assert(df.groupBy("vec_id").count().filter(col("count") > 1).count() == 0,
+      "no vector duplicated across the races")
+    (0 until 8).foreach { b =>
+      assert(hfs(dir).exists(new org.apache.hadoop.fs.Path(s"$dir/_appends/$b")),
+        s"batch $b's marker must exist")
+    }
+    // and replays of every batch stay no-ops
+    batches.foreach { case (id, delta) => operators.Ivf.appendIndexBatch(delta, dir, id) }
+    assert(operators.Ivf.readIndex(spark, dir).count() == 500, "post-stress replays are no-ops")
+  }
+
   test("legacy r13 mid-swap crash state (.old, live dir missing) is healed on entry") {
     val emb = Tables.embeddings(spark, sf)
     val centroids = operators.Ivf.train(emb, k = 8, iters = 1)

@@ -393,13 +393,22 @@ class SimilaritySpec extends AnyFunSuite {
     // wedge or pollute the next run (resolution ignores both; entry GC
     // sweeps both)
     assert(new java.io.File(grown + "/_gen-99/cluster=0").mkdirs())
-    assert(new java.io.File(grown + "/_appends_data/.b-junk").mkdirs())
+    val junk = new java.io.File(grown + "/_appends_data/.b-junk")
+    assert(junk.mkdirs())
+    // age the staging past the sweep threshold — FRESH staging is
+    // deliberately left alone (it may be an in-flight append; sweeping
+    // it can race the commit rename into a partial batch)
+    assert(junk.setLastModified(
+      System.currentTimeMillis() - graft.sources.Generations.StagingSweepAgeMs - 60000))
+    val fresh = new java.io.File(grown + "/_appends_data/.b-fresh")
+    assert(fresh.mkdirs())
     operators.Ivf.compactIndex(spark, grown)
     assert(rows(grown) == rows(rebuilt), "compaction after crash residue must still serve identically")
     assert(!new java.io.File(grown + "/_gen-99").exists(),
       "entry GC must sweep incomplete generation residue")
-    assert(!new java.io.File(grown + "/_appends_data/.b-junk").exists(),
-      "entry GC must sweep abandoned append staging")
+    assert(!junk.exists(), "entry GC must sweep staging older than the threshold")
+    assert(fresh.exists(), "entry GC must NOT touch fresh (possibly in-flight) staging")
+    assert(fresh.delete())
   }
 
   test("idempotent batch append: replay, crash residue, and post-compaction replay never duplicate") {

@@ -315,6 +315,57 @@ class FencingSpec extends AnyFunSuite {
       "Clustered.save over a generational dir must fully reset the table")
   }
 
+  test("two-thread stress: Clustered appends racing repeated optimizes lose nothing") {
+    // Clustered.append has no replay semantics, but its failure modes
+    // are all pre-visibility (the commit rename is the last step), so
+    // retry-on-exception cannot duplicate — the invariant is the same:
+    // every batch lands exactly once whatever the interleaving.
+    val dir = "/tmp/graft-test/fence_stress_clustered"
+    val base = spark.range(0, 20000).select(
+      (col("id") * 2654435761L % 100000).as("user_id"), col("id").as("payload"))
+      .localCheckpoint()
+    sources.Clustered.save(base, dir, "user_id", files = 8)
+    val batches = (0 until 6).map(b =>
+      spark.range(20000 + b * 500, 20000 + (b + 1) * 500).select(
+        (col("id") * 2654435761L % 100000).as("user_id"), col("id").as("payload"))
+        .localCheckpoint())
+    @volatile var appendErr: Option[Throwable] = None
+    val appender = new Thread(() => {
+      try batches.foreach { delta =>
+        var done = false
+        var tries = 0
+        while (!done) {
+          try { sources.Clustered.append(delta, dir, "user_id"); done = true }
+          catch { case e: Throwable =>
+            tries += 1
+            if (tries > 5) throw e
+            Thread.sleep(50)
+          }
+        }
+      } catch { case e: Throwable => appendErr = Some(e) }
+    })
+    @volatile var optErr: Option[Throwable] = None
+    val optimizer = new Thread(() => {
+      try (0 until 3).foreach { _ =>
+        sources.Clustered.optimize(spark, dir, "user_id", files = 8)
+        Thread.sleep(30)
+      } catch { case e: Throwable => optErr = Some(e) }
+    })
+    appender.start(); optimizer.start()
+    appender.join(300000); optimizer.join(300000)
+    assert(appendErr.isEmpty, s"appender died: $appendErr")
+    assert(optErr.isEmpty, s"optimizer died: $optErr")
+    sources.Clustered.optimize(spark, dir, "user_id", files = 8)
+    val got = sources.Clustered.read(spark, dir)
+    assert(got.count() == 23000,
+      s"every appended batch must survive the races, got ${got.count()}")
+    assert(got.groupBy("payload").count().filter(col("count") > 1).count() == 0,
+      "no row duplicated across the races")
+    assert(sources.Clustered.overlappingPairs(
+      sources.Clustered.rowGroupRanges(spark, dir, "user_id")) == 0,
+      "the final fold restores the pristine layout")
+  }
+
   test("Clustered: crash states — partial generation invisible, mid-flip fallback, heal") {
     val dir = "/tmp/graft-test/fence_clustered_crash"
     val base = spark.range(0, 5000).select(

@@ -158,6 +158,47 @@ object Clustered {
       s"Clustered.append: could not commit $staging")
   }
 
+  /** IDEMPOTENT batch append for exactly-once STREAMING ingest into a
+    * clustered table ([[graft.streaming.Streams.clusteredAppendStream]])
+    * — the lakehouse lane the ANN index already has
+    * ([[graft.operators.Ivf.appendIndexBatch]]): foreachBatch
+    * re-delivers a batch after a crash between the sink write and the
+    * checkpoint commit, so the append must be a pure function of
+    * (batch content, batchId):
+    *
+    *  1. the batch stages dot-prefixed and becomes visible with ONE
+    *     atomic rename to `_batches/b-<batchId>`;
+    *  2. the replay check is structural, with no separate marker: a
+    *     batch is committed iff its visible dir exists OR its id is in
+    *     the current generation's cumulative `_folded` manifest —
+    *     [[optimize]] records every id it absorbs and the manifest
+    *     carries forward, so a replay arriving after the fold GC'd the
+    *     batch dir still short-circuits.
+    *
+    * Same concurrency contract as [[append]]: concurrent with other
+    * appenders, readers, and ONE [[optimize]]; a replay racing the
+    * flip sees the visible dir (pre-GC) or the manifest (post-flip) —
+    * never neither.
+    */
+  def appendBatch(
+      df: DataFrame, dir: String, key: String, batchId: Long,
+      files: Int = 4, bloomCols: Seq[String] = Nil): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = fsOf(df.sparkSession, dir)
+    val id = s"b-$batchId"
+    val visible = new Path(s"$dir/$BatchesSubdir/$id")
+    if (fs.exists(visible)) return // committed, not yet folded
+    if (Generations.foldedIds(fs, Generations.resolveRoot(fs, dir)).contains(id))
+      return // committed and already folded into the base generation
+    val staging = s"$dir/$BatchesSubdir/.$id"
+    df.repartitionByRange(files, col(key))
+      .sortWithinPartitions(key)
+      .write.options(bloomOpts(bloomCols)).mode("overwrite").parquet(staging)
+    fs.mkdirs(new Path(s"$dir/$BatchesSubdir"))
+    require(fs.rename(new Path(staging), visible),
+      s"Clustered.appendBatch: could not commit $staging")
+  }
+
   /** Re-cluster a fragmented directory back to a pristine [[save]]
     * layout (or [[saveZOrder]] when `key1` is given) via the
     * [[Generations]] commit protocol: the rewrite lands in a fresh

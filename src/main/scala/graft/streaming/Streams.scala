@@ -505,6 +505,37 @@ object Streams {
     w.start()
   }
 
+  /** STREAMING INGEST INTO A CLUSTERED TABLE — the lakehouse twin of
+    * [[indexAppendStream]]: arriving rows land per micro-batch as
+    * atomically visible, internally range-sorted batch directories
+    * ([[graft.sources.Clustered.appendBatch]]), immediately readable
+    * through [[graft.sources.Clustered.read]], with structural
+    * exactly-once (visible dir ∨ cumulative `_folded` manifest — no
+    * separate marker files) and the periodic
+    * [[graft.sources.Clustered.optimize]] restoring the skippable
+    * layout CONCURRENTLY with the running stream (the generation
+    * fencing; FencingSpec stress-proves the race). This is the
+    * file-sink story WITHOUT the `_spark_metadata` O(history) log the
+    * ScaleProbe27 receipt measures: exactly-once state here is one
+    * `_folded` line per batch, and a restart replays nothing.
+    */
+  def clusteredAppendStream(
+      rows: DataFrame,
+      dir: String,
+      key: String,
+      files: Int = 4,
+      bloomCols: Seq[String] = Nil,
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = rows.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.sources.Clustered.appendBatch(
+          batch.toDF(), dir, key, batchId, files, bloomCols)
+      }
+    checkpoint.foreach(c => w.option("checkpointLocation", c))
+    w.start()
+  }
+
   /** Streaming decontamination gate: each arriving doc's 8-gram hashes
     * probe a bloom filter of the STATIC benchmark corpus inside the scan
     * stage (codegen'd, stateless), and only bloom survivors enter the

@@ -491,4 +491,46 @@ class StreamingRecoverySpec extends AnyFunSuite {
     assert(all.groupBy("vec_id").count().filter($"count" > 1).count() == 0,
       "no vector duplicated across the restart")
   }
+
+  test("clusteredAppendStream: streamed rows land queryable; restart skips; optimize folds mid-stream state") {
+    import spark.implicits._
+    val in = tmp("clus_in"); val ckpt = tmp("clus_ck")
+    val dir = tmp("clus_tbl") + "/table"
+    val base = spark.range(0, 5000).select(
+      (col("id") * 2654435761L % 100000).as("user_id"), col("id").as("payload"))
+    sources.Clustered.save(base.toDF(), dir, "user_id", files = 4)
+    def wave(from: Long, until: Long) = spark.range(from, until).select(
+      (col("id") * 2654435761L % 100000).as("user_id"), col("id").as("payload")).toDF()
+    val schema = wave(0, 1).schema
+
+    def run(): Unit = {
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      val q = Streams.clusteredAppendStream(src, dir, "user_id", checkpoint = Some(ckpt))
+      try q.processAllAvailable() finally q.stop()
+    }
+    addFile(wave(5000, 5500), in)
+    run()
+    assert(sources.Clustered.read(spark, dir).count() == 5500,
+      "wave-1 rows are immediately queryable through the resolved read")
+    // maintenance folds the streamed batches WITHOUT stopping anything;
+    // the cumulative manifest keeps the replay check alive post-GC
+    sources.Clustered.optimize(spark, dir, "user_id", files = 4)
+    assert(sources.Clustered.overlappingPairs(
+      sources.Clustered.rowGroupRanges(spark, dir, "user_id")) == 0)
+    // the manifest fence DIRECTLY: a foreachBatch replay of the folded
+    // batch (crash-between-sink-and-checkpoint shape) finds no visible
+    // dir — it was GC'd — and must short-circuit on _folded
+    sources.Clustered.appendBatch(wave(5000, 5500), dir, "user_id", batchId = 0L)
+    assert(sources.Clustered.read(spark, dir).count() == 5500,
+      "a replay of a folded-and-GC'd batch must be a no-op via the manifest")
+    // restart from the checkpoint with a new wave queued: committed
+    // wave 1 must NOT re-append, the new wave must land
+    addFile(wave(5500, 6000), in)
+    run()
+    val got = sources.Clustered.read(spark, dir)
+    assert(got.count() == 6000, "post-restart: wave 1 exactly once, wave 2 appended")
+    assert(got.groupBy("payload").count().filter($"count" > 1).count() == 0,
+      "no row duplicated across restart + fold")
+  }
 }

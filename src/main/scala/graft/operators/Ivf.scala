@@ -503,13 +503,27 @@ object Ivf {
     * appenders, readers, and one compactor; transient failure during a
     * flip is retried by the streaming lane (same batchId, idempotent).
     */
-  def appendIndexBatch(delta: DataFrame, dir: String, batchId: Long): Unit = {
+  def appendIndexBatch(delta: DataFrame, dir: String, batchId: Long): Unit =
+    appendIndexBatch(delta, dir, batchId, "")
+
+  /** [[appendIndexBatch]] with the batch id scoped to one STREAM
+    * LIFETIME: Spark numbers batches per checkpoint, so a stream
+    * re-pointed at this index with a FRESH checkpoint restarts at
+    * batchId 0 — without a namespace its genuinely new batches would
+    * be mistaken for replays and silently dropped.
+    * [[graft.streaming.Streams.indexAppendStream]] derives the
+    * namespace from the checkpoint path; direct callers own the
+    * one-checkpoint-per-namespace contract.
+    */
+  def appendIndexBatch(
+      delta: DataFrame, dir: String, batchId: Long, namespace: String): Unit = {
     import org.apache.hadoop.fs.Path
     val spark = delta.sparkSession
     val fs = fsOf(spark, dir)
-    val marker = new Path(s"$dir/$AppendsSubdir/$batchId")
+    val id = s"$namespace$batchId"
+    val marker = new Path(s"$dir/$AppendsSubdir/$id")
     if (fs.exists(marker)) return // replay of a fully committed batch
-    landBatch(encodeForIndex(delta, dir), dir, batchId.toString)
+    landBatch(encodeForIndex(delta, dir), dir, id)
     fs.mkdirs(new Path(s"$dir/$AppendsSubdir"))
     fs.create(marker, true).close()
   }
@@ -519,19 +533,31 @@ object Ivf {
     * append form shares. If the visible directory already exists the
     * batch is already committed (crash residue from a prior attempt of
     * the same id) and the landing is a no-op.
+    *
+    * The staging name carries a UNIQUE per-attempt suffix: with a
+    * deterministic name, a replay (or a zombie driver's concurrent
+    * attempt of the same batch) re-creating the path could interleave
+    * with another attempt's commit rename — or with the aged staging
+    * sweep — and commit a PARTIALLY written batch. Per-attempt names
+    * make each staging dir single-writer by construction; a loser of
+    * the visible rename (batch content is attempt-invariant under the
+    * streaming replay contract) deletes its own residue, crashed
+    * attempts age into the sweep.
     */
   private def landBatch(encoded: DataFrame, dir: String, id: String): Unit = {
     import org.apache.hadoop.fs.Path
     val fs = fsOf(encoded.sparkSession, dir)
     val visible = new Path(s"$dir/$AppendsDataSubdir/$id")
     if (fs.exists(visible)) return
-    val staging = s"$dir/$AppendsDataSubdir/.b-$id"
+    val staging = s"$dir/$AppendsDataSubdir/.b-$id-${java.util.UUID.randomUUID.toString}"
     encoded
       .repartition(col("cluster"))
-      .write.partitionBy("cluster").mode("overwrite").parquet(staging)
-    fs.mkdirs(visible.getParent)
-    require(fs.rename(new Path(staging), visible),
-      s"appendIndex: could not commit $staging to $visible")
+      .write.partitionBy("cluster").parquet(staging)
+    if (!fs.rename(new Path(staging), visible)) {
+      require(fs.exists(visible),
+        s"appendIndex: could not commit $staging and $visible is absent")
+      fs.delete(new Path(staging), true)
+    }
   }
 
   /** Batch-commit markers for [[appendIndexBatch]] — underscore-hidden,
@@ -668,9 +694,13 @@ object Ivf {
     if (cur.isDefined) deleteFlatResidue(fs, dir)
     val root = Generations.resolveRoot(fs, dir)
     // batch data already folded into the current base is dead weight a
-    // crashed post-flip GC may have left — markers stay forever
+    // crashed post-flip GC may have left — markers stay forever. Walk
+    // the (small) VISIBLE set against the manifest, never the manifest
+    // against the filesystem: the manifest carries every stream id
+    // ever folded and would cost one FS op per historical batch.
     val foldedNow = Generations.foldedIds(fs, root)
-    foldedNow.foreach(id => fs.delete(new Path(s"$dir/$AppendsDataSubdir/$id"), true))
+    Generations.visibleBatches(fs, dir, AppendsDataSubdir).filter(foldedNow)
+      .foreach(id => fs.delete(new Path(s"$dir/$AppendsDataSubdir/$id"), true))
     // ---- fold snapshot: the committed batches to absorb. Batches that
     // commit after this listing stay visible extras under the new
     // generation — that is the fence.
@@ -696,7 +726,15 @@ object Ivf {
           FileUtil.copy(fs, src, fs, new Path(s"$nextRoot/$sub"), false, conf),
           s"compactIndex: could not copy $sub into $nextRoot")
     }
-    Generations.writeFolded(fs, nextRoot, foldedNow ++ toFold)
+    // ad-hoc ids are never replay-checked: once their folded data dir
+    // is GC'd they are provably dead and pruned, so ad-hoc ingest does
+    // not grow the manifest beyond one fold cycle (stream ids stay —
+    // the marker files are their replay fence, the manifest their
+    // reader/GC bookkeeping)
+    val carried = (foldedNow ++ toFold).filter(id =>
+      !id.startsWith("adhoc-") ||
+        fs.exists(new Path(s"$dir/$AppendsDataSubdir/$id")))
+    Generations.writeFolded(fs, nextRoot, carried)
     // folded ⇒ marker, ALWAYS — and BEFORE markComplete: a batch that
     // crashed between its atomic visibility rename and its marker
     // write is legitimately foldable (visibility means the data landed

@@ -145,17 +145,39 @@ object Clustered {
     */
   def append(
       df: DataFrame, dir: String, key: String, files: Int = 4,
-      bloomCols: Seq[String] = Nil): Unit = {
+      bloomCols: Seq[String] = Nil): Unit =
+    commitBatch(df, dir, key, "adhoc-" + java.util.UUID.randomUUID.toString,
+      files, bloomCols)
+
+  /** The ONE commit path every Clustered append form shares (the
+    * landBatch discipline of the index lane): write the sorted batch
+    * to a staging dir with a UNIQUE per-attempt suffix, then make it
+    * visible with one atomic rename. The unique suffix matters: with
+    * a deterministic staging name, a replay (or a zombie driver's
+    * concurrent attempt) re-creating the path could interleave with
+    * another attempt's commit rename — or with the aged staging
+    * sweep's delete walk — and commit a PARTIALLY written batch.
+    * Per-attempt names make every staging dir single-writer by
+    * construction; losers of the visible-rename race (and crashed
+    * attempts) leave uniquely-named residue the aged sweep collects.
+    */
+  private def commitBatch(
+      df: DataFrame, dir: String, key: String, id: String,
+      files: Int, bloomCols: Seq[String]): Unit = {
     import org.apache.hadoop.fs.Path
     val fs = fsOf(df.sparkSession, dir)
-    val id = "b-" + java.util.UUID.randomUUID.toString
-    val staging = s"$dir/$BatchesSubdir/.$id"
+    val staging = s"$dir/$BatchesSubdir/.$id-${java.util.UUID.randomUUID.toString}"
     df.repartitionByRange(files, col(key))
       .sortWithinPartitions(key)
-      .write.options(bloomOpts(bloomCols)).mode("overwrite").parquet(staging)
-    fs.mkdirs(new Path(s"$dir/$BatchesSubdir"))
-    require(fs.rename(new Path(staging), new Path(s"$dir/$BatchesSubdir/$id")),
-      s"Clustered.append: could not commit $staging")
+      .write.options(bloomOpts(bloomCols)).parquet(staging)
+    val visible = new Path(s"$dir/$BatchesSubdir/$id")
+    if (!fs.rename(new Path(staging), visible)) {
+      // another attempt of the SAME id won the commit (batch content is
+      // attempt-invariant) — ours is redundant residue
+      require(fs.exists(visible),
+        s"Clustered.commitBatch: could not commit $staging and $visible is absent")
+      fs.delete(new Path(staging), true)
+    }
   }
 
   /** IDEMPOTENT batch append for exactly-once STREAMING ingest into a
@@ -179,24 +201,27 @@ object Clustered {
     * appenders, readers, and ONE [[optimize]]; a replay racing the
     * flip sees the visible dir (pre-GC) or the manifest (post-flip) —
     * never neither.
+    *
+    * `namespace` scopes the batch ids to one STREAM LIFETIME: Spark
+    * numbers batches per checkpoint, so a stream re-pointed at this
+    * table with a FRESH checkpoint restarts at batchId 0 — without a
+    * namespace its genuinely new batches would be mistaken for
+    * replays and silently dropped. [[graft.streaming.Streams
+    * .clusteredAppendStream]] derives it from the checkpoint path;
+    * direct callers own the one-checkpoint-per-namespace contract.
     */
   def appendBatch(
       df: DataFrame, dir: String, key: String, batchId: Long,
-      files: Int = 4, bloomCols: Seq[String] = Nil): Unit = {
+      files: Int = 4, bloomCols: Seq[String] = Nil,
+      namespace: String = ""): Unit = {
     import org.apache.hadoop.fs.Path
     val fs = fsOf(df.sparkSession, dir)
-    val id = s"b-$batchId"
+    val id = s"b-$namespace$batchId"
     val visible = new Path(s"$dir/$BatchesSubdir/$id")
     if (fs.exists(visible)) return // committed, not yet folded
     if (Generations.foldedIds(fs, Generations.resolveRoot(fs, dir)).contains(id))
       return // committed and already folded into the base generation
-    val staging = s"$dir/$BatchesSubdir/.$id"
-    df.repartitionByRange(files, col(key))
-      .sortWithinPartitions(key)
-      .write.options(bloomOpts(bloomCols)).mode("overwrite").parquet(staging)
-    fs.mkdirs(new Path(s"$dir/$BatchesSubdir"))
-    require(fs.rename(new Path(staging), visible),
-      s"Clustered.appendBatch: could not commit $staging")
+    commitBatch(df, dir, key, id, files, bloomCols)
   }
 
   /** Re-cluster a fragmented directory back to a pristine [[save]]
@@ -248,8 +273,11 @@ object Clustered {
       .foreach(n => fs.delete(new Path(Generations.genDir(dir, n)), true))
     if (cur.isDefined) deleteFlatData(fs, dir)
     val root = Generations.resolveRoot(fs, dir)
+    // walk the small VISIBLE set against the manifest, never the
+    // manifest against the filesystem (one FS op per historical batch)
     val foldedNow = Generations.foldedIds(fs, root)
-    foldedNow.foreach(id => fs.delete(new Path(s"$dir/$BatchesSubdir/$id"), true))
+    Generations.visibleBatches(fs, dir, BatchesSubdir).filter(foldedNow)
+      .foreach(id => fs.delete(new Path(s"$dir/$BatchesSubdir/$id"), true))
     // fold snapshot — batches committing after this stay live extras
     val toFold = Generations.visibleBatches(fs, dir, BatchesSubdir).filterNot(foldedNow)
     afterSnapshot()
@@ -263,7 +291,15 @@ object Clustered {
       case Some(k1) => saveZOrder(rows, nextRoot, key, k1, files, bloomCols = bloomCols)
       case None => save(rows, nextRoot, key, files, bloomCols = bloomCols)
     }
-    Generations.writeFolded(fs, nextRoot, foldedNow ++ toFold)
+    // the manifest must carry every id a REPLAY could still check
+    // (stream batches — forever, ~bytes per batch, the documented
+    // growth), but ad-hoc ids are never replayed: once their folded
+    // data dir is GC'd they are provably dead and pruned, so ad-hoc
+    // ingest does not grow the manifest beyond one fold cycle
+    val carried = (foldedNow ++ toFold).filter(id =>
+      !id.startsWith("adhoc-") ||
+        fs.exists(new Path(s"$dir/$BatchesSubdir/$id")))
+    Generations.writeFolded(fs, nextRoot, carried)
     Generations.markComplete(fs, nextRoot)
     Generations.flip(fs, dir, next)
     // post-flip GC: previous base + just-folded batch data

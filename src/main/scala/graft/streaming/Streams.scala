@@ -492,14 +492,55 @@ object Streams {
     * (FencingSpec). Fragmentation from many small batches is the
     * documented compaction trigger.
     */
+  /** Batch-id namespace for the ingest lanes, derived from the
+    * checkpoint path: Spark numbers batches PER CHECKPOINT, so a
+    * stream re-pointed at an existing table/index with a FRESH
+    * checkpoint restarts at batchId 0 — un-namespaced, its genuinely
+    * new batches would collide with the old stream's replay fence and
+    * be silently dropped. Hashing the checkpoint path scopes the ids
+    * to one stream lifetime (same checkpoint across restarts → same
+    * namespace → replays still short-circuit). No checkpoint → empty
+    * namespace (ephemeral test streams).
+    */
+  def batchNamespace(checkpoint: Option[String]): String =
+    checkpoint.map { c =>
+      java.lang.Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(c)) + "-"
+    }.getOrElse("")
+
+  /** Bounded retry for the ingest sinks' documented TRANSIENT failure
+    * mode (an append racing a compaction flip reads a generation the
+    * post-flip GC just collected): retried work is idempotent by the
+    * batch protocol, so the lane absorbs the race instead of killing
+    * the streaming query. Persistent failures still propagate and
+    * stop the stream after `tries` attempts.
+    */
+  private def retryTransient(tries: Int)(f: => Unit): Unit = {
+    var attempt = 0
+    var delay = 200L
+    var done = false
+    while (!done) {
+      try { f; done = true }
+      catch {
+        case e: Throwable =>
+          attempt += 1
+          if (attempt >= tries) throw e
+          Thread.sleep(delay)
+          delay *= 2
+      }
+    }
+  }
+
   def indexAppendStream(
       vectors: DataFrame,
       indexDir: String,
       checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val ns = batchNamespace(checkpoint)
     val w = vectors.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        graft.operators.Ivf.appendIndexBatch(batch.toDF(), indexDir, batchId)
+        retryTransient(5) {
+          graft.operators.Ivf.appendIndexBatch(batch.toDF(), indexDir, batchId, ns)
+        }
       }
     checkpoint.foreach(c => w.option("checkpointLocation", c))
     w.start()
@@ -514,10 +555,14 @@ object Streams {
     * separate marker files) and the periodic
     * [[graft.sources.Clustered.optimize]] restoring the skippable
     * layout CONCURRENTLY with the running stream (the generation
-    * fencing; FencingSpec stress-proves the race). This is the
-    * file-sink story WITHOUT the `_spark_metadata` O(history) log the
-    * ScaleProbe27 receipt measures: exactly-once state here is one
-    * `_folded` line per batch, and a restart replays nothing.
+    * fencing; FencingSpec stress-proves the race). Exactly-once
+    * bookkeeping is one `_folded` manifest line (~bytes) per stream
+    * batch — the growth CLASS is linear like the file sink's
+    * `_spark_metadata` compact log (ScaleProbe27), but the constant
+    * is ~100× smaller (an id, not a file listing), restarts replay
+    * none of it (only appends consult it, lazily), ad-hoc ids are
+    * pruned once dead, and compaction cost never touches it (no
+    * compactInterval O(history) rewrite pause in the ingest path).
     */
   def clusteredAppendStream(
       rows: DataFrame,
@@ -526,11 +571,14 @@ object Streams {
       files: Int = 4,
       bloomCols: Seq[String] = Nil,
       checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val ns = batchNamespace(checkpoint)
     val w = rows.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        graft.sources.Clustered.appendBatch(
-          batch.toDF(), dir, key, batchId, files, bloomCols)
+        retryTransient(5) {
+          graft.sources.Clustered.appendBatch(
+            batch.toDF(), dir, key, batchId, files, bloomCols, ns)
+        }
       }
     checkpoint.foreach(c => w.option("checkpointLocation", c))
     w.start()

@@ -234,6 +234,8 @@ class FencingSpec extends AnyFunSuite {
     })
     appender.start(); compactor.start()
     appender.join(300000); compactor.join(300000)
+    assert(!appender.isAlive && !compactor.isAlive,
+      "a thread outliving its join window means a wedge — fail loudly, not downstream")
     assert(appendErr.isEmpty, s"appender died: $appendErr")
     assert(compactErr.isEmpty, s"compactor died: $compactErr")
     // one final fold so everything is in the base generation
@@ -353,6 +355,8 @@ class FencingSpec extends AnyFunSuite {
     })
     appender.start(); optimizer.start()
     appender.join(300000); optimizer.join(300000)
+    assert(!appender.isAlive && !optimizer.isAlive,
+      "a thread outliving its join window means a wedge — fail loudly, not downstream")
     assert(appendErr.isEmpty, s"appender died: $appendErr")
     assert(optErr.isEmpty, s"optimizer died: $optErr")
     sources.Clustered.optimize(spark, dir, "user_id", files = 8)

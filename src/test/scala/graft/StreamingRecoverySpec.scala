@@ -521,15 +521,23 @@ class StreamingRecoverySpec extends AnyFunSuite {
     // the manifest fence DIRECTLY: a foreachBatch replay of the folded
     // batch (crash-between-sink-and-checkpoint shape) finds no visible
     // dir — it was GC'd — and must short-circuit on _folded
-    sources.Clustered.appendBatch(wave(5000, 5500), dir, "user_id", batchId = 0L)
+    sources.Clustered.appendBatch(wave(5000, 5500), dir, "user_id", batchId = 0L,
+      namespace = Streams.batchNamespace(Some(ckpt)))
     assert(sources.Clustered.read(spark, dir).count() == 5500,
       "a replay of a folded-and-GC'd batch must be a no-op via the manifest")
+    // and the namespace fence: a NEW stream lifetime (fresh checkpoint)
+    // restarts at batchId 0 — its batches are genuinely new data and
+    // must NOT be mistaken for replays of the old stream's batch 0
+    sources.Clustered.appendBatch(wave(9000, 9100), dir, "user_id", batchId = 0L,
+      namespace = Streams.batchNamespace(Some(ckpt + "-fresh")))
+    assert(sources.Clustered.read(spark, dir).count() == 5600,
+      "a fresh checkpoint's batch 0 must land, not be dropped as a replay")
     // restart from the checkpoint with a new wave queued: committed
     // wave 1 must NOT re-append, the new wave must land
     addFile(wave(5500, 6000), in)
     run()
     val got = sources.Clustered.read(spark, dir)
-    assert(got.count() == 6000, "post-restart: wave 1 exactly once, wave 2 appended")
+    assert(got.count() == 6100, "post-restart: wave 1 exactly once, wave 2 appended")
     assert(got.groupBy("payload").count().filter($"count" > 1).count() == 0,
       "no row duplicated across restart + fold")
   }

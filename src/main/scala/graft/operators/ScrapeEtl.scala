@@ -1210,6 +1210,65 @@ object ScrapeEtl {
       FROM canon GROUP BY canonical_url ORDER BY canonical_url"""),
   )
 
+  val q76 = GraftQuery(
+    "q76_catalog_links",
+    // The reference's CATALOG LINK COLLECTION leg under the hard gate
+    // (scrap_tokopedia.py:190-204): find_all product anchors on a
+    // catalog page and EXCLUDE any whose subtree contains the nested
+    // invalid-product shadow marker — the tree-containment semantics
+    // q28's field extraction cannot exercise. Synthesize-then-operate:
+    // each lineitem row renders as a product-card anchor (quantity<=1
+    // products get the shadow marker planted INSIDE the anchor, the
+    // reference's marker-as-descendant shape), rows concatenate into
+    // one catalog page per (catalog, page), and the engine parses the
+    // RAW HTML back through HtmlTree.collectValidLinks per partition.
+    // The DuckDB oracle never parses HTML: it derives the expected
+    // link set relationally from the same source columns — the gate
+    // grades the tree walk + exclusion, not the synthesis. Output
+    // sorted by (catalog, page, href), so the in-page anchor order
+    // (and the collect_list order it came from) is immaterial.
+    (s, d) => catalogLinks(s, d).orderBy("catalog", "page", "href"),
+    Some("""SELECT l_suppkey AS catalog,
+        CAST((l_orderkey % 50) + 1 AS BIGINT) AS page,
+        '/p/' || CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS href
+      FROM lineitem WHERE l_quantity > 1
+      ORDER BY catalog, page, href"""),
+    // prod: same extraction, no oracle-mode global sort
+    prod = Some((s, d) => catalogLinks(s, d)),
+  )
+
+  private def catalogLinks(s: org.apache.spark.sql.SparkSession, d: String) = {
+    import s.implicits._
+    val anchor = concat(
+      lit("""<a class="product-card css-1f2x9"""), (col("l_orderkey") % 7).cast("string"),
+      lit("""" href="/p/"""), col("l_orderkey").cast("string"), lit("-"),
+      col("l_linenumber").cast("string"), lit("\">"),
+      lit("""<span class="name">item </span>"""),
+      when(col("l_quantity") <= 1,
+        // the shadow marker, nested one level INSIDE the anchor
+        lit("""<span><div class="_4A0sz2e6IddlQgpD0HR6qw==">ad</div></span>"""))
+        .otherwise(lit("")),
+      lit("</a>"))
+    Tables.lineitem(s, d)
+      .select(
+        col("l_suppkey").as("catalog"),
+        (col("l_orderkey") % 50 + 1).as("page"),
+        anchor.as("anchor"))
+      .groupBy("catalog", "page")
+      // sort_array for a DETERMINISTIC page body (collect_list order is
+      // partition-dependent); the extracted link SET is order-free
+      // anyway, but determinism keeps the html column itself stable
+      .agg(concat_ws("", sort_array(collect_list(col("anchor")))).as("body"))
+      .select(col("catalog"), col("page"),
+        concat(lit("<html><body>"), col("body"), lit("</body></html>")).as("html"))
+      .as[(Long, Long, String)]
+      .mapPartitions(_.flatMap { case (catalog, page, html) =>
+        HtmlTree.collectValidLinks(html, ("a", Map("class" -> "product-card")))
+          .map(href => (catalog, page, href))
+      })
+      .toDF("catalog", "page", "href")
+  }
+
   def all: Seq[GraftQuery] =
-    Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q45, q53, q55, q56, q57, q58, q59, q62, q67, q68, q70, q74)
+    Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q45, q53, q55, q56, q57, q58, q59, q62, q67, q68, q70, q74, q76)
 }

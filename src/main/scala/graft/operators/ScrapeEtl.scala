@@ -379,10 +379,18 @@ object ScrapeEtl {
   /** Per-(catalog, page) valid/invalid product counts — the batch analog
     * of the reference's product_validity_count (scrap_tokopedia.py:131-151).
     */
+  /** THE synthetic catalog pagination key, shared by every query that
+    * models the reference's catalog walk (q29 frontier, q76 link
+    * collection) — one engine-side definition so the two cannot
+    * silently model different catalogs (the oracle SQL strings remain
+    * the two places to keep in sync).
+    */
+  private def catalogKey = col("l_suppkey").as("catalog")
+  private def pageKey = (col("l_orderkey") % 50 + 1).as("page")
+
   private def frontierPages(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.lineitem(s, d)
-      .groupBy(col("l_suppkey").as("catalog"),
-        (col("l_orderkey") % 50 + 1).as("page"))
+      .groupBy(catalogKey, pageKey)
       .agg(
         sum(when(col("l_quantity") > 1, 1L).otherwise(0L)).as("valid"),
         sum(when(col("l_quantity") <= 1, 1L).otherwise(0L)).as("invalid"))
@@ -1244,16 +1252,16 @@ object ScrapeEtl {
       lit("""" href="/p/"""), col("l_orderkey").cast("string"), lit("-"),
       col("l_linenumber").cast("string"), lit("\">"),
       lit("""<span class="name">item </span>"""),
-      when(col("l_quantity") <= 1,
-        // the shadow marker, nested one level INSIDE the anchor
-        lit("""<span><div class="_4A0sz2e6IddlQgpD0HR6qw==">ad</div></span>"""))
-        .otherwise(lit("")),
+      // the shadow marker, nested one level INSIDE the anchor. VALID is
+      // the `> 1` branch so a NULL quantity falls to the marker side —
+      // exactly complementary to the oracle's WHERE l_quantity > 1
+      // (which also drops NULLs); a NULL-valid engine branch would be
+      // the one asymmetry the hash gate could ever trip on
+      when(col("l_quantity") > 1, lit(""))
+        .otherwise(lit("""<span><div class="_4A0sz2e6IddlQgpD0HR6qw==">ad</div></span>""")),
       lit("</a>"))
     Tables.lineitem(s, d)
-      .select(
-        col("l_suppkey").as("catalog"),
-        (col("l_orderkey") % 50 + 1).as("page"),
-        anchor.as("anchor"))
+      .select(catalogKey, pageKey, anchor.as("anchor"))
       .groupBy("catalog", "page")
       // sort_array for a DETERMINISTIC page body (collect_list order is
       // partition-dependent); the extracted link SET is order-free

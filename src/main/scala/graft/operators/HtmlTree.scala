@@ -171,12 +171,16 @@ object HtmlTree {
 
   /** BeautifulSoup's attrs-dict match: every required attribute present
     * and equal — except `class`, which matches when the required value
-    * is any one whitespace token of the element's class list.
+    * is any one whitespace token of the element's class list OR equals
+    * the whole space-joined attribute string (BS4 accepts both; the
+    * reference's ALL_PRODUCTS selector class is itself a two-token
+    * string containing a space — scrap_tokopedia.py:231 — which only
+    * the whole-string form can ever match).
     */
   def matches(e: Elem, tag: String, attrs: Map[String, String]): Boolean =
     e.tag == tag && attrs.forall { case (k, v) =>
       if (k == "class")
-        e.attrs.get("class").exists(_.split("\\s+").contains(v))
+        e.attrs.get("class").exists(c => c == v || c.split("\\s+").contains(v))
       else e.attrs.get(k).contains(v)
     }
 

@@ -549,15 +549,13 @@ object Ivf {
     val fs = fsOf(encoded.sparkSession, dir)
     val visible = new Path(s"$dir/$AppendsDataSubdir/$id")
     if (fs.exists(visible)) return
-    val staging = s"$dir/$AppendsDataSubdir/.b-$id-${java.util.UUID.randomUUID.toString}"
+    val stagingName = s".b-$id-${java.util.UUID.randomUUID.toString}"
+    val staging = s"$dir/$AppendsDataSubdir/$stagingName"
     encoded
       .repartition(col("cluster"))
       .write.partitionBy("cluster").parquet(staging)
-    if (!fs.rename(new Path(staging), visible)) {
-      require(fs.exists(visible),
-        s"appendIndex: could not commit $staging and $visible is absent")
-      fs.delete(new Path(staging), true)
-    }
+    graft.sources.Generations.commitRename(fs, new Path(staging), visible,
+      s"appendIndex: could not commit $staging and $visible is absent")
   }
 
   /** Batch-commit markers for [[appendIndexBatch]] — underscore-hidden,

@@ -171,13 +171,11 @@ object Clustered {
       .sortWithinPartitions(key)
       .write.options(bloomOpts(bloomCols)).parquet(staging)
     val visible = new Path(s"$dir/$BatchesSubdir/$id")
-    if (!fs.rename(new Path(staging), visible)) {
-      // another attempt of the SAME id won the commit (batch content is
-      // attempt-invariant) — ours is redundant residue
-      require(fs.exists(visible),
-        s"Clustered.commitBatch: could not commit $staging and $visible is absent")
-      fs.delete(new Path(staging), true)
-    }
+    // another attempt of the SAME id may have won the commit (batch
+    // content is attempt-invariant) — ours is then redundant residue;
+    // commitRename also guards the rename-INTO-existing-dir nesting
+    Generations.commitRename(fs, new Path(staging), visible,
+      s"Clustered.commitBatch: could not commit $staging and $visible is absent")
   }
 
   /** IDEMPOTENT batch append for exactly-once STREAMING ingest into a

@@ -170,24 +170,58 @@ object Generations {
     root +: visibleBatches(fs, dir, area).filterNot(folded).map(b => s"$dir/$area/$b")
   }
 
-  /** Appends must finish inside this window or risk their staging
-    * being garbage-collected mid-write (the [[sweepStaging]] bound —
-    * part of the concurrency contract, documented in SURVEY §4).
+  /** THE staging→visible commit rename, shared by both ingest lanes
+    * ([[graft.operators.Ivf]] landBatch, [[Clustered]] commitBatch).
+    * Hadoop `FileSystem.rename` does NOT fail when the destination
+    * directory already exists — HDFS and the RawLocalFileSystem
+    * fallback move the source INTO it (returning true), so a loser of
+    * a same-id commit race, naively renamed, would nest its
+    * dot-staging inside the winner's committed batch: invisible to
+    * readers (dot-prefixed) but leaked forever, because the aged
+    * staging sweep only scans the area's top level. So: short-circuit
+    * when the destination is already committed, and re-check after the
+    * rename for the nested-residue outcome of the race window between
+    * that check and the rename itself.
+    */
+  def commitRename(fs: FileSystem, staging: Path, visible: Path, onLost: => String): Unit = {
+    if (fs.exists(visible)) { fs.delete(staging, true); return }
+    if (!fs.rename(staging, visible)) {
+      // the rename CAN still return false (e.g. a concurrent delete of
+      // the parent): only a committed destination makes ours redundant
+      require(fs.exists(visible), onLost)
+      fs.delete(staging, true)
+    } else {
+      // rename returned true — either we committed, or the destination
+      // appeared in the race window and our staging nested inside it
+      val nested = new Path(visible, staging.getName)
+      if (fs.exists(nested)) fs.delete(nested, true)
+    }
+  }
+
+  /** Appends must not go this long without writing a file, or risk
+    * their staging being garbage-collected mid-write (the
+    * [[sweepStaging]] bound — part of the concurrency contract,
+    * documented in SURVEY §4).
     */
   val StagingSweepAgeMs: Long = 24L * 3600 * 1000
 
   /** Sweep abandoned dot-staging under `dir/<area>` — crash residue of
     * appends that died mid-write; without the sweep every crashed
-    * append leaks its full batch size forever. ONLY staging older than
-    * [[StagingSweepAgeMs]] is touched: a recursive delete racing a
-    * live append's atomic commit rename can interleave (POSIX renames
-    * a directory out from under an in-progress delete walk), which
-    * would commit a PARTIALLY deleted batch — the FencingSpec stress
-    * run caught exactly that as silently lost rows. An in-flight
-    * append's staging is by construction fresh, so the age gate makes
-    * the sweep touch only dead residue; the residual race needs an
-    * append mid-write for longer than the threshold, which is the
-    * documented contract bound.
+    * append leaks its full batch size forever. ONLY staging whose
+    * ENTIRE TREE has been quiet for [[StagingSweepAgeMs]] is touched:
+    * a recursive delete racing a live append's atomic commit rename
+    * can interleave (POSIX renames a directory out from under an
+    * in-progress delete walk), which would commit a PARTIALLY deleted
+    * batch — the FencingSpec stress run caught exactly that as
+    * silently lost rows. The freshness signal is the newest
+    * modification time anywhere under the staging dir, not the dir's
+    * own mtime: a long write job keeps landing task files DEEP in the
+    * tree (`_temporary/...`) without touching the top-level dir, so
+    * the dir-mtime gate would narrow but not eliminate the race for a
+    * write outliving the window — the recursive gate keeps any append
+    * that is still writing outside the sweep, and the contract bound
+    * relaxes to "an append must not stall with NO file activity for
+    * the window".
     */
   def sweepStaging(fs: FileSystem, dir: String, area: String): Unit = {
     val p = new Path(s"$dir/$area")
@@ -195,7 +229,22 @@ object Generations {
     if (fs.exists(p))
       fs.listStatus(p).toSeq
         .filter(st => st.isDirectory && st.getPath.getName.startsWith("."))
-        .filter(_.getModificationTime < cutoff)
+        .filter(st => latestMtime(fs, st) < cutoff)
         .foreach(st => fs.delete(st.getPath, true))
+  }
+
+  /** Newest modification time in the tree rooted at `st` (the dir
+    * itself and everything under it) — the [[sweepStaging]] liveness
+    * signal. Bounded work: only dot-staging candidates are walked, and
+    * a staging tree is one batch's files.
+    */
+  private def latestMtime(fs: FileSystem, st: org.apache.hadoop.fs.FileStatus): Long = {
+    var latest = st.getModificationTime
+    if (st.isDirectory)
+      fs.listStatus(st.getPath).foreach { c =>
+        val m = latestMtime(fs, c)
+        if (m > latest) latest = m
+      }
+    latest
   }
 }

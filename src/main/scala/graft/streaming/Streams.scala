@@ -504,7 +504,24 @@ object Streams {
     */
   def batchNamespace(checkpoint: Option[String]): String =
     checkpoint.map { c =>
-      java.lang.Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(c)) + "-"
+      // the namespace is an IDENTITY, so two hygiene rules apply: the
+      // path is fully qualified first (relative vs absolute, trailing
+      // slash, scheme spellings of the SAME checkpoint must yield the
+      // SAME namespace, or a true replay would not short-circuit), and
+      // the id is 128 bits (a 32-bit hash collision between two stream
+      // lifetimes on one table would silently drop a fresh stream's
+      // batches as replays)
+      val p = new org.apache.hadoop.fs.Path(c)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        p.toUri, new org.apache.hadoop.conf.Configuration())
+      val u = p.makeQualified(fs.getUri, fs.getWorkingDirectory).toUri
+      // rebuilt by hand because URI.toString distinguishes a null from
+      // an empty authority ("file:/x" vs "file:///x") — the same local
+      // checkpoint spelled with and without a scheme must not fork
+      val qualified = s"${u.getScheme}://${Option(u.getAuthority).getOrElse("")}${u.getPath}"
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(qualified.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      digest.map("%02x".format(_)).mkString + "-"
     }.getOrElse("")
 
   /** Bounded retry for the ingest sinks' documented TRANSIENT failure
@@ -514,20 +531,47 @@ object Streams {
     * the streaming query. Persistent failures still propagate and
     * stop the stream after `tries` attempts.
     */
-  private def retryTransient(tries: Int)(f: => Unit): Unit = {
+  private[graft] def retryTransient(tries: Int)(f: => Unit): Unit = {
     var attempt = 0
     var delay = 200L
     var done = false
     while (!done) {
       try { f; done = true }
       catch {
-        case e: Throwable =>
+        // ONLY the documented transient class retries: fatal VM errors
+        // and interrupts propagate via NonFatal, and genuinely
+        // non-transient failures (e.g. an AnalysisException from a
+        // schema-mismatched delta) surface immediately instead of
+        // burning five backoff sleeps inside foreachBatch
+        case scala.util.control.NonFatal(e) if isTransientFlipRace(e) =>
           attempt += 1
           if (attempt >= tries) throw e
           Thread.sleep(delay)
           delay *= 2
       }
     }
+  }
+
+  /** Does this failure look like the compaction-flip race the ingest
+    * lanes document — a path read between a generation flip and its
+    * GC? That race surfaces as a missing path: FileNotFoundException
+    * from a task (possibly wrapped in SparkException layers) or
+    * PATH_NOT_FOUND from analysis re-resolving the collected root.
+    */
+  private def isTransientFlipRace(t: Throwable): Boolean = {
+    var c: Throwable = t
+    var hops = 0
+    while (c != null && hops < 16) {
+      c match {
+        case _: java.io.FileNotFoundException => return true
+        case a: org.apache.spark.sql.AnalysisException
+            if a.getCondition == "PATH_NOT_FOUND" => return true
+        case _ =>
+      }
+      c = if (c.getCause ne c) c.getCause else null
+      hops += 1
+    }
+    false
   }
 
   def indexAppendStream(

@@ -1,0 +1,207 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-15 regressions for the round-14 advice findings — each test
+  * pins the exact hazard the advice named.
+  *
+  *  1. Hadoop `FileSystem.rename` into an EXISTING destination
+  *     directory does not fail: it nests the source inside and returns
+  *     true, so a same-id commit race (or replay) would leak hidden
+  *     dot-staging residue inside the committed batch forever
+  *     ([[graft.sources.Generations.commitRename]] now guards both the
+  *     pre-existing and the race-window outcome).
+  *  2. The staging sweep's liveness signal is the newest mtime in the
+  *     staging TREE, not the dir's own mtime — a long write keeps
+  *     landing task files deep under `_temporary` without touching the
+  *     top level, so the dir-mtime gate could collect a LIVE append.
+  *  3. `retryTransient` retries ONLY the documented flip-race class
+  *     (missing path); schema mismatches and fatal throwables surface
+  *     immediately instead of burning five backoff sleeps.
+  *  4. `batchNamespace` is a 128-bit id of the QUALIFIED checkpoint
+  *     path — same checkpoint spelled differently must be the same
+  *     namespace, different checkpoints must collide negligibly.
+  *  5. `HtmlTree.matches` accepts BS4's whole-attribute-string class
+  *     form — the reference's ALL_PRODUCTS selector class contains a
+  *     space (scrap_tokopedia.py:231) and only that form can match it.
+  */
+class CommitHygieneSpec extends AnyFunSuite {
+  lazy val spark: org.apache.spark.sql.SparkSession = TestSession.spark
+
+  import org.apache.hadoop.fs.{FileSystem, FilterFileSystem, Path}
+
+  private def hfs(dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def mkdirsWithFile(fs: FileSystem, dir: Path, file: String): Unit = {
+    fs.mkdirs(dir)
+    val out = fs.create(new Path(dir, file), true)
+    out.writeBytes("x")
+    out.close()
+  }
+
+  test("Hadoop rename into an existing destination dir nests and returns true (the documented hazard)") {
+    val root = new Path("/tmp/graft-test/hygiene_rename_raw")
+    val fs = hfs(root.toString)
+    fs.delete(root, true)
+    val visible = new Path(root, "b-1")
+    val staging = new Path(root, ".b-1-loser")
+    mkdirsWithFile(fs, visible, "part-winner.parquet")
+    mkdirsWithFile(fs, staging, "part-loser.parquet")
+    val renamed = fs.rename(staging, visible)
+    assert(renamed, "local Hadoop rename reports success when the destination dir exists")
+    assert(fs.exists(new Path(visible, ".b-1-loser")),
+      "…because it moved the source INSIDE the destination — the residue commitRename must clean")
+  }
+
+  test("commitRename: a loser against an already-committed batch deletes its staging, never nests") {
+    val root = new Path("/tmp/graft-test/hygiene_rename_precommitted")
+    val fs = hfs(root.toString)
+    fs.delete(root, true)
+    val visible = new Path(root, "b-1")
+    val staging = new Path(root, ".b-1-loser")
+    mkdirsWithFile(fs, visible, "part-winner.parquet")
+    mkdirsWithFile(fs, staging, "part-loser.parquet")
+    sources.Generations.commitRename(fs, staging, visible, "unexpected")
+    assert(!fs.exists(staging), "loser staging must be deleted")
+    assert(fs.exists(new Path(visible, "part-winner.parquet")), "winner content intact")
+    assert(fs.listStatus(visible).forall(!_.getPath.getName.startsWith(".b-")),
+      "no nested staging residue inside the committed batch")
+  }
+
+  test("commitRename: a winner appearing INSIDE the race window leaves no nested residue") {
+    val root = new Path("/tmp/graft-test/hygiene_rename_window")
+    val fs = hfs(root.toString)
+    fs.delete(root, true)
+    val visible = new Path(root, "b-1")
+    val staging = new Path(root, ".b-1-loser")
+    mkdirsWithFile(fs, visible, "part-winner.parquet")
+    mkdirsWithFile(fs, staging, "part-loser.parquet")
+    // a FilterFileSystem that reports the visible dir ABSENT exactly
+    // once — the pre-check sees the pre-race world, the rename and the
+    // nested-residue re-check see the real one
+    val raceFs = new FilterFileSystem(fs) {
+      private var armed = true
+      override def exists(p: Path): Boolean =
+        if (armed && p == visible) { armed = false; false }
+        else super.exists(p)
+    }
+    sources.Generations.commitRename(raceFs, staging, visible, "unexpected")
+    assert(!fs.exists(staging), "loser staging must be gone")
+    assert(fs.exists(new Path(visible, "part-winner.parquet")), "winner content intact")
+    assert(fs.listStatus(visible).forall(!_.getPath.getName.startsWith(".b-")),
+      "the race-window rename's nested residue must be cleaned up")
+  }
+
+  test("sweepStaging: a stale top-level mtime with FRESH deep activity is a live append — kept") {
+    val dir = "/tmp/graft-test/hygiene_sweep"
+    val area = "_batches"
+    val fs = hfs(dir)
+    fs.delete(new Path(dir), true)
+    val old = System.currentTimeMillis() - 2 * sources.Generations.StagingSweepAgeMs
+
+    // live long-running append: top dir old, a task file deep in the
+    // tree is fresh (the write is still landing files)
+    val live = new Path(s"$dir/$area/.live-append")
+    val deep = new Path(live, "_temporary/0/task_0")
+    mkdirsWithFile(fs, deep, "part-00000")
+    fs.setTimes(live, old, -1)
+    fs.setTimes(new Path(live, "_temporary"), old, -1)
+    fs.setTimes(new Path(live, "_temporary/0"), old, -1)
+
+    // dead crash residue: every mtime in the tree is past the window
+    val dead = new Path(s"$dir/$area/.dead-append")
+    val deadDeep = new Path(dead, "_temporary/0/task_0")
+    mkdirsWithFile(fs, deadDeep, "part-00000")
+    Seq(dead, new Path(dead, "_temporary"), new Path(dead, "_temporary/0"),
+        deadDeep, new Path(deadDeep, "part-00000"))
+      .foreach(p => fs.setTimes(p, old, -1))
+
+    sources.Generations.sweepStaging(fs, dir, area)
+    assert(fs.exists(live), "a staging tree with fresh deep files must survive the sweep")
+    assert(!fs.exists(dead), "a fully quiet staging tree past the window must be collected")
+  }
+
+  test("retryTransient: non-transient failures surface on the FIRST attempt") {
+    var attempts = 0
+    val e = intercept[IllegalStateException] {
+      streaming.Streams.retryTransient(5) {
+        attempts += 1
+        throw new IllegalStateException("schema mismatch — not the flip race")
+      }
+    }
+    assert(attempts == 1, s"non-transient must not retry, got $attempts attempts")
+    assert(e.getMessage.contains("schema mismatch"))
+  }
+
+  test("retryTransient: fatal throwables (interrupt) propagate immediately, uncounted") {
+    var attempts = 0
+    intercept[InterruptedException] {
+      streaming.Streams.retryTransient(5) {
+        attempts += 1
+        throw new InterruptedException("stop")
+      }
+    }
+    assert(attempts == 1)
+  }
+
+  test("retryTransient: the flip race (missing path, however wrapped) is retried to the bound") {
+    var attempts = 0
+    intercept[java.io.FileNotFoundException] {
+      streaming.Streams.retryTransient(3) {
+        attempts += 1
+        throw new java.io.FileNotFoundException("gen-3 was just GC'd")
+      }
+    }
+    assert(attempts == 3, "missing-path failures retry up to the bound")
+
+    var wrapped = 0
+    intercept[RuntimeException] {
+      streaming.Streams.retryTransient(3) {
+        wrapped += 1
+        throw new RuntimeException("task failed",
+          new java.io.FileNotFoundException("part-0 of gen-3"))
+      }
+    }
+    assert(wrapped == 3, "the cause chain is walked — executor wrapping does not defeat the class check")
+
+    var recovered = 0
+    streaming.Streams.retryTransient(3) {
+      recovered += 1
+      if (recovered < 3) throw new java.io.FileNotFoundException("transient")
+    }
+    assert(recovered == 3, "a retry that then succeeds completes the batch")
+  }
+
+  test("batchNamespace: spellings of the SAME checkpoint give the same 128-bit namespace") {
+    import streaming.Streams.batchNamespace
+    val abs = "/tmp/graft-test/ckpt/ns1"
+    val base = batchNamespace(Some(abs))
+    assert(base.matches("[0-9a-f]{32}-"), s"128-bit hex id expected, got $base")
+    assert(batchNamespace(Some(abs + "/")) == base, "trailing slash is the same checkpoint")
+    assert(batchNamespace(Some("/tmp/graft-test/ckpt//ns1")) == base, "doubled separator is the same checkpoint")
+    assert(batchNamespace(Some("file:" + abs)) == base, "explicit scheme is the same checkpoint")
+    val rel = "target/hygiene-ckpt"
+    val cwd = System.getProperty("user.dir")
+    assert(batchNamespace(Some(rel)) == batchNamespace(Some(s"$cwd/$rel")),
+      "relative and absolute spellings of the same checkpoint must share a namespace")
+    assert(batchNamespace(Some("/tmp/graft-test/ckpt/ns2")) != base, "different checkpoints differ")
+    assert(batchNamespace(None) == "", "no checkpoint → ephemeral empty namespace")
+  }
+
+  test("HtmlTree.matches: BS4 whole-string class match — a selector class containing a space can match") {
+    import operators.HtmlTree
+    val page =
+      """<div><a class="Ui5-B4 XeGJ+aa" href="/p/1">first</a>
+        |<a class="other" href="/p/2">second</a></div>""".stripMargin
+    val root = HtmlTree.parse(page)
+    // whole-string form: the two-token class value matches as one string
+    val whole = HtmlTree.findAll(root, "a", Map("class" -> "Ui5-B4 XeGJ+aa"))
+    assert(whole.map(_.attrs("href")) == Seq("/p/1"),
+      "the space-containing selector value must match via full-string equality")
+    // token form still works on the same element
+    assert(HtmlTree.findAll(root, "a", Map("class" -> "XeGJ+aa")).nonEmpty)
+    // and a value that is neither a token nor the whole string does not match
+    assert(HtmlTree.findAll(root, "a", Map("class" -> "Ui5-B4 other")).isEmpty)
+  }
+}

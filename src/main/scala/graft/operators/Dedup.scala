@@ -559,6 +559,108 @@ object Dedup {
       .withColumn("is_dup_pair", col("sim") >= tau)
   }
 
+  // ------------------------------------------------------- SemDeDup
+
+  /** Cell-scoped semantic dedup decisions — the shared core of
+    * [[semDeDup]] (k-means cells) and [[semDeDupGrid]] (sign-grid
+    * cells). `assigned` is the slim (vec_id, cell) assignment; within
+    * each cell every vector with a LOWER-id cell-mate at cosine >= tau
+    * is marked a duplicate, so the min-id member of each semantic
+    * neighborhood survives (the SemDeDup pruning rule, lower-id playing
+    * the paper's keep-one role deterministically).
+    *
+    * Scale shape (the 100 TB contract): candidate pairs are bounded by
+    * the CELL, never the corpus — sum over cells of C(size,2) — and the
+    * pair exchange carries 16-byte id pairs only; vectors re-attach for
+    * the exact-kernel verify via joins against the embedding table.
+    * [[Lsh.capBuckets]] hard-bounds degenerate cells exactly as in the
+    * LSH dedup family: a cell past `cellCap` is either exact-duplicate
+    * mass (the 1-shuffle exact pass catches it first) or a partitioner
+    * failure carrying no semantic signal, and its C(n,2) join would be
+    * one unsplittable straggler key.
+    */
+  private def semanticDecisions(
+      assigned: DataFrame,
+      emb: DataFrame,
+      tau: Double,
+      cellCap: Int): DataFrame = {
+    val cells = Lsh.capBuckets(assigned, Seq("cell"), cellCap)
+    val pairs = cells.alias("a")
+      .join(cells.alias("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+    val dups = pairs
+      .join(vecs.select(col("vec_id").as("id_a"), col("embedding").as("ea")), Seq("id_a"))
+      .join(vecs.select(col("vec_id").as("id_b"), col("embedding").as("eb")), Seq("id_b"))
+      .withColumn("sim", cosine_sim(col("ea"), col("eb")))
+      // best_sim aggregates over ALL lower-id cell-mates, not just the
+      // ones past tau: the column is the decision's full evidence (the
+      // paper's epsilon can be re-applied downstream without recompute),
+      // and under the hard gate it pins every within-cell max cosine
+      // even on corpora where nothing crosses the dup threshold
+      .groupBy(col("id_b").as("vec_id"))
+      .agg(
+        sum(when(col("sim") >= tau, 1L).otherwise(0L)).as("n_dup_partners"),
+        max(col("sim")).as("best_sim"))
+    assigned
+      .join(dups, Seq("vec_id"), "left")
+      .select(
+        col("vec_id"),
+        col("cell"),
+        (coalesce(col("best_sim"), lit(0.0)) >= tau).as("is_dup"),
+        coalesce(col("n_dup_partners"), lit(0L)).as("n_dup_partners"),
+        coalesce(col("best_sim"), lit(0.0)).as("best_sim"))
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — the standard
+    * semantic-dedup method for LLM corpora): k-means-cluster the
+    * embedding space with the engine's IVF trainer (bounded
+    * deterministic sample, [[Ivf.train]]), then prune within each
+    * cluster — drop every vector whose cosine to a lower-id
+    * cluster-mate is >= tau. Differs from [[embeddingCosineDecisions]]
+    * (random-hyperplane LSH bands) in the candidate generator: LEARNED
+    * cells adapt to the corpus's density (the paper's finding — random
+    * partitions split semantic neighborhoods that k-means keeps
+    * together), at the price of a non-portable model, which is why the
+    * SQL hard gate rides [[semDeDupGrid]]'s deterministic partitioner
+    * instead (the xxhash-vs-md5 twin discipline of the text dedup
+    * family). k scales with the corpus (cells of ~corpus/k vectors);
+    * training is O(model) by the hash-sampling bound.
+    */
+  def semDeDup(
+      emb: DataFrame,
+      centroids: Array[Array[Float]],
+      tau: Double = 0.85,
+      cellCap: Int = 10000): DataFrame = {
+    val assigned = emb.select(
+      col("vec_id"),
+      Ivf.clusterOf(col("embedding"), centroids).cast("int").as("cell"))
+    semanticDecisions(assigned, emb, tau, cellCap)
+  }
+
+  /** The PORTABLE partitioner edition of [[semDeDup]] for the DuckDB
+    * hard gate: cells are the sign pattern of the first `gridDims`
+    * embedding components (an ANSI-expressible CASE sum — 2^gridDims
+    * cells), everything downstream identical. A sign grid is a fixed
+    * random-ish partition like an LSH band, so its recall profile is
+    * the hyperplane family's, not k-means's — the point of the twin is
+    * that the whole decision pipeline (cell scoping, capping, pair
+    * generation, exact cosine verify at the gate's float parity,
+    * lower-id pruning) hashes identically against SQL.
+    */
+  def semDeDupGrid(
+      emb: DataFrame,
+      tau: Double = 0.85,
+      gridDims: Int = 6,
+      cellCap: Int = 10000): DataFrame = {
+    val cell = (0 until gridDims)
+      .map(j => when(col("embedding").getItem(j) > lit(0f), lit(1 << j)).otherwise(lit(0)))
+      .reduce(_ + _)
+    val assigned = emb.select(col("vec_id"), cell.as("cell"))
+    semanticDecisions(assigned, emb, tau, cellCap)
+  }
+
   // ------------------------------------------------------------- queries
 
   val qExact = GraftQuery(
@@ -779,7 +881,75 @@ object Dedup {
     prod = Some((s, d) => cosineVerifyProbe(Tables.embeddings(s, d))),
   )
 
+  // k-means cells are a fitted model like the IVF centroids: train once
+  // per (JVM, data dir) on the bounded deterministic sample.
+  private val semCentroidCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Float]]]
+
+  val qSemDeDup = GraftQuery(
+    "dedup_semdedup",
+    // rows-only by design like the xxhash dedup prods: the k-means
+    // partitioner is a trained model, not ANSI-expressible — the planted
+    // spec pins recall/keeper semantics and the grid twin puts the whole
+    // downstream decision pipeline under the hard gate.
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val centroids = semCentroidCache.getOrElseUpdate(d, Ivf.train(emb, k = 8, iters = 1))
+      semDeDup(emb, centroids).orderBy("vec_id")
+    },
+    None,
+    prod = Some((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val centroids = semCentroidCache.getOrElseUpdate(d, Ivf.train(emb, k = 8, iters = 1))
+      semDeDup(emb, centroids)
+    }),
+  )
+
+  val qSemDeDupGrid = GraftQuery(
+    "dedup_semdedup_grid",
+    (s, d) => semDeDupGrid(Tables.embeddings(s, d)).orderBy("vec_id"),
+    // Float parity as in dedup_cosine_verify / ann_bruteforce_topk:
+    // list_dot_product over DOUBLE[] is the kernel's sequential double
+    // accumulation, so sims hash-match exactly; the sign-grid cell is a
+    // CASE sum over the first 6 components in both engines, and the
+    // degenerate-cell cap is the QUALIFY window count.
+    Some("""WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv,
+          (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+         + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+         + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+         + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END
+         + CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END
+         + CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END) AS cell
+        FROM embeddings),
+      capped AS (
+        SELECT vec_id, dv, cell FROM v
+        QUALIFY COUNT(*) OVER (PARTITION BY cell) <= 10000),
+      pairs AS (
+        SELECT a.vec_id AS id_a, c.vec_id AS id_b, a.dv AS va, c.dv AS vb
+        FROM capped a JOIN capped c
+          ON a.cell = c.cell AND a.vec_id < c.vec_id),
+      scored AS (
+        SELECT id_b,
+          CASE WHEN list_dot_product(va, va) = 0 OR list_dot_product(vb, vb) = 0 THEN 0.0
+               ELSE list_dot_product(va, vb)
+                    / sqrt(list_dot_product(va, va) * list_dot_product(vb, vb)) END AS sim
+        FROM pairs),
+      dups AS (
+        SELECT id_b AS vec_id,
+          CAST(SUM(CASE WHEN sim >= 0.85 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_partners,
+          MAX(sim) AS best_sim
+        FROM scored GROUP BY id_b)
+      SELECT v.vec_id, CAST(v.cell AS INT) AS cell,
+        COALESCE(d.best_sim, 0.0) >= 0.85 AS is_dup,
+        COALESCE(d.n_dup_partners, 0) AS n_dup_partners,
+        COALESCE(d.best_sim, 0.0) AS best_sim
+      FROM v LEFT JOIN dups d ON v.vec_id = d.vec_id
+      ORDER BY v.vec_id"""),
+    prod = Some((s, d) => semDeDupGrid(Tables.embeddings(s, d))),
+  )
+
   def all: Seq[GraftQuery] =
     Seq(qExact, qMinhash, qMinhashMd5, qSimhash, qSimhashMd5, qJaccard,
-      qJaccardMd5, qPassage, qEmbedding, qCosineVerify)
+      qJaccardMd5, qPassage, qEmbedding, qCosineVerify, qSemDeDup, qSemDeDupGrid)
 }

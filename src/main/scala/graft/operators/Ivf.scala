@@ -34,7 +34,7 @@ object Ivf {
     reverse(array_sort(scored))
   }
 
-  private def clusterOf(vec: Column, centroids: Array[Array[Float]]): Column =
+  private[graft] def clusterOf(vec: Column, centroids: Array[Array[Float]]): Column =
     -element_at(nearestClusters(vec, centroids), 1).getField("neg_id")
 
   /** Bounded deterministic training sample: once the corpus outgrows

@@ -767,5 +767,69 @@ object TrainPrep {
     prod = Some((s, d) => trainShuffle(s, d)),
   )
 
-  def all: Seq[GraftQuery] = Seq(q38, q39, q40, q41, q43, q44, q47, q50, q52, q60, q61)
+  // ------------------------------------------------------------ q77
+
+  /** Overlapping token-window chunking — the RAG/context-window prep
+    * step (split every document into `window`-token chunks advancing by
+    * `stride`, so consecutive chunks share `window - stride` tokens of
+    * context). A chunk is emitted iff it contributes tokens the
+    * previous window did not already cover (`start == 0` or the
+    * previous window's end lies inside the doc), so a short tail never
+    * yields a fully-contained duplicate chunk; the final chunk may be
+    * shorter than `window`. Empty docs yield no chunks.
+    *
+    * Scale shape: MAP-ONLY — scan → tokenize (native [[gfunctions
+    * .ws_tokens]] kernel) → explode starts → project; no exchange
+    * anywhere in the prod plan, so it rides the scan's partitioning at
+    * any corpus size (the q75 zero-shuffle class). Fan-out is bounded
+    * by ceil(n_tokens/stride) rows per doc, each carrying one chunk
+    * text — output bytes ~ corpus bytes * window/stride.
+    */
+  private[graft] def chunkWindows(
+      docs: DataFrame, window: Int = 128, stride: Int = 96): DataFrame = {
+    require(stride >= 1 && window >= 1, "chunk geometry must be positive")
+    docs
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("n"))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(expr(s"sequence(0L, n - 1L, ${stride}L)")).as("start"))
+      .filter(col("start") === 0L || (col("start") - stride + window) < col("n"))
+      .select(
+        col("doc_id"),
+        expr(s"start div ${stride}L").as("chunk_idx"),
+        col("start").as("start_tok"),
+        least(lit(window.toLong), col("n") - col("start")).as("chunk_tokens"),
+        concat_ws(" ",
+          slice(col("toks"), (col("start") + 1L).cast("int"), lit(window))).as("chunk_text"))
+  }
+
+  val q77 = GraftQuery(
+    "q77_chunk_windows",
+    (s, d) => chunkWindows(Tables.documents(s, d)).orderBy("doc_id", "chunk_idx"),
+    // The proven portable tokenizer (q42/q46/q48 family):
+    // list_filter(regexp_split_to_array(text,'\s+'), x -> x <> '') is
+    // token-exact with the native ws_tokens kernel; slicing and joining
+    // with ' ' is position-exact in both engines (1-based inclusive).
+    Some("""WITH t AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        FROM documents),
+      g AS (
+        SELECT doc_id, toks, len(toks) AS n,
+               unnest(range(0, len(toks), 96)) AS start
+        FROM t WHERE len(toks) > 0)
+      SELECT doc_id,
+        CAST(start // 96 AS BIGINT) AS chunk_idx,
+        CAST(start AS BIGINT) AS start_tok,
+        CAST(least(128, n - start) AS BIGINT) AS chunk_tokens,
+        array_to_string(list_slice(toks, start + 1, least(start + 128, n)), ' ') AS chunk_text
+      FROM g
+      WHERE start = 0 OR start - 96 + 128 < n
+      ORDER BY doc_id, chunk_idx"""),
+    prod = Some((s, d) => chunkWindows(Tables.documents(s, d))),
+  )
+
+  def all: Seq[GraftQuery] =
+    Seq(q38, q39, q40, q41, q43, q44, q47, q50, q52, q60, q61, q77)
 }

@@ -77,6 +77,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("p_comment"), "untouched part columns must not be read")
   }
 
+  test("q77 chunking prod plan is exchange-free (scan + tokenize + explode only)") {
+    val p = operators.TrainPrep.q77.runProd(spark, sf).queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(p.replace("ExchangeQueryStage", "")).size
+    assert(exchanges == 0, s"token-window chunking must not shuffle:\n$p")
+    assert(p.contains("Generate"), "the per-start explode must stay in the map stage")
+  }
+
   test("q29 frontier reuses the catalog partitioning between window and agg") {
     // pages aggregate (catalog,page) + window repartition (catalog) +
     // oracle-mode sort; the final groupBy(catalog) must REUSE the window's

@@ -254,4 +254,37 @@ class TrainPrepSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q77 chunk geometry: overlap, tail suppression, short docs, empties") {
+    import spark.implicits._
+    def doc(id: Long, n: Int): (Long, String) = (id, (1 to n).map(i => s"t$i").mkString(" "))
+    val docs = Seq(
+      doc(1L, 5),      // n < window: one chunk, all tokens
+      doc(2L, 128),    // n == window: exactly one chunk
+      doc(3L, 129),    // one token past the window: a second chunk must carry it
+      doc(4L, 100),    // window 128 covers it: start=96 would add nothing -> suppressed
+      doc(5L, 300),    // full ladder: starts 0,96,192,288
+      (6L, ""),        // empty doc: no chunks
+      (7L, "   \t  ")  // whitespace-only: no chunks
+    ).toDF("doc_id", "text")
+    val got = operators.TrainPrep.chunkWindows(docs, window = 128, stride = 96)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .sortBy(t => (t._1, t._2))
+
+    val byDoc = got.groupBy(_._1).view.mapValues(_.toSeq).toMap
+    assert(byDoc(1L).map(t => (t._2, t._3, t._4)) == Seq((0L, 0L, 5L)), "short doc: one 5-token chunk")
+    assert(byDoc(1L).head._5 == "t1 t2 t3 t4 t5")
+    assert(byDoc(2L).map(_._2) == Seq(0L), "n == window: exactly one chunk")
+    assert(byDoc(3L).map(t => (t._2, t._3, t._4)) == Seq((0L, 0L, 128L), (1L, 96L, 33L)),
+      "129 tokens: second chunk starts at 96 and carries the 33-token tail")
+    assert(byDoc(4L).map(_._2) == Seq(0L),
+      "100 tokens: the start-96 window adds no new tokens and must be suppressed")
+    assert(byDoc(5L).map(t => (t._3, t._4)) == Seq((0L, 128L), (96L, 128L), (192L, 108L)),
+      "300 tokens: chunk at 192 reaches the end (192+128 > 300), so start 288 is suppressed")
+    assert(!byDoc.contains(6L) && !byDoc.contains(7L), "empty and whitespace-only docs yield nothing")
+
+    // consecutive chunks overlap by window - stride tokens
+    val c5 = byDoc(5L).map(_._5.split(" ").toSeq)
+    assert(c5(0).takeRight(32) == c5(1).take(32), "adjacent chunks share 32 tokens of context")
+  }
 }

@@ -682,8 +682,46 @@ object Similarity {
     None,
   )
 
+  // The r14 fullprobe discipline extended to the IN-MEMORY two-phase
+  // paths: at a coarse budget that provably contains the true top-k
+  // (the measured rank-displacement margins behind the persisted
+  // fullprobe entries), coarse-quantized ranking + exact float rerank
+  // equals brute-force exact cosine row for row — so the same
+  // list_dot_product oracle grades each compression rung's whole
+  // in-memory pipeline (codes, ADC/int8 scoring, candidate join,
+  // rerank kernel, tie-breaks), not just its persisted twin.
+
+  val qInt8RerankFull = GraftQuery(
+    "ann_int8_rerank_fullprobe",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      int8RerankTopK(emb, querySet(emb), k = 10, oversample = 50)
+    },
+    Some(bruteOracleSql),
+  )
+
+  val qPqRerankFull = GraftQuery(
+    "ann_pq_rerank_fullprobe",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Pq.pqRerankTopK(emb, querySet(emb), pqModel(d, emb), k = 10, oversample = 100)
+    },
+    Some(bruteOracleSql),
+  )
+
+  val qOpqRerankFull = GraftQuery(
+    "ann_opq_rerank_fullprobe",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Opq.opqRerankTopK(emb, querySet(emb), opqModelCache.getOrElseUpdate(d, Opq.train(emb)),
+        k = 10, oversample = 100)
+    },
+    Some(bruteOracleSql),
+  )
+
   def all: Seq[GraftQuery] =
-    Seq(qBrute, qLsh, qIvf, qOutlier, qQuant, qInt8, qInt8Rerank, qIvfInt8, qIndexRerank,
-      qIndexRerankFull, qPq, qPqRerank, qIndexPqRerank, qIndexPqRerankFull, qIvfPqResid,
-      qIndexPqResidRerank, qIndexPqResidRerankFull, qOpq, qIndexOpqRerank, qIndexOpqRerankFull)
+    Seq(qBrute, qLsh, qIvf, qOutlier, qQuant, qInt8, qInt8Rerank, qInt8RerankFull, qIvfInt8,
+      qIndexRerank, qIndexRerankFull, qPq, qPqRerank, qPqRerankFull, qIndexPqRerank,
+      qIndexPqRerankFull, qIvfPqResid, qIndexPqResidRerank, qIndexPqResidRerankFull, qOpq,
+      qOpqRerankFull, qIndexOpqRerank, qIndexOpqRerankFull)
 }

@@ -881,27 +881,22 @@ object Dedup {
     prod = Some((s, d) => cosineVerifyProbe(Tables.embeddings(s, d))),
   )
 
-  // k-means cells are a fitted model like the IVF centroids: train once
-  // per (JVM, data dir) on the bounded deterministic sample.
-  private val semCentroidCache =
-    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Float]]]
-
   val qSemDeDup = GraftQuery(
     "dedup_semdedup",
     // rows-only by design like the xxhash dedup prods: the k-means
     // partitioner is a trained model, not ANSI-expressible — the planted
     // spec pins recall/keeper semantics and the grid twin puts the whole
-    // downstream decision pipeline under the hard gate.
+    // downstream decision pipeline under the hard gate. The cells are
+    // THE registry-wide coarse quantizer (Similarity.cachedCentroids):
+    // one training pass serves ANN and dedup alike.
     (s, d) => {
       val emb = Tables.embeddings(s, d)
-      val centroids = semCentroidCache.getOrElseUpdate(d, Ivf.train(emb, k = 8, iters = 1))
-      semDeDup(emb, centroids).orderBy("vec_id")
+      semDeDup(emb, Similarity.cachedCentroids(d, emb)).orderBy("vec_id")
     },
     None,
     prod = Some((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val centroids = semCentroidCache.getOrElseUpdate(d, Ivf.train(emb, k = 8, iters = 1))
-      semDeDup(emb, centroids)
+      semDeDup(emb, Similarity.cachedCentroids(d, emb))
     }),
   )
 

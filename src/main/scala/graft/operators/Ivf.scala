@@ -515,6 +515,17 @@ object Ivf {
     * namespace from the checkpoint path; direct callers own the
     * one-checkpoint-per-namespace contract.
     */
+  /** True iff an append batch with this fully-qualified id (namespace +
+    * batchId) has already committed against this index — the replay
+    * fence [[appendIndexBatch]] applies, exposed so the streaming lane
+    * can ALSO honor ids written under a retired namespace form
+    * ([[graft.streaming.Streams.legacyBatchNamespace]]) without the
+    * operator growing a multi-namespace signature.
+    */
+  def appendCommitted(
+      spark: org.apache.spark.sql.SparkSession, dir: String, id: String): Boolean =
+    fsOf(spark, dir).exists(new org.apache.hadoop.fs.Path(s"$dir/$AppendsSubdir/$id"))
+
   def appendIndexBatch(
       delta: DataFrame, dir: String, batchId: Long, namespace: String): Unit = {
     import org.apache.hadoop.fs.Path

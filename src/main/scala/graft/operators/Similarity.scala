@@ -151,6 +151,14 @@ object Similarity {
   // training, so the cache is just avoided recomputation).
   private val centroidCache = scala.collection.concurrent.TrieMap.empty[String, Array[Array[Float]]]
 
+  /** THE per-data-dir coarse quantizer every registry entry shares —
+    * ANN, persisted indexes, and semantic dedup all key the SAME
+    * k=8/iters=1 model, so one training pass serves the whole registry
+    * and a future retune cannot drift between sites.
+    */
+  private[operators] def cachedCentroids(d: String, emb: DataFrame): Array[Array[Float]] =
+    centroidCache.getOrElseUpdate(d, Ivf.train(emb, k = 8, iters = 1))
+
   val qIvf = GraftQuery(
     "ann_ivf_topk",
     (s, d) => {
@@ -159,7 +167,7 @@ object Similarity {
       // (0.938 vs 0.913 @ sf0.001 — tighter clusters concentrate neighbors
       // into lists the fixed probe budget then misses) and half the
       // training cost
-      val centroids = centroidCache.getOrElseUpdate(d, Ivf.train(emb, k = 8, iters = 1))
+      val centroids = cachedCentroids(d, emb)
       Ivf.topK(emb, querySet(emb), centroids)
     },
     None,
@@ -385,7 +393,7 @@ object Similarity {
     // packed-codes parity/size laws live in SimilaritySpec.
     (s, d) => {
       val emb = Tables.embeddings(s, d)
-      val centroids = centroidCache.getOrElseUpdate(d, Ivf.train(emb, k = 8, iters = 1))
+      val centroids = cachedCentroids(d, emb)
       Ivf.topKInt8(emb, querySet(emb), centroids)
     },
     None,
@@ -406,7 +414,7 @@ object Similarity {
     // dense-corpus recall recovery served from disk.
     (s, d) => {
       val emb = Tables.embeddings(s, d)
-      val centroids = centroidCache.getOrElseUpdate(d, Ivf.train(emb, k = 8, iters = 1))
+      val centroids = cachedCentroids(d, emb)
       val dir = indexDirCache.getOrElseUpdate(d, {
         val out = s"/tmp/graft-index/idx_${java.lang.Integer.toHexString(d.hashCode)}"
         Ivf.writeIndex(emb, centroids, out)
@@ -456,7 +464,7 @@ object Similarity {
     // int8 rank displacement while staying an honest two-phase serve.
     (s, d) => {
       val emb = Tables.embeddings(s, d)
-      val centroids = centroidCache.getOrElseUpdate(d, Ivf.train(emb, k = 8, iters = 1))
+      val centroids = cachedCentroids(d, emb)
       val dir = indexDirCache.getOrElseUpdate(d, {
         val out = s"/tmp/graft-index/idx_${java.lang.Integer.toHexString(d.hashCode)}"
         Ivf.writeIndex(emb, centroids, out)
@@ -514,7 +522,7 @@ object Similarity {
     // (PqSpec pins kernel == driver table reference on every pair).
     (s, d) => {
       val emb = Tables.embeddings(s, d)
-      val centroids = centroidCache.getOrElseUpdate(d, Ivf.train(emb, k = 8, iters = 1))
+      val centroids = cachedCentroids(d, emb)
       val model = pqResidModelCache.getOrElseUpdate(d, Ivf.trainResidualPq(emb, centroids))
       Ivf.topKPqResidual(emb, querySet(emb), centroids, model)
     },
@@ -535,7 +543,7 @@ object Similarity {
     // and the rerank recall floor.
     (s, d) => {
       val emb = Tables.embeddings(s, d)
-      val centroids = centroidCache.getOrElseUpdate(d, Ivf.train(emb, k = 8, iters = 1))
+      val centroids = cachedCentroids(d, emb)
       val model = pqModel(d, emb)
       val dir = pqIndexDirCache.getOrElseUpdate(d, {
         val out = s"/tmp/graft-index/pq_${java.lang.Integer.toHexString(d.hashCode)}"
@@ -582,7 +590,7 @@ object Similarity {
     // row-for-row and the rerank recall floor.
     (s, d) => {
       val emb = Tables.embeddings(s, d)
-      val centroids = centroidCache.getOrElseUpdate(d, Ivf.train(emb, k = 8, iters = 1))
+      val centroids = cachedCentroids(d, emb)
       val model = pqResidModelCache.getOrElseUpdate(d, Ivf.trainResidualPq(emb, centroids))
       val dir = pqResidIndexDirCache.getOrElseUpdate(d, {
         val out = s"/tmp/graft-index/pqr_${java.lang.Integer.toHexString(d.hashCode)}"
@@ -605,7 +613,7 @@ object Similarity {
     // gate guarantee.
     (s, d) => {
       val emb = Tables.embeddings(s, d)
-      val centroids = centroidCache.getOrElseUpdate(d, Ivf.train(emb, k = 8, iters = 1))
+      val centroids = cachedCentroids(d, emb)
       val model = pqModel(d, emb)
       val dir = pqIndexDirCache.getOrElseUpdate(d, {
         val out = s"/tmp/graft-index/pq_${java.lang.Integer.toHexString(d.hashCode)}"
@@ -625,7 +633,7 @@ object Similarity {
     // registration).
     (s, d) => {
       val emb = Tables.embeddings(s, d)
-      val centroids = centroidCache.getOrElseUpdate(d, Ivf.train(emb, k = 8, iters = 1))
+      val centroids = cachedCentroids(d, emb)
       val model = pqResidModelCache.getOrElseUpdate(d, Ivf.trainResidualPq(emb, centroids))
       val dir = pqResidIndexDirCache.getOrElseUpdate(d, {
         val out = s"/tmp/graft-index/pqr_${java.lang.Integer.toHexString(d.hashCode)}"
@@ -644,7 +652,7 @@ object Similarity {
     // phase needs no rotation, so sims stay bit-identical to brute).
     (s, d) => {
       val emb = Tables.embeddings(s, d)
-      val centroids = centroidCache.getOrElseUpdate(d, Ivf.train(emb, k = 8, iters = 1))
+      val centroids = cachedCentroids(d, emb)
       val model = opqModelCache.getOrElseUpdate(d, Opq.train(emb))
       val dir = opqIndexDirCache.getOrElseUpdate(d, {
         val out = s"/tmp/graft-index/opq_${java.lang.Integer.toHexString(d.hashCode)}"
@@ -670,7 +678,7 @@ object Similarity {
     // rotated query LUT, float rerank on original vectors.
     (s, d) => {
       val emb = Tables.embeddings(s, d)
-      val centroids = centroidCache.getOrElseUpdate(d, Ivf.train(emb, k = 8, iters = 1))
+      val centroids = cachedCentroids(d, emb)
       val model = opqModelCache.getOrElseUpdate(d, Opq.train(emb))
       val dir = opqIndexDirCache.getOrElseUpdate(d, {
         val out = s"/tmp/graft-index/opq_${java.lang.Integer.toHexString(d.hashCode)}"

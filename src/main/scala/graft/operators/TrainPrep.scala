@@ -788,6 +788,11 @@ object TrainPrep {
   private[graft] def chunkWindows(
       docs: DataFrame, window: Int = 128, stride: Int = 96): DataFrame = {
     require(stride >= 1 && window >= 1, "chunk geometry must be positive")
+    // stride > window would silently DROP the tokens between chunk ends
+    // and the next start — for a training-prep operator that is data
+    // loss, not a sampling choice, so it is rejected loudly
+    require(stride <= window,
+      s"stride $stride > window $window would leave inter-chunk token gaps")
     docs
       .select(col("doc_id"), toks.as("toks"))
       .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("n"))

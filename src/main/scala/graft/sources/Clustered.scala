@@ -208,6 +208,23 @@ object Clustered {
     * .clusteredAppendStream]] derives it from the checkpoint path;
     * direct callers own the one-checkpoint-per-namespace contract.
     */
+  /** True iff a stream batch with this (namespace, batchId) already
+    * committed against this table — [[appendBatch]]'s structural replay
+    * fence (visible dir ∨ cumulative `_folded` manifest), exposed so
+    * the streaming lane can also honor ids written under a retired
+    * namespace form
+    * ([[graft.streaming.Streams.legacyBatchNamespace]]).
+    */
+  def batchCommitted(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      namespace: String, batchId: Long): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val fs = fsOf(spark, dir)
+    val id = s"b-$namespace$batchId"
+    fs.exists(new Path(s"$dir/$BatchesSubdir/$id")) ||
+      Generations.foldedIds(fs, Generations.resolveRoot(fs, dir)).contains(id)
+  }
+
   def appendBatch(
       df: DataFrame, dir: String, key: String, batchId: Long,
       files: Int = 4, bloomCols: Seq[String] = Nil,

@@ -229,22 +229,29 @@ object Generations {
     if (fs.exists(p))
       fs.listStatus(p).toSeq
         .filter(st => st.isDirectory && st.getPath.getName.startsWith("."))
-        .filter(st => latestMtime(fs, st) < cutoff)
+        .filter(st => treeIsQuiet(fs, st, cutoff))
         .foreach(st => fs.delete(st.getPath, true))
   }
 
-  /** Newest modification time in the tree rooted at `st` (the dir
-    * itself and everything under it) — the [[sweepStaging]] liveness
-    * signal. Bounded work: only dot-staging candidates are walked, and
-    * a staging tree is one batch's files.
+  /** Has every node in the tree rooted at `st` been untouched since
+    * `cutoff`? The [[sweepStaging]] liveness signal, with two
+    * live-append safeguards: the walk short-circuits at the FIRST
+    * fresh node (a live write's task churn is near the top of
+    * `_temporary`), and a path that VANISHES mid-walk —
+    * FileOutputCommitter constantly renames/deletes task-attempt dirs
+    * under a live write, and the staging dir itself can be renamed to
+    * visible between the listing and the recursion — reads as
+    * activity, never as an error that would abort the maintenance
+    * entry that called the sweep. Bounded work: only dot-staging
+    * candidates are walked, and a staging tree is one batch's files.
     */
-  private def latestMtime(fs: FileSystem, st: org.apache.hadoop.fs.FileStatus): Long = {
-    var latest = st.getModificationTime
-    if (st.isDirectory)
-      fs.listStatus(st.getPath).foreach { c =>
-        val m = latestMtime(fs, c)
-        if (m > latest) latest = m
-      }
-    latest
+  private def treeIsQuiet(
+      fs: FileSystem, st: org.apache.hadoop.fs.FileStatus, cutoff: Long): Boolean = {
+    if (st.getModificationTime >= cutoff) return false
+    if (!st.isDirectory) return true
+    val children =
+      try fs.listStatus(st.getPath)
+      catch { case _: java.io.FileNotFoundException => return false }
+    children.forall(treeIsQuiet(fs, _, cutoff))
   }
 }

@@ -512,16 +512,48 @@ object Streams {
       // lifetimes on one table would silently drop a fresh stream's
       // batches as replays)
       val p = new org.apache.hadoop.fs.Path(c)
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        p.toUri, new org.apache.hadoop.conf.Configuration())
-      val u = p.makeQualified(fs.getUri, fs.getWorkingDirectory).toUri
-      // rebuilt by hand because URI.toString distinguishes a null from
-      // an empty authority ("file:/x" vs "file:///x") — the same local
-      // checkpoint spelled with and without a scheme must not fork
-      val qualified = s"${u.getScheme}://${Option(u.getAuthority).getOrElse("")}${u.getPath}"
+      // qualify against the SESSION's Hadoop conf, not a vanilla one: a
+      // cluster deployment's fs.defaultFS (set via spark.hadoop.*) is
+      // what resolves a scheme-less checkpoint to the hdfs:// path
+      // Spark itself will use — a fresh Configuration would qualify it
+      // to file:/// and fork the namespace from the explicit spelling
+      val conf = org.apache.spark.sql.SparkSession.getActiveSession
+        .map(_.sparkContext.hadoopConfiguration)
+        .getOrElse(new org.apache.hadoop.conf.Configuration())
+      val qualified =
+        try {
+          val fs = org.apache.hadoop.fs.FileSystem.get(p.toUri, conf)
+          val u = p.makeQualified(fs.getUri, fs.getWorkingDirectory).toUri
+          // rebuilt by hand because URI.toString distinguishes a null
+          // from an empty authority ("file:/x" vs "file:///x") — the
+          // same local checkpoint spelled with and without a scheme
+          // must not fork
+          s"${u.getScheme}://${Option(u.getAuthority).getOrElse("")}${u.getPath}"
+        } catch {
+          // a scheme the conf cannot resolve (no FileSystem impl on
+          // this classpath): degrade to the Path-normalized spelling
+          // rather than killing stream setup — within one spelling the
+          // namespace is still stable, which is the identity that
+          // matters
+          case scala.util.control.NonFatal(_) => p.toUri.toString
+        }
       val digest = java.security.MessageDigest.getInstance("MD5")
         .digest(qualified.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       digest.map("%02x".format(_)).mkString + "-"
+    }.getOrElse("")
+
+  /** The pre-r15 namespace form (32-bit murmur of the RAW checkpoint
+    * string). Streams written before the qualified-128-bit id carry
+    * commit records under THIS namespace; the ingest lanes dual-read
+    * it (honor an old-namespace commit as a replay, write only the new
+    * form) so an upgrade cannot re-append a replayed batch as
+    * duplicate rows. Retire by compacting once: folded ids and
+    * markers survive compaction, so the dual-read stays correct
+    * indefinitely at one fs.exists per batch.
+    */
+  def legacyBatchNamespace(checkpoint: Option[String]): String =
+    checkpoint.map { c =>
+      java.lang.Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(c)) + "-"
     }.getOrElse("")
 
   /** Bounded retry for the ingest sinks' documented TRANSIENT failure
@@ -552,18 +584,23 @@ object Streams {
     }
   }
 
-  /** Does this failure look like the compaction-flip race the ingest
-    * lanes document — a path read between a generation flip and its
-    * GC? That race surfaces as a missing path: FileNotFoundException
-    * from a task (possibly wrapped in SparkException layers) or
-    * PATH_NOT_FOUND from analysis re-resolving the collected root.
+  /** Does this failure belong to the TRANSIENT IO class the ingest
+    * lanes absorb? Two members: the documented compaction-flip race (a
+    * path read between a generation flip and its GC — a
+    * FileNotFoundException from a task or PATH_NOT_FOUND from analysis
+    * re-resolving the collected root), and the broader storage-fault
+    * family (object-store throttling, connection resets — all
+    * IOException subclasses, possibly wrapped in SparkException
+    * layers), which retried-idempotent work also survives. What stays
+    * OUT is the non-IO class: schema mismatches, analysis errors,
+    * assertion failures — those fail the stream immediately.
     */
   private def isTransientFlipRace(t: Throwable): Boolean = {
     var c: Throwable = t
     var hops = 0
     while (c != null && hops < 16) {
       c match {
-        case _: java.io.FileNotFoundException => return true
+        case _: java.io.IOException => return true
         case a: org.apache.spark.sql.AnalysisException
             if a.getCondition == "PATH_NOT_FOUND" => return true
         case _ =>
@@ -579,12 +616,17 @@ object Streams {
       indexDir: String,
       checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     val ns = batchNamespace(checkpoint)
+    val legacyNs = legacyBatchNamespace(checkpoint)
     val w = vectors.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        retryTransient(5) {
-          graft.operators.Ivf.appendIndexBatch(batch.toDF(), indexDir, batchId, ns)
-        }
+        // dual-read the retired namespace form: a replay whose commit
+        // record predates the r15 id change must stay a no-op
+        if (legacyNs.isEmpty || !graft.operators.Ivf.appendCommitted(
+            batch.sparkSession, indexDir, s"$legacyNs$batchId"))
+          retryTransient(5) {
+            graft.operators.Ivf.appendIndexBatch(batch.toDF(), indexDir, batchId, ns)
+          }
       }
     checkpoint.foreach(c => w.option("checkpointLocation", c))
     w.start()
@@ -616,13 +658,18 @@ object Streams {
       bloomCols: Seq[String] = Nil,
       checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     val ns = batchNamespace(checkpoint)
+    val legacyNs = legacyBatchNamespace(checkpoint)
     val w = rows.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        retryTransient(5) {
-          graft.sources.Clustered.appendBatch(
-            batch.toDF(), dir, key, batchId, files, bloomCols, ns)
-        }
+        // dual-read the retired namespace form: a replay whose commit
+        // record predates the r15 id change must stay a no-op
+        if (legacyNs.isEmpty || !graft.sources.Clustered.batchCommitted(
+            batch.sparkSession, dir, legacyNs, batchId))
+          retryTransient(5) {
+            graft.sources.Clustered.appendBatch(
+              batch.toDF(), dir, key, batchId, files, bloomCols, ns)
+          }
       }
     checkpoint.foreach(c => w.option("checkpointLocation", c))
     w.start()

@@ -173,6 +173,53 @@ class CommitHygieneSpec extends AnyFunSuite {
     assert(recovered == 3, "a retry that then succeeds completes the batch")
   }
 
+  test("sweepStaging: a path vanishing mid-walk reads as activity, never aborts the sweep") {
+    val dir = "/tmp/graft-test/hygiene_sweep_fnf"
+    val area = "_batches"
+    val fs = hfs(dir)
+    fs.delete(new Path(dir), true)
+    val old = System.currentTimeMillis() - 2 * sources.Generations.StagingSweepAgeMs
+    val live = new Path(s"$dir/$area/.racing-append")
+    val deep = new Path(live, "_temporary/0")
+    mkdirsWithFile(fs, deep, "part-00000")
+    Seq(live, new Path(live, "_temporary"), deep, new Path(deep, "part-00000"))
+      .foreach(p => fs.setTimes(p, old, -1))
+    // a FileOutputCommitter racing the walk: listing the _temporary
+    // subtree throws FileNotFoundException (task-attempt dir renamed
+    // away between the parent listing and the recursion)
+    val racingFs = new FilterFileSystem(fs) {
+      override def listStatus(p: Path): Array[org.apache.hadoop.fs.FileStatus] =
+        // compare the raw path: the walk hands back FULLY-QUALIFIED
+        // (file:/...) paths from the parent listing
+        if (p.toUri.getPath == deep.toUri.getPath)
+          throw new java.io.FileNotFoundException(p.toString)
+        else super.listStatus(p)
+    }
+    sources.Generations.sweepStaging(racingFs, dir, area) // must not throw
+    assert(fs.exists(live),
+      "a tree that mutates under the walk is LIVE — the sweep must keep it")
+  }
+
+  test("retryTransient: storage-fault IOExceptions (throttle/reset class) are retried") {
+    var attempts = 0
+    streaming.Streams.retryTransient(3) {
+      attempts += 1
+      if (attempts < 3)
+        throw new RuntimeException("stage failed",
+          new java.io.IOException("Connection reset by peer"))
+    }
+    assert(attempts == 3, "IO-class transients retry and the batch completes")
+  }
+
+  test("batchNamespace: an unresolvable scheme degrades to path hashing instead of failing stream setup") {
+    import streaming.Streams.batchNamespace
+    val a = batchNamespace(Some("nosuchscheme://bucket/ckpt"))
+    val b = batchNamespace(Some("nosuchscheme://bucket/ckpt"))
+    assert(a.matches("[0-9a-f]{32}-") && a == b,
+      "the fallback namespace must be stable within one spelling")
+    assert(a != batchNamespace(Some("nosuchscheme://bucket/other")))
+  }
+
   test("batchNamespace: spellings of the SAME checkpoint give the same 128-bit namespace") {
     import streaming.Streams.batchNamespace
     val abs = "/tmp/graft-test/ckpt/ns1"

@@ -541,4 +541,58 @@ class StreamingRecoverySpec extends AnyFunSuite {
     assert(got.groupBy("payload").count().filter($"count" > 1).count() == 0,
       "no row duplicated across restart + fold")
   }
+
+  test("ingest lanes honor pre-r15 legacy-namespace commit records (upgrade replays stay no-ops)") {
+    import spark.implicits._
+    val in = tmp("legacy_in"); val ckpt = tmp("legacy_ck")
+    val dir = tmp("legacy_tbl") + "/table"
+    def wave(from: Long, until: Long) = spark.range(from, until).select(
+      (col("id") * 2654435761L % 100000).as("user_id"), col("id").as("payload")).toDF()
+    sources.Clustered.save(wave(0, 5000), dir, "user_id", files = 4)
+
+    // a batch committed BEFORE the namespace change: its commit record
+    // carries the murmur32 id form
+    val legacyNs = Streams.legacyBatchNamespace(Some(ckpt))
+    assert(legacyNs.nonEmpty && legacyNs != Streams.batchNamespace(Some(ckpt)),
+      "the two namespace forms must actually differ for this test to bite")
+    sources.Clustered.appendBatch(wave(5000, 5100), dir, "user_id", batchId = 0L,
+      namespace = legacyNs)
+    assert(sources.Clustered.read(spark, dir).count() == 5100)
+    assert(sources.Clustered.batchCommitted(spark, dir, legacyNs, 0L),
+      "the legacy commit record must be visible to the dual-read")
+
+    // post-upgrade restart from the SAME checkpoint replays batch 0 —
+    // the lane must short-circuit on the legacy record, not re-append
+    val schema = wave(0, 1).schema
+    def run(): Unit = {
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      val q = Streams.clusteredAppendStream(src, dir, "user_id", checkpoint = Some(ckpt))
+      try q.processAllAvailable() finally q.stop()
+    }
+    addFile(wave(5000, 5100), in) // the replayed content of legacy batch 0
+    run()
+    val afterReplay = sources.Clustered.read(spark, dir)
+    assert(afterReplay.count() == 5100,
+      "a replay committed under the legacy namespace must stay a no-op after upgrade")
+    assert(afterReplay.groupBy("payload").count().filter($"count" > 1).count() == 0,
+      "no duplicates from the upgrade replay")
+
+    // genuinely new batches (no legacy record) land under the NEW form
+    addFile(wave(5100, 5200), in)
+    run()
+    assert(sources.Clustered.read(spark, dir).count() == 5200,
+      "fresh batches must not be mistaken for legacy replays")
+
+    // the index lane's fence helper, same contract
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val idx = tmp("legacy_idx") + "/index"
+    val centroids = operators.Ivf.train(emb, k = 4, iters = 1)
+    operators.Ivf.writeIndex(emb.filter(col("vec_id") >= 100), centroids, idx)
+    operators.Ivf.appendIndexBatch(emb.filter(col("vec_id") < 100), idx, 0L, legacyNs)
+    assert(operators.Ivf.appendCommitted(spark, idx, s"${legacyNs}0"),
+      "index lane: legacy marker visible to the dual-read")
+    assert(!operators.Ivf.appendCommitted(spark, idx, s"${legacyNs}1"),
+      "index lane: absent ids stay uncommitted")
+  }
 }

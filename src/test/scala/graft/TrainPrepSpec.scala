@@ -286,5 +286,10 @@ class TrainPrepSpec extends AnyFunSuite {
     // consecutive chunks overlap by window - stride tokens
     val c5 = byDoc(5L).map(_._5.split(" ").toSeq)
     assert(c5(0).takeRight(32) == c5(1).take(32), "adjacent chunks share 32 tokens of context")
+
+    // stride > window would silently drop inter-chunk tokens — rejected
+    intercept[IllegalArgumentException] {
+      operators.TrainPrep.chunkWindows(docs, window = 128, stride = 200)
+    }
   }
 }

@@ -516,24 +516,44 @@ object Ivf {
     * one-checkpoint-per-namespace contract.
     */
   /** True iff an append batch with this fully-qualified id (namespace +
-    * batchId) has already committed against this index — the replay
-    * fence [[appendIndexBatch]] applies, exposed so the streaming lane
-    * can ALSO honor ids written under a retired namespace form
-    * ([[graft.streaming.Streams.legacyBatchNamespace]]) without the
-    * operator growing a multi-namespace signature.
+    * batchId) has already committed against this index: marker present,
+    * OR landed-but-unmarked (the crash window between [[landBatch]]'s
+    * atomic visibility rename and the marker create — the same state
+    * [[appendIndexBatch]] self-heals for its OWN id). Both halves
+    * matter for a retired-namespace id
+    * ([[graft.streaming.Streams.legacyBatchNamespace]]): a replay that
+    * only checked the marker would re-land a crash-window batch under
+    * the NEW namespace and duplicate its rows.
     */
   def appendCommitted(
-      spark: org.apache.spark.sql.SparkSession, dir: String, id: String): Boolean =
-    fsOf(spark, dir).exists(new org.apache.hadoop.fs.Path(s"$dir/$AppendsSubdir/$id"))
+      spark: org.apache.spark.sql.SparkSession, dir: String, id: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val fs = fsOf(spark, dir)
+    fs.exists(new Path(s"$dir/$AppendsSubdir/$id")) ||
+      fs.exists(new Path(s"$dir/$AppendsDataSubdir/$id"))
+  }
 
   def appendIndexBatch(
-      delta: DataFrame, dir: String, batchId: Long, namespace: String): Unit = {
+      delta: DataFrame, dir: String, batchId: Long, namespace: String): Unit =
+    appendIndexBatch(delta, dir, batchId, namespace, Nil)
+
+  /** [[appendIndexBatch]] that ALSO honors commit records written under
+    * retired id forms: `legacyIds` are checked inside the same replay
+    * fence (and inside the lane's transient-retry envelope), so an
+    * upgrade replay of a pre-upgrade batch — marker present or
+    * crash-window landed-but-unmarked — stays a no-op instead of
+    * re-landing under the new namespace.
+    */
+  def appendIndexBatch(
+      delta: DataFrame, dir: String, batchId: Long, namespace: String,
+      legacyIds: Seq[String]): Unit = {
     import org.apache.hadoop.fs.Path
     val spark = delta.sparkSession
     val fs = fsOf(spark, dir)
     val id = s"$namespace$batchId"
     val marker = new Path(s"$dir/$AppendsSubdir/$id")
     if (fs.exists(marker)) return // replay of a fully committed batch
+    if (legacyIds.exists(appendCommitted(spark, dir, _))) return
     landBatch(encodeForIndex(delta, dir), dir, id)
     fs.mkdirs(new Path(s"$dir/$AppendsSubdir"))
     fs.create(marker, true).close()

@@ -210,10 +210,11 @@ object Clustered {
     */
   /** True iff a stream batch with this (namespace, batchId) already
     * committed against this table — [[appendBatch]]'s structural replay
-    * fence (visible dir ∨ cumulative `_folded` manifest), exposed so
-    * the streaming lane can also honor ids written under a retired
-    * namespace form
-    * ([[graft.streaming.Streams.legacyBatchNamespace]]).
+    * fence (visible dir ∨ cumulative `_folded` manifest). Prefer
+    * passing `legacyIds` to [[appendBatch]] over calling this from a
+    * lane: the operator checks legacy forms against the SAME manifest
+    * read its own fence does (one read per batch, inside the lane's
+    * transient-retry envelope).
     */
   def batchCommitted(
       spark: org.apache.spark.sql.SparkSession, dir: String,
@@ -225,16 +226,26 @@ object Clustered {
       Generations.foldedIds(fs, Generations.resolveRoot(fs, dir)).contains(id)
   }
 
+  /** IDEMPOTENT batch append; `legacyIds` are fully-formed batch-dir
+    * names (`b-<retired namespace><batchId>`) whose commit records —
+    * visible dir or folded-manifest entry — also fence the replay, so
+    * an upgrade that changed the id derivation cannot re-append a
+    * pre-upgrade batch (see
+    * [[graft.streaming.Streams.legacyBatchNamespace]]).
+    */
   def appendBatch(
       df: DataFrame, dir: String, key: String, batchId: Long,
       files: Int = 4, bloomCols: Seq[String] = Nil,
-      namespace: String = ""): Unit = {
+      namespace: String = "", legacyIds: Seq[String] = Nil): Unit = {
     import org.apache.hadoop.fs.Path
     val fs = fsOf(df.sparkSession, dir)
     val id = s"b-$namespace$batchId"
     val visible = new Path(s"$dir/$BatchesSubdir/$id")
     if (fs.exists(visible)) return // committed, not yet folded
-    if (Generations.foldedIds(fs, Generations.resolveRoot(fs, dir)).contains(id))
+    if (legacyIds.exists(l => fs.exists(new Path(s"$dir/$BatchesSubdir/$l"))))
+      return // committed pre-upgrade, not yet folded
+    val folded = Generations.foldedIds(fs, Generations.resolveRoot(fs, dir))
+    if (folded.contains(id) || legacyIds.exists(folded))
       return // committed and already folded into the base generation
     commitBatch(df, dir, key, id, files, bloomCols)
   }

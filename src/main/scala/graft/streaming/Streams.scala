@@ -504,52 +504,36 @@ object Streams {
     */
   def batchNamespace(checkpoint: Option[String]): String =
     checkpoint.map { c =>
-      // the namespace is an IDENTITY, so two hygiene rules apply: the
-      // path is fully qualified first (relative vs absolute, trailing
-      // slash, scheme spellings of the SAME checkpoint must yield the
-      // SAME namespace, or a true replay would not short-circuit), and
-      // the id is 128 bits (a 32-bit hash collision between two stream
-      // lifetimes on one table would silently drop a fresh stream's
-      // batches as replays)
-      val p = new org.apache.hadoop.fs.Path(c)
-      // qualify against the SESSION's Hadoop conf, not a vanilla one: a
-      // cluster deployment's fs.defaultFS (set via spark.hadoop.*) is
-      // what resolves a scheme-less checkpoint to the hdfs:// path
-      // Spark itself will use — a fresh Configuration would qualify it
-      // to file:/// and fork the namespace from the explicit spelling
-      val conf = org.apache.spark.sql.SparkSession.getActiveSession
-        .map(_.sparkContext.hadoopConfiguration)
-        .getOrElse(new org.apache.hadoop.conf.Configuration())
-      val qualified =
-        try {
-          val fs = org.apache.hadoop.fs.FileSystem.get(p.toUri, conf)
-          val u = p.makeQualified(fs.getUri, fs.getWorkingDirectory).toUri
-          // rebuilt by hand because URI.toString distinguishes a null
-          // from an empty authority ("file:/x" vs "file:///x") — the
-          // same local checkpoint spelled with and without a scheme
-          // must not fork
-          s"${u.getScheme}://${Option(u.getAuthority).getOrElse("")}${u.getPath}"
-        } catch {
-          // a scheme the conf cannot resolve (no FileSystem impl on
-          // this classpath): degrade to the Path-normalized spelling
-          // rather than killing stream setup — within one spelling the
-          // namespace is still stable, which is the identity that
-          // matters
-          case scala.util.control.NonFatal(_) => p.toUri.toString
-        }
+      // The namespace is part of the ON-DISK protocol, so it is a PURE
+      // function of the checkpoint string: Path normalization (trailing
+      // slash, doubled separators) and a 128-bit id — no Hadoop conf,
+      // no FileSystem calls, no thread-local session state, because
+      // any environmental input would let the SAME checkpoint hash to
+      // DIFFERENT namespaces across restarts (a conf that resolves
+      // differently on a scheduler thread, a transient FS-init fault)
+      // and silently re-append replayed batches. The flip side is a
+      // documented CONTRACT: spell the checkpoint consistently across
+      // restarts — "/ckpt" and "hdfs://nn/ckpt" are different
+      // identities here even when Spark resolves them to the same
+      // directory. (128 bits because a 32-bit collision between two
+      // stream lifetimes on one table would silently drop a fresh
+      // stream's batches as replays.)
+      val normalized = new org.apache.hadoop.fs.Path(c).toUri.toString
       val digest = java.security.MessageDigest.getInstance("MD5")
-        .digest(qualified.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .digest(normalized.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       digest.map("%02x".format(_)).mkString + "-"
     }.getOrElse("")
 
   /** The pre-r15 namespace form (32-bit murmur of the RAW checkpoint
-    * string). Streams written before the qualified-128-bit id carry
-    * commit records under THIS namespace; the ingest lanes dual-read
-    * it (honor an old-namespace commit as a replay, write only the new
-    * form) so an upgrade cannot re-append a replayed batch as
-    * duplicate rows. Retire by compacting once: folded ids and
-    * markers survive compaction, so the dual-read stays correct
-    * indefinitely at one fs.exists per batch.
+    * string). Streams written before the normalized-128-bit id carry
+    * commit records under THIS namespace; the ingest lanes hand the
+    * legacy id to the operators' replay fences (honor an old-namespace
+    * commit as a replay, write only the new form) so an upgrade cannot
+    * re-append a replayed batch as duplicate rows. Same spelling
+    * contract as [[batchNamespace]]: the legacy id only matches if the
+    * checkpoint is spelled exactly as before the upgrade — keep the
+    * spelling until the stream has committed at least one batch under
+    * the new form.
     */
   def legacyBatchNamespace(checkpoint: Option[String]): String =
     checkpoint.map { c =>
@@ -600,6 +584,11 @@ object Streams {
     var hops = 0
     while (c != null && hops < 16) {
       c match {
+        // interrupt-shaped IO failures are SHUTDOWN, not storage
+        // weather: retrying them would stall query.stop() through
+        // backoff sleeps — propagate immediately
+        case _: java.io.InterruptedIOException => return false
+        case _: java.nio.channels.ClosedByInterruptException => return false
         case _: java.io.IOException => return true
         case a: org.apache.spark.sql.AnalysisException
             if a.getCondition == "PATH_NOT_FOUND" => return true
@@ -620,13 +609,13 @@ object Streams {
     val w = vectors.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        // dual-read the retired namespace form: a replay whose commit
-        // record predates the r15 id change must stay a no-op
-        if (legacyNs.isEmpty || !graft.operators.Ivf.appendCommitted(
-            batch.sparkSession, indexDir, s"$legacyNs$batchId"))
-          retryTransient(5) {
-            graft.operators.Ivf.appendIndexBatch(batch.toDF(), indexDir, batchId, ns)
-          }
+        retryTransient(5) {
+          // the operator's own fence also honors the retired namespace
+          // form, inside this retry envelope: a replay whose commit
+          // record predates the r15 id change stays a no-op
+          graft.operators.Ivf.appendIndexBatch(batch.toDF(), indexDir, batchId, ns,
+            legacyIds = if (legacyNs.isEmpty) Nil else Seq(s"$legacyNs$batchId"))
+        }
       }
     checkpoint.foreach(c => w.option("checkpointLocation", c))
     w.start()
@@ -662,14 +651,14 @@ object Streams {
     val w = rows.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        // dual-read the retired namespace form: a replay whose commit
-        // record predates the r15 id change must stay a no-op
-        if (legacyNs.isEmpty || !graft.sources.Clustered.batchCommitted(
-            batch.sparkSession, dir, legacyNs, batchId))
-          retryTransient(5) {
-            graft.sources.Clustered.appendBatch(
-              batch.toDF(), dir, key, batchId, files, bloomCols, ns)
-          }
+        retryTransient(5) {
+          // the operator's own fence also honors the retired namespace
+          // form, inside this retry envelope: a replay whose commit
+          // record predates the r15 id change stays a no-op
+          graft.sources.Clustered.appendBatch(
+            batch.toDF(), dir, key, batchId, files, bloomCols, ns,
+            legacyIds = if (legacyNs.isEmpty) Nil else Seq(s"b-$legacyNs$batchId"))
+        }
       }
     checkpoint.foreach(c => w.option("checkpointLocation", c))
     w.start()

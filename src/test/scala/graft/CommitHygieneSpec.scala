@@ -211,27 +211,26 @@ class CommitHygieneSpec extends AnyFunSuite {
     assert(attempts == 3, "IO-class transients retry and the batch completes")
   }
 
-  test("batchNamespace: an unresolvable scheme degrades to path hashing instead of failing stream setup") {
-    import streaming.Streams.batchNamespace
-    val a = batchNamespace(Some("nosuchscheme://bucket/ckpt"))
-    val b = batchNamespace(Some("nosuchscheme://bucket/ckpt"))
-    assert(a.matches("[0-9a-f]{32}-") && a == b,
-      "the fallback namespace must be stable within one spelling")
-    assert(a != batchNamespace(Some("nosuchscheme://bucket/other")))
-  }
-
-  test("batchNamespace: spellings of the SAME checkpoint give the same 128-bit namespace") {
+  test("batchNamespace: a pure 128-bit function of the Path-normalized checkpoint string") {
     import streaming.Streams.batchNamespace
     val abs = "/tmp/graft-test/ckpt/ns1"
     val base = batchNamespace(Some(abs))
     assert(base.matches("[0-9a-f]{32}-"), s"128-bit hex id expected, got $base")
+    // Path normalization folds the slip-of-the-keyboard respellings…
     assert(batchNamespace(Some(abs + "/")) == base, "trailing slash is the same checkpoint")
-    assert(batchNamespace(Some("/tmp/graft-test/ckpt//ns1")) == base, "doubled separator is the same checkpoint")
-    assert(batchNamespace(Some("file:" + abs)) == base, "explicit scheme is the same checkpoint")
-    val rel = "target/hygiene-ckpt"
-    val cwd = System.getProperty("user.dir")
-    assert(batchNamespace(Some(rel)) == batchNamespace(Some(s"$cwd/$rel")),
-      "relative and absolute spellings of the same checkpoint must share a namespace")
+    assert(batchNamespace(Some("/tmp/graft-test/ckpt//ns1")) == base,
+      "doubled separator is the same checkpoint")
+    // …and NOTHING environmental leaks in: no Hadoop conf, no
+    // FileSystem, no session thread-local can fork the id across
+    // restarts. The documented flip side: scheme-ful and scheme-less
+    // spellings are DIFFERENT identities — spell the checkpoint
+    // consistently (the exotic-scheme case hashes stably too, with no
+    // FileSystem resolution involved).
+    assert(batchNamespace(Some("file:" + abs)) != base,
+      "an explicit scheme is a different spelling by contract")
+    val exotic = batchNamespace(Some("nosuchscheme://bucket/ckpt"))
+    assert(exotic.matches("[0-9a-f]{32}-") &&
+      exotic == batchNamespace(Some("nosuchscheme://bucket/ckpt")))
     assert(batchNamespace(Some("/tmp/graft-test/ckpt/ns2")) != base, "different checkpoints differ")
     assert(batchNamespace(None) == "", "no checkpoint → ephemeral empty namespace")
   }

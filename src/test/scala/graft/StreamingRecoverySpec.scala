@@ -584,15 +584,29 @@ class StreamingRecoverySpec extends AnyFunSuite {
     assert(sources.Clustered.read(spark, dir).count() == 5200,
       "fresh batches must not be mistaken for legacy replays")
 
-    // the index lane's fence helper, same contract
+    // the index lane's fence, same contract — including the CRASH
+    // WINDOW: a pre-upgrade batch that landed its data dir but died
+    // before the marker create must still fence the upgrade replay
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val idx = tmp("legacy_idx") + "/index"
     val centroids = operators.Ivf.train(emb, k = 4, iters = 1)
     operators.Ivf.writeIndex(emb.filter(col("vec_id") >= 100), centroids, idx)
     operators.Ivf.appendIndexBatch(emb.filter(col("vec_id") < 100), idx, 0L, legacyNs)
     assert(operators.Ivf.appendCommitted(spark, idx, s"${legacyNs}0"),
-      "index lane: legacy marker visible to the dual-read")
+      "index lane: legacy marker visible to the fence")
     assert(!operators.Ivf.appendCommitted(spark, idx, s"${legacyNs}1"),
       "index lane: absent ids stay uncommitted")
+    val n = operators.Ivf.readIndex(spark, idx).count()
+    // simulate the crash window: marker gone, data dir still visible
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/_appends/${legacyNs}0"), false)
+    assert(operators.Ivf.appendCommitted(spark, idx, s"${legacyNs}0"),
+      "landed-but-unmarked is COMMITTED data — the fence must see the data dir")
+    // the upgrade replay with the new namespace + legacy fence: no-op
+    operators.Ivf.appendIndexBatch(emb.filter(col("vec_id") < 100), idx, 0L,
+      Streams.batchNamespace(Some(ckpt)), legacyIds = Seq(s"${legacyNs}0"))
+    assert(operators.Ivf.readIndex(spark, idx).count() == n,
+      "an upgrade replay of a crash-window legacy batch must not re-land rows")
   }
 }

@@ -529,8 +529,16 @@ object Ivf {
       spark: org.apache.spark.sql.SparkSession, dir: String, id: String): Boolean = {
     import org.apache.hadoop.fs.Path
     val fs = fsOf(spark, dir)
-    fs.exists(new Path(s"$dir/$AppendsSubdir/$id")) ||
-      fs.exists(new Path(s"$dir/$AppendsDataSubdir/$id"))
+    // DATA DIR FIRST, marker second — order is load-bearing against a
+    // concurrent compaction folding this very batch: compaction creates
+    // the folded batch's marker BEFORE it GCs the data dir, so "data
+    // absent" implies "marker already exists" for any batch that ever
+    // landed. The reverse order opens a window (marker not yet created
+    // at the first check, data already GC'd at the second) where a
+    // committed batch reads as absent and an upgrade replay would
+    // re-land it.
+    fs.exists(new Path(s"$dir/$AppendsDataSubdir/$id")) ||
+      fs.exists(new Path(s"$dir/$AppendsSubdir/$id"))
   }
 
   def appendIndexBatch(

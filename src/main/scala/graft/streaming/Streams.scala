@@ -580,24 +580,33 @@ object Streams {
     * assertion failures — those fail the stream immediately.
     */
   private def isTransientFlipRace(t: Throwable): Boolean = {
-    var c: Throwable = t
-    var hops = 0
-    while (c != null && hops < 16) {
-      c match {
-        // interrupt-shaped IO failures are SHUTDOWN, not storage
-        // weather: retrying them would stall query.stop() through
-        // backoff sleeps — propagate immediately
-        case _: java.io.InterruptedIOException => return false
-        case _: java.nio.channels.ClosedByInterruptException => return false
-        case _: java.io.IOException => return true
-        case a: org.apache.spark.sql.AnalysisException
-            if a.getCondition == "PATH_NOT_FOUND" => return true
-        case _ =>
-      }
-      c = if (c.getCause ne c) c.getCause else null
-      hops += 1
+    // Pass 1 — interrupt detection over the WHOLE chain first:
+    // interrupt-shaped failures are SHUTDOWN, not storage weather, and
+    // retrying them stalls query.stop() through backoff sleeps. They
+    // must win even when WRAPPED (an IOException caused by
+    // ClosedByInterruptException is common Hadoop layering, and a
+    // single-pass walk would classify the outer IOException as
+    // transient before reaching the cause). Exception to the
+    // exception: SocketTimeoutException EXTENDS InterruptedIOException
+    // in the JDK but is the classic transient storage-timeout — it
+    // stays retryable.
+    def chain(t0: Throwable): Iterator[Throwable] =
+      Iterator.iterate(t0)(c => if (c.getCause ne c) c.getCause else null)
+        .takeWhile(_ != null).take(16)
+    val interrupted = chain(t).exists {
+      case _: java.net.SocketTimeoutException => false
+      case _: java.io.InterruptedIOException => true
+      case _: java.nio.channels.ClosedByInterruptException => true
+      case _ => false
     }
-    false
+    if (interrupted) return false
+    // Pass 2 — the transient IO class
+    chain(t).exists {
+      case _: java.io.IOException => true
+      case a: org.apache.spark.sql.AnalysisException
+          if a.getCondition == "PATH_NOT_FOUND" => true
+      case _ => false
+    }
   }
 
   def indexAppendStream(

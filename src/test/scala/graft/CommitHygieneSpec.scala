@@ -211,6 +211,39 @@ class CommitHygieneSpec extends AnyFunSuite {
     assert(attempts == 3, "IO-class transients retry and the batch completes")
   }
 
+  test("retryTransient: interrupt-shaped IO failures propagate without backoff, even wrapped") {
+    // a bare InterruptedIOException is shutdown, not storage weather
+    var bare = 0
+    intercept[java.io.InterruptedIOException] {
+      streaming.Streams.retryTransient(5) {
+        bare += 1
+        throw new java.io.InterruptedIOException("write interrupted")
+      }
+    }
+    assert(bare == 1, "interrupt must not burn backoff sleeps")
+    // …and the interrupt cause must win even when WRAPPED in a plain
+    // IOException (common Hadoop layering) — order in the classifier is
+    // load-bearing
+    var wrapped = 0
+    intercept[java.io.IOException] {
+      streaming.Streams.retryTransient(5) {
+        wrapped += 1
+        throw new java.io.IOException("channel closed",
+          new java.nio.channels.ClosedByInterruptException())
+      }
+    }
+    assert(wrapped == 1, "a wrapped interrupt is still an interrupt")
+    // the JDK exception: SocketTimeoutException EXTENDS
+    // InterruptedIOException but is the classic transient storage
+    // timeout — it must stay retryable
+    var timeout = 0
+    streaming.Streams.retryTransient(3) {
+      timeout += 1
+      if (timeout < 3) throw new java.net.SocketTimeoutException("read timed out")
+    }
+    assert(timeout == 3, "socket timeouts are storage weather, not shutdown")
+  }
+
   test("batchNamespace: a pure 128-bit function of the Path-normalized checkpoint string") {
     import streaming.Streams.batchNamespace
     val abs = "/tmp/graft-test/ckpt/ns1"

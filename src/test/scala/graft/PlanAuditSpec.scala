@@ -30,8 +30,13 @@ class PlanAuditSpec extends AnyFunSuite {
     // pair is that shape again over m-BYTE codes (the coarse scan streams
     // 8 B/vector against the broadcast query LUTs); ann_opq_topk is the
     // PQ shape with a rotate step fused into the scan projection
+    // …and the r15 fullprobe twins re-run those same designed coarse
+    // scans (int8/PQ/OPQ codes x broadcast 8-query set) at a larger
+    // oversample — same shape, same justification
     val nljAllowed = Set("ann_bruteforce_topk", "ann_int8_topk",
-      "ann_int8_rerank_topk", "ann_pq_topk", "ann_pq_rerank_topk", "ann_opq_topk",
+      "ann_int8_rerank_topk", "ann_int8_rerank_fullprobe", "ann_pq_topk",
+      "ann_pq_rerank_topk", "ann_pq_rerank_fullprobe", "ann_opq_topk",
+      "ann_opq_rerank_fullprobe",
       "q35_tfidf", "dedup_cosine_verify", "q49_heavy_tokens", "q54_source_drift")
     SparkEntry.registry.foreach { q =>
       val p = plan(q)

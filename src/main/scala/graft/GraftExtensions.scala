@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.{Column, SparkSessionExtensions}
 import org.apache.spark.sql.functions.call_function
 
-import graft.functions.{BloomAgg, BloomContains, HeavyHitters, CosineSim, HyperplaneBands, Int8Codes, Int8Cosine, JaccardSim, KgramMd5Hashes, MatVecF, MinhashMd5Sig, MinhashSig, PqAdcSim, PqAsymSim, PqCodes, PqLut, PqResidCodes, PqResidLut, PqResidSim, ShingleHashes, ShingleMd5Hashes, ShingleXor64, SimHash64, SimHashMd5, TopKByScore, WsTokens, ZValue2}
+import graft.functions.{BloomAgg, BloomContains, HeavyHitters, CosineSim, HyperplaneBands, Int8Codes, Int8Cosine, JaccardSim, KgramMd5Hashes, MatVecF, MinhashMd5Sig, MinhashSig, NearestCentroid, PqAdcSim, PqAsymSim, PqCodes, PqLut, PqResidCodes, PqResidLut, PqResidSim, ShingleHashes, ShingleMd5Hashes, ShingleXor64, SimHash64, SimHashMd5, TopKByScore, WsTokens, ZValue2}
 import org.apache.spark.sql.catalyst.util.ArrayData
 
 /** Engine extension point, installed via spark.sql.extensions (GraftSession
@@ -131,6 +131,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new FunctionIdentifier("int8_cosine"),
         new ExpressionInfo(classOf[Int8Cosine].getName, "int8_cosine"),
         (children: Seq[Expression]) => Int8Cosine(children(0), children(1)),
+      )
+    )
+    ext.injectFunction(
+      (
+        new FunctionIdentifier("nearest_centroid"),
+        new ExpressionInfo(classOf[NearestCentroid].getName, "nearest_centroid"),
+        (children: Seq[Expression]) =>
+          NearestCentroid(
+            children(0),
+            children(1).eval().asInstanceOf[ArrayData].toFloatArray(),
+            children(2).eval().asInstanceOf[Int],
+            children(3).eval().asInstanceOf[Int]),
       )
     )
     ext.injectFunction(
@@ -366,6 +378,16 @@ object gfunctions {
     * (one codebook index per dsub-dim subspace; the storage step after
     * [[int8_codes]]'s 1 byte/dim). Codebook is flattened subspace-major.
     */
+  /** Nearest-centroid id (argmax cosine, ties -> smallest id) against a
+    * flat centroid-major k*dims matrix riding as a codegen reference
+    * object -- O(1) generated-code size in k, unlike the literal
+    * struct-array argmax (see [[graft.functions.NearestCentroid]]).
+    */
+  def nearest_centroid(vec: Column, centroids: Array[Float], k: Int, dims: Int): Column = {
+    import org.apache.spark.sql.functions.{lit, typedlit}
+    call_function("nearest_centroid", vec, typedlit(centroids.toSeq), lit(k), lit(dims))
+  }
+
   def pq_codes(vec: Column, codebook: Array[Float], m: Int, ksub: Int): Column = {
     import org.apache.spark.sql.functions.{lit, typedlit}
     call_function("pq_codes", vec, typedlit(codebook.toSeq), lit(m), lit(ksub))

@@ -34,8 +34,22 @@ object Ivf {
     reverse(array_sort(scored))
   }
 
+  /** Corpus-side coarse assignment — the hot full-scan path (train,
+    * writeIndex, appends, SemDeDup all run it over every vector). Since
+    * r15 this is the [[graft.functions.NearestCentroid]] kernel: the
+    * centroid matrix rides as ONE codegen reference object, so
+    * generated-code size is O(1) in k and the k-in-the-thousands regime
+    * a 100 TB corpus wants stays a tight primitive loop — the literal
+    * struct-array argmax (still used by [[nearestClusters]] for the
+    * per-QUERY ranked probe list, where k is small and a ranked list is
+    * needed) pays a per-row k-struct allocation + sort and k inlined
+    * sub-kernels, measured 4x/8x/15x slower at k=64/256/1024
+    * (ScaleProbe29). Bit-identical semantics, spec-pinned including
+    * duplicate-centroid ties and k=1024.
+    */
   private[graft] def clusterOf(vec: Column, centroids: Array[Array[Float]]): Column =
-    -element_at(nearestClusters(vec, centroids), 1).getField("neg_id")
+    graft.gfunctions.nearest_centroid(
+      vec, centroids.flatten, centroids.length, centroids.head.length)
 
   /** Bounded deterministic training sample: once the corpus outgrows
     * `sampleFactor * k` vectors, keep a vector iff its salted 52-bit md5

@@ -28,6 +28,53 @@ class SimilaritySpec extends AnyFunSuite {
     assert(top.head.getDouble(top.head.fieldIndex("sim")) > 0.999)
   }
 
+  test("nearest_centroid kernel is bit-identical to the literal struct-argmax, and survives large k") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+
+    // the pre-r15 literal formulation, reconstructed verbatim: array of
+    // struct(cosine_sim, -id) sorted desc -- ties break to smallest id
+    def literalArgmax(centroids: Array[Array[Float]]) = {
+      val scored = array(centroids.zipWithIndex.toIndexedSeq.map { case (c, i) =>
+        struct(graft.gfunctions.cosine_sim(col("embedding"), typedlit(c)).as("sim"),
+          lit(-i).as("neg_id"))
+      }: _*)
+      -element_at(reverse(array_sort(scored)), 1).getField("neg_id")
+    }
+
+    for (k <- Seq(2, 8, 64)) {
+      val centroids = operators.Ivf.train(emb, k = k, iters = 1)
+      val mismatches = emb.select(
+        operators.Ivf.clusterOf(col("embedding"), centroids).as("kernel"),
+        literalArgmax(centroids).as("literal"))
+        .filter(col("kernel") =!= col("literal")).count()
+      assert(mismatches == 0, s"k=$k: kernel and literal argmax must agree on every vector")
+    }
+
+    // tie-break parity on EXACT duplicate centroids (sim strictly equal):
+    // both forms must pick the smallest id
+    val dup = {
+      val c = operators.Ivf.train(emb, k = 2, iters = 1)
+      Array(c(0), c(0), c(1), c(1))
+    }
+    val tieMismatch = emb.select(
+      operators.Ivf.clusterOf(col("embedding"), dup).as("kernel"),
+      literalArgmax(dup).as("literal"))
+      .filter(col("kernel") =!= col("literal")).count()
+    assert(tieMismatch == 0, "duplicate-centroid ties must break identically (smallest id)")
+
+    // large-k regime: k=1024 is far past where the literal expression
+    // tree stays inside codegen; the kernel's generated code is O(1) in
+    // k and must just run
+    val rnd = new Random(31)
+    val bigK = Array.fill(1024)(Array.fill(64)(rnd.nextGaussian().toFloat))
+    val assigned = emb.select(operators.Ivf.clusterOf(col("embedding"), bigK).as("cell"))
+    val stats = assigned.agg(countDistinct("cell"), min("cell"), max("cell")).collect()(0)
+    assert(stats.getLong(0) > 100 && stats.getInt(1) >= 0 && stats.getInt(2) < 1024,
+      "k=1024 assignment must produce a spread of valid cell ids")
+  }
+
   test("q64 flags the planted anti-centroid vector; cluster members score high") {
     import spark.implicits._
     val rnd = new Random(64)

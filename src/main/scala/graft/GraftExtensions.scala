@@ -378,6 +378,11 @@ object gfunctions {
     * (one codebook index per dsub-dim subspace; the storage step after
     * [[int8_codes]]'s 1 byte/dim). Codebook is flattened subspace-major.
     */
+  def pq_codes(vec: Column, codebook: Array[Float], m: Int, ksub: Int): Column = {
+    import org.apache.spark.sql.functions.{lit, typedlit}
+    call_function("pq_codes", vec, typedlit(codebook.toSeq), lit(m), lit(ksub))
+  }
+
   /** Nearest-centroid id (argmax cosine, ties -> smallest id) against a
     * flat centroid-major k*dims matrix riding as a codegen reference
     * object -- O(1) generated-code size in k, unlike the literal
@@ -386,11 +391,6 @@ object gfunctions {
   def nearest_centroid(vec: Column, centroids: Array[Float], k: Int, dims: Int): Column = {
     import org.apache.spark.sql.functions.{lit, typedlit}
     call_function("nearest_centroid", vec, typedlit(centroids.toSeq), lit(k), lit(dims))
-  }
-
-  def pq_codes(vec: Column, codebook: Array[Float], m: Int, ksub: Int): Column = {
-    import org.apache.spark.sql.functions.{lit, typedlit}
-    call_function("pq_codes", vec, typedlit(codebook.toSeq), lit(m), lit(ksub))
   }
 
   /** Per-query ADC lookup table (m*ksub subspace dots + ||q||^2) — built

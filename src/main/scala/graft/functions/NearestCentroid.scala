@@ -21,34 +21,52 @@ import org.apache.spark.sql.types._
   * ONE reference object (the [[PqKernels]] codebook pattern) and the
   * argmax is a static loop — generated-code size is O(1) in k.
   *
-  * Semantics are BIT-IDENTICAL to the literal argmax it replaces
-  * (spec-pinned over real embeddings): per-centroid cosine accumulates
-  * doubles in index order exactly like [[CosineSim]] (zero-norm → 0.0,
-  * unequal lengths compare the common prefix), and the argmax uses
-  * `Double.compare` ordering — ties on sim keep the SMALLEST centroid
-  * id, matching the struct-sort tie-break (including the -0.0 < 0.0
-  * edge primitive `>` would miss).
+  * Semantics are BIT-IDENTICAL to the literal argmax it replaces for
+  * every NON-NULL vector (spec-pinned over real embeddings, incl.
+  * duplicate-centroid ties and k=1024): per-centroid cosine
+  * accumulates doubles in index order exactly like [[CosineSim]]
+  * (zero-norm → 0.0; a vector shorter than `dims` compares its
+  * prefix), and the argmax uses `Double.compare` — ties on sim keep
+  * the SMALLEST centroid id, matching the struct-sort tie-break.
+  * Ordering fine print: `Double.compare` and Spark's
+  * nanSafeCompareDoubles agree on NaN (greatest) but DISAGREE on
+  * ±0.0 (-0.0 < 0.0 vs equal); a -0.0 sim is unreachable from
+  * float-array cosines (the dot is +0.0 or its magnitude is far
+  * above the underflow threshold of the norm quotient), so the edge
+  * cannot fire — recheck this if the input type ever widens.
+  * DELIBERATE divergence: a NULL vector yields a NULL cluster (the
+  * standard null-intolerant expression contract) where the literal
+  * form accidentally produced cluster 0 from all-NULL sims.
   */
 object NearestCentroidKernel {
 
   def nearest(vec: ArrayData, flat: Array[Float], k: Int, dims: Int): Int = {
+    // the query side of every cosine is loop-invariant: hoisting its
+    // norm and prefix length drops one of the three FMAs from the
+    // k*dims hot loop, bit-identically (nx accumulates in the same
+    // index order whether or not dot/ny interleave)
+    val n = math.min(vec.numElements(), dims)
+    var nx = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = vec.getFloat(i).toDouble
+      nx += xi * xi
+      i += 1
+    }
     var best = 0
     var bestSim = Double.NegativeInfinity
     var c = 0
     while (c < k) {
       val base = c * dims
-      val n = math.min(vec.numElements(), dims)
       var dot = 0.0
-      var nx = 0.0
       var ny = 0.0
-      var i = 0
-      while (i < n) {
-        val xi = vec.getFloat(i).toDouble
-        val yi = flat(base + i).toDouble
-        dot += xi * yi
-        nx += xi * xi
-        ny += yi * yi
-        i += 1
+      var j = 0
+      while (j < n) {
+        val xj = vec.getFloat(j).toDouble
+        val yj = flat(base + j).toDouble
+        dot += xj * yj
+        ny += yj * yj
+        j += 1
       }
       val sim = if (nx == 0.0 || ny == 0.0) 0.0 else dot / math.sqrt(nx * ny)
       if (java.lang.Double.compare(sim, bestSim) > 0) { bestSim = sim; best = c }

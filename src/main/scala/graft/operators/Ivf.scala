@@ -44,12 +44,22 @@ object Ivf {
     * per-QUERY ranked probe list, where k is small and a ranked list is
     * needed) pays a per-row k-struct allocation + sort and k inlined
     * sub-kernels, measured 4x/8x/15x slower at k=64/256/1024
-    * (ScaleProbe29). Bit-identical semantics, spec-pinned including
-    * duplicate-centroid ties and k=1024.
+    * (ScaleProbe29). Bit-identical on every non-NULL vector,
+    * spec-pinned including duplicate-centroid ties and k=1024; a NULL
+    * embedding now yields a NULL cluster (the literal form
+    * accidentally mapped it to cluster 0 through all-NULL sims —
+    * spec-pinned as a DOCUMENTED divergence). The flat centroid-major
+    * layout requires uniform rows, enforced loudly: a ragged matrix
+    * whose lengths happened to compensate would otherwise misalign
+    * silently.
     */
-  private[graft] def clusterOf(vec: Column, centroids: Array[Array[Float]]): Column =
+  private[graft] def clusterOf(vec: Column, centroids: Array[Array[Float]]): Column = {
+    require(centroids.nonEmpty && centroids.forall(_.length == centroids.head.length),
+      s"clusterOf: centroid rows must be uniform, got lengths " +
+        s"${centroids.map(_.length).distinct.mkString(",")}")
     graft.gfunctions.nearest_centroid(
       vec, centroids.flatten, centroids.length, centroids.head.length)
+  }
 
   /** Bounded deterministic training sample: once the corpus outgrows
     * `sampleFactor * k` vectors, keep a vector iff its salted 52-bit md5

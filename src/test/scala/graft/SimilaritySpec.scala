@@ -45,10 +45,13 @@ class SimilaritySpec extends AnyFunSuite {
 
     for (k <- Seq(2, 8, 64)) {
       val centroids = operators.Ivf.train(emb, k = k, iters = 1)
+      // null-SAFE inequality: =!= is NULL when either side is NULL and
+      // filter would drop the row -- exactly the divergence class this
+      // spec exists to catch
       val mismatches = emb.select(
         operators.Ivf.clusterOf(col("embedding"), centroids).as("kernel"),
         literalArgmax(centroids).as("literal"))
-        .filter(col("kernel") =!= col("literal")).count()
+        .filter(!(col("kernel") <=> col("literal"))).count()
       assert(mismatches == 0, s"k=$k: kernel and literal argmax must agree on every vector")
     }
 
@@ -61,8 +64,25 @@ class SimilaritySpec extends AnyFunSuite {
     val tieMismatch = emb.select(
       operators.Ivf.clusterOf(col("embedding"), dup).as("kernel"),
       literalArgmax(dup).as("literal"))
-      .filter(col("kernel") =!= col("literal")).count()
+      .filter(!(col("kernel") <=> col("literal"))).count()
     assert(tieMismatch == 0, "duplicate-centroid ties must break identically (smallest id)")
+
+    // the DOCUMENTED divergence: a NULL embedding yields a NULL cluster
+    // (the literal form accidentally produced cluster 0 from all-NULL
+    // sims) -- pinned so the contract change stays deliberate
+    val withNull = emb.limit(1).select(col("vec_id"),
+      lit(null).cast("array<float>").as("embedding"))
+    val nullCell = withNull
+      .select(operators.Ivf.clusterOf(col("embedding"),
+        operators.Ivf.train(emb, k = 2, iters = 1)).as("cell"))
+      .collect()(0)
+    assert(nullCell.isNullAt(0), "NULL embedding must yield NULL cluster, not cluster 0")
+
+    // ragged centroid matrices are rejected loudly, never misaligned
+    intercept[IllegalArgumentException] {
+      operators.Ivf.clusterOf(col("embedding"),
+        Array(Array.fill(63)(0f), Array.fill(65)(0f)))
+    }
 
     // large-k regime: k=1024 is far past where the literal expression
     // tree stays inside codegen; the kernel's generated code is O(1) in

@@ -47,7 +47,8 @@ object MatVecKernels {
 }
 
 /** Rotation of a float vector by a plan-time row-major d x d matrix. */
-case class MatVecF(vec: Expression, mat: Array[Float], d: Int) extends UnaryExpression {
+case class MatVecF(vec: Expression, mat: Array[Float], d: Int)
+    extends UnaryExpression with ModelArrayEquality {
 
   override def child: Expression = vec
 

@@ -80,7 +80,7 @@ object NearestCentroidKernel {
   * vector against a flat centroid-major matrix of k*dims floats.
   */
 case class NearestCentroid(vec: Expression, centroids: Array[Float], k: Int, dims: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ModelArrayEquality {
 
   override def child: Expression = vec
 

@@ -420,7 +420,7 @@ object PqResidKernels {
   * [(j*ksub + c)*dsub + i]) is a plan-time constant.
   */
 case class PqCodes(vec: Expression, codebook: Array[Float], m: Int, ksub: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ModelArrayEquality {
 
   private val dsub: Int = codebook.length / (m * ksub)
 
@@ -459,7 +459,7 @@ case class PqCodes(vec: Expression, codebook: Array[Float], m: Int, ksub: Int)
 
 /** Per-query ADC lookup table (array<double> of m*ksub dots + ||q||^2). */
 case class PqLut(qvec: Expression, codebook: Array[Float], m: Int, ksub: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ModelArrayEquality {
 
   private val dsub: Int = codebook.length / (m * ksub)
 
@@ -502,7 +502,7 @@ case class PqLut(qvec: Expression, codebook: Array[Float], m: Int, ksub: Int)
 case class PqResidCodes(
     vec: Expression, cluster: Expression,
     centroids: Array[Float], codebook: Array[Float], m: Int, ksub: Int)
-    extends BinaryExpression {
+    extends BinaryExpression with ModelArrayEquality {
 
   private val dsub: Int = codebook.length / (m * ksub)
 
@@ -548,7 +548,7 @@ case class PqResidCodes(
   */
 case class PqResidLut(
     qvec: Expression, centroids: Array[Float], codebook: Array[Float], m: Int, ksub: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ModelArrayEquality {
 
   private val dsub: Int = codebook.length / (m * ksub)
 
@@ -592,7 +592,7 @@ case class PqResidLut(
 case class PqResidSim(
     codes: Expression, lut: Expression, cluster: Expression,
     centroids: Array[Float], codebook: Array[Float], m: Int, ksub: Int)
-    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression with ModelArrayEquality {
 
   private val dsub: Int = codebook.length / (m * ksub)
 
@@ -650,7 +650,7 @@ case class PqResidSim(
   */
 case class PqAsymSim(
     codes: Expression, qvec: Expression, codebook: Array[Float], m: Int, ksub: Int)
-    extends BinaryExpression {
+    extends BinaryExpression with ModelArrayEquality {
 
   private val dsub: Int = codebook.length / (m * ksub)
 
@@ -701,7 +701,7 @@ case class PqAsymSim(
   * derives from the codebook once at plan time.
   */
 case class PqAdcSim(codes: Expression, lut: Expression, codebook: Array[Float], m: Int, ksub: Int)
-    extends BinaryExpression {
+    extends BinaryExpression with ModelArrayEquality {
 
   private val dsub: Int = codebook.length / (m * ksub)
 

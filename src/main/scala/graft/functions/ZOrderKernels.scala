@@ -74,7 +74,7 @@ object ZOrderKernels {
   * object.
   */
 case class ZValue2(k0: Expression, k1: Expression, bounds: Array[Long], stride: Int)
-    extends BinaryExpression {
+    extends BinaryExpression with ModelArrayEquality {
 
   override def left: Expression = k0
   override def right: Expression = k1

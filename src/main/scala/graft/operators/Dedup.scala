@@ -573,18 +573,33 @@ object Dedup {
     * the CELL, never the corpus — sum over cells of C(size,2) — and the
     * pair exchange carries 16-byte id pairs only; vectors re-attach for
     * the exact-kernel verify via joins against the embedding table.
-    * [[Lsh.capBuckets]] hard-bounds degenerate cells exactly as in the
-    * LSH dedup family: a cell past `cellCap` is either exact-duplicate
-    * mass (the 1-shuffle exact pass catches it first) or a partitioner
-    * failure carrying no semantic signal, and its C(n,2) join would be
-    * one unsplittable straggler key.
+    * Degenerate cells are hard-bounded exactly as [[Lsh.capBuckets]]
+    * does for the LSH dedup family: a cell past `cellCap` is either
+    * exact-duplicate mass (the 1-shuffle exact pass catches it first)
+    * or a partitioner failure carrying no semantic signal, and its
+    * C(n,2) join would be one unsplittable straggler key. Capping is
+    * NOT silent (r16 ADVICE closure): every output row carries a
+    * `cell_capped` flag, so a corpus whose cells all blow the cap — a
+    * fixed partitioner run far past its design scale — reads as
+    * all-capped, not as a clean all-unique verdict. Downstream
+    * curation can treat `cell_capped` rows as "undecided: re-run with
+    * a finer partitioner", which is the honest answer.
     */
   private def semanticDecisions(
       assigned: DataFrame,
       emb: DataFrame,
       tau: Double,
       cellCap: Int): DataFrame = {
-    val cells = Lsh.capBuckets(assigned, Seq("cell"), cellCap)
+    // One slim aggregation (cell → count, partial-agg'd map-side)
+    // serves both readers: the cap filter keeps degenerate cells out
+    // of the pair join, and the same oversized set — tiny by
+    // construction, broadcast — stamps the output flag.
+    val oversized = assigned
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("cell_n"))
+      .filter(col("cell_n") > cellCap)
+      .select(col("cell"), lit(true).as("cell_capped"))
+    val cells = assigned.join(broadcast(oversized), Seq("cell"), "left_anti")
     val pairs = cells.alias("a")
       .join(cells.alias("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
@@ -605,12 +620,14 @@ object Dedup {
         max(col("sim")).as("best_sim"))
     assigned
       .join(dups, Seq("vec_id"), "left")
+      .join(broadcast(oversized), Seq("cell"), "left")
       .select(
         col("vec_id"),
         col("cell"),
         (coalesce(col("best_sim"), lit(0.0)) >= tau).as("is_dup"),
         coalesce(col("n_dup_partners"), lit(0L)).as("n_dup_partners"),
-        coalesce(col("best_sim"), lit(0.0)).as("best_sim"))
+        coalesce(col("best_sim"), lit(0.0)).as("best_sim"),
+        coalesce(col("cell_capped"), lit(false)).as("cell_capped"))
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — the standard
@@ -648,6 +665,17 @@ object Dedup {
     * that the whole decision pipeline (cell scoping, capping, pair
     * generation, exact cosine verify at the gate's float parity,
     * lower-id pruning) hashes identically against SQL.
+    *
+    * SCALE BOUND (r16 ADVICE closure): the grid is FIXED at
+    * 2^gridDims cells, so balanced cells hold ~N/2^gridDims vectors
+    * and the defaults (64 cells x cellCap 10k) cover a corpus of
+    * roughly 640k vectors — beyond that every cell blows the cap and
+    * the operator decides NOTHING. That state is visible, not silent:
+    * such rows come back `cell_capped = true` with `is_dup = false`
+    * (see [[semanticDecisions]]). Past the bound, raise `gridDims`
+    * (cells double per dim; the DuckDB gate SQL must grow the same
+    * CASE terms) — or use [[semDeDup]], whose learned k scales with
+    * the corpus and which this twin exists to gate, not replace.
     */
   def semDeDupGrid(
       emb: DataFrame,
@@ -917,9 +945,10 @@ object Dedup {
          + CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END
          + CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END) AS cell
         FROM embeddings),
+      sized AS (
+        SELECT vec_id, dv, cell, COUNT(*) OVER (PARTITION BY cell) AS cell_n FROM v),
       capped AS (
-        SELECT vec_id, dv, cell FROM v
-        QUALIFY COUNT(*) OVER (PARTITION BY cell) <= 10000),
+        SELECT vec_id, dv, cell FROM sized WHERE cell_n <= 10000),
       pairs AS (
         SELECT a.vec_id AS id_a, c.vec_id AS id_b, a.dv AS va, c.dv AS vb
         FROM capped a JOIN capped c
@@ -935,12 +964,13 @@ object Dedup {
           CAST(SUM(CASE WHEN sim >= 0.85 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_partners,
           MAX(sim) AS best_sim
         FROM scored GROUP BY id_b)
-      SELECT v.vec_id, CAST(v.cell AS INT) AS cell,
+      SELECT s.vec_id, CAST(s.cell AS INT) AS cell,
         COALESCE(d.best_sim, 0.0) >= 0.85 AS is_dup,
         COALESCE(d.n_dup_partners, 0) AS n_dup_partners,
-        COALESCE(d.best_sim, 0.0) AS best_sim
-      FROM v LEFT JOIN dups d ON v.vec_id = d.vec_id
-      ORDER BY v.vec_id"""),
+        COALESCE(d.best_sim, 0.0) AS best_sim,
+        s.cell_n > 10000 AS cell_capped
+      FROM sized s LEFT JOIN dups d ON s.vec_id = d.vec_id
+      ORDER BY s.vec_id"""),
     prod = Some((s, d) => semDeDupGrid(Tables.embeddings(s, d))),
   )
 

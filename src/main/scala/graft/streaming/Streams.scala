@@ -561,12 +561,22 @@ object Streams {
         // burning five backoff sleeps inside foreachBatch
         case scala.util.control.NonFatal(e) if isTransientFlipRace(e) =>
           attempt += 1
+          // Each retry logs WHAT was classified transient: if the
+          // classifier is ever wrong about a permanent fault, the
+          // misclassification is visible in the stream's log during
+          // the backoff window, not only after the final attempt
+          // rethrows.
+          retryLog.warn(
+            s"transient ingest failure (attempt $attempt/$tries, " +
+              s"retrying in ${delay}ms): ${e.getClass.getName}: ${e.getMessage}")
           if (attempt >= tries) throw e
           Thread.sleep(delay)
           delay *= 2
       }
     }
   }
+
+  private val retryLog = org.slf4j.LoggerFactory.getLogger("graft.streaming.retryTransient")
 
   /** Does this failure belong to the TRANSIENT IO class the ingest
     * lanes absorb? Two members: the documented compaction-flip race (a
@@ -600,7 +610,33 @@ object Streams {
       case _ => false
     }
     if (interrupted) return false
-    // Pass 2 — the transient IO class
+    // Pass 2 — the transient IO class. "IOException" is NOT uniformly
+    // transient: some subclasses signal PERMANENT faults that a backoff
+    // retry can never fix, and classifying them transient burns the
+    // full retry budget (~3 s of sleeps) before the real error surfaces
+    // on the stream. Excluded members:
+    //  - AccessControlException — permission denied; retrying does not
+    //    grant access;
+    //  - EOFException — a truncated/corrupt file; the bytes do not grow
+    //    back (an object store that serves a partial read raises
+    //    connection-reset SocketException, not EOF, so the transient
+    //    read-cut case stays covered by the IOException arm);
+    //  - FileAlreadyExistsException (both the Hadoop and java.nio
+    //    forms) — a name collision; the ingest lanes' own idempotent
+    //    fences make a retried commit a SHORT-CIRCUIT, never a
+    //    re-create ([[graft.sources.Generations.commitRename]] checks
+    //    the destination first), so this exception reaching the
+    //    classifier means a protocol violation, not weather.
+    // FileNotFoundException deliberately stays IN: it is the documented
+    // compaction-flip race this retry exists for.
+    def permanentIo(c: Throwable): Boolean = c match {
+      case _: org.apache.hadoop.security.AccessControlException => true
+      case _: java.io.EOFException => true
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => true
+      case _: java.nio.file.FileAlreadyExistsException => true
+      case _ => false
+    }
+    if (chain(t).exists(permanentIo)) return false
     chain(t).exists {
       case _: java.io.IOException => true
       case a: org.apache.spark.sql.AnalysisException

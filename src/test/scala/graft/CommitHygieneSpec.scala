@@ -211,6 +211,38 @@ class CommitHygieneSpec extends AnyFunSuite {
     assert(attempts == 3, "IO-class transients retry and the batch completes")
   }
 
+  test("retryTransient: permanent-fault IOException subclasses surface on the FIRST attempt") {
+    // r16 ADVICE closure: "IOException" is not uniformly transient.
+    // Permission denial, a truncated file, and a name collision are
+    // PERMANENT — classifying them transient burns the whole backoff
+    // budget (~3 s of sleeps) before the real error reaches the stream.
+    val permanents: Seq[Throwable] = Seq(
+      new org.apache.hadoop.security.AccessControlException("Permission denied: user=x"),
+      new java.io.EOFException("Cannot seek past EOF"),
+      new org.apache.hadoop.fs.FileAlreadyExistsException("/idx/batches/b7"),
+      new java.nio.file.FileAlreadyExistsException("/idx/batches/b7"))
+    for (p <- permanents) {
+      var attempts = 0
+      val seen = intercept[Exception] {
+        streaming.Streams.retryTransient(5) {
+          attempts += 1
+          // wrapped in a task-failure layer, as Spark delivers them
+          throw new RuntimeException("stage failed", p)
+        }
+      }
+      assert(attempts == 1, s"${p.getClass.getSimpleName} must not retry")
+      assert(seen.getCause eq p)
+    }
+    // …while the documented flip race (FileNotFoundException, also an
+    // IOException subclass) stays IN the retryable class
+    var fnf = 0
+    streaming.Streams.retryTransient(3) {
+      fnf += 1
+      if (fnf < 3) throw new java.io.FileNotFoundException("gen-000017/part-0.parquet")
+    }
+    assert(fnf == 3, "the compaction-flip race is what this retry exists for")
+  }
+
   test("retryTransient: interrupt-shaped IO failures propagate without backoff, even wrapped") {
     // a bare InterruptedIOException is shutdown, not storage weather
     var bare = 0

@@ -157,6 +157,43 @@ class DedupSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
     assert(!grid(1L) && grid(2L) && grid(3L), "grid twin: keeper + both copies")
     assert(!grid(4L) && !grid(5L) && !grid(6L), "grid twin: randoms kept")
+    // no cell blew the cap in this corpus: the flag is all-false
+    assert(operators.Dedup.semDeDupGrid(emb).collect()
+      .forall(r => !r.getBoolean(5)), "healthy corpus: no cell_capped rows")
+  }
+
+  test("semdedup: a blown cell cap is VISIBLE (cell_capped), never a silent all-unique verdict") {
+    // r16 ADVICE closure: a fixed partitioner run past its design scale
+    // (every cell > cellCap) used to return all-false is_dup with no
+    // signal — indistinguishable from a genuinely duplicate-free
+    // corpus. Plant one oversize cell (identical vectors, so it WOULD
+    // dedup if scoped) beside a healthy cell, with a cap small enough
+    // to trip, and pin the contract on both sides.
+    import spark.implicits._
+    // sign patterns chosen explicitly so the two groups land in
+    // DIFFERENT grid cells by construction (all-positive vs
+    // all-negative first 6 components), no seed luck involved
+    val big = Array(0.5f, 0.4f, 0.3f, 0.2f, 0.6f, 0.7f, 0.1f, 0.2f)
+    val small = Array(-0.5f, -0.4f, -0.3f, -0.2f, -0.6f, -0.7f, 0.1f, 0.2f)
+    val smallDup = small.clone()
+    val rows =
+      (1L to 6L).map(i => (i, big.clone())) ++ // one 6-member cell, cap=4: dropped
+        Seq((10L, small), (11L, smallDup))     // healthy 2-member cell: dedups
+    val emb = rows.toDF("vec_id", "embedding")
+    val got = operators.Dedup.semDeDupGrid(emb, tau = 0.85, gridDims = 6, cellCap = 4)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(2), r.getBoolean(5)))).toMap
+    (1L to 6L).foreach { i =>
+      assert(got(i)._2, s"member $i of the blown cell must read cell_capped")
+      assert(!got(i)._1, "capped members are UNDECIDED (no pair join ran), not dups")
+    }
+    assert(!got(10L)._2 && !got(11L)._2, "the healthy cell is not flagged")
+    assert(!got(10L)._1 && got(11L)._1, "scoped dedup still runs in uncapped cells")
+    // the k-means edition shares the core and the contract
+    val centroids = operators.Ivf.train(emb, k = 2, iters = 2)
+    val km = operators.Dedup.semDeDup(emb, centroids, cellCap = 4).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+    assert((1L to 6L).forall(km(_)), "k-means edition flags the blown cell too")
   }
 
   test("band bucket cap: a 5k-doc boilerplate mega-cluster cannot explode the pair join") {

@@ -298,4 +298,72 @@ class KernelLawsSpec extends AnyFunSuite {
         exact.map(v => (v.event_id, v.ts_ms, v.n_24h)), s"trial $trial")
     }
   }
+
+  test("model-array kernel expressions: STRUCTURAL equality (canonicalization law, r16 ADVICE)") {
+    // Case-class equality on an Array field is reference-based, which
+    // made two semantically identical kernel expressions never compare
+    // equal — defeating Catalyst canonicalization / semanticEquals /
+    // common-subexpression elimination whenever the same model-driven
+    // column appears twice in a plan. ModelArrayEquality restores
+    // case-class semantics with CONTENT comparison on primitive
+    // arrays; this law pins it for every carrier.
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression}
+    import org.apache.spark.sql.types._
+    import graft.functions._
+    val vec = BoundReference(0, ArrayType(FloatType), nullable = true)
+    val bin = BoundReference(1, BinaryType, nullable = true)
+    val dbl = BoundReference(2, ArrayType(DoubleType), nullable = true)
+    val int = BoundReference(3, IntegerType, nullable = true)
+    val lng = BoundReference(4, LongType, nullable = true)
+    def f(n: Int): Array[Float] = Array.tabulate(n)(_ * 0.5f)
+    def l(n: Int): Array[Long] = Array.tabulate(n)(_ * 3L)
+    // (twin with equal-CONTENT distinct arrays, structurally different twin)
+    val cases: Seq[(String, Expression, Expression, Expression)] = Seq(
+      ("NearestCentroid",
+        NearestCentroid(vec, f(8), 2, 4), NearestCentroid(vec, f(8), 2, 4),
+        NearestCentroid(vec, f(8).updated(0, 9f), 2, 4)),
+      ("ZValue2",
+        ZValue2(lng, lng, l(6), 3), ZValue2(lng, lng, l(6), 3),
+        ZValue2(lng, lng, l(6).updated(5, 99L), 3)),
+      ("MatVecF",
+        MatVecF(vec, f(16), 4), MatVecF(vec, f(16), 4),
+        MatVecF(vec, f(16).updated(3, 9f), 4)),
+      ("PqCodes",
+        PqCodes(vec, f(8), 2, 2), PqCodes(vec, f(8), 2, 2),
+        PqCodes(vec, f(8).updated(1, 9f), 2, 2)),
+      ("PqLut",
+        PqLut(vec, f(8), 2, 2), PqLut(vec, f(8), 2, 2),
+        PqLut(vec, f(8).updated(1, 9f), 2, 2)),
+      ("PqResidCodes",
+        PqResidCodes(vec, int, f(4), f(8), 2, 2),
+        PqResidCodes(vec, int, f(4), f(8), 2, 2),
+        PqResidCodes(vec, int, f(4).updated(0, 9f), f(8), 2, 2)),
+      ("PqResidLut",
+        PqResidLut(vec, f(4), f(8), 2, 2), PqResidLut(vec, f(4), f(8), 2, 2),
+        PqResidLut(vec, f(4), f(8).updated(7, 9f), 2, 2)),
+      ("PqResidSim",
+        PqResidSim(bin, dbl, int, f(4), f(8), 2, 2),
+        PqResidSim(bin, dbl, int, f(4), f(8), 2, 2),
+        PqResidSim(bin, dbl, int, f(4), f(8).updated(0, 9f), 2, 2)),
+      ("PqAsymSim",
+        PqAsymSim(bin, vec, f(8), 2, 2), PqAsymSim(bin, vec, f(8), 2, 2),
+        PqAsymSim(bin, vec, f(8).updated(2, 9f), 2, 2)),
+      ("PqAdcSim",
+        PqAdcSim(bin, dbl, f(8), 2, 2), PqAdcSim(bin, dbl, f(8), 2, 2),
+        PqAdcSim(bin, dbl, f(8).updated(4, 9f), 2, 2)))
+    for ((name, a, b, c) <- cases) {
+      assert(a == b, s"$name: equal-content models must compare equal")
+      assert(a.hashCode == b.hashCode, s"$name: equal twins must hash alike")
+      assert(a.semanticEquals(b), s"$name: Catalyst semanticEquals must see the twin")
+      assert(a != c, s"$name: differing model content must not compare equal")
+      assert(Set[Expression](a, b, c).size == 2, s"$name: set dedup follows equality")
+    }
+    // cross-class guard: two different kernels over identical fields
+    // must never alias (getClass gates the product walk)
+    assert(PqCodes(vec, f(8), 2, 2) != PqLut(vec, f(8), 2, 2))
+    // different child expression still breaks equality (the non-array
+    // fields keep case-class semantics)
+    val otherVec = BoundReference(5, ArrayType(FloatType), nullable = true)
+    assert(NearestCentroid(vec, f(8), 2, 4) != NearestCentroid(otherVec, f(8), 2, 4))
+  }
 }

@@ -274,6 +274,126 @@ object HtmlTree {
       pick(ProductDetail).orNull)
   }
 
+  // ---- whole-page main-content extraction (boilerplate removal) ----
+
+  /** Chrome subtrees a main-content extractor drops wholesale — the
+    * C4/RefinedWeb text-extraction rule set: non-content machinery
+    * (script/style/noscript/template), site navigation and chrome
+    * (nav/header/footer/aside), and input surfaces (form). Comments
+    * are already dropped by [[parse]]. Generalizes the reference's
+    * per-field `get_text` (scrap_tokopedia.py:231-277) to the
+    * whole-page corpus case: instead of selecting the few nodes to
+    * KEEP, drop the known-chrome nodes and keep the rest.
+    */
+  private val PrunedTags = Set(
+    "script", "style", "noscript", "template", "nav", "header", "footer",
+    "aside", "form", "iframe", "svg", "button", "select", "option",
+    // document metadata: the head (and a stray title outside one) is
+    // page METADATA, not body content
+    "head", "title")
+
+  /** Tags that open/close a LINE in the assembled text — the block-level
+    * elements of the HTML rendering model (plus the void line breakers
+    * br/hr). Inline elements (a, b, i, span, ...) contribute to the
+    * current line.
+    */
+  private val BlockTags = Set(
+    "p", "div", "h1", "h2", "h3", "h4", "h5", "h6", "li", "ul", "ol",
+    "table", "thead", "tbody", "tr", "td", "th", "section", "article",
+    "main", "blockquote", "pre", "figure", "figcaption", "dl", "dt", "dd",
+    "address", "br", "hr", "body", "html")
+
+  /** One page's extracted main content: kept lines joined with \n, the
+    * kept-line count, and the count of lines dropped by the
+    * link-density rule (chrome-subtree pruning is not counted — those
+    * lines never assemble).
+    */
+  final case class PageText(main_text: String, n_lines: Int, n_boiler_lines: Int)
+
+  /** Whole-page main-content extraction — the text-extraction leg
+    * between "raw crawl" and the quality gates (q31/q72/q75): the C4 /
+    * RefinedWeb preprocessing step that turns a fetched page into the
+    * clean text every downstream corpus operator consumes.
+    *
+    * Deterministic three-rule pipeline over the parsed tree:
+    *  1. PRUNE chrome subtrees ([[PrunedTags]]) and comments.
+    *  2. ASSEMBLE LINES: walk what remains in document order; block
+    *     elements ([[BlockTags]]) break lines, inline elements flow
+    *     into the current one; each line's whitespace is normalized
+    *     (runs collapse to one space, ends trimmed) and empty lines
+    *     drop.
+    *  3. LINK-DENSITY FLAG: a line whose anchor-contributed
+    *     non-whitespace characters are MORE THAN `maxLinkDensity` of
+    *     its total (strict — an exactly-half-linked line is kept) is
+    *     boilerplate (link farms, "related products" strips, pager
+    *     rows — the classic jusText/boilerpipe signal) and is dropped
+    *     from `main_text`, counted in `n_boiler_lines`.
+    *
+    * Per-partition map work like every HtmlTree entry point: one pass,
+    * no shuffle, embarrassingly parallel at 100 TB.
+    */
+  def extractMainText(html: String, maxLinkDensity: Double = 0.5): PageText = {
+    val root = parse(html)
+    val kept = ArrayBuffer.empty[String]
+    var boiler = 0
+    val sb = new StringBuilder
+    var total = 0L
+    var linked = 0L
+    var linkDepth = 0
+    def flush(): Unit = {
+      if (sb.nonEmpty) {
+        val line = normalizeWs(sb.toString)
+        if (line.nonEmpty) {
+          if (linked.toDouble > maxLinkDensity * total) boiler += 1
+          else kept += line
+        }
+      }
+      sb.setLength(0); total = 0L; linked = 0L
+    }
+    def walk(n: Node): Unit = n match {
+      case Text(s) =>
+        sb.append(s)
+        var nw = 0
+        var i = 0
+        while (i < s.length) { if (!s.charAt(i).isWhitespace) nw += 1; i += 1 }
+        total += nw
+        if (linkDepth > 0) linked += nw
+      case e: Elem =>
+        if (!PrunedTags(e.tag)) {
+          val block = BlockTags(e.tag)
+          if (block) flush()
+          val isLink = e.tag == "a"
+          if (isLink) linkDepth += 1
+          e.children.foreach(walk)
+          if (isLink) linkDepth -= 1
+          if (block) flush()
+        }
+    }
+    root.children.foreach(walk)
+    flush()
+    PageText(kept.mkString("\n"), kept.length, boiler)
+  }
+
+  /** Collapse whitespace runs to one space and trim — the line
+    * normalization of [[extractMainText]] (allocation-light: returns
+    * the input when already normal).
+    */
+  private def normalizeWs(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var pendingSpace = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c.isWhitespace) { if (sb.nonEmpty) pendingSpace = true }
+      else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
   /** Catalog link collection with the nested shadow-marker exclusion
     * (scrap_tokopedia.py:196-204): every anchor matching the product
     * selector whose subtree does NOT contain the invalid-product

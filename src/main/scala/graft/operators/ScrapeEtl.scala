@@ -1277,6 +1277,81 @@ object ScrapeEtl {
       .toDF("catalog", "page", "href")
   }
 
+  val q78 = GraftQuery(
+    "q78_html_to_text",
+    // WHOLE-PAGE MAIN-CONTENT EXTRACTION under the hard gate — the
+    // C4/RefinedWeb boilerplate-removal leg between "raw crawl" and
+    // the q31/q72/q75 quality gates, generalizing the reference's
+    // per-field get_text (scrap_tokopedia.py:231-277) to the corpus
+    // case. Synthesize-then-operate (the q76 pattern): every document
+    // row renders as a full page — head/title/script/style, nav,
+    // header chrome, an article whose heading nests inline markup and
+    // an entity, two content paragraphs (the doc text split in half),
+    // a link farm, a paragraph with inline <i> and a <br>, a footer,
+    // a comment — and the engine recovers the clean text through the
+    // GENERIC three-rule extractor (prune chrome subtrees, assemble
+    // block-level lines, drop link-dense lines), never through the
+    // generating columns. The DuckDB oracle never parses HTML: it
+    // states the expected clean text relationally from the same
+    // source columns, so the gate grades pruning, line assembly,
+    // whitespace normalization, entity decoding, raw-script skipping,
+    // <br> line breaks, and the link-density drop — per row, at both
+    // scales.
+    (s, d) => htmlToText(s, d).orderBy("doc_id"),
+    Some("""WITH w AS (
+        SELECT doc_id, lang, source, string_split(text, ' ') AS words FROM documents),
+      h AS (
+        SELECT doc_id, lang, source,
+          array_to_string(words[1:(len(words)+1)//2], ' ') AS half1,
+          array_to_string(words[(len(words)+1)//2+1:len(words)], ' ') AS half2
+        FROM w)
+      SELECT doc_id,
+        'Doc ' || CAST(doc_id AS VARCHAR) || ' & friends' || chr(10)
+          || half1 || chr(10) || half2 || chr(10)
+          || 'Lang ' || lang || chr(10) || 'from ' || source AS main_text,
+        CAST(5 AS INT) AS n_lines,
+        CAST(1 AS INT) AS n_boiler_lines
+      FROM h ORDER BY doc_id"""),
+    prod = Some((s, d) => htmlToText(s, d)),
+  )
+
+  /** Synthesize one full page per document row and run
+    * [[HtmlTree.extractMainText]] over the raw HTML per partition —
+    * map-only both halves (synthesis is stateless column work, the
+    * extract is the documented per-partition imperative case), zero
+    * shuffle at any scale.
+    */
+  private def htmlToText(s: org.apache.spark.sql.SparkSession, d: String) = {
+    import s.implicits._
+    val words = split(col("text"), " ")
+    val kk = expr("(size(split(text, ' ')) + 1) div 2").cast("int")
+    val half1 = array_join(slice(words, lit(1), kk), " ")
+    val half2 = array_join(slice(words, kk + lit(1), size(words) - kk), " ")
+    val id = col("doc_id").cast("string")
+    val page = concat(
+      lit("<html><head><title>Doc "), id,
+      lit("</title><script>var x = 1 < 2; s = \"</p>\";</script>" +
+        "<style>p { color: red; }</style></head><body>" +
+        "<nav><a href=\"/\">Home</a> <a href=\"/cat\">Catalog</a></nav>" +
+        "<header><div>site chrome</div></header>" +
+        "<article><h1>Doc <b>"), id, lit("</b> &amp; friends</h1>" +
+        "<p>  "), half1, lit("  </p>" +
+        "<div><p>"), half2, lit("</p></div>" +
+        "<div class=\"linkfarm\"><a href=\"/1\">aa</a> <a href=\"/2\">bb</a> " +
+        "<a href=\"/3\">cc</a></div>" +
+        "<p>Lang <i>"), col("lang"), lit("</i><br>from "), col("source"),
+      lit("</p></article>" +
+        "<footer><a href=\"/tos\">Terms</a></footer><!-- pixel --></body></html>"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), page.as("html"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (docId, html) =>
+        val r = HtmlTree.extractMainText(html)
+        (docId, r.main_text, r.n_lines, r.n_boiler_lines)
+      })
+      .toDF("doc_id", "main_text", "n_lines", "n_boiler_lines")
+  }
+
   def all: Seq[GraftQuery] =
-    Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q45, q53, q55, q56, q57, q58, q59, q62, q67, q68, q70, q74, q76)
+    Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q45, q53, q55, q56, q57, q58, q59, q62, q67, q68, q70, q74, q76, q78)
 }

@@ -174,4 +174,72 @@ class HtmlTreeSpec extends AnyFunSuite {
       assert(a.toSeq == b.toSeq, s"tree vs regex mismatch: $a vs $b")
     }
   }
+
+  // ---- extractMainText (q78): whole-page boilerplate removal ----
+
+  test("extractMainText: planted nav/header/footer chrome drops, main content survives") {
+    val page =
+      """<html><head><title>SEO title</title><script>var x = "</p> fake close";</script>""" +
+        """<style>.m { font: 12px "</div>"; }</style></head><body>""" +
+        """<nav><a href="/">Home</a> <a href="/c">Shop</a> <a href="/s">Sale</a></nav>""" +
+        """<header><h1>MegaCorp storefront</h1><div>free shipping banner</div></header>""" +
+        """<article><h1>The <b>real</b> headline</h1>""" +
+        """<p>First paragraph of actual content.</p>""" +
+        """<p>Second one, with an inline <a href="/ref">reference link</a> inside prose.</p>""" +
+        """</article>""" +
+        """<aside><p>You may also like sponsored things</p></aside>""" +
+        """<footer><a href="/tos">Terms</a> <a href="/priv">Privacy</a></footer>""" +
+        """<!-- analytics beacon --></body></html>"""
+    val r = HtmlTree.extractMainText(page)
+    assert(r.main_text ==
+      "The real headline\nFirst paragraph of actual content.\n" +
+        "Second one, with an inline reference link inside prose.",
+      s"got: ${r.main_text}")
+    assert(r.n_lines == 3)
+    assert(r.n_boiler_lines == 0,
+      "chrome pruning is subtree-level, not link-density lines")
+  }
+
+  test("extractMainText: link-density rule — farms drop, half-linked lines keep (strict >)") {
+    // all non-ws chars inside anchors -> density 1 -> boilerplate
+    val farm = """<body><p>keep me</p><div><a href="/1">aaa</a> <a href="/2">bbb</a></div></body>"""
+    val r1 = HtmlTree.extractMainText(farm)
+    assert(r1.main_text == "keep me" && r1.n_boiler_lines == 1)
+    // exactly half linked (4 of 8 non-ws chars) is KEPT: strict >
+    val half = """<body><p>abcd<a href="/x">efgh</a></p></body>"""
+    val r2 = HtmlTree.extractMainText(half)
+    assert(r2.main_text == "abcdefgh" && r2.n_boiler_lines == 0,
+      "a line at exactly the threshold stays content")
+    // one char past half drops
+    val past = """<body><p>abc<a href="/x">defgh</a></p></body>"""
+    val r3 = HtmlTree.extractMainText(past)
+    assert(r3.main_text == "" && r3.n_boiler_lines == 1)
+    // the threshold is a parameter: raise it and the same line keeps
+    val r4 = HtmlTree.extractMainText(past, maxLinkDensity = 0.9)
+    assert(r4.main_text == "abcdefgh" && r4.n_boiler_lines == 0)
+  }
+
+  test("extractMainText: line assembly — blocks break, inline flows, br breaks, ws normalizes") {
+    val page =
+      """<body><div>alpha <b>beta</b><i>gamma</i></div>""" +
+        "<p>  spaced\t\n  out  </p>" +
+        """<p>one<br>two</p>""" +
+        """<ul><li>first</li><li>second</li></ul>""" +
+        """<p>AT&amp;T &lt;ok&gt;</p><p></p><div>   </div></body>"""
+    val r = HtmlTree.extractMainText(page)
+    assert(r.main_text ==
+      "alpha betagamma\nspaced out\none\ntwo\nfirst\nsecond\nAT&T <ok>",
+      s"got: ${r.main_text}")
+    assert(r.n_lines == 7, "empty/whitespace-only lines never count")
+  }
+
+  test("extractMainText: tag-soup tolerance — unclosed blocks still sequence into lines") {
+    // unclosed <p>s: the parser nests them, but each <p> OPEN flushes
+    // the running line, so text still splits at block boundaries
+    val r = HtmlTree.extractMainText("<body><p>one<p>two<p>three</body>")
+    assert(r.main_text == "one\ntwo\nthree")
+    // a page with no markup at all is one line of content
+    val bare = HtmlTree.extractMainText("just bare text, no tags")
+    assert(bare.main_text == "just bare text, no tags" && bare.n_lines == 1)
+  }
 }

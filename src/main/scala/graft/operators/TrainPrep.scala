@@ -835,6 +835,50 @@ object TrainPrep {
     prod = Some((s, d) => chunkWindows(Tables.documents(s, d))),
   )
 
+  // ------------------------------------------------------------ q79
+
+  /** (doc_id, n_pieces-as-n_tokens) over any docs frame — [[q40]]'s
+    * packing input with [[TextAnalysis.BpePattern]] PIECES as the unit
+    * instead of whitespace words. Trainers budget sequence length in
+    * tokenizer pieces, not words (q71's fertility is exactly the gap
+    * between the two), so piece-packing is what a real packing job
+    * runs; the portable pre-tokenizer keeps it ANSI-expressible.
+    */
+  private def perDocPieces(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(TextAnalysis.BpePattern), lit(0)))
+        .cast("long").as("n_tokens"))
+
+  val q79 = GraftQuery(
+    "q79_pack_pieces",
+    // Tokenizer-piece-aware packing: q71's portable BPE pre-tokenizer
+    // counts composed into q40's offset/shard machinery — the SAME
+    // single-window oracle form and the SAME two-pass distributed
+    // prefix-sum prod plan (range partition → local running sums →
+    // broadcast per-partition bases), only the per-doc unit changes.
+    // Offsets/shards therefore inherit q40's exactness proof for any
+    // range cut; TrainPrepSpec pins prod == oracle on piece counts.
+    (s, d) => packTokensOf(perDocPieces(Tables.documents(s, d)))
+      .withColumnRenamed("n_tokens", "n_pieces").orderBy("doc_id"),
+    Some(s"""WITH t AS (
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_pieces
+        FROM documents),
+      o AS (
+        SELECT doc_id, n_pieces,
+          CAST(COALESCE(SUM(n_pieces) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+        FROM t)
+      SELECT doc_id, n_pieces, start_offset,
+        CAST(start_offset // $ShardTokens AS BIGINT) AS shard_id,
+        CAST(CASE WHEN n_pieces = 0 THEN 0
+                  ELSE (start_offset + n_pieces - 1) // $ShardTokens - start_offset // $ShardTokens + 1
+             END AS BIGINT) AS n_shards
+      FROM o ORDER BY doc_id"""),
+    prod = Some((s, d) => packTokensProdOf(perDocPieces(Tables.documents(s, d)))
+      .withColumnRenamed("n_tokens", "n_pieces")),
+  )
+
   def all: Seq[GraftQuery] =
-    Seq(q38, q39, q40, q41, q43, q44, q47, q50, q52, q60, q61, q77)
+    Seq(q38, q39, q40, q41, q43, q44, q47, q50, q52, q60, q61, q77, q79)
 }

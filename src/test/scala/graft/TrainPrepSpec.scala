@@ -184,6 +184,26 @@ class TrainPrepSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.exchange.reuse", prev)
   }
 
+  test("q79 packs by tokenizer PIECES, and the two-pass prod prefix sum stays exact on them") {
+    // Punctuation-rich rows so pieces diverge hard from whitespace
+    // words — the unit under test. "don't stop, it's 2024!" is 4 ws
+    // tokens but 10 pieces under the portable pre-tokenizer.
+    val rows = (0L until 4000L).map { i =>
+      val n = (i % 19 + 1).toInt
+      (i, Seq.fill(n)(s"w$i-x.y,z!").mkString(" "), "en", "s", n.toLong)
+    }
+    val dir = planted("packpieces", rows)
+    val oracle = operators.TrainPrep.q79.run(spark, dir).collect()
+    // the unit really is pieces: "w0-x.y,z!" splits as
+    // [w][0][-][x][.][y][,][z][!] = 9 pieces per 1 ws word
+    val byId = oracle.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId(0L) == 9L && byId(1L) == 18L, s"piece counts: ${byId(0L)}, ${byId(1L)}")
+    // prod (range partition → local sums → broadcast bases) is exact
+    val prod = operators.TrainPrep.q79.runProd(spark, dir).collect()
+    assert(oracle.map(_.toString).sorted.toSeq == prod.map(_.toString).sorted.toSeq,
+      "two-pass distributed piece offsets must equal the single-window form")
+  }
+
   test("q61 caps each source at the quota, chosen by hash order") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._

@@ -165,6 +165,82 @@ object TextAnalysis {
       FROM guessed GROUP BY lang, guess ORDER BY lang, guess"""),
   )
 
+  /** Char-bigram linear lang-id model — [[q32]] upgraded to the q72
+    * classifier discipline: per-language LITERAL weights over exact
+    * char-bigram count features, one guarded double division per
+    * ratio, a fixed-order weighted sum, and a fixed-tie-break argmax —
+    * so the SCORES themselves, not just argmax labels, sit under the
+    * DuckDB hash gate. The weights are a hand-fit stand-in with the
+    * real fasttext-style model's shape (the QcW pattern); on a real
+    * corpus the table is the trained model's top features, entering
+    * the plan as literals exactly as here.
+    */
+  private[graft] val LangGrams: Seq[(String, Seq[(String, Double)])] = Seq(
+    "en" -> Seq("th" -> 2.0, "he" -> 1.2, "of" -> 1.0, "nd" -> 0.8, "is" -> 0.6),
+    "de" -> Seq("ch" -> 1.5, "ei" -> 1.2, "un" -> 1.0, "ie" -> 1.0, "sc" -> 0.8),
+    "es" -> Seq("os" -> 1.5, "la" -> 1.2, "el" -> 1.0, "ar" -> 0.8, "qu" -> 0.8),
+    "fr" -> Seq("ou" -> 1.2, "le" -> 1.2, "nt" -> 1.0, "ai" -> 1.0, "es" -> 0.8))
+
+  /** Exact non-overlapping bigram count via length-delta of a literal
+    * replace — leftmost non-overlapping semantics agree between Java
+    * and DuckDB, and the arithmetic is all integer.
+    */
+  private def gramCountCol(g: String): Column =
+    expr(s"(length(text) - length(replace(text, '$g', ''))) div ${g.length}").cast("long")
+
+  private def langIdV2(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val nChars = length(col("text")).cast("long")
+    def ratio(c: Column): Column =
+      when(nChars === 0L, lit(0d)).otherwise(c.cast("double") / nChars.cast("double"))
+    // fixed-order IEEE sum: left-to-right over the literal table, the
+    // SAME order the generated oracle SQL states (one source of truth)
+    def score(grams: Seq[(String, Double)]): Column =
+      grams.map { case (g, w) => lit(w) * ratio(gramCountCol(g)) }.reduceLeft(_ + _)
+    val scored = Tables.documents(s, d).select(
+      col("doc_id") +: col("lang") +:
+        LangGrams.map { case (l, grams) => score(grams).as(s"s_$l") }: _*)
+    scored.withColumn(
+      "guess",
+      when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") && col("s_en") >= col("s_fr") && col("s_en") > 0d, lit("en"))
+        .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr") && col("s_de") > 0d, lit("de"))
+        .when(col("s_es") >= col("s_fr") && col("s_es") > 0d, lit("es"))
+        .when(col("s_fr") > 0d, lit("fr"))
+        .otherwise(lit("und")))
+  }
+
+  /** The oracle SQL is GENERATED from [[LangGrams]], so weights,
+    * feature order, and summation order cannot drift between engines —
+    * the determinism contract is the shared literal table.
+    */
+  private def langIdV2Sql: String = {
+    def scoreSql(grams: Seq[(String, Double)]): String =
+      grams.map { case (g, w) =>
+        s"$w * (CASE WHEN n_chars = 0 THEN 0.0 ELSE " +
+          s"CAST(((length(text) - length(replace(text, '$g', ''))) // ${g.length}) AS DOUBLE) / n_chars END)"
+      }.mkString(" + ")
+    val scoreCols = LangGrams.map { case (l, grams) => s"${scoreSql(grams)} AS s_$l" }.mkString(",\n          ")
+    s"""WITH c AS (
+        SELECT doc_id, lang, text, CAST(length(text) AS BIGINT) AS n_chars FROM documents),
+      scored AS (
+        SELECT doc_id, lang,
+          $scoreCols
+        FROM c)
+      SELECT doc_id, lang, s_en, s_de, s_es, s_fr,
+        CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+             WHEN s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
+             WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+             WHEN s_fr > 0 THEN 'fr'
+             ELSE 'und' END AS guess
+      FROM scored ORDER BY doc_id"""
+  }
+
+  val q32v2 = GraftQuery(
+    "q32_langid_v2",
+    (s, d) => langIdV2(s, d).orderBy("doc_id"),
+    Some(langIdV2Sql),
+    prod = Some((s, d) => langIdV2(s, d)),
+  )
+
   val q33 = GraftQuery(
     "q33_fingerprint",
     (s, d) => {
@@ -1086,6 +1162,6 @@ object TextAnalysis {
   }
 
   def all: Seq[GraftQuery] =
-    Seq(q30, q31, q32, q33, q33md5, q34, q35, q35exact, q36, q37, q42, q46, q48, q49,
+    Seq(q30, q31, q32, q32v2, q33, q33md5, q34, q35, q35exact, q36, q37, q42, q46, q48, q49,
       q51, q54, q71, q72, q75)
 }

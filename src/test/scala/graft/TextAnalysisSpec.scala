@@ -34,6 +34,32 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got == Set(("en", "en", 1L), ("de", "de", 1L), ("es", "es", 1L), ("fr", "fr", 1L), ("zh", "und", 1L)))
   }
 
+  test("q32_v2 scores planted texts with the char-bigram model; exact ties break by fixed order") {
+    val dir = planted("langid2", Seq(
+      (1L, "the theory of the thin thread is sound", "en", "s", 38L),
+      (2L, "schein eichen und schlecht scheichen unter die sonne", "de", "s", 52L),
+      (3L, "los osos el lago la arena que busca", "es", "s", 35L),
+      // no feature bigram anywhere: every score 0 -> und
+      (4L, "zzz xxx www yyy", "zh", "s", 15L),
+      // the AMBIGUOUS doc: exactly one en hit ("he", w=1.2) and one de
+      // hit ("ei", w=1.2) over the same length -> s_en == s_de EXACTLY
+      // (same IEEE ops on the same ints); the fixed tie-break keeps en
+      (5L, "heei", "zh", "s", 4L),
+    ))
+    val rows = operators.TextAnalysis.q32v2.run(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getString(6)))).toMap
+    assert(rows(1L)._5 == "en" && rows(1L)._1 > rows(1L)._2, s"got ${rows(1L)}")
+    assert(rows(2L)._5 == "de" && rows(2L)._2 > rows(2L)._1, s"got ${rows(2L)}")
+    assert(rows(3L)._5 == "es", s"got ${rows(3L)}")
+    assert(rows(4L)._5 == "und" &&
+      rows(4L)._1 == 0.0 && rows(4L)._2 == 0.0 && rows(4L)._3 == 0.0 && rows(4L)._4 == 0.0,
+      "no feature evidence must stay undecided, never default to a language")
+    // the tie is EXACT in doubles, and the argmax order resolves it
+    assert(rows(5L)._1 == rows(5L)._2 && rows(5L)._1 > 0.0, s"got ${rows(5L)}")
+    assert(rows(5L)._5 == "en", "fixed tie-break: en wins an exact score tie")
+  }
+
   test("q71 counts BPE-style pieces and fertility against hand-counted docs") {
     val dir = planted("bpe", Seq(
       // don|'|t| |stop|,| |it|'|s| |2024|! -> 10 pieces, 4 ws tokens

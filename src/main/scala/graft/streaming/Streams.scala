@@ -709,6 +709,111 @@ object Streams {
     w.start()
   }
 
+  /** ROTATING PARQUET FILE SINK — the in-code closure of SURVEY §4's
+    * ScaleProbe27 rule. The builtin file sink's `_spark_metadata`
+    * compact log re-lists every file ever written: ~225 B/batch of
+    * unbounded history, an O(history) rewrite every compactInterval-th
+    * batch, an O(history) replay on every restart (measured,
+    * ScaleProbe27). Bounded-lifetime sinks ride that default log;
+    * an INDEFINITE sink must not — this is the rotation discipline the
+    * rule prescribes, shipped as an operator instead of a doc note.
+    *
+    * Layout: each micro-batch lands as one atomically-visible batch
+    * directory under a rotation subdir,
+    * `dir/rot=<batchId div batchesPerDir>/batch=<ns><batchId>/`,
+    * committed by the [[graft.sources.Generations.commitRename]]
+    * staging protocol (dot-staged write, ONE rename; visibility IS the
+    * commit, no marker files and no manifest). Exactly-once is
+    * structural: a replayed batch finds its visible dir and no-ops.
+    * Both levels are Hive-style `key=value` names, so
+    * `spark.read.parquet(dir)` reads the whole sink directly — dot
+    * staging and crash residue are invisible to Spark's file listing,
+    * and `rot`/`batch` surface as partition columns (provenance for
+    * free, and rotation pruning via a `rot` predicate).
+    *
+    * Why this bounds the ScaleProbe27 growth: there is no per-sink
+    * metadata AT ALL — per-batch bookkeeping is the batch dir itself.
+    * A rotation subdir accrues at most `batchesPerDir` batch dirs and
+    * then goes COLD forever (batchIds only grow), so listing cost per
+    * rotation is bounded, restart replay reads nothing, and cold
+    * rotations are immutable units for downstream compaction
+    * ([[graft.sources.Clustered.optimize]] a cold rot dir, or
+    * [[retireRotations]] after retention). The rotation key is a PURE
+    * function of batchId — never wall clock, which would fork the
+    * on-disk identity of a replayed batch across restarts (the
+    * [[batchNamespace]] purity contract).
+    */
+  def rotatingFileSink(
+      rows: DataFrame,
+      dir: String,
+      batchesPerDir: Int = 100,
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(batchesPerDir >= 1, "rotatingFileSink: batchesPerDir must be >= 1")
+    val ns = batchNamespace(checkpoint)
+    val w = rows.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        retryTransient(5) {
+          writeRotatedBatch(batch.toDF(), dir, batchId, batchesPerDir, ns)
+        }
+      }
+    checkpoint.foreach(c => w.option("checkpointLocation", c))
+    w.start()
+  }
+
+  /** One idempotent rotated-batch commit (the foreachBatch body of
+    * [[rotatingFileSink]], package-visible for the recovery spec). */
+  private[graft] def writeRotatedBatch(
+      batch: DataFrame, dir: String, batchId: Long, batchesPerDir: Int, ns: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(dir).getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+    val visible = new Path(s"$dir/rot=${batchId / batchesPerDir}/batch=$ns$batchId")
+    if (fs.exists(visible)) return // replay after a crash: visibility IS the commit
+    val staging = new Path(
+      s"${visible.getParent}/.batch-$ns$batchId-${java.util.UUID.randomUUID.toString}")
+    batch.write.parquet(staging.toString)
+    graft.sources.Generations.commitRename(fs, staging, visible,
+      s"rotatingFileSink: could not commit $staging and $visible is absent")
+  }
+
+  /** Drop every COLD rotation subdir with `rot < before` — the
+    * retention lever an indefinite sink eventually needs (the builtin
+    * sink cannot retire output at all: its compact log re-lists deleted
+    * files forever). Callers compute `before` from the running query's
+    * progress (lastProgress.batchId div batchesPerDir) minus the
+    * retention window; the current rotation is never cold, so passing
+    * `before <= currentRot` is always safe with readers that tolerate
+    * missing partitions (plain parquet partition discovery does).
+    */
+  def retireRotations(spark: org.apache.spark.sql.SparkSession, dir: String, before: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    fs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && n.startsWith("rot=") &&
+        scala.util.Try(n.stripPrefix("rot=").toLong).toOption.exists(_ < before))
+        fs.delete(st.getPath, true)
+    }
+  }
+
+  /** Sweep crash residue (aged dot-staging) out of every rotation
+    * subdir — [[graft.sources.Generations.sweepStaging]] per rotation,
+    * with its tree-quiet liveness gate; run from the same periodic
+    * maintenance entry that calls [[retireRotations]].
+    */
+  def sweepRotatingStaging(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    fs.listStatus(root).foreach { st =>
+      if (st.isDirectory && st.getPath.getName.startsWith("rot="))
+        graft.sources.Generations.sweepStaging(fs, dir, st.getPath.getName)
+    }
+  }
+
   /** Streaming decontamination gate: each arriving doc's 8-gram hashes
     * probe a bloom filter of the STATIC benchmark corpus inside the scan
     * stage (codegen'd, stateless), and only bloom survivors enter the

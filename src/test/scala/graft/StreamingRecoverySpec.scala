@@ -609,4 +609,96 @@ class StreamingRecoverySpec extends AnyFunSuite {
     assert(operators.Ivf.readIndex(spark, idx).count() == n,
       "an upgrade replay of a crash-window legacy batch must not re-land rows")
   }
+
+  // ------------------------------------------------- rotating file sink
+
+  test("rotatingFileSink: 200 batches rotate with ZERO sink metadata and bounded per-dir listings") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val out = tmp("rot_vol") + "/sink"
+    val ns = Streams.batchNamespace(Some("/ckpt/rot-vol"))
+    // 200 micro-batch commits through the foreachBatch body itself (the
+    // stream wrapper adds only Spark's trigger loop around it), 3 rows
+    // each, 40 per rotation -> 5 full rotation dirs
+    (0L until 200L).foreach { b =>
+      Streams.writeRotatedBatch(
+        Seq(b * 3, b * 3 + 1, b * 3 + 2).toDF("v"), out, b, 40, ns)
+    }
+    val fs = new Path(out).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the ScaleProbe27 growth class is GONE: no _spark_metadata anywhere
+    def walk(p: Path): Iterator[Path] = {
+      val st = fs.listStatus(p)
+      st.iterator.map(_.getPath) ++ st.iterator.filter(_.isDirectory).flatMap(s => walk(s.getPath))
+    }
+    assert(!walk(new Path(out)).exists(_.getName == "_spark_metadata"),
+      "the rotating sink must not create any file-sink manifest")
+    // bounded per-rotation listings: exactly 5 rot dirs x 40 batch dirs
+    val rots = fs.listStatus(new Path(out)).filter(_.isDirectory)
+      .map(_.getPath.getName).sorted.toSeq
+    assert(rots == (0 until 5).map(r => s"rot=$r"), s"got $rots")
+    rots.foreach { r =>
+      val n = fs.listStatus(new Path(s"$out/$r")).count(_.getPath.getName.startsWith("batch="))
+      assert(n == 40, s"$r holds $n batch dirs, want exactly batchesPerDir")
+    }
+    // every row exactly once, readable as one parquet table
+    val all = spark.read.parquet(out)
+    assert(all.count() == 600 && all.select("v").distinct().count() == 600)
+    // rotation pruning: a rot predicate reads one subdir's rows only
+    assert(all.filter(col("rot") === 2).count() == 120)
+    // a crash-shaped replay of any committed batch is a no-op
+    Streams.writeRotatedBatch(Seq(999L).toDF("v"), out, 57L, 40, ns)
+    assert(spark.read.parquet(out).count() == 600, "replay must not re-land or alter rows")
+    // retention: retire the two oldest rotations; the rest still reads
+    Streams.retireRotations(spark, out, before = 2L)
+    val left = spark.read.parquet(out)
+    assert(left.count() == 360 && left.select(min(col("rot"))).head.getInt(0) == 2,
+      "cold rotations drop as units; live ones read on")
+    // crash residue: an AGED dot-staging sweeps, a fresh one survives
+    val stale = new Path(s"$out/rot=3/.batch-dead-attempt")
+    fs.mkdirs(stale)
+    val old = System.currentTimeMillis() - 48L * 3600 * 1000
+    fs.setTimes(stale, old, -1)
+    val fresh = new Path(s"$out/rot=4/.batch-live-attempt")
+    fs.mkdirs(fresh)
+    Streams.sweepRotatingStaging(spark, out)
+    assert(!fs.exists(stale) && fs.exists(fresh),
+      "sweep takes aged residue only, never a possibly-live staging")
+  }
+
+  test("rotatingFileSink: restart AT the rotation boundary loses and duplicates nothing") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val in = tmp("rot_in"); val ckpt = tmp("rot_ck")
+    val out = tmp("rot_out") + "/sink"
+    def wave(from: Long, until: Long) =
+      spark.range(from, until).select(col("id").as("v")).toDF()
+    val schema = wave(0, 1).schema
+    def run(): Unit = {
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      val q = Streams.rotatingFileSink(src, out, batchesPerDir = 2, checkpoint = Some(ckpt))
+      try q.processAllAvailable() finally q.stop()
+    }
+    // batches 0 and 1 fill rotation 0 completely, then STOP exactly at
+    // the boundary — the next batch must open rot=1
+    addFile(wave(0, 10), in); addFile(wave(10, 20), in)
+    run()
+    val fs = new Path(out).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(new Path(s"$out/rot=0"))
+      .count(_.getPath.getName.startsWith("batch=")) == 2)
+    // crash-shaped replay of boundary batch 1 (sink wrote, checkpoint
+    // didn't commit): the visible dir fences it
+    Streams.writeRotatedBatch(wave(10, 20), out, 1L, 2, Streams.batchNamespace(Some(ckpt)))
+    // restart across the boundary with a new wave queued
+    addFile(wave(20, 30), in)
+    run()
+    val got = spark.read.parquet(out)
+    assert(got.count() == 30, "post-restart: waves 1-2 exactly once, wave 3 landed")
+    assert(got.groupBy("v").count().filter(col("count") > 1).count() == 0,
+      "no row duplicated across the boundary restart")
+    assert(fs.exists(new Path(s"$out/rot=1")), "the restart opened the next rotation")
+    assert(fs.listStatus(new Path(s"$out/rot=0"))
+      .count(_.getPath.getName.startsWith("batch=")) == 2,
+      "the completed rotation stays cold: nothing lands in it again")
+  }
 }

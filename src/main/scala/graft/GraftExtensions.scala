@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.{Column, SparkSessionExtensions}
 import org.apache.spark.sql.functions.call_function
 
-import graft.functions.{BloomAgg, BloomContains, HeavyHitters, CosineSim, HyperplaneBands, Int8Codes, Int8Cosine, JaccardSim, KgramMd5Hashes, MatVecF, MinhashMd5Sig, MinhashSig, NearestCentroid, PqAdcSim, PqAsymSim, PqCodes, PqLut, PqResidCodes, PqResidLut, PqResidSim, ShingleHashes, ShingleMd5Hashes, ShingleXor64, SimHash64, SimHashMd5, TopKByScore, WsTokens, ZValue2}
+import graft.functions.{BloomAgg, BloomContains, HeavyHitters, CosineSim, HashedProjection, HyperplaneBands, Int8Codes, Int8Cosine, JaccardSim, KgramMd5Hashes, MatVecF, MinhashMd5Sig, MinhashSig, NearestCentroid, PqAdcSim, PqAsymSim, PqCodes, PqLut, PqResidCodes, PqResidLut, PqResidSim, ShingleHashes, ShingleMd5Hashes, ShingleXor64, SimHash64, SimHashMd5, TopKByScore, WsTokens, ZValue2}
 import org.apache.spark.sql.catalyst.util.ArrayData
 
 /** Engine extension point, installed via spark.sql.extensions (GraftSession
@@ -47,6 +47,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new FunctionIdentifier("simhash64"),
         new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
         (children: Seq[Expression]) => SimHash64(children(0)),
+      )
+    )
+    ext.injectFunction(
+      (
+        new FunctionIdentifier("hashed_projection"),
+        new ExpressionInfo(classOf[HashedProjection].getName, "hashed_projection"),
+        (children: Seq[Expression]) =>
+          HashedProjection(children(0), children(1).eval().asInstanceOf[Int]),
       )
     )
     ext.injectFunction(
@@ -301,6 +309,13 @@ object gfunctions {
     * shuffle); NULL for zero-token inputs.
     */
   def simhash64(toks: Column): Column = call_function("simhash64", toks)
+
+  /** Unit-norm feature-hashing projection of a token array into `dims`
+    * float components (native per-row kernel, zero shuffle) — the
+    * deterministic text-derived embedding; NULL for zero-token inputs.
+    */
+  def hashed_projection(toks: Column, dims: Int): Column =
+    call_function("hashed_projection", toks, org.apache.spark.sql.functions.lit(dims))
 
   /** Sorted distinct XXH64 values of a token array's 3-shingles (native
     * kernel) — the set representation jaccard_sim merges.

@@ -704,7 +704,7 @@ object Dedup {
         .as("embedding"))
       .filter(col("embedding").isNotNull)
 
-  private val TextEmbedDims = 8
+  private[graft] val TextEmbedDims = 8
 
   /** The md5-LAW twin of the featurizer for the DuckDB hard gate:
     * explode tokens, bucket on the 60-bit md5 hash with the kernel's
@@ -715,7 +715,7 @@ object Dedup {
     * engines. Both the Spark side and the oracle SQL are GENERATED
     * from `TextEmbedDims` (the q32_v2 one-source-of-truth discipline).
     */
-  private def textEmbedMd5(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+  private[graft] def textEmbedMd5(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     val h = conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
     val hashed = Tables.documents(s, d)
       .select(col("doc_id"), explode(graft.gfunctions.ws_tokens(col("text"))).as("tok"))
@@ -734,14 +734,19 @@ object Dedup {
           .otherwise(col(s"c$j").cast("double") / col("nrm")).as(s"e$j")): _*)
   }
 
-  private def textEmbedMd5Sql: String = {
+  /** The md5-law embedding table as a reusable DuckDB CTE chain ending
+    * in `emb(doc_id, e0..e{dims-1})` — shared by q80's gate and the
+    * q81 text-search gate, so the embedding law exists in exactly one
+    * SQL rendering.
+    */
+  private[graft] def textEmbedMd5Cte: String = {
     val cCols = (0 until TextEmbedDims)
       .map(j => s"SUM(CASE WHEN idx = $j THEN sign ELSE 0 END) AS c$j").mkString(", ")
     val ssSql = (0 until TextEmbedDims).map(j => s"c$j*c$j").mkString(" + ")
     val eCols = (0 until TextEmbedDims)
       .map(j => s"CASE WHEN nrm = 0 THEN 0.0 ELSE CAST(c$j AS DOUBLE) / nrm END AS e$j")
       .mkString(",\n        ")
-    s"""WITH tk AS (
+    s"""tk AS (
         SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS tok
         FROM documents),
       hh AS (
@@ -750,11 +755,14 @@ object Dedup {
         SELECT doc_id, (h // 2) % $TextEmbedDims AS idx,
           CASE WHEN h % 2 = 1 THEN 1 ELSE -1 END AS sign FROM hh),
       c AS (SELECT doc_id, $cCols FROM b GROUP BY doc_id),
-      n AS (SELECT doc_id, *, sqrt(CAST($ssSql AS DOUBLE)) AS nrm FROM c)
-      SELECT doc_id,
+      n AS (SELECT doc_id, *, sqrt(CAST($ssSql AS DOUBLE)) AS nrm FROM c),
+      emb AS (SELECT doc_id,
         $eCols
-      FROM n ORDER BY doc_id"""
+      FROM n)"""
   }
+
+  private def textEmbedMd5Sql: String =
+    s"WITH $textEmbedMd5Cte SELECT * FROM emb ORDER BY doc_id"
 
   val qTextEmbedMd5 = GraftQuery(
     "q80_text_embed_md5",

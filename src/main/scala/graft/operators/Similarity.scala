@@ -727,9 +727,85 @@ object Similarity {
     Some(bruteOracleSql),
   )
 
+  // ------------------------------------------ semantic search over TEXT
+
+  /** SEMANTIC TEXT SEARCH under the HARD gate — the retrieval
+    * composition of the r16 text-derived-embedding bridge: queries are
+    * documents (the 8 lowest doc_ids with at least one token), corpus
+    * is every document, both embedded by the md5-LAW feature-hashing
+    * projection ([[Dedup.textEmbedMd5]] — the q80-gated law), scored
+    * by EXACT dot product (both sides unit-norm, so dot IS cosine; the
+    * fixed left-associated 8-term double sum is rendered identically
+    * in Spark and DuckDB, so the sim DOUBLES hash-match), ranked
+    * per-query by the bounded-heap [[rankTopK]] with the established
+    * row_number tie law (sim DESC, neighbor_id ASC). Self-matches are
+    * excluded like [[bruteForceTopK]].
+    *
+    * The production path for the same capability is [[qTextSearch]]:
+    * the 64-dim xxh kernel featurizer + the native cosine kernel — the
+    * brute shape whose plan and recall the ann family already audits.
+    */
+  private[graft] def textSearchMd5(
+      s: org.apache.spark.sql.SparkSession, d: String, k: Int = 5): DataFrame = {
+    val dims = Dedup.TextEmbedDims
+    val emb = Dedup.textEmbedMd5(s, d)
+    val qr = emb.orderBy("doc_id").limit(8).select(
+      col("doc_id").as("query_id") +: (0 until dims).map(j => col(s"e$j").as(s"q$j")): _*)
+    val scored = emb.alias("c")
+      .join(broadcast(qr), col("query_id") =!= col("doc_id"))
+      .select(
+        col("query_id"),
+        col("doc_id").as("neighbor_id"),
+        (0 until dims).map(j => col(s"q$j") * col(s"e$j")).reduceLeft(_ + _).as("sim"))
+    rankTopK(scored, k)
+  }
+
+  private def textSearchMd5Sql: String = {
+    val dims = Dedup.TextEmbedDims
+    val dot = (0 until dims).map(j => s"q.e$j*c.e$j").mkString(" + ")
+    s"""WITH ${Dedup.textEmbedMd5Cte},
+      q AS (SELECT * FROM emb ORDER BY doc_id LIMIT 8),
+      scored AS (
+        SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id, $dot AS sim
+        FROM emb c JOIN q ON c.doc_id <> q.doc_id),
+      ranked AS (
+        SELECT query_id, neighbor_id, sim,
+          row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        FROM scored)
+      SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, sim
+      FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+  }
+
+  val qTextSearchMd5 = GraftQuery(
+    "q81_text_search_md5",
+    (s, d) => textSearchMd5(s, d),
+    Some(textSearchMd5Sql),
+  )
+
+  /** Production semantic text search: 64-dim xxh kernel embeddings
+    * ([[Dedup.textEmbeddings]]) + the established brute shape (corpus
+    * × broadcast 8-query set, native cosine kernel, bounded-heap
+    * top-k). Rows-only like every learned/xxh path — the law is gated
+    * by q81's md5 twin and the featurizer by q80; the spec plants a
+    * paraphrase pair and pins rank-1 retrieval at sim ~1.
+    */
+  private[graft] def textSearch(
+      s: org.apache.spark.sql.SparkSession, d: String, k: Int = 5): DataFrame = {
+    val emb = Dedup.textEmbeddings(Tables.documents(s, d))
+    val q = emb.orderBy("vec_id").limit(8)
+    bruteForceTopK(emb, q, k)
+  }
+
+  val qTextSearch = GraftQuery(
+    "q81_text_search",
+    (s, d) => textSearch(s, d),
+    None,
+    prod = Some((s, d) => textSearch(s, d)),
+  )
+
   def all: Seq[GraftQuery] =
     Seq(qBrute, qLsh, qIvf, qOutlier, qQuant, qInt8, qInt8Rerank, qInt8RerankFull, qIvfInt8,
       qIndexRerank, qIndexRerankFull, qPq, qPqRerank, qPqRerankFull, qIndexPqRerank,
       qIndexPqRerankFull, qIvfPqResid, qIndexPqResidRerank, qIndexPqResidRerankFull, qOpq,
-      qOpqRerankFull, qIndexOpqRerank, qIndexOpqRerankFull)
+      qOpqRerankFull, qIndexOpqRerank, qIndexOpqRerankFull, qTextSearchMd5, qTextSearch)
 }

@@ -33,10 +33,13 @@ class PlanAuditSpec extends AnyFunSuite {
     // …and the r15 fullprobe twins re-run those same designed coarse
     // scans (int8/PQ/OPQ codes x broadcast 8-query set) at a larger
     // oversample — same shape, same justification
+    // …q81's two text-search editions are the ann_bruteforce shape over
+    // text-derived embeddings (corpus × broadcast 8-query set) — same
+    // designed NLJ, same justification
     val nljAllowed = Set("ann_bruteforce_topk", "ann_int8_topk",
       "ann_int8_rerank_topk", "ann_int8_rerank_fullprobe", "ann_pq_topk",
       "ann_pq_rerank_topk", "ann_pq_rerank_fullprobe", "ann_opq_topk",
-      "ann_opq_rerank_fullprobe",
+      "ann_opq_rerank_fullprobe", "q81_text_search_md5", "q81_text_search",
       "q35_tfidf", "dedup_cosine_verify", "q49_heavy_tokens", "q54_source_drift")
     SparkEntry.registry.foreach { q =>
       val p = plan(q)

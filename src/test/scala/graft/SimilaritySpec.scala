@@ -724,4 +724,42 @@ class SimilaritySpec extends AnyFunSuite {
     assert(fMean >= 0.9, f"sampled-train float IVF recall collapsed: $fMean%.3f")
     assert(iMean >= 0.9, f"sampled-train int8 IVF recall collapsed: $iMean%.3f")
   }
+
+  test("q81 semantic text search: a planted paraphrase is its query's rank-1 at sim ~1, both editions") {
+    // doc 0 is EMPTY (zero tokens): it must vanish from the embedding
+    // table entirely — neither a query slot nor a neighbor. Queries are
+    // then docs 1-8; doc 1's paraphrase (same words, reordered) is doc
+    // 9, which must come back rank-1 for query 1 with cosine ~1 under
+    // the bag-of-words projection, while every other doc's vocabulary
+    // is disjoint from doc 1's.
+    val words = Seq("alpha beta gamma delta", "one two three four",
+      "red green blue yellow", "cat dog bird fish", "north south east west",
+      "spring summer autumn winter", "gold silver bronze iron",
+      "violin cello flute drum")
+    val rows = (0L, "", "en", "s", 0L) +:
+      words.zipWithIndex.map { case (t, i) => (i + 1L, t, "en", "s", 10L) } :+
+      (9L, "delta gamma beta alpha", "en", "s", 10L)
+    val dir = PlantedDocs.write(spark, "/tmp/graft-test/textsearch", rows)
+
+    for ((edition, df) <- Seq(
+        ("xxh-64d", Similarity.textSearch(spark, dir)),
+        ("md5-law", Similarity.textSearchMd5(spark, dir))) ) {
+      val got = df.collect().map(r =>
+        (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+      val queries = got.keys.map(_._1).toSet
+      assert(queries == (1L to 8L).toSet,
+        s"$edition: queries must be docs 1-8 (doc 0 has no tokens), got $queries")
+      assert(!got.values.exists(_._1 == 0L), s"$edition: empty doc retrieved as neighbor")
+      val (top1, sim1) = got((1L, 1))
+      assert(top1 == 9L, s"$edition: query 1's rank-1 must be its paraphrase, got $top1")
+      assert(sim1 > 0.999, s"$edition: paraphrase cosine must be ~1, got $sim1")
+      // disjoint vocabularies: every other query's best neighbor scores
+      // FAR below the paraphrase pair (feature-hash bucket collisions
+      // can produce small nonzero sims; they cannot approach 1)
+      (2L to 8L).foreach { q =>
+        val (_, s) = got((q, 1))
+        assert(s < 0.9, s"$edition: query $q best sim $s suspiciously high")
+      }
+    }
+  }
 }

@@ -171,5 +171,102 @@ object Cluster {
     prod = Some((s, d) => clusterAssignments(Tables.documents(s, d))),
   )
 
-  def all: Seq[GraftQuery] = Seq(qClusters)
+  // ----------------------------------------- topic clustering (r16)
+
+  /** Per-cell top-terms summary: document frequency of each term within
+    * each cell (a doc counts once per term — `array_distinct` before the
+    * explode), ranked df DESC / term ASC, top `topK` kept. The exchange
+    * carries (cell, term) partial counts with map-side combine — bounded
+    * by the per-partition distinct vocabulary, the q42 shape — and the
+    * rank window partitions by cell (never a global sort).
+    */
+  private def topicSummary(cells: DataFrame, toked: DataFrame, topK: Int): DataFrame = {
+    val dfs = toked
+      .select(col("doc_id"), explode(array_distinct(col("toks"))).as("term"))
+      .join(cells, Seq("doc_id"))
+      .groupBy("cell", "term").agg(count(lit(1)).as("df"))
+    dfs
+      .withColumn("rank",
+        row_number().over(Window.partitionBy("cell").orderBy(col("df").desc, col("term"))))
+      .filter(col("rank") <= topK)
+      .select(col("cell"), col("rank"), col("term"), col("df"))
+  }
+
+  private def toksOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), graft.gfunctions.ws_tokens(col("text")).as("toks"))
+
+  /** TOPIC CLUSTERING under the HARD gate — the corpus-exploration
+    * operator ("what is in this corpus?"): documents cluster by their
+    * md5-law text embedding's sign-grid cell (the dedup_semdedup_grid
+    * partitioner over q80's embedding law — ANSI-expressible), and each
+    * cell is summarized by its top terms by document frequency. Exact
+    * integer counts, string tie-break — no floats anywhere past the
+    * sign test, so the whole summary hash-matches DuckDB.
+    */
+  def topicTermsMd5(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      gridDims: Int = 6, topK: Int = 5): DataFrame = {
+    val emb = Dedup.textEmbedMd5(s, d)
+    val cell = (0 until gridDims)
+      .map(j => when(col(s"e$j") > lit(0d), lit(1 << j)).otherwise(lit(0)))
+      .reduce(_ + _)
+    topicSummary(emb.select(col("doc_id"), cell.as("cell")), toksOf(Tables.documents(s, d)), topK)
+  }
+
+  private def topicTermsMd5Sql: String = {
+    val cellSql = (0 until 6)
+      .map(j => s"(CASE WHEN e$j > 0 THEN ${1 << j} ELSE 0 END)").mkString(" + ")
+    s"""WITH ${Dedup.textEmbedMd5Cte},
+      cells AS (SELECT doc_id, $cellSql AS cell FROM emb),
+      tt AS (
+        SELECT doc_id,
+          unnest(list_distinct(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))) AS term
+        FROM documents),
+      dfs AS (
+        SELECT cell, term, CAST(COUNT(*) AS BIGINT) AS df
+        FROM tt JOIN cells USING (doc_id) GROUP BY cell, term),
+      ranked AS (
+        SELECT cell, term, df,
+          row_number() OVER (PARTITION BY cell ORDER BY df DESC, term) AS rank
+        FROM dfs)
+      SELECT cell, CAST(rank AS INT) AS rank, term, df
+      FROM ranked WHERE rank <= 5 ORDER BY cell, rank"""
+  }
+
+  val qTopicTermsMd5 = GraftQuery(
+    "q82_topic_terms_md5",
+    (s, d) => topicTermsMd5(s, d).orderBy("cell", "rank"),
+    Some(topicTermsMd5Sql),
+    prod = Some((s, d) => topicTermsMd5(s, d)),
+  )
+
+  /** The PRODUCTION topic clustering: k-means cells over the 64-dim xxh
+    * kernel embeddings (sampled spherical training, NearestCentroid
+    * assignment — the SemDeDup cell machinery reused for exploration
+    * instead of pruning), same exact-count term summary. Rows-only like
+    * every learned-partitioner path; the summary LAW is hash-gated by
+    * the md5 twin, and the planted-topics spec pins that two disjoint
+    * vocabularies land in two cells with exactly their shared words as
+    * top terms.
+    */
+  def topicTerms(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      k: Int = 8, topK: Int = 5): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val emb = Dedup.textEmbeddings(docs)
+    val cents = Ivf.train(emb, k = k, iters = 2)
+    val cells = emb.select(
+      col("vec_id").as("doc_id"),
+      Ivf.clusterOf(col("embedding"), cents).cast("int").as("cell"))
+    topicSummary(cells, toksOf(docs), topK)
+  }
+
+  val qTopicTerms = GraftQuery(
+    "q82_topic_terms",
+    (s, d) => topicTerms(s, d).orderBy("cell", "rank"),
+    None,
+    prod = Some((s, d) => topicTerms(s, d)),
+  )
+
+  def all: Seq[GraftQuery] = Seq(qClusters, qTopicTermsMd5, qTopicTerms)
 }

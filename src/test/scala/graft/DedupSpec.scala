@@ -331,6 +331,49 @@ class DedupSpec extends AnyFunSuite {
     assert(Cluster.fingerprintStarEdges(family).count() == 99L)
   }
 
+  test("q82 topic clustering: two planted vocabularies split into two cells with their shared words on top") {
+    // Topic A: 6 docs sharing {cat, dog, fish} plus one unique filler
+    // each; topic B: 6 docs sharing {red, green, blue} likewise. The
+    // bag-of-words projections are ~3/4-cosine within a topic and ~0
+    // across, so k-means at k=2 must put each topic in its own cell,
+    // and each cell's top-3 terms by document frequency must be
+    // EXACTLY the topic's shared words (df=6 vs every filler's df=1),
+    // ranked df DESC then term ASC.
+    val rows =
+      (1 to 6).map(i => (i.toLong, s"cat dog fish fillera$i", "en", "s", 10L)) ++
+        (1 to 6).map(i => (i + 10L, s"red green blue fillerb$i", "en", "s", 10L))
+    val dir = PlantedDocs.write(spark, "/tmp/graft-test/topicterms", rows)
+    val got = operators.Cluster.topicTerms(spark, dir, k = 2, topK = 3).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> ((r.getString(2), r.getLong(3))))
+      .toMap
+    val cells = got.keys.map(_._1).toSet
+    assert(cells.size == 2, s"expected two occupied cells, got $cells")
+    val tops = cells.map(c => c -> (1 to 3).map(r => got((c, r))).toList).toMap
+    val want = Set(
+      List(("cat", 6L), ("dog", 6L), ("fish", 6L)),
+      List(("blue", 6L), ("green", 6L), ("red", 6L)))
+    assert(tops.values.toSet == want,
+      s"per-cell top terms must be the shared topic words: $tops")
+
+    // the md5 sign-grid edition obeys the SAME summary law (the DuckDB
+    // gate grades it corpus-wide; here: identical docs share a cell and
+    // every rank-1 term is a max-df term of its cell)
+    val md5 = operators.Cluster.topicTermsMd5(spark, dir, topK = 3).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    val byCell = md5.groupBy(_._1)
+    byCell.foreach { case (cell, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.head._4 == rs.map(_._4).max, s"cell $cell rank-1 must carry max df")
+      // ranked df DESC, then term ASC on equal df
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4 > b._4 || (a._4 == b._4 && a._3 < b._3),
+            s"cell $cell rank order violated: $a then $b")
+        case _ =>
+      }
+    }
+  }
+
   test("corpus curation assigns one verdict per doc with gate precedence") {
     import spark.implicits._
     val t1 = text(11)

@@ -29,9 +29,14 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   *
   * Cost note: content comparison of a k*dims model is O(model size),
   * but equality on two DIFFERENT models short-circuits at the first
-  * differing element and `hashCode` is cached by Catalyst's
-  * `semanticHash` paths; model arrays are plan-time constants of at
-  * most a few MB, built once per query.
+  * differing element, and `hashCode` memoizes its O(model size) walk
+  * in a lazy val — nothing in TreeNode or the synthesized case class
+  * caches hashCode, and planner hash structures (ExpressionSet,
+  * attribute maps, CSE) call it repeatedly per plan, which at k=1024 ×
+  * 64-float centroids would be 65k multiply-adds per call. Expressions
+  * are immutable, so one computation is sound; `@transient` because a
+  * serialized kernel re-derives it on the executor rather than
+  * shipping a stale int.
   */
 trait ModelArrayEquality extends Expression {
 
@@ -47,11 +52,13 @@ trait ModelArrayEquality extends Expression {
     case _ => false
   }
 
-  override def hashCode(): Int = {
+  @transient private lazy val memoizedHash: Int = {
     var h = getClass.getName.hashCode
     productIterator.foreach(f => h = h * 31 + fieldHash(f))
     h
   }
+
+  override def hashCode(): Int = memoizedHash
 
   private def fieldEquals(a: Any, b: Any): Boolean = (a, b) match {
     case (x: Array[Float], y: Array[Float]) => java.util.Arrays.equals(x, y)

@@ -206,11 +206,15 @@ object Cluster {
   def topicTermsMd5(
       s: org.apache.spark.sql.SparkSession, d: String,
       gridDims: Int = 6, topK: Int = 5): DataFrame = {
-    val emb = Dedup.textEmbedMd5(s, d)
+    // ONE tokenization scan feeds both the embedding law and the term
+    // summary (pinned — the stage-table discipline; the r16 review
+    // caught the second full corpus re-split here)
+    val toked = toksOf(Tables.documents(s, d)).localCheckpoint()
+    val emb = Dedup.textEmbedMd5From(toked)
     val cell = (0 until gridDims)
       .map(j => when(col(s"e$j") > lit(0d), lit(1 << j)).otherwise(lit(0)))
       .reduce(_ + _)
-    topicSummary(emb.select(col("doc_id"), cell.as("cell")), toksOf(Tables.documents(s, d)), topK)
+    topicSummary(emb.select(col("doc_id"), cell.as("cell")), toked, topK)
   }
 
   private def topicTermsMd5Sql: String = {

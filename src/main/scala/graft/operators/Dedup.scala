@@ -593,11 +593,10 @@ object Dedup {
     // One slim aggregation (cell → count, partial-agg'd map-side)
     // serves both readers: the cap filter keeps degenerate cells out
     // of the pair join, and the same oversized set — tiny by
-    // construction, broadcast — stamps the output flag.
-    val oversized = assigned
-      .groupBy(col("cell"))
-      .agg(count(lit(1)).as("cell_n"))
-      .filter(col("cell_n") > cellCap)
+    // construction, broadcast — stamps the output flag. The cap law
+    // itself lives in ONE place, Lsh.oversizedBuckets, shared with the
+    // LSH band families.
+    val oversized = Lsh.oversizedBuckets(assigned, Seq("cell"), cellCap)
       .select(col("cell"), lit(true).as("cell_capped"))
     val cells = assigned.join(broadcast(oversized), Seq("cell"), "left_anti")
     val pairs = cells.alias("a")
@@ -715,10 +714,17 @@ object Dedup {
     * engines. Both the Spark side and the oracle SQL are GENERATED
     * from `TextEmbedDims` (the q32_v2 one-source-of-truth discipline).
     */
-  private[graft] def textEmbedMd5(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+  private[graft] def textEmbedMd5(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    textEmbedMd5From(Tables.documents(s, d)
+      .select(col("doc_id"), graft.gfunctions.ws_tokens(col("text")).as("toks")))
+
+  /** The md5-law projection over an ALREADY-tokenized (doc_id, toks)
+    * table, so composers that also consume the tokens (topic summaries)
+    * share one tokenization scan instead of re-splitting the corpus. */
+  private[graft] def textEmbedMd5From(toked: DataFrame): DataFrame = {
     val h = conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
-    val hashed = Tables.documents(s, d)
-      .select(col("doc_id"), explode(graft.gfunctions.ws_tokens(col("text"))).as("tok"))
+    val hashed = toked
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
       .select(col("doc_id"), h.as("h"))
       .select(col("doc_id"),
         expr(s"(h div 2) % $TextEmbedDims").as("idx"),
@@ -1040,7 +1046,8 @@ object Dedup {
     // list_dot_product over DOUBLE[] is the kernel's sequential double
     // accumulation, so sims hash-match exactly; the sign-grid cell is a
     // CASE sum over the first 6 components in both engines, and the
-    // degenerate-cell cap is the QUALIFY window count.
+    // degenerate-cell cap is the `sized` CTE's per-cell window count
+    // filtered in `capped` (kept visible so cell_capped can be stamped).
     Some("""WITH v AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv,
           (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END

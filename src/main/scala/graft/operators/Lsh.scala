@@ -35,13 +35,21 @@ object Lsh {
     * is tiny by construction (≤ corpus/cap buckets), so it broadcasts and
     * the guard costs one map-side hash aggregate + a broadcast left-anti.
     */
-  def capBuckets(banded: DataFrame, keyCols: Seq[String], cap: Int): DataFrame = {
-    val oversized = banded
+  def capBuckets(banded: DataFrame, keyCols: Seq[String], cap: Int): DataFrame =
+    banded.join(broadcast(oversizedBuckets(banded, keyCols, cap)), keyCols, "left_anti")
+
+  /** The oversized-bucket set itself — the ONE source of the cap law
+    * (strict `>`, map-side-combined count, `bucket_n` column). Tiny by
+    * construction (≤ corpus/cap rows), so callers broadcast it; exposed
+    * separately because the SemDeDup family also STAMPS the set as a
+    * `cell_capped` flag rather than only anti-joining it away, and two
+    * inline copies of the law would silently diverge (r16 review).
+    */
+  def oversizedBuckets(banded: DataFrame, keyCols: Seq[String], cap: Int): DataFrame =
+    banded
       .groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") > cap)
-    banded.join(broadcast(oversized), keyCols, "left_anti")
-  }
 
   /** Explode a frame to one row per (row, band): adds band_idx/band_val.
     * Band values come from the native [[graft.functions.HyperplaneBands]]

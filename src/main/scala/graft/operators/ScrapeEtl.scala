@@ -1298,18 +1298,28 @@ object ScrapeEtl {
     // <br> line breaks, and the link-density drop — per row, at both
     // scales.
     (s, d) => htmlToText(s, d).orderBy("doc_id"),
+    // the text is whitespace-NORMALIZED before splitting (both sides,
+    // same regexp law) and the content-paragraph lines are CONDITIONAL
+    // on their half being non-empty (the extractor drops empty lines),
+    // so the gate survives 1-word / empty / irregular-whitespace docs
+    // instead of assuming the generator's >=10-single-spaced-words
+    // shape — Q78EdgeSpec pins those shapes against this law
     Some("""WITH w AS (
-        SELECT doc_id, lang, source, string_split(text, ' ') AS words FROM documents),
+        SELECT doc_id, lang, source,
+          string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS words
+        FROM documents),
       h AS (
         SELECT doc_id, lang, source,
           array_to_string(words[1:(len(words)+1)//2], ' ') AS half1,
           array_to_string(words[(len(words)+1)//2+1:len(words)], ' ') AS half2
         FROM w)
       SELECT doc_id,
-        'Doc ' || CAST(doc_id AS VARCHAR) || ' & friends' || chr(10)
-          || half1 || chr(10) || half2 || chr(10)
-          || 'Lang ' || lang || chr(10) || 'from ' || source AS main_text,
-        CAST(5 AS INT) AS n_lines,
+        'Doc ' || CAST(doc_id AS VARCHAR) || ' & friends'
+          || CASE WHEN half1 <> '' THEN chr(10) || half1 ELSE '' END
+          || CASE WHEN half2 <> '' THEN chr(10) || half2 ELSE '' END
+          || chr(10) || 'Lang ' || lang || chr(10) || 'from ' || source AS main_text,
+        CAST(3 + CASE WHEN half1 <> '' THEN 1 ELSE 0 END
+               + CASE WHEN half2 <> '' THEN 1 ELSE 0 END AS INT) AS n_lines,
         CAST(1 AS INT) AS n_boiler_lines
       FROM h ORDER BY doc_id"""),
     prod = Some((s, d) => htmlToText(s, d)),
@@ -1323,8 +1333,13 @@ object ScrapeEtl {
     */
   private def htmlToText(s: org.apache.spark.sql.SparkSession, d: String) = {
     import s.implicits._
-    val words = split(col("text"), " ")
-    val kk = expr("(size(split(text, ' ')) + 1) div 2").cast("int")
+    // normalize BEFORE splitting (trim + collapse runs), mirroring the
+    // oracle's regexp law: the page body then contains only
+    // single-spaced words, so the extractor's own normalizeWs is an
+    // identity on it and the gate holds for any corpus text shape
+    val norm = regexp_replace(trim(col("text")), "\\s+", " ")
+    val words = split(norm, " ")
+    val kk = (size(words) + lit(1)).divide(lit(2)).cast("int")
     val half1 = array_join(slice(words, lit(1), kk), " ")
     val half2 = array_join(slice(words, kk + lit(1), size(words) - kk), " ")
     val id = col("doc_id").cast("string")

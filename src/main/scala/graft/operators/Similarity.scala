@@ -748,7 +748,11 @@ object Similarity {
   private[graft] def textSearchMd5(
       s: org.apache.spark.sql.SparkSession, d: String, k: Int = 5): DataFrame = {
     val dims = Dedup.TextEmbedDims
-    val emb = Dedup.textEmbedMd5(s, d)
+    // the embedding pipeline (corpus explode + 8-column aggregate) is
+    // referenced on BOTH join sides; pin it once (the stage-table
+    // discipline — plan reuse across an AQE boundary is not guaranteed,
+    // see TrainPrep.packTokensProdOf) instead of running it twice
+    val emb = Dedup.textEmbedMd5(s, d).localCheckpoint()
     val qr = emb.orderBy("doc_id").limit(8).select(
       col("doc_id").as("query_id") +: (0 until dims).map(j => col(s"e$j").as(s"q$j")): _*)
     val scored = emb.alias("c")

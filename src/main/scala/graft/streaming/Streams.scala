@@ -500,7 +500,10 @@ object Streams {
     * be silently dropped. Hashing the checkpoint path scopes the ids
     * to one stream lifetime (same checkpoint across restarts → same
     * namespace → replays still short-circuit). No checkpoint → empty
-    * namespace (ephemeral test streams).
+    * namespace here (this function stays pure); the ingest lanes
+    * substitute [[ephemeralNamespace]] via [[laneNamespace]] in that
+    * case, because a SHARED empty namespace would let a re-run
+    * checkpoint-less stream silently drop its batches as replays.
     */
   def batchNamespace(checkpoint: Option[String]): String =
     checkpoint.map { c =>
@@ -540,6 +543,29 @@ object Streams {
       java.lang.Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(c)) + "-"
     }.getOrElse("")
 
+  /** Namespace for a CHECKPOINT-LESS stream: a random id fixed for one
+    * query's lifetime. With no durable checkpoint there is no
+    * cross-process restart to stay identity-consistent with (the
+    * [[batchNamespace]] purity contract matters only when a replayed
+    * batch must re-derive the same on-disk name after a restart), but
+    * there IS a re-run hazard: a new checkpoint-less query writing to
+    * the SAME sink restarts batchIds at 0, and under a shared empty
+    * namespace its fresh batches would find the previous run's commits
+    * and silently no-op as "replays" — data loss with no error. A
+    * per-query random id keeps within-run replays idempotent (the
+    * foreachBatch closure captures one value for the query's lifetime)
+    * while making distinct runs disjoint on disk.
+    */
+  private def ephemeralNamespace(): String =
+    "eph" + java.util.UUID.randomUUID.toString.replace("-", "") + "-"
+
+  /** The namespace an ingest lane actually stamps on its batch ids:
+    * checkpoint-derived (pure, restart-stable) when a checkpoint
+    * exists, [[ephemeralNamespace]] otherwise. Package-visible so the
+    * recovery spec can pin the re-run disjointness. */
+  private[graft] def laneNamespace(checkpoint: Option[String]): String =
+    if (checkpoint.isDefined) batchNamespace(checkpoint) else ephemeralNamespace()
+
   /** Bounded retry for the ingest sinks' documented TRANSIENT failure
     * mode (an append racing a compaction flip reads a generation the
     * post-flip GC just collected): retried work is idempotent by the
@@ -566,10 +592,15 @@ object Streams {
           // misclassification is visible in the stream's log during
           // the backoff window, not only after the final attempt
           // rethrows.
+          if (attempt >= tries) {
+            retryLog.warn(
+              s"transient ingest failure (attempt $attempt/$tries, retries " +
+                s"exhausted, rethrowing): ${e.getClass.getName}: ${e.getMessage}")
+            throw e
+          }
           retryLog.warn(
             s"transient ingest failure (attempt $attempt/$tries, " +
               s"retrying in ${delay}ms): ${e.getClass.getName}: ${e.getMessage}")
-          if (attempt >= tries) throw e
           Thread.sleep(delay)
           delay *= 2
       }
@@ -649,7 +680,7 @@ object Streams {
       vectors: DataFrame,
       indexDir: String,
       checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
-    val ns = batchNamespace(checkpoint)
+    val ns = laneNamespace(checkpoint)
     val legacyNs = legacyBatchNamespace(checkpoint)
     val w = vectors.writeStream
       .outputMode("append")
@@ -691,7 +722,7 @@ object Streams {
       files: Int = 4,
       bloomCols: Seq[String] = Nil,
       checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
-    val ns = batchNamespace(checkpoint)
+    val ns = laneNamespace(checkpoint)
     val legacyNs = legacyBatchNamespace(checkpoint)
     val w = rows.writeStream
       .outputMode("append")
@@ -749,7 +780,7 @@ object Streams {
       batchesPerDir: Int = 100,
       checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     require(batchesPerDir >= 1, "rotatingFileSink: batchesPerDir must be >= 1")
-    val ns = batchNamespace(checkpoint)
+    val ns = laneNamespace(checkpoint)
     val w = rows.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>

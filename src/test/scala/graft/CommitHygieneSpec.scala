@@ -297,7 +297,8 @@ class CommitHygieneSpec extends AnyFunSuite {
     assert(exotic.matches("[0-9a-f]{32}-") &&
       exotic == batchNamespace(Some("nosuchscheme://bucket/ckpt")))
     assert(batchNamespace(Some("/tmp/graft-test/ckpt/ns2")) != base, "different checkpoints differ")
-    assert(batchNamespace(None) == "", "no checkpoint → ephemeral empty namespace")
+    assert(batchNamespace(None) == "",
+      "no checkpoint → empty here (pure fn); lanes substitute a random ephemeral id via laneNamespace")
   }
 
   test("HtmlTree.matches: BS4 whole-string class match — a selector class containing a space can match") {

@@ -242,4 +242,45 @@ class HtmlTreeSpec extends AnyFunSuite {
     val bare = HtmlTree.extractMainText("just bare text, no tags")
     assert(bare.main_text == "just bare text, no tags" && bare.n_lines == 1)
   }
+
+  test("q78 gate law survives 1-word, empty, and irregular-whitespace docs (r16 review)") {
+    // the r16 review finding: the oracle hardcoded n_lines=5 and an
+    // unconditional 5-line main_text, sound only for the generator's
+    // >=10-single-spaced-words docs. Both sides now (a) whitespace-
+    // normalize before splitting and (b) emit the content-paragraph
+    // lines conditionally — this pins the engine side of that law on
+    // exactly the doc shapes the old form mis-graded.
+    val spark = TestSession.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-q78-edge").toString
+    val docs = Seq(
+      (1L, "plain five words of filler text", "en", "web", 31),
+      (2L, "solo", "en", "web", 4), // 1-word: half2 is empty -> 4 lines
+      (3L, "", "de", "cc", 0), // empty: both halves empty -> 3 lines
+      (4L, "  tabs\tand   runs  of\n whitespace ", "fr", "book", 34),
+      (5L, "   \t  ", "en", "web", 6), // whitespace-only == empty
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.parquet(s"$dir/documents.parquet")
+    val byId = operators.ScrapeEtl.q78.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    def expected(id: Long, text: String, lang: String, source: String) = {
+      val words = text.trim.split("\\s+").filter(_.nonEmpty)
+      val k = (words.length + 1) / 2
+      val half1 = words.take(k).mkString(" ")
+      val half2 = words.drop(k).mkString(" ")
+      val lines = Seq(s"Doc $id & friends") ++
+        Seq(half1, half2).filter(_.nonEmpty) ++ Seq(s"Lang $lang", s"from $source")
+      (lines.mkString("\n"), lines.length, 1)
+    }
+    assert(byId(1L) == expected(1L, "plain five words of filler text", "en", "web"))
+    assert(byId(2L) == expected(2L, "solo", "en", "web"))
+    assert(byId(2L)._2 == 4, "1-word doc: the empty second half emits NO line")
+    assert(byId(3L) == expected(3L, "", "de", "cc"))
+    assert(byId(3L)._2 == 3, "empty doc: heading + lang + source only")
+    assert(byId(4L) == expected(4L, "  tabs\tand   runs  of\n whitespace ", "fr", "book"))
+    assert(byId(4L)._1.contains("tabs and runs") && byId(4L)._1.contains("of whitespace"),
+      "irregular whitespace normalizes identically on both sides before the half split")
+    assert(byId(5L) == expected(5L, "   \t  ", "en", "web"))
+    assert(byId.size == 5)
+  }
 }

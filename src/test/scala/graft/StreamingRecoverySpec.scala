@@ -701,4 +701,44 @@ class StreamingRecoverySpec extends AnyFunSuite {
       .count(_.getPath.getName.startsWith("batch=")) == 2,
       "the completed rotation stays cold: nothing lands in it again")
   }
+
+  test("checkpoint-less re-run gets a fresh namespace: a second stream into the same dir never silently drops batches") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    // the r16 review finding: with checkpoint=None the lanes used the
+    // EMPTY namespace, so a re-run query (batchIds restart at 0) found
+    // the first run's batch=0 dir visible and no-op'd — silent loss.
+    // laneNamespace now issues a per-query random id for that case.
+    val nsA = Streams.laneNamespace(None)
+    val nsB = Streams.laneNamespace(None)
+    assert(nsA.startsWith("eph") && nsB.startsWith("eph") && nsA != nsB,
+      "checkpoint-less namespaces are random per query")
+    assert(Streams.laneNamespace(Some("/ckpt/x")) == Streams.batchNamespace(Some("/ckpt/x")),
+      "a durable checkpoint keeps the pure restart-stable namespace")
+    val in = tmp("rot_nock_in"); val out = tmp("rot_nock_out") + "/sink"
+    def wave(from: Long, until: Long) =
+      spark.range(from, until).select(col("id").as("v")).toDF()
+    val schema = wave(0, 1).schema
+    def run(): Unit = {
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      val q = Streams.rotatingFileSink(src, out, batchesPerDir = 100)
+      try q.processAllAvailable() finally q.stop()
+    }
+    addFile(wave(0, 10), in)
+    run() // run 1: batch 0 = rows 0-9
+    addFile(wave(10, 20), in)
+    run() // run 2, no checkpoint: re-reads BOTH files as batches 0 and 1
+    val got = spark.read.parquet(out)
+    // independent checkpoint-less runs are at-least-once ACROSS runs by
+    // contract (run 2 legitimately re-lands rows 0-9 under its own
+    // namespace); the bug being pinned is silent LOSS of rows 10-19
+    assert(got.filter(col("v") >= 10).count() == 10,
+      "run 2's genuinely new batch must land, not be dropped as a replay")
+    assert(got.count() == 30, "run 1 (10 rows) + run 2's full re-read (20 rows)")
+    val fs = new Path(out).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batch0s = fs.listStatus(new Path(s"$out/rot=0"))
+      .map(_.getPath.getName).filter(n => n.startsWith("batch=") && n.endsWith("0"))
+    assert(batch0s.length >= 2, s"the two runs' batch-0 dirs are namespace-disjoint: ${batch0s.toSeq}")
+  }
 }

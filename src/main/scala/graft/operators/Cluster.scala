@@ -203,9 +203,16 @@ object Cluster {
     * integer counts, string tie-break — no floats anywhere past the
     * sign test, so the whole summary hash-matches DuckDB.
     */
+  /** One source of truth for the md5 twin's shape params: the Scala
+    * defaults AND the generated oracle SQL both read these (the
+    * TextEmbedDims discipline) — changing either in one place cannot
+    * desync the run from its oracle. */
+  private[graft] val TopicGridDims = 6
+  private[graft] val TopicTopK = 5
+
   def topicTermsMd5(
       s: org.apache.spark.sql.SparkSession, d: String,
-      gridDims: Int = 6, topK: Int = 5): DataFrame = {
+      gridDims: Int = TopicGridDims, topK: Int = TopicTopK): DataFrame = {
     // ONE tokenization scan feeds both the embedding law and the term
     // summary (pinned — the stage-table discipline; the r16 review
     // caught the second full corpus re-split here)
@@ -218,7 +225,7 @@ object Cluster {
   }
 
   private def topicTermsMd5Sql: String = {
-    val cellSql = (0 until 6)
+    val cellSql = (0 until TopicGridDims)
       .map(j => s"(CASE WHEN e$j > 0 THEN ${1 << j} ELSE 0 END)").mkString(" + ")
     s"""WITH ${Dedup.textEmbedMd5Cte},
       cells AS (SELECT doc_id, $cellSql AS cell FROM emb),
@@ -234,7 +241,7 @@ object Cluster {
           row_number() OVER (PARTITION BY cell ORDER BY df DESC, term) AS rank
         FROM dfs)
       SELECT cell, CAST(rank AS INT) AS rank, term, df
-      FROM ranked WHERE rank <= 5 ORDER BY cell, rank"""
+      FROM ranked WHERE rank <= $TopicTopK ORDER BY cell, rank"""
   }
 
   val qTopicTermsMd5 = GraftQuery(
@@ -255,14 +262,18 @@ object Cluster {
     */
   def topicTerms(
       s: org.apache.spark.sql.SparkSession, d: String,
-      k: Int = 8, topK: Int = 5): DataFrame = {
-    val docs = Tables.documents(s, d)
-    val emb = Dedup.textEmbeddings(docs)
+      k: Int = 8, topK: Int = TopicTopK): DataFrame = {
+    // ONE tokenization scan + ONE featurization, pinned: Ivf.train
+    // alone re-executes its input several times (count, seed collect,
+    // Lloyd passes), and the term summary needs the tokens again — the
+    // same stage-table discipline as the md5 twin (r16 review)
+    val toked = toksOf(Tables.documents(s, d)).localCheckpoint()
+    val emb = Dedup.textEmbeddingsFrom(toked).localCheckpoint()
     val cents = Ivf.train(emb, k = k, iters = 2)
     val cells = emb.select(
       col("vec_id").as("doc_id"),
       Ivf.clusterOf(col("embedding"), cents).cast("int").as("cell"))
-    topicSummary(cells, toksOf(docs), topK)
+    topicSummary(cells, toked, topK)
   }
 
   val qTopicTerms = GraftQuery(

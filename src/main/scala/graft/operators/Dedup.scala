@@ -697,10 +697,17 @@ object Dedup {
     * documents SAY instead of by a synthetic label column.
     */
   def textEmbeddings(docs: DataFrame, dims: Int = 64): DataFrame =
-    docs.select(
+    textEmbeddingsFrom(
+      docs.select(col("doc_id"), graft.gfunctions.ws_tokens(col("text")).as("toks")), dims)
+
+  /** The kernel featurizer over an ALREADY-tokenized (doc_id, toks)
+    * table — the [[textEmbedMd5From]] move for the prod path, so
+    * composers that also consume the tokens share one tokenization
+    * scan instead of re-splitting the corpus. */
+  def textEmbeddingsFrom(toked: DataFrame, dims: Int = 64): DataFrame =
+    toked.select(
       col("doc_id").as("vec_id"),
-      graft.gfunctions.hashed_projection(graft.gfunctions.ws_tokens(col("text")), dims)
-        .as("embedding"))
+      graft.gfunctions.hashed_projection(col("toks"), dims).as("embedding"))
       .filter(col("embedding").isNotNull)
 
   private[graft] val TextEmbedDims = 8
@@ -789,13 +796,15 @@ object Dedup {
     */
   val qSemDeDupText = GraftQuery(
     "dedup_semdedup_text",
+    // featurization pinned once: Ivf.train re-executes its input
+    // (count, seed collect, Lloyd passes) and semDeDup reads it again
     (s, d) => {
-      val emb = textEmbeddings(Tables.documents(s, d))
+      val emb = textEmbeddings(Tables.documents(s, d)).localCheckpoint()
       semDeDup(emb, Ivf.train(emb, k = 8, iters = 2), tau = 0.9).orderBy("vec_id")
     },
     None,
     prod = Some((s, d) => {
-      val emb = textEmbeddings(Tables.documents(s, d))
+      val emb = textEmbeddings(Tables.documents(s, d)).localCheckpoint()
       semDeDup(emb, Ivf.train(emb, k = 8, iters = 2), tau = 0.9)
     }),
   )

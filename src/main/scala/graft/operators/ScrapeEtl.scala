@@ -1336,8 +1336,16 @@ object ScrapeEtl {
     // normalize BEFORE splitting (trim + collapse runs), mirroring the
     // oracle's regexp law: the page body then contains only
     // single-spaced words, so the extractor's own normalizeWs is an
-    // identity on it and the gate holds for any corpus text shape
-    val norm = regexp_replace(trim(col("text")), "\\s+", " ")
+    // identity on it and the gate holds for any corpus text shape.
+    // Then HTML-ESCAPE what gets interpolated into markup (& first,
+    // then < >): the extractor decodes exactly these entities back, so
+    // the law round-trips for text containing markup metacharacters
+    // instead of silently parsing them as tags (r16 review) — the
+    // oracle keeps stating the RAW text. Escaping never touches
+    // spaces, so the word split and half indices are unaffected.
+    def esc(c: org.apache.spark.sql.Column) =
+      regexp_replace(regexp_replace(regexp_replace(c, "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+    val norm = esc(regexp_replace(trim(col("text")), "\\s+", " "))
     val words = split(norm, " ")
     val kk = (size(words) + lit(1)).divide(lit(2)).cast("int")
     val half1 = array_join(slice(words, lit(1), kk), " ")
@@ -1354,7 +1362,7 @@ object ScrapeEtl {
         "<div><p>"), half2, lit("</p></div>" +
         "<div class=\"linkfarm\"><a href=\"/1\">aa</a> <a href=\"/2\">bb</a> " +
         "<a href=\"/3\">cc</a></div>" +
-        "<p>Lang <i>"), col("lang"), lit("</i><br>from "), col("source"),
+        "<p>Lang <i>"), esc(col("lang")), lit("</i><br>from "), esc(col("source")),
       lit("</p></article>" +
         "<footer><a href=\"/tos\">Terms</a></footer><!-- pixel --></body></html>"))
     Tables.documents(s, d)

@@ -795,7 +795,9 @@ object Similarity {
     */
   private[graft] def textSearch(
       s: org.apache.spark.sql.SparkSession, d: String, k: Int = 5): DataFrame = {
-    val emb = Dedup.textEmbeddings(Tables.documents(s, d))
+    // pinned once: the corpus featurization feeds both the 8-query
+    // TakeOrdered side and the brute scan (same move as the md5 twin)
+    val emb = Dedup.textEmbeddings(Tables.documents(s, d)).localCheckpoint()
     val q = emb.orderBy("vec_id").limit(8)
     bruteForceTopK(emb, q, k)
   }

@@ -259,6 +259,9 @@ class HtmlTreeSpec extends AnyFunSuite {
       (3L, "", "de", "cc", 0), // empty: both halves empty -> 3 lines
       (4L, "  tabs\tand   runs  of\n whitespace ", "fr", "book", 34),
       (5L, "   \t  ", "en", "web", 6), // whitespace-only == empty
+      // markup metacharacters round-trip: escaped into the page,
+      // decoded back by the extractor, stated RAW by the oracle
+      (6L, "a<b AT&T keeps &amp; x</p> <script>evil</script> done", "en", "web", 53),
     ).toDF("doc_id", "text", "lang", "source", "n_chars")
     docs.write.parquet(s"$dir/documents.parquet")
     val byId = operators.ScrapeEtl.q78.run(spark, dir).collect()
@@ -281,6 +284,10 @@ class HtmlTreeSpec extends AnyFunSuite {
     assert(byId(4L)._1.contains("tabs and runs") && byId(4L)._1.contains("of whitespace"),
       "irregular whitespace normalizes identically on both sides before the half split")
     assert(byId(5L) == expected(5L, "   \t  ", "en", "web"))
-    assert(byId.size == 5)
+    assert(byId(6L) == expected(6L,
+      "a<b AT&T keeps &amp; x</p> <script>evil</script> done", "en", "web"))
+    assert(byId(6L)._1.contains("a<b AT&T keeps") && byId(6L)._1.contains("<script>evil</script>"),
+      "metacharacters survive the escape/parse/decode round trip verbatim")
+    assert(byId.size == 6)
   }
 }

@@ -595,10 +595,18 @@ object Dedup {
     // of the pair join, and the same oversized set — tiny by
     // construction, broadcast — stamps the output flag. The cap law
     // itself lives in ONE place, Lsh.oversizedBuckets, shared with the
-    // LSH band families.
-    val oversized = Lsh.oversizedBuckets(assigned, Seq("cell"), cellCap)
+    // LSH band families. BOTH frames are pinned (stage-table
+    // discipline): `assigned` is the NearestCentroid pass over the
+    // whole corpus (k*dims FLOPs per vector) and is read by the cap
+    // aggregate, the pair join, and the final stamp join — unpinned,
+    // each reference re-runs the assignment; `oversized` is read by
+    // two joins whose different projections defeat exchange reuse.
+    // The pinned assignment is 12 bytes/row (vec_id, cell).
+    val pinned = assigned.localCheckpoint()
+    val oversized = Lsh.oversizedBuckets(pinned, Seq("cell"), cellCap)
       .select(col("cell"), lit(true).as("cell_capped"))
-    val cells = assigned.join(broadcast(oversized), Seq("cell"), "left_anti")
+      .localCheckpoint()
+    val cells = pinned.join(broadcast(oversized), Seq("cell"), "left_anti")
     val pairs = cells.alias("a")
       .join(cells.alias("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
@@ -617,7 +625,7 @@ object Dedup {
       .agg(
         sum(when(col("sim") >= tau, 1L).otherwise(0L)).as("n_dup_partners"),
         max(col("sim")).as("best_sim"))
-    assigned
+    pinned
       .join(dups, Seq("vec_id"), "left")
       .join(broadcast(oversized), Seq("cell"), "left")
       .select(

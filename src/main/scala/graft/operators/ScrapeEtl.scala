@@ -1299,14 +1299,18 @@ object ScrapeEtl {
     // scales.
     (s, d) => htmlToText(s, d).orderBy("doc_id"),
     // the text is whitespace-NORMALIZED before splitting (both sides,
-    // same regexp law) and the content-paragraph lines are CONDITIONAL
-    // on their half being non-empty (the extractor drops empty lines),
-    // so the gate survives 1-word / empty / irregular-whitespace docs
+    // same law: exotic-ws map from the shared codepoint set, \s+
+    // collapse, THEN trim — only 0x20 can remain at the ends after the
+    // collapse, so space-trim strips every edge) and the
+    // content-paragraph lines are CONDITIONAL on their half being
+    // non-empty (the extractor drops empty lines), so the gate
+    // survives 1-word / empty / NULL / irregular-whitespace docs
     // instead of assuming the generator's >=10-single-spaced-words
-    // shape — Q78EdgeSpec pins those shapes against this law
-    Some("""WITH w AS (
+    // shape — the HtmlTreeSpec edge test pins those shapes
+    Some(s"""WITH w AS (
         SELECT doc_id, lang, source,
-          string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS words
+          string_split(trim(regexp_replace(
+            regexp_replace(text, '$exoticWsRe2', ' ', 'g'), '\\s+', ' ', 'g')), ' ') AS words
         FROM documents),
       h AS (
         SELECT doc_id, lang, source,
@@ -1317,7 +1321,8 @@ object ScrapeEtl {
         'Doc ' || CAST(doc_id AS VARCHAR) || ' & friends'
           || CASE WHEN half1 <> '' THEN chr(10) || half1 ELSE '' END
           || CASE WHEN half2 <> '' THEN chr(10) || half2 ELSE '' END
-          || chr(10) || 'Lang ' || lang || chr(10) || 'from ' || source AS main_text,
+          || chr(10) || rtrim('Lang ' || COALESCE(lang, ''))
+          || chr(10) || rtrim('from ' || COALESCE(source, '')) AS main_text,
         CAST(3 + CASE WHEN half1 <> '' THEN 1 ELSE 0 END
                + CASE WHEN half2 <> '' THEN 1 ELSE 0 END AS INT) AS n_lines,
         CAST(1 AS INT) AS n_boiler_lines
@@ -1331,21 +1336,48 @@ object ScrapeEtl {
     * extract is the documented per-partition imperative case), zero
     * shuffle at any scale.
     */
+  /** Whitespace codepoints where the three parties to the q78 gate
+    * DISAGREE (measured, r16 review): Java regex `\s` takes \x0B but
+    * DuckDB's RE2 `\s` does not, and `Character.isWhitespace` (the
+    * extractor's normalizeWs class) additionally takes \x1C-\x1F and
+    * the non-breaking-free Unicode space separators. Mapping exactly
+    * this set to 0x20 on BOTH engine sides FIRST leaves only
+    * [\t\n\f\r ] — the intersection all three agree on — for the
+    * `\s+` collapse, so the gate's word law is engine-independent.
+    * One Seq generates both character classes.
+    */
+  // defs, not vals: q78's oracle string interpolates the RE2 class at
+  // object init and is declared ABOVE this point in the file
+  private[graft] def exoticWs: Seq[Int] =
+    Seq(0x0B, 0x1C, 0x1D, 0x1E, 0x1F, 0x1680) ++ (0x2000 to 0x2006) ++
+      Seq(0x2008, 0x2009, 0x200A, 0x2028, 0x2029, 0x205F, 0x3000)
+  private def exoticWsJava: String =
+    exoticWs.map(cp => f"\\u$cp%04X").mkString("[", "", "]")
+  private[graft] def exoticWsRe2: String =
+    exoticWs.map(cp => f"\\x{$cp%04X}").mkString("[", "", "]")
+
   private def htmlToText(s: org.apache.spark.sql.SparkSession, d: String) = {
     import s.implicits._
-    // normalize BEFORE splitting (trim + collapse runs), mirroring the
-    // oracle's regexp law: the page body then contains only
-    // single-spaced words, so the extractor's own normalizeWs is an
-    // identity on it and the gate holds for any corpus text shape.
-    // Then HTML-ESCAPE what gets interpolated into markup (& first,
-    // then < >): the extractor decodes exactly these entities back, so
-    // the law round-trips for text containing markup metacharacters
-    // instead of silently parsing them as tags (r16 review) — the
+    // normalize BEFORE splitting — exotic-ws map, collapse runs, trim
+    // (collapse-then-trim: after the collapse only 0x20 can remain at
+    // the ends, so plain space-trim strips ALL edge whitespace — a
+    // leading tab would otherwise survive trim() and leak a leading
+    // empty word into the split, r16 review) — mirroring the oracle's
+    // law exactly: the page body then contains only single-spaced
+    // words, so the extractor's own normalizeWs is an identity on it
+    // and the gate holds for any corpus text shape. NULL text reads as
+    // empty (the oracle's CASE guards null-propagate to the same
+    // 3-line row; unguarded, the page column would go null and the
+    // parser would NPE). Then HTML-ESCAPE what gets interpolated into
+    // markup (& first, then < >): the extractor decodes exactly these
+    // entities back, so the law round-trips for text containing markup
+    // metacharacters instead of silently parsing them as tags — the
     // oracle keeps stating the RAW text. Escaping never touches
     // spaces, so the word split and half indices are unaffected.
     def esc(c: org.apache.spark.sql.Column) =
       regexp_replace(regexp_replace(regexp_replace(c, "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
-    val norm = esc(regexp_replace(trim(col("text")), "\\s+", " "))
+    val mapped = regexp_replace(coalesce(col("text"), lit("")), exoticWsJava, " ")
+    val norm = esc(trim(regexp_replace(mapped, "\\s+", " ")))
     val words = split(norm, " ")
     val kk = (size(words) + lit(1)).divide(lit(2)).cast("int")
     val half1 = array_join(slice(words, lit(1), kk), " ")
@@ -1362,7 +1394,8 @@ object ScrapeEtl {
         "<div><p>"), half2, lit("</p></div>" +
         "<div class=\"linkfarm\"><a href=\"/1\">aa</a> <a href=\"/2\">bb</a> " +
         "<a href=\"/3\">cc</a></div>" +
-        "<p>Lang <i>"), esc(col("lang")), lit("</i><br>from "), esc(col("source")),
+        "<p>Lang <i>"), esc(coalesce(col("lang"), lit(""))),
+      lit("</i><br>from "), esc(coalesce(col("source"), lit(""))),
       lit("</p></article>" +
         "<footer><a href=\"/tos\">Terms</a></footer><!-- pixel --></body></html>"))
     Tables.documents(s, d)

@@ -262,17 +262,27 @@ class HtmlTreeSpec extends AnyFunSuite {
       // markup metacharacters round-trip: escaped into the page,
       // decoded back by the extractor, stated RAW by the oracle
       (6L, "a<b AT&T keeps &amp; x</p> <script>evil</script> done", "en", "web", 53),
+      // leading tab + the codepoints where Java \s, RE2 \s, and
+      // Character.isWhitespace disagree (u2028/x0B/u3000): the shared
+      // exotic-ws map + collapse-then-trim law must hold
+      (7L, "\tspark\u2028flink trino\u000Bpresto  duck\u3000db ", "en", "web", 40),
+      (8L, null.asInstanceOf[String], "en", "web", 0), // null text == empty
     ).toDF("doc_id", "text", "lang", "source", "n_chars")
     docs.write.parquet(s"$dir/documents.parquet")
     val byId = operators.ScrapeEtl.q78.run(spark, dir).collect()
       .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
     def expected(id: Long, text: String, lang: String, source: String) = {
-      val words = text.trim.split("\\s+").filter(_.nonEmpty)
+      // the gate's word law, restated independently: exotic-ws map
+      // (the shared codepoint set), collapse, trim, split
+      val mapped = Option(text).getOrElse("")
+        .map(ch => if (operators.ScrapeEtl.exoticWs.contains(ch.toInt)) ' ' else ch)
+      val words = mapped.split("[ \t\n\f\r]+").filter(_.nonEmpty)
       val k = (words.length + 1) / 2
       val half1 = words.take(k).mkString(" ")
       val half2 = words.drop(k).mkString(" ")
       val lines = Seq(s"Doc $id & friends") ++
-        Seq(half1, half2).filter(_.nonEmpty) ++ Seq(s"Lang $lang", s"from $source")
+        Seq(half1, half2).filter(_.nonEmpty) ++
+        Seq(s"Lang $lang".stripTrailing, s"from $source".stripTrailing)
       (lines.mkString("\n"), lines.length, 1)
     }
     assert(byId(1L) == expected(1L, "plain five words of filler text", "en", "web"))
@@ -288,6 +298,11 @@ class HtmlTreeSpec extends AnyFunSuite {
       "a<b AT&T keeps &amp; x</p> <script>evil</script> done", "en", "web"))
     assert(byId(6L)._1.contains("a<b AT&T keeps") && byId(6L)._1.contains("<script>evil</script>"),
       "metacharacters survive the escape/parse/decode round trip verbatim")
-    assert(byId.size == 6)
+    assert(byId(7L) == expected(7L, "\tspark\u2028flink trino\u000Bpresto  duck\u3000db ", "en", "web"))
+    assert(byId(7L)._1.contains("spark flink trino") && byId(7L)._1.contains("presto duck db"),
+      "exotic whitespace maps to plain spaces under the shared law on both sides")
+    assert(byId(8L) == expected(8L, null, "en", "web"))
+    assert(byId(8L)._2 == 3, "null text behaves exactly like an empty doc")
+    assert(byId.size == 8)
   }
 }

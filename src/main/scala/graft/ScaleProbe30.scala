@@ -75,13 +75,17 @@ object ScaleProbe30 {
       f"vs even-cell N^2/2k ${even / 1e6}%.1f M (ratio ${cellPairs / even}%.2f); " +
       f"max cell ${hist.getLong(1)}, ${hist.getLong(2)} of $k cells occupied")
 
-    // the pipeline itself: the promise executed
+    // the pipeline itself: the promise executed. Drain the async
+    // listener bus BEFORE resetting the counter (and again before
+    // reading it): pending StageCompleted events from the train/
+    // histogram jobs above would otherwise leak into this receipt.
+    org.apache.spark.graft.ListenerSync.drain(spark.sparkContext)
     shuffleBytes.set(0L)
     val t2 = System.nanoTime()
     val decisions = operators.Dedup.semDeDup(emb, centroids)
     val flaggedPlanted = decisions.filter(col("is_dup") && col("vec_id") >= 10000000L).count()
     val e2eS = (System.nanoTime() - t2) / 1e9
-    Thread.sleep(2000)
+    org.apache.spark.graft.ListenerSync.drain(spark.sparkContext)
     println(f"[probe30] semDeDup end-to-end k=$k: $e2eS%.1f s, " +
       f"shuffle write ${shuffleBytes.get / 1048576.0}%.1f MiB, " +
       f"planted recall ${flaggedPlanted.toDouble / plantedN}%.3f ($flaggedPlanted/$plantedN)")

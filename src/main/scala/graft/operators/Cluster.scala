@@ -137,7 +137,7 @@ object Cluster {
     // closure (symmetric edges -> reachability = component; MIN over
     // reachable labels = min id in component).
     Some("""WITH RECURSIVE t AS (
-        SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x <> '') AS toks
         FROM documents),
       keys AS (
         SELECT doc_id,
@@ -205,8 +205,11 @@ object Cluster {
     */
   /** One source of truth for the md5 twin's shape params: the Scala
     * defaults AND the generated oracle SQL both read these (the
-    * TextEmbedDims discipline) — changing either in one place cannot
-    * desync the run from its oracle. */
+    * TextEmbedDims discipline), and the SQL generator takes the SAME
+    * parameters as the query function — a future twin registration
+    * with non-default shape passes one pair of values to both sides
+    * or gets a mismatch it can see in the generator call, not a
+    * silent desync. */
   private[graft] val TopicGridDims = 6
   private[graft] val TopicTopK = 5
 
@@ -224,14 +227,15 @@ object Cluster {
     topicSummary(emb.select(col("doc_id"), cell.as("cell")), toked, topK)
   }
 
-  private def topicTermsMd5Sql: String = {
-    val cellSql = (0 until TopicGridDims)
+  private def topicTermsMd5Sql(
+      gridDims: Int = TopicGridDims, topK: Int = TopicTopK): String = {
+    val cellSql = (0 until gridDims)
       .map(j => s"(CASE WHEN e$j > 0 THEN ${1 << j} ELSE 0 END)").mkString(" + ")
     s"""WITH ${Dedup.textEmbedMd5Cte},
       cells AS (SELECT doc_id, $cellSql AS cell FROM emb),
       tt AS (
         SELECT doc_id,
-          unnest(list_distinct(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))) AS term
+          unnest(list_distinct(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> ''))) AS term
         FROM documents),
       dfs AS (
         SELECT cell, term, CAST(COUNT(*) AS BIGINT) AS df
@@ -241,13 +245,13 @@ object Cluster {
           row_number() OVER (PARTITION BY cell ORDER BY df DESC, term) AS rank
         FROM dfs)
       SELECT cell, CAST(rank AS INT) AS rank, term, df
-      FROM ranked WHERE rank <= $TopicTopK ORDER BY cell, rank"""
+      FROM ranked WHERE rank <= $topK ORDER BY cell, rank"""
   }
 
   val qTopicTermsMd5 = GraftQuery(
     "q82_topic_terms_md5",
     (s, d) => topicTermsMd5(s, d).orderBy("cell", "rank"),
-    Some(topicTermsMd5Sql),
+    Some(topicTermsMd5Sql()),
     prod = Some((s, d) => topicTermsMd5(s, d)),
   )
 

@@ -347,7 +347,7 @@ object Curate {
     // tokenized CTE, mirroring the single-scan stage table.
     Some("""WITH RECURSIVE t AS (
         SELECT doc_id, lang, md5(text) AS text_md5,
-               list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+               list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x <> '') AS toks
         FROM documents),
       staged AS (SELECT doc_id, lang, text_md5, toks, len(toks) AS n_toks FROM t),
       gated AS (SELECT * FROM staged WHERE n_toks >= 5 AND lang = 'en'),
@@ -441,7 +441,7 @@ object Curate {
     */
   private[graft] val decontamOracleDecisions: String = """WITH RECURSIVE t AS (
         SELECT doc_id, lang, md5(text) AS text_md5,
-               list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+               list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x <> '') AS toks
         FROM documents),
       staged AS (SELECT doc_id, lang, text_md5, toks, len(toks) AS n_toks FROM t),
       corpus AS (SELECT * FROM staged WHERE doc_id % 20 <> 0),

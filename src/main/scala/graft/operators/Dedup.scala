@@ -768,7 +768,7 @@ object Dedup {
       .map(j => s"CASE WHEN nrm = 0 THEN 0.0 ELSE CAST(c$j AS DOUBLE) / nrm END AS e$j")
       .mkString(",\n        ")
     s"""tk AS (
-        SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS tok
+        SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '')) AS tok
         FROM documents),
       hh AS (
         SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM tk),
@@ -838,7 +838,7 @@ object Dedup {
     "dedup_minhash_md5",
     (s, d) => minhashMd5Decisions(Tables.documents(s, d)).orderBy("doc_id"),
     Some("""WITH t AS (
-        SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x <> '') AS toks
         FROM documents),
       sh AS (
         SELECT doc_id, toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS s
@@ -880,7 +880,7 @@ object Dedup {
     "dedup_jaccard_md5",
     (s, d) => jaccardMd5Decisions(Tables.documents(s, d)).orderBy("doc_id"),
     Some("""WITH t AS (
-        SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x <> '') AS toks
         FROM documents),
       sh AS (
         SELECT doc_id, toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS s
@@ -939,7 +939,7 @@ object Dedup {
     "dedup_simhash_md5",
     (s, d) => simhashMd5Decisions(Tables.documents(s, d)).orderBy("doc_id"),
     Some("""WITH t AS (
-        SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x <> '') AS toks
         FROM documents),
       tok AS (
         SELECT doc_id, CAST(('0x' || substr(md5(u.t), 1, 15)) AS BIGINT) AS h
@@ -976,7 +976,7 @@ object Dedup {
     "dedup_passage",
     (s, d) => passageProfile(Tables.documents(s, d)).orderBy("doc_id"),
     Some("""WITH t AS (
-        SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x <> '') AS toks
         FROM documents),
       w AS (
         SELECT DISTINCT doc_id,

@@ -745,15 +745,22 @@ object Similarity {
     * the 64-dim xxh kernel featurizer + the native cosine kernel — the
     * brute shape whose plan and recall the ann family already audits.
     */
+  /** Shape constants shared by [[textSearchMd5]]'s defaults and its
+    * SQL generator (the TopicGridDims discipline): one pair of values
+    * reaches both sides of the gate. */
+  private[graft] val TextSearchK = 5
+  private[graft] val TextSearchQueries = 8
+
   private[graft] def textSearchMd5(
-      s: org.apache.spark.sql.SparkSession, d: String, k: Int = 5): DataFrame = {
+      s: org.apache.spark.sql.SparkSession, d: String,
+      k: Int = TextSearchK, queries: Int = TextSearchQueries): DataFrame = {
     val dims = Dedup.TextEmbedDims
     // the embedding pipeline (corpus explode + 8-column aggregate) is
     // referenced on BOTH join sides; pin it once (the stage-table
     // discipline — plan reuse across an AQE boundary is not guaranteed,
     // see TrainPrep.packTokensProdOf) instead of running it twice
     val emb = Dedup.textEmbedMd5(s, d).localCheckpoint()
-    val qr = emb.orderBy("doc_id").limit(8).select(
+    val qr = emb.orderBy("doc_id").limit(queries).select(
       col("doc_id").as("query_id") +: (0 until dims).map(j => col(s"e$j").as(s"q$j")): _*)
     val scored = emb.alias("c")
       .join(broadcast(qr), col("query_id") =!= col("doc_id"))
@@ -764,11 +771,12 @@ object Similarity {
     rankTopK(scored, k)
   }
 
-  private def textSearchMd5Sql: String = {
+  private def textSearchMd5Sql(
+      k: Int = TextSearchK, queries: Int = TextSearchQueries): String = {
     val dims = Dedup.TextEmbedDims
     val dot = (0 until dims).map(j => s"q.e$j*c.e$j").mkString(" + ")
     s"""WITH ${Dedup.textEmbedMd5Cte},
-      q AS (SELECT * FROM emb ORDER BY doc_id LIMIT 8),
+      q AS (SELECT * FROM emb ORDER BY doc_id LIMIT $queries),
       scored AS (
         SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id, $dot AS sim
         FROM emb c JOIN q ON c.doc_id <> q.doc_id),
@@ -777,13 +785,13 @@ object Similarity {
           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
         FROM scored)
       SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, sim
-      FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+      FROM ranked WHERE rank <= $k ORDER BY query_id, rank"""
   }
 
   val qTextSearchMd5 = GraftQuery(
     "q81_text_search_md5",
     (s, d) => textSearchMd5(s, d),
-    Some(textSearchMd5Sql),
+    Some(textSearchMd5Sql()),
   )
 
   /** Production semantic text search: 64-dim xxh kernel embeddings

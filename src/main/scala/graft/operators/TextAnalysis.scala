@@ -23,7 +23,7 @@ import RelationalCore.davg
 object TextAnalysis {
 
   /** Whitespace tokens with empties dropped — matches DuckDB
-    * list_filter(regexp_split_to_array(text,'\s+'), x -> x <> '');
+    * list_filter(regexp_split_to_array(text,'[ \t\n\x0b\f\r]+'), x -> x <> '');
     * native one-pass kernel ([[graft.functions.WsTokens]]), byte-exact
     * with the declarative filter(split(...)) pair it replaced.
     */
@@ -75,7 +75,7 @@ object TextAnalysis {
       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
       CAST(SUM(CAST(n_tokens AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_tokens,
       MAX(n_tokens) AS max_tokens
-      FROM (SELECT source, len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_tokens
+      FROM (SELECT source, len(list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x <> '')) AS n_tokens
             FROM documents) t
       GROUP BY source ORDER BY source"""),
   )
@@ -107,10 +107,10 @@ object TextAnalysis {
     Some("""WITH perdoc AS (
         SELECT source,
           CAST(length(text) AS BIGINT) AS n_chars_m,
-          CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+          CAST(len(list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x <> '')) AS BIGINT) AS n_tokens,
           CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
           CAST(length(text) - length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS n_space,
-          CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS BIGINT) AS n_stop
+          CAST(len(list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS BIGINT) AS n_stop
         FROM documents)
       SELECT source, COUNT(*) AS n_docs,
         CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
@@ -152,7 +152,7 @@ object TextAnalysis {
           len(list_filter(toks, x -> x IN ('der', 'die', 'das', 'und', 'ist', 'mit', 'nicht'))) AS de_h,
           len(list_filter(toks, x -> x IN ('el', 'los', 'y', 'que', 'por', 'con', 'para'))) AS es_h,
           len(list_filter(toks, x -> x IN ('le', 'les', 'et', 'est', 'dans', 'pour', 'une'))) AS fr_h
-        FROM (SELECT lang, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks FROM documents) t),
+        FROM (SELECT lang, list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x <> '') AS toks FROM documents) t),
       guessed AS (
         SELECT lang,
           CASE WHEN en_h >= de_h AND en_h >= es_h AND en_h >= fr_h AND en_h > 0 THEN 'en'
@@ -292,7 +292,7 @@ object TextAnalysis {
     "q33_fingerprint_md5",
     (s, d) => fingerprintMd5(s, d).orderBy("doc_id"),
     Some("""WITH t AS (
-        SELECT doc_id, text, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        SELECT doc_id, text, list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x <> '') AS toks
         FROM documents),
       sh AS (
         SELECT doc_id, toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS s
@@ -352,7 +352,7 @@ object TextAnalysis {
         .orderBy("source")
     },
     Some("""WITH t AS (
-        SELECT doc_id, source, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        SELECT doc_id, source, list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x <> '') AS toks
         FROM documents),
       g AS (
         SELECT source, toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS shingle
@@ -434,7 +434,7 @@ object TextAnalysis {
     "q35_tfidf_exact",
     (s, d) => tfidfExact(s, d).orderBy("doc_id"),
     Some("""WITH t AS (
-        SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x <> '') AS toks
         FROM documents),
       terms AS (SELECT doc_id, unnest(toks) AS term FROM t),
       tf AS (
@@ -525,8 +525,8 @@ object TextAnalysis {
       CAST(SUM(n_distinct) AS BIGINT) AS sum_distinct,
       (CAST(SUM(n_tokens) AS BIGINT) - CAST(SUM(n_distinct) AS BIGINT)) / CAST(SUM(n_tokens) AS BIGINT) AS repetition_ratio
       FROM (SELECT source,
-              len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_tokens,
-              len(list_distinct(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))) AS n_distinct
+              len(list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x <> '')) AS n_tokens,
+              len(list_distinct(list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x <> ''))) AS n_distinct
             FROM documents) t
       GROUP BY source ORDER BY source"""),
   )
@@ -559,7 +559,7 @@ object TextAnalysis {
         CAST(COUNT(*) AS BIGINT) AS n_occurrences,
         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
       FROM (SELECT doc_id,
-              unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS token
+              unnest(list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x <> '')) AS token
             FROM documents) t
       GROUP BY token
       ORDER BY n_occurrences DESC, token
@@ -647,7 +647,7 @@ object TextAnalysis {
     (s, d) => postings(s, d).orderBy("token"),
     Some(s"""WITH tok AS (
         SELECT doc_id,
-          unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS token
+          unnest(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '')) AS token
         FROM documents),
       per AS (SELECT token, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2)
       SELECT token,
@@ -723,7 +723,7 @@ object TextAnalysis {
     "q51_lm_fluency",
     (s, d) => lmFluency(s, d).orderBy("doc_id"),
     Some("""WITH t AS (
-        SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x <> '') AS toks
         FROM documents),
       big AS (
         SELECT doc_id,
@@ -802,7 +802,7 @@ object TextAnalysis {
     (s, d) => sourceDrift(s, d).orderBy("source"),
     Some("""WITH tok AS (
         SELECT source,
-          unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS t
+          unnest(list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x <> '')) AS t
         FROM documents),
       by_src AS (SELECT source, t, COUNT(*) AS o FROM tok GROUP BY 1, 2),
       by_tok AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY 1),
@@ -863,7 +863,7 @@ object TextAnalysis {
     "q49_heavy_tokens",
     (s, d) => heavyTokens(s, d).orderBy("token"),
     Some(s"""WITH tok AS (
-        SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS token
+        SELECT unnest(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '')) AS token
         FROM documents),
       c AS (SELECT token, COUNT(*) AS n_occurrences FROM tok GROUP BY 1),
       t AS (SELECT COUNT(*) AS total FROM tok)
@@ -882,7 +882,7 @@ object TextAnalysis {
           CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS th
         FROM (
           SELECT source,
-            unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
+            unnest(list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x <> '')) AS tok
           FROM documents)),
       sz AS (SELECT source, COUNT(*) AS n FROM v GROUP BY source),
       px AS (
@@ -942,7 +942,7 @@ object TextAnalysis {
       CAST(SUM(CAST(n_pieces AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_pieces,
       CAST(SUM(CAST(n_pieces AS DECIMAL(18,4))) AS DOUBLE) / SUM(n_ws) AS fertility
       FROM (SELECT source,
-              len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_ws,
+              len(list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x <> '')) AS n_ws,
               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_pieces
             FROM documents) t
       GROUP BY source ORDER BY source"""),
@@ -997,8 +997,8 @@ object TextAnalysis {
     Some(s"""WITH counted AS (
         SELECT doc_id, source,
           CAST(length(text) AS BIGINT) AS n_chars,
-          CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_toks,
-          CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS BIGINT) AS n_stop,
+          CAST(len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '')) AS BIGINT) AS n_toks,
+          CAST(len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+'), x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS BIGINT) AS n_stop,
           CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
           CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
           CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS BIGINT) AS n_upper
@@ -1122,7 +1122,7 @@ object TextAnalysis {
         finish(top.join(dup, Seq("doc_id")), ordered = true)
       },
       Some("""WITH toks AS (
-          SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+          SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x <> '') AS t
           FROM documents),
         base AS (
           SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n_tokens FROM toks

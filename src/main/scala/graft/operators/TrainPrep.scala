@@ -96,7 +96,7 @@ object TrainPrep {
     "q38_contamination",
     (s, d) => contamination(s, d).orderBy("doc_id"),
     Some(s"""WITH t AS (
-        SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+        SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '') AS toks
         FROM documents),
       sh AS (
         SELECT DISTINCT doc_id,
@@ -184,7 +184,7 @@ object TrainPrep {
     "q44_bloom_decontam",
     (s, d) => bloomDecontam(s, d).orderBy("doc_id"),
     Some(s"""WITH t AS (
-        SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+        SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '') AS toks
         FROM documents),
       sh AS (
         SELECT DISTINCT doc_id,
@@ -399,7 +399,7 @@ object TrainPrep {
     (s, d) => weightedSample(s, d).orderBy("doc_id"),
     Some(s"""WITH t AS (
         SELECT doc_id,
-          CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+          CAST(len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '')) AS BIGINT) AS n_tokens
         FROM documents)
       SELECT doc_id, n_tokens FROM t
       WHERE CAST(('0x' || substr(md5('wsmp:' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
@@ -503,7 +503,7 @@ object TrainPrep {
     "q60_split_leakage",
     (s, d) => splitLeakage(s, d).orderBy("doc_id"),
     Some(s"""WITH t AS (
-        SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+        SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '') AS toks
         FROM documents),
       spl AS (
         SELECT doc_id,
@@ -594,7 +594,7 @@ object TrainPrep {
     (s, d) => curriculum(s, d).orderBy("doc_id"),
     Some("""WITH t AS (
         SELECT doc_id, lang,
-          CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+          CAST(len(list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x <> '')) AS BIGINT) AS n_tokens
         FROM documents)
       SELECT doc_id, lang, n_tokens,
         CAST(NTILE(10) OVER (PARTITION BY lang ORDER BY n_tokens, doc_id) AS BIGINT) AS decile
@@ -703,7 +703,7 @@ object TrainPrep {
     (s, d) => packTokens(s, d).orderBy("doc_id"),
     Some(s"""WITH t AS (
         SELECT doc_id,
-          CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+          CAST(len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '')) AS BIGINT) AS n_tokens
         FROM documents),
       o AS (
         SELECT doc_id, n_tokens,
@@ -813,12 +813,12 @@ object TrainPrep {
     "q77_chunk_windows",
     (s, d) => chunkWindows(Tables.documents(s, d)).orderBy("doc_id", "chunk_idx"),
     // The proven portable tokenizer (q42/q46/q48 family):
-    // list_filter(regexp_split_to_array(text,'\s+'), x -> x <> '') is
+    // list_filter(regexp_split_to_array(text,'[ \t\n\x0b\f\r]+'), x -> x <> '') is
     // token-exact with the native ws_tokens kernel; slicing and joining
     // with ' ' is position-exact in both engines (1-based inclusive).
     Some("""WITH t AS (
         SELECT doc_id,
-               list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+               list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x <> '') AS toks
         FROM documents),
       g AS (
         SELECT doc_id, toks, len(toks) AS n,

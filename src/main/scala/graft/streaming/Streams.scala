@@ -1497,7 +1497,7 @@ object Streams {
       .select("doc_id")
       .orderBy("doc_id"),
     Some("""WITH t AS (
-        SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x <> '') AS toks
         FROM documents),
       sh AS (
         SELECT DISTINCT doc_id,
@@ -1708,7 +1708,7 @@ object Streams {
     (s, d) => curateStream(curateInput(s, d)).orderBy("doc_id"),
     Some("""WITH staged AS (
         SELECT doc_id, lang, md5(text) AS text_md5,
-          len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_toks
+          len(list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x <> '')) AS n_toks
         FROM documents),
       failed AS (
         SELECT doc_id, CASE WHEN n_toks < 5 THEN 'too_short' ELSE 'wrong_lang' END AS verdict
@@ -1780,7 +1780,7 @@ object Streams {
         docs.filter(col("doc_id") % 10 =!= 0)).orderBy("doc_id")
     },
     Some("""WITH t AS (
-        SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x <> '') AS toks
         FROM documents),
       sh AS (
         SELECT doc_id, toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS s

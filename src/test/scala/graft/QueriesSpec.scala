@@ -17,6 +17,21 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("oracle SQLs tokenize with the explicit ws class, never RE2 \\s (r16 review)") {
+    // ws_tokens (and Java \s splits) take \x0B as whitespace; DuckDB's
+    // RE2 \s does NOT (measured) — so an oracle that word-splits `text`
+    // with '\s+' silently diverges from every Spark tokenizer on any
+    // corpus containing a vertical tab. The harmonized law is the
+    // explicit class below; this audit keeps new oracles on it.
+    val offenders = SparkEntry.oracleSql.collect {
+      case (name, sql) if sql.contains("""regexp_split_to_array(text, '\s+')""") ||
+        sql.contains("""regexp_split_to_array(text,'\s+')""") => name
+    }
+    assert(offenders.isEmpty, s"oracles still splitting on RE2 \\s: $offenders")
+    val users = SparkEntry.oracleSql.count(_._2.contains("""[ \t\n\x0b\f\r]+"""))
+    assert(users >= 25, s"expected the tokenizing oracles to carry the explicit class, found $users")
+  }
+
   test("every registered query runs and returns rows at sf0.001") {
     val failures = SparkEntry.registry.flatMap { q =>
       try {

@@ -1309,8 +1309,7 @@ object ScrapeEtl {
     // shape — the HtmlTreeSpec edge test pins those shapes
     Some(s"""WITH w AS (
         SELECT doc_id, lang, source,
-          string_split(trim(regexp_replace(
-            regexp_replace(text, '$exoticWsRe2', ' ', 'g'), '\\s+', ' ', 'g')), ' ') AS words
+          string_split(${wsNormSql("text")}, ' ') AS words
         FROM documents),
       h AS (
         SELECT doc_id, lang, source,
@@ -1321,8 +1320,8 @@ object ScrapeEtl {
         'Doc ' || CAST(doc_id AS VARCHAR) || ' & friends'
           || CASE WHEN half1 <> '' THEN chr(10) || half1 ELSE '' END
           || CASE WHEN half2 <> '' THEN chr(10) || half2 ELSE '' END
-          || chr(10) || rtrim('Lang ' || COALESCE(lang, ''))
-          || chr(10) || rtrim('from ' || COALESCE(source, '')) AS main_text,
+          || chr(10) || rtrim('Lang ' || ${wsNormSql("lang")})
+          || chr(10) || rtrim('from ' || ${wsNormSql("source")}) AS main_text,
         CAST(3 + CASE WHEN half1 <> '' THEN 1 ELSE 0 END
                + CASE WHEN half2 <> '' THEN 1 ELSE 0 END AS INT) AS n_lines,
         CAST(1 AS INT) AS n_boiler_lines
@@ -1356,6 +1355,15 @@ object ScrapeEtl {
   private[graft] def exoticWsRe2: String =
     exoticWs.map(cp => f"\\x{$cp%04X}").mkString("[", "", "]")
 
+  /** The whole q78 normalization law as ONE DuckDB expression over a
+    * column: exotic-ws map, collapse on the explicit harmonized class
+    * (never RE2 `\s`), trim, NULL→''. Applied to text AND the
+    * interpolated lang/source columns, so every party to the gate sees
+    * one law. */
+  private def wsNormSql(c: String): String =
+    s"trim(regexp_replace(regexp_replace(COALESCE($c, ''), '$exoticWsRe2', ' ', 'g'), " +
+      s"'[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))"
+
   private def htmlToText(s: org.apache.spark.sql.SparkSession, d: String) = {
     import s.implicits._
     // normalize BEFORE splitting — exotic-ws map, collapse runs, trim
@@ -1376,8 +1384,10 @@ object ScrapeEtl {
     // spaces, so the word split and half indices are unaffected.
     def esc(c: org.apache.spark.sql.Column) =
       regexp_replace(regexp_replace(regexp_replace(c, "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
-    val mapped = regexp_replace(coalesce(col("text"), lit("")), exoticWsJava, " ")
-    val norm = esc(trim(regexp_replace(mapped, "\\s+", " ")))
+    // the Spark rendering of wsNormSql — same law, same explicit class
+    def wsNorm(c: org.apache.spark.sql.Column) = trim(regexp_replace(
+      regexp_replace(coalesce(c, lit("")), exoticWsJava, " "), "[ \\t\\n\\x0b\\f\\r]+", " "))
+    val norm = esc(wsNorm(col("text")))
     val words = split(norm, " ")
     val kk = (size(words) + lit(1)).divide(lit(2)).cast("int")
     val half1 = array_join(slice(words, lit(1), kk), " ")
@@ -1394,8 +1404,8 @@ object ScrapeEtl {
         "<div><p>"), half2, lit("</p></div>" +
         "<div class=\"linkfarm\"><a href=\"/1\">aa</a> <a href=\"/2\">bb</a> " +
         "<a href=\"/3\">cc</a></div>" +
-        "<p>Lang <i>"), esc(coalesce(col("lang"), lit(""))),
-      lit("</i><br>from "), esc(coalesce(col("source"), lit(""))),
+        "<p>Lang <i>"), esc(wsNorm(col("lang"))),
+      lit("</i><br>from "), esc(wsNorm(col("source"))),
       lit("</p></article>" +
         "<footer><a href=\"/tos\">Terms</a></footer><!-- pixel --></body></html>"))
     Tables.documents(s, d)

@@ -802,11 +802,14 @@ object Similarity {
     * paraphrase pair and pins rank-1 retrieval at sim ~1.
     */
   private[graft] def textSearch(
-      s: org.apache.spark.sql.SparkSession, d: String, k: Int = 5): DataFrame = {
-    // pinned once: the corpus featurization feeds both the 8-query
-    // TakeOrdered side and the brute scan (same move as the md5 twin)
+      s: org.apache.spark.sql.SparkSession, d: String,
+      k: Int = TextSearchK, queries: Int = TextSearchQueries): DataFrame = {
+    // pinned once: the corpus featurization feeds both the query-set
+    // TakeOrdered side and the brute scan (same move as the md5 twin);
+    // shape constants shared with the md5 twin so the two editions
+    // always compare like-for-like
     val emb = Dedup.textEmbeddings(Tables.documents(s, d)).localCheckpoint()
-    val q = emb.orderBy("vec_id").limit(8)
+    val q = emb.orderBy("vec_id").limit(queries)
     bruteForceTopK(emb, q, k)
   }
 

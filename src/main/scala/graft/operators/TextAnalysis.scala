@@ -89,7 +89,7 @@ object TextAnalysis {
         length(col("text")).cast("long").as("n_chars_m"),
         size(toks).cast("long").as("n_tokens"),
         (length(col("text")) - length(regexp_replace(col("text"), "[.,;:!?]", ""))).cast("long").as("n_punct"),
-        (length(col("text")) - length(regexp_replace(col("text"), "\\s", ""))).cast("long").as("n_space"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[ \\t\\n\\x0b\\f\\r]", ""))).cast("long").as("n_space"),
         hits(toks, enWords).cast("long").as("n_stop"),
       )
       perDoc
@@ -109,7 +109,7 @@ object TextAnalysis {
           CAST(length(text) AS BIGINT) AS n_chars_m,
           CAST(len(list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x <> '')) AS BIGINT) AS n_tokens,
           CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
-          CAST(length(text) - length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS n_space,
+          CAST(length(text) - length(regexp_replace(text, '[ \t\n\x0b\f\r]', '', 'g')) AS BIGINT) AS n_space,
           CAST(len(list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS BIGINT) AS n_stop
         FROM documents)
       SELECT source, COUNT(*) AS n_docs,
@@ -456,7 +456,7 @@ object TextAnalysis {
   // PII patterns kept RE2-safe (no lookarounds/backrefs) so Spark's Java
   // regex and DuckDB's RE2 match identically.
   private val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
-  private val UrlRe = "https?://[^\\s]+"
+  private val UrlRe = "https?://[^ \\t\\n\\x0b\\f\\r]+"
   private val PhoneRe = "\\+[0-9]{7,15}"
 
   val q36 = GraftQuery(
@@ -909,7 +909,10 @@ object TextAnalysis {
     * budgets far better than whitespace words: "don't stop, it's
     * 2024!" is 4 whitespace tokens but 10 pieces.
     */
-  private[graft] val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  // the trailing class spells out Java \s explicitly so the SAME string
+  // is leftmost-longest-identical under Java regex and DuckDB RE2 (RE2's
+  // \s excludes \x0B — measured, r16): [ \t\n\x0b\f\r]
+  private[graft] val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0b\\f\\r]"
 
   /** Per-source BPE-piece budget next to the whitespace-token budget:
     * piece counts, davg, and FERTILITY (pieces per whitespace token —
@@ -943,7 +946,7 @@ object TextAnalysis {
       CAST(SUM(CAST(n_pieces AS DECIMAL(18,4))) AS DOUBLE) / SUM(n_ws) AS fertility
       FROM (SELECT source,
               len(list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x <> '')) AS n_ws,
-              len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_pieces
+              len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0b\f\r]')) AS n_pieces
             FROM documents) t
       GROUP BY source ORDER BY source"""),
   )

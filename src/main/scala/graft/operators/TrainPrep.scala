@@ -863,7 +863,7 @@ object TrainPrep {
       .withColumnRenamed("n_tokens", "n_pieces").orderBy("doc_id"),
     Some(s"""WITH t AS (
         SELECT doc_id,
-          CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_pieces
+          CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0b\\f\\r]')) AS BIGINT) AS n_pieces
         FROM documents),
       o AS (
         SELECT doc_id, n_pieces,

@@ -17,18 +17,19 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("oracle SQLs tokenize with the explicit ws class, never RE2 \\s (r16 review)") {
-    // ws_tokens (and Java \s splits) take \x0B as whitespace; DuckDB's
-    // RE2 \s does NOT (measured) — so an oracle that word-splits `text`
-    // with '\s+' silently diverges from every Spark tokenizer on any
-    // corpus containing a vertical tab. The harmonized law is the
-    // explicit class below; this audit keeps new oracles on it.
+  test("oracle SQLs use the explicit ws class, never RE2 \\s (r16 review)") {
+    // ws_tokens (and Java \s patterns) take \x0B as whitespace;
+    // DuckDB's RE2 \s does NOT (measured) — so ANY oracle regex
+    // leaning on \s (split, replace-count, negated classes like the
+    // BPE piece pattern or the URL matcher) silently diverges from its
+    // Spark twin on a corpus containing a vertical tab. The harmonized
+    // law is the explicit [ \t\n\x0b\f\r] class; this audit bans \s
+    // outright from every registered oracle.
     val offenders = SparkEntry.oracleSql.collect {
-      case (name, sql) if sql.contains("""regexp_split_to_array(text, '\s+')""") ||
-        sql.contains("""regexp_split_to_array(text,'\s+')""") => name
+      case (name, sql) if sql.contains("""\s""") => name
     }
-    assert(offenders.isEmpty, s"oracles still splitting on RE2 \\s: $offenders")
-    val users = SparkEntry.oracleSql.count(_._2.contains("""[ \t\n\x0b\f\r]+"""))
+    assert(offenders.isEmpty, s"oracles still using RE2 \\s: $offenders")
+    val users = SparkEntry.oracleSql.count(_._2.contains("""[ \t\n\x0b\f\r]"""))
     assert(users >= 25, s"expected the tokenizing oracles to carry the explicit class, found $users")
   }
 

@@ -771,22 +771,29 @@ object Similarity {
     rankTopK(scored, k)
   }
 
-  private def textSearchMd5Sql(
-      k: Int = TextSearchK, queries: Int = TextSearchQueries): String = {
+  /** The dense-retrieval CTE body (everything after the
+    * [[Dedup.textEmbedMd5Cte]] embedding stack, ending in `ranked`) —
+    * shared verbatim between q81's oracle and q84's fusion oracle so
+    * the dense law cannot fork between them. */
+  private def textSearchRankedCte(queries: Int): String = {
     val dims = Dedup.TextEmbedDims
     val dot = (0 until dims).map(j => s"q.e$j*c.e$j").mkString(" + ")
-    s"""WITH ${Dedup.textEmbedMd5Cte},
-      q AS (SELECT * FROM emb ORDER BY doc_id LIMIT $queries),
+    s"""q AS (SELECT * FROM emb ORDER BY doc_id LIMIT $queries),
       scored AS (
         SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id, $dot AS sim
         FROM emb c JOIN q ON c.doc_id <> q.doc_id),
       ranked AS (
         SELECT query_id, neighbor_id, sim,
           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
-        FROM scored)
+        FROM scored)"""
+  }
+
+  private def textSearchMd5Sql(
+      k: Int = TextSearchK, queries: Int = TextSearchQueries): String =
+    s"""WITH ${Dedup.textEmbedMd5Cte},
+      ${textSearchRankedCte(queries)}
       SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, sim
       FROM ranked WHERE rank <= $k ORDER BY query_id, rank"""
-  }
 
   val qTextSearchMd5 = GraftQuery(
     "q81_text_search_md5",
@@ -820,9 +827,180 @@ object Similarity {
     prod = Some((s, d) => textSearch(s, d)),
   )
 
+  // ----------------------------------- sparse retrieval + hybrid fusion
+
+  /** Exact-integer scale for the sparse score and the RRF fusion —
+    * shared by both Spark sides and both generated oracles. */
+  private[graft] val ScoreScale = 1000000L
+
+  /** RRF smoothing constant (Cormack & Clarke 2009's k=60 — the
+    * standard value). */
+  private[graft] val RrfK = 60
+
+  /** Per-query term budget for sparse retrieval: the M rarest terms
+    * (df ASC, hash ASC) score; shared by the Spark side and the
+    * generated oracle. */
+  private[graft] val KeywordQueryTerms = 16
+
+  /** SPARSE KEYWORD RETRIEVAL under the HARD gate (r16) — the other
+    * half of a modern retrieval stack beside [[textSearchMd5]]'s dense
+    * leg: document-as-query "more-like-this" scored by an exact-integer
+    * TF-IDF law (the q35_tfidf_exact move applied to multi-term
+    * retrieval): score(q, d) = Σ over shared terms of
+    * tf(d,t)·SCALE div df(t) — exact bigints end to end, so the WHOLE
+    * result incl. scores hash-matches DuckDB. Terms ship as 60-bit md5
+    * hashes (the q80 token-hash law — no strings on any exchange; the
+    * oracle hashes identically, so even a collision cannot fork the
+    * engines). Each query keeps only its [[KeywordQueryTerms]] RAREST
+    * terms (df ASC, hash ASC — the BM25-family query-truncation rule:
+    * rare terms carry the discrimination, and the postings join cost
+    * is then bounded by M lists per query instead of the query's whole
+    * vocabulary; an absolute stopword df-cutoff composes upstream but
+    * is NOT baked in — on a dense synthetic vocabulary it silently
+    * empties the result, measured at sf0.01). The postings join is an
+    * equi-join on the hash against the broadcast pruned query-term
+    * set; per-query candidates rank on the bounded-heap [[rankTopK]]
+    * (integer scores < 2^53 ride the double heap losslessly and come
+    * back as exact bigints).
+    */
+  private[graft] def keywordSearchMd5(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      k: Int = TextSearchK, queries: Int = TextSearchQueries): DataFrame = {
+    val h = conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
+    // one tokenization scan, pinned: tf, df, N, and the query-term set
+    // all read it (stage-table discipline)
+    val toked = Tables.documents(s, d)
+      .select(col("doc_id"), graft.gfunctions.ws_tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .localCheckpoint()
+    val tf = toked
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .select(col("doc_id"), h.as("h"))
+      .groupBy("doc_id", "h").agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // read by df, the query-term set, and the postings join
+    val df = tf.groupBy("h").agg(count(lit(1)).as("df"))
+    val qids = toked.select(col("doc_id")).orderBy("doc_id").limit(queries)
+      .select(col("doc_id").as("query_id"))
+    val qterms = tf.join(broadcast(qids), col("doc_id") === col("query_id"))
+      .select(col("query_id"), col("h")).distinct()
+      .join(df, Seq("h"))
+      .withColumn("trm", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("df").asc, col("h").asc)))
+      .filter(col("trm") <= KeywordQueryTerms)
+      .drop("trm")
+    val scored = tf
+      .join(broadcast(qterms), Seq("h"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id").as("neighbor_id"))
+      .agg(sum(expr(s"tf * $ScoreScale div df")).as("score"))
+    rankTopK(scored.select(col("query_id"), col("neighbor_id"),
+        col("score").cast("double").as("sim")), k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("sim").cast("long").as("score"))
+  }
+
+  /** The sparse-retrieval CTE body (prefixed `k...` to compose beside
+    * the dense stack in q84's oracle), ending in `krk` — shared
+    * verbatim between q83's oracle and q84's fusion oracle. */
+  private def keywordRankedCte(queries: Int): String =
+    s"""ktk AS (
+        SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '') AS toks
+        FROM documents),
+      ktd AS (SELECT doc_id, toks FROM ktk WHERE len(toks) > 0),
+      kth AS (
+        SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+        FROM (SELECT doc_id, unnest(toks) AS tok FROM ktd)),
+      ktf AS (SELECT doc_id, h, CAST(COUNT(*) AS BIGINT) AS tf FROM kth GROUP BY doc_id, h),
+      kdf AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS df FROM ktf GROUP BY h),
+      kq AS (SELECT doc_id AS query_id FROM ktd ORDER BY doc_id LIMIT $queries),
+      kqt AS (
+        SELECT DISTINCT kq.query_id, ktf.h FROM ktf JOIN kq ON ktf.doc_id = kq.query_id),
+      kqtr AS (
+        SELECT kqt.query_id, kqt.h, kdf.df,
+          row_number() OVER (PARTITION BY kqt.query_id ORDER BY kdf.df, kqt.h) AS trm
+        FROM kqt JOIN kdf USING (h)),
+      kqtp AS (SELECT query_id, h, df FROM kqtr WHERE trm <= $KeywordQueryTerms),
+      ksc AS (
+        SELECT kqtp.query_id, ktf.doc_id AS neighbor_id,
+          CAST(SUM(ktf.tf * $ScoreScale // kqtp.df) AS BIGINT) AS score
+        FROM ktf JOIN kqtp USING (h) WHERE ktf.doc_id <> kqtp.query_id
+        GROUP BY kqtp.query_id, ktf.doc_id),
+      krk AS (
+        SELECT query_id, neighbor_id, score,
+          row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+        FROM ksc)"""
+
+  private def keywordSearchSql(
+      k: Int = TextSearchK, queries: Int = TextSearchQueries): String =
+    s"""WITH ${keywordRankedCte(queries)}
+      SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, score
+      FROM krk WHERE rank <= $k ORDER BY query_id, rank"""
+
+  val qKeywordSearch = GraftQuery(
+    "q83_keyword_search",
+    (s, d) => keywordSearchMd5(s, d),
+    Some(keywordSearchSql()),
+  )
+
+  /** HYBRID RETRIEVAL via reciprocal-rank fusion under the HARD gate
+    * (r16) — the fusion step every production retrieval stack runs over
+    * its dense and sparse legs (Cormack & Clarke 2009):
+    * rrf(q, d) = Σ over lists containing d of SCALE div (60 + rank).
+    * Consumes [[textSearchMd5]]'s dense top-k and [[keywordSearchMd5]]'s
+    * sparse top-k AS RANK LISTS (rank is the only input — RRF's whole
+    * point is score-scale independence), sums exact integers, ranks on
+    * the shared row_number tie law. The oracle composes the dense CTE
+    * stack, the sparse CTE stack, and the fusion — all three laws in
+    * ONE generated statement, so the gate grades the complete stack
+    * end to end.
+    */
+  private[graft] def hybridRrf(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      k: Int = TextSearchK, queries: Int = TextSearchQueries): DataFrame = {
+    val dense = textSearchMd5(s, d, k, queries)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    val sparse = keywordSearchMd5(s, d, k, queries)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    val fused = dense.unionByName(sparse)
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(expr(s"$ScoreScale div ($RrfK + rank)")).as("rrf_score"))
+    rankTopK(fused.select(col("query_id"), col("neighbor_id"),
+        col("rrf_score").cast("double").as("sim")), k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("sim").cast("long").as("rrf_score"))
+  }
+
+  private def hybridRrfSql(
+      k: Int = TextSearchK, queries: Int = TextSearchQueries): String =
+    s"""WITH ${Dedup.textEmbedMd5Cte},
+      ${textSearchRankedCte(queries)},
+      ${keywordRankedCte(queries)},
+      lists AS (
+        SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= $k
+        UNION ALL
+        SELECT query_id, neighbor_id, rank FROM krk WHERE rank <= $k),
+      fused AS (
+        SELECT query_id, neighbor_id,
+          CAST(SUM($ScoreScale // ($RrfK + rank)) AS BIGINT) AS rrf_score
+        FROM lists GROUP BY query_id, neighbor_id),
+      frk AS (
+        SELECT query_id, neighbor_id, rrf_score,
+          row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, neighbor_id) AS rank
+        FROM fused)
+      SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, rrf_score
+      FROM frk WHERE rank <= $k ORDER BY query_id, rank"""
+
+  val qHybridRrf = GraftQuery(
+    "q84_hybrid_rrf",
+    (s, d) => hybridRrf(s, d),
+    Some(hybridRrfSql()),
+  )
+
   def all: Seq[GraftQuery] =
     Seq(qBrute, qLsh, qIvf, qOutlier, qQuant, qInt8, qInt8Rerank, qInt8RerankFull, qIvfInt8,
       qIndexRerank, qIndexRerankFull, qPq, qPqRerank, qPqRerankFull, qIndexPqRerank,
       qIndexPqRerankFull, qIvfPqResid, qIndexPqResidRerank, qIndexPqResidRerankFull, qOpq,
-      qOpqRerankFull, qIndexOpqRerank, qIndexOpqRerankFull, qTextSearchMd5, qTextSearch)
+      qOpqRerankFull, qIndexOpqRerank, qIndexOpqRerankFull, qTextSearchMd5, qTextSearch,
+      qKeywordSearch, qHybridRrf)
 }

@@ -35,11 +35,14 @@ class PlanAuditSpec extends AnyFunSuite {
     // oversample — same shape, same justification
     // …q81's two text-search editions are the ann_bruteforce shape over
     // text-derived embeddings (corpus × broadcast 8-query set) — same
-    // designed NLJ, same justification
+    // designed NLJ, same justification; q84's fusion embeds q81's dense
+    // leg verbatim, so it carries the SAME designed scan (the sparse
+    // leg is pure equi-joins)
     val nljAllowed = Set("ann_bruteforce_topk", "ann_int8_topk",
       "ann_int8_rerank_topk", "ann_int8_rerank_fullprobe", "ann_pq_topk",
       "ann_pq_rerank_topk", "ann_pq_rerank_fullprobe", "ann_opq_topk",
       "ann_opq_rerank_fullprobe", "q81_text_search_md5", "q81_text_search",
+      "q84_hybrid_rrf",
       "q35_tfidf", "dedup_cosine_verify", "q49_heavy_tokens", "q54_source_drift")
     SparkEntry.registry.foreach { q =>
       val p = plan(q)

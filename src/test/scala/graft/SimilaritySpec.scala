@@ -762,4 +762,78 @@ class SimilaritySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q83 keyword search: exact integer tf-idf law hand-checked, rare terms dominate") {
+    // df: zebra {1,10} = 2, apple {1,10,11} = 3, plum/pear {2,12} = 2,
+    // quince {12} = 1. All five docs are queries (<= 8 lowest ids).
+    val dir = PlantedDocs.write(spark, "/tmp/graft-test/kwsearch", Seq(
+      (1L, "zebra apple apple", "en", "s", 17L),
+      (2L, "plum pear", "en", "s", 9L),
+      (10L, "zebra apple", "en", "s", 11L),
+      (11L, "apple", "en", "s", 5L),
+      (12L, "plum pear quince", "en", "s", 16L),
+    ))
+    val got = Similarity.keywordSearchMd5(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // query 1 vs doc 10: zebra 1*1e6 div 2 + apple 1*1e6 div 3; the
+    // rare term's 500000 dominates doc 11's common-term-only 333333
+    assert(got((1L, 1)) == (10L, 500000L + 333333L),
+      s"query 1 rank-1: ${got((1L, 1))}")
+    assert(got((1L, 2)) == (11L, 333333L))
+    // query 2 vs doc 12: two shared df-2 terms, exact sum
+    assert(got((2L, 1)) == (12L, 1000000L))
+    // no cross-vocabulary leakage: query 2 never retrieves 10/11
+    val q2nbrs = got.collect { case ((2L, _), (nb, _)) => nb }.toSet
+    assert(!q2nbrs.contains(10L) && !q2nbrs.contains(11L))
+    // self-matches excluded everywhere
+    assert(!got.exists { case ((q, _), (nb, _)) => q == nb })
+  }
+
+  test("q83 keyword search: the per-query term budget keeps the RAREST terms") {
+    // doc 1 shares 'common' (df 4) with everything and 'rarest' (df 2)
+    // with doc 10 only; a budget of 16 keeps both here, but the LAW is
+    // pinned by making the rare term decide the ranking even though
+    // the common term has higher tf everywhere
+    val dir = PlantedDocs.write(spark, "/tmp/graft-test/kwbudget", Seq(
+      (1L, "rarest common", "en", "s", 13L),
+      (10L, "rarest common", "en", "s", 13L),
+      (11L, "common common common common common", "en", "s", 34L),
+      (12L, "common common common common common common", "en", "s", 41L),
+    ))
+    val got = Similarity.keywordSearchMd5(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // df: rarest = 2, common = 4. score(1,10) = 1e6 div 2 + 1e6 div 4 =
+    // 750000; score(1,11) = 5 * 250000 = 1250000 — tf inflation CAN win
+    // on raw counts, which is exactly why the rare term must stay in
+    // the budget: with it, doc 10 still loses on this corpus (honest
+    // law), and the assertions pin the exact integers of both
+    assert(got((1L, 1)) == (12L, 1500000L), s"got ${got((1L, 1))}")
+    assert(got((1L, 2)) == (11L, 1250000L))
+    assert(got((1L, 3)) == (10L, 750000L))
+  }
+
+  test("q84 hybrid RRF: both-lists presence dominates with exact fusion arithmetic") {
+    // doc 20 is query 1's paraphrase (identical bag of words): rank-1
+    // in the DENSE list (cosine 1 under the bag-of-words projection)
+    // AND rank-1 in the SPARSE list (shares every term incl. the rare
+    // ones) -> rrf = 2 * (1e6 div 61) = 32786, the provable maximum
+    // for k=5 lists; every disjoint-vocabulary doc can appear in at
+    // most one list for query 1
+    val dir = PlantedDocs.write(spark, "/tmp/graft-test/rrfsearch", Seq(
+      (1L, "alpha beta gamma", "en", "s", 16L),
+      (2L, "one two three", "en", "s", 13L),
+      (3L, "red green blue", "en", "s", 13L),
+      (20L, "gamma beta alpha", "en", "s", 16L),
+    ))
+    val got = Similarity.hybridRrf(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val (nb, score) = got((1L, 1))
+    assert(nb == 20L, s"query 1's fused rank-1 must be the paraphrase, got $nb")
+    assert(score == 2L * (1000000L / 61L), s"exact RRF fusion: got $score")
+    assert(score == 32786L)
+    // a doc in only one list can never reach the both-lists score
+    got.collect { case ((1L, r), (n, s)) if r > 1 => (n, s) }.foreach { case (n, s) =>
+      assert(s < 32786L, s"single-list doc $n fused to $s")
+    }
+  }
 }

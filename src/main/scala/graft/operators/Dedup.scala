@@ -755,10 +755,25 @@ object Dedup {
           .otherwise(col(s"c$j").cast("double") / col("nrm")).as(s"e$j")): _*)
   }
 
+  /** The corpus tokenize (explicit harmonized ws class) + 60-bit md5
+    * token-hash law as a reusable DuckDB CTE pair — `toksrc(doc_id,
+    * toks)` and `tokh(doc_id, h)` — the ONE SQL rendering every
+    * md5-gated text operator builds on (q80/q81/q82 via
+    * [[textEmbedMd5Cte]], q83/q84's sparse retrieval directly), so the
+    * tokenizer and hash laws cannot fork across gates and a composed
+    * statement (q84) tokenizes the corpus once. */
+  private[graft] def tokenHashCte: String =
+    s"""toksrc AS (
+        SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '') AS toks
+        FROM documents),
+      tokh AS (
+        SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+        FROM (SELECT doc_id, unnest(toks) AS tok FROM toksrc))"""
+
   /** The md5-law embedding table as a reusable DuckDB CTE chain ending
     * in `emb(doc_id, e0..e{dims-1})` — shared by q80's gate and the
     * q81 text-search gate, so the embedding law exists in exactly one
-    * SQL rendering.
+    * SQL rendering (on top of the shared [[tokenHashCte]]).
     */
   private[graft] def textEmbedMd5Cte: String = {
     val cCols = (0 until TextEmbedDims)
@@ -767,14 +782,10 @@ object Dedup {
     val eCols = (0 until TextEmbedDims)
       .map(j => s"CASE WHEN nrm = 0 THEN 0.0 ELSE CAST(c$j AS DOUBLE) / nrm END AS e$j")
       .mkString(",\n        ")
-    s"""tk AS (
-        SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '')) AS tok
-        FROM documents),
-      hh AS (
-        SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM tk),
+    s"""$tokenHashCte,
       b AS (
         SELECT doc_id, (h // 2) % $TextEmbedDims AS idx,
-          CASE WHEN h % 2 = 1 THEN 1 ELSE -1 END AS sign FROM hh),
+          CASE WHEN h % 2 = 1 THEN 1 ELSE -1 END AS sign FROM tokh),
       c AS (SELECT doc_id, $cCols FROM b GROUP BY doc_id),
       n AS (SELECT doc_id, *, sqrt(CAST($ssSql AS DOUBLE)) AS nrm FROM c),
       emb AS (SELECT doc_id,

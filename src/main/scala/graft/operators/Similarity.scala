@@ -753,13 +753,18 @@ object Similarity {
 
   private[graft] def textSearchMd5(
       s: org.apache.spark.sql.SparkSession, d: String,
-      k: Int = TextSearchK, queries: Int = TextSearchQueries): DataFrame = {
-    val dims = Dedup.TextEmbedDims
+      k: Int = TextSearchK, queries: Int = TextSearchQueries): DataFrame =
     // the embedding pipeline (corpus explode + 8-column aggregate) is
     // referenced on BOTH join sides; pin it once (the stage-table
     // discipline — plan reuse across an AQE boundary is not guaranteed,
     // see TrainPrep.packTokensProdOf) instead of running it twice
-    val emb = Dedup.textEmbedMd5(s, d).localCheckpoint()
+    textSearchMd5Over(Dedup.textEmbedMd5(s, d).localCheckpoint(), k, queries)
+
+  /** The dense ranking over an ALREADY-pinned embedding table, so
+    * q84's fusion can feed it embeddings derived from a shared
+    * tokenized frame. */
+  private def textSearchMd5Over(emb: DataFrame, k: Int, queries: Int): DataFrame = {
+    val dims = Dedup.TextEmbedDims
     val qr = emb.orderBy("doc_id").limit(queries).select(
       col("doc_id").as("query_id") +: (0 until dims).map(j => col(s"e$j").as(s"q$j")): _*)
     val scored = emb.alias("c")
@@ -863,34 +868,51 @@ object Similarity {
     * (integer scores < 2^53 ride the double heap losslessly and come
     * back as exact bigints).
     */
-  private[graft] def keywordSearchMd5(
-      s: org.apache.spark.sql.SparkSession, d: String,
-      k: Int = TextSearchK, queries: Int = TextSearchQueries): DataFrame = {
-    val h = conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
-    // one tokenization scan, pinned: tf, df, N, and the query-term set
-    // all read it (stage-table discipline)
-    val toked = Tables.documents(s, d)
+  /** The tokenized (doc_id, toks) projection the sparse leg consumes —
+    * non-empty docs only (query eligibility mirrors the oracle's
+    * `len(toks) > 0`). */
+  private def tokedDocs(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.documents(s, d)
       .select(col("doc_id"), graft.gfunctions.ws_tokens(col("text")).as("toks"))
       .filter(size(col("toks")) > 0)
-      .localCheckpoint()
+
+  private[graft] def keywordSearchMd5(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      k: Int = TextSearchK, queries: Int = TextSearchQueries): DataFrame =
+    keywordSearchMd5From(tokedDocs(s, d).localCheckpoint(), k, queries)
+
+  /** [[keywordSearchMd5]] over an ALREADY-pinned tokenized frame, so
+    * q84's fusion shares ONE tokenization scan between its legs. */
+  private[graft] def keywordSearchMd5From(
+      toked: DataFrame, k: Int, queries: Int): DataFrame = {
+    val h = conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
     val tf = toked
       .select(col("doc_id"), explode(col("toks")).as("tok"))
       .select(col("doc_id"), h.as("h"))
       .groupBy("doc_id", "h").agg(count(lit(1)).as("tf"))
-      .localCheckpoint() // read by df, the query-term set, and the postings join
-    val df = tf.groupBy("h").agg(count(lit(1)).as("df"))
+      .localCheckpoint() // read by the df pass, the query-term set, and the postings join
     val qids = toked.select(col("doc_id")).orderBy("doc_id").limit(queries)
       .select(col("doc_id").as("query_id"))
+    // (query_id, h) is already unique: tf is keyed on (doc_id, h)
     val qterms = tf.join(broadcast(qids), col("doc_id") === col("query_id"))
-      .select(col("query_id"), col("h")).distinct()
-      .join(df, Seq("h"))
+      .select(col("query_id"), col("h"))
+    // df scoped to the QUERY terms before aggregating: only terms of
+    // the <= `queries` query docs ever consume a df, so the exchange
+    // carries bounded-vocabulary counts, not the whole corpus
+    // vocabulary (values are still GLOBAL document frequencies — the
+    // semi-join keeps every posting of a kept term)
+    val qh = qterms.select("h").distinct()
+    val dfq = tf.join(broadcast(qh), Seq("h"))
+      .groupBy("h").agg(count(lit(1)).as("df"))
+    val budgeted = qterms
+      .join(dfq, Seq("h"))
       .withColumn("trm", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("query_id")
           .orderBy(col("df").asc, col("h").asc)))
       .filter(col("trm") <= KeywordQueryTerms)
       .drop("trm")
     val scored = tf
-      .join(broadcast(qterms), Seq("h"))
+      .join(broadcast(budgeted), Seq("h"))
       .filter(col("doc_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("doc_id").as("neighbor_id"))
       .agg(sum(expr(s"tf * $ScoreScale div df")).as("score"))
@@ -902,20 +924,17 @@ object Similarity {
 
   /** The sparse-retrieval CTE body (prefixed `k...` to compose beside
     * the dense stack in q84's oracle), ending in `krk` — shared
-    * verbatim between q83's oracle and q84's fusion oracle. */
+    * verbatim between q83's oracle and q84's fusion oracle, and built
+    * on [[Dedup.tokenHashCte]]'s `toksrc`/`tokh` so the tokenizer and
+    * hash laws have exactly one SQL rendering (and q84's composed
+    * statement tokenizes the corpus once). */
   private def keywordRankedCte(queries: Int): String =
-    s"""ktk AS (
-        SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '') AS toks
-        FROM documents),
-      ktd AS (SELECT doc_id, toks FROM ktk WHERE len(toks) > 0),
-      kth AS (
-        SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
-        FROM (SELECT doc_id, unnest(toks) AS tok FROM ktd)),
-      ktf AS (SELECT doc_id, h, CAST(COUNT(*) AS BIGINT) AS tf FROM kth GROUP BY doc_id, h),
+    s"""ktd AS (SELECT doc_id FROM toksrc WHERE len(toks) > 0),
+      ktf AS (SELECT doc_id, h, CAST(COUNT(*) AS BIGINT) AS tf FROM tokh GROUP BY doc_id, h),
       kdf AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS df FROM ktf GROUP BY h),
       kq AS (SELECT doc_id AS query_id FROM ktd ORDER BY doc_id LIMIT $queries),
       kqt AS (
-        SELECT DISTINCT kq.query_id, ktf.h FROM ktf JOIN kq ON ktf.doc_id = kq.query_id),
+        SELECT kq.query_id, ktf.h FROM ktf JOIN kq ON ktf.doc_id = kq.query_id),
       kqtr AS (
         SELECT kqt.query_id, kqt.h, kdf.df,
           row_number() OVER (PARTITION BY kqt.query_id ORDER BY kdf.df, kqt.h) AS trm
@@ -933,7 +952,8 @@ object Similarity {
 
   private def keywordSearchSql(
       k: Int = TextSearchK, queries: Int = TextSearchQueries): String =
-    s"""WITH ${keywordRankedCte(queries)}
+    s"""WITH ${Dedup.tokenHashCte},
+      ${keywordRankedCte(queries)}
       SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, score
       FROM krk WHERE rank <= $k ORDER BY query_id, rank"""
 
@@ -958,9 +978,15 @@ object Similarity {
   private[graft] def hybridRrf(
       s: org.apache.spark.sql.SparkSession, d: String,
       k: Int = TextSearchK, queries: Int = TextSearchQueries): DataFrame = {
-    val dense = textSearchMd5(s, d, k, queries)
+    // ONE tokenization scan feeds both legs (empty docs are absent
+    // from the embedding law anyway, so the filtered frame is
+    // embedding-identical); the embedding table pins separately
+    // because the dense leg reads it on both join sides
+    val toked = tokedDocs(s, d).localCheckpoint()
+    val dense = textSearchMd5Over(
+        Dedup.textEmbedMd5From(toked).localCheckpoint(), k, queries)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
-    val sparse = keywordSearchMd5(s, d, k, queries)
+    val sparse = keywordSearchMd5From(toked, k, queries)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
     val fused = dense.unionByName(sparse)
       .groupBy("query_id", "neighbor_id")

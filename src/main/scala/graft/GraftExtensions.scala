@@ -53,8 +53,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (
         new FunctionIdentifier("hashed_projection"),
         new ExpressionInfo(classOf[HashedProjection].getName, "hashed_projection"),
-        (children: Seq[Expression]) =>
-          HashedProjection(children(0), children(1).eval().asInstanceOf[Int]),
+        // Guard arity + dims shape HERE: the builder runs at resolution
+        // time, before HashedProjection.checkInputDataTypes would, so a
+        // bad call must raise a readable analysis error rather than
+        // IndexOutOfBounds/ClassCastException (r16 ADVICE).
+        (children: Seq[Expression]) => {
+          if (children.length != 2)
+            throw new org.apache.spark.sql.AnalysisException(
+              "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+              Map(
+                "functionName" -> "`hashed_projection`",
+                "expectedNum" -> "2",
+                "actualNum" -> children.length.toString,
+                "docroot" -> "https://spark.apache.org/docs/latest"),
+              Option.empty[Throwable])
+          val dimsExpr = children(1)
+          // a foldable NULL int literal folds to null — reject it on the
+          // same readable path rather than NPE-unboxing below
+          if (!dimsExpr.foldable || dimsExpr.dataType != org.apache.spark.sql.types.IntegerType ||
+              dimsExpr.eval() == null)
+            throw new org.apache.spark.sql.AnalysisException(
+              "NON_FOLDABLE_ARGUMENT",
+              Map(
+                "funcName" -> "`hashed_projection`",
+                "paramName" -> "`dims`",
+                "paramType" -> "\"INT\""),
+              Option.empty[Throwable])
+          HashedProjection(children(0), dimsExpr.eval().asInstanceOf[Int])
+        },
       )
     )
     ext.injectFunction(

@@ -234,9 +234,7 @@ object Cluster {
     s"""WITH ${Dedup.textEmbedMd5Cte},
       cells AS (SELECT doc_id, $cellSql AS cell FROM emb),
       tt AS (
-        SELECT doc_id,
-          unnest(list_distinct(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> ''))) AS term
-        FROM documents),
+        SELECT doc_id, unnest(list_distinct(toks)) AS term FROM toksrc),
       dfs AS (
         SELECT cell, term, CAST(COUNT(*) AS BIGINT) AS df
         FROM tt JOIN cells USING (doc_id) GROUP BY cell, term),

@@ -651,7 +651,16 @@ object Streams {
     //  - EOFException — a truncated/corrupt file; the bytes do not grow
     //    back (an object store that serves a partial read raises
     //    connection-reset SocketException, not EOF, so the transient
-    //    read-cut case stays covered by the IOException arm);
+    //    read-cut case stays covered by the IOException arm). SCOPED
+    //    (r16 ADVICE): an HDFS-style stream CAN raise EOF on a file
+    //    replaced mid-read during the very compaction-flip this retry
+    //    exists for — but that race never presents as a lone EOF: the
+    //    read surfaces FileNotFoundException / PATH_NOT_FOUND on the
+    //    vanished generation dir in the same failure (as a cause or a
+    //    suppressed sibling). So EOF is permanent only when NO
+    //    flip-race signature accompanies it in the chain; a lone EOF
+    //    on a flip replacement that somehow carries no FNF anywhere
+    //    is the accepted residual risk, documented here;
     //  - FileAlreadyExistsException (both the Hadoop and java.nio
     //    forms) — a name collision; the ingest lanes' own idempotent
     //    fences make a retried commit a SHORT-CIRCUIT, never a
@@ -660,9 +669,21 @@ object Streams {
     //    classifier means a protocol violation, not weather.
     // FileNotFoundException deliberately stays IN: it is the documented
     // compaction-flip race this retry exists for.
+    // Flip-race signature: a FileNotFoundException or PATH_NOT_FOUND
+    // anywhere in the cause chain OR among suppressed siblings — the
+    // fingerprint of a generation dir vanishing under a reader.
+    def flipRaceSignature: Boolean = {
+      def isSig(c: Throwable): Boolean = c match {
+        case _: java.io.FileNotFoundException => true
+        case a: org.apache.spark.sql.AnalysisException
+            if a.getCondition == "PATH_NOT_FOUND" => true
+        case _ => false
+      }
+      chain(t).exists(c => isSig(c) || c.getSuppressed.exists(isSig))
+    }
     def permanentIo(c: Throwable): Boolean = c match {
       case _: org.apache.hadoop.security.AccessControlException => true
-      case _: java.io.EOFException => true
+      case _: java.io.EOFException => !flipRaceSignature
       case _: org.apache.hadoop.fs.FileAlreadyExistsException => true
       case _: java.nio.file.FileAlreadyExistsException => true
       case _ => false

@@ -106,12 +106,35 @@ class ByteBudgetSpec extends AnyFunSuite {
   private def byName(n: String): GraftQuery =
     SparkEntry.registry.find(_.name == n).getOrElse(fail(s"unknown query $n"))
 
+  /** Environment-shift escape hatch (r16 ADVICE): the budgets and the
+    * measured/10 floor are calibrated on one machine/Spark/codec
+    * combination, and a legitimate environment change (Spark upgrade,
+    * compression codec, default parallelism) could trip many rows at
+    * once with no real plan regression. Rather than weakening the
+    * assertions, `GRAFT_BYTEBUDGET_REMEASURE=1 sbt "testOnly
+    * *ByteBudgetSpec"` prints the whole table as a paste-ready Scala
+    * literal and CANCELS (not passes) both tests — the re-calibration
+    * is then a one-paste diff reviewed like any other, and the
+    * assertions stay exact for every normal run.
+    */
+  private val remeasure: Boolean =
+    sys.env.get("GRAFT_BYTEBUDGET_REMEASURE").contains("1")
+
   test("the 20 largest shufflers stay inside their byte budgets (prod, sf0.001)") {
     // The lower bound (measured/10) is the harness's self-check: an
     // attribution bug that counted nothing would otherwise green BOTH
     // tests trivially. It also surfaces genuine improvements — a query
     // whose shuffle vanishes should have its table row updated with a
     // receipt, not silently drift from its documented shape.
+    if (remeasure) {
+      val rows = budgets.map { case (name, _, _) =>
+        val got = prodShuffleWrite(byName(name))
+        f"""    ("$name%s", ${got}L, ${got * 3}L),"""
+      }
+      info("re-measured budget table (paste into `budgets`):")
+      rows.foreach(info(_))
+      cancel("GRAFT_BYTEBUDGET_REMEASURE=1: table printed, assertions skipped")
+    }
     val bad = budgets.flatMap { case (name, measured, budget) =>
       val got = prodShuffleWrite(byName(name))
       if (got > budget)
@@ -125,6 +148,12 @@ class ByteBudgetSpec extends AnyFunSuite {
   }
 
   test("every map-only prod plan shuffles exactly zero bytes") {
+    if (remeasure) {
+      val rows = zeroShuffle.map(n => s"    $n -> ${prodShuffleWrite(byName(n))} B")
+      info("re-measured zero-shuffle pins:")
+      rows.foreach(info(_))
+      cancel("GRAFT_BYTEBUDGET_REMEASURE=1: table printed, assertions skipped")
+    }
     val dirty = zeroShuffle.flatMap { name =>
       val got = prodShuffleWrite(byName(name))
       if (got != 0L) Some(s"$name: $got B (expected 0)") else None

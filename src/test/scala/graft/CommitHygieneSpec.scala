@@ -243,6 +243,47 @@ class CommitHygieneSpec extends AnyFunSuite {
     assert(fnf == 3, "the compaction-flip race is what this retry exists for")
   }
 
+  test("retryTransient: EOF accompanied by a flip-race signature stays retryable (r16 ADVICE)") {
+    // HDFS-style streams can raise EOFException on a file replaced
+    // mid-read during the compaction flip itself. That presentation
+    // carries the flip fingerprint — a FileNotFoundException in the
+    // cause chain or as a suppressed sibling — and must RETRY; only a
+    // lone EOF (truncated/corrupt file, bytes never grow back) is
+    // permanent.
+    // (a) FNF deeper in the cause chain under the EOF
+    var chained = 0
+    streaming.Streams.retryTransient(3) {
+      chained += 1
+      if (chained < 3) {
+        val eof = new java.io.EOFException("unexpected EOF")
+        eof.initCause(new java.io.FileNotFoundException("gen-000017/part-0.parquet"))
+        throw new RuntimeException("stage failed", eof)
+      }
+    }
+    assert(chained == 3, "EOF + chained FNF is the flip race — must retry")
+    // (b) FNF as a suppressed sibling (multi-task failure aggregation)
+    var suppressed = 0
+    streaming.Streams.retryTransient(3) {
+      suppressed += 1
+      if (suppressed < 3) {
+        val eof = new java.io.EOFException("unexpected EOF mid-read")
+        eof.addSuppressed(new java.io.FileNotFoundException("gen-000017/part-1.parquet"))
+        throw new RuntimeException("stage failed", eof)
+      }
+    }
+    assert(suppressed == 3, "EOF + suppressed FNF is the flip race — must retry")
+    // (c) and the lone EOF stays permanent (the pre-existing contract)
+    var lone = 0
+    intercept[Exception] {
+      streaming.Streams.retryTransient(5) {
+        lone += 1
+        throw new RuntimeException("stage failed",
+          new java.io.EOFException("Cannot seek past EOF"))
+      }
+    }
+    assert(lone == 1, "a lone EOF is a truncated file — must not retry")
+  }
+
   test("retryTransient: interrupt-shaped IO failures propagate without backoff, even wrapped") {
     // a bare InterruptedIOException is shutdown, not storage weather
     var bare = 0

@@ -294,6 +294,28 @@ class CosineSimSpec extends AnyFunSuite {
     assert(r.head.getDouble(0) == 0.0)
   }
 
+  test("hashed_projection SQL builder rejects bad arity/dims with readable analysis errors") {
+    // r16 ADVICE closure: the builder runs children(1).eval() at
+    // resolution time, BEFORE checkInputDataTypes could — wrong arity
+    // or a non-foldable/non-int/null dims must raise an
+    // AnalysisException, not IndexOutOfBounds/ClassCast/NPE.
+    val good = spark.sql("SELECT hashed_projection(array('a','b'), 8)").collect()
+    assert(good.head.getSeq[Float](0).length == 8)
+    def analysisError(sql: String): String =
+      intercept[org.apache.spark.sql.AnalysisException](spark.sql(sql).collect()).getMessage
+    assert(analysisError("SELECT hashed_projection(array('a'))").contains("hashed_projection"))
+    assert(analysisError("SELECT hashed_projection(array('a'), 8, 9)").contains("hashed_projection"))
+    // non-foldable dims (a column reference)
+    assert(analysisError(
+      "SELECT hashed_projection(array('a'), x) FROM (SELECT 8 AS x WHERE rand() < 2)")
+      .contains("hashed_projection"))
+    // non-int dims literal
+    assert(analysisError("SELECT hashed_projection(array('a'), '8')").contains("hashed_projection"))
+    // foldable NULL int dims
+    assert(analysisError("SELECT hashed_projection(array('a'), CAST(NULL AS INT))")
+      .contains("hashed_projection"))
+  }
+
   test("cosine_sim runs inside WholeStageCodegen (no fallback)") {
     // a real scan (not a constant-foldable local relation) so the projection
     // must execute distributed, inside a codegen span

@@ -550,5 +550,147 @@ object Multimodal {
     prod = Some((s, d) => imageFeatures(binarizeWithImages(Tables.documents(s, d))).toDF()),
   )
 
+  // ----------------------------------------------- perceptual image hash
+
+  /** dHash grid geometry: gray cells are a [[PhashW]]×[[PhashH]] area
+    * average of the decoded frame; each of the (PhashW-1)×PhashH
+    * horizontal neighbor comparisons contributes one bit, so the code is
+    * 60 bits — the engine's portable-signed width (the simhash_md5
+    * convention: 4 bands × 15 bits, pigeonhole intact for hamming ≤ 3).
+    */
+  private[graft] val PhashW = 7
+  private[graft] val PhashH = 10
+
+  /** 60-bit difference hash over a decoded [[PhashW]]×[[PhashH]] RGB
+    * raster (the [[areaAverage]] output layout): gray = (r+g+b)/3 in
+    * integer arithmetic, bit y*(PhashW-1)+x set iff gray(x+1,y) >
+    * gray(x,y). Gradient comparisons are invariant to uniform
+    * brightness shifts and to lossless container changes (PNG↔BMP of
+    * the same frame decode to the same raster), which is exactly what
+    * makes dHash catch the re-encoded/recompressed copies exact
+    * byte-dedup misses.
+    */
+  private[graft] def phashOfRaster(px: Array[Byte]): Long = {
+    val cells = PhashW * PhashH
+    val gray = new Array[Int](cells)
+    var c = 0
+    while (c < cells) {
+      val o = c * 3
+      gray(c) = ((px(o) & 0xff) + (px(o + 1) & 0xff) + (px(o + 2) & 0xff)) / 3
+      c += 1
+    }
+    var code = 0L
+    var y = 0
+    while (y < PhashH) {
+      var x = 0
+      while (x < PhashW - 1) {
+        if (gray(y * PhashW + x + 1) > gray(y * PhashW + x))
+          code |= 1L << (y * (PhashW - 1) + x)
+        x += 1
+      }
+      y += 1
+    }
+    code
+  }
+
+  /** Per-partition batched decode → dHash: the [[resizeThumbs]] codec
+    * shape (ImageIO init once per partition, in-memory decode), then
+    * [[areaAverage]] + [[phashOfRaster]]. Non-image payloads (decode
+    * failure — the quarantine lane) emit no row: perceptual dedup is
+    * defined over the image corpus, the same population rule as
+    * simhash's zero-token docs. Output (doc_id, phash) is 16 bytes/row —
+    * the ONLY thing that ever reaches a shuffle; pixels never do.
+    */
+  def imagePhash(blobs: DataFrame): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs
+      .select(col("doc_id").as("_1"), col("blob").as("_2"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { case (id, bytes) =>
+          val body = java.util.Arrays.copyOfRange(bytes, Magic.length, bytes.length)
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(body))
+            catch { case scala.util.control.NonFatal(_) => null }
+          if (img != null && img.getWidth > 0 && img.getHeight > 0)
+            Some((id, phashOfRaster(areaAverage(img, PhashW, PhashH))))
+          else None
+        }
+      }
+      .toDF("doc_id", "phash")
+  }
+
+  /** Brightness-shifted variant of [[pngOf]]: every channel clamped at
+    * 255 — the "same photo, lightened copy" near-duplicate.
+    */
+  private[graft] def pngShifted(docId: Long, shift: Int): Array[Byte] = {
+    val (w, h) = imageDims(docId)
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = pixelOf(docId, x, y)
+        def ch(v: Int) = math.min(255, v + shift)
+        img.setRGB(x, y, (ch((p >> 16) & 0xff) << 16) | (ch((p >> 8) & 0xff) << 8) | ch(p & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** The SAME raster as [[pngOf]] in a BMP container — the re-encoded
+    * copy whose bytes (and so exact/minhash dedup keys) differ while
+    * every decoded pixel is identical. Both containers are lossless, so
+    * phash distance is exactly zero.
+    */
+  private[graft] def bmpOf(docId: Long): Array[Byte] = {
+    val (w, h) = imageDims(docId)
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, pixelOf(docId, x, y)); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bos)
+    bos.toByteArray
+  }
+
+  /** Binarize with planted NEAR-DUPLICATE image lanes: doc id ≡ 0 (mod
+    * [[ImageEvery]]) ships the base PNG, id ≡ 1 the SAME raster
+    * re-encoded as BMP (different bytes, hamming 0), id ≡ 2 a
+    * brightness-shifted PNG of the same base (clipping can perturb a
+    * few gradient cells, so its hamming is small but data-dependent —
+    * the realistic near-dup). Everything else is the text blob that
+    * fails decode. Deterministic per doc_id like every planted lane.
+    */
+  def binarizeWithImageDups(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("doc_id").as("_1"), col("source").as("_2"), col("text").as("_3"))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, src, text) =>
+          val blob = (id % ImageEvery) match {
+            case 0L => Magic ++ pngOf(id)
+            case 1L => Magic ++ bmpOf(id - 1)
+            case 2L => Magic ++ pngShifted(id - 2, 6)
+            case _ => Magic ++ text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          }
+          (id, src, blob)
+        }
+      }
+      .toDF("doc_id", "source", "blob")
+  }
+
   def all: Seq[GraftQuery] = Seq(qBinaryMeta, qMetaMd5, qFrameSample, qResize, qFeatures)
 }

@@ -464,6 +464,58 @@ class DedupSpec extends AnyFunSuite {
     assert(jac.forall(!_), "whole-doc jaccard flags nothing on the quoted-block corpus")
   }
 
+  test("image phash: re-encoded and brightness-shifted copies are found; unrelated and non-image are not") {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    // Controlled raster: 14×20 so the 7×10 area-average boxes are exact
+    // 2×2 blocks — each grid cell's gray IS the constructed block value,
+    // independent of the box-filter implementation. Equal channels keep
+    // gray == v exactly; values ≤ 200 leave +6 brightness un-clipped, so
+    // every gradient comparison (strict or tie) is provably preserved.
+    def cellVal(x: Int, y: Int): Int = ((x * 37 + y * 53) % 11) * 20
+    def raster(f: (Int, Int) => Int): BufferedImage = {
+      val img = new BufferedImage(14, 20, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 20; x <- 0 until 14) {
+        val v = f(x / 2, y / 2)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    def enc(img: BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val magic = operators.Multimodal.Magic
+    val blobs = Seq(
+      (10L, magic ++ enc(raster(cellVal), "png")),                      // base
+      (11L, magic ++ enc(raster((x, y) => cellVal(x, y) + 6), "png")),  // lightened copy
+      (12L, magic ++ enc(raster(cellVal), "bmp")),                      // re-encoded copy
+      (13L, magic ++ enc(raster((x, y) => 200 - cellVal(x, y)), "png")),// inverted: unrelated
+      (14L, magic ++ "not an image".getBytes("UTF-8")),                 // decode-fail lane
+    ).toDF("doc_id", "blob")
+    val got = Dedup.imagePhashDecisions(blobs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2), r.getLong(3)))).toMap
+    // Independent reference: recompute the dHash law straight from the
+    // constructed cell values (never touching areaAverage/phashOfRaster).
+    def refCode(f: (Int, Int) => Int): Long =
+      (for { y <- 0 until 10; x <- 0 until 6 if f(x + 1, y) > f(x, y) }
+        yield 1L << (y * 6 + x)).foldLeft(0L)(_ | _)
+    val base = refCode(cellVal)
+    assert(got(10L)._1 == base, "production phash equals the from-cells reference")
+    assert(got(11L)._1 == base && got(12L)._1 == base,
+      "uniform brightness shift and lossless re-encode preserve every gradient bit")
+    // the inverted raster flips every STRICT comparison — self-validate
+    // that it is far outside the hamming radius before asserting not-dup
+    val invHamming = java.lang.Long.bitCount(base ^ refCode((x, y) => 200 - cellVal(x, y)))
+    assert(invHamming > 6, s"inverted pattern must be distant (got $invHamming)")
+    assert(!got(10L)._2 && got(10L)._3 == 0L, "lowest id of the cluster is the keeper")
+    assert(got(11L) == ((base, true, 1L)), "lightened copy flagged against the base")
+    assert(got(12L) == ((base, true, 2L)), "re-encoded copy flagged against both partners")
+    assert(!got(13L)._2, "unrelated image is kept")
+    assert(!got.contains(14L), "non-decodable payloads are the quarantine lane, not rows")
+  }
+
   test("dedup plans contain no cartesian product") {
     val plans = Seq(
       Dedup.minhashDecisions(corpus),

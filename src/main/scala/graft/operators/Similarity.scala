@@ -963,6 +963,125 @@ object Similarity {
     Some(keywordSearchSql()),
   )
 
+  /** BM25 under the HARD gate (r17) — the standard sparse-retrieval law
+    * (Robertson & Zaragoza 2009) upgrading q83's TF-IDF with tf
+    * SATURATION and LENGTH NORMALIZATION, in exact scaled-integer
+    * arithmetic so scores hash-match DuckDB (the q51/q83 move:
+    * rationals as bigint cross-multiplications, never a float).
+    *
+    * With k1 = 6/5 and b = 3/4 (the standard 1.2 / 0.75) and
+    * avgdl = S/N kept as the exact integer pair (S = Σ doc lengths,
+    * N = doc count), the per-term BM25 contribution
+    *   idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    * clears denominators to ONE integer division:
+    *   contrib = (SCALE · 44·tf·S) div ((20·tf·S + 6·S + 18·dl·N) · df)
+    * (44 = (k1+1)·20/…: 11/5 · 20 = 44; derivation in Bm25Spec, which
+    * re-checks it against a floating-point reference). idf stays the
+    * q83 family's exact-rational SCALE/df — the log-idf variant is
+    * float-only and would fork engines in the last ulp.
+    *
+    * Overflow envelope (documented, spec-pinned): SCALE·44·tf·S must
+    * stay under 2^63 → tf·S < 2.1e11, comfortable at every test SF; a
+    * 100 TB corpus runs the same plan with the score expression widened
+    * to DECIMAL(38,0)/HUGEINT, or per-shard S with a merge — the LAW is
+    * what this query pins.
+    *
+    * Plan shape is q83's scale-safe sparse shape verbatim: term hashes
+    * (never strings) on exchanges, df computed only over the broadcast
+    * query-term set, the 16-rarest-terms budget bounding the postings
+    * join, dl carried THROUGH the tf groupBy key (functionally
+    * dependent on doc_id — zero extra joins), totals as the one-row
+    * broadcast cross join (the TextAnalysis totals convention).
+    */
+  private[graft] def bm25SearchMd5(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      k: Int = TextSearchK, queries: Int = TextSearchQueries): DataFrame =
+    bm25SearchMd5From(tokedDocs(s, d).localCheckpoint(), k, queries)
+
+  private[graft] def bm25SearchMd5From(
+      toked: DataFrame, k: Int, queries: Int): DataFrame = {
+    val h = conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
+    val tf = toked
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("tok"))
+      .select(col("doc_id"), col("dl"), h.as("h"))
+      .groupBy("doc_id", "dl", "h").agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // read by the df pass, the query-term set, and the postings join
+    val totals = toked.agg(
+      sum(size(col("toks")).cast("long")).as("S"),
+      count(lit(1)).as("N"))
+    val qids = toked.select(col("doc_id")).orderBy("doc_id").limit(queries)
+      .select(col("doc_id").as("query_id"))
+    val qterms = tf.join(broadcast(qids), col("doc_id") === col("query_id"))
+      .select(col("query_id"), col("h"))
+    val qh = qterms.select("h").distinct()
+    val dfq = tf.join(broadcast(qh), Seq("h"))
+      .groupBy("h").agg(count(lit(1)).as("df"))
+    val budgeted = qterms
+      .join(dfq, Seq("h"))
+      .withColumn("trm", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("df").asc, col("h").asc)))
+      .filter(col("trm") <= KeywordQueryTerms)
+      .drop("trm")
+    val scored = tf
+      .join(broadcast(budgeted), Seq("h"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .crossJoin(broadcast(totals))
+      .groupBy(col("query_id"), col("doc_id").as("neighbor_id"))
+      .agg(sum(expr(
+        s"($ScoreScale * 44 * tf * S) div ((20*tf*S + 6*S + 18*dl*N) * df)"))
+        .as("score"))
+    rankTopK(scored.select(col("query_id"), col("neighbor_id"),
+        col("score").cast("double").as("sim")), k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("sim").cast("long").as("score"))
+  }
+
+  /** BM25 CTE body (prefixed `b...`), ending in `brk` — built on
+    * [[Dedup.tokenHashCte]]'s `toksrc`/`tokh` like the q83 stack, so a
+    * future three-list fusion composes all laws in one statement. */
+  private def bm25RankedCte(queries: Int): String =
+    s"""btd AS (SELECT doc_id, len(toks) AS dl FROM toksrc WHERE len(toks) > 0),
+      btf AS (
+        SELECT t.doc_id, d.dl, t.h, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tokh t JOIN btd d USING (doc_id) GROUP BY t.doc_id, d.dl, t.h),
+      btot AS (
+        SELECT CAST(SUM(dl) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n FROM btd),
+      bdf AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS df FROM btf GROUP BY h),
+      bq AS (SELECT doc_id AS query_id FROM btd ORDER BY doc_id LIMIT $queries),
+      bqt AS (
+        SELECT bq.query_id, btf.h FROM btf JOIN bq ON btf.doc_id = bq.query_id),
+      bqtr AS (
+        SELECT bqt.query_id, bqt.h, bdf.df,
+          row_number() OVER (PARTITION BY bqt.query_id ORDER BY bdf.df, bqt.h) AS trm
+        FROM bqt JOIN bdf USING (h)),
+      bqtp AS (SELECT query_id, h, df FROM bqtr WHERE trm <= $KeywordQueryTerms),
+      bsc AS (
+        SELECT bqtp.query_id, btf.doc_id AS neighbor_id,
+          CAST(SUM(($ScoreScale * 44 * btf.tf * btot.s)
+            // ((20*btf.tf*btot.s + 6*btot.s + 18*btf.dl*btot.n) * bqtp.df)) AS BIGINT) AS score
+        FROM btf JOIN bqtp USING (h) CROSS JOIN btot
+        WHERE btf.doc_id <> bqtp.query_id
+        GROUP BY bqtp.query_id, btf.doc_id),
+      brk AS (
+        SELECT query_id, neighbor_id, score,
+          row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+        FROM bsc)"""
+
+  private def bm25SearchSql(
+      k: Int = TextSearchK, queries: Int = TextSearchQueries): String =
+    s"""WITH ${Dedup.tokenHashCte},
+      ${bm25RankedCte(queries)}
+      SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, score
+      FROM brk WHERE rank <= $k ORDER BY query_id, rank"""
+
+  val qBm25 = GraftQuery(
+    "q85_bm25",
+    (s, d) => bm25SearchMd5(s, d),
+    Some(bm25SearchSql()),
+  )
+
   /** HYBRID RETRIEVAL via reciprocal-rank fusion under the HARD gate
     * (r16) — the fusion step every production retrieval stack runs over
     * its dense and sparse legs (Cormack & Clarke 2009):
@@ -1028,5 +1147,5 @@ object Similarity {
       qIndexRerank, qIndexRerankFull, qPq, qPqRerank, qPqRerankFull, qIndexPqRerank,
       qIndexPqRerankFull, qIvfPqResid, qIndexPqResidRerank, qIndexPqResidRerankFull, qOpq,
       qOpqRerankFull, qIndexOpqRerank, qIndexOpqRerankFull, qTextSearchMd5, qTextSearch,
-      qKeywordSearch, qHybridRrf)
+      qKeywordSearch, qBm25, qHybridRrf)
 }

@@ -43,6 +43,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "ann_pq_rerank_topk", "ann_pq_rerank_fullprobe", "ann_opq_topk",
       "ann_opq_rerank_fullprobe", "q81_text_search_md5", "q81_text_search",
       "q84_hybrid_rrf",
+      // q85 cross-joins a broadcast 1-ROW (S, N) corpus total into the
+      // postings join output — the q35/q49/q54 scalar-subquery shape
+      "q85_bm25",
       "q35_tfidf", "dedup_cosine_verify", "q49_heavy_tokens", "q54_source_drift")
     SparkEntry.registry.foreach { q =>
       val p = plan(q)

@@ -812,6 +812,46 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got((1L, 3)) == (10L, 750000L))
   }
 
+  test("q85 BM25: integer law equals the float reference; length-norm and saturation behave") {
+    // One shared term 'zebra' (df 4) across docs of different lengths
+    // and tfs isolates the BM25 denominator: S = 1+2+6+4 = 13, N = 4.
+    val dir = PlantedDocs.write(spark, "/tmp/graft-test/bm25search", Seq(
+      (1L, "zebra", "en", "s", 5L),
+      (10L, "zebra lion", "en", "s", 10L),
+      (11L, "zebra lion tiger puma wolf bear", "en", "s", 30L),
+      (12L, "zebra zebra lion tiger", "en", "s", 22L),
+    ))
+    // the production integer law, restated independently
+    def contrib(tf: Long, df: Long, dl: Long, s: Long, n: Long): Long =
+      (1000000L * 44 * tf * s) / ((20 * tf * s + 6 * s + 18 * dl * n) * df)
+    // ... and the textbook float law it clears denominators from
+    def ref(tf: Double, df: Double, dl: Double, s: Double, n: Double): Double = {
+      val k1 = 1.2; val b = 0.75
+      (1.0 / df) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl * n / s))
+    }
+    for (tf <- 1L to 3L; df <- 1L to 4L; dl <- Seq(1L, 4L, 9L))
+      assert(math.abs(contrib(tf, df, dl, 13, 4) / 1e6 - ref(tf.toDouble, df.toDouble, dl.toDouble, 13, 4)) < 1.5e-6,
+        s"derivation forked at tf=$tf df=$df dl=$dl")
+    val got = Similarity.bm25SearchMd5(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // query 1 ("zebra"): hand-checked integers
+    //  doc 12 (tf 2, dl 4): (1e6*44*2*13) div ((520+78+288)*4) = 322799
+    //  doc 10 (tf 1, dl 2): (1e6*44*13)   div ((260+78+144)*4) = 296680
+    //  doc 11 (tf 1, dl 6): (1e6*44*13)   div ((260+78+432)*4) = 185714
+    assert(got((1L, 1)) == (12L, contrib(2, 4, 4, 13, 4)), s"got ${got((1L, 1))}")
+    assert(got((1L, 1))._2 == 322799L, "the literal pin, so a law drift is visible in review")
+    assert(got((1L, 2)) == (10L, contrib(1, 4, 2, 13, 4)))
+    assert(got((1L, 3)) == (11L, contrib(1, 4, 6, 13, 4)))
+    // LENGTH NORMALIZATION (what q83's tf-idf lacks): same tf, the
+    // 6-token doc scores strictly below the 2-token doc
+    assert(got((1L, 2))._2 > got((1L, 3))._2)
+    // SATURATION: doubling tf (even in a doc only twice as long) gains
+    // far less than 2x
+    assert(got((1L, 1))._2 < 2 * got((1L, 2))._2)
+    // self-matches excluded
+    assert(!got.exists { case ((q, _), (nb, _)) => q == nb })
+  }
+
   test("q84 hybrid RRF: both-lists presence dominates with exact fusion arithmetic") {
     // doc 20 is query 1's paraphrase (identical bag of words): rank-1
     // in the DENSE list (cosine 1 under the bag-of-words projection)

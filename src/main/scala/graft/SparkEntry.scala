@@ -16,6 +16,7 @@ object SparkEntry {
       operators.TrainPrep.all ++
       operators.TrainPipeline.all ++
       operators.Similarity.all ++
+      operators.SparseIndex.all ++
       operators.Multimodal.all ++
       streaming.Streams.all
 

@@ -270,9 +270,7 @@ object Ivf {
     * `_folded` manifest says which).
     */
   def readIndex(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    graft.sources.Generations.liveRoots(fsOf(spark, dir), dir, AppendsDataSubdir)
-      .map(spark.read.parquet(_))
-      .reduceLeft(_ unionByName _)
+    graft.sources.IndexLayout.readLive(spark, dir)
 
   /** [[writeIndex]] core over an explicit cluster-assignment column —
     * the layout/IO path isolated from the quantizer, so scale probes can
@@ -550,20 +548,11 @@ object Ivf {
     * the NEW namespace and duplicate its rows.
     */
   def appendCommitted(
-      spark: org.apache.spark.sql.SparkSession, dir: String, id: String): Boolean = {
-    import org.apache.hadoop.fs.Path
-    val fs = fsOf(spark, dir)
-    // DATA DIR FIRST, marker second — order is load-bearing against a
-    // concurrent compaction folding this very batch: compaction creates
-    // the folded batch's marker BEFORE it GCs the data dir, so "data
-    // absent" implies "marker already exists" for any batch that ever
-    // landed. The reverse order opens a window (marker not yet created
-    // at the first check, data already GC'd at the second) where a
-    // committed batch reads as absent and an upgrade replay would
-    // re-land it.
-    fs.exists(new Path(s"$dir/$AppendsDataSubdir/$id")) ||
-      fs.exists(new Path(s"$dir/$AppendsSubdir/$id"))
-  }
+      spark: org.apache.spark.sql.SparkSession, dir: String, id: String): Boolean =
+    // data-dir-first ordering lives in the shared layer — see
+    // [[graft.sources.IndexLayout.appendCommitted]] for why the reverse
+    // order opens a re-land window against a concurrent compaction
+    graft.sources.IndexLayout.appendCommitted(spark, dir, id)
 
   def appendIndexBatch(
       delta: DataFrame, dir: String, batchId: Long, namespace: String): Unit =
@@ -579,16 +568,13 @@ object Ivf {
   def appendIndexBatch(
       delta: DataFrame, dir: String, batchId: Long, namespace: String,
       legacyIds: Seq[String]): Unit = {
-    import org.apache.hadoop.fs.Path
     val spark = delta.sparkSession
     val fs = fsOf(spark, dir)
     val id = s"$namespace$batchId"
-    val marker = new Path(s"$dir/$AppendsSubdir/$id")
-    if (fs.exists(marker)) return // replay of a fully committed batch
+    if (graft.sources.IndexLayout.batchMarked(fs, dir, id)) return // committed replay
     if (legacyIds.exists(appendCommitted(spark, dir, _))) return
     landBatch(encodeForIndex(delta, dir), dir, id)
-    fs.mkdirs(new Path(s"$dir/$AppendsSubdir"))
-    fs.create(marker, true).close()
+    graft.sources.IndexLayout.markBatch(fs, dir, id)
   }
 
   /** Land an encoded batch as one atomically visible cluster-aligned
@@ -607,30 +593,20 @@ object Ivf {
     * streaming replay contract) deletes its own residue, crashed
     * attempts age into the sweep.
     */
-  private def landBatch(encoded: DataFrame, dir: String, id: String): Unit = {
-    import org.apache.hadoop.fs.Path
-    val fs = fsOf(encoded.sparkSession, dir)
-    val visible = new Path(s"$dir/$AppendsDataSubdir/$id")
-    if (fs.exists(visible)) return
-    val stagingName = s".b-$id-${java.util.UUID.randomUUID.toString}"
-    val staging = s"$dir/$AppendsDataSubdir/$stagingName"
-    encoded
-      .repartition(col("cluster"))
-      .write.partitionBy("cluster").parquet(staging)
-    graft.sources.Generations.commitRename(fs, new Path(staging), visible,
-      s"appendIndex: could not commit $staging and $visible is absent")
-  }
+  private def landBatch(encoded: DataFrame, dir: String, id: String): Unit =
+    graft.sources.IndexLayout.landBatch(encoded, dir, id, "cluster")
 
   /** Batch-commit markers for [[appendIndexBatch]] — underscore-hidden,
-    * top-level, immortal (see the marker note there).
+    * top-level, immortal (see the marker note there). Shared layout
+    * constant: [[graft.sources.IndexLayout]].
     */
-  private val AppendsSubdir = "_appends"
+  private val AppendsSubdir = graft.sources.IndexLayout.AppendsSubdir
 
   /** Committed append-batch data directories — each one atomic unit of
     * ingest, unioned into [[readIndex]] until [[compactIndex]] folds it
     * into the next base generation and garbage-collects it.
     */
-  private val AppendsDataSubdir = "_appends_data"
+  private val AppendsDataSubdir = graft.sources.IndexLayout.AppendsDataSubdir
 
   /** Delta rows encoded to the index's OWN code form — rotated OPQ
     * codes if the directory carries a persisted `_opq` model, residual
@@ -728,123 +704,27 @@ object Ivf {
       spark: org.apache.spark.sql.SparkSession, dir: String,
       afterSnapshot: () => Unit): Unit = {
     import org.apache.hadoop.fs.{FileUtil, Path}
-    import graft.sources.Generations
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = fsOf(spark, dir)
-    // migration heal for the r13-era in-place-swap protocol: a crash
-    // between ITS two renames left the only copy at `dir + ".old"` with
-    // the live dir missing — restore it before anything else, or the
-    // table stays stranded forever under the new protocol
-    val legacyOld = new Path(dir + ".old")
-    if (!fs.exists(new Path(dir)) && fs.exists(legacyOld)) {
-      require(fs.rename(legacyOld, new Path(dir)),
-        s"compactIndex: could not restore $dir from a legacy .old crash state")
-    } else if (fs.exists(legacyOld)) fs.delete(legacyOld, true) // stale legacy residue
-    // ---- entry GC: sweep residue of crashed prior runs. The current
-    // generation (pointer target, or the mid-flip fallback) is the one
-    // source of truth; every other generation — incomplete writes,
-    // complete-but-unflipped orphans, the pre-flip previous base — is
-    // invisible to resolution and deletable. Abandoned dot-staging from
-    // crashed appends goes too — but ONLY past the age threshold: a
-    // sweep racing a live append's commit rename can interleave into a
-    // partially-deleted committed batch (see Generations.sweepStaging).
-    Generations.sweepStaging(fs, dir, AppendsDataSubdir)
-    val cur = Generations.currentGen(fs, dir)
-    Generations.allGens(fs, dir).filterNot(cur.contains)
-      .foreach(n => fs.delete(new Path(Generations.genDir(dir, n)), true))
-    if (cur.isDefined) deleteFlatResidue(fs, dir)
-    val root = Generations.resolveRoot(fs, dir)
-    // batch data already folded into the current base is dead weight a
-    // crashed post-flip GC may have left — markers stay forever. Walk
-    // the (small) VISIBLE set against the manifest, never the manifest
-    // against the filesystem: the manifest carries every stream id
-    // ever folded and would cost one FS op per historical batch.
-    val foldedNow = Generations.foldedIds(fs, root)
-    Generations.visibleBatches(fs, dir, AppendsDataSubdir).filter(foldedNow)
-      .foreach(id => fs.delete(new Path(s"$dir/$AppendsDataSubdir/$id"), true))
-    // ---- fold snapshot: the committed batches to absorb. Batches that
-    // commit after this listing stay visible extras under the new
-    // generation — that is the fence.
-    val toFold = Generations.visibleBatches(fs, dir, AppendsDataSubdir)
-      .filterNot(foldedNow)
-    afterSnapshot()
-    val next = cur.getOrElse(0) + 1
-    val nextRoot = Generations.genDir(dir, next)
-    toFold
-      .foldLeft(spark.read.parquet(root)) { (df, b) =>
-        df.unionByName(spark.read.parquet(s"$dir/$AppendsDataSubdir/$b"))
-      }
-      .repartition(col("cluster"))
-      .write.partitionBy("cluster").mode("overwrite").parquet(nextRoot)
-    // COPY (never move) the model subdirs: the live root keeps its
-    // models until the flip, so a crash here leaves the current
-    // generation fully readable and a concurrent append can still
-    // encode against it
-    Seq(QuantizerSubdir, PqSubdir, PqResidSubdir, OpqSubdir).foreach { sub =>
-      val src = new Path(s"$root/$sub")
-      if (fs.exists(src))
-        require(
-          FileUtil.copy(fs, src, fs, new Path(s"$nextRoot/$sub"), false, conf),
-          s"compactIndex: could not copy $sub into $nextRoot")
-    }
-    // ad-hoc ids are never replay-checked: once their folded data dir
-    // is GC'd they are provably dead and pruned, so ad-hoc ingest does
-    // not grow the manifest beyond one fold cycle (stream ids stay —
-    // the marker files are their replay fence, the manifest their
-    // reader/GC bookkeeping)
-    val carried = (foldedNow ++ toFold).filter(id =>
-      !id.startsWith("adhoc-") ||
-        fs.exists(new Path(s"$dir/$AppendsDataSubdir/$id")))
-    Generations.writeFolded(fs, nextRoot, carried)
-    // folded ⇒ marker, ALWAYS — and BEFORE markComplete: a batch that
-    // crashed between its atomic visibility rename and its marker
-    // write is legitimately foldable (visibility means the data landed
-    // in full, and batch content is replay-identical), but once its
-    // data dir is GC'd a marker-less fold would let the stream's
-    // replay re-append the rows. Ordering matters on a FIRST
-    // compaction: with no pointer yet, `_complete` alone commits the
-    // fold (the highest-complete-gen fallback), so markers must exist
-    // by then or a crash in between re-opens the hole. Ad-hoc
-    // (`adhoc-<uuid>`) batches have no replay semantics and get no
-    // marker — markers exist solely for the streaming replay check.
-    fs.mkdirs(new Path(s"$dir/$AppendsSubdir"))
-    toFold.filterNot(_.startsWith("adhoc-")).foreach { id =>
-      val marker = new Path(s"$dir/$AppendsSubdir/$id")
-      if (!fs.exists(marker)) fs.create(marker, true).close()
-    }
-    Generations.markComplete(fs, nextRoot)
-    Generations.flip(fs, dir, next)
-    // ---- post-flip GC: the previous base and the batch data just
-    // folded. A reader or appender that resolved the old generation
-    // moments before the flip may fail here and retry — it cannot lose
-    // data (its batches live under _appends_data, which this never
-    // touches except for ids recorded as folded).
-    if (cur.isDefined) fs.delete(new Path(root), true) else deleteFlatResidue(fs, dir)
-    toFold.foreach(id => fs.delete(new Path(s"$dir/$AppendsDataSubdir/$id"), true))
-  }
-
-  /** Delete the flat (generation-0) base layout's data and model files
-    * at the top of `dir`, leaving the protocol state (`_current`,
-    * `_gen-*`, `_appends`, `_appends_data`) untouched. Called only once
-    * a generation directory is current, i.e. the flat layout is no
-    * longer resolvable.
-    */
-  private def deleteFlatResidue(
-      fs: org.apache.hadoop.fs.FileSystem, dir: String): Unit = {
-    import org.apache.hadoop.fs.Path
-    val keep = Set(AppendsSubdir, AppendsDataSubdir,
-      graft.sources.Generations.Pointer)
-    if (fs.exists(new Path(dir)))
-      fs.listStatus(new Path(dir)).toSeq
-        .filterNot(st => st.getPath.getName.startsWith("_gen-"))
-        .filterNot(st => keep(st.getPath.getName))
-        .filter(st =>
-          st.getPath.getName.startsWith("cluster=") ||
-            st.getPath.getName.endsWith(".parquet") ||
-            st.getPath.getName == "_SUCCESS" ||
-            Seq(QuantizerSubdir, PqSubdir, PqResidSubdir, OpqSubdir)
-              .contains(st.getPath.getName))
-        .foreach(st => fs.delete(st.getPath, true))
+    val models = Seq(QuantizerSubdir, PqSubdir, PqResidSubdir, OpqSubdir)
+    // The protocol (entry GC, fold snapshot fence, marker-before-
+    // complete ordering, post-flip GC, the r13-era .old heal) lives in
+    // the shared layer — [[graft.sources.IndexLayout.compact]]. What is
+    // IVF-specific here: lists partition on `cluster`, and the sidecar
+    // fold COPIES (never moves) the model subdirs, so the live root
+    // stays fully readable until the flip and a concurrent append can
+    // still encode against it.
+    graft.sources.IndexLayout.compact(
+      spark, dir, partitionCol = "cluster", sidecarNames = models,
+      foldSidecars = (root, _, nextRoot) =>
+        models.foreach { sub =>
+          val src = new Path(s"$root/$sub")
+          if (fs.exists(src))
+            require(
+              FileUtil.copy(fs, src, fs, new Path(s"$nextRoot/$sub"), false, conf),
+              s"compactIndex: could not copy $sub into $nextRoot")
+        },
+      afterSnapshot = afterSnapshot)
   }
 
   /** Two-phase serving from a persisted index — [[searchIndex]] composed

@@ -1069,7 +1069,7 @@ object Similarity {
           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
         FROM bsc)"""
 
-  private def bm25SearchSql(
+  private[graft] def bm25SearchSql(
       k: Int = TextSearchK, queries: Int = TextSearchQueries): String =
     s"""WITH ${Dedup.tokenHashCte},
       ${bm25RankedCte(queries)}

@@ -1,0 +1,264 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.GraftQuery
+import graft.sources.IndexLayout
+
+/** PERSISTED SPARSE (BM25) INDEX — the serving shape of q83/q85 (r16
+  * judge item 4): those queries rebuild postings per run; a retrieval
+  * service builds them ONCE, serves them partition-pruned, and grows
+  * them without a rebuild. This is q48's postings inverted index as a
+  * persisted clustered table under the SAME generation/append/compact
+  * protocol as the IVF index family ([[graft.sources.IndexLayout]] —
+  * one shared implementation of landing, replay fencing, and the
+  * compaction crash matrix).
+  *
+  * Layout:
+  *  - postings rows `(h, doc_id, tf, dl, bkt)` partitioned by
+  *    `bkt = h mod` [[NBuckets]] and sorted by `h` within each bucket
+  *    (partition pruning gets a serve to only the buckets its query
+  *    terms hash into; the sort gives parquet row-group min/max pruning
+  *    within a bucket). Term hashes are the engine's 60-bit md5 token
+  *    law — the SAME rendering as q80/q83/q85, so the persisted index
+  *    serves the gated laws verbatim;
+  *  - a `_totals` sidecar — ONE row `(s_total, n_docs)` per landed unit
+  *    (base generation or append batch). BM25's corpus-level state is
+  *    exactly (Σ dl, N); per-unit rows make the append merge a SUM, and
+  *    compaction folds them into the next base's single row.
+  *
+  * WHY df IS DERIVED, NOT STORED: a term's document frequency is the
+  * row count of its own postings list, and a serve fetches those exact
+  * rows anyway — so `df = count(*) per h` over the fetched lists is
+  * always globally correct across base + appends BY CONSTRUCTION
+  * (each (doc, term) lands in exactly one unit; docs do not repeat
+  * across appends — the vec_id contract of the IVF family). A
+  * maintained df sidecar could drift from its lists; a derived df
+  * cannot. The "append merges df counts" requirement is therefore
+  * discharged structurally: union the lists and the counts merge.
+  *
+  * 100 TB shape: a serve touches |query terms| buckets of slim 32-byte
+  * rows, never the corpus; appends are one atomic directory each;
+  * compaction is one shuffle of the postings (8-byte keys) per fold.
+  * The SparseIndexSpec pins write→serve ≡ in-memory q85, append ≡
+  * rebuild, idempotent replay, compaction GC + serving parity, and the
+  * partition pruning in the executed plan; the registry entry
+  * `sparse_index_bm25` puts write → append → compact → serve under the
+  * DuckDB HARD gate (the oracle is q85's own SQL — sparse pruning is
+  * exact, so the persisted path must reproduce the law bit for bit).
+  */
+object SparseIndex {
+
+  /** Hash-bucket count for the postings layout. At 100 TB size this
+    * with the vocabulary (buckets ∝ distinct terms / target list file
+    * size); the default targets the driver testdata scale like the IVF
+    * k defaults.
+    */
+  private[graft] val NBuckets = 64
+
+  private[graft] val TotalsSubdir = "_totals"
+
+  /** The engine's token-hash law (q80/q83/q85): first 15 md5 hex digits
+    * of the token, as a 60-bit BIGINT.
+    */
+  private def tokHash: Column =
+    conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
+
+  /** Postings of a tokenized (doc_id, toks) frame: one row per
+    * (doc, distinct term) carrying tf and the doc length (dl rides the
+    * groupBy key — functionally dependent on doc_id, zero extra joins;
+    * the q85 move).
+    */
+  private[graft] def postingsOf(toked: DataFrame): DataFrame =
+    toked
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("tok"))
+      .select(col("doc_id"), col("dl"), tokHash.as("h"))
+      .groupBy("doc_id", "dl", "h").agg(count(lit(1)).as("tf"))
+      .withColumn("bkt", pmod(col("h"), lit(NBuckets)).cast("int"))
+
+  private def totalsOf(toked: DataFrame): DataFrame =
+    toked.agg(
+      sum(size(col("toks")).cast("long")).as("s_total"),
+      count(lit(1)).as("n_docs"))
+
+  private def writeTotals(toked: DataFrame, root: String): Unit =
+    totalsOf(toked).coalesce(1).write.mode("overwrite").parquet(s"$root/$TotalsSubdir")
+
+  /** Build (or rebuild) the index from a tokenized corpus frame
+    * (non-empty docs; the caller owns the `size(toks) > 0` eligibility
+    * rule so index content matches the q85 population). A rebuild is a
+    * NEW index: generation state, batch areas, and markers all reset —
+    * the IVF rebuild contract.
+    */
+  def writeIndex(toked: DataFrame, dir: String): Unit = {
+    val spark = toked.sparkSession
+    graft.sources.Generations.reset(
+      IndexLayout.fsOf(spark, dir), dir,
+      Seq(IndexLayout.AppendsDataSubdir, IndexLayout.AppendsSubdir, TotalsSubdir))
+    val pinned = toked.localCheckpoint() // read by the postings build AND the totals row
+    postingsOf(pinned)
+      .repartition(col("bkt"))
+      .sortWithinPartitions("bkt", "h")
+      .write.partitionBy("bkt").mode("overwrite").parquet(dir)
+    writeTotals(pinned, dir)
+  }
+
+  /** Ad-hoc append of NEW documents (one atomic batch directory; the
+    * caller owns the docs-do-not-repeat contract). The batch's totals
+    * row stages WITH its postings, so totals and lists become visible
+    * in the same rename.
+    */
+  def appendIndex(toked: DataFrame, dir: String): Unit =
+    landTokenized(toked, dir, "adhoc-" + java.util.UUID.randomUUID.toString)
+
+  /** Idempotent batch append for exactly-once streaming ingest — the
+    * [[Ivf.appendIndexBatch]] contract (marker fence, crash-window
+    * self-heal, namespace scoping one stream lifetime).
+    */
+  def appendIndexBatch(
+      toked: DataFrame, dir: String, batchId: Long, namespace: String = ""): Unit = {
+    val spark = toked.sparkSession
+    val fs = IndexLayout.fsOf(spark, dir)
+    val id = s"$namespace$batchId"
+    if (IndexLayout.batchMarked(fs, dir, id)) return // committed replay
+    landTokenized(toked, dir, id)
+    IndexLayout.markBatch(fs, dir, id)
+  }
+
+  private def landTokenized(toked: DataFrame, dir: String, id: String): Unit = {
+    val pinned = toked.localCheckpoint() // postings build + totals row
+    IndexLayout.landBatch(
+      postingsOf(pinned).sortWithinPartitions("bkt", "h"), dir, id, "bkt",
+      writeExtras = staging => writeTotals(pinned, staging))
+  }
+
+  /** Fold committed batches into the next base generation. The sidecar
+    * fold SUMS the totals rows of the live base and every folded batch
+    * into the new base's single row — written into the NEXT root only,
+    * so the live generation stays fully readable until the flip.
+    */
+  def compactIndex(spark: SparkSession, dir: String): Unit =
+    compactIndexHooked(spark, dir, () => ())
+
+  private[graft] def compactIndexHooked(
+      spark: SparkSession, dir: String, afterSnapshot: () => Unit): Unit =
+    IndexLayout.compact(
+      spark, dir, partitionCol = "bkt", sidecarNames = Seq(TotalsSubdir),
+      foldSidecars = (root, foldedDirs, nextRoot) =>
+        (root +: foldedDirs)
+          .map(r => spark.read.parquet(s"$r/$TotalsSubdir"))
+          .reduceLeft(_ unionByName _)
+          .agg(sum("s_total").as("s_total"), sum("n_docs").as("n_docs"))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$nextRoot/$TotalsSubdir"),
+      afterSnapshot = afterSnapshot)
+
+  /** Live postings: base generation + committed unfolded batches. */
+  def readPostings(spark: SparkSession, dir: String): DataFrame =
+    IndexLayout.readLive(spark, dir)
+
+  /** Live corpus totals, merged across every visible unit. */
+  def readTotals(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Generations
+      .liveRoots(IndexLayout.fsOf(spark, dir), dir, IndexLayout.AppendsDataSubdir)
+      .map(r => spark.read.parquet(s"$r/$TotalsSubdir"))
+      .reduceLeft(_ unionByName _)
+      .agg(sum("s_total").as("S"), sum("n_docs").as("N"))
+
+  /** Serve BM25 "more-like-this" from the persisted index: the exact
+    * q85 law ([[Similarity.bm25SearchMd5From]]) with the tf table
+    * replaced by a PRUNED postings fetch. The query docs' term hashes
+    * collect to the driver (small by contract — they ride broadcasts
+    * anyway; the eager job is the price of static pruning, the
+    * [[Ivf.searchIndex]] convention) and push down as
+    * `bkt IN (...)` — partition pruning — plus `h IN (...)` for
+    * row-group pruning inside the touched buckets. df is counted from
+    * the fetched lists (see the object doc: derived df cannot drift);
+    * totals come from the merged sidecar. Everything downstream —
+    * 16-rarest budget, exact-integer scoring, bounded-heap rank — is
+    * the q85 code shape, so serve(write(corpus)) hash-matches q85's
+    * DuckDB oracle.
+    */
+  /** The pruned postings fetch of a serve, isolated so the spec can
+    * assert the partition pruning ON ITS PLAN ([[bm25Search]] pins it
+    * behind a localCheckpoint, which hides the scan from the final
+    * query plan): `bkt IN (...)` prunes partitions, `h IN (...)`
+    * prunes row groups inside the touched buckets.
+    */
+  private[graft] def prunedPostings(
+      spark: SparkSession, dir: String, hs: Array[Long]): DataFrame = {
+    val bkts = hs.map(h => (h % NBuckets).toInt).distinct.toSeq
+    readPostings(spark, dir)
+      .filter(col("bkt").isin(bkts: _*))
+      .filter(col("h").isin(hs.toSeq: _*))
+  }
+
+  def bm25Search(
+      spark: SparkSession, dir: String, queryToked: DataFrame, k: Int): DataFrame = {
+    val qterms = queryToked
+      .select(col("doc_id").as("query_id"), explode(col("toks")).as("tok"))
+      .select(col("query_id"), tokHash.as("h"))
+      .distinct()
+      .localCheckpoint() // read for the literal prune and both joins
+    val hs = qterms.select("h").distinct().collect().map(_.getLong(0)).sorted
+    val posted = prunedPostings(spark, dir, hs)
+      .localCheckpoint() // read by the df count AND the scoring join
+    val dfq = posted.groupBy("h").agg(count(lit(1)).as("df"))
+    val budgeted = qterms
+      .join(dfq, Seq("h"))
+      .withColumn("trm", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("df").asc, col("h").asc)))
+      .filter(col("trm") <= Similarity.KeywordQueryTerms)
+      .drop("trm")
+    val scored = posted
+      .join(broadcast(budgeted), Seq("h"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .crossJoin(broadcast(readTotals(spark, dir)))
+      .groupBy(col("query_id"), col("doc_id").as("neighbor_id"))
+      .agg(sum(expr(
+        s"(${Similarity.ScoreScale} * 44 * tf * S) div ((20*tf*S + 6*S + 18*dl*N) * df)"))
+        .as("score"))
+    Similarity.rankTopK(scored.select(col("query_id"), col("neighbor_id"),
+        col("score").cast("double").as("sim")), k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("sim").cast("long").as("score"))
+  }
+
+  // ------------------------------------------------------------- queries
+
+  private val indexDirCache = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def tokedDocs(s: SparkSession, d: String): DataFrame =
+    graft.Tables.documents(s, d)
+      .select(col("doc_id"), graft.gfunctions.ws_tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+
+  /** The FULL lifecycle under the HARD gate: build the base index from
+    * two thirds of the corpus, append the remaining third as a delta
+    * batch (df and totals merge across the boundary), COMPACT, then
+    * serve the q85 query set from the folded index. The oracle is
+    * q85's own SQL over the whole corpus — sparse pruning is exact, so
+    * any drift in landing, folding, totals merge, or pruned serving
+    * breaks the hash.
+    */
+  val qSparseIndexBm25 = GraftQuery(
+    "sparse_index_bm25",
+    (s, d) => {
+      val dir = indexDirCache.getOrElseUpdate(d, {
+        val out = s"/tmp/graft-sparse-index/idx_${java.lang.Integer.toHexString(d.hashCode)}"
+        val toked = tokedDocs(s, d).localCheckpoint()
+        writeIndex(toked.filter(col("doc_id") % 3 =!= 2), out)
+        appendIndex(toked.filter(col("doc_id") % 3 === 2), out)
+        compactIndex(s, out)
+        out
+      })
+      val queries = tokedDocs(s, d).orderBy("doc_id").limit(Similarity.TextSearchQueries)
+      bm25Search(s, dir, queries, Similarity.TextSearchK)
+    },
+    Some(Similarity.bm25SearchSql()),
+  )
+
+  def all: Seq[GraftQuery] = Seq(qSparseIndexBm25)
+}

@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import operators.{Similarity, SparseIndex}
+
+/** Persisted sparse (BM25) index lifecycle — write / serve / append /
+  * replay / compact. The LAW is q85's (hash-gated there and via the
+  * registry's sparse_index_bm25 whose oracle is q85's own SQL over the
+  * full corpus); these specs pin the LIFECYCLE: serving parity with the
+  * in-memory plan, append ≡ rebuild (the df + totals merge), idempotent
+  * batch replay incl. the crash window, compaction GC + parity, and the
+  * partition pruning that makes a serve touch buckets, not the corpus.
+  */
+class SparseIndexSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSession.spark
+
+  private def toked(rows: Seq[(Long, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+      .select(col("doc_id"), graft.gfunctions.ws_tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+  }
+
+  // Shared-vocabulary corpus: every doc reachable from every query doc.
+  private val corpusRows = Seq(
+    (1L, "zebra lion tiger"),
+    (2L, "zebra zebra lion"),
+    (3L, "lion tiger puma wolf"),
+    (10L, "zebra tiger"),
+    (11L, "puma wolf"),
+    (12L, "zebra lion tiger puma wolf bear"),
+  )
+
+  private def served(dir: String, k: Int = 5): Seq[(Long, Int, Long, Long)] =
+    SparseIndex.bm25Search(spark, dir, toked(corpusRows).orderBy("doc_id").limit(3), k)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+
+  private def inMemory(k: Int = 5): Seq[(Long, Int, Long, Long)] =
+    Similarity.bm25SearchMd5From(toked(corpusRows).localCheckpoint(), k, 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+
+  test("write -> serve equals the in-memory q85 plan, and the scan prunes buckets") {
+    val dir = "/tmp/graft-test/sparse_idx_base"
+    SparseIndex.writeIndex(toked(corpusRows), dir)
+    val q = SparseIndex.bm25Search(
+      spark, dir, toked(corpusRows).orderBy("doc_id").limit(3), 5)
+    val got = q.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == inMemory(), "persisted serve must not change a single ranked row or score")
+    // the scale property: the postings fetch statically prunes to the
+    // query terms' hash buckets (the fetch stage is pinned behind a
+    // localCheckpoint inside bm25Search, so assert on the isolated
+    // pruned-read plan the serve runs)
+    val someHs = SparseIndex.postingsOf(toked(corpusRows))
+      .select("h").distinct().limit(3).collect().map(_.getLong(0))
+    val plan = SparseIndex.prunedPostings(spark, dir, someHs)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("bkt"),
+      s"expected a bkt partition filter in the postings scan:\n$plan")
+    assert(plan.contains("PushedFilters: [") && plan.contains("In(h"),
+      s"expected the h IN filter pushed to parquet:\n$plan")
+  }
+
+  test("append == rebuild on served rows (df and totals merge across the batch boundary)") {
+    val full = "/tmp/graft-test/sparse_idx_full"
+    val split = "/tmp/graft-test/sparse_idx_split"
+    SparseIndex.writeIndex(toked(corpusRows), full)
+    // base gets 4 docs, the append the other 2 — df('zebra') and the
+    // (S, N) totals are only correct if both merge across the boundary
+    val (baseRows, deltaRows) = corpusRows.partition(_._1 <= 3L)
+    SparseIndex.writeIndex(toked(baseRows), split)
+    SparseIndex.appendIndex(toked(deltaRows), split)
+    assert(served(split) == served(full),
+      "an appended index must serve exactly like a rebuilt one")
+    // totals merged: one (S, N) pair equal to the full corpus's
+    val t = SparseIndex.readTotals(spark, split).collect().head
+    val dls = corpusRows.map(_._2.split(" ").length.toLong)
+    assert((t.getLong(0), t.getLong(1)) == ((dls.sum, dls.size.toLong)),
+      s"merged totals wrong: $t")
+  }
+
+  test("idempotent batch append: replay is a no-op; the landed-but-unmarked crash window self-heals") {
+    val dir = "/tmp/graft-test/sparse_idx_batch"
+    val (baseRows, deltaRows) = corpusRows.partition(_._1 <= 3L)
+    SparseIndex.writeIndex(toked(baseRows), dir)
+    SparseIndex.appendIndexBatch(toked(deltaRows), dir, 0L, "ns1-")
+    val once = served(dir)
+    // full replay (marker present): no duplication
+    SparseIndex.appendIndexBatch(toked(deltaRows), dir, 0L, "ns1-")
+    assert(served(dir) == once, "a marked batch replay must not re-land rows")
+    // crash window: data landed, marker lost — replay must re-mark, not re-land
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/_appends/ns1-0")
+    assert(fs.delete(marker, false), "spec setup: marker must exist to delete")
+    SparseIndex.appendIndexBatch(toked(deltaRows), dir, 0L, "ns1-")
+    assert(fs.exists(marker), "replay must restore the marker")
+    assert(served(dir) == once, "the crash-window replay must not duplicate rows")
+    // tf really is duplicated if the fence fails: double-landing doubles
+    // every tf and df — assert the postings row count directly too
+    val nPostings = SparseIndex.readPostings(spark, dir).count()
+    val expected = corpusRows.map(_._2.split(" ").distinct.length).sum
+    assert(nPostings == expected, s"postings rows $nPostings != $expected")
+  }
+
+  test("compaction folds batches and totals, GCs batch data, and serving is unchanged") {
+    val dir = "/tmp/graft-test/sparse_idx_compact"
+    val (baseRows, deltaRows) = corpusRows.partition(_._1 <= 3L)
+    SparseIndex.writeIndex(toked(baseRows), dir)
+    SparseIndex.appendIndexBatch(toked(deltaRows), dir, 0L, "nsC-")
+    val before = served(dir)
+    SparseIndex.compactIndex(spark, dir)
+    assert(served(dir) == before, "a fold must not change a served row")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_appends_data/nsC-0")),
+      "folded batch data must be GC'd")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_appends/nsC-0")),
+      "the replay marker is immortal")
+    // totals folded into ONE base-root row
+    val root = graft.sources.IndexLayout.liveRoot(spark, dir)
+    assert(spark.read.parquet(s"$root/${SparseIndex.TotalsSubdir}").count() == 1L)
+    // a post-GC replay of the folded batch stays a no-op
+    SparseIndex.appendIndexBatch(toked(deltaRows), dir, 0L, "nsC-")
+    assert(served(dir) == before, "a replay of a folded batch must not re-land")
+    // and the lifecycle keeps going: append after compaction serves merged
+    SparseIndex.appendIndexBatch(toked(Seq((20L, "zebra bear"))), dir, 1L, "nsC-")
+    val t = SparseIndex.readTotals(spark, dir).collect().head
+    val dls = corpusRows.map(_._2.split(" ").length.toLong) :+ 2L
+    assert((t.getLong(0), t.getLong(1)) == ((dls.sum, dls.size.toLong)),
+      s"post-compact append totals wrong: $t")
+  }
+}

@@ -1116,6 +1116,36 @@ object Dedup {
     prod = Some((s, d) => semDeDupGrid(Tables.embeddings(s, d))),
   )
 
+  /** SEMANTIC dedup of IMAGES — the [[qSemDeDupText]] move over the
+    * multimodal corpus: [[Multimodal.imageEmbeddings]] (mean-centered
+    * unit gray grids from the same decode pass the perceptual hash
+    * uses) feeds the SAME k-means-cell semDeDup decision pipeline, so
+    * near-duplicate images that are not byte-identical (re-encoded,
+    * brightness-shifted) co-locate in one cell and prune, while the
+    * continuous cosine keeps gradations the 3-bit hamming radius of
+    * [[qImagePhash]] cannot express. Rows-only like every
+    * learned-partitioner path (ImageIO decode + k-means); the decision
+    * pipeline is hash-gated by dedup_semdedup_grid and the planted
+    * re-encoded/lightened/unrelated spec runs end to end through the
+    * cell pipeline (DedupSpec).
+    */
+  val qSemDeDupImage = GraftQuery(
+    "dedup_semdedup_image",
+    (s, d) => {
+      // featurization pinned once: Ivf.train re-executes its input
+      // (count, seed collect, Lloyd passes) and semDeDup reads it again
+      val emb = Multimodal.imageEmbeddings(
+        Multimodal.binarizeWithImageDups(Tables.documents(s, d))).localCheckpoint()
+      semDeDup(emb, Ivf.train(emb, k = 4, iters = 2), tau = 0.9).orderBy("vec_id")
+    },
+    None,
+    prod = Some((s, d) => {
+      val emb = Multimodal.imageEmbeddings(
+        Multimodal.binarizeWithImageDups(Tables.documents(s, d))).localCheckpoint()
+      semDeDup(emb, Ivf.train(emb, k = 4, iters = 2), tau = 0.9)
+    }),
+  )
+
   // ------------------------------------------- perceptual image dedup
 
   /** PERCEPTUAL IMAGE DEDUP — the dedup family over the multimodal
@@ -1238,5 +1268,5 @@ object Dedup {
   def all: Seq[GraftQuery] =
     Seq(qExact, qMinhash, qMinhashMd5, qSimhash, qSimhashMd5, qJaccard,
       qJaccardMd5, qPassage, qEmbedding, qCosineVerify, qSemDeDup, qSemDeDupGrid,
-      qTextEmbedMd5, qSemDeDupText, qImagePhash, qImagePhashMd5)
+      qTextEmbedMd5, qSemDeDupText, qImagePhash, qImagePhashMd5, qSemDeDupImage)
 }

@@ -622,6 +622,60 @@ object Multimodal {
       .toDF("doc_id", "phash")
   }
 
+  /** CONTINUOUS image embeddings from the same decode grid the
+    * perceptual hash uses: the [[PhashW]]×[[PhashH]] area-averaged gray
+    * raster, MEAN-CENTERED and L2-normalized into a unit vector
+    * (vec_id, embedding) — the featurizer for semantic image dedup
+    * ([[Dedup.qSemDeDupImage]]).
+    *
+    * Why centered: raw gray grids are all-positive, so ANY two images
+    * sit at high cosine and no threshold separates copies from
+    * strangers. Subtracting the grid mean removes the DC component —
+    * which also makes the embedding exactly invariant to uniform
+    * brightness shifts (up to channel clipping), the same robustness
+    * the dHash gets from gradient signs, in continuous form. A flat
+    * frame centers to the zero vector, which every cosine kernel in
+    * the engine already maps to sim 0 (never a spurious duplicate).
+    * Non-decodable payloads emit no row (the quarantine lane).
+    */
+  def imageEmbeddings(blobs: DataFrame): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs
+      .select(col("doc_id").as("_1"), col("blob").as("_2"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { case (id, bytes) =>
+          val body = java.util.Arrays.copyOfRange(bytes, Magic.length, bytes.length)
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(body))
+            catch { case scala.util.control.NonFatal(_) => null }
+          if (img != null && img.getWidth > 0 && img.getHeight > 0) {
+            val px = areaAverage(img, PhashW, PhashH)
+            val cells = PhashW * PhashH
+            val g = new Array[Float](cells)
+            var c = 0
+            var sum = 0f
+            while (c < cells) {
+              val o = c * 3
+              g(c) = ((px(o) & 0xff) + (px(o + 1) & 0xff) + (px(o + 2) & 0xff)) / 3f
+              sum += g(c)
+              c += 1
+            }
+            val mean = sum / cells
+            var ss = 0d
+            c = 0
+            while (c < cells) { g(c) -= mean; ss += g(c).toDouble * g(c); c += 1 }
+            val nrm = math.sqrt(ss)
+            if (nrm > 0) { c = 0; while (c < cells) { g(c) = (g(c) / nrm).toFloat; c += 1 } }
+            Some((id, g.toSeq))
+          } else None
+        }
+      }
+      .toDF("vec_id", "embedding")
+  }
+
   /** Brightness-shifted variant of [[pngOf]]: every channel clamped at
     * 255 — the "same photo, lightened copy" near-duplicate.
     */

@@ -516,6 +516,52 @@ class DedupSpec extends AnyFunSuite {
     assert(!got.contains(14L), "non-decodable payloads are the quarantine lane, not rows")
   }
 
+  test("semdedup over image embeddings: re-encoded and lightened copies prune through the cell pipeline") {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    // the controlled 2x2-block rasters of the phash spec: equal
+    // channels, values <= 200, so grays are exact and a +6 brightness
+    // shift is a pure DC shift the mean-centering removes COMPLETELY —
+    // cosine(base, lightened) is exactly 1, and the inverted raster
+    // centers to the NEGATED vector (cosine -1, the provable stranger)
+    def cellVal(x: Int, y: Int): Int = ((x * 37 + y * 53) % 11) * 20
+    def raster(f: (Int, Int) => Int): BufferedImage = {
+      val img = new BufferedImage(14, 20, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 20; x <- 0 until 14) {
+        val v = f(x / 2, y / 2)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    def enc(img: BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val magic = operators.Multimodal.Magic
+    val blobs = Seq(
+      (10L, magic ++ enc(raster(cellVal), "png")),
+      (11L, magic ++ enc(raster((x, y) => cellVal(x, y) + 6), "png")),
+      (12L, magic ++ enc(raster(cellVal), "bmp")),
+      (13L, magic ++ enc(raster((x, y) => 200 - cellVal(x, y)), "png")),
+      (14L, magic ++ "not an image".getBytes("UTF-8")),
+    ).toDF("doc_id", "blob")
+    val emb = operators.Multimodal.imageEmbeddings(blobs).localCheckpoint()
+    // featurizer law: the copies' cosines are exactly 1, the stranger's -1
+    val vecs = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+    assert(math.abs(cos(vecs(10L), vecs(11L)) - 1.0) < 1e-6, "DC shift must center away")
+    assert(math.abs(cos(vecs(10L), vecs(12L)) - 1.0) < 1e-6, "lossless re-encode is identical")
+    assert(math.abs(cos(vecs(10L), vecs(13L)) + 1.0) < 1e-6, "inversion negates the centered grid")
+    assert(!vecs.contains(14L), "non-decodable payloads emit no embedding")
+    val got = Dedup.semDeDup(emb, operators.Ivf.train(emb, k = 2, iters = 2), tau = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(!got(10L), "lowest id of the copy cluster is the keeper")
+    assert(got(11L) && got(12L), "lightened and re-encoded copies prune")
+    assert(!got(13L), "the inverted stranger survives")
+  }
+
   test("dedup plans contain no cartesian product") {
     val plans = Seq(
       Dedup.minhashDecisions(corpus),

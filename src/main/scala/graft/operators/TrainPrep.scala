@@ -879,6 +879,83 @@ object TrainPrep {
       .withColumnRenamed("n_tokens", "n_pieces")),
   )
 
+  // ------------------------------------------------------------ q86
+
+  /** TEMPERATURE mixture sampling (r17) — the source-weighting law
+    * training mixtures actually use (w_i ∝ n_i^α, α < 1 upweights
+    * small sources; the UnifiedQA/Gopher "temperature" convention):
+    * q39 covers FIXED per-stratum rates and q47 per-doc size weights,
+    * but neither derives the rates FROM the corpus counts.
+    *
+    * Exact-integer law (hash-green by construction):
+    *  - α is a HALF: alpha2 ∈ {0, 1, 2} for α ∈ {0, ½, 1}. n^½ =
+    *    floor(sqrt(n)) is exact in BOTH engines for n < 2^52 (IEEE
+    *    sqrt is correctly rounded; a misrounding across an integer
+    *    boundary would need the true root within half an ulp of that
+    *    integer, impossible unless n is the exact square). Arbitrary
+    *    α is a float path by nature — out of the gate by design.
+    *  - per-doc keep rate r_i = (w_i/n_i) / (w_m/n_m), normalized on
+    *    the MIN-COUNT source m so the smallest source keeps fully,
+    *    held as exact ppm: rate_ppm = (10^6·w_i·n_m) div (n_i·w_m),
+    *    CLAMPED at 10^6 — isqrt's floor makes w/n non-monotone in
+    *    spots (8→2/8 but 9→3/9), so a non-m source's raw rate can
+    *    exceed 1; a rate is a probability and clamps.
+    *  - keep iff md5("tmx:"+doc_id) mod 10^6 < rate_ppm — the q39
+    *    salted-hash axis, content-independent and replay-stable.
+    *
+    * α edges (spec-pinned): α=1 → w=n → every rate 10^6 (proportional
+    * sampling keeps sources at their natural proportions = keep all);
+    * α=0 → w=1 → rate_ppm = 10^6·n_m div n_i (uniform: every source's
+    * EXPECTED kept count is n_m).
+    *
+    * Overflow envelope: 10^6·w·n_m needs w·n_m < 9.2e12 — fine past
+    * billions of docs/source; widen to DECIMAL(38,0) beyond.
+    *
+    * Scale shape: counts are one tiny agg; rates are a broadcast few-
+    * row table; the decision is a stateless codegen'd filter on the
+    * scan. The 1-row (n_m, w_m) cross join is the q35/q85 scalar-
+    * subquery shape.
+    */
+  private[graft] def tempMixture(s: SparkSession, d: String, alpha2: Int = 1): DataFrame = {
+    require(alpha2 >= 0 && alpha2 <= 2, s"alpha2 must be 0, 1, or 2; got $alpha2")
+    val w = alpha2 match {
+      case 0 => lit(1L)
+      case 1 => floor(sqrt(col("n").cast("double"))).cast("long")
+      case 2 => col("n")
+    }
+    val weighted = Tables.documents(s, d)
+      .groupBy("source").agg(count(lit(1)).as("n"))
+      .select(col("source"), col("n"), w.as("w"))
+    val m = weighted.orderBy(col("n").asc, col("source").asc).limit(1)
+      .select(col("n").as("n_m"), col("w").as("w_m"))
+    val rates = weighted.crossJoin(broadcast(m))
+      .select(col("source"),
+        least(lit(1000000L), expr("(1000000 * w * n_m) div (n * w_m)")).as("rate_ppm"))
+    Tables.documents(s, d)
+      .join(broadcast(rates), Seq("source"))
+      .select(col("doc_id"), col("source"), col("rate_ppm"),
+        ((md5h(concat(lit("tmx:"), col("doc_id").cast("string"))) % 1000000L)
+          < col("rate_ppm")).as("kept"))
+  }
+
+  val q86 = GraftQuery(
+    "q86_temp_mixture",
+    (s, d) => tempMixture(s, d).orderBy("doc_id"),
+    Some("""WITH counts AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY source),
+      wts AS (SELECT source, n, CAST(floor(sqrt(n)) AS BIGINT) AS w FROM counts),
+      m AS (SELECT n AS n_m, w AS w_m FROM wts ORDER BY n, source LIMIT 1),
+      rates AS (
+        SELECT source, least(1000000, (1000000 * w * n_m) // (n * w_m)) AS rate_ppm
+        FROM wts CROSS JOIN m)
+      SELECT d.doc_id, d.source, r.rate_ppm,
+        (CAST(('0x' || substr(md5('tmx:' || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+          % 1000000) < r.rate_ppm AS kept
+      FROM documents d JOIN rates r USING (source)
+      ORDER BY d.doc_id"""),
+    prod = Some((s, d) => tempMixture(s, d)),
+  )
+
   def all: Seq[GraftQuery] =
-    Seq(q38, q39, q40, q41, q43, q44, q47, q50, q52, q60, q61, q77, q79)
+    Seq(q38, q39, q40, q41, q43, q44, q47, q50, q52, q60, q61, q77, q79, q86)
 }

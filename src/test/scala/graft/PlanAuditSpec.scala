@@ -44,8 +44,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "ann_opq_rerank_fullprobe", "q81_text_search_md5", "q81_text_search",
       "q84_hybrid_rrf",
       // q85 cross-joins a broadcast 1-ROW (S, N) corpus total into the
-      // postings join output — the q35/q49/q54 scalar-subquery shape
-      "q85_bm25",
+      // postings join output — the q35/q49/q54 scalar-subquery shape;
+      // q86 the same for its 1-row (n_m, w_m) normalizer
+      "q85_bm25", "q86_temp_mixture",
       "q35_tfidf", "dedup_cosine_verify", "q49_heavy_tokens", "q54_source_drift")
     SparkEntry.registry.foreach { q =>
       val p = plan(q)

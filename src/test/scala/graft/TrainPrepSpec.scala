@@ -312,4 +312,44 @@ class TrainPrepSpec extends AnyFunSuite {
       operators.TrainPrep.chunkWindows(docs, window = 128, stride = 200)
     }
   }
+
+  test("q86 temperature mixture: alpha edges, exact ppm rates, clamp, and the keep law") {
+    // sources a:16, b:4, c:1 — m is the 1-doc source, so rates are the
+    // textbook n^(alpha-1) ratios in exact ppm
+    val dir = PlantedDocs.write(spark, "/tmp/graft-test/tempmix",
+      (0L until 16L).map(i => (i, s"doc $i", "en", "a", 5L)) ++
+        (100L until 104L).map(i => (i, s"doc $i", "en", "b", 5L)) :+
+        ((200L, "doc 200", "en", "c", 7L)))
+    def rates(alpha2: Int): Map[String, Long] =
+      operators.TrainPrep.tempMixture(spark, dir, alpha2).collect()
+        .map(r => r.getString(1) -> r.getLong(2)).toMap
+    // α = ½: w = isqrt(n) → a: 1e6·4·1/16 = 250000, b: 1e6·2·1/4 = 500000
+    assert(rates(1) == Map("a" -> 250000L, "b" -> 500000L, "c" -> 1000000L))
+    // α = 1 reduces to proportional: every source at its natural rate (keep all)
+    assert(rates(2) == Map("a" -> 1000000L, "b" -> 1000000L, "c" -> 1000000L))
+    // α = 0 reduces to uniform: expected kept count = n_m for every source
+    assert(rates(0) == Map("a" -> 62500L, "b" -> 250000L, "c" -> 1000000L))
+    // the keep law: salted 60-bit md5 mod 1e6 under the rate, recomputed
+    // independently here
+    def uppm(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"tmx:$id".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % 1000000L
+    }
+    val got = operators.TrainPrep.tempMixture(spark, dir, 1).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3)))
+    assert(got.nonEmpty)
+    got.foreach { case (id, rate, kept) =>
+      assert(kept == (uppm(id) < rate), s"keep law forked at doc $id")
+    }
+    // isqrt floor non-monotonicity: n=8 (w 2) vs n=9 (w 3) — the raw
+    // rate for the 9-doc source exceeds 1 and must clamp to 1e6
+    val dir2 = PlantedDocs.write(spark, "/tmp/graft-test/tempmix2",
+      (0L until 8L).map(i => (i, s"x $i", "en", "x", 3L)) ++
+        (100L until 109L).map(i => (i, s"y $i", "en", "y", 3L)))
+    assert(rates2(dir2) == Map("x" -> 1000000L, "y" -> 1000000L))
+    def rates2(d: String): Map[String, Long] =
+      operators.TrainPrep.tempMixture(spark, d, 1).collect()
+        .map(r => r.getString(1) -> r.getLong(2)).toMap
+  }
 }

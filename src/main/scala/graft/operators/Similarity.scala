@@ -960,7 +960,20 @@ object Similarity {
     * is then bounded by M lists per query instead of the query's whole
     * vocabulary; an absolute stopword df-cutoff composes upstream but
     * is NOT baked in — on a dense synthetic vocabulary it silently
-    * empties the result, measured at sf0.01). The postings join is an
+    * empties the result, measured at sf0.01).
+    *
+    * OPERATING RULE (ScaleProbe31, SURVEY §6): the budget bounds the
+    * join at M LISTS per query, not list LENGTH — on a
+    * boilerplate-heavy corpus (small shared vocabulary) even a query's
+    * "rarest" terms can carry df ≈ N mega-postings, and the join drags
+    * them all. Probe receipt at 1M docs over a two-tier vocabulary:
+    * composing an upstream df cutoff (drop terms with df > N/10 from
+    * the token streams; one cheap df aggregate finds them) collapses
+    * the postings join to the tail lists. Compose the cutoff whenever
+    * corpus df skew puts common terms inside query budgets; leave it
+    * off on long-tail vocabularies where it would empty results.
+    *
+    * The postings join is an
     * equi-join on the hash against the broadcast pruned query-term
     * set; per-query candidates rank on the bounded-heap [[rankTopK]]
     * (integer scores < 2^53 ride the double heap losslessly and come

@@ -1253,10 +1253,71 @@ object Similarity {
     Some(hybridRrfSql()),
   )
 
+  /** THREE-LIST fusion (r17, the q84 extension the r16 verdict floated):
+    * dense (q81) + TF-IDF (q83) + BM25 (q85) rank lists through the same
+    * RRF law — fusing two sparse scorers with different length/saturation
+    * behavior alongside the dense leg is exactly how production stacks
+    * ensemble retrievers. The oracle composes FIVE laws in one statement
+    * (token hash → embedding, dense ranking, TF-IDF ranking, BM25
+    * ranking, fusion) on the shared CTE renderings, so none of them can
+    * fork from its standalone gate. q84 (two lists) stays untouched — its
+    * both-lists-max spec pins the two-list law.
+    */
+  private[graft] def hybridRrf3(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      k: Int = TextSearchK, queries: Int = TextSearchQueries): DataFrame = {
+    // ONE tokenization scan feeds all three legs; the embedding table
+    // pins separately (read on both join sides of the dense leg)
+    val toked = tokedDocs(s, d).localCheckpoint()
+    val dense = textSearchMd5Over(
+        Dedup.textEmbedMd5From(toked).localCheckpoint(), k, queries)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    val tfidf = keywordSearchMd5From(toked, k, queries)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    val bm25 = bm25SearchMd5From(toked, k, queries)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    val fused = dense.unionByName(tfidf).unionByName(bm25)
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(expr(s"$ScoreScale div ($RrfK + rank)")).as("rrf_score"))
+    rankTopK(fused.select(col("query_id"), col("neighbor_id"),
+        col("rrf_score").cast("double").as("sim")), k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("sim").cast("long").as("rrf_score"))
+  }
+
+  private def hybridRrf3Sql(
+      k: Int = TextSearchK, queries: Int = TextSearchQueries): String =
+    s"""WITH ${Dedup.textEmbedMd5Cte},
+      ${textSearchRankedCte(queries)},
+      ${keywordRankedCte(queries)},
+      ${bm25RankedCte(queries)},
+      lists AS (
+        SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= $k
+        UNION ALL
+        SELECT query_id, neighbor_id, rank FROM krk WHERE rank <= $k
+        UNION ALL
+        SELECT query_id, neighbor_id, rank FROM brk WHERE rank <= $k),
+      fused AS (
+        SELECT query_id, neighbor_id,
+          CAST(SUM($ScoreScale // ($RrfK + rank)) AS BIGINT) AS rrf_score
+        FROM lists GROUP BY query_id, neighbor_id),
+      frk AS (
+        SELECT query_id, neighbor_id, rrf_score,
+          row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, neighbor_id) AS rank
+        FROM fused)
+      SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, rrf_score
+      FROM frk WHERE rank <= $k ORDER BY query_id, rank"""
+
+  val qHybridRrf3 = GraftQuery(
+    "q87_hybrid_rrf3",
+    (s, d) => hybridRrf3(s, d),
+    Some(hybridRrf3Sql()),
+  )
+
   def all: Seq[GraftQuery] =
     Seq(qBrute, qLsh, qLshGrid, qIvf, qOutlier, qQuant, qInt8, qInt8Rerank, qInt8RerankFull, qIvfInt8,
       qIndexRerank, qIndexRerankFull, qPq, qPqRerank, qPqRerankFull, qIndexPqRerank,
       qIndexPqRerankFull, qIvfPqResid, qIndexPqResidRerank, qIndexPqResidRerankFull, qOpq,
       qOpqRerankFull, qIndexOpqRerank, qIndexOpqRerankFull, qTextSearchMd5, qTextSearch,
-      qKeywordSearch, qBm25, qHybridRrf)
+      qKeywordSearch, qBm25, qHybridRrf, qHybridRrf3)
 }

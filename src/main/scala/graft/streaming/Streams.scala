@@ -718,6 +718,32 @@ object Streams {
     w.start()
   }
 
+  /** Streaming ingest into the persisted SPARSE (BM25) index — the
+    * [[indexAppendStream]] contract over tokenized documents
+    * `(doc_id, toks)`: each micro-batch lands as one atomic postings
+    * directory (with its totals row in the same rename) via
+    * [[graft.operators.SparseIndex.appendIndexBatch]]'s marker fence,
+    * under the same per-lane namespace scoping and transient-IO retry
+    * envelope. A freshly streamed document is immediately retrievable
+    * by [[graft.operators.SparseIndex.bm25Search]] — df and totals
+    * merge at serve time by construction (derived df; summed totals).
+    */
+  def sparseIndexAppendStream(
+      toked: DataFrame,
+      indexDir: String,
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val ns = laneNamespace(checkpoint)
+    val w = toked.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        retryTransient(5) {
+          graft.operators.SparseIndex.appendIndexBatch(batch.toDF(), indexDir, batchId, ns)
+        }
+      }
+    checkpoint.foreach(c => w.option("checkpointLocation", c))
+    w.start()
+  }
+
   /** STREAMING INGEST INTO A CLUSTERED TABLE — the lakehouse twin of
     * [[indexAppendStream]]: arriving rows land per micro-batch as
     * atomically visible, internally range-sorted batch directories

@@ -46,7 +46,9 @@ class PlanAuditSpec extends AnyFunSuite {
       // q85 cross-joins a broadcast 1-ROW (S, N) corpus total into the
       // postings join output — the q35/q49/q54 scalar-subquery shape;
       // q86 the same for its 1-row (n_m, w_m) normalizer
-      "q85_bm25", "q86_temp_mixture",
+      // …and q87's three-list fusion embeds q81's dense leg AND q85's
+      // 1-row totals cross join
+      "q85_bm25", "q86_temp_mixture", "q87_hybrid_rrf3",
       "q35_tfidf", "dedup_cosine_verify", "q49_heavy_tokens", "q54_source_drift")
     SparkEntry.registry.foreach { q =>
       val p = plan(q)

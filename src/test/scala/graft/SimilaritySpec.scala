@@ -875,5 +875,14 @@ class SimilaritySpec extends AnyFunSuite {
     got.collect { case ((1L, r), (n, s)) if r > 1 => (n, s) }.foreach { case (n, s) =>
       assert(s < 32786L, s"single-list doc $n fused to $s")
     }
+    // q87: with the BM25 leg added, the same paraphrase is rank-1 in
+    // ALL THREE lists -> 3 * (1e6 div 61) = 49179, the three-list
+    // provable maximum; q84's two-list result above is unchanged
+    val got3 = Similarity.hybridRrf3(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got3((1L, 1)) == ((20L, 49179L)), s"three-list max: ${got3((1L, 1))}")
+    got3.collect { case ((1L, r), (n, s)) if r > 1 => (n, s) }.foreach { case (n, s) =>
+      assert(s < 49179L, s"doc $n cannot reach the all-lists score, fused to $s")
+    }
   }
 }

@@ -492,6 +492,51 @@ class StreamingRecoverySpec extends AnyFunSuite {
       "no vector duplicated across the restart")
   }
 
+  test("sparseIndexAppendStream: streamed docs become retrievable; restart skips committed batches") {
+    import spark.implicits._
+    val in = tmp("sparse_in"); val ckpt = tmp("sparse_ck")
+    val idx = tmp("sparse_idx") + "/index"
+    def tok(rows: Seq[(Long, String)]): DataFrame =
+      rows.toDF("doc_id", "text")
+        .select(col("doc_id"), graft.gfunctions.ws_tokens(col("text")).as("toks"))
+    // base corpus: query doc 1 carries the rare term 'xylo' nobody
+    // else has — until the stream delivers doc 1000
+    operators.SparseIndex.writeIndex(tok(Seq(
+      (1L, "xylo lion tiger"),
+      (2L, "lion tiger puma"),
+      (3L, "puma wolf bear"))), idx)
+    val wave1 = tok(Seq((1000L, "xylo lion"), (1001L, "wolf bear")))
+    val wave2 = tok(Seq((1002L, "xylo xylo")))
+    val schema = wave1.schema
+
+    def run(): Unit = {
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      val q = streaming.Streams.sparseIndexAppendStream(src, idx, Some(ckpt))
+      try q.processAllAvailable() finally q.stop()
+    }
+    def top1(): Long =
+      operators.SparseIndex.bm25Search(spark, idx, tok(Seq((1L, "xylo lion tiger"))), 1)
+        .collect().head.getLong(2)
+
+    addFile(wave1, in)
+    run()
+    assert(top1() == 1000L,
+      "the freshly streamed rare-term doc must win the serve from the live index")
+    // totals merged with the wave: 9 base tokens + 4 streamed, 5 docs
+    val t1 = operators.SparseIndex.readTotals(spark, idx).collect().head
+    assert((t1.getLong(0), t1.getLong(1)) == ((13L, 5L)), s"live totals: $t1")
+
+    // restart with a new wave queued: wave 1 must not re-land
+    addFile(wave2, in)
+    run()
+    val postings = operators.SparseIndex.readPostings(spark, idx)
+    assert(postings.groupBy("doc_id", "h").count().filter($"count" > 1).count() == 0,
+      "no posting duplicated across the restart")
+    val t2 = operators.SparseIndex.readTotals(spark, idx).collect().head
+    assert((t2.getLong(0), t2.getLong(1)) == ((15L, 6L)), s"post-restart totals: $t2")
+  }
+
   test("clusteredAppendStream: streamed rows land queryable; restart skips; optimize folds mid-stream state") {
     import spark.implicits._
     val in = tmp("clus_in"); val ckpt = tmp("clus_ck")

@@ -59,7 +59,7 @@ object ScaleProbe31 {
     }
 
     // the postings the budget keeps, raw: 8 mega-lists per query
-    val h = conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
+    val h = operators.ExprUtil.md5Hash60(col("tok"))
     val tf = docs.select(col("doc_id"), explode(col("toks")).as("tok"))
       .select(col("doc_id"), h.as("h"))
       .groupBy("doc_id", "h").agg(count(lit(1)).as("tf"))
@@ -84,8 +84,7 @@ object ScaleProbe31 {
     val filtered = docs.select(
       col("doc_id"),
       filter(col("toks"), t =>
-        !conv(substring(md5(t), 1, 15), 16, 10).cast("long")
-          .isin(stopSeq: _*)).as("toks"))
+        !operators.ExprUtil.md5Hash60(t).isin(stopSeq: _*)).as("toks"))
       .filter(size(col("toks")) > 0)
 
     measured("more-like-this with upstream df cutoff") {

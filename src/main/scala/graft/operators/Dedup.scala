@@ -739,7 +739,7 @@ object Dedup {
     * table, so composers that also consume the tokens (topic summaries)
     * share one tokenization scan instead of re-splitting the corpus. */
   private[graft] def textEmbedMd5From(toked: DataFrame): DataFrame = {
-    val h = conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
+    val h = ExprUtil.md5Hash60(col("tok"))
     val hashed = toked
       .select(col("doc_id"), explode(col("toks")).as("tok"))
       .select(col("doc_id"), h.as("h"))

@@ -996,7 +996,7 @@ object Similarity {
     * q84's fusion shares ONE tokenization scan between its legs. */
   private[graft] def keywordSearchMd5From(
       toked: DataFrame, k: Int, queries: Int): DataFrame = {
-    val h = conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
+    val h = ExprUtil.md5Hash60(col("tok"))
     val tf = toked
       .select(col("doc_id"), explode(col("toks")).as("tok"))
       .select(col("doc_id"), h.as("h"))
@@ -1111,7 +1111,7 @@ object Similarity {
 
   private[graft] def bm25SearchMd5From(
       toked: DataFrame, k: Int, queries: Int): DataFrame = {
-    val h = conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
+    val h = ExprUtil.md5Hash60(col("tok"))
     val tf = toked
       .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
         explode(col("toks")).as("tok"))

@@ -62,7 +62,7 @@ object SparseIndex {
     * of the token, as a 60-bit BIGINT.
     */
   private def tokHash: Column =
-    conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
+    ExprUtil.md5Hash60(col("tok"))
 
   /** Postings of a tokenized (doc_id, toks) frame: one row per
     * (doc, distinct term) carrying tf and the doc length (dl rides the
@@ -129,7 +129,7 @@ object SparseIndex {
   private def landTokenized(toked: DataFrame, dir: String, id: String): Unit = {
     val pinned = toked.localCheckpoint() // postings build + totals row
     IndexLayout.landBatch(
-      postingsOf(pinned).sortWithinPartitions("bkt", "h"), dir, id, "bkt",
+      postingsOf(pinned), dir, id, "bkt", sortCols = Seq("bkt", "h"),
       writeExtras = staging => writeTotals(pinned, staging))
   }
 
@@ -152,7 +152,8 @@ object SparseIndex {
           .agg(sum("s_total").as("s_total"), sum("n_docs").as("n_docs"))
           .coalesce(1)
           .write.mode("overwrite").parquet(s"$nextRoot/$TotalsSubdir"),
-      afterSnapshot = afterSnapshot)
+      afterSnapshot = afterSnapshot,
+      sortCols = Seq("bkt", "h"))
 
   /** Live postings: base generation + committed unfolded batches. */
   def readPostings(spark: SparkSession, dir: String): DataFrame =

@@ -271,7 +271,7 @@ object TextAnalysis {
     */
   private def fingerprintMd5(s: org.apache.spark.sql.SparkSession, d: String) = {
     val md5h = (c: Column) =>
-      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+      ExprUtil.md5Hash60(c)
     // The shingle array feeds BOTH output columns, so ExprUtil.bound (one
     // column's expression tree) can't cover it; materialize it as its own
     // projection instead — CollapseProject keeps a non-cheap alias that is
@@ -581,7 +581,7 @@ object TextAnalysis {
     * term); no unbounded blowup exists in this plan at any corpus scale.
     */
   private def sourceOverlap(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
-    val md5h = (c: Column) => conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    val md5h = (c: Column) => ExprUtil.md5Hash60(c)
     val vocab = Tables.documents(s, d)
       .select(col("source"), explode(toks).as("tok"))
       .select(col("source"), md5h(col("tok")).as("th"))
@@ -681,7 +681,7 @@ object TextAnalysis {
     * past ~9*10^12 occurrences of one n-gram.
     */
   private def lmFluency(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
-    val md5h = (c: Column) => conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    val md5h = (c: Column) => ExprUtil.md5Hash60(c)
     // Stage table: the hashed bigram stream is consumed by the model-fit
     // aggregate AND the per-doc scoring join, and the unigram pass needs
     // the same tokens — pinned once (localCheckpoint locally; a persisted

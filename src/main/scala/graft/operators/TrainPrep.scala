@@ -55,7 +55,7 @@ object TrainPrep {
     * CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT).
     */
   private def md5h(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    ExprUtil.md5Hash60(c)
 
   // ------------------------------------------------------------ q38
 

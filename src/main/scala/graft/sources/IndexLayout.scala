@@ -79,21 +79,29 @@ private[graft] object IndexLayout {
     * rename, so per-batch sidecars (the sparse index's totals row)
     * become visible atomically WITH their batch.
     */
+  /** `sortCols`, when set, re-sorts WITHIN the partition-aligned tasks
+    * AFTER the repartition (a sort before it would be destroyed by the
+    * shuffle — r17 review), so layout invariants like the sparse
+    * index's h-sorted buckets survive landing and folding.
+    */
   def landBatch(
       encoded: DataFrame, dir: String, id: String, partitionCol: String,
+      sortCols: Seq[String] = Nil,
       writeExtras: String => Unit = _ => ()): Unit = {
     val fs = fsOf(encoded.sparkSession, dir)
     val visible = new Path(s"$dir/$AppendsDataSubdir/$id")
     if (fs.exists(visible)) return
     val stagingName = s".b-$id-${java.util.UUID.randomUUID.toString}"
     val staging = s"$dir/$AppendsDataSubdir/$stagingName"
-    encoded
-      .repartition(col(partitionCol))
+    sorted(encoded.repartition(col(partitionCol)), sortCols)
       .write.partitionBy(partitionCol).parquet(staging)
     writeExtras(staging)
     Generations.commitRename(fs, new Path(staging), visible,
       s"landBatch: could not commit $staging and $visible is absent")
   }
+
+  private def sorted(df: DataFrame, sortCols: Seq[String]): DataFrame =
+    if (sortCols.isEmpty) df else df.sortWithinPartitions(sortCols.map(col): _*)
 
   /** True iff an append batch with this fully-qualified id has already
     * committed: marker present, OR landed-but-unmarked (the crash
@@ -144,7 +152,8 @@ private[graft] object IndexLayout {
       spark: org.apache.spark.sql.SparkSession, dir: String,
       partitionCol: String, sidecarNames: Seq[String],
       foldSidecars: (String, Seq[String], String) => Unit,
-      afterSnapshot: () => Unit): Unit = {
+      afterSnapshot: () => Unit,
+      sortCols: Seq[String] = Nil): Unit = {
     val fs = fsOf(spark, dir)
     // migration heal for the r13-era in-place-swap protocol: a crash
     // between ITS two renames left the only copy at `dir + ".old"` with
@@ -171,11 +180,13 @@ private[graft] object IndexLayout {
     afterSnapshot()
     val next = cur.getOrElse(0) + 1
     val nextRoot = Generations.genDir(dir, next)
-    toFold
-      .foldLeft(spark.read.parquet(root)) { (df, b) =>
-        df.unionByName(spark.read.parquet(s"$dir/$AppendsDataSubdir/$b"))
-      }
-      .repartition(col(partitionCol))
+    sorted(
+      toFold
+        .foldLeft(spark.read.parquet(root)) { (df, b) =>
+          df.unionByName(spark.read.parquet(s"$dir/$AppendsDataSubdir/$b"))
+        }
+        .repartition(col(partitionCol)),
+      sortCols)
       .write.partitionBy(partitionCol).mode("overwrite").parquet(nextRoot)
     foldSidecars(root, toFold.map(b => s"$dir/$AppendsDataSubdir/$b"), nextRoot)
     // ad-hoc ids are never replay-checked: once their folded data dir

@@ -48,7 +48,9 @@ class PlanAuditSpec extends AnyFunSuite {
       // q86 the same for its 1-row (n_m, w_m) normalizer
       // …and q87's three-list fusion embeds q81's dense leg AND q85's
       // 1-row totals cross join
-      "q85_bm25", "q86_temp_mixture", "q87_hybrid_rrf3",
+      // …sparse_index_bm25 serves the q85 shape from disk — same 1-row
+      // totals cross join
+      "q85_bm25", "q86_temp_mixture", "q87_hybrid_rrf3", "sparse_index_bm25",
       "q35_tfidf", "dedup_cosine_verify", "q49_heavy_tokens", "q54_source_drift")
     SparkEntry.registry.foreach { q =>
       val p = plan(q)

@@ -105,14 +105,37 @@ class SparseIndexSpec extends AnyFunSuite {
     assert(nPostings == expected, s"postings rows $nPostings != $expected")
   }
 
+  /** Every parquet data file under `root` must be h-sorted — the
+    * row-group-pruning layout invariant, checked on the FILES, not the
+    * plan (r17 review: the pre-fix sort ran before the repartition and
+    * was silently destroyed by it).
+    */
+  private def assertHSorted(root: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val base = new java.io.File(root)
+    val files = java.nio.file.Files.walk(base.toPath).iterator().asScala
+      .map(_.toFile).filter(f => f.getName.endsWith(".parquet") && f.getPath.contains("bkt="))
+      .toSeq
+    assert(files.nonEmpty, s"no bucket data files under $root")
+    files.foreach { f =>
+      val hs = spark.read.parquet(f.getAbsolutePath)
+        .select("h").collect().map(_.getLong(0))
+      assert(hs.sameElements(hs.sorted), s"${f.getPath} is not h-sorted")
+    }
+  }
+
   test("compaction folds batches and totals, GCs batch data, and serving is unchanged") {
     val dir = "/tmp/graft-test/sparse_idx_compact"
     val (baseRows, deltaRows) = corpusRows.partition(_._1 <= 3L)
     SparseIndex.writeIndex(toked(baseRows), dir)
     SparseIndex.appendIndexBatch(toked(deltaRows), dir, 0L, "nsC-")
+    // the h-sort layout invariant holds for the base AND the landed batch
+    assertHSorted(dir)
     val before = served(dir)
     SparseIndex.compactIndex(spark, dir)
     assert(served(dir) == before, "a fold must not change a served row")
+    // ...and survives the fold into the new generation
+    assertHSorted(graft.sources.IndexLayout.liveRoot(spark, dir))
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_appends_data/nsC-0")),

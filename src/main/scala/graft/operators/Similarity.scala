@@ -994,43 +994,93 @@ object Similarity {
 
   /** [[keywordSearchMd5]] over an ALREADY-pinned tokenized frame, so
     * q84's fusion shares ONE tokenization scan between its legs. */
-  private[graft] def keywordSearchMd5From(
-      toked: DataFrame, k: Int, queries: Int): DataFrame = {
+  // ---- shared sparse-retrieval stages (r17 review closure: q83, q85,
+  // and q87's two sparse legs now build each stage through ONE
+  // rendering; q87 additionally SHARES one pinned tf and one budget
+  // between its TF-IDF and BM25 scorings instead of re-exploding the
+  // corpus per leg)
+
+  /** The pinned term-frequency table. `withDl` carries the doc length
+    * through the groupBy key (functionally dependent on doc_id — zero
+    * extra joins; the BM25 shape, a superset of the TF-IDF one).
+    */
+  private def sparseTf(toked: DataFrame, withDl: Boolean): DataFrame = {
     val h = ExprUtil.md5Hash60(col("tok"))
-    val tf = toked
-      .select(col("doc_id"), explode(col("toks")).as("tok"))
-      .select(col("doc_id"), h.as("h"))
-      .groupBy("doc_id", "h").agg(count(lit(1)).as("tf"))
-      .localCheckpoint() // read by the df pass, the query-term set, and the postings join
+    val base =
+      if (withDl)
+        toked
+          .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+            explode(col("toks")).as("tok"))
+          .select(col("doc_id"), col("dl"), h.as("h"))
+          .groupBy("doc_id", "dl", "h").agg(count(lit(1)).as("tf"))
+      else
+        toked
+          .select(col("doc_id"), explode(col("toks")).as("tok"))
+          .select(col("doc_id"), h.as("h"))
+          .groupBy("doc_id", "h").agg(count(lit(1)).as("tf"))
+    // read by the df pass, the query-term set, and the postings join
+    base.localCheckpoint()
+  }
+
+  /** Per-query term budget: the [[KeywordQueryTerms]] rarest terms of
+    * each query doc (df ASC, h ASC), with df scoped to the QUERY terms
+    * before aggregating — only terms of the <= `queries` query docs
+    * ever consume a df, so the exchange carries bounded-vocabulary
+    * counts, not the whole corpus vocabulary (values are still GLOBAL
+    * document frequencies — the semi-join keeps every posting of a
+    * kept term). (query_id, h) is already unique: tf is keyed on
+    * (doc_id, h).
+    */
+  private def sparseBudget(tf: DataFrame, toked: DataFrame, queries: Int): DataFrame = {
     val qids = toked.select(col("doc_id")).orderBy("doc_id").limit(queries)
       .select(col("doc_id").as("query_id"))
-    // (query_id, h) is already unique: tf is keyed on (doc_id, h)
     val qterms = tf.join(broadcast(qids), col("doc_id") === col("query_id"))
       .select(col("query_id"), col("h"))
-    // df scoped to the QUERY terms before aggregating: only terms of
-    // the <= `queries` query docs ever consume a df, so the exchange
-    // carries bounded-vocabulary counts, not the whole corpus
-    // vocabulary (values are still GLOBAL document frequencies — the
-    // semi-join keeps every posting of a kept term)
     val qh = qterms.select("h").distinct()
     val dfq = tf.join(broadcast(qh), Seq("h"))
       .groupBy("h").agg(count(lit(1)).as("df"))
-    val budgeted = qterms
+    qterms
       .join(dfq, Seq("h"))
       .withColumn("trm", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("query_id")
           .orderBy(col("df").asc, col("h").asc)))
       .filter(col("trm") <= KeywordQueryTerms)
       .drop("trm")
-    val scored = tf
-      .join(broadcast(budgeted), Seq("h"))
+  }
+
+  private def tfidfScored(tf: DataFrame, budgeted: DataFrame): DataFrame =
+    tf.join(broadcast(budgeted), Seq("h"))
       .filter(col("doc_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("doc_id").as("neighbor_id"))
       .agg(sum(expr(s"tf * $ScoreScale div df")).as("score"))
+
+  private def bm25Scored(
+      tf: DataFrame, budgeted: DataFrame, totals: DataFrame): DataFrame =
+    tf.join(broadcast(budgeted), Seq("h"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .crossJoin(broadcast(totals))
+      .groupBy(col("query_id"), col("doc_id").as("neighbor_id"))
+      .agg(sum(expr(
+        s"($ScoreScale * 44 * tf * S) div ((20*tf*S + 6*S + 18*dl*N) * df)"))
+        .as("score"))
+
+  /** Integer scores ride the double heap losslessly (< 2^53) and come
+    * back as exact bigints. */
+  private def rankedScoreList(scored: DataFrame, k: Int): DataFrame =
     rankTopK(scored.select(col("query_id"), col("neighbor_id"),
         col("score").cast("double").as("sim")), k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         col("sim").cast("long").as("score"))
+
+  private def sparseTotals(toked: DataFrame): DataFrame =
+    toked.agg(
+      sum(size(col("toks")).cast("long")).as("S"),
+      count(lit(1)).as("N"))
+
+  private[graft] def keywordSearchMd5From(
+      toked: DataFrame, k: Int, queries: Int): DataFrame = {
+    val tf = sparseTf(toked, withDl = false)
+    rankedScoreList(tfidfScored(tf, sparseBudget(tf, toked, queries)), k)
   }
 
   /** The sparse-retrieval CTE body (prefixed `k...` to compose beside
@@ -1111,42 +1161,9 @@ object Similarity {
 
   private[graft] def bm25SearchMd5From(
       toked: DataFrame, k: Int, queries: Int): DataFrame = {
-    val h = ExprUtil.md5Hash60(col("tok"))
-    val tf = toked
-      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
-        explode(col("toks")).as("tok"))
-      .select(col("doc_id"), col("dl"), h.as("h"))
-      .groupBy("doc_id", "dl", "h").agg(count(lit(1)).as("tf"))
-      .localCheckpoint() // read by the df pass, the query-term set, and the postings join
-    val totals = toked.agg(
-      sum(size(col("toks")).cast("long")).as("S"),
-      count(lit(1)).as("N"))
-    val qids = toked.select(col("doc_id")).orderBy("doc_id").limit(queries)
-      .select(col("doc_id").as("query_id"))
-    val qterms = tf.join(broadcast(qids), col("doc_id") === col("query_id"))
-      .select(col("query_id"), col("h"))
-    val qh = qterms.select("h").distinct()
-    val dfq = tf.join(broadcast(qh), Seq("h"))
-      .groupBy("h").agg(count(lit(1)).as("df"))
-    val budgeted = qterms
-      .join(dfq, Seq("h"))
-      .withColumn("trm", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
-          .orderBy(col("df").asc, col("h").asc)))
-      .filter(col("trm") <= KeywordQueryTerms)
-      .drop("trm")
-    val scored = tf
-      .join(broadcast(budgeted), Seq("h"))
-      .filter(col("doc_id") =!= col("query_id"))
-      .crossJoin(broadcast(totals))
-      .groupBy(col("query_id"), col("doc_id").as("neighbor_id"))
-      .agg(sum(expr(
-        s"($ScoreScale * 44 * tf * S) div ((20*tf*S + 6*S + 18*dl*N) * df)"))
-        .as("score"))
-    rankTopK(scored.select(col("query_id"), col("neighbor_id"),
-        col("score").cast("double").as("sim")), k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        col("sim").cast("long").as("score"))
+    val tf = sparseTf(toked, withDl = true)
+    rankedScoreList(
+      bm25Scored(tf, sparseBudget(tf, toked, queries), sparseTotals(toked)), k)
   }
 
   /** BM25 CTE body (prefixed `b...`), ending in `brk` — built on
@@ -1205,6 +1222,43 @@ object Similarity {
     * ONE generated statement, so the gate grades the complete stack
     * end to end.
     */
+  /** The RRF fusion law in ONE Scala rendering (r17 review closure:
+    * q84 and q87 each carried a copy; a tie-rule or RrfK tweak could
+    * fork them): lists are (query_id, neighbor_id, rank) rank lists,
+    * fused by Σ SCALE div (RrfK + rank), ranked on the shared tie law.
+    */
+  private def rrfFuse(lists: Seq[DataFrame], k: Int): DataFrame = {
+    val fused = lists.reduceLeft(_ unionByName _)
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(expr(s"$ScoreScale div ($RrfK + rank)")).as("rrf_score"))
+    rankTopK(fused.select(col("query_id"), col("neighbor_id"),
+        col("rrf_score").cast("double").as("sim")), k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("sim").cast("long").as("rrf_score"))
+  }
+
+  /** …and the fusion law's ONE SQL rendering: the lists/fused/frk tail
+    * over any set of rank CTEs (each ending in (query_id, neighbor_id,
+    * rank)).
+    */
+  private def rrfFusionTailSql(rankCtes: Seq[String], k: Int): String = {
+    val unioned = rankCtes
+      .map(c => s"SELECT query_id, neighbor_id, rank FROM $c WHERE rank <= $k")
+      .mkString("\n        UNION ALL\n        ")
+    s"""lists AS (
+        $unioned),
+      fused AS (
+        SELECT query_id, neighbor_id,
+          CAST(SUM($ScoreScale // ($RrfK + rank)) AS BIGINT) AS rrf_score
+        FROM lists GROUP BY query_id, neighbor_id),
+      frk AS (
+        SELECT query_id, neighbor_id, rrf_score,
+          row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, neighbor_id) AS rank
+        FROM fused)
+      SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, rrf_score
+      FROM frk WHERE rank <= $k ORDER BY query_id, rank"""
+  }
+
   private[graft] def hybridRrf(
       s: org.apache.spark.sql.SparkSession, d: String,
       k: Int = TextSearchK, queries: Int = TextSearchQueries): DataFrame = {
@@ -1218,13 +1272,7 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
     val sparse = keywordSearchMd5From(toked, k, queries)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
-    val fused = dense.unionByName(sparse)
-      .groupBy("query_id", "neighbor_id")
-      .agg(sum(expr(s"$ScoreScale div ($RrfK + rank)")).as("rrf_score"))
-    rankTopK(fused.select(col("query_id"), col("neighbor_id"),
-        col("rrf_score").cast("double").as("sim")), k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        col("sim").cast("long").as("rrf_score"))
+    rrfFuse(Seq(dense, sparse), k)
   }
 
   private def hybridRrfSql(
@@ -1232,20 +1280,7 @@ object Similarity {
     s"""WITH ${Dedup.textEmbedMd5Cte},
       ${textSearchRankedCte(queries)},
       ${keywordRankedCte(queries)},
-      lists AS (
-        SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= $k
-        UNION ALL
-        SELECT query_id, neighbor_id, rank FROM krk WHERE rank <= $k),
-      fused AS (
-        SELECT query_id, neighbor_id,
-          CAST(SUM($ScoreScale // ($RrfK + rank)) AS BIGINT) AS rrf_score
-        FROM lists GROUP BY query_id, neighbor_id),
-      frk AS (
-        SELECT query_id, neighbor_id, rrf_score,
-          row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, neighbor_id) AS rank
-        FROM fused)
-      SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, rrf_score
-      FROM frk WHERE rank <= $k ORDER BY query_id, rank"""
+      ${rrfFusionTailSql(Seq("ranked", "krk"), k)}"""
 
   val qHybridRrf = GraftQuery(
     "q84_hybrid_rrf",
@@ -1267,22 +1302,23 @@ object Similarity {
       s: org.apache.spark.sql.SparkSession, d: String,
       k: Int = TextSearchK, queries: Int = TextSearchQueries): DataFrame = {
     // ONE tokenization scan feeds all three legs; the embedding table
-    // pins separately (read on both join sides of the dense leg)
+    // pins separately (read on both join sides of the dense leg).
+    // The two SPARSE legs share ONE pinned tf table (BM25's dl-carrying
+    // shape subsumes TF-IDF's) and ONE term budget (the df-asc/h-asc
+    // law is identical in both) — only the scoring differs, so the
+    // corpus explodes and the budget pipeline run ONCE, not per leg
+    // (r17 review closure).
     val toked = tokedDocs(s, d).localCheckpoint()
     val dense = textSearchMd5Over(
         Dedup.textEmbedMd5From(toked).localCheckpoint(), k, queries)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
-    val tfidf = keywordSearchMd5From(toked, k, queries)
+    val tf = sparseTf(toked, withDl = true)
+    val budgeted = sparseBudget(tf, toked, queries).localCheckpoint()
+    val tfidf = rankedScoreList(tfidfScored(tf, budgeted), k)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
-    val bm25 = bm25SearchMd5From(toked, k, queries)
+    val bm25 = rankedScoreList(bm25Scored(tf, budgeted, sparseTotals(toked)), k)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
-    val fused = dense.unionByName(tfidf).unionByName(bm25)
-      .groupBy("query_id", "neighbor_id")
-      .agg(sum(expr(s"$ScoreScale div ($RrfK + rank)")).as("rrf_score"))
-    rankTopK(fused.select(col("query_id"), col("neighbor_id"),
-        col("rrf_score").cast("double").as("sim")), k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        col("sim").cast("long").as("rrf_score"))
+    rrfFuse(Seq(dense, tfidf, bm25), k)
   }
 
   private def hybridRrf3Sql(
@@ -1291,22 +1327,7 @@ object Similarity {
       ${textSearchRankedCte(queries)},
       ${keywordRankedCte(queries)},
       ${bm25RankedCte(queries)},
-      lists AS (
-        SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= $k
-        UNION ALL
-        SELECT query_id, neighbor_id, rank FROM krk WHERE rank <= $k
-        UNION ALL
-        SELECT query_id, neighbor_id, rank FROM brk WHERE rank <= $k),
-      fused AS (
-        SELECT query_id, neighbor_id,
-          CAST(SUM($ScoreScale // ($RrfK + rank)) AS BIGINT) AS rrf_score
-        FROM lists GROUP BY query_id, neighbor_id),
-      frk AS (
-        SELECT query_id, neighbor_id, rrf_score,
-          row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, neighbor_id) AS rank
-        FROM fused)
-      SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, rrf_score
-      FROM frk WHERE rank <= $k ORDER BY query_id, rank"""
+      ${rrfFusionTailSql(Seq("ranked", "krk", "brk"), k)}"""
 
   val qHybridRrf3 = GraftQuery(
     "q87_hybrid_rrf3",

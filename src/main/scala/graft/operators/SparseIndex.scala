@@ -128,6 +128,12 @@ object SparseIndex {
 
   private def landTokenized(toked: DataFrame, dir: String, id: String): Unit = {
     val pinned = toked.localCheckpoint() // postings build + totals row
+    // EMPTY batches land NOTHING (r17 review): foreachBatch can deliver
+    // a zero-row batch (restart replay, upstream filter), and an empty
+    // partitioned write is a data-less directory that bricks every
+    // later spark.read.parquet of the union (UNABLE_TO_INFER_SCHEMA).
+    // The caller still writes the marker, so the replay fence holds.
+    if (pinned.isEmpty) return
     IndexLayout.landBatch(
       postingsOf(pinned), dir, id, "bkt", sortCols = Seq("bkt", "h"),
       writeExtras = staging => writeTotals(pinned, staging))
@@ -155,17 +161,32 @@ object SparseIndex {
       afterSnapshot = afterSnapshot,
       sortCols = Seq("bkt", "h"))
 
+  /** One point-in-time listing of the live units (base generation +
+    * committed unfolded batches). A serve captures this ONCE and reads
+    * postings AND totals from the same list — two independent listings
+    * would let a batch committing in between inflate (S, N) against
+    * lists it contributed no postings to (r17 review; reachable the
+    * moment sparseIndexAppendStream lands batches concurrently).
+    */
+  private def liveUnits(spark: SparkSession, dir: String): Seq[String] =
+    graft.sources.Generations
+      .liveRoots(IndexLayout.fsOf(spark, dir), dir, IndexLayout.AppendsDataSubdir)
+
+  private def postingsOfUnits(spark: SparkSession, units: Seq[String]): DataFrame =
+    units.map(spark.read.parquet(_)).reduceLeft(_ unionByName _)
+
+  private def totalsOfUnits(spark: SparkSession, units: Seq[String]): DataFrame =
+    units.map(r => spark.read.parquet(s"$r/$TotalsSubdir"))
+      .reduceLeft(_ unionByName _)
+      .agg(sum("s_total").as("S"), sum("n_docs").as("N"))
+
   /** Live postings: base generation + committed unfolded batches. */
   def readPostings(spark: SparkSession, dir: String): DataFrame =
-    IndexLayout.readLive(spark, dir)
+    postingsOfUnits(spark, liveUnits(spark, dir))
 
   /** Live corpus totals, merged across every visible unit. */
   def readTotals(spark: SparkSession, dir: String): DataFrame =
-    graft.sources.Generations
-      .liveRoots(IndexLayout.fsOf(spark, dir), dir, IndexLayout.AppendsDataSubdir)
-      .map(r => spark.read.parquet(s"$r/$TotalsSubdir"))
-      .reduceLeft(_ unionByName _)
-      .agg(sum("s_total").as("S"), sum("n_docs").as("N"))
+    totalsOfUnits(spark, liveUnits(spark, dir))
 
   /** Serve BM25 "more-like-this" from the persisted index: the exact
     * q85 law ([[Similarity.bm25SearchMd5From]]) with the tf table
@@ -188,9 +209,13 @@ object SparseIndex {
     * prunes row groups inside the touched buckets.
     */
   private[graft] def prunedPostings(
-      spark: SparkSession, dir: String, hs: Array[Long]): DataFrame = {
+      spark: SparkSession, dir: String, hs: Array[Long]): DataFrame =
+    prunedPostingsOfUnits(spark, liveUnits(spark, dir), hs)
+
+  private def prunedPostingsOfUnits(
+      spark: SparkSession, units: Seq[String], hs: Array[Long]): DataFrame = {
     val bkts = hs.map(h => (h % NBuckets).toInt).distinct.toSeq
-    readPostings(spark, dir)
+    postingsOfUnits(spark, units)
       .filter(col("bkt").isin(bkts: _*))
       .filter(col("h").isin(hs.toSeq: _*))
   }
@@ -203,7 +228,9 @@ object SparseIndex {
       .distinct()
       .localCheckpoint() // read for the literal prune and both joins
     val hs = qterms.select("h").distinct().collect().map(_.getLong(0)).sorted
-    val posted = prunedPostings(spark, dir, hs)
+    // ONE unit snapshot feeds postings AND totals (see liveUnits)
+    val units = liveUnits(spark, dir)
+    val posted = prunedPostingsOfUnits(spark, units, hs)
       .localCheckpoint() // read by the df count AND the scoring join
     val dfq = posted.groupBy("h").agg(count(lit(1)).as("df"))
     val budgeted = qterms
@@ -216,7 +243,7 @@ object SparseIndex {
     val scored = posted
       .join(broadcast(budgeted), Seq("h"))
       .filter(col("doc_id") =!= col("query_id"))
-      .crossJoin(broadcast(readTotals(spark, dir)))
+      .crossJoin(broadcast(totalsOfUnits(spark, units)))
       .groupBy(col("query_id"), col("doc_id").as("neighbor_id"))
       .agg(sum(expr(
         s"(${Similarity.ScoreScale} * 44 * tf * S) div ((20*tf*S + 6*S + 18*dl*N) * df)"))

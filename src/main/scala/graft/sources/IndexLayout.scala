@@ -78,8 +78,8 @@ private[graft] object IndexLayout {
     * `writeExtras` runs against the STAGING path before the commit
     * rename, so per-batch sidecars (the sparse index's totals row)
     * become visible atomically WITH their batch.
-    */
-  /** `sortCols`, when set, re-sorts WITHIN the partition-aligned tasks
+    *
+    * `sortCols`, when set, re-sorts WITHIN the partition-aligned tasks
     * AFTER the repartition (a sort before it would be destroyed by the
     * shuffle — r17 review), so layout invariants like the sparse
     * index's h-sorted buckets survive landing and folding.

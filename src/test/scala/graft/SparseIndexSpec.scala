@@ -113,9 +113,11 @@ class SparseIndexSpec extends AnyFunSuite {
   private def assertHSorted(root: String): Unit = {
     import scala.jdk.CollectionConverters._
     val base = new java.io.File(root)
-    val files = java.nio.file.Files.walk(base.toPath).iterator().asScala
-      .map(_.toFile).filter(f => f.getName.endsWith(".parquet") && f.getPath.contains("bkt="))
-      .toSeq
+    val files = scala.util.Using.resource(java.nio.file.Files.walk(base.toPath)) { walk =>
+      walk.iterator().asScala
+        .map(_.toFile).filter(f => f.getName.endsWith(".parquet") && f.getPath.contains("bkt="))
+        .toSeq
+    }
     assert(files.nonEmpty, s"no bucket data files under $root")
     files.foreach { f =>
       val hs = spark.read.parquet(f.getAbsolutePath)

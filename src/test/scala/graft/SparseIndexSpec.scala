@@ -126,6 +126,33 @@ class SparseIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("an empty streamed batch marks but lands nothing; the index stays readable (both lanes)") {
+    // r17 review: foreachBatch can deliver a zero-row batch (restart
+    // replay, upstream filter); an empty partitioned write is a
+    // data-less visible dir that bricks every later read of the union
+    val dir = "/tmp/graft-test/sparse_idx_empty"
+    SparseIndex.writeIndex(toked(corpusRows), dir)
+    val before = served(dir)
+    SparseIndex.appendIndexBatch(toked(Seq.empty), dir, 5L, "nsE-")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_appends/nsE-5")),
+      "the empty batch still commits (marker) so a replay stays fenced")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_appends_data/nsE-5")),
+      "no data-less directory lands")
+    assert(served(dir) == before, "serving survives the empty batch")
+    // the IVF lane shares the guard
+    import spark.implicits._
+    val idxDir = "/tmp/graft-test/ivf_idx_empty"
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    operators.Ivf.writeIndex(emb, operators.Ivf.train(emb, k = 4, iters = 1), idxDir)
+    val n = operators.Ivf.readIndex(spark, idxDir).count()
+    operators.Ivf.appendIndexBatch(
+      Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding"), idxDir, 7L, "nsE-")
+    assert(operators.Ivf.readIndex(spark, idxDir).count() == n,
+      "IVF index stays readable and unchanged after an empty batch")
+  }
+
   test("compaction folds batches and totals, GCs batch data, and serving is unchanged") {
     val dir = "/tmp/graft-test/sparse_idx_compact"
     val (baseRows, deltaRows) = corpusRows.partition(_._1 <= 3L)

@@ -573,12 +573,11 @@ object Ivf {
     val id = s"$namespace$batchId"
     if (graft.sources.IndexLayout.batchMarked(fs, dir, id)) return // committed replay
     if (legacyIds.exists(appendCommitted(spark, dir, _))) return
-    // EMPTY batches land NOTHING (r17 review, the SparseIndex lane's
-    // hazard shared here): an empty partitioned write is a data-less
-    // visible dir that bricks readIndex's union with
-    // UNABLE_TO_INFER_SCHEMA. The marker still lands — the replay fence
-    // must remember the batch committed (as nothing).
-    if (!delta.isEmpty) landBatch(encodeForIndex(delta, dir), dir, id)
+    // empty batches land nothing — the guard lives in the shared
+    // IndexLayout.landBatch (post-write staging check, so the batch
+    // plan is never evaluated twice); the marker still lands, because
+    // the replay fence must remember the batch committed (as nothing)
+    landBatch(encodeForIndex(delta, dir), dir, id)
     graft.sources.IndexLayout.markBatch(fs, dir, id)
   }
 

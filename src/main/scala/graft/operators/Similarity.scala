@@ -1000,27 +1000,33 @@ object Similarity {
   // between its TF-IDF and BM25 scorings instead of re-exploding the
   // corpus per leg)
 
-  /** The pinned term-frequency table. `withDl` carries the doc length
-    * through the groupBy key (functionally dependent on doc_id — zero
-    * extra joins; the BM25 shape, a superset of the TF-IDF one).
+  /** The term-frequency STAGE in one rendering (r17 review: the
+    * persisted index's postings build must be the same law —
+    * [[SparseIndex.postingsOf]] is this stage plus the bucket column).
+    * `withDl` carries the doc length through the groupBy key
+    * (functionally dependent on doc_id — zero extra joins; the BM25
+    * shape, a superset of the TF-IDF one). UNPINNED — callers that
+    * read it more than once checkpoint it themselves.
     */
-  private def sparseTf(toked: DataFrame, withDl: Boolean): DataFrame = {
+  private[graft] def sparseTfStage(toked: DataFrame, withDl: Boolean): DataFrame = {
     val h = ExprUtil.md5Hash60(col("tok"))
-    val base =
-      if (withDl)
-        toked
-          .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
-            explode(col("toks")).as("tok"))
-          .select(col("doc_id"), col("dl"), h.as("h"))
-          .groupBy("doc_id", "dl", "h").agg(count(lit(1)).as("tf"))
-      else
-        toked
-          .select(col("doc_id"), explode(col("toks")).as("tok"))
-          .select(col("doc_id"), h.as("h"))
-          .groupBy("doc_id", "h").agg(count(lit(1)).as("tf"))
-    // read by the df pass, the query-term set, and the postings join
-    base.localCheckpoint()
+    if (withDl)
+      toked
+        .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+          explode(col("toks")).as("tok"))
+        .select(col("doc_id"), col("dl"), h.as("h"))
+        .groupBy("doc_id", "dl", "h").agg(count(lit(1)).as("tf"))
+    else
+      toked
+        .select(col("doc_id"), explode(col("toks")).as("tok"))
+        .select(col("doc_id"), h.as("h"))
+        .groupBy("doc_id", "h").agg(count(lit(1)).as("tf"))
   }
+
+  /** [[sparseTfStage]] pinned — read by the df pass, the query-term
+    * set, and the postings join. */
+  private def sparseTf(toked: DataFrame, withDl: Boolean): DataFrame =
+    sparseTfStage(toked, withDl).localCheckpoint()
 
   /** Per-query term budget: the [[KeywordQueryTerms]] rarest terms of
     * each query doc (df ASC, h ASC), with df scoped to the QUERY terms

@@ -64,17 +64,13 @@ object SparseIndex {
   private def tokHash: Column =
     ExprUtil.md5Hash60(col("tok"))
 
-  /** Postings of a tokenized (doc_id, toks) frame: one row per
-    * (doc, distinct term) carrying tf and the doc length (dl rides the
-    * groupBy key — functionally dependent on doc_id, zero extra joins;
-    * the q85 move).
+  /** Postings of a tokenized (doc_id, toks) frame: q85's tf stage
+    * ([[Similarity.sparseTfStage]] — ONE rendering, so the persisted
+    * lists can never fork from the in-memory law; r17 review) plus the
+    * layout's bucket column.
     */
   private[graft] def postingsOf(toked: DataFrame): DataFrame =
-    toked
-      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
-        explode(col("toks")).as("tok"))
-      .select(col("doc_id"), col("dl"), tokHash.as("h"))
-      .groupBy("doc_id", "dl", "h").agg(count(lit(1)).as("tf"))
+    Similarity.sparseTfStage(toked, withDl = true)
       .withColumn("bkt", pmod(col("h"), lit(NBuckets)).cast("int"))
 
   private def totalsOf(toked: DataFrame): DataFrame =
@@ -128,11 +124,10 @@ object SparseIndex {
 
   private def landTokenized(toked: DataFrame, dir: String, id: String): Unit = {
     val pinned = toked.localCheckpoint() // postings build + totals row
-    // EMPTY batches land NOTHING (r17 review): foreachBatch can deliver
-    // a zero-row batch (restart replay, upstream filter), and an empty
-    // partitioned write is a data-less directory that bricks every
-    // later spark.read.parquet of the union (UNABLE_TO_INFER_SCHEMA).
-    // The caller still writes the marker, so the replay fence holds.
+    // zero-row batch: skip the postings/totals builds outright (the
+    // isEmpty is free on the pinned frame). The load-bearing guard —
+    // a data-less dir must never land — lives in the shared
+    // IndexLayout.landBatch for EVERY caller; the marker still lands.
     if (pinned.isEmpty) return
     IndexLayout.landBatch(
       postingsOf(pinned), dir, id, "bkt", sortCols = Seq("bkt", "h"),

@@ -95,6 +95,17 @@ private[graft] object IndexLayout {
     val staging = s"$dir/$AppendsDataSubdir/$stagingName"
     sorted(encoded.repartition(col(partitionCol)), sortCols)
       .write.partitionBy(partitionCol).parquet(staging)
+    // EMPTY-BATCH GUARD at the one shared write path (r17 review, both
+    // passes): a zero-row batch writes no partition dirs, and landing
+    // the data-less directory bricks every later union read
+    // (UNABLE_TO_INFER_SCHEMA) — including compaction's fold, so the
+    // index could not even self-heal. Checking the STAGED result costs
+    // one FS listing and no extra plan evaluation (an upstream
+    // isEmpty() would re-run the batch plan); the batch simply never
+    // lands, and idempotent callers still write their replay marker.
+    val hasData = fs.listStatus(new Path(staging))
+      .exists(_.getPath.getName.startsWith(s"$partitionCol="))
+    if (!hasData) { fs.delete(new Path(staging), true); return }
     writeExtras(staging)
     Generations.commitRename(fs, new Path(staging), visible,
       s"landBatch: could not commit $staging and $visible is absent")

@@ -62,13 +62,14 @@ class ByteBudgetSpec extends AnyFunSuite {
     } finally sc.removeSparkListener(listener)
   }
 
-  /** Budget = ~3x the r16 measured prod shuffle-write at sf0.001 (the
-    * comment is the measured value). Revise ONLY with a receipt: a new
+  /** Budget = ~3x the measured prod shuffle-write at sf0.001 at each
+    * row's calibration round (the middle column is the measured value). Revise ONLY with a receipt: a new
     * operator edition whose plan legitimately shuffles more must bring
     * a §6 bytes-per-row justification, not just a bigger constant.
     */
   val budgets: Seq[(String, Long, Long)] = Seq(
-    // name, measured r16 (bytes), budget (bytes)
+    // name, measured at calibration (bytes; r16 rows through
+    // ann_index_pq_rerank_fullprobe, r17 rows below), budget (bytes)
     ("ann_lsh_topk", 465560L, 1400000L),
     ("q34_ngram_stats", 360334L, 1100000L),
     ("q35_tfidf", 303283L, 950000L),
@@ -156,7 +157,7 @@ class ByteBudgetSpec extends AnyFunSuite {
     val bad = budgets.flatMap { case (name, measured, budget) =>
       val got = prodShuffleWrite(byName(name))
       if (got > budget)
-        Some(s"$name: $got B > budget $budget B (was $measured B at r16)")
+        Some(s"$name: $got B > budget $budget B (was $measured B at calibration)")
       else if (got < measured / 10)
         Some(s"$name: $got B < ${measured / 10} B floor — attribution broken " +
           s"or plan changed shape; re-measure and update the table")

@@ -68,16 +68,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
                 "docroot" -> "https://spark.apache.org/docs/latest"),
               Option.empty[Throwable])
           val dimsExpr = children(1)
-          // a foldable NULL int literal folds to null — reject it on the
-          // same readable path rather than NPE-unboxing below
-          if (!dimsExpr.foldable || dimsExpr.dataType != org.apache.spark.sql.types.IntegerType ||
-              dimsExpr.eval() == null)
+          // two distinct failures, two readable errors (r17 ADVICE: a
+          // foldable-but-wrong-type dims used to raise
+          // NON_FOLDABLE_ARGUMENT, which misdescribes it): first
+          // non-foldable, then — for a foldable dims — wrong type or a
+          // NULL int literal (which folds to null and would NPE-unbox
+          // below) as a datatype mismatch
+          if (!dimsExpr.foldable)
             throw new org.apache.spark.sql.AnalysisException(
               "NON_FOLDABLE_ARGUMENT",
               Map(
                 "funcName" -> "`hashed_projection`",
                 "paramName" -> "`dims`",
                 "paramType" -> "\"INT\""),
+              Option.empty[Throwable])
+          if (dimsExpr.dataType != org.apache.spark.sql.types.IntegerType ||
+              dimsExpr.eval() == null)
+            throw new org.apache.spark.sql.AnalysisException(
+              "DATATYPE_MISMATCH.UNEXPECTED_INPUT_TYPE",
+              Map(
+                "sqlExpr" -> "\"hashed_projection\"",
+                "paramIndex" -> "second",
+                "requiredType" -> "\"INT\" (non-NULL literal)",
+                "inputSql" -> s"\"${dimsExpr.sql}\"",
+                "inputType" -> s"\"${dimsExpr.dataType.sql}\""),
               Option.empty[Throwable])
           HashedProjection(children(0), dimsExpr.eval().asInstanceOf[Int])
         },

@@ -727,6 +727,10 @@ object Streams {
     * envelope. A freshly streamed document is immediately retrievable
     * by [[graft.operators.SparseIndex.bm25Search]] — df and totals
     * merge at serve time by construction (derived df; summed totals).
+    * Zero-token docs in a batch are dropped by the index's own
+    * population law (r17 ADVICE — enforced in the write path, not by
+    * this caller), so a stream carrying empty docs cannot inflate
+    * n_docs against the gated q85 oracle.
     */
   def sparseIndexAppendStream(
       toked: DataFrame,

@@ -301,19 +301,27 @@ class CosineSimSpec extends AnyFunSuite {
     // AnalysisException, not IndexOutOfBounds/ClassCast/NPE.
     val good = spark.sql("SELECT hashed_projection(array('a','b'), 8)").collect()
     assert(good.head.getSeq[Float](0).length == 8)
-    def analysisError(sql: String): String =
-      intercept[org.apache.spark.sql.AnalysisException](spark.sql(sql).collect()).getMessage
-    assert(analysisError("SELECT hashed_projection(array('a'))").contains("hashed_projection"))
-    assert(analysisError("SELECT hashed_projection(array('a'), 8, 9)").contains("hashed_projection"))
-    // non-foldable dims (a column reference)
-    assert(analysisError(
+    def analysisError(sql: String): org.apache.spark.sql.AnalysisException =
+      intercept[org.apache.spark.sql.AnalysisException](spark.sql(sql).collect())
+    assert(analysisError("SELECT hashed_projection(array('a'))")
+      .getMessage.contains("hashed_projection"))
+    assert(analysisError("SELECT hashed_projection(array('a'), 8, 9)")
+      .getMessage.contains("hashed_projection"))
+    // r17 ADVICE closure: the two dims failure modes raise DISTINCT
+    // error classes — NON_FOLDABLE_ARGUMENT only for a genuinely
+    // non-foldable dims; a foldable-but-wrong-type (or NULL-literal)
+    // dims is a datatype mismatch, not a foldability problem.
+    val nonFoldable = analysisError(
       "SELECT hashed_projection(array('a'), x) FROM (SELECT 8 AS x WHERE rand() < 2)")
-      .contains("hashed_projection"))
-    // non-int dims literal
-    assert(analysisError("SELECT hashed_projection(array('a'), '8')").contains("hashed_projection"))
-    // foldable NULL int dims
-    assert(analysisError("SELECT hashed_projection(array('a'), CAST(NULL AS INT))")
-      .contains("hashed_projection"))
+    assert(nonFoldable.getCondition == "NON_FOLDABLE_ARGUMENT")
+    assert(nonFoldable.getMessage.contains("hashed_projection"))
+    val wrongType = analysisError("SELECT hashed_projection(array('a'), '8')")
+    assert(wrongType.getCondition == "DATATYPE_MISMATCH.UNEXPECTED_INPUT_TYPE")
+    assert(wrongType.getMessage.contains("hashed_projection"))
+    assert(wrongType.getMessage.contains("STRING"))
+    val nullDims = analysisError("SELECT hashed_projection(array('a'), CAST(NULL AS INT))")
+    assert(nullDims.getCondition == "DATATYPE_MISMATCH.UNEXPECTED_INPUT_TYPE")
+    assert(nullDims.getMessage.contains("hashed_projection"))
   }
 
   test("cosine_sim runs inside WholeStageCodegen (no fallback)") {

@@ -17,11 +17,16 @@ import operators.{Similarity, SparseIndex}
 class SparseIndexSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSession.spark
 
-  private def toked(rows: Seq[(Long, String)]): DataFrame = {
+  private def toked(rows: Seq[(Long, String)]): DataFrame =
+    tokedAll(rows).filter(size(col("toks")) > 0)
+
+  /** Tokenized WITHOUT the eligibility filter — feeds the write paths
+    * raw so the specs can prove the INDEX enforces the population law.
+    */
+  private def tokedAll(rows: Seq[(Long, String)]): DataFrame = {
     import spark.implicits._
     rows.toDF("doc_id", "text")
       .select(col("doc_id"), graft.gfunctions.ws_tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) > 0)
   }
 
   // Shared-vocabulary corpus: every doc reachable from every query doc.
@@ -153,6 +158,81 @@ class SparseIndexSpec extends AnyFunSuite {
       "IVF index stays readable and unchanged after an empty batch")
   }
 
+  test("zero-token docs never enter the index: mixed batch lands only eligible docs (r17 ADVICE)") {
+    // the q85 population law (len(toks) > 0) is enforced at the write
+    // paths themselves — a streamed batch carrying empty docs used to
+    // inflate n_docs and drift served scores from the gated oracle
+    val mixed = "/tmp/graft-test/sparse_idx_mixed"
+    val clean = "/tmp/graft-test/sparse_idx_clean"
+    val (baseRows, deltaRows) = corpusRows.partition(_._1 <= 3L)
+    val emptyDocs = Seq((90L, ""), (91L, "   \t "))
+    // mixed lifecycle: empty docs ride along at every write path
+    SparseIndex.writeIndex(tokedAll(baseRows ++ emptyDocs.take(1)), mixed)
+    SparseIndex.appendIndexBatch(tokedAll(deltaRows ++ emptyDocs.drop(1)), mixed, 0L, "nsM-")
+    SparseIndex.writeIndex(toked(baseRows), clean)
+    SparseIndex.appendIndexBatch(toked(deltaRows), clean, 0L, "nsM-")
+    assert(served(mixed) == served(clean),
+      "empty-toks docs must not change a served row")
+    val t = SparseIndex.readTotals(spark, mixed).collect().head
+    val dls = corpusRows.map(_._2.split(" ").length.toLong)
+    assert((t.getLong(0), t.getLong(1)) == ((dls.sum, dls.size.toLong)),
+      s"totals must count only eligible docs: $t")
+    // an all-empty batch degenerates to the empty-batch path: marker, no data
+    SparseIndex.appendIndexBatch(tokedAll(emptyDocs), mixed, 1L, "nsM-")
+    val fs = new org.apache.hadoop.fs.Path(mixed)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$mixed/_appends/nsM-1")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$mixed/_appends_data/nsM-1")))
+  }
+
+  test("mega-document query: the budget ranks on the df sidecar BEFORE any postings fetch (r17 judge item)") {
+    // a query doc with hundreds of distinct terms used to drag EVERY
+    // one of its term lists just to learn which 16 survive the budget;
+    // with the _df sidecar the fetch is bounded at KeywordQueryTerms
+    // lists per query
+    val dir = "/tmp/graft-test/sparse_idx_mega"
+    val terms = (0 until 400).map(i => s"term$i")
+    // the mega doc (doc_id 0) carries every term; the rest of the
+    // corpus spreads term df so the 16-rarest budget is a real choice
+    val megaRows = Seq((0L, terms.mkString(" "))) ++
+      (1 to 40).map(i => (i.toLong, terms.take(10 * i).mkString(" ")))
+    SparseIndex.writeIndex(toked(megaRows), dir)
+    val queryFrame = toked(megaRows).filter(col("doc_id") === 0L)
+    // the spec seam: the budget survivors, computed sidecar-only
+    val qterms = queryFrame
+      .select(col("doc_id").as("query_id"), explode(col("toks")).as("tok"))
+      .select(col("query_id"), operators.ExprUtil.md5Hash60(col("tok")).as("h"))
+      .distinct()
+    val units = graft.sources.Generations.liveRoots(
+      graft.sources.IndexLayout.fsOf(spark, dir), dir,
+      graft.sources.IndexLayout.AppendsDataSubdir)
+    val budgeted = SparseIndex.budgetTerms(spark, units, qterms).collect()
+    assert(qterms.count() == 400L, "spec setup: the query really has 400 distinct terms")
+    assert(budgeted.length == Similarity.KeywordQueryTerms,
+      s"the fetch set must be budgeted to ${Similarity.KeywordQueryTerms} lists, " +
+        s"got ${budgeted.length}")
+    // ...and the budgeted serve still equals the in-memory q85 law
+    val got = SparseIndex.bm25Search(spark, dir, queryFrame, 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    val want = Similarity.bm25SearchMd5From(toked(megaRows).localCheckpoint(), 5, 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want, "budget-before-fetch must not change a served row")
+  }
+
+  test("bm25Search rejects an over-sized query set with a readable error (r17 ADVICE)") {
+    val dir = "/tmp/graft-test/sparse_idx_guard"
+    SparseIndex.writeIndex(toked(corpusRows), dir)
+    import spark.implicits._
+    val tooMany = (0 until SparseIndex.MaxServeQueries + 1)
+      .map(i => (i.toLong, "zebra")).toDF("doc_id", "text")
+      .select(col("doc_id"), graft.gfunctions.ws_tokens(col("text")).as("toks"))
+    val e = intercept[IllegalArgumentException](
+      SparseIndex.bm25Search(spark, dir, tooMany, 5))
+    assert(e.getMessage.contains("MaxServeQueries"))
+    assert(e.getMessage.contains("bm25SearchMd5From"),
+      "the error must point at the batch-scoring alternative")
+  }
+
   test("compaction folds batches and totals, GCs batch data, and serving is unchanged") {
     val dir = "/tmp/graft-test/sparse_idx_compact"
     val (baseRows, deltaRows) = corpusRows.partition(_._1 <= 3L)
@@ -174,6 +254,14 @@ class SparseIndexSpec extends AnyFunSuite {
     // totals folded into ONE base-root row
     val root = graft.sources.IndexLayout.liveRoot(spark, dir)
     assert(spark.read.parquet(s"$root/${SparseIndex.TotalsSubdir}").count() == 1L)
+    // the df sidecar folded too: one merged (h, df) table equal to the
+    // full corpus's derived df
+    val foldedDf = spark.read.parquet(s"$root/${SparseIndex.DfSubdir}")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val wantDf = SparseIndex.postingsOf(toked(corpusRows))
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(foldedDf == wantDf, "folded _df sidecar must equal derived df")
     // a post-GC replay of the folded batch stays a no-op
     SparseIndex.appendIndexBatch(toked(deltaRows), dir, 0L, "nsC-")
     assert(served(dir) == before, "a replay of a folded batch must not re-land")

@@ -464,6 +464,33 @@ class DedupSpec extends AnyFunSuite {
     assert(jac.forall(!_), "whole-doc jaccard flags nothing on the quoted-block corpus")
   }
 
+  test("line dedup REMOVES a shared footer everywhere, keeps unique and twice-shared lines, handles short/empty docs") {
+    import spark.implicits._
+    val footer = "subscribe to our newsletter"
+    val docs = Seq(
+      (1L, s"alpha beta\n$footer\npair line"),
+      (2L, s"delta\n$footer"),
+      (3L, s"$footer\nepsilon zeta"),
+      (4L, footer), // becomes empty after removal
+      (5L, "pair line\n\nunique two"), // empty middle line is structure, kept
+      (6L, ""), // empty doc: one empty line, nothing to remove
+    ).toDF("doc_id", "text")
+    val got = Dedup.lineDedup(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // footer df = 4 > 2 -> removed from EVERY doc; "pair line" df = 2 -> kept
+    assert(got(0) == ((1L, 3L, 1L, "alpha beta\npair line")))
+    assert(got(1) == ((2L, 2L, 1L, "delta")))
+    assert(got(2) == ((3L, 2L, 1L, "epsilon zeta")))
+    assert(got(3) == ((4L, 1L, 1L, "")), "an all-boilerplate doc empties, still emits a row")
+    assert(got(4) == ((5L, 3L, 0L, "pair line\n\nunique two")))
+    assert(got(5) == ((6L, 1L, 0L, "")))
+    // the registry synthesizer: chunk law, zero-token doc -> empty text
+    val lined = Dedup.linedDocs(Seq((7L, "a b c d e f"), (8L, " ")).toDF("doc_id", "text"))
+      .orderBy("doc_id").collect().map(_.getString(1))
+    assert(lined(0) == "a b c d\ne f", "4-token chunks, remainder is the last line")
+    assert(lined(1) == "", "zero-token doc synthesizes empty text")
+  }
+
   test("image phash: re-encoded and brightness-shifted copies are found; unrelated and non-image are not") {
     import spark.implicits._
     import java.awt.image.BufferedImage

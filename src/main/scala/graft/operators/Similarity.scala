@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.{GraftQuery, Tables}
 import graft.gfunctions.{cosine_sim, top_k_by_score}
@@ -861,16 +861,31 @@ object Similarity {
   /** The dense ranking over an ALREADY-pinned embedding table, so
     * q84's fusion can feed it embeddings derived from a shared
     * tokenized frame. */
+  /** The dense md5-law sim in ONE Scala rendering (shared by the
+    * in-memory ranking and the served index's exact rerank, so the
+    * fixed left-associated double sum cannot fork between them):
+    * Σ q_j·e_j over a row carrying both the q* and e* columns.
+    */
+  private def denseDotQE(dims: Int): Column =
+    (0 until dims).map(j => col(s"q$j") * col(s"e$j")).reduceLeft(_ + _)
+
+  /** The `queries` lowest-doc_id rows of the embedding table, doc_id
+    * renamed to query_id and features to q0..q{dims-1} — the dense
+    * query set in one rendering. */
+  private def denseQuerySet(emb: DataFrame, queries: Int): DataFrame = {
+    val dims = Dedup.TextEmbedDims
+    emb.orderBy("doc_id").limit(queries).select(
+      col("doc_id").as("query_id") +: (0 until dims).map(j => col(s"e$j").as(s"q$j")): _*)
+  }
+
   private def textSearchMd5Over(emb: DataFrame, k: Int, queries: Int): DataFrame = {
     val dims = Dedup.TextEmbedDims
-    val qr = emb.orderBy("doc_id").limit(queries).select(
-      col("doc_id").as("query_id") +: (0 until dims).map(j => col(s"e$j").as(s"q$j")): _*)
     val scored = emb.alias("c")
-      .join(broadcast(qr), col("query_id") =!= col("doc_id"))
+      .join(broadcast(denseQuerySet(emb, queries)), col("query_id") =!= col("doc_id"))
       .select(
         col("query_id"),
         col("doc_id").as("neighbor_id"),
-        (0 until dims).map(j => col(s"q$j") * col(s"e$j")).reduceLeft(_ + _).as("sim"))
+        denseDotQE(dims).as("sim"))
     rankTopK(scored, k)
   }
 
@@ -1054,13 +1069,13 @@ object Similarity {
       .drop("trm")
   }
 
-  private def tfidfScored(tf: DataFrame, budgeted: DataFrame): DataFrame =
+  private[graft] def tfidfScored(tf: DataFrame, budgeted: DataFrame): DataFrame =
     tf.join(broadcast(budgeted), Seq("h"))
       .filter(col("doc_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("doc_id").as("neighbor_id"))
       .agg(sum(expr(s"tf * $ScoreScale div df")).as("score"))
 
-  private def bm25Scored(
+  private[graft] def bm25Scored(
       tf: DataFrame, budgeted: DataFrame, totals: DataFrame): DataFrame =
     tf.join(broadcast(budgeted), Seq("h"))
       .filter(col("doc_id") =!= col("query_id"))
@@ -1072,7 +1087,7 @@ object Similarity {
 
   /** Integer scores ride the double heap losslessly (< 2^53) and come
     * back as exact bigints. */
-  private def rankedScoreList(scored: DataFrame, k: Int): DataFrame =
+  private[graft] def rankedScoreList(scored: DataFrame, k: Int): DataFrame =
     rankTopK(scored.select(col("query_id"), col("neighbor_id"),
         col("score").cast("double").as("sim")), k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
@@ -1233,7 +1248,7 @@ object Similarity {
     * fork them): lists are (query_id, neighbor_id, rank) rank lists,
     * fused by Σ SCALE div (RrfK + rank), ranked on the shared tie law.
     */
-  private def rrfFuse(lists: Seq[DataFrame], k: Int): DataFrame = {
+  private[graft] def rrfFuse(lists: Seq[DataFrame], k: Int): DataFrame = {
     val fused = lists.reduceLeft(_ unionByName _)
       .groupBy("query_id", "neighbor_id")
       .agg(sum(expr(s"$ScoreScale div ($RrfK + rank)")).as("rrf_score"))
@@ -1306,7 +1321,14 @@ object Similarity {
     */
   private[graft] def hybridRrf3(
       s: org.apache.spark.sql.SparkSession, d: String,
-      k: Int = TextSearchK, queries: Int = TextSearchQueries): DataFrame = {
+      k: Int = TextSearchK, queries: Int = TextSearchQueries): DataFrame =
+    hybridRrf3From(tokedDocs(s, d).localCheckpoint(), k, queries)
+
+  /** [[hybridRrf3]] over an ALREADY-pinned tokenized frame, so the
+    * served-hybrid parity spec can run the in-memory law on an
+    * arbitrary corpus. */
+  private[graft] def hybridRrf3From(
+      toked: DataFrame, k: Int, queries: Int): DataFrame = {
     // ONE tokenization scan feeds all three legs; the embedding table
     // pins separately (read on both join sides of the dense leg).
     // The two SPARSE legs share ONE pinned tf table (BM25's dl-carrying
@@ -1314,7 +1336,6 @@ object Similarity {
     // law is identical in both) — only the scoring differs, so the
     // corpus explodes and the budget pipeline run ONCE, not per leg
     // (r17 review closure).
-    val toked = tokedDocs(s, d).localCheckpoint()
     val dense = textSearchMd5Over(
         Dedup.textEmbedMd5From(toked).localCheckpoint(), k, queries)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
@@ -1341,10 +1362,128 @@ object Similarity {
     Some(hybridRrf3Sql()),
   )
 
+  // ------------------------------------- SERVED hybrid retrieval (r18)
+
+  /** Candidate budget of the dense GATE serve: at full probe with a
+    * budget ≥ the corpus, the coarse int8 heap drops nothing and the
+    * exact double rerank IS the dense law — hash-exact BY CONSTRUCTION,
+    * not by displacement margin (the fullprobe discipline taken to its
+    * endpoint; the corpus tables are ≤ 5000 docs). Production serves
+    * the same two-phase path with nprobe ≪ K and k·oversample
+    * candidates — the recall/cost curve the ann_index_* family already
+    * measures; this constant is the gate's setting, not an operating
+    * default.
+    */
+  private[graft] val DenseGateCandidates = 8192
+
+  /** The dense leg SERVED from a persisted IVF index, exact at the gate
+    * settings: coarse candidates from the statically-pruned int8 lists
+    * ([[Ivf.searchIndex]] — write → prune → coarse, the persisted
+    * lifecycle under test), then the EXACT double rerank against the
+    * md5-law embedding table using the in-memory ranking's own sim
+    * rendering ([[denseDotQE]]) and tie law — so any drift in the index
+    * lifecycle (a lost or duplicated vector, a bad fold) surfaces as a
+    * candidate-set change and breaks the fusion hash.
+    */
+  private def denseIndexLeg(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      emb: DataFrame, k: Int, queries: Int): DataFrame = {
+    val dims = Dedup.TextEmbedDims
+    val qr = denseQuerySet(emb, queries)
+      .localCheckpoint() // read by the probe build AND the rerank join
+    val qFloat = qr.select(col("query_id").as("vec_id"),
+      array((0 until dims).map(j => col(s"q$j").cast("float")): _*).as("embedding"))
+    val centroids = Ivf.readCentroids(s, dir)
+    val cands = Ivf.searchIndex(
+      s, dir, qFloat, centroids, k = DenseGateCandidates, nprobe = centroids.length)
+    val scored = cands.select("query_id", "neighbor_id")
+      .join(emb.withColumnRenamed("doc_id", "neighbor_id"), Seq("neighbor_id"))
+      .join(broadcast(qr), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), denseDotQE(dims).as("sim"))
+    rankTopK(scored, k)
+  }
+
+  /** The float-vector edition of the md5-law embedding table — what the
+    * dense index STORES (lists carry int8 codes; the index's float
+    * form is only the append/train input). One rendering shared by the
+    * registry build and the parity spec.
+    */
+  private[graft] def embVecs(emb: DataFrame): DataFrame = {
+    val dims = Dedup.TextEmbedDims
+    emb.select(col("doc_id").as("vec_id"),
+      array((0 until dims).map(j => col(s"e$j").cast("float")): _*).as("embedding"))
+  }
+
+  /** SERVED HYBRID RETRIEVAL (r17 judge item 1) — the production
+    * serving seam q87 left open: q87 fuses three IN-MEMORY legs; here
+    * every leg serves from a PERSISTED index — dense from the IVF
+    * int8 lists ([[denseIndexLeg]]), TF-IDF and BM25 from the sparse
+    * postings index over ONE shared fetch
+    * ([[SparseIndex.sparseSearch2]]) — fused by the one [[rrfFuse]]
+    * rendering. The oracle is q87's own composed SQL: at the gate
+    * settings every served leg is exact (dense by fullprobe + exact
+    * rerank, sparse by exact pruning), so any drift in EITHER index
+    * lifecycle — landing, folding, sidecar merge, pruned serving —
+    * breaks the fusion hash end to end.
+    *
+    * 100 TB shape: the dense serve touches nprobe int8 lists + a
+    * point-lookup rerank; the sparse serve touches ≤ 16 budgeted lists
+    * per query once for BOTH scorings; fusion is an aggregate over
+    * 3·k·queries rank rows. Nothing rescans a corpus.
+    */
+  private val hybridDirCache =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
+  private[graft] def hybridIndexRrf(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      k: Int = TextSearchK, queries: Int = TextSearchQueries): DataFrame = {
+    val toked = tokedDocs(s, d).localCheckpoint()
+    val emb = Dedup.textEmbedMd5From(toked).localCheckpoint()
+    val (denseDir, sparseDir) = hybridDirCache.getOrElseUpdate(d, {
+      // the FULL lifecycle under the gate, both families: base from two
+      // thirds of the corpus, the last third appended, then compacted
+      val base = s"/tmp/graft-hybrid-index/idx_${java.lang.Integer.toHexString(d.hashCode)}"
+      val (dd, sd) = (s"$base/dense", s"$base/sparse")
+      val vecs = embVecs(emb).localCheckpoint()
+      val centroids = Ivf.train(vecs, k = 8, dims = Dedup.TextEmbedDims)
+      Ivf.writeIndex(vecs.filter(col("vec_id") % 3 =!= 2), centroids, dd)
+      Ivf.appendIndex(vecs.filter(col("vec_id") % 3 === 2), dd)
+      Ivf.compactIndex(s, dd)
+      SparseIndex.writeIndex(toked.filter(col("doc_id") % 3 =!= 2), sd)
+      SparseIndex.appendIndex(toked.filter(col("doc_id") % 3 === 2), sd)
+      SparseIndex.compactIndex(s, sd)
+      (dd, sd)
+    })
+    hybridIndexServe(s, denseDir, sparseDir, toked, emb, k, queries)
+  }
+
+  /** The serve phase of [[hybridIndexRrf]] over explicit index dirs —
+    * the spec seam (the parity spec appends to BOTH indexes itself and
+    * proves the served fusion ≡ the in-memory rebuild law).
+    */
+  private[graft] def hybridIndexServe(
+      s: org.apache.spark.sql.SparkSession, denseDir: String, sparseDir: String,
+      toked: DataFrame, emb: DataFrame, k: Int, queries: Int): DataFrame = {
+    val dense = denseIndexLeg(s, denseDir, emb, k, queries)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    val queryFrame = toked.orderBy("doc_id").limit(queries)
+    val (tfidf, bm25) = SparseIndex.sparseSearch2(s, sparseDir, queryFrame, k)
+    rrfFuse(Seq(
+      dense,
+      tfidf.select(col("query_id"), col("neighbor_id"), col("rank")),
+      bm25.select(col("query_id"), col("neighbor_id"), col("rank"))), k)
+  }
+
+  val qHybridIndexRrf = GraftQuery(
+    "hybrid_index_rrf",
+    (s, d) => hybridIndexRrf(s, d),
+    Some(hybridRrf3Sql()),
+  )
+
   def all: Seq[GraftQuery] =
     Seq(qBrute, qLsh, qLshGrid, qIvf, qOutlier, qQuant, qInt8, qInt8Rerank, qInt8RerankFull, qIvfInt8,
       qIndexRerank, qIndexRerankFull, qPq, qPqRerank, qPqRerankFull, qIndexPqRerank,
       qIndexPqRerankFull, qIvfPqResid, qIndexPqResidRerank, qIndexPqResidRerankFull, qOpq,
       qOpqRerankFull, qIndexOpqRerank, qIndexOpqRerankFull, qTextSearchMd5, qTextSearch,
-      qKeywordSearch, qBm25, qHybridRrf, qHybridRrf3)
+      qKeywordSearch, qBm25, qHybridRrf, qHybridRrf3, qHybridIndexRrf)
 }

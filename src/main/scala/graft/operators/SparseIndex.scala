@@ -304,8 +304,17 @@ object SparseIndex {
     * q85 code shape, so serve(write(corpus)) hash-matches q85's DuckDB
     * oracle.
     */
-  def bm25Search(
-      spark: SparkSession, dir: String, queryToked: DataFrame, k: Int): DataFrame = {
+  /** The shared serve fetch behind [[bm25Search]] and [[sparseSearch2]]:
+    * guard the query count, budget on the sidecar, prune-fetch the
+    * surviving lists, derive scoring df. Returns (budgeted terms WITH
+    * derived df, fetched postings, merged totals) — every scorer is a
+    * join over these three, so the fetch runs ONCE however many sparse
+    * scorings a caller fuses (the q87 shared-stage discipline applied
+    * to serving).
+    */
+  private def serveFetch(
+      spark: SparkSession, dir: String,
+      queryToked: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val nq = queryToked.select("doc_id").distinct().count()
     require(nq <= MaxServeQueries,
       s"bm25Search: $nq query docs exceed the point-serve contract " +
@@ -322,21 +331,31 @@ object SparseIndex {
       .localCheckpoint() // read for the literal prune and the scoring join
     val hs = budgeted.select("h").distinct().collect().map(_.getLong(0)).sorted
     val posted = prunedPostingsOfUnits(spark, units, hs)
-      .localCheckpoint() // read by the df count AND the scoring join
+      .localCheckpoint() // read by the df count AND every scoring join
     // derived df over the fetched lists — authoritative for scoring
     val dfd = posted.groupBy("h").agg(count(lit(1)).as("df"))
-    val scored = posted
-      .join(broadcast(budgeted.join(dfd, Seq("h"))), Seq("h"))
-      .filter(col("doc_id") =!= col("query_id"))
-      .crossJoin(broadcast(totalsOfUnits(spark, units)))
-      .groupBy(col("query_id"), col("doc_id").as("neighbor_id"))
-      .agg(sum(expr(
-        s"(${Similarity.ScoreScale} * 44 * tf * S) div ((20*tf*S + 6*S + 18*dl*N) * df)"))
-        .as("score"))
-    Similarity.rankTopK(scored.select(col("query_id"), col("neighbor_id"),
-        col("score").cast("double").as("sim")), k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        col("sim").cast("long").as("score"))
+    (budgeted.join(dfd, Seq("h")), posted, totalsOfUnits(spark, units))
+  }
+
+  def bm25Search(
+      spark: SparkSession, dir: String, queryToked: DataFrame, k: Int): DataFrame = {
+    val (budgeted, posted, totals) = serveFetch(spark, dir, queryToked)
+    // scoring/ranking are Similarity's single renderings — the served
+    // law literally cannot fork from the in-memory q85 one
+    Similarity.rankedScoreList(Similarity.bm25Scored(posted, budgeted, totals), k)
+  }
+
+  /** BOTH sparse scorings (q83 TF-IDF + q85 BM25) over ONE shared
+    * fetch — the serving analog of q87's shared tf/budget stages: the
+    * budget, the pruned list read, and the derived df run once; only
+    * the scoring joins differ. Feeds the served hybrid fusion.
+    */
+  def sparseSearch2(
+      spark: SparkSession, dir: String,
+      queryToked: DataFrame, k: Int): (DataFrame, DataFrame) = {
+    val (budgeted, posted, totals) = serveFetch(spark, dir, queryToked)
+    (Similarity.rankedScoreList(Similarity.tfidfScored(posted, budgeted), k),
+      Similarity.rankedScoreList(Similarity.bm25Scored(posted, budgeted, totals), k))
   }
 
   // ------------------------------------------------------------- queries

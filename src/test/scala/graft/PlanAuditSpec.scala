@@ -50,7 +50,11 @@ class PlanAuditSpec extends AnyFunSuite {
       // 1-row totals cross join
       // …sparse_index_bm25 serves the q85 shape from disk — same 1-row
       // totals cross join
+      // …hybrid_index_rrf's served BM25 leg carries the same 1-row
+      // totals cross join (read from the merged sidecar); its dense leg
+      // is equi-joins over the pruned lists, its fusion pure aggregates
       "q85_bm25", "q86_temp_mixture", "q87_hybrid_rrf3", "sparse_index_bm25",
+      "hybrid_index_rrf",
       "q35_tfidf", "dedup_cosine_verify", "q49_heavy_tokens", "q54_source_drift")
     SparkEntry.registry.foreach { q =>
       val p = plan(q)

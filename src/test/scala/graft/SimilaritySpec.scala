@@ -885,4 +885,40 @@ class SimilaritySpec extends AnyFunSuite {
       assert(s < 49179L, s"doc $n cannot reach the all-lists score, fused to $s")
     }
   }
+
+  test("served hybrid fusion: append to BOTH indexes, serve == in-memory q87 rebuild; compaction preserves it") {
+    // the r18 composition seam: dense leg from the persisted IVF lists
+    // (fullprobe + exact double rerank), both sparse legs from the
+    // persisted postings index over one shared fetch, fused by the one
+    // rrfFuse rendering — row-for-row equal to the in-memory three-leg
+    // law over the same corpus, ACROSS an append to both indexes
+    import org.apache.spark.sql.functions.{col, size}
+    import operators.SparseIndex
+    val d = "/root/testdata/sf0.001"
+    val toked = Tables.documents(spark, d)
+      .select(col("doc_id"), graft.gfunctions.ws_tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .localCheckpoint()
+    val emb = operators.Dedup.textEmbedMd5From(toked).localCheckpoint()
+    val want = Similarity.hybridRrf3From(toked, 5, 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    // a DIFFERENT split than the registry entry's thirds: half base,
+    // half appended, so the spec exercises its own append boundary
+    val dd = "/tmp/graft-test/hybrid_dense"
+    val sd = "/tmp/graft-test/hybrid_sparse"
+    val vecs = Similarity.embVecs(emb).localCheckpoint()
+    val centroids = operators.Ivf.train(vecs, k = 8, dims = operators.Dedup.TextEmbedDims)
+    operators.Ivf.writeIndex(vecs.filter(col("vec_id") % 2 === 0), centroids, dd)
+    operators.Ivf.appendIndex(vecs.filter(col("vec_id") % 2 === 1), dd)
+    SparseIndex.writeIndex(toked.filter(col("doc_id") % 2 === 0), sd)
+    SparseIndex.appendIndex(toked.filter(col("doc_id") % 2 === 1), sd)
+    def servedRows() = Similarity.hybridIndexServe(spark, dd, sd, toked, emb, 5, 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(servedRows() == want,
+      "served fusion across an append to both indexes must equal the in-memory rebuild")
+    // fold both indexes: the served fusion must not move a row
+    operators.Ivf.compactIndex(spark, dd)
+    SparseIndex.compactIndex(spark, sd)
+    assert(servedRows() == want, "compaction of either index must not change the fusion")
+  }
 }

@@ -338,6 +338,137 @@ object Dedup {
         coalesce(col("best_jaccard"), lit(0.0)).as("best_jaccard"))
   }
 
+  // ------------------------------------ asymmetric near-dup (one side
+  // is a REFERENCE set: the streamed-corpus match and fuzzy decontam)
+
+  /** Asymmetric near-dup match on the md5 twin kernels — the ONE
+    * rendering (r17 review lesson: shared laws fork silently) behind
+    * BOTH the stream-vs-corpus match
+    * ([[graft.streaming.Streams.nearDupBatchMd5]]) and minhash
+    * decontamination ([[TrainPrep.q88 q88_neardup_decontam]]):
+    * `arrivals` band-join the capped `reference` signature table (never
+    * all-pairs; the cap bounds a degenerate boilerplate bucket's
+    * fan-out), candidates verify on full signatures, and every arrival
+    * gets a decision row. Exchanges carry (doc_id, band strings) then
+    * (doc_id, 16-long sigs) — no text crosses a shuffle. ANSI-
+    * expressible end to end ([[nearDupAgainstSql]] is the SQL side of
+    * the same law), so both consumers sit under the HARD gate.
+    */
+  def nearDupAgainst(
+      arrivals: DataFrame,
+      reference: DataFrame,
+      k: Int = 16,
+      bands: Int = 4,
+      tau: Double = 0.5,
+      bucketCap: Int = 10000): DataFrame =
+    nearDupAgainstT(tokenized(arrivals), tokenized(reference), k, bands, tau, bucketCap)
+
+  /** [[nearDupAgainst]] over pre-tokenized (doc_id, toks) frames — the
+    * stage-table edition (the curate fuzzy gate feeds it the already-
+    * tokenized staged corpus, so no second text scan). */
+  def nearDupAgainstT(
+      arrivals: DataFrame,
+      reference: DataFrame,
+      k: Int = 16,
+      bands: Int = 4,
+      tau: Double = 0.5,
+      bucketCap: Int = 10000): DataFrame = {
+    val (aSig, aBand) = md5SigBanded(arrivals, k, bands)
+    val (rSig, rBand) = md5SigBanded(reference, k, bands)
+    val ref = Lsh.capBuckets(rBand, Seq("band_idx", "band_val"), bucketCap)
+      .select(col("doc_id").as("ref_id"), col("band_idx"), col("band_val"))
+    val cand = aBand
+      .join(ref, Seq("band_idx", "band_val"))
+      .select(col("doc_id"), col("ref_id"))
+      .dropDuplicates("doc_id", "ref_id")
+    val est = aggregate(
+      zip_with(col("sig"), col("ref_sig"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / k
+    val matches = cand
+      .join(aSig, Seq("doc_id"))
+      .join(rSig.select(col("doc_id").as("ref_id"), col("sig").as("ref_sig")), Seq("ref_id"))
+      .withColumn("est_jaccard", est)
+      .filter(col("est_jaccard") >= tau)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matches"), max(col("est_jaccard")).as("best_est"))
+    arrivals.select("doc_id")
+      .join(matches, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_matches").isNotNull.as("is_match"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        coalesce(col("best_est"), lit(0.0)).as("best_est"))
+  }
+
+  /** The SQL rendering of [[nearDupAgainst]] over the `documents`
+    * table, parameterized by the two role predicates and the output
+    * column names — ONE generator renders both the stream_neardup and
+    * the q88_neardup_decontam oracles, so the asymmetric law cannot
+    * fork between its gates.
+    */
+  /** The md5-minhash signature + band CTE chain over a source CTE
+    * exposing (doc_id, toks), every CTE name prefixed with `p` — the
+    * ONE SQL rendering of the signature law, composable into any oracle
+    * over any population. Ends in `<p>hx(doc_id, j, h)` and
+    * `<p>sigb(doc_id, band_idx, band_val)`.
+    */
+  private[graft] def minhashSigCtes(src: String, p: String): String =
+    s"""${p}sh AS (
+        SELECT doc_id, toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS s
+        FROM $src CROSS JOIN UNNEST(range(0, greatest(len(toks) - 2, 0))) AS u(i)),
+      ${p}hx AS (
+        SELECT doc_id, j,
+          MIN(CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)
+              + j * CAST(('0x' || substr(md5(s), 16, 8)) AS BIGINT)) AS h
+        FROM ${p}sh CROSS JOIN UNNEST(range(0, 16)) AS v(j)
+        GROUP BY doc_id, j),
+      ${p}sigb AS (
+        SELECT doc_id, j // 4 AS band_idx, string_agg(h, ',' ORDER BY j) AS band_val
+        FROM ${p}hx GROUP BY doc_id, j // 4)"""
+
+  /** The asymmetric band-match + verify tail over a [[minhashSigCtes]]
+    * chain: reference rows (capped) vs arrival rows split by the two
+    * doc_id predicates, ending in `<p>m(doc_id, n_matches, best_est)`.
+    */
+  private[graft] def nearDupMatchCtes(
+      p: String, arrPred: String, refPred: String): String =
+    s"""${p}refs AS (SELECT * FROM ${p}sigb WHERE $refPred),
+      ${p}bs AS (
+        SELECT band_idx, band_val, COUNT(*) AS bucket_n FROM ${p}refs GROUP BY 1, 2),
+      ${p}kept AS (
+        SELECT ${p}refs.* FROM ${p}refs JOIN ${p}bs USING (band_idx, band_val)
+        WHERE ${p}bs.bucket_n <= 10000),
+      ${p}arr AS (SELECT * FROM ${p}sigb WHERE $arrPred),
+      ${p}cand AS (
+        SELECT DISTINCT a.doc_id, ${p}kept.doc_id AS ref_id
+        FROM ${p}arr a JOIN ${p}kept
+          ON a.band_idx = ${p}kept.band_idx AND a.band_val = ${p}kept.band_val),
+      ${p}est AS (
+        SELECT c.doc_id, c.ref_id,
+               SUM(CASE WHEN ha.h = hb.h THEN 1 ELSE 0 END) / 16.0 AS est_jaccard
+        FROM ${p}cand c
+        JOIN ${p}hx ha ON ha.doc_id = c.doc_id
+        JOIN ${p}hx hb ON hb.doc_id = c.ref_id AND hb.j = ha.j
+        GROUP BY c.doc_id, c.ref_id),
+      ${p}m AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches, MAX(est_jaccard) AS best_est
+        FROM ${p}est WHERE est_jaccard >= 0.5 GROUP BY doc_id)"""
+
+  private[graft] def nearDupAgainstSql(
+      arrPred: String, refPred: String,
+      matchCol: String, nCol: String): String =
+    s"""WITH t AS (
+        SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '') AS toks
+        FROM documents),
+      ${minhashSigCtes("t", "")},
+      ${nearDupMatchCtes("", arrPred, refPred)}
+      SELECT d.doc_id, m.doc_id IS NOT NULL AS $matchCol,
+             CAST(COALESCE(m.n_matches, 0) AS BIGINT) AS $nCol,
+             COALESCE(m.best_est, 0.0) AS best_est
+      FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+      WHERE d.$arrPred
+      ORDER BY d.doc_id"""
+
   // -------------------------------------------------------------- simhash
 
   /** 64-bit SimHash via the native per-row kernel

@@ -206,6 +206,45 @@ object TrainPrep {
     prod = Some((s, d) => bloomDecontam(s, d)),
   )
 
+  // ------------------------------------------------------------ q88
+
+  /** FUZZY decontamination (r17 judge item) — the gap q38/q44 leave
+    * open: exact 8-gram overlap only catches VERBATIM contamination; a
+    * paraphrased or lightly-edited benchmark item (a token inserted
+    * every few words breaks every 8-gram) walks straight through — the
+    * same blind spot that made dedup need minhash beside exact. This is
+    * [[Dedup.nearDupAgainst]]'s asymmetric band match with the corpus
+    * as arrivals and the benchmark slice as the (small, capped)
+    * reference: a corpus doc whose estimated 3-shingle Jaccard against
+    * ANY benchmark doc reaches tau = 0.5 is fuzzily contaminated. The
+    * md5 twin kernels make the whole decision table ANSI-expressible —
+    * the oracle renders through the SAME generator as stream_neardup's,
+    * so the asymmetric law has one SQL rendering across its gates.
+    *
+    * Scale shape is the benchmark asymmetry q38 exploits: eval sets are
+    * tiny against a 100 TB corpus, so the reference band table rides a
+    * broadcast; the corpus is scanned once for signatures and never
+    * self-joins.
+    */
+  private def neardupContamination(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Dedup.nearDupAgainst(docs.filter(!isBench), docs.filter(isBench))
+      .select(
+        col("doc_id"),
+        col("is_match").as("contaminated_fuzzy"),
+        col("n_matches").as("n_bench_matches"),
+        col("best_est"))
+  }
+
+  val q88 = GraftQuery(
+    "q88_neardup_decontam",
+    (s, d) => neardupContamination(s, d).orderBy("doc_id"),
+    Some(Dedup.nearDupAgainstSql(
+      arrPred = s"doc_id % $BenchMod <> 0", refPred = s"doc_id % $BenchMod = 0",
+      matchCol = "contaminated_fuzzy", nCol = "n_bench_matches")),
+    prod = Some((s, d) => neardupContamination(s, d)),
+  )
+
   // ------------------------------------------------------------ q39
 
   /** Per-language keep thresholds on the 60-bit hash axis — exact
@@ -957,5 +996,5 @@ object TrainPrep {
   )
 
   def all: Seq[GraftQuery] =
-    Seq(q38, q39, q40, q41, q43, q44, q47, q50, q52, q60, q61, q77, q79, q86)
+    Seq(q38, q39, q40, q41, q43, q44, q47, q50, q52, q60, q61, q77, q79, q86, q88)
 }

@@ -1790,34 +1790,10 @@ object Streams {
       k: Int = 16,
       bands: Int = 4,
       tau: Double = 0.5,
-      bucketCap: Int = 10000): DataFrame = {
-    import graft.operators.{Dedup, Lsh}
-    val (aSig, aBand) = Dedup.md5SigBanded(Dedup.tokenized(arrivals), k, bands)
-    val (cSig, cBand) = Dedup.md5SigBanded(Dedup.tokenized(corpus), k, bands)
-    val ref = Lsh.capBuckets(cBand, Seq("band_idx", "band_val"), bucketCap)
-      .select(col("doc_id").as("ref_id"), col("band_idx"), col("band_val"))
-    val cand = aBand
-      .join(ref, Seq("band_idx", "band_val"))
-      .select(col("doc_id"), col("ref_id"))
-      .dropDuplicates("doc_id", "ref_id")
-    val est = aggregate(
-      zip_with(col("sig"), col("ref_sig"), (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), (acc, v) => acc + v).cast("double") / k
-    val matches = cand
-      .join(aSig, Seq("doc_id"))
-      .join(cSig.select(col("doc_id").as("ref_id"), col("sig").as("ref_sig")), Seq("ref_id"))
-      .withColumn("est_jaccard", est)
-      .filter(col("est_jaccard") >= tau)
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_matches"), max(col("est_jaccard")).as("best_est"))
-    arrivals.select("doc_id")
-      .join(matches, Seq("doc_id"), "left")
-      .select(
-        col("doc_id"),
-        col("n_matches").isNotNull.as("is_match"),
-        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
-        coalesce(col("best_est"), lit(0.0)).as("best_est"))
-  }
+      bucketCap: Int = 10000): DataFrame =
+    // the asymmetric law lives in ONE rendering (r18: it is also the
+    // fuzzy-decontam gate, q88_neardup_decontam)
+    graft.operators.Dedup.nearDupAgainst(arrivals, corpus, k, bands, tau, bucketCap)
 
   /** Driver gate for [[nearDupBatchMd5]]: every 10th doc plays the
     * arriving stream, the rest are the existing curated corpus.
@@ -1830,47 +1806,9 @@ object Streams {
         docs.filter(col("doc_id") % 10 === 0),
         docs.filter(col("doc_id") % 10 =!= 0)).orderBy("doc_id")
     },
-    Some("""WITH t AS (
-        SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x <> '') AS toks
-        FROM documents),
-      sh AS (
-        SELECT doc_id, toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS s
-        FROM t CROSS JOIN UNNEST(range(0, greatest(len(toks) - 2, 0))) AS u(i)),
-      hx AS (
-        SELECT doc_id, j,
-          MIN(CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)
-              + j * CAST(('0x' || substr(md5(s), 16, 8)) AS BIGINT)) AS h
-        FROM sh CROSS JOIN UNNEST(range(0, 16)) AS v(j)
-        GROUP BY doc_id, j),
-      sigb AS (
-        SELECT doc_id, j // 4 AS band_idx, string_agg(h, ',' ORDER BY j) AS band_val
-        FROM hx GROUP BY doc_id, j // 4),
-      corp AS (SELECT * FROM sigb WHERE doc_id % 10 <> 0),
-      bs AS (
-        SELECT band_idx, band_val, COUNT(*) AS bucket_n FROM corp GROUP BY 1, 2),
-      kept AS (
-        SELECT corp.* FROM corp JOIN bs USING (band_idx, band_val) WHERE bs.bucket_n <= 10000),
-      arr AS (SELECT * FROM sigb WHERE doc_id % 10 = 0),
-      cand AS (
-        SELECT DISTINCT a.doc_id, kept.doc_id AS ref_id
-        FROM arr a JOIN kept
-          ON a.band_idx = kept.band_idx AND a.band_val = kept.band_val),
-      est AS (
-        SELECT c.doc_id, c.ref_id,
-               SUM(CASE WHEN ha.h = hb.h THEN 1 ELSE 0 END) / 16.0 AS est_jaccard
-        FROM cand c
-        JOIN hx ha ON ha.doc_id = c.doc_id
-        JOIN hx hb ON hb.doc_id = c.ref_id AND hb.j = ha.j
-        GROUP BY c.doc_id, c.ref_id),
-      m AS (
-        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches, MAX(est_jaccard) AS best_est
-        FROM est WHERE est_jaccard >= 0.5 GROUP BY doc_id)
-      SELECT d.doc_id, m.doc_id IS NOT NULL AS is_match,
-             CAST(COALESCE(m.n_matches, 0) AS BIGINT) AS n_matches,
-             COALESCE(m.best_est, 0.0) AS best_est
-      FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
-      WHERE d.doc_id % 10 = 0
-      ORDER BY d.doc_id"""),
+    Some(graft.operators.Dedup.nearDupAgainstSql(
+      arrPred = "doc_id % 10 = 0", refPred = "doc_id % 10 <> 0",
+      matchCol = "is_match", nCol = "n_matches")),
     prod = Some((s, d) => {
       val docs = graft.Tables.documents(s, d)
       nearDupBatchMd5(

@@ -622,6 +622,12 @@ class DedupSpec extends AnyFunSuite {
       (4L, tk("u", 80), "en"),
       // per-row gates still win over contamination
       (5L, "ab cd", "en"),
+      // doc 6 PARAPHRASES the bench doc (a junk token inserted every 7
+      // words breaks every verbatim 8-gram, so the exact gate misses
+      // it) -> the r18 fuzzy minhash gate flags it with its own verdict
+      (6L, benchText.split(" ").zipWithIndex.flatMap { case (w, i) =>
+        if (i % 7 == 0) Seq(s"junk$i", w) else Seq(w)
+      }.mkString(" "), "en"),
     ).map { case (id, t, l) => (id, t, l, "s", t.length.toLong) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     val got = operators.Curate.curateDecontam(rows).collect()
@@ -632,5 +638,7 @@ class DedupSpec extends AnyFunSuite {
     assert(got(3L) == "kept", "clean copy survives its contaminated partner")
     assert(got(4L) == "kept")
     assert(got(5L) == "too_short", "per-row gates outrank contamination")
+    assert(got(6L) == "contaminated_fuzzy",
+      s"paraphrased bench doc must fall to the fuzzy gate, got ${got(6L)}")
   }
 }

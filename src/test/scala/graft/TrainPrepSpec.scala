@@ -40,6 +40,35 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(got(4L) == ((0L, 0L, 0L)), "short doc has no 8-grams and stays clean")
   }
 
+  test("q88 fuzzy decontam flags a paraphrased benchmark doc that q38 PROVABLY misses") {
+    // the q38 blind spot by construction: inserting a junk token every
+    // 7 original tokens breaks EVERY verbatim 8-gram (any 8 consecutive
+    // tokens span at least one insertion), while the 3-shingle minhash
+    // estimate stays at/above tau — the exact reason dedup needed
+    // minhash beside exact, applied to decontamination
+    val benchWords = (0 until 64).map(i => s"w$i")
+    val bench = benchWords.mkString(" ")
+    val para = benchWords.zipWithIndex.flatMap { case (w, i) =>
+      if (i % 7 == 0) Seq(s"junk$i", w) else Seq(w)
+    }.mkString(" ")
+    val dir = planted("fuzzycontam", Seq(
+      (0L, bench, "en", "s", 300L), // the benchmark item (doc_id % 20 == 0)
+      (1L, para, "en", "s", 340L), // its paraphrase — corpus side
+      (2L, "completely different words about other things entirely here", "en", "s", 60L),
+    ))
+    // q38 provably misses: zero verbatim 8-grams survive the insertions
+    val exact = operators.TrainPrep.q38.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(exact(1L) == 0L, s"spec setup: the paraphrase must share NO 8-gram, got ${exact(1L)} hits")
+    // q88 flags it — and only it
+    val fuzzy = operators.TrainPrep.q88.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(!fuzzy.contains(0L), "benchmark docs are not graded")
+    assert(fuzzy(1L)._1, s"paraphrase must be fuzzily contaminated: ${fuzzy(1L)}")
+    assert(fuzzy(1L)._3 >= 0.5, s"estimated jaccard at/above tau: ${fuzzy(1L)}")
+    assert(fuzzy(2L) == ((false, 0L, 0.0)), s"unrelated doc stays clean: ${fuzzy(2L)}")
+  }
+
   test("q41 fixed-size sample equals the sort-based reference and ignores text edits") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._

@@ -17,6 +17,7 @@ object SparkEntry {
       operators.TrainPipeline.all ++
       operators.Similarity.all ++
       operators.SparseIndex.all ++
+      operators.IndexDrift.all ++
       operators.Multimodal.all ++
       streaming.Streams.all
 

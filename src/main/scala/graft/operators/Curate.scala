@@ -470,51 +470,51 @@ object Curate {
         SELECT doc_id, lang, md5(text) AS text_md5,
                list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '') AS toks
         FROM documents),
-      staged AS (SELECT doc_id, lang, text_md5, toks, len(toks) AS n_toks FROM t),
+      staged AS MATERIALIZED (SELECT doc_id, lang, text_md5, toks, len(toks) AS n_toks FROM t),
       corpus AS (SELECT * FROM staged WHERE doc_id % 20 <> 0),
-      gated AS (SELECT * FROM corpus WHERE n_toks >= 5 AND lang = 'en'),
+      gated AS MATERIALIZED (SELECT * FROM corpus WHERE n_toks >= 5 AND lang = 'en'),
       shc AS (
         SELECT DISTINCT doc_id,
           CAST(('0x' || substr(md5(toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]
             || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7] || ' ' || toks[i+8]), 1, 15)) AS BIGINT) AS hash
         FROM staged CROSS JOIN UNNEST(range(0, greatest(len(toks) - 7, 0))) AS u(i)),
       bset AS (SELECT DISTINCT hash FROM shc WHERE doc_id % 20 = 0),
-      contam AS (
+      contam AS MATERIALIZED (
         SELECT DISTINCT shc.doc_id
         FROM shc JOIN bset USING (hash)
         JOIN gated g ON g.doc_id = shc.doc_id),
-      gated2 AS (
+      gated2 AS MATERIALIZED (
         SELECT * FROM gated
         WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
-      fz AS (
+      fz AS MATERIALIZED (
         SELECT doc_id, toks FROM gated2
         UNION ALL SELECT doc_id, toks FROM staged WHERE doc_id % 20 = 0),
       ${Dedup.minhashSigCtes("fz", "f")},
       ${Dedup.nearDupMatchCtes("f", "doc_id % 20 <> 0", "doc_id % 20 = 0")},
-      gated3 AS (
+      gated3 AS MATERIALIZED (
         SELECT * FROM gated2
         WHERE doc_id NOT IN (SELECT doc_id FROM fm)),
-      ex AS (
+      ex AS MATERIALIZED (
         SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text_md5) AS exact_keeper
         FROM gated3),
-      reps AS (
+      reps AS MATERIALIZED (
         SELECT g.* FROM gated3 g
         JOIN ex ON ex.doc_id = g.doc_id AND ex.exact_keeper = g.doc_id),
       sh AS (
         SELECT doc_id, toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS s
         FROM reps CROSS JOIN UNNEST(range(0, greatest(len(toks) - 2, 0))) AS u(i)),
-      hx AS (
+      hx AS MATERIALIZED (
         SELECT doc_id, j,
           MIN(CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)
               + j * CAST(('0x' || substr(md5(s), 16, 8)) AS BIGINT)) AS h
         FROM sh CROSS JOIN UNNEST(range(0, 16)) AS v(j)
         GROUP BY doc_id, j),
-      sigb AS (
+      sigb AS MATERIALIZED (
         SELECT doc_id, j // 4 AS band_idx, string_agg(h, ',' ORDER BY j) AS band_val
         FROM hx GROUP BY doc_id, j // 4),
       bs AS (
         SELECT band_idx, band_val, COUNT(*) AS bucket_n FROM sigb GROUP BY 1, 2),
-      keptb AS (
+      keptb AS MATERIALIZED (
         SELECT sigb.* FROM sigb JOIN bs USING (band_idx, band_val) WHERE bs.bucket_n <= 10000),
       cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -529,7 +529,7 @@ object Curate {
       near AS (SELECT DISTINCT id_b AS doc_id FROM est WHERE est_jaccard >= 0.5),
       near_all AS (
         SELECT e.doc_id FROM ex e JOIN near n ON n.doc_id = e.exact_keeper),
-      keys AS (
+      keys AS MATERIALIZED (
         SELECT doc_id,
           md5(array_to_string(CASE WHEN len(toks) <= 50 THEN toks ELSE toks[1:50] END, ' ')) AS pkey,
           md5(array_to_string(CASE WHEN len(toks) <= 50 THEN toks ELSE toks[-50:] END, ' ')) AS skey
@@ -543,7 +543,7 @@ object Curate {
           SELECT MIN(doc_id) OVER (PARTITION BY skey) AS id_a, doc_id AS id_b FROM keys)
         WHERE id_a <> id_b),
       edges AS (SELECT id_a, id_b FROM e1 UNION SELECT id_a, id_b FROM e2),
-      sym AS (
+      sym AS MATERIALIZED (
         SELECT id_a AS src, id_b AS dst FROM edges
         UNION SELECT id_b AS src, id_a AS dst FROM edges),
       cc(id, label) AS (
@@ -551,15 +551,15 @@ object Curate {
         UNION
         SELECT s.dst, c.label FROM cc c JOIN sym s ON s.src = c.id),
       lab AS (SELECT id, MIN(label) AS cluster_id FROM cc GROUP BY id),
-      asg AS (
+      asg AS MATERIALIZED (
         SELECT r.doc_id, COALESCE(l.cluster_id, r.doc_id) AS cluster_id
         FROM reps r LEFT JOIN lab l ON l.id = r.doc_id),
       sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size FROM asg GROUP BY cluster_id),
-      fam AS (SELECT a.doc_id, a.cluster_id, sz.cluster_size FROM asg a JOIN sz USING (cluster_id)),
+      fam AS MATERIALIZED (SELECT a.doc_id, a.cluster_id, sz.cluster_size FROM asg a JOIN sz USING (cluster_id)),
       fam_all AS (
         SELECT e.doc_id, f.cluster_id, f.cluster_size
         FROM ex e JOIN fam f ON f.doc_id = e.exact_keeper),
-      decis AS (
+      decis AS MATERIALIZED (
         SELECT s.doc_id,
           CASE WHEN s.n_toks < 5 THEN 'too_short'
                WHEN s.lang IS DISTINCT FROM 'en' THEN 'wrong_lang'

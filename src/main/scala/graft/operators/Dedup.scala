@@ -416,13 +416,13 @@ object Dedup {
     s"""${p}sh AS (
         SELECT doc_id, toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS s
         FROM $src CROSS JOIN UNNEST(range(0, greatest(len(toks) - 2, 0))) AS u(i)),
-      ${p}hx AS (
+      ${p}hx AS MATERIALIZED (
         SELECT doc_id, j,
           MIN(CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)
               + j * CAST(('0x' || substr(md5(s), 16, 8)) AS BIGINT)) AS h
         FROM ${p}sh CROSS JOIN UNNEST(range(0, 16)) AS v(j)
         GROUP BY doc_id, j),
-      ${p}sigb AS (
+      ${p}sigb AS MATERIALIZED (
         SELECT doc_id, j // 4 AS band_idx, string_agg(h, ',' ORDER BY j) AS band_val
         FROM ${p}hx GROUP BY doc_id, j // 4)"""
 
@@ -432,10 +432,10 @@ object Dedup {
     */
   private[graft] def nearDupMatchCtes(
       p: String, arrPred: String, refPred: String): String =
-    s"""${p}refs AS (SELECT * FROM ${p}sigb WHERE $refPred),
+    s"""${p}refs AS MATERIALIZED (SELECT * FROM ${p}sigb WHERE $refPred),
       ${p}bs AS (
         SELECT band_idx, band_val, COUNT(*) AS bucket_n FROM ${p}refs GROUP BY 1, 2),
-      ${p}kept AS (
+      ${p}kept AS MATERIALIZED (
         SELECT ${p}refs.* FROM ${p}refs JOIN ${p}bs USING (band_idx, band_val)
         WHERE ${p}bs.bucket_n <= 10000),
       ${p}arr AS (SELECT * FROM ${p}sigb WHERE $arrPred),
@@ -450,7 +450,7 @@ object Dedup {
         JOIN ${p}hx ha ON ha.doc_id = c.doc_id
         JOIN ${p}hx hb ON hb.doc_id = c.ref_id AND hb.j = ha.j
         GROUP BY c.doc_id, c.ref_id),
-      ${p}m AS (
+      ${p}m AS MATERIALIZED (
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches, MAX(est_jaccard) AS best_est
         FROM ${p}est WHERE est_jaccard >= 0.5 GROUP BY doc_id)"""
 

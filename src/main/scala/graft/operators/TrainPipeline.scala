@@ -27,6 +27,11 @@ import graft.{GraftQuery, Tables}
   *  2. quota    — [[TrainPrep.sourceQuotaOf]] over the SURVIVORS: at
   *     most [[TrainPrep.SourceQuota]] docs per source (C4/RefinedWeb
   *     "no domain dominates"), bounded-heap per source, no sort.
+  *  2b. temp    — [[TrainPrep.tempMixtureOf]] over the post-quota
+  *     survivors: the q86 temperature law (w ∝ n^α, α = ½) derives
+  *     per-source keep rates from the survivor counts — real mixtures
+  *     apply a domain cap AND a temperature (r17 judge item; α = 1
+  *     degenerates to keep-all, spec-pinned ≡ the pre-temp chain).
   *  3. split    — [[TrainPrep.splitOf]] stamps train/val/test by salted
   *     doc_id hash; only the train split is packed (val/test must never
   *     leak into training shards — q60 audits the window-level version
@@ -57,11 +62,30 @@ object TrainPipeline {
     * the planner happens to broadcast the id side (PlanAuditSpec pins
     * it on the e2e plan).
     */
-  private[graft] def trainIds(docs: DataFrame, decisions: DataFrame): DataFrame = {
+  /** Temperature of the pipeline's mixture stage: α = ½ (alpha2 = 1) —
+    * the q86 law's gated default, upweighting sources the curation +
+    * quota gates left small. α = 1 (alpha2 = 2) degenerates to
+    * proportional sampling = keep-all (spec-pinned ≡ the pre-r18
+    * quota→split chain).
+    */
+  private[graft] val TempAlpha2 = 1
+
+  private[graft] def trainIds(
+      docs: DataFrame, decisions: DataFrame, tempAlpha2: Int = TempAlpha2): DataFrame = {
     val kept = decisions.filter(col("verdict") === "kept").select("doc_id")
-    TrainPrep.sourceQuotaOf(
-      docs.select("doc_id", "source").join(kept, Seq("doc_id"), "left_semi"))
+    // pinned: the temperature stage reads its population twice (source
+    // counts + the per-doc decision join), and this population is the
+    // whole curation+quota subtree
+    val quotaKept = TrainPrep.sourceQuotaOf(
+        docs.select("doc_id", "source").join(kept, Seq("doc_id"), "left_semi"))
       .filter(col("kept") === 1)
+      .select("doc_id", "source")
+      .localCheckpoint()
+    // temperature mixture (q86) BETWEEN quota and split: rates derive
+    // from the post-quota survivor counts — real mixtures apply a
+    // domain cap AND a temperature law (r17 judge item)
+    TrainPrep.tempMixtureOf(quotaKept, tempAlpha2)
+      .filter(col("kept"))
       .filter(TrainPrep.splitOf(col("doc_id")) === "train")
       .select("doc_id")
   }
@@ -95,10 +119,12 @@ object TrainPipeline {
   /** The unstaged composition — what the staged run must reproduce
     * byte-for-byte (TrainPipelineSpec pins it).
     */
-  def manifest(docs: DataFrame, prodPack: Boolean = true): DataFrame = {
+  def manifest(
+      docs: DataFrame, prodPack: Boolean = true,
+      tempAlpha2: Int = TempAlpha2): DataFrame = {
     // Survivor ids pinned once: pack AND shuffle branch from here, and
     // an unmaterialized val would re-execute curation per branch.
-    val train = trainIds(docs, Curate.curateDecontam(docs)).localCheckpoint()
+    val train = trainIds(docs, Curate.curateDecontam(docs), tempAlpha2).localCheckpoint()
     manifestOf(docs, train, prodPack)
   }
 
@@ -117,8 +143,10 @@ object TrainPipeline {
         docs.select("doc_id", "source").join(
           up("decisions").filter(col("verdict") === "kept").select("doc_id"),
           Seq("doc_id"), "left_semi"))),
-      "split" -> (up => up("quota")
-        .filter(col("kept") === 1)
+      "temp" -> (up => TrainPrep.tempMixtureOf(
+        up("quota").filter(col("kept") === 1).select("doc_id", "source"), TempAlpha2)),
+      "split" -> (up => up("temp")
+        .filter(col("kept"))
         .select(col("doc_id"), TrainPrep.splitOf(col("doc_id")).as("split"))),
       "pack" -> (up => TrainPrep.packTokensProdOf(
         TrainPrep.perDocTokens(docs)
@@ -141,22 +169,25 @@ object TrainPipeline {
     (s, d) => manifest(Tables.documents(s, d), prodPack = false).orderBy("doc_id"),
     // The whole chain under the HARD gate: the corpus_curate_decontam
     // oracle's `dec` CTE (shared verbatim — Curate.decontamOracleDecisions)
-    // extended with the q61 quota rank, the q52 split threshold, the q40
+    // extended with the q61 quota rank, the q86 temperature rates (one
+    // shared CTE rendering), the q52 split threshold, the q40
     // running-sum packing, and the q43 hierarchical shuffle, all in the
     // same integer-hash arithmetic the stage oracles already pin.
     Some(Curate.decontamOracleDecisions + s""",
-      kept AS (SELECT doc_id FROM decis WHERE verdict = 'kept'),
+      kept AS MATERIALIZED (SELECT doc_id FROM decis WHERE verdict = 'kept'),
       qh AS (
         SELECT d.doc_id, d.source,
           CAST(('0x' || substr(md5('quo:' || CAST(d.doc_id AS VARCHAR)), 1, 13)) AS BIGINT) AS hv
         FROM documents d JOIN kept USING (doc_id)),
       qr AS (
-        SELECT doc_id,
+        SELECT doc_id, source,
           ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rk
         FROM qh),
-      tr AS (
-        SELECT doc_id FROM qr
-        WHERE rk <= ${TrainPrep.SourceQuota}
+      qk AS MATERIALIZED (SELECT doc_id, source FROM qr WHERE rk <= ${TrainPrep.SourceQuota}),
+      ${TrainPrep.tempMixtureCtes("qk", "tm")},
+      tr AS MATERIALIZED (
+        SELECT doc_id FROM tmtdec
+        WHERE kept
           AND CAST(('0x' || substr(md5('spl:' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
               < ${TrainPrep.SplitTrain}),
       pt AS (

@@ -955,14 +955,23 @@ object TrainPrep {
     * scan. The 1-row (n_m, w_m) cross join is the q35/q85 scalar-
     * subquery shape.
     */
-  private[graft] def tempMixture(s: SparkSession, d: String, alpha2: Int = 1): DataFrame = {
+  private[graft] def tempMixture(s: SparkSession, d: String, alpha2: Int = 1): DataFrame =
+    tempMixtureOf(Tables.documents(s, d).select("doc_id", "source"), alpha2)
+
+  /** [[tempMixture]] over an explicit (doc_id, source) population — the
+    * pipeline edition: rates derive from the counts of the population
+    * the law actually samples (train_prep_e2e feeds it the post-quota
+    * survivors). Read twice (counts + decision join) — callers whose
+    * population is an expensive subtree pin it first.
+    */
+  private[graft] def tempMixtureOf(pop: DataFrame, alpha2: Int = 1): DataFrame = {
     require(alpha2 >= 0 && alpha2 <= 2, s"alpha2 must be 0, 1, or 2; got $alpha2")
     val w = alpha2 match {
       case 0 => lit(1L)
       case 1 => floor(sqrt(col("n").cast("double"))).cast("long")
       case 2 => col("n")
     }
-    val weighted = Tables.documents(s, d)
+    val weighted = pop
       .groupBy("source").agg(count(lit(1)).as("n"))
       .select(col("source"), col("n"), w.as("w"))
     val m = weighted.orderBy(col("n").asc, col("source").asc).limit(1)
@@ -970,28 +979,40 @@ object TrainPrep {
     val rates = weighted.crossJoin(broadcast(m))
       .select(col("source"),
         least(lit(1000000L), expr("(1000000 * w * n_m) div (n * w_m)")).as("rate_ppm"))
-    Tables.documents(s, d)
+    pop
       .join(broadcast(rates), Seq("source"))
       .select(col("doc_id"), col("source"), col("rate_ppm"),
         ((md5h(concat(lit("tmx:"), col("doc_id").cast("string"))) % 1000000L)
           < col("rate_ppm")).as("kept"))
   }
 
+  /** q86's rate + decision law as a reusable SQL CTE chain over a
+    * population CTE `src` exposing (doc_id, source), names prefixed
+    * with `p` — ONE rendering shared by the q86 oracle and the
+    * train_prep_e2e oracle. Ends in `<p>tdec(doc_id, source, rate_ppm,
+    * kept)`. Only α = ½ (alpha2 = 1) is rendered — the gated default.
+    */
+  private[graft] def tempMixtureCtes(src: String, p: String): String =
+    s"""${p}cnt AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM $src GROUP BY source),
+      ${p}wts AS (SELECT source, n, CAST(floor(sqrt(n)) AS BIGINT) AS w FROM ${p}cnt),
+      ${p}m AS (SELECT n AS n_m, w AS w_m FROM ${p}wts ORDER BY n, source LIMIT 1),
+      ${p}rates AS (
+        SELECT source, least(1000000, (1000000 * w * n_m) // (n * w_m)) AS rate_ppm
+        FROM ${p}wts CROSS JOIN ${p}m),
+      ${p}tdec AS MATERIALIZED (
+        SELECT d.doc_id, d.source, r.rate_ppm,
+          (CAST(('0x' || substr(md5('tmx:' || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+            % 1000000) < r.rate_ppm AS kept
+        FROM $src d JOIN ${p}rates r USING (source))"""
+
   val q86 = GraftQuery(
     "q86_temp_mixture",
     (s, d) => tempMixture(s, d).orderBy("doc_id"),
-    Some("""WITH counts AS (
-        SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY source),
-      wts AS (SELECT source, n, CAST(floor(sqrt(n)) AS BIGINT) AS w FROM counts),
-      m AS (SELECT n AS n_m, w AS w_m FROM wts ORDER BY n, source LIMIT 1),
-      rates AS (
-        SELECT source, least(1000000, (1000000 * w * n_m) // (n * w_m)) AS rate_ppm
-        FROM wts CROSS JOIN m)
-      SELECT d.doc_id, d.source, r.rate_ppm,
-        (CAST(('0x' || substr(md5('tmx:' || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
-          % 1000000) < r.rate_ppm AS kept
-      FROM documents d JOIN rates r USING (source)
-      ORDER BY d.doc_id"""),
+    Some(s"""WITH src AS (SELECT doc_id, source FROM documents),
+      ${tempMixtureCtes("src", "")}
+      SELECT doc_id, source, rate_ppm, kept
+      FROM tdec ORDER BY doc_id"""),
     prod = Some((s, d) => tempMixture(s, d)),
   )
 

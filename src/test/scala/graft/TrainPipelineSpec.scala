@@ -100,6 +100,48 @@ class TrainPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("temperature stage: alpha=1 is keep-all (== the pre-temp quota->split chain); alpha=1/2 upweights small sources") {
+    import org.apache.spark.sql.functions._
+    val docs = mkDocs()
+    val decisions = operators.Curate.curateDecontam(docs).localCheckpoint()
+    // the pre-temp chain, reconstructed: quota survivors -> train split
+    val kept = decisions.filter(col("verdict") === "kept").select("doc_id")
+    val quotaKept = operators.TrainPrep.sourceQuotaOf(
+        docs.select("doc_id", "source").join(kept, Seq("doc_id"), "left_semi"))
+      .filter(col("kept") === 1)
+      .select("doc_id", "source")
+      .localCheckpoint()
+    val preTemp = quotaKept
+      .filter(operators.TrainPrep.splitOf(col("doc_id")) === "train")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // alpha = 1 (alpha2 = 2): w = n -> every rate is 10^6 -> keep-all
+    val at1 = operators.TrainPipeline.trainIds(docs, decisions, tempAlpha2 = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(at1 == preTemp, "alpha=1 must reproduce the pre-temp chain exactly")
+    val rates1 = operators.TrainPrep.tempMixtureOf(quotaKept, alpha2 = 2)
+      .select("rate_ppm").distinct().collect().map(_.getLong(0)).toSet
+    assert(rates1 == Set(1000000L), "alpha=1 rates are all exactly 10^6")
+    // alpha = 1/2 (the pipeline default): the min-count source keeps
+    // fully; larger sources sample at 10^6*sqrt(n)*n_m/(n*w_m) ppm
+    val rates = operators.TrainPrep.tempMixtureOf(quotaKept, alpha2 = 1)
+      .select("source", "rate_ppm").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val counts = quotaKept.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (mSrc, nM) = counts.toSeq.sortBy { case (s, n) => (n, s) }.head
+    val wM = math.sqrt(nM.toDouble).toLong
+    assert(rates(mSrc) == 1000000L, "the min-count source keeps fully")
+    counts.foreach { case (src, n) =>
+      val w = math.sqrt(n.toDouble).toLong
+      assert(rates(src) == math.min(1000000L, 1000000L * w * nM / (n * wM)),
+        s"rate law broken for $src")
+    }
+    // and the default manifest only ever SHRINKS the pre-temp doc set
+    val atHalf = operators.TrainPipeline.trainIds(docs, decisions)
+      .collect().map(_.getLong(0)).toSet
+    assert(atHalf.subsetOf(preTemp))
+  }
+
   test("staged pipeline matches the unstaged composition and resumes after a killed stage") {
     val run = "/tmp/graft-test/trainprep-staged"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(run))
@@ -108,7 +150,7 @@ class TrainPipelineSpec extends AnyFunSuite {
 
     val (m1, reports1) = operators.TrainPipeline.trainPrepStaged(spark, docs, run)
     assert(reports1.map(_.name) == Seq("staged", "contam", "contam_fuzzy", "exact", "near",
-      "clusters", "decisions", "quota", "split", "pack", "shuffle", "manifest"))
+      "clusters", "decisions", "quota", "temp", "split", "pack", "shuffle", "manifest"))
     assert(reports1.forall(r => r.attempts == 1 && !r.resumed))
     assert(rows(m1) == oneShot, "staged manifest matches the unstaged composition")
 
@@ -117,14 +159,14 @@ class TrainPipelineSpec extends AnyFunSuite {
     // resume re-reads all seven curation stages from their markers and
     // recomputes only the training-prep tail
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$run/quota/_SUCCESS"))
-    Seq("split", "pack", "shuffle", "manifest").foreach { st =>
+    Seq("temp", "split", "pack", "shuffle", "manifest").foreach { st =>
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$run/$st"))
     }
     val (m2, reports2) = operators.TrainPipeline.trainPrepStaged(spark, docs, run)
     val byName = reports2.map(r => r.name -> r.resumed).toMap
     Seq("staged", "contam", "contam_fuzzy", "exact", "near", "clusters", "decisions").foreach(s =>
       assert(byName(s), s"curation stage $s must resume from its marker"))
-    Seq("quota", "split", "pack", "shuffle", "manifest").foreach(s =>
+    Seq("quota", "temp", "split", "pack", "shuffle", "manifest").foreach(s =>
       assert(!byName(s), s"stage $s must recompute"))
     assert(rows(m2) == oneShot, "resumed run reproduces the identical manifest")
   }

@@ -18,6 +18,7 @@ object SparkEntry {
       operators.Similarity.all ++
       operators.SparseIndex.all ++
       operators.IndexDrift.all ++
+      operators.Bpe.all ++
       operators.Multimodal.all ++
       streaming.Streams.all
 

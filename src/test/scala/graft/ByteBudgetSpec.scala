@@ -73,10 +73,10 @@ class ByteBudgetSpec extends AnyFunSuite {
     ("ann_lsh_topk", 465560L, 1400000L),
     ("q34_ngram_stats", 360334L, 1100000L),
     ("q35_tfidf", 303283L, 950000L),
-    ("train_prep_e2e", 299762L, 950000L),
+    ("train_prep_e2e", 472551L, 1417653L), // r18 recal: + q88 fuzzy gate + q86 temp stage
     ("q35_tfidf_exact", 287823L, 900000L),
     ("dedup_passage", 262329L, 800000L),
-    ("corpus_curate_decontam", 209982L, 650000L),
+    ("corpus_curate_decontam", 432076L, 1296228L), // r18 recal: + q88 fuzzy gate
     ("q60_split_leakage", 185993L, 600000L),
     ("q48_postings", 155359L, 500000L),
     ("q42_vocab_topk", 154351L, 500000L),
@@ -108,6 +108,17 @@ class ByteBudgetSpec extends AnyFunSuite {
     ("dedup_image_phash_md5", 27809L, 83427L),
     ("dedup_semdedup_image", 13627L, 40881L),
     ("q86_temp_mixture", 1204L, 3612L),
+    // r18 entries. hybrid_index_rrf, q90_cell_drift and q91_bpe_train
+    // are deliberately ABSENT for the sparse_index_bm25 reason: each
+    // builds its persisted index / merge table once per JVM
+    // (getOrElseUpdate), so byte attribution depends on which suite
+    // touches the cache first — build+serve vs serve-only differ >10x
+    // and would trip the floor nondeterministically. Their exchange
+    // slimness is pinned by SimilaritySpec / IndexDriftSpec / BpeSpec
+    // plan-and-parity assertions instead.
+    ("q88_neardup_decontam", 12184L, 36552L),
+    ("q89_line_dedup", 170987L, 512961L),
+    ("q91_bpe_pairs", 1881L, 5643L),
   )
 
   /** Prod plans that measured EXACTLY zero shuffle bytes in the r16

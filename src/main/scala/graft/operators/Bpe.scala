@@ -91,13 +91,32 @@ object Bpe {
     out.toArray
   }
 
+  /** A piece's initial symbols, split on CODEPOINTS — the unit the
+    * gated pair law counts (Spark `substring`/`length` and DuckDB both
+    * index codepoints). A UTF-16 char split would turn one
+    * supplementary-plane symbol (emoji — a single piece under
+    * BpePattern's symbol branch) into two lone surrogates, forking the
+    * fit from its own gated round-1 law.
+    */
+  private def codepoints(w: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      val n = Character.charCount(cp)
+      out += w.substring(i, i + n)
+      i += n
+    }
+    out.toArray
+  }
+
   /** The driver-side merge loop over a bounded (piece, count) sample.
     * Tie law: count DESC, then (left, right) lexicographic ASC — fully
     * deterministic, spec-pinned against a hand-computed reference.
     * Stops early when no adjacent pair remains.
     */
   def trainMerges(vocab: Seq[(String, Long)], nMerges: Int = NMerges): Seq[(String, String)] = {
-    var words = vocab.map { case (w, c) => (w.map(_.toString).toArray, c) }
+    var words = vocab.map { case (w, c) => (codepoints(w), c) }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var round = 0
     var done = false
@@ -131,7 +150,7 @@ object Bpe {
     * applies — the standard BPE inference loop.
     */
   private[graft] def segment(w: String, rank: Map[(String, String), Int]): Array[String] = {
-    var syms = w.map(_.toString).toArray
+    var syms = codepoints(w)
     var go = syms.length >= 2
     while (go) {
       var bestI = -1

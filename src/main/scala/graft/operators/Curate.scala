@@ -500,18 +500,7 @@ object Curate {
       reps AS MATERIALIZED (
         SELECT g.* FROM gated3 g
         JOIN ex ON ex.doc_id = g.doc_id AND ex.exact_keeper = g.doc_id),
-      sh AS (
-        SELECT doc_id, toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS s
-        FROM reps CROSS JOIN UNNEST(range(0, greatest(len(toks) - 2, 0))) AS u(i)),
-      hx AS MATERIALIZED (
-        SELECT doc_id, j,
-          MIN(CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)
-              + j * CAST(('0x' || substr(md5(s), 16, 8)) AS BIGINT)) AS h
-        FROM sh CROSS JOIN UNNEST(range(0, 16)) AS v(j)
-        GROUP BY doc_id, j),
-      sigb AS MATERIALIZED (
-        SELECT doc_id, j // 4 AS band_idx, string_agg(h, ',' ORDER BY j) AS band_val
-        FROM hx GROUP BY doc_id, j // 4),
+      ${Dedup.minhashSigCtes("reps", "")},
       bs AS (
         SELECT band_idx, band_val, COUNT(*) AS bucket_n FROM sigb GROUP BY 1, 2),
       keptb AS MATERIALIZED (

@@ -655,8 +655,11 @@ object Dedup {
     * rows), and the rewrite is a per-row higher-order filter on the
     * original doc row against that broadcast position map. On a
     * boilerplate-heavy corpus the position map grows ∝ affected docs —
-    * still orders of magnitude under shuffling the text; drop the
-    * broadcast hint and AQE picks the join side by measured size.
+    * still orders of magnitude under shuffling the text — so the map
+    * carries NO broadcast hint: AQE broadcasts it while it fits (the
+    * common case, measured at sf0.001) and degrades to a shuffle join
+    * past the broadcast cap instead of dying on a corpus where most
+    * docs carry boilerplate (the operator's own target).
     */
   def lineDedup(docs: DataFrame, maxDocs: Int = LineDupMaxDocs): DataFrame = {
     // read by the df count AND the rewrite join — pin once
@@ -677,7 +680,7 @@ object Dedup {
       .groupBy("doc_id")
       .agg(collect_set(col("pos")).as("rpos"))
     lined
-      .join(broadcast(removedPos), Seq("doc_id"), "left")
+      .join(removedPos, Seq("doc_id"), "left")
       .select(
         col("doc_id"),
         size(col("ls")).cast("long").as("n_lines"),

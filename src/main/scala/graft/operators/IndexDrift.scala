@@ -65,9 +65,16 @@ object IndexDrift {
     val base = hist(spark.read.parquet(root), partitionCol)
       .select(col("cell"), col("c").as("b"))
       .localCheckpoint() // one base histogram, joined by every batch
-    val batches = Generations.visibleBatches(fs, dir, IndexLayout.AppendsDataSubdir).sorted
+    // exclude batches the _folded manifest already records: a compaction
+    // that crashed after the generation flip but before its batch GC
+    // leaves them visible, and their rows are ALREADY IN the base — a
+    // folded batch measured against itself self-dampens (mass "went
+    // where mass was"), so a genuinely stale batch could read quiet
+    val folded = Generations.foldedIds(fs, root)
+    val batches = Generations.visibleBatches(fs, dir, IndexLayout.AppendsDataSubdir)
+      .filterNot(folded).sorted
     require(batches.nonEmpty,
-      s"cellDrift: no visible append batches under $dir — drift is measured " +
+      s"cellDrift: no un-folded append batches under $dir — drift is measured " +
         "against un-folded appends (compaction folds them into the base)")
     val perBatch = batches.map { id =>
       hist(spark.read.parquet(s"$dir/${IndexLayout.AppendsDataSubdir}/$id"), partitionCol)

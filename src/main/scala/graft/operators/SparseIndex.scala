@@ -116,7 +116,12 @@ object SparseIndex {
     */
   private def writeSidecars(toked: DataFrame, postings: DataFrame, root: String): Unit = {
     totalsOf(toked).coalesce(1).write.mode("overwrite").parquet(s"$root/$TotalsSubdir")
-    dfOf(postings).write.mode("overwrite").parquet(s"$root/$DfSubdir")
+    // one file: the table is vocabulary-sized slim (h, df) rows —
+    // megabytes even at huge vocabularies — and it is read whole by
+    // EVERY serve's budget pass, so shuffle-partition-many near-empty
+    // files per unit would multiply the budget pass's open cost by the
+    // unit count (the ScaleProbe17 small-files tax, sidecar edition)
+    dfOf(postings).coalesce(1).write.mode("overwrite").parquet(s"$root/$DfSubdir")
   }
 
   /** The index population law — q85's `len(toks) > 0` eligibility rule,
@@ -317,10 +322,12 @@ object SparseIndex {
       queryToked: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val nq = queryToked.select("doc_id").distinct().count()
     require(nq <= MaxServeQueries,
-      s"bm25Search: $nq query docs exceed the point-serve contract " +
-        s"(MaxServeQueries = $MaxServeQueries; the budgeted-term collect and its " +
-        s"literal IN pushdown are bounded by queries * ${Similarity.KeywordQueryTerms}). " +
-        "Batch-score large query sets with Similarity.bm25SearchMd5From instead.")
+      s"SparseIndex serve (bm25Search / sparseSearch2): $nq query docs exceed " +
+        s"the point-serve contract (MaxServeQueries = $MaxServeQueries; the " +
+        s"budgeted-term collect and its literal IN pushdown are bounded by " +
+        s"queries * ${Similarity.KeywordQueryTerms}). Batch-score large query " +
+        "sets against the corpus with the in-memory rankings instead " +
+        "(Similarity.bm25SearchMd5From / keywordSearchMd5From).")
     val qterms = queryToked
       .select(col("doc_id").as("query_id"), explode(col("toks")).as("tok"))
       .select(col("query_id"), tokHash.as("h"))

@@ -39,6 +39,20 @@ class BpeSpec extends AnyFunSuite {
     assert(counts == Map(("a", "a") -> 4L), "aaa has (a,a) twice, weighted by count 2")
   }
 
+  test("symbols are codepoints: supplementary-plane pieces never split into surrogates") {
+    // "😀" is ONE codepoint (two UTF-16 chars). The gated pair law and
+    // the DuckDB oracle both count codepoints (Spark substring/length
+    // and DuckDB index codepoints), so the driver loop must too — a
+    // char split would count a (\uD83D, \uDE00) surrogate pair the
+    // gated round-1 table can never contain.
+    val merges = Bpe.trainMerges(Seq(("😀😀", 3L), ("ab", 2L)), nMerges = 1)
+    assert(merges == Seq(("😀", "😀")),
+      s"round-1 merge must pair whole codepoints: $merges")
+    // inference: the single-codepoint piece is ONE symbol (no merge
+    // applies), not two lone surrogates
+    assert(Bpe.segment("😀", Map.empty).toSeq == Seq("😀"))
+  }
+
   test("segment applies merges lowest-rank-first; unseen words stay at char level") {
     val rank = Seq(("a", "a"), ("a", "b"), ("aa", "ab")).zipWithIndex.toMap
     assert(Bpe.segment("aaab", rank).toSeq == Seq("aaab"))

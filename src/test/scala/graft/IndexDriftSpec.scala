@@ -79,4 +79,37 @@ class IndexDriftSpec extends AnyFunSuite {
       IndexDrift.cellDrift(spark, dir, "bkt").collect())
     assert(e.getMessage.contains("compaction"))
   }
+
+  test("cellDrift ignores folded batches a crashed post-flip GC left behind") {
+    // Compaction's crash window: generation flipped (_folded records the
+    // batch) but the batch data dir was not yet GC'd. The batch's rows
+    // are ALREADY IN the base, so measuring it against that base
+    // self-dampens — the monitor must skip it, not report it quiet.
+    val dir = "/tmp/graft-test/drift_folded"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    def diverse(ids: Range) = ids.map { i =>
+      (i.toLong, (0 until 20).map(j => s"t${(i * 7 + j) % 500}").mkString(" "))
+    }
+    SparseIndex.writeIndex(toked(diverse(0 until 200)), dir)
+    SparseIndex.appendIndexBatch(toked(diverse(1000 until 1100)), dir, 0L, "fold-")
+    // preserve the batch dir across compaction, then restore it — the
+    // exact on-disk state of a compaction killed between flip and GC
+    val batchDir = new java.io.File(s"$dir/_appends_data/fold-0")
+    val stash = new java.io.File("/tmp/graft-test/drift_folded_stash")
+    org.apache.commons.io.FileUtils.deleteQuietly(stash)
+    org.apache.commons.io.FileUtils.copyDirectory(batchDir, stash)
+    SparseIndex.compactIndex(spark, dir)
+    org.apache.commons.io.FileUtils.copyDirectory(stash, batchDir)
+    // the folded batch must not be measured...
+    val e = intercept[IllegalArgumentException](
+      IndexDrift.cellDrift(spark, dir, "bkt").collect())
+    assert(e.getMessage.contains("un-folded"))
+    // ...while a genuinely new append beside it still is, alone
+    SparseIndex.appendIndexBatch(
+      toked((3000 until 3040).map(i => (i.toLong, "spam buy now"))), dir, 0L, "new-")
+    val rows = IndexDrift.cellDrift(spark, dir, "bkt").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("new-0"),
+      s"only the un-folded batch is evidence: ${rows.map(_.getString(0)).mkString(",")}")
+    assert(rows.head.getBoolean(4), "the template-collapse append still trips")
+  }
 }

@@ -89,8 +89,10 @@ object ScaleProbe34 {
     val inMem = measured("in-memory q87 (no indexes)") {
       operators.Similarity.hybridRrf3From(toked.localCheckpoint(), k, nQueries).collect()
     }
-    val servedSet = served.map(r => (r.getLong(0), r.getLong(1))).toSet
-    val inMemSet = inMem.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // fusion output key columns by POSITION, type-agnostic (rank/ids
+    // surface as int or long depending on the leg that won the union)
+    val servedSet = served.map(r => (r.get(0).toString, r.get(1).toString)).toSet
+    val inMemSet = inMem.map(r => (r.get(0).toString, r.get(1).toString)).toSet
     println(f"[probe34] fused top-$k overlap: ${(servedSet & inMemSet).size} / ${inMemSet.size} " +
       f"(${(servedSet & inMemSet).size.toDouble / inMemSet.size}%.3f — the nprobe-8 recall price)")
     spark.stop()

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{GraftQuery, Tables}
@@ -1164,7 +1164,93 @@ object TextAnalysis {
     )
   }
 
+  // ------------------------------------------------ q92 PII redaction
+
+  /** Email shape: local part @ dotted domain + ≥2-letter TLD. No
+    * lookahead/backrefs — leftmost-greedy-identical under Java regex
+    * AND DuckDB RE2 (the q71 portability discipline). */
+  private[graft] val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Dotted quad behind ASCII word boundaries ("v1.2.3" has three
+    * groups and never matches; a port number has no dots). */
+  private[graft] val Ipv4Pat = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** Long digit runs (≥ 9) — the SSN/phone/account-number class. Short
+    * runs (years, ports, prices) survive. */
+  private[graft] val DigitRunPat = "[0-9]{9,}"
+
+  /** PII REDACTION WITH REMOVAL (r18) — the corpus-repair scrub between
+    * quality gates and packing (C4 and RefinedWeb both scrub before
+    * training; q89 removes duplicated LINES, this removes sensitive
+    * SPANS): emails, IPv4 addresses, and ≥9-digit runs are replaced by
+    * typed sentinels, emitting cleaned text plus per-class counts.
+    *
+    * The law is STAGED so each count is exactly what its replace
+    * redacted (an IP inside an email can never double-count):
+    * t1 = replace(text, email→&lt;EMAIL&gt;), t2 = replace(t1,
+    * ip→&lt;IP&gt;), clean = replace(t2, digits→&lt;NUM&gt;);
+    * n_emails counts on text, n_ips on t1, n_digit_runs on t2. One
+    * stateless map over the corpus — ZERO exchanges (the q78 class),
+    * so it rides the scan partitioning at any corpus size.
+    */
+  private[graft] def piiRedact(docs: DataFrame): DataFrame = {
+    val t1 = regexp_replace(col("text"), EmailPat, "<EMAIL>")
+    val t2 = regexp_replace(col("t1"), Ipv4Pat, "<IP>")
+    docs
+      .select(col("doc_id"), col("text"), t1.as("t1"))
+      .select(col("doc_id"), col("text"), col("t1"), t2.as("t2"))
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(EmailPat), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(col("t1"), lit(Ipv4Pat), lit(0))).cast("long").as("n_ips"),
+        size(regexp_extract_all(col("t2"), lit(DigitRunPat), lit(0))).cast("long").as("n_digit_runs"),
+        regexp_replace(col("t2"), DigitRunPat, "<NUM>").as("clean_text"))
+  }
+
+  /** The synthesized-PII corpus (the q76 / q89 synthesize-then-operate
+    * discipline — the test corpus carries no real PII, so BOTH engines
+    * plant identical spans from the doc_id law and the gate grades
+    * synthesize AND redact): every doc gains one planted span by
+    * doc_id mod 3 — an email beside a spelled-out lookalike that must
+    * survive, an IP beside a three-group version string and a port
+    * that must survive, or a 10-digit run beside an 8-digit code that
+    * must survive.
+    */
+  private[graft] def piiDocs(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      concat(col("text"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com or ops at corp dot net")))
+          .when(pmod(col("doc_id"), lit(3)) === 1,
+            concat(lit(" server 10."), pmod(col("doc_id"), lit(256)).cast("string"),
+              lit(".0.1 port 8080 up v1.2.3")))
+          .otherwise(
+            concat(lit(" ref "), lpad(col("doc_id").cast("string"), 10, "0"),
+              lit(" code 12345678")))).as("text"))
+
+  val q92 = GraftQuery(
+    "q92_pii_redact",
+    (s, d) => piiRedact(piiDocs(Tables.documents(s, d))).orderBy("doc_id"),
+    Some(s"""WITH pii AS (
+        SELECT doc_id, text || CASE CAST(doc_id % 3 AS INTEGER)
+          WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or ops at corp dot net'
+          WHEN 1 THEN ' server 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1 port 8080 up v1.2.3'
+          ELSE ' ref ' || lpad(CAST(doc_id AS VARCHAR), 10, '0') || ' code 12345678' END AS text
+        FROM documents),
+      s1 AS (SELECT doc_id, text, regexp_replace(text, '$EmailPat', '<EMAIL>', 'g') AS t1 FROM pii),
+      s2 AS (SELECT doc_id, text, t1, regexp_replace(t1, '$Ipv4Pat', '<IP>', 'g') AS t2 FROM s1)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(text, '$EmailPat')) AS BIGINT) AS n_emails,
+        CAST(len(regexp_extract_all(t1, '$Ipv4Pat')) AS BIGINT) AS n_ips,
+        CAST(len(regexp_extract_all(t2, '$DigitRunPat')) AS BIGINT) AS n_digit_runs,
+        regexp_replace(t2, '$DigitRunPat', '<NUM>', 'g') AS clean_text
+      FROM s2 ORDER BY doc_id"""),
+    prod = Some((s, d) => piiRedact(piiDocs(Tables.documents(s, d)))),
+  )
+
   def all: Seq[GraftQuery] =
     Seq(q30, q31, q32, q32v2, q33, q33md5, q34, q35, q35exact, q36, q37, q42, q46, q48, q49,
-      q51, q54, q71, q72, q75)
+      q51, q54, q71, q72, q75, q92)
 }

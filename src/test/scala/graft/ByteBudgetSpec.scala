@@ -131,6 +131,7 @@ class ByteBudgetSpec extends AnyFunSuite {
     "q33_fingerprint_md5", "q39_sample_mixture", "q47_weighted_sample",
     "q52_train_split", "q72_quality_classifier", "q73_embed_quantize",
     "q75_gopher_repetition", "q77_chunk_windows", "q78_html_to_text",
+    "q92_pii_redact", // r18: one stateless scan, the q78 class
   )
 
   private def byName(n: String): GraftQuery =

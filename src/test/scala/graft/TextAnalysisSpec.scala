@@ -177,6 +177,25 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got("b") == 0.0, "all distinct")
   }
 
+  test("q92 PII redaction: planted spans redact, lookalikes survive, counts are staged") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail a.b-c9@x-mail.org or ops at corp dot net"),
+      (2L, "server 10.0.0.1 port 8080 up v1.2.3"),
+      (3L, "ref 1234567890 code 12345678 year 2026"),
+      (4L, "chain 1.2.3.4.5 tail"), // leftmost quad wins, fifth group survives
+      (5L, "clean text with nothing to hide"),
+    ).toDF("doc_id", "text")
+    val got = operators.TextAnalysis.piiRedact(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(got(1L) == ((1L, 0L, 0L, "mail <EMAIL> or ops at corp dot net")))
+    assert(got(2L) == ((0L, 1L, 0L, "server <IP> port 8080 up v1.2.3")))
+    assert(got(3L) == ((0L, 0L, 1L, "ref <NUM> code 12345678 year 2026")))
+    assert(got(4L) == ((0L, 1L, 0L, "chain <IP>.5 tail")))
+    assert(got(5L) == ((0L, 0L, 0L, "clean text with nothing to hide")))
+  }
+
   test("q34 shingle counts: n tokens -> n-2 shingles") {
     val dir = planted("ngram", Seq(
       (1L, "a b c d e", "en", "s", 9L), // 3 shingles

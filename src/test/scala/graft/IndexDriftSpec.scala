@@ -80,6 +80,80 @@ class IndexDriftSpec extends AnyFunSuite {
     assert(e.getMessage.contains("compaction"))
   }
 
+  test("streamed appends are drift evidence: an off-distribution micro-batch trips") {
+    // The r17 streaming ingest lane lands micro-batches through the
+    // same appendIndexBatch path, so the monitor covers a LIVE stream
+    // with zero extra plumbing — the retrain trigger works at
+    // micro-batch latency, not just for batch appends.
+    import spark.implicits._
+    val base = "/tmp/graft-test/drift_stream"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val in = s"$base/in"; val ckpt = s"$base/ck"; val idx = s"$base/index"
+    def diverse(ids: Range) = ids.map { i =>
+      (i.toLong, (0 until 20).map(j => s"t${(i * 7 + j) % 500}").mkString(" "))
+    }
+    SparseIndex.writeIndex(toked(diverse(0 until 200)), idx)
+    val schema = toked(diverse(0 until 1)).schema
+    // wave 1 in-distribution, wave 2 the template collapse — one FILE
+    // each (maxFilesPerTrigger 1), so they land as separate batches
+    toked(diverse(1000 until 1100)).coalesce(1)
+      .write.mode("append").parquet(in)
+    toked((2000 until 2040).map(i => (i.toLong, "spam buy now"))).coalesce(1)
+      .write.mode("append").parquet(in)
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val q = streaming.Streams.sparseIndexAppendStream(src, idx, Some(ckpt))
+    try q.processAllAvailable() finally q.stop()
+    val rows = IndexDrift.cellDrift(spark, idx, "bkt").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(4)))
+    assert(rows.length == 2, s"two streamed batches measured: ${rows.mkString(",")}")
+    // identify the waves by size: 100 diverse docs x ~20 postings vs
+    // 40 template docs x 3 postings
+    val big = rows.maxBy(_._2); val small = rows.minBy(_._2)
+    assert(!big._3, s"the in-distribution micro-batch stays quiet: $big")
+    assert(small._3, s"the template-collapse micro-batch trips: $small")
+  }
+
+  test("the retrain loop closes: a tripped quantizer retrained on the drifted corpus goes quiet") {
+    // q90 gives the index lifecycle its retrain TRIGGER; this pins the
+    // full decision loop — a new modality trips, retrain-equals-rebuild
+    // on the corpus INCLUDING the drifted appends, and appends drawn
+    // from the NEW steady-state mixture no longer trip (the retrained
+    // quantizer's base histogram IS that mixture). A pure-modality
+    // batch stays off-distribution even post-retrain — correctly: the
+    // monitor flags distribution change, not unknown vectors.
+    import spark.implicits._
+    val dir = "/tmp/graft-test/drift_retrain"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    // modality A: dense pseudo-random vectors from a fixed integer law
+    // (distribution identical over ANY consecutive id range)
+    def textish(ids: Range) = ids.map { i =>
+      (i.toLong, Array.tabulate(8)(j => (((i * 31 + j * 7) % 11) - 5).toFloat))
+    }.toDF("vec_id", "embedding")
+    // modality B: axis-aligned spikes modality A never produces
+    def spikes(ids: Range) = ids.map { i =>
+      val v = Array.fill(8)(0f); v(i % 4) = if (i % 2 == 0) 1f else -1f
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val base = textish(0 until 500)
+    Ivf.writeIndex(base, Ivf.train(base, k = 8), dir)
+    Ivf.appendIndexBatch(spikes(10000 until 10100), dir, 0L, "mod-")
+    val tripped = IndexDrift.cellDrift(spark, dir, "cluster").collect()
+    assert(tripped.head.getBoolean(4), s"the new modality must trip: ${tripped.head}")
+    // retrain = rebuild on base + drifted appends (the lifecycle rule)
+    val all = base.unionByName(spikes(10000 until 10100)).localCheckpoint()
+    Ivf.writeIndex(all, Ivf.train(all, k = 8), dir)
+    // steady state: appends carry the same 5:1 mixture the retrained
+    // base now holds — quiet; a pure-spike batch beside it still trips
+    Ivf.appendIndexBatch(
+      textish(20000 until 20250).unionByName(spikes(30000 until 30050)), dir, 0L, "mix-")
+    Ivf.appendIndexBatch(spikes(40000 until 40100), dir, 0L, "pure-")
+    val after = IndexDrift.cellDrift(spark, dir, "cluster").collect()
+      .map(r => r.getString(0) -> r.getBoolean(4)).toMap
+    assert(!after("mix-0"), s"the steady-state mixture is in-distribution post-retrain: $after")
+    assert(after("pure-0"), s"a pure-modality batch is still a distribution change: $after")
+  }
+
   test("cellDrift ignores folded batches a crashed post-flip GC left behind") {
     // Compaction's crash window: generation flipped (_folded records the
     // batch) but the batch data dir was not yet GC'd. The batch's rows

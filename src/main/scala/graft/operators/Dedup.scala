@@ -632,6 +632,15 @@ object Dedup {
     */
   private[graft] val LineChunkTokens = 4
 
+  /** Broadcast bound for the repair position map, in AFFECTED DOCS
+    * (~12 B serialized each): 10M ≈ a 120–500 MB broadcast — well
+    * under the 8 GB cap and a small executor-memory slice. Past it
+    * the rewrite joins by shuffle (bounded by affected docs). The
+    * measured-count dispatch (not an optimizer estimate) is the
+    * ScaleProbe35 lesson.
+    */
+  private[graft] val LineRepairBroadcastMaxDocs = 10L * 1000 * 1000
+
   /** LINE-LEVEL DEDUP WITH REMOVAL (r17 judge item) — the C4/RefinedWeb
     * corpus-REPAIR step between boilerplate strip (q78) and doc-level
     * dedup: a line occurring in more than `maxDocs` distinct documents
@@ -653,13 +662,22 @@ object Dedup {
     * column; the join-back aggregates only the REMOVED positions per
     * doc (inner join — docs with nothing to remove contribute zero
     * rows), and the rewrite is a per-row higher-order filter on the
-    * original doc row against that broadcast position map. On a
-    * boilerplate-heavy corpus the position map grows ∝ affected docs —
-    * still orders of magnitude under shuffling the text — so the map
-    * carries NO broadcast hint: AQE broadcasts it while it fits (the
-    * common case, measured at sf0.001) and degrades to a shuffle join
-    * past the broadcast cap instead of dying on a corpus where most
-    * docs carry boilerplate (the operator's own target).
+    * original doc row against the position map. The map's JOIN SIDE is
+    * decided on its MEASURED row count, not an optimizer estimate
+    * (ScaleProbe35 caught AQE mis-sizing the collect_set aggregate and
+    * sort-merge-joining — which shuffles the TEXT, 130% of corpus
+    * bytes at 1M docs): ≤ [[LineRepairBroadcastMaxDocs]] affected docs
+    * broadcast (~12 B/doc — the common case; boilerplate populations
+    * are corpus fractions), beyond that the join degrades to a shuffle
+    * whose text movement is bounded by the affected docs, instead of
+    * dying on a broadcast cap.
+    *
+    * Operating cost (ScaleProbe35, 1M docs × 22 lines): the df-count
+    * exchange is the whole shuffle at ~24 B per line OCCURRENCE
+    * (doc_id + 60-bit line hash in an UnsafeRow) — a fixed per-line
+    * price independent of line length, so the byte cut vs shuffling
+    * text scales with real line sizes (3–8× at 80–200-byte web-text
+    * lines; repair throughput ~44k docs/s on the probe box).
     */
   def lineDedup(docs: DataFrame, maxDocs: Int = LineDupMaxDocs): DataFrame = {
     // read by the df count AND the rewrite join — pin once
@@ -679,8 +697,12 @@ object Dedup {
       .join(removal, Seq("h"))
       .groupBy("doc_id")
       .agg(collect_set(col("pos")).as("rpos"))
+      .localCheckpoint() // slim (doc_id, positions); counted AND joined
+    val rp =
+      if (removedPos.count() <= LineRepairBroadcastMaxDocs) broadcast(removedPos)
+      else removedPos
     lined
-      .join(removedPos, Seq("doc_id"), "left")
+      .join(rp, Seq("doc_id"), "left")
       .select(
         col("doc_id"),
         size(col("ls")).cast("long").as("n_lines"),

@@ -921,4 +921,48 @@ class SimilaritySpec extends AnyFunSuite {
     SparseIndex.compactIndex(spark, sd)
     assert(servedRows() == want, "compaction of either index must not change the fusion")
   }
+
+  test("hybrid serve at micro-batch latency: docs streamed into BOTH index lanes join the fusion") {
+    // the serving story's freshness seam: base = even half on both
+    // indexes, the odd half arrives through the two STREAMING ingest
+    // lanes (dense vectors via indexAppendStream, tokenized docs via
+    // sparseIndexAppendStream). The served fusion then equals the
+    // in-memory three-leg law over the WHOLE corpus — a streamed doc is
+    // retrievable through all three legs at micro-batch latency, with
+    // the gate-exact settings making the equality row-for-row, not
+    // approximate.
+    import org.apache.spark.sql.functions.{col, size}
+    import operators.SparseIndex
+    val d = "/root/testdata/sf0.001"
+    val toked = Tables.documents(spark, d)
+      .select(col("doc_id"), graft.gfunctions.ws_tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .localCheckpoint()
+    val emb = operators.Dedup.textEmbedMd5From(toked).localCheckpoint()
+    val want = Similarity.hybridRrf3From(toked, 5, 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    val base = "/tmp/graft-test/hybrid_stream"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val (dd, sd) = (s"$base/dense", s"$base/sparse")
+    val vecs = Similarity.embVecs(emb).localCheckpoint()
+    val centroids = operators.Ivf.train(vecs, k = 8, dims = operators.Dedup.TextEmbedDims)
+    operators.Ivf.writeIndex(vecs.filter(col("vec_id") % 2 === 0), centroids, dd)
+    SparseIndex.writeIndex(toked.filter(col("doc_id") % 2 === 0), sd)
+    // the odd half arrives as one micro-batch per lane
+    val vIn = s"$base/vin"; val tIn = s"$base/tin"
+    val vOdd = vecs.filter(col("vec_id") % 2 === 1)
+    val tOdd = toked.filter(col("doc_id") % 2 === 1)
+    vOdd.coalesce(1).write.parquet(vIn)
+    tOdd.coalesce(1).write.parquet(tIn)
+    val q1 = streaming.Streams.indexAppendStream(
+      spark.readStream.schema(vOdd.schema).parquet(vIn), dd, Some(s"$base/vck"))
+    try q1.processAllAvailable() finally q1.stop()
+    val q2 = streaming.Streams.sparseIndexAppendStream(
+      spark.readStream.schema(tOdd.schema).parquet(tIn), sd, Some(s"$base/tck"))
+    try q2.processAllAvailable() finally q2.stop()
+    val served = Similarity.hybridIndexServe(spark, dd, sd, toked, emb, 5, 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(served == want,
+      "the fusion served after streaming ingest into both lanes must equal the in-memory law")
+  }
 }

@@ -632,14 +632,21 @@ object Dedup {
     */
   private[graft] val LineChunkTokens = 4
 
-  /** Broadcast bound for the repair position map, in AFFECTED DOCS
-    * (~12 B serialized each): 10M ≈ a 120–500 MB broadcast — well
-    * under the 8 GB cap and a small executor-memory slice. Past it
-    * the rewrite joins by shuffle (bounded by affected docs). The
-    * measured-count dispatch (not an optimizer estimate) is the
-    * ScaleProbe35 lesson.
+  /** Broadcast bounds for the repair position map, both measured from
+    * the SLIM map itself before the dispatch (not optimizer estimates —
+    * the ScaleProbe35 lesson): affected-DOC count bounds the row side,
+    * total removed POSITIONS bounds the payload side (the map's rows
+    * carry position arrays, so a row count alone is no size bound — a
+    * nav-heavy corpus can put hundreds of positions on each row).
+    * 10M docs + 50M positions ≈ a 300–600 MB broadcast — well under
+    * the 8 GB cap and a small executor-memory slice. Past either bound
+    * the rewrite takes the bloom path ([[lineDedup]]).
     */
   private[graft] val LineRepairBroadcastMaxDocs = 10L * 1000 * 1000
+  private[graft] val LineRepairBroadcastMaxPositions = 50L * 1000 * 1000
+
+  /** Bloom hash count for the affected-doc prefilter (q44's kernel). */
+  private[graft] val LineRepairBloomHashes = 6
 
   /** LINE-LEVEL DEDUP WITH REMOVAL (r17 judge item) — the C4/RefinedWeb
     * corpus-REPAIR step between boilerplate strip (q78) and doc-level
@@ -662,15 +669,22 @@ object Dedup {
     * column; the join-back aggregates only the REMOVED positions per
     * doc (inner join — docs with nothing to remove contribute zero
     * rows), and the rewrite is a per-row higher-order filter on the
-    * original doc row against the position map. The map's JOIN SIDE is
-    * decided on its MEASURED row count, not an optimizer estimate
-    * (ScaleProbe35 caught AQE mis-sizing the collect_set aggregate and
-    * sort-merge-joining — which shuffles the TEXT, 130% of corpus
-    * bytes at 1M docs): ≤ [[LineRepairBroadcastMaxDocs]] affected docs
-    * broadcast (~12 B/doc — the common case; boilerplate populations
-    * are corpus fractions), beyond that the join degrades to a shuffle
-    * whose text movement is bounded by the affected docs, instead of
-    * dying on a broadcast cap.
+    * original doc row against the position map. The map's join
+    * strategy is dispatched on its MEASURED size (rows AND total
+    * positions — not an optimizer estimate: ScaleProbe35 caught AQE
+    * mis-sizing the collect_set aggregate and sort-merge-joining,
+    * which shuffles the TEXT, 130% of corpus bytes at 1M docs):
+    *  - within [[LineRepairBroadcastMaxDocs]] /
+    *    [[LineRepairBroadcastMaxPositions]] the map BROADCASTS — the
+    *    common case, and text never moves;
+    *  - past either bound, the q44 bloom-prefilter shape: a bloom of
+    *    affected doc_ids (~1–2 B/doc, broadcastable at ANY realistic
+    *    repair population) splits the corpus map-side — untouched docs
+    *    pass through without a shuffle, and only affected docs' text
+    *    (plus the engineered FP residue, which the left join passes
+    *    through unchanged) enters the shuffle join. Text movement is
+    *    bounded by the affected population in BOTH branches; neither
+    *    can die on a broadcast cap.
     *
     * Operating cost (ScaleProbe35, 1M docs × 22 lines): the df-count
     * exchange is the whole shuffle at ~24 B per line OCCURRENCE
@@ -679,7 +693,11 @@ object Dedup {
     * text scales with real line sizes (3–8× at 80–200-byte web-text
     * lines; repair throughput ~44k docs/s on the probe box).
     */
-  def lineDedup(docs: DataFrame, maxDocs: Int = LineDupMaxDocs): DataFrame = {
+  def lineDedup(
+      docs: DataFrame,
+      maxDocs: Int = LineDupMaxDocs,
+      broadcastMaxDocs: Long = LineRepairBroadcastMaxDocs,
+      broadcastMaxPositions: Long = LineRepairBroadcastMaxPositions): DataFrame = {
     // read by the df count AND the rewrite join — pin once
     val lined = docs
       .select(col("doc_id"), split(col("text"), "\n").as("ls"))
@@ -697,11 +715,8 @@ object Dedup {
       .join(removal, Seq("h"))
       .groupBy("doc_id")
       .agg(collect_set(col("pos")).as("rpos"))
-      .localCheckpoint() // slim (doc_id, positions); counted AND joined
-    val rp =
-      if (removedPos.count() <= LineRepairBroadcastMaxDocs) broadcast(removedPos)
-      else removedPos
-    lined
+      .localCheckpoint() // slim (doc_id, positions); measured AND joined
+    def rewritten(side: DataFrame, rp: DataFrame): DataFrame = side
       .join(rp, Seq("doc_id"), "left")
       .select(
         col("doc_id"),
@@ -714,6 +729,28 @@ object Dedup {
                 .otherwise(l)),
             x => x.isNotNull),
           "\n").as("clean_text"))
+    val m = removedPos
+      .agg(count(lit(1)), coalesce(sum(size(col("rpos"))), lit(0L))).collect()(0)
+    val (nAffected, nPositions) = (m.getLong(0), m.getLong(1))
+    if (nAffected <= broadcastMaxDocs && nPositions <= broadcastMaxPositions)
+      rewritten(lined, broadcast(removedPos))
+    else {
+      // affected-id bloom: ~8 bits/key at 6 hashes (q44's kernel; FPR
+      // well under 3%, and a false positive only costs its doc a ride
+      // through the join — the left join leaves it unchanged)
+      val bits = java.lang.Long.highestOneBit(math.max(1024L, nAffected * 8 - 1)) * 2
+      val bloom = removedPos
+        .agg(graft.gfunctions.bloom_agg(col("doc_id"), bits, LineRepairBloomHashes))
+        .collect()(0).getAs[Array[Byte]](0)
+      val hit = graft.gfunctions.bloom_contains(
+        lit(bloom), col("doc_id"), LineRepairBloomHashes)
+      val untouched = lined.filter(!hit).select(
+        col("doc_id"),
+        size(col("ls")).cast("long").as("n_lines"),
+        lit(0L).as("n_removed"),
+        array_join(col("ls"), "\n").as("clean_text"))
+      rewritten(lined.filter(hit), removedPos).unionByName(untouched)
+    }
   }
 
   /** Synthesized multi-line corpus: each doc's ws-law tokens grouped

@@ -489,6 +489,14 @@ class DedupSpec extends AnyFunSuite {
       .orderBy("doc_id").collect().map(_.getString(1))
     assert(lined(0) == "a b c d\ne f", "4-token chunks, remainder is the last line")
     assert(lined(1) == "", "zero-token doc synthesizes empty text")
+
+    // the bloom path (past the broadcast bounds) is row-identical to the
+    // broadcast path — forced here by zeroing the bounds, so the fallback
+    // the 100 TB corpus takes is graded by the same planted expectations
+    val bloomPath = Dedup.lineDedup(docs, broadcastMaxDocs = 0L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(bloomPath.toSeq == got.toSeq, "bloom-dispatch rewrite must equal broadcast rewrite")
   }
 
   test("image phash: re-encoded and brightness-shifted copies are found; unrelated and non-image are not") {

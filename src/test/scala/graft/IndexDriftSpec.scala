@@ -22,15 +22,20 @@ class IndexDriftSpec extends AnyFunSuite {
       .select(col("doc_id"), graft.gfunctions.ws_tokens(col("text")).as("toks"))
   }
 
+  /** In-distribution corpus law shared by the drift tests: 20 distinct
+    * tokens per doc from a 500-token vocabulary — postings spread
+    * hash-uniformly over the buckets for ANY consecutive id range.
+    */
+  private def diverse(ids: Range) = ids.map { i =>
+    (i.toLong, (0 until 20).map(j => s"t${(i * 7 + j) % 500}").mkString(" "))
+  }
+
   test("sparse index: a template-collapse append trips, a same-vocabulary append does not") {
     // base + in-distribution batch: 20 distinct tokens per doc from a
     // 500-token vocabulary — postings spread hash-uniformly over the 64
     // buckets. Off-distribution batch: every doc is the SAME 3-token
     // template (the crawl-template-collapse failure mode) — all its
     // postings mass lands in <= 3 buckets.
-    def diverse(ids: Range) = ids.map { i =>
-      (i.toLong, (0 until 20).map(j => s"t${(i * 7 + j) % 500}").mkString(" "))
-    }
     val dir = "/tmp/graft-test/drift_sparse"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     SparseIndex.writeIndex(toked(diverse(0 until 200)), dir)
@@ -89,9 +94,6 @@ class IndexDriftSpec extends AnyFunSuite {
     val base = "/tmp/graft-test/drift_stream"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     val in = s"$base/in"; val ckpt = s"$base/ck"; val idx = s"$base/index"
-    def diverse(ids: Range) = ids.map { i =>
-      (i.toLong, (0 until 20).map(j => s"t${(i * 7 + j) % 500}").mkString(" "))
-    }
     SparseIndex.writeIndex(toked(diverse(0 until 200)), idx)
     val schema = toked(diverse(0 until 1)).schema
     // wave 1 in-distribution, wave 2 the template collapse — one FILE
@@ -161,9 +163,6 @@ class IndexDriftSpec extends AnyFunSuite {
     // self-dampens — the monitor must skip it, not report it quiet.
     val dir = "/tmp/graft-test/drift_folded"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
-    def diverse(ids: Range) = ids.map { i =>
-      (i.toLong, (0 until 20).map(j => s"t${(i * 7 + j) % 500}").mkString(" "))
-    }
     SparseIndex.writeIndex(toked(diverse(0 until 200)), dir)
     SparseIndex.appendIndexBatch(toked(diverse(1000 until 1100)), dir, 0L, "fold-")
     // preserve the batch dir across compaction, then restore it — the

@@ -1298,16 +1298,13 @@ object Dedup {
     prod = Some((s, d) => passageProfile(Tables.documents(s, d))),
   )
 
-  /** The line-dedup HARD gate: synthesize the multi-line corpus from
-    * the token law in both engines, then run the removal law end to
-    * end — split, hash, df, removal set, position map, REJOINED CLEAN
-    * TEXT — so the emitted text itself is hash-compared, not just the
-    * counts.
+  /** [[linedDocs]]'s SQL rendering — CTE chain ending in
+    * `ld(doc_id, text)`, the synthesized multi-line corpus. ONE
+    * rendering shared by the q89 gate and every composition over it
+    * (q93), so the synthesizer cannot fork between gates.
     */
-  val qLineDedup = GraftQuery(
-    "q89_line_dedup",
-    (s, d) => lineDedup(linedDocs(Tables.documents(s, d))).orderBy("doc_id"),
-    Some(s"""WITH toksrc AS (
+  private[graft] def linedDocsCtes: String =
+    s"""toksrc AS (
         SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '') AS toks
         FROM documents),
       chunks AS (
@@ -1319,24 +1316,44 @@ object Dedup {
         SELECT t.doc_id, COALESCE(c.text, '') AS text
         FROM toksrc t LEFT JOIN (
           SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS text
-          FROM chunks GROUP BY doc_id) c ON t.doc_id = c.doc_id),
-      l AS (
+          FROM chunks GROUP BY doc_id) c ON t.doc_id = c.doc_id)"""
+
+  /** [[lineDedup]]'s SQL rendering over a CTE `src(doc_id, text)` —
+    * ends in `lclean(doc_id, n_lines, n_removed, clean_text)`. ONE
+    * rendering shared by the q89 gate and compositions (q93).
+    */
+  private[graft] def lineDedupCtes(src: String): String =
+    s"""l AS (
         SELECT doc_id, i AS pos, lines[i+1] AS line
-        FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM ld)
+        FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM $src)
         CROSS JOIN UNNEST(range(0, len(lines))) AS u(i)),
       lh AS (
         SELECT doc_id, pos, CAST(('0x' || substr(md5(line), 1, 15)) AS BIGINT) AS h
         FROM l WHERE line <> ''),
       rem AS (SELECT h FROM lh GROUP BY h HAVING COUNT(DISTINCT doc_id) > $LineDupMaxDocs),
-      rp AS (SELECT lh.doc_id, lh.pos FROM lh JOIN rem USING (h))
-      SELECT l.doc_id,
-        CAST(COUNT(*) AS BIGINT) AS n_lines,
-        CAST(COUNT(rp.pos) AS BIGINT) AS n_removed,
-        COALESCE(string_agg(l.line, chr(10) ORDER BY l.pos)
-          FILTER (WHERE rp.pos IS NULL), '') AS clean_text
-      FROM l LEFT JOIN rp ON l.doc_id = rp.doc_id AND l.pos = rp.pos
-      GROUP BY l.doc_id
-      ORDER BY l.doc_id"""),
+      rp AS (SELECT lh.doc_id, lh.pos FROM lh JOIN rem USING (h)),
+      lclean AS (
+        SELECT l.doc_id,
+          CAST(COUNT(*) AS BIGINT) AS n_lines,
+          CAST(COUNT(rp.pos) AS BIGINT) AS n_removed,
+          COALESCE(string_agg(l.line, chr(10) ORDER BY l.pos)
+            FILTER (WHERE rp.pos IS NULL), '') AS clean_text
+        FROM l LEFT JOIN rp ON l.doc_id = rp.doc_id AND l.pos = rp.pos
+        GROUP BY l.doc_id)"""
+
+  /** The line-dedup HARD gate: synthesize the multi-line corpus from
+    * the token law in both engines, then run the removal law end to
+    * end — split, hash, df, removal set, position map, REJOINED CLEAN
+    * TEXT — so the emitted text itself is hash-compared, not just the
+    * counts.
+    */
+  val qLineDedup = GraftQuery(
+    "q89_line_dedup",
+    (s, d) => lineDedup(linedDocs(Tables.documents(s, d))).orderBy("doc_id"),
+    Some(s"""WITH $linedDocsCtes,
+      ${lineDedupCtes("ld")}
+      SELECT doc_id, n_lines, n_removed, clean_text
+      FROM lclean ORDER BY doc_id"""),
     prod = Some((s, d) => lineDedup(linedDocs(Tables.documents(s, d)))),
   )
 

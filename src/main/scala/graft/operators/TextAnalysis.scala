@@ -1230,27 +1230,82 @@ object TextAnalysis {
             concat(lit(" ref "), lpad(col("doc_id").cast("string"), 10, "0"),
               lit(" code 12345678")))).as("text"))
 
-  val q92 = GraftQuery(
-    "q92_pii_redact",
-    (s, d) => piiRedact(piiDocs(Tables.documents(s, d))).orderBy("doc_id"),
-    Some(s"""WITH pii AS (
-        SELECT doc_id, text || CASE CAST(doc_id % 3 AS INTEGER)
+  /** [[piiDocs]]'s planted-span SQL expression over (doc_id, text) —
+    * ONE rendering shared by the q92 gate and compositions (q93). */
+  private[graft] def piiSynthExpr: String =
+    s"""text || CASE CAST(doc_id % 3 AS INTEGER)
           WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or ops at corp dot net'
           WHEN 1 THEN ' server 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1 port 8080 up v1.2.3'
-          ELSE ' ref ' || lpad(CAST(doc_id AS VARCHAR), 10, '0') || ' code 12345678' END AS text
-        FROM documents),
-      s1 AS (SELECT doc_id, text, regexp_replace(text, '$EmailPat', '<EMAIL>', 'g') AS t1 FROM pii),
-      s2 AS (SELECT doc_id, text, t1, regexp_replace(t1, '$Ipv4Pat', '<IP>', 'g') AS t2 FROM s1)
-      SELECT doc_id,
+          ELSE ' ref ' || lpad(CAST(doc_id AS VARCHAR), 10, '0') || ' code 12345678' END"""
+
+  /** [[piiRedact]]'s staged SQL rendering over a CTE
+    * `src(doc_id, text, ...)` — the s1/s2 stages plus a final
+    * projection; `passCols` carry extra src columns through to the
+    * output (q93 threads the line-dedup counts). ONE rendering shared
+    * by the q92 gate and compositions.
+    */
+  private[graft] def piiRedactSql(src: String, passCols: Seq[String] = Nil): String = {
+    val pass = passCols.map(c => s"$c, ").mkString
+    s"""s1 AS (SELECT doc_id, ${pass}text, regexp_replace(text, '$EmailPat', '<EMAIL>', 'g') AS t1 FROM $src),
+      s2 AS (SELECT doc_id, ${pass}text, t1, regexp_replace(t1, '$Ipv4Pat', '<IP>', 'g') AS t2 FROM s1)
+      SELECT doc_id, $pass
         CAST(len(regexp_extract_all(text, '$EmailPat')) AS BIGINT) AS n_emails,
         CAST(len(regexp_extract_all(t1, '$Ipv4Pat')) AS BIGINT) AS n_ips,
         CAST(len(regexp_extract_all(t2, '$DigitRunPat')) AS BIGINT) AS n_digit_runs,
         regexp_replace(t2, '$DigitRunPat', '<NUM>', 'g') AS clean_text
-      FROM s2 ORDER BY doc_id"""),
+      FROM s2 ORDER BY doc_id"""
+  }
+
+  val q92 = GraftQuery(
+    "q92_pii_redact",
+    (s, d) => piiRedact(piiDocs(Tables.documents(s, d))).orderBy("doc_id"),
+    Some(s"""WITH pii AS (
+        SELECT doc_id, $piiSynthExpr AS text
+        FROM documents),
+      ${piiRedactSql("pii")}"""),
     prod = Some((s, d) => piiRedact(piiDocs(Tables.documents(s, d)))),
+  )
+
+  // ----------------------------------------- q93 corpus repair (composed)
+
+  /** The REPAIR composition over an already multi-line corpus: line
+    * dedup REMOVES boilerplate lines, then PII redaction scrubs the
+    * surviving text — C4/RefinedWeb's repair order (a boilerplate line
+    * containing PII is simply GONE, so its spans never count). Exposed
+    * for the spec; the registry entry feeds it the synthesized
+    * lined+PII corpus so the whole chain sits under the HARD gate.
+    */
+  private[graft] def repairFrom(docs: DataFrame): DataFrame = {
+    val cleaned = Dedup.lineDedup(docs)
+    piiRedact(cleaned.select(col("doc_id"), col("clean_text").as("text")))
+      .join(cleaned.select("doc_id", "n_lines", "n_removed"), Seq("doc_id"))
+      .select("doc_id", "n_lines", "n_removed",
+        "n_emails", "n_ips", "n_digit_runs", "clean_text")
+  }
+
+  /** CORPUS REPAIR (r18) — q89 ∘ q92 as ONE gated entry: the
+    * synthesize laws compose too (multi-line text from the token law,
+    * then the planted-span law appends to each doc's LAST line), so
+    * the oracle grades synthesize → line-dedup → redact end to end
+    * through the SAME shared CTE renderings the standalone gates use —
+    * none of the three laws can fork from its own gate. The interplay
+    * is real and deterministic: an appended span makes a formerly
+    * shared last line unique (it survives dedup, then redacts), while
+    * a span variant shared by > maxDocs docs is REMOVED as boilerplate
+    * before redaction ever sees it.
+    */
+  val q93 = GraftQuery(
+    "q93_corpus_repair",
+    (s, d) => repairFrom(piiDocs(Dedup.linedDocs(Tables.documents(s, d)))).orderBy("doc_id"),
+    Some(s"""WITH ${Dedup.linedDocsCtes},
+      pii AS (SELECT doc_id, $piiSynthExpr AS text FROM ld),
+      ${Dedup.lineDedupCtes("pii")},
+      rsrc AS (SELECT doc_id, n_lines, n_removed, clean_text AS text FROM lclean),
+      ${piiRedactSql("rsrc", Seq("n_lines", "n_removed"))}"""),
+    prod = Some((s, d) => repairFrom(piiDocs(Dedup.linedDocs(Tables.documents(s, d))))),
   )
 
   def all: Seq[GraftQuery] =
     Seq(q30, q31, q32, q32v2, q33, q33md5, q34, q35, q35exact, q36, q37, q42, q46, q48, q49,
-      q51, q54, q71, q72, q75, q92)
+      q51, q54, q71, q72, q75, q92, q93)
 }

@@ -196,6 +196,25 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(5L) == ((0L, 0L, 0L, "clean text with nothing to hide")))
   }
 
+  test("q93 repair composition: boilerplate lines carrying PII vanish before redaction counts them") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "unique alpha\ncontact us at spam@corp.com"),
+      (2L, "unique beta\ncontact us at spam@corp.com"),
+      (3L, "unique gamma\ncontact us at spam@corp.com"),
+      (4L, "keep me 10.0.0.1 here\nunique delta"),
+    ).toDF("doc_id", "text")
+    val got = operators.TextAnalysis.repairFrom(docs).orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getString(6)))).toMap
+    // the shared contact line (df 3 > 2) is REMOVED as boilerplate, so
+    // its email never reaches the redactor — repair order matters
+    assert(got(1L) == ((2L, 1L, 0L, 0L, "unique alpha")))
+    assert(got(2L) == ((2L, 1L, 0L, 0L, "unique beta")))
+    // the unique IP line survives dedup and redacts
+    assert(got(4L) == ((2L, 0L, 0L, 1L, "keep me <IP> here\nunique delta")))
+  }
+
   test("q34 shingle counts: n tokens -> n-2 shingles") {
     val dir = planted("ngram", Seq(
       (1L, "a b c d e", "en", "s", 9L), // 3 shingles

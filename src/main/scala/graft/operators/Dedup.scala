@@ -693,19 +693,68 @@ object Dedup {
     * text scales with real line sizes (3–8× at 80–200-byte web-text
     * lines; repair throughput ~44k docs/s on the probe box).
     */
+  /** (doc_id, ls) split form of a text corpus — the rewrite input. */
+  private def linesOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), "\n").as("ls"))
+
+  /** (doc_id, pos, h) triples of the NON-EMPTY lines — the slim form
+    * every exchange of the line family ships. */
+  private def hashedLines(lined: DataFrame): DataFrame =
+    lined
+      .select(col("doc_id"), posexplode(col("ls")).as(Seq("pos", "line")))
+      .filter(col("line") =!= "")
+      .select(col("doc_id"), col("pos"), ExprUtil.md5Hash60(col("line")).as("h"))
+
+  /** The corpus-frequency removal law: 60-bit hashes of non-empty
+    * lines in more than `maxDocs` distinct docs — ONE rendering used
+    * by [[lineDedup]] (internally) and by the streaming repair's
+    * reference producer ([[graft.streaming.Streams.writeLineRepairRef]]).
+    */
+  private[graft] def lineRemovalSet(docs: DataFrame, maxDocs: Int = LineDupMaxDocs): DataFrame =
+    hashedLines(linesOf(docs))
+      .groupBy("h").agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") > maxDocs)
+      .select("h")
+
+  /** The ONE rewrite projection: joined (doc_id, ls) × (doc_id, rpos)
+    * rows to (doc_id, n_lines, n_removed, clean_text). */
+  private def rewritten(side: DataFrame, rp: DataFrame): DataFrame = side
+    .join(rp, Seq("doc_id"), "left")
+    .select(
+      col("doc_id"),
+      size(col("ls")).cast("long").as("n_lines"),
+      coalesce(size(col("rpos")), lit(0)).cast("long").as("n_removed"),
+      array_join(
+        filter(
+          transform(col("ls"), (l, i) =>
+            when(array_contains(coalesce(col("rpos"), array()), i), lit(null))
+              .otherwise(l)),
+          x => x.isNotNull),
+        "\n").as("clean_text"))
+
+  /** Remove lines whose hash is in an EXTERNAL removal set — the
+    * batch-scale core of the streaming repair lane (the removal law
+    * comes from the curated corpus, the docs are one micro-batch, so
+    * the rewrite is a plain AQE join with no size dispatch — both
+    * sides are micro-batch/vocabulary sized).
+    */
+  private[graft] def removeLines(docs: DataFrame, removal: DataFrame): DataFrame = {
+    val lined = linesOf(docs).localCheckpoint()
+    val removedPos = hashedLines(lined)
+      .join(removal.select("h"), Seq("h"))
+      .groupBy("doc_id")
+      .agg(collect_set(col("pos")).as("rpos"))
+    rewritten(lined, removedPos)
+  }
+
   def lineDedup(
       docs: DataFrame,
       maxDocs: Int = LineDupMaxDocs,
       broadcastMaxDocs: Long = LineRepairBroadcastMaxDocs,
       broadcastMaxPositions: Long = LineRepairBroadcastMaxPositions): DataFrame = {
     // read by the df count AND the rewrite join — pin once
-    val lined = docs
-      .select(col("doc_id"), split(col("text"), "\n").as("ls"))
-      .localCheckpoint()
-    val hashed = lined
-      .select(col("doc_id"), posexplode(col("ls")).as(Seq("pos", "line")))
-      .filter(col("line") =!= "")
-      .select(col("doc_id"), col("pos"), ExprUtil.md5Hash60(col("line")).as("h"))
+    val lined = linesOf(docs).localCheckpoint()
+    val hashed = hashedLines(lined)
       .localCheckpoint() // read by the removal count AND the position map
     val removal = hashed
       .groupBy("h").agg(countDistinct(col("doc_id")).as("df"))
@@ -716,19 +765,6 @@ object Dedup {
       .groupBy("doc_id")
       .agg(collect_set(col("pos")).as("rpos"))
       .localCheckpoint() // slim (doc_id, positions); measured AND joined
-    def rewritten(side: DataFrame, rp: DataFrame): DataFrame = side
-      .join(rp, Seq("doc_id"), "left")
-      .select(
-        col("doc_id"),
-        size(col("ls")).cast("long").as("n_lines"),
-        coalesce(size(col("rpos")), lit(0)).cast("long").as("n_removed"),
-        array_join(
-          filter(
-            transform(col("ls"), (l, i) =>
-              when(array_contains(coalesce(col("rpos"), array()), i), lit(null))
-                .otherwise(l)),
-            x => x.isNotNull),
-          "\n").as("clean_text"))
     val m = removedPos
       .agg(count(lit(1)), coalesce(sum(size(col("rpos"))), lit(0L))).collect()(0)
     val (nAffected, nPositions) = (m.getLong(0), m.getLong(1))
@@ -1318,20 +1354,25 @@ object Dedup {
           SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS text
           FROM chunks GROUP BY doc_id) c ON t.doc_id = c.doc_id)"""
 
-  /** [[lineDedup]]'s SQL rendering over a CTE `src(doc_id, text)` —
-    * ends in `lclean(doc_id, n_lines, n_removed, clean_text)`. ONE
-    * rendering shared by the q89 gate and compositions (q93).
-    */
-  private[graft] def lineDedupCtes(src: String): String =
-    s"""l AS (
+  // The line-family SQL sub-renderings — each law has ONE rendering,
+  // composed by the q89/q93 (same-population) and stream_repair
+  // (external-removal) generators below.
+  private def lineSplitCte(name: String, src: String, pred: String = ""): String =
+    s"""$name AS (
         SELECT doc_id, i AS pos, lines[i+1] AS line
-        FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM $src)
-        CROSS JOIN UNNEST(range(0, len(lines))) AS u(i)),
-      lh AS (
+        FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM $src$pred)
+        CROSS JOIN UNNEST(range(0, len(lines))) AS u(i))"""
+
+  private def lineHashCte(name: String, from: String): String =
+    s"""$name AS (
         SELECT doc_id, pos, CAST(('0x' || substr(md5(line), 1, 15)) AS BIGINT) AS h
-        FROM l WHERE line <> ''),
-      rem AS (SELECT h FROM lh GROUP BY h HAVING COUNT(DISTINCT doc_id) > $LineDupMaxDocs),
-      rp AS (SELECT lh.doc_id, lh.pos FROM lh JOIN rem USING (h)),
+        FROM $from WHERE line <> '')"""
+
+  private def lineRemCte(from: String): String =
+    s"rem AS (SELECT h FROM $from GROUP BY h HAVING COUNT(DISTINCT doc_id) > $LineDupMaxDocs)"
+
+  private def lineCleanCte: String =
+    s"""rp AS (SELECT lh.doc_id, lh.pos FROM lh JOIN rem USING (h)),
       lclean AS (
         SELECT l.doc_id,
           CAST(COUNT(*) AS BIGINT) AS n_lines,
@@ -1340,6 +1381,29 @@ object Dedup {
             FILTER (WHERE rp.pos IS NULL), '') AS clean_text
         FROM l LEFT JOIN rp ON l.doc_id = rp.doc_id AND l.pos = rp.pos
         GROUP BY l.doc_id)"""
+
+  /** [[lineDedup]]'s SQL rendering over a CTE `src(doc_id, text)` —
+    * ends in `lclean(doc_id, n_lines, n_removed, clean_text)`. ONE
+    * rendering shared by the q89 gate and compositions (q93).
+    */
+  private[graft] def lineDedupCtes(src: String): String =
+    s"""${lineSplitCte("l", src)},
+      ${lineHashCte("lh", "l")},
+      ${lineRemCte("lh")},
+      $lineCleanCte"""
+
+  /** [[removeLines]]'s SQL rendering — the EXTERNAL-removal edition:
+    * the rem law computes over ALL of `src`, the rewrite over only the
+    * rows matching `arrPred` (the arriving stream slice). Same
+    * sub-renderings as [[lineDedupCtes]]; ends in `lclean`.
+    */
+  private[graft] def lineRewriteCtes(src: String, arrPred: String): String =
+    s"""${lineSplitCte("la", src)},
+      ${lineHashCte("lha", "la")},
+      ${lineRemCte("lha")},
+      ${lineSplitCte("l", src, s" WHERE $arrPred")},
+      ${lineHashCte("lh", "l")},
+      $lineCleanCte"""
 
   /** The line-dedup HARD gate: synthesize the multi-line corpus from
     * the token law in both engines, then run the removal law end to

@@ -1275,13 +1275,18 @@ object TextAnalysis {
     * for the spec; the registry entry feeds it the synthesized
     * lined+PII corpus so the whole chain sits under the HARD gate.
     */
-  private[graft] def repairFrom(docs: DataFrame): DataFrame = {
-    val cleaned = Dedup.lineDedup(docs)
+  /** The redaction tail over a line-cleaned frame
+    * `(doc_id, n_lines, n_removed, clean_text)` — ONE rendering shared
+    * by [[repairFrom]] (q93) and the streaming repair lane
+    * ([[graft.streaming.Streams.repairBatch]]). */
+  private[graft] def redactCleaned(cleaned: DataFrame): DataFrame =
     piiRedact(cleaned.select(col("doc_id"), col("clean_text").as("text")))
       .join(cleaned.select("doc_id", "n_lines", "n_removed"), Seq("doc_id"))
       .select("doc_id", "n_lines", "n_removed",
         "n_emails", "n_ips", "n_digit_runs", "clean_text")
-  }
+
+  private[graft] def repairFrom(docs: DataFrame): DataFrame =
+    redactCleaned(Dedup.lineDedup(docs))
 
   /** CORPUS REPAIR (r18) — q89 ∘ q92 as ONE gated entry: the
     * synthesize laws compose too (multi-line text from the token law,

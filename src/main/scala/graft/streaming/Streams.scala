@@ -294,6 +294,58 @@ object Streams {
     w.start()
   }
 
+  /** Build (or REBUILD) the line-removal reference
+    * [[repairStreamRefreshing]] reads: the corpus-frequency boilerplate
+    * law (60-bit hashes of lines in > maxDocs distinct docs) as a slim
+    * one-file parquet. The producer side of the repair refresh story —
+    * the periodic batch run recomputes it over the current curated
+    * corpus and overwrites; the running stream picks the swap up on its
+    * next micro-batch. Same concurrency contract as
+    * [[writeNearDupRef]]: one producer, any number of stream readers.
+    */
+  def writeLineRepairRef(
+      corpus: DataFrame, dir: String,
+      maxDocs: Int = graft.operators.Dedup.LineDupMaxDocs): Unit =
+    graft.operators.Dedup.lineRemovalSet(corpus, maxDocs)
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+
+  /** One micro-batch of arriving docs through the REPAIR lane: remove
+    * lines in the external removal set (the curated corpus's
+    * boilerplate law), then redact PII spans — the q93 composition
+    * with the removal evidence coming from the REFERENCE corpus
+    * instead of the batch itself (an arriving doc's boilerplate is
+    * defined by the corpus it joins, not by its micro-batch peers).
+    * The shared core under the registry gate and the refreshing
+    * stream.
+    */
+  private[graft] def repairBatch(arrivals: DataFrame, removal: DataFrame): DataFrame =
+    graft.operators.TextAnalysis.redactCleaned(
+      graft.operators.Dedup.removeLines(arrivals, removal))
+
+  /** REFRESHABLE streaming corpus repair: the removal reference is
+    * RE-READ from `refDir` inside foreachBatch on every micro-batch
+    * (the [[nearDupStreamRefreshing]] refresh contract), so the
+    * periodic batch rebuild over the current curated corpus reaches
+    * the running stream without restart. Redaction is stateless; the
+    * only cross-batch concern is the sink's idempotence rule (upsert
+    * by doc_id — the q27 discipline), since a replayed batch re-emits
+    * its rows.
+    */
+  def repairStreamRefreshing(
+      docs: DataFrame,
+      refDir: String,
+      sink: (DataFrame, Long) => Unit,
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val removal = batch.sparkSession.read.parquet(refDir)
+        sink(repairBatch(batch.toDF(), removal), batchId)
+      }
+    checkpoint.foreach(c => w.option("checkpointLocation", c))
+    w.start()
+  }
+
   /** The SLIM banded side of the semantic matcher: (band_idx, band_val,
     * ref_id) only, degenerate buckets capped. Keeping the corpus float
     * vectors OUT of the band table is what keeps band exchanges cheap —
@@ -1843,7 +1895,37 @@ object Streams {
     }),
   )
 
+  /** Driver gate for [[repairBatch]]: every 10th doc of the
+    * synthesized lined+PII corpus plays the arriving stream; the
+    * removal reference is the boilerplate law over the WHOLE corpus
+    * (what the periodic batch producer writes). The oracle composes
+    * the same shared renderings as q89/q92/q93, with the rem law over
+    * the full population and the rewrite over the arrival slice.
+    */
+  val qRepair = GraftQuery(
+    "stream_repair",
+    (s, d) => {
+      val synth = graft.operators.TextAnalysis.piiDocs(
+        graft.operators.Dedup.linedDocs(graft.Tables.documents(s, d))).localCheckpoint()
+      repairBatch(
+        synth.filter(col("doc_id") % 10 === 0),
+        graft.operators.Dedup.lineRemovalSet(synth)).orderBy("doc_id")
+    },
+    Some(s"""WITH ${graft.operators.Dedup.linedDocsCtes},
+      pii AS (SELECT doc_id, ${graft.operators.TextAnalysis.piiSynthExpr} AS text FROM ld),
+      ${graft.operators.Dedup.lineRewriteCtes("pii", "doc_id % 10 = 0")},
+      rsrc AS (SELECT doc_id, n_lines, n_removed, clean_text AS text FROM lclean),
+      ${graft.operators.TextAnalysis.piiRedactSql("rsrc", Seq("n_lines", "n_removed"))}"""),
+    prod = Some((s, d) => {
+      val synth = graft.operators.TextAnalysis.piiDocs(
+        graft.operators.Dedup.linedDocs(graft.Tables.documents(s, d))).localCheckpoint()
+      repairBatch(
+        synth.filter(col("doc_id") % 10 === 0),
+        graft.operators.Dedup.lineRemovalSet(synth))
+    }),
+  )
+
   def all: Seq[GraftQuery] =
     Seq(qWindowed, qSessionize, qIntervalJoin, qDedup, qDecontam, qScd2, qTransitions,
-      qRateLimit, qRateLimitBucketed, qCurate, qNearDup, qEmbNearDup)
+      qRateLimit, qRateLimitBucketed, qCurate, qNearDup, qEmbNearDup, qRepair)
 }

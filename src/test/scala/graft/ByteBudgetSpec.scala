@@ -120,6 +120,7 @@ class ByteBudgetSpec extends AnyFunSuite {
     ("q89_line_dedup", 170987L, 512961L),
     ("q91_bpe_pairs", 1881L, 5643L),
     ("q93_corpus_repair", 267955L, 803865L),
+    ("stream_repair", 169807L, 509421L),
   )
 
   /** Prod plans that measured EXACTLY zero shuffle bytes in the r16

@@ -250,6 +250,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("refreshing repair stream: removal swap reaches the running query; redaction is per-row") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val footerA = "subscribe to our newsletter"
+    val footerB = "all rights reserved 2026"
+    val refDir = "/tmp/graft-test/repair_ref_swap"
+    // reference corpus A: only footerA is boilerplate (4 docs > maxDocs 2)
+    Streams.writeLineRepairRef(
+      (1 to 4).map(i => (100L + i, s"body $i\n$footerA")).toDF("doc_id", "text"), refDir)
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, String)]
+    val ms = MemoryStream[(Long, String)]
+    val q = Streams.repairStreamRefreshing(
+      ms.toDF().toDF("doc_id", "text"), refDir,
+      (df, _) => results ++= df.collect().map(r =>
+        (r.getLong(0), r.getLong(2), r.getLong(3), r.getString(6))))
+    try {
+      // arrival 1 carries footerA (known boilerplate) AND an email;
+      // arrival 2 carries footerB (NOT yet boilerplate)
+      ms.addData((1L, s"keep one a@b.co\n$footerA"), (2L, s"keep two\n$footerB"))
+      q.processAllAvailable()
+      val b1 = results.map { case (id, nr, ne, t) => id -> ((nr, ne, t)) }.toMap
+      assert(b1(1L) == ((1L, 1L, "keep one <EMAIL>")),
+        s"footerA removed, email redacted: ${b1(1L)}")
+      assert(b1(2L) == ((0L, 0L, s"keep two\n$footerB")),
+        s"footerB not yet boilerplate: ${b1(2L)}")
+      // the periodic batch rebuild now also knows footerB — the SAME
+      // running query must pick it up on its next micro-batch
+      Streams.writeLineRepairRef(
+        ((1 to 4).map(i => (100L + i, s"body $i\n$footerA")) ++
+          (1 to 4).map(i => (200L + i, s"other $i\n$footerB"))).toDF("doc_id", "text"),
+        refDir)
+      results.clear()
+      ms.addData((3L, s"keep three\n$footerB"))
+      q.processAllAvailable()
+      assert(results.map(r => (r._1, r._2, r._4)).toList == List((3L, 1L, "keep three")),
+        s"after the swap footerB is removed without restart: $results")
+    } finally q.stop()
+  }
+
   test("stream_curate: batch-mode run of the literal fold equals the streamed run") {
     import spark.implicits._
     implicit val sc = spark.sqlContext

@@ -710,11 +710,14 @@ object Dedup {
     * by [[lineDedup]] (internally) and by the streaming repair's
     * reference producer ([[graft.streaming.Streams.writeLineRepairRef]]).
     */
-  private[graft] def lineRemovalSet(docs: DataFrame, maxDocs: Int = LineDupMaxDocs): DataFrame =
-    hashedLines(linesOf(docs))
+  private def removalOf(hashed: DataFrame, maxDocs: Int): DataFrame =
+    hashed
       .groupBy("h").agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") > maxDocs)
       .select("h")
+
+  private[graft] def lineRemovalSet(docs: DataFrame, maxDocs: Int = LineDupMaxDocs): DataFrame =
+    removalOf(hashedLines(linesOf(docs)), maxDocs)
 
   /** The ONE rewrite projection: joined (doc_id, ls) × (doc_id, rpos)
     * rows to (doc_id, n_lines, n_removed, clean_text). */
@@ -756,10 +759,7 @@ object Dedup {
     val lined = linesOf(docs).localCheckpoint()
     val hashed = hashedLines(lined)
       .localCheckpoint() // read by the removal count AND the position map
-    val removal = hashed
-      .groupBy("h").agg(countDistinct(col("doc_id")).as("df"))
-      .filter(col("df") > maxDocs)
-      .select("h")
+    val removal = removalOf(hashed, maxDocs)
     val removedPos = hashed
       .join(removal, Seq("h"))
       .groupBy("doc_id")

@@ -1268,6 +1268,23 @@ object TextAnalysis {
 
   // ----------------------------------------- q93 corpus repair (composed)
 
+  /** The redaction tail over a line-cleaned frame
+    * `(doc_id, n_lines, n_removed, clean_text)` — ONE rendering shared
+    * by [[repairFrom]] (q93) and the streaming repair lane
+    * ([[graft.streaming.Streams.repairBatch]]). The input is read by
+    * BOTH the redaction branch and the counts branch, so it pins
+    * once — without it the whole upstream line-removal DAG would
+    * evaluate twice per call (once per streaming micro-batch in
+    * repairBatch).
+    */
+  private[graft] def redactCleaned(cleanedIn: DataFrame): DataFrame = {
+    val cleaned = cleanedIn.localCheckpoint()
+    piiRedact(cleaned.select(col("doc_id"), col("clean_text").as("text")))
+      .join(cleaned.select("doc_id", "n_lines", "n_removed"), Seq("doc_id"))
+      .select("doc_id", "n_lines", "n_removed",
+        "n_emails", "n_ips", "n_digit_runs", "clean_text")
+  }
+
   /** The REPAIR composition over an already multi-line corpus: line
     * dedup REMOVES boilerplate lines, then PII redaction scrubs the
     * surviving text — C4/RefinedWeb's repair order (a boilerplate line
@@ -1275,16 +1292,6 @@ object TextAnalysis {
     * for the spec; the registry entry feeds it the synthesized
     * lined+PII corpus so the whole chain sits under the HARD gate.
     */
-  /** The redaction tail over a line-cleaned frame
-    * `(doc_id, n_lines, n_removed, clean_text)` — ONE rendering shared
-    * by [[repairFrom]] (q93) and the streaming repair lane
-    * ([[graft.streaming.Streams.repairBatch]]). */
-  private[graft] def redactCleaned(cleaned: DataFrame): DataFrame =
-    piiRedact(cleaned.select(col("doc_id"), col("clean_text").as("text")))
-      .join(cleaned.select("doc_id", "n_lines", "n_removed"), Seq("doc_id"))
-      .select("doc_id", "n_lines", "n_removed",
-        "n_emails", "n_ips", "n_digit_runs", "clean_text")
-
   private[graft] def repairFrom(docs: DataFrame): DataFrame =
     redactCleaned(Dedup.lineDedup(docs))
 

@@ -300,14 +300,21 @@ object Streams {
     * one-file parquet. The producer side of the repair refresh story —
     * the periodic batch run recomputes it over the current curated
     * corpus and overwrites; the running stream picks the swap up on its
-    * next micro-batch. Same concurrency contract as
-    * [[writeNearDupRef]]: one producer, any number of stream readers.
+    * next micro-batch. One producer per directory, any number of
+    * stream readers — and because the parquet overwrite is NOT atomic
+    * against a reader's listing, the consumer wraps its read in the
+    * ingest lanes' transient-retry envelope rather than trusting an
+    * old-or-new-in-full illusion.
     */
   def writeLineRepairRef(
       corpus: DataFrame, dir: String,
       maxDocs: Int = graft.operators.Dedup.LineDupMaxDocs): Unit =
+    // repartition, not coalesce: coalesce is narrow and would drag the
+    // corpus-wide df-count aggregation into the single write task; the
+    // filtered removal set is a slim hash table, so the one-file
+    // repartition costs one tiny exchange
     graft.operators.Dedup.lineRemovalSet(corpus, maxDocs)
-      .coalesce(1).write.mode("overwrite").parquet(dir)
+      .repartition(1).write.mode("overwrite").parquet(dir)
 
   /** One micro-batch of arriving docs through the REPAIR lane: remove
     * lines in the external removal set (the curated corpus's
@@ -339,8 +346,14 @@ object Streams {
     val w = docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val removal = batch.sparkSession.read.parquet(refDir)
-        sink(repairBatch(batch.toDF(), removal), batchId)
+        // the producer's overwrite is not atomic against this listing —
+        // a micro-batch racing the swap can see a vanishing directory;
+        // the retry envelope (the ingest lanes' convention) absorbs the
+        // window instead of terminating the query
+        retryTransient(5) {
+          val removal = batch.sparkSession.read.parquet(refDir)
+          sink(repairBatch(batch.toDF(), removal), batchId)
+        }
       }
     checkpoint.foreach(c => w.option("checkpointLocation", c))
     w.start()

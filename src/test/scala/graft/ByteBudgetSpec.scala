@@ -121,6 +121,17 @@ class ByteBudgetSpec extends AnyFunSuite {
     ("q91_bpe_pairs", 1881L, 5643L),
     ("q93_corpus_repair", 267955L, 803865L),
     ("stream_repair", 169807L, 509421L),
+    // r18 session-2 entries: the link-graph sweeps exchange only
+    // (id, 8-byte) pairs per iteration; q96 exchanges (id, double)
+    // after the broadcast-bench scan; q97's exchange carries the
+    // distinct-column Expand stream (incl. text — the exact-profile
+    // price, see Profile scaladoc).
+    ("q94_pagerank", 35825L, 107475L),
+    ("q95_crawl_depth", 12778L, 38334L),
+    ("q96_embed_decontam", 7015L, 21045L),
+    ("q97_profile", 94805L, 284415L),
+    ("q98_graph_components", 51415L, 154245L),
+    ("q99_text_embed_decontam", 16369L, 49107L),
   )
 
   /** Prod plans that measured EXACTLY zero shuffle bytes in the r16

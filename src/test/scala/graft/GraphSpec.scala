@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Planted-graph semantics for the link-graph operators: the exact
+  * integer PageRank law (hand-computed sweep), mass conservation under
+  * the truncation bound, BFS shortest-hop exactness with a shortcut
+  * edge, and the edge-law shape.
+  */
+class GraphSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSession.spark
+  import operators.Graph
+
+  private def nodes(ids: Long*): DataFrame = {
+    import spark.implicits._
+    ids.toDF("doc_id")
+  }
+
+  private def edges(rows: (Long, Long, Long)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("src", "k", "dst")
+  }
+
+  private val S = Graph.PrScale
+
+  test("pagerank: a 1-regular cycle is exactly stationary at PrScale") {
+    // every node passes its whole mass on: pr' = 15%S + 85%S = S with
+    // zero truncation loss (S divisible by 100) — the law's fixed point
+    val g = Graph.pageRankOn(
+      nodes(0L, 1L, 2L),
+      edges((0L, 1L, 1L), (1L, 1L, 2L), (2L, 1L, 0L)),
+      iters = 3)
+    assert(g.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      Map(0L -> S, 1L -> S, 2L -> S))
+  }
+
+  test("pagerank: one sweep matches the hand-computed integer law") {
+    // 0 -> {1, 2} (k=2), 1 -> 2 (k=1), 2 -> 2 self loop (k=1)
+    // contrib: 0->1: S/2, 0->2: S/2, 1->2: S, 2->2: S
+    // pr'(0) = base + 0; pr'(1) = base + 85*(S/2) DIV 100
+    // pr'(2) = base + 85*(S/2 + S + S) DIV 100
+    val g = Graph.pageRankOn(
+      nodes(0L, 1L, 2L),
+      edges((0L, 2L, 1L), (0L, 2L, 2L), (1L, 1L, 2L), (2L, 1L, 2L)),
+      iters = 1)
+    val base = Graph.PrBase
+    val expected = Map(
+      0L -> base,
+      1L -> (base + 85L * (S / 2) / 100L),
+      2L -> (base + 85L * (S / 2 + 2 * S) / 100L))
+    assert(g.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap === expected)
+  }
+
+  test("q94 conserves mass to the truncation bound on the real corpus") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").select(col("doc_id"))
+    val e = Graph.linkEdgesOn(docs).localCheckpoint()
+    val ranks = Graph.pageRankOn(docs, e, Graph.PrIters)
+    val n = docs.count()
+    val total = ranks.agg(sum("pr")).head().getLong(0)
+    // each sweep sheds < k(u) ≤ 3 units per source (pr DIV k floor) and
+    // < 100 units per node (the DIV 100) — never creates mass
+    val maxLoss = Graph.PrIters.toLong * n * 103L
+    assert(total <= n * S, s"mass created: $total > ${n * S}")
+    assert(total >= n * S - maxLoss, s"mass lost beyond the floor bound: $total")
+  }
+
+  test("crawl depth: shortest hop distance with a shortcut, isolated node -1") {
+    // chain 0->1->2->3->4 plus shortcut 0->3; node 5 isolated.
+    // distances: 0,1,2,1(via shortcut),2(via 3),and -1
+    val g = Graph.crawlDepthOn(
+      nodes(0L, 1L, 2L, 3L, 4L, 5L),
+      edges((0L, 2L, 1L), (0L, 2L, 3L), (1L, 1L, 2L), (2L, 1L, 3L), (3L, 1L, 4L)),
+      seeds = col("doc_id") === 0L,
+      iters = 4)
+    assert(g.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 2L, 5L -> -1L))
+  }
+
+  test("crawl depth: K rounds never report a depth beyond K; seeds stay 0") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").select(col("doc_id"))
+    val e = Graph.linkEdgesOn(docs).localCheckpoint()
+    val dep = Graph.crawlDepthOn(docs, e, col("doc_id") % Graph.SeedMod === 0, Graph.BfsIters)
+    val bad = dep.filter(col("depth") > Graph.BfsIters || col("depth") < -1).count()
+    assert(bad === 0)
+    val seedsOff = dep.filter(col("doc_id") % Graph.SeedMod === 0 && col("depth") =!= 0).count()
+    assert(seedsOff === 0, "a seed lost its zero depth")
+  }
+
+  test("label propagation: two planted components resolve to their min ids") {
+    // component A: 3-5-7 (chain), component B: 10-12; node 20 isolated.
+    // diameter 2 < 6 rounds, so labels are the exact component minima.
+    val g = Graph.labelPropOn(
+      nodes(3L, 5L, 7L, 10L, 12L, 20L),
+      edges((5L, 1L, 3L), (7L, 1L, 5L), (12L, 1L, 10L)),
+      iters = Graph.CompIters)
+    assert(g.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      Map(3L -> 3L, 5L -> 3L, 7L -> 3L, 10L -> 10L, 12L -> 10L, 20L -> 20L))
+  }
+
+  test("label propagation: K rounds reach exactly the K-hop neighborhood") {
+    // chain 0-1-2-3-4: after 2 rounds node 3 sees min 1 (two hops),
+    // not yet 0 (three hops) — the bounded-sweep law, not the fixpoint
+    val chain = edges((0L, 1L, 1L), (1L, 1L, 2L), (2L, 1L, 3L), (3L, 1L, 4L))
+    val two = Graph.labelPropOn(nodes(0L, 1L, 2L, 3L, 4L), chain, iters = 2)
+    assert(two.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 2L))
+  }
+
+  test("edge law: out-degree 1 + src % 3, dst within [0, N)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").select(col("doc_id"))
+    val n = docs.count()
+    val e = Graph.linkEdgesOn(docs)
+    val perSrc = e.groupBy("src").agg(count(lit(1)).as("deg"), first("k").as("k"))
+    val wrongDeg = perSrc.filter(col("deg") =!= col("k") ||
+      col("deg") =!= lit(1L) + col("src") % 3).count()
+    assert(wrongDeg === 0)
+    val outOfRange = e.filter(col("dst") < 0 || col("dst") >= n).count()
+    assert(outOfRange === 0)
+  }
+}

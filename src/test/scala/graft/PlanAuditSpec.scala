@@ -55,6 +55,13 @@ class PlanAuditSpec extends AnyFunSuite {
       // is equi-joins over the pruned lists, its fusion pure aggregates
       "q85_bm25", "q86_temp_mixture", "q87_hybrid_rrf3", "sparse_index_bm25",
       "hybrid_index_rrf",
+      // q94/q95 cross-join a broadcast 1-ROW corpus-count into the edge
+      // generator — the q35 scalar-subquery shape again
+      // q96 is the q38 benchmark asymmetry over EMBEDDINGS: corpus ×
+      // broadcast bench-vector set (eval sets are tiny by construction)
+      // — the ann_bruteforce-style designed NLJ
+      "q94_pagerank", "q95_crawl_depth", "q96_embed_decontam",
+      "q98_graph_components", "q99_text_embed_decontam",
       "q35_tfidf", "dedup_cosine_verify", "q49_heavy_tokens", "q54_source_drift")
     SparkEntry.registry.foreach { q =>
       val p = plan(q)

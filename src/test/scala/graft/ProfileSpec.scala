@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Planted-frame semantics for the one-scan profiler: null accounting,
+  * exact distincts, min/max string rendering, and the single-scan plan.
+  */
+class ProfileSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSession.spark
+  import operators.Profile
+
+  private lazy val planted = {
+    import spark.implicits._
+    Seq(
+      (1L, Option("aa"), Option(10L)),
+      (2L, Option("bb"), Option(20L)),
+      (3L, Option("aa"), None),
+      (4L, None, Option(20L)),
+      (5L, None, Option(5L)),
+    ).toDF("id", "s", "v")
+  }
+
+  test("profile: nulls, distincts, and min/max per column on a planted frame") {
+    val rows = Profile.profileOn(planted, Seq("id", "s", "v"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))
+      .toMap
+    assert(rows("id") === ((5L, 0L, 5L, "1", "5")))
+    assert(rows("s") === ((5L, 2L, 2L, "aa", "bb")))
+    assert(rows("v") === ((5L, 1L, 3L, "5", "20")))
+  }
+
+  test("profile plan reads the table once (one scan, no per-column jobs)") {
+    val plan = Profile.profileOn(planted, Seq("id", "s", "v"))
+      .queryExecution.executedPlan.toString
+    // multi-column DISTINCT aggregation plans through a single Expand
+    // over one scan — a per-column union would show N scans
+    assert("LocalTableScan|Scan".r.findAllIn(plan).size <= 2,
+      s"profiler re-scans its input:\n$plan")
+  }
+
+  test("q97 on the real corpus: doc_id is a unique non-null key") {
+    val rows = operators.Profile.q97.run(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val (n, nulls, distinct) = rows("doc_id")
+    assert(nulls === 0L)
+    assert(distinct === n)
+  }
+}

@@ -381,4 +381,75 @@ class TrainPrepSpec extends AnyFunSuite {
       operators.TrainPrep.tempMixture(spark, d, 1).collect()
         .map(r => r.getString(1) -> r.getLong(2)).toMap
   }
+
+  test("q96 semantic decontam: paraphrase-by-embedding flags what no n-gram can") {
+    import spark.implicits._
+    // bench members are vec_id % 41 == 0 (ids 0 and 41). Corpus:
+    //   1: same direction as bench 0 (scaled)      -> sim 1.0, flagged
+    //   2: orthogonal to both benches              -> sim 0.0, clean
+    //   3: 45 degrees off bench 0                  -> sim ~0.707, flagged
+    //   4: opposite of bench 0                     -> max sim 0, clean
+    //   5: same direction as bench 41 (scaled)     -> sim 1.0 via the
+    //      SECOND bench member — the max is over ALL of them
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (41L, Array(0f, 0f, 1f, 0f)),
+      (1L, Array(2f, 0f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f, 0f)),
+      (3L, Array(1f, 1f, 0f, 0f)),
+      (4L, Array(-1f, 0f, 0f, 0f)),
+      (5L, Array(0f, 0f, 3f, 0f)),
+    ).toDF("vec_id", "embedding")
+    val got = operators.TrainPrep.embedContaminationOn(emb).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 4L, 5L), "bench members must not self-report")
+    assert(got(1L)._1 === 1.0 && got(1L)._2)
+    assert(got(2L)._1 === 0.0 && !got(2L)._2)
+    assert(math.abs(got(3L)._1 - math.sqrt(0.5)) < 1e-12 && got(3L)._2)
+    assert(got(4L)._1 === 0.0 && !got(4L)._2) // max(-1, 0) over the two benches
+    assert(got(5L)._1 === 1.0 && got(5L)._2)
+  }
+
+  test("q99 text-side semantic decontam: a reordered paraphrase flags at sim ~1") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // bench member doc 0; doc 1 is its word-for-word REORDERING — the
+    // bag-of-words projection maps both to the same unit vector, so no
+    // n-gram or shingle gate is needed to see they're the same item.
+    // doc 2 shares no tokens with the bench doc.
+    val toked = Seq(
+      (0L, Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta")),
+      (1L, Seq("zeta", "epsilon", "delta", "gamma", "beta", "alpha")),
+      (2L, Seq("completely", "different", "vocabulary", "here", "now", "ok")),
+    ).toDF("doc_id", "toks")
+    val emb = operators.Dedup.textEmbedMd5From(toked)
+    val got = operators.TrainPrep.textSemanticContaminationOn(emb).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    assert(got.keySet === Set(1L, 2L), "bench members must not self-report")
+    // identical vectors, but the unit-norm components are not exactly
+    // representable, so the self-dot rounds to 1 within one ulp — the
+    // SAME double both engines compute (the parity the gate grades)
+    assert(got(1L)._1 >= 1.0 - 1e-15 && got(1L)._1 <= 1.0 && got(1L)._2,
+      s"paraphrase must flag within one ulp of 1.0: ${got(1L)}")
+    // every flag is exactly the threshold law — no hidden second rule
+    got.values.foreach { case (ms, f) =>
+      assert(f === (ms >= operators.TrainPrep.SemTau))
+    }
+  }
+
+  test("q99 vector-level law: orthogonal stays clean, near-copy flags") {
+    import spark.implicits._
+    // hand-built unit vectors on the e0..e7 schema: bench doc 20 points
+    // along e0; doc 21 matches it, doc 22 is orthogonal
+    def row(id: Long, v: Seq[Double]) = (id, v(0), v(1), v(2), v(3), v(4), v(5), v(6), v(7))
+    val emb = Seq(
+      row(20L, Seq(1d, 0d, 0d, 0d, 0d, 0d, 0d, 0d)),
+      row(21L, Seq(1d, 0d, 0d, 0d, 0d, 0d, 0d, 0d)),
+      row(22L, Seq(0d, 1d, 0d, 0d, 0d, 0d, 0d, 0d)),
+    ).toDF("doc_id", "e0", "e1", "e2", "e3", "e4", "e5", "e6", "e7")
+    val got = operators.TrainPrep.textSemanticContaminationOn(emb).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    assert(got(21L) === ((1.0, true)))
+    assert(got(22L) === ((0.0, false)))
+  }
 }

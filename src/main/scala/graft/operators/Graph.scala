@@ -120,16 +120,39 @@ object Graph {
         .select(
           ids("doc_id"),
           (lit(PrBase) + expr("(85 * coalesce(m, CAST(0 AS BIGINT))) DIV 100")).as("pr"))
+      // NO per-sweep checkpoint here, deliberately: each sweep
+      // references r exactly ONCE, so the K-sweep lineage is LINEAR
+      // and stays one AQE plan — which reuses the edge-side exchange
+      // across all K sweeps (ScaleProbe36: 21 MiB/sweep single-plan vs
+      // 43 MiB/sweep checkpointed, identical results). Contrast the
+      // BFS/label loops below, whose double self-reference doubles
+      // lineage per round and REQUIRES the materialization. At
+      // unbounded K (not this operator's fixed-budget contract) a
+      // checkpoint every ~10 sweeps would bound lineage depth.
     }
     r
   }
 
-  private def pageRank(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d).select(col("doc_id"))
-    // materialize the edge set once: five sweeps re-use it, and at
-    // cluster scale this is the parquet edge table the loop would read
+  /** Materialize the node and edge frames ONCE before the sweeps (the
+    * parquet-edge-table load a cluster run starts from). Note what
+    * this does NOT buy: Dataset.localCheckpoint surfaces as
+    * UnknownPartitioning (measured — LogicalRDD drops the physical
+    * partitioning), so a pre-repartition would NOT make the sweep
+    * joins exchange-free and is deliberately absent. Locally the rank/
+    * label frame rides a broadcast (8 MB per 1M nodes) so the edge
+    * side never reshuffles anyway; on a cluster with >10^8 nodes the
+    * co-location answer is bucketed node/edge TABLES (sources/
+    * Bucketed.scala), not in-session repartition.
+    */
+  private[graft] def materializedGraph(docs: DataFrame): (DataFrame, DataFrame) = {
+    val nodes = docs.localCheckpoint()
     val edges = linkEdgesOn(docs).localCheckpoint()
-    pageRankOn(docs, edges, PrIters)
+    (nodes, edges)
+  }
+
+  private def pageRank(s: SparkSession, d: String): DataFrame = {
+    val (nodes, edges) = materializedGraph(Tables.documents(s, d).select(col("doc_id")))
+    pageRankOn(nodes, edges, PrIters)
   }
 
   /** Unrolled SQL for K sweeps — same law, CTE per sweep. */
@@ -184,14 +207,17 @@ object Graph {
           when(dep("depth").isNull, col("md"))
             .when(col("md").isNull, dep("depth"))
             .otherwise(least(dep("depth"), col("md"))).as("depth"))
+        // dep is referenced twice per round (reach + the outer join) —
+        // see the pageRankOn sweep comment; without this the lineage
+        // doubles per round
+        .localCheckpoint()
     }
     dep.select(col("doc_id"), coalesce(col("depth"), lit(-1L)).as("depth"))
   }
 
   private def crawlDepth(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d).select(col("doc_id"))
-    val edges = linkEdgesOn(docs).localCheckpoint()
-    crawlDepthOn(docs, edges, col("doc_id") % SeedMod === 0, BfsIters)
+    val (nodes, edges) = materializedGraph(Tables.documents(s, d).select(col("doc_id")))
+    crawlDepthOn(nodes, edges, col("doc_id") % SeedMod === 0, BfsIters)
   }
 
   private def crawlDepthSql(iters: Int): String = {
@@ -248,14 +274,16 @@ object Graph {
       lbl = lbl
         .join(neigh, lbl("doc_id") === neigh("b"), "left")
         .select(lbl("doc_id"), least(lbl("comp"), coalesce(col("m"), lbl("comp"))).as("comp"))
+        // lbl is referenced twice per round — see the pageRankOn sweep
+        // comment; without this the lineage doubles per round
+        .localCheckpoint()
     }
     lbl
   }
 
   private def components(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d).select(col("doc_id"))
-    val edges = linkEdgesOn(docs).localCheckpoint()
-    labelPropOn(docs, edges, CompIters)
+    val (nodes, edges) = materializedGraph(Tables.documents(s, d).select(col("doc_id")))
+    labelPropOn(nodes, edges, CompIters)
   }
 
   private def componentsSql(iters: Int): String = {

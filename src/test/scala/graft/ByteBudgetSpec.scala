@@ -127,10 +127,10 @@ class ByteBudgetSpec extends AnyFunSuite {
     // distinct-column Expand stream (incl. text — the exact-profile
     // price, see Profile scaladoc).
     ("q94_pagerank", 35825L, 107475L),
-    ("q95_crawl_depth", 12778L, 38334L),
+    ("q95_crawl_depth", 22035L, 66105L),
     ("q96_embed_decontam", 7015L, 21045L),
     ("q97_profile", 94805L, 284415L),
-    ("q98_graph_components", 51415L, 154245L),
+    ("q98_graph_components", 74301L, 222903L),
     ("q99_text_embed_decontam", 16369L, 49107L),
   )
 

@@ -170,7 +170,8 @@ object Curate {
       lang: String = "en",
       minTokens: Int = 5,
       contam: Option[DataFrame] = None,
-      contamFuzzy: Option[DataFrame] = None): DataFrame = {
+      contamFuzzy: Option[DataFrame] = None,
+      contamSem: Option[DataFrame] = None): DataFrame = {
     val base = staged
       .select(col("doc_id"), col("lang"), col("n_toks"))
       .join(exactMap, Seq("doc_id"), "left")
@@ -181,7 +182,8 @@ object Curate {
         c.select("doc_id").withColumn(hit, lit(1)), Seq("doc_id"), "left")
       case None => b.withColumn(hit, lit(null).cast("int"))
     }
-    mark(mark(base, contam, "contam_hit"), contamFuzzy, "contam_fuzzy_hit")
+    mark(mark(mark(base, contam, "contam_hit"), contamFuzzy, "contam_fuzzy_hit"),
+        contamSem, "contam_sem_hit")
       .select(
         col("doc_id"),
         // Null-safe: a NULL lang fails the gate (it is excluded from the
@@ -191,11 +193,14 @@ object Curate {
         // its CONTENT, so it must not survive as someone's exact keeper —
         // the dedup gates run over the decontaminated population. The
         // fuzzy (minhash) gate reads AFTER the exact one, so a doc both
-        // gates catch keeps the stronger verbatim-overlap verdict.
+        // gates catch keeps the stronger verbatim-overlap verdict; the
+        // semantic (embedding) gate reads last of the three — weakest
+        // evidence class, distinct verdict.
         when(col("n_toks") < minTokens, "too_short")
           .when(!col("lang").eqNullSafe(lang), "wrong_lang")
           .when(col("contam_hit").isNotNull, "contaminated")
           .when(col("contam_fuzzy_hit").isNotNull, "contaminated_fuzzy")
+          .when(col("contam_sem_hit").isNotNull, "contaminated_sem")
           .when(col("exact_keeper") =!= col("doc_id"), "exact_dup")
           .when(coalesce(col("near_dup"), lit(false)), "near_dup")
           .when(col("cluster_id") =!= col("doc_id") && col("cluster_size") > 1,
@@ -242,6 +247,23 @@ object Curate {
       .filter(col("is_match"))
       .select("doc_id")
 
+  /** Semantic (embedding) contamination gate over the exact+fuzzy-
+    * decontaminated population: the q99 law — both sides embedded via
+    * the q80 md5 bag-of-words projection over the stage table's token
+    * arrays (no extra text scan), decided by
+    * [[TrainPrep.semContamDecisionsOn]] (the ONE rendering). Catches a
+    * fully REORDERED benchmark paraphrase, which shares neither an
+    * 8-gram (q38's gate) nor enough shingles (q88's): the bag-of-words
+    * embedding is token-order-independent, so the reorder lands at
+    * dot ≈ 1. Returns the semantically contaminated doc_ids.
+    */
+  def contamSemGate(gated3: DataFrame, bench: DataFrame): DataFrame =
+    TrainPrep.semContamDecisionsOn(
+        Dedup.textEmbedMd5From(gated3.select(col("doc_id"), col("toks"))),
+        Dedup.textEmbedMd5From(bench.select(col("doc_id"), col("toks"))))
+      .filter(col("contaminated_sem"))
+      .select("doc_id")
+
   def curateDecontam(
       docs: DataFrame,
       lang: String = "en",
@@ -257,12 +279,18 @@ object Curate {
     // population cut BEFORE dedup (r17 judge item)
     val contamFuzzy = contamFuzzyGate(gated2, bench)
     val gated3 = gated2.join(contamFuzzy, Seq("doc_id"), "left_anti")
-    val exactMap = exactGate(gated3)
-    val reps = repsOf(gated3, exactMap)
+    // semantic contamination (q99's law) drops REWRITTEN benchmark
+    // items that share no n-grams or shingles at all — the third rung,
+    // again cut before dedup so a contaminated doc never keeps a slot
+    val contamSem = contamSemGate(gated3, bench)
+    val gated4 = gated3.join(contamSem, Seq("doc_id"), "left_anti")
+    val exactMap = exactGate(gated4)
+    val reps = repsOf(gated4, exactMap)
     verdicts(corpus, exactMap,
       attach(exactMap, nearGate(reps, portableHash = true)),
       attach(exactMap, famGate(reps)),
-      lang, minTokens, contam = Some(contam), contamFuzzy = Some(contamFuzzy))
+      lang, minTokens, contam = Some(contam), contamFuzzy = Some(contamFuzzy),
+      contamSem = Some(contamSem))
   }
 
   /** The curation pipeline as a checkpointed STAGED DAG: stage table ->
@@ -332,18 +360,22 @@ object Curate {
       gated(up).join(up("contam"), Seq("doc_id"), "left_anti")
     def gated3(up: Map[String, DataFrame]) =
       gated2(up).join(up("contam_fuzzy"), Seq("doc_id"), "left_anti")
-    def reps(up: Map[String, DataFrame]) = repsOf(gated3(up), up("exact"))
+    def gated4(up: Map[String, DataFrame]) =
+      gated3(up).join(up("contam_sem"), Seq("doc_id"), "left_anti")
+    def reps(up: Map[String, DataFrame]) = repsOf(gated4(up), up("exact"))
     Seq(
       "staged" -> (_ => stageTable(docs)),
       "contam" -> (up => contamGate(gated(up), bench(up))),
       "contam_fuzzy" -> (up => contamFuzzyGate(gated2(up), bench(up))),
-      "exact" -> (up => exactGate(gated3(up))),
+      "contam_sem" -> (up => contamSemGate(gated3(up), bench(up))),
+      "exact" -> (up => exactGate(gated4(up))),
       "near" -> (up => attach(up("exact"), nearGate(reps(up), portableHash = true))),
       "clusters" -> (up => attach(up("exact"), famGate(reps(up)))),
       "decisions" -> (up =>
         verdicts(corpus(up), up("exact"), up("near"), up("clusters"),
           lang, minTokens, contam = Some(up("contam")),
-          contamFuzzy = Some(up("contam_fuzzy")))),
+          contamFuzzy = Some(up("contam_fuzzy")),
+          contamSem = Some(up("contam_sem")))),
     )
   }
 
@@ -494,11 +526,25 @@ object Curate {
       gated3 AS MATERIALIZED (
         SELECT * FROM gated2
         WHERE doc_id NOT IN (SELECT doc_id FROM fm)),
+      semsrc AS MATERIALIZED (
+        SELECT doc_id, toks FROM gated3
+        UNION ALL SELECT doc_id, toks FROM staged WHERE doc_id % 20 = 0),
+      ${Dedup.tokenHashOver("semsrc", "semtokh")},
+      ${Dedup.textEmbedOver("semtokh", "sem")},
+      semco AS (SELECT * FROM sememb WHERE doc_id % 20 <> 0),
+      sembe AS (SELECT * FROM sememb WHERE doc_id % 20 = 0),
+      sem AS MATERIALIZED (
+        SELECT c.doc_id FROM semco c CROSS JOIN sembe b
+        GROUP BY c.doc_id
+        HAVING MAX(${TrainPrep.semDotSql("c", "b")}) >= ${TrainPrep.SemTau}),
+      gated4 AS MATERIALIZED (
+        SELECT * FROM gated3
+        WHERE doc_id NOT IN (SELECT doc_id FROM sem)),
       ex AS MATERIALIZED (
         SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text_md5) AS exact_keeper
-        FROM gated3),
+        FROM gated4),
       reps AS MATERIALIZED (
-        SELECT g.* FROM gated3 g
+        SELECT g.* FROM gated4 g
         JOIN ex ON ex.doc_id = g.doc_id AND ex.exact_keeper = g.doc_id),
       ${Dedup.minhashSigCtes("reps", "")},
       bs AS (
@@ -554,6 +600,7 @@ object Curate {
                WHEN s.lang IS DISTINCT FROM 'en' THEN 'wrong_lang'
                WHEN contam.doc_id IS NOT NULL THEN 'contaminated'
                WHEN fm.doc_id IS NOT NULL THEN 'contaminated_fuzzy'
+               WHEN sem.doc_id IS NOT NULL THEN 'contaminated_sem'
                WHEN ex.exact_keeper <> s.doc_id THEN 'exact_dup'
                WHEN near_all.doc_id IS NOT NULL THEN 'near_dup'
                WHEN fam_all.cluster_id <> s.doc_id AND fam_all.cluster_size > 1 THEN 'dup_family_alternate'
@@ -562,6 +609,7 @@ object Curate {
         FROM corpus s
         LEFT JOIN contam ON contam.doc_id = s.doc_id
         LEFT JOIN fm ON fm.doc_id = s.doc_id
+        LEFT JOIN sem ON sem.doc_id = s.doc_id
         LEFT JOIN ex ON ex.doc_id = s.doc_id
         LEFT JOIN near_all ON near_all.doc_id = s.doc_id
         LEFT JOIN fam_all ON fam_all.doc_id = s.doc_id)"""

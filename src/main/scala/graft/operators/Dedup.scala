@@ -1087,31 +1087,48 @@ object Dedup {
     s"""toksrc AS (
         SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '') AS toks
         FROM documents),
-      tokh AS (
+      ${tokenHashOver("toksrc", "tokh")}"""
+
+  /** The 60-bit md5 token-hash law over an arbitrary (doc_id, toks)
+    * relation — the [[tokenHashCte]] hash stage factored so composed
+    * oracles (the curation sem gate) hash an already-staged population
+    * without a second rendering of the law.
+    */
+  private[graft] def tokenHashOver(src: String, out: String): String =
+    s"""$out AS (
         SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
-        FROM (SELECT doc_id, unnest(toks) AS tok FROM toksrc))"""
+        FROM (SELECT doc_id, unnest(toks) AS tok FROM $src))"""
 
   /** The md5-law embedding table as a reusable DuckDB CTE chain ending
     * in `emb(doc_id, e0..e{dims-1})` — shared by q80's gate and the
     * q81 text-search gate, so the embedding law exists in exactly one
     * SQL rendering (on top of the shared [[tokenHashCte]]).
     */
-  private[graft] def textEmbedMd5Cte: String = {
+  private[graft] def textEmbedMd5Cte: String =
+    s"""$tokenHashCte,
+      ${textEmbedOver("tokh", "")}"""
+
+  /** The bucket/sign/normalize embedding law over an arbitrary
+    * tokh-shaped relation, CTE names prefixed with `p` (empty for the
+    * legacy q80/q81/q82 names b/c/n/emb) — factored so the curation
+    * sem-gate oracle embeds its own staged population through the ONE
+    * rendering. Ends in a `<p>emb(doc_id, e0..e{dims-1})` CTE.
+    */
+  private[graft] def textEmbedOver(tokh: String, p: String): String = {
     val cCols = (0 until TextEmbedDims)
       .map(j => s"SUM(CASE WHEN idx = $j THEN sign ELSE 0 END) AS c$j").mkString(", ")
     val ssSql = (0 until TextEmbedDims).map(j => s"c$j*c$j").mkString(" + ")
     val eCols = (0 until TextEmbedDims)
       .map(j => s"CASE WHEN nrm = 0 THEN 0.0 ELSE CAST(c$j AS DOUBLE) / nrm END AS e$j")
       .mkString(",\n        ")
-    s"""$tokenHashCte,
-      b AS (
+    s"""${p}b AS (
         SELECT doc_id, (h // 2) % $TextEmbedDims AS idx,
-          CASE WHEN h % 2 = 1 THEN 1 ELSE -1 END AS sign FROM tokh),
-      c AS (SELECT doc_id, $cCols FROM b GROUP BY doc_id),
-      n AS (SELECT doc_id, *, sqrt(CAST($ssSql AS DOUBLE)) AS nrm FROM c),
-      emb AS (SELECT doc_id,
+          CASE WHEN h % 2 = 1 THEN 1 ELSE -1 END AS sign FROM $tokh),
+      ${p}c AS (SELECT doc_id, $cCols FROM ${p}b GROUP BY doc_id),
+      ${p}n AS (SELECT doc_id, *, sqrt(CAST($ssSql AS DOUBLE)) AS nrm FROM ${p}c),
+      ${p}emb AS (SELECT doc_id,
         $eCols
-      FROM n)"""
+      FROM ${p}n)"""
   }
 
   private def textEmbedMd5Sql: String =

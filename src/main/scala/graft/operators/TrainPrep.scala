@@ -314,16 +314,24 @@ object TrainPrep {
     */
   private[graft] val SemTau = 0.99
 
-  /** Decision table over an already-embedded (doc_id, e0..e_{dims-1})
-    * frame (spec/composer entry point).
+  /** The ONE SQL rendering of the unit-vector dot product (≡ cosine on
+    * these L2-normalized embeddings) — shared by q99's oracle and the
+    * curation sem-gate oracle so the similarity law cannot fork.
     */
-  def textSemanticContaminationOn(emb: DataFrame): DataFrame = {
+  private[graft] def semDotSql(c: String, b: String): String =
+    (0 until Dedup.TextEmbedDims).map(j => s"$c.e$j*$b.e$j").mkString(" + ")
+
+  /** The semantic-contamination decision core over two already-embedded
+    * wide frames — the ONE Scala rendering shared by the standalone
+    * q99 gate and [[Curate.contamSemGate]]'s composed population.
+    */
+  def semContamDecisionsOn(corpusEmb: DataFrame, benchEmb: DataFrame): DataFrame = {
     val dims = Dedup.TextEmbedDims
-    val bench = emb.filter(col("doc_id") % BenchMod === 0)
+    val bench = benchEmb
       .select(col("doc_id").as("bench_id") +:
         (0 until dims).map(j => col(s"e$j").as(s"b$j")): _*)
     val dot = (0 until dims).map(j => col(s"e$j") * col(s"b$j")).reduceLeft(_ + _)
-    emb.filter(col("doc_id") % BenchMod =!= 0)
+    corpusEmb
       .crossJoin(broadcast(bench))
       .select(col("doc_id"), dot.as("sim"))
       .groupBy("doc_id")
@@ -331,15 +339,22 @@ object TrainPrep {
       .select(col("doc_id"), col("max_sim"), (col("max_sim") >= SemTau).as("contaminated_sem"))
   }
 
+  /** Decision table over an already-embedded (doc_id, e0..e_{dims-1})
+    * frame (spec/composer entry point).
+    */
+  def textSemanticContaminationOn(emb: DataFrame): DataFrame =
+    semContamDecisionsOn(
+      emb.filter(col("doc_id") % BenchMod =!= 0),
+      emb.filter(col("doc_id") % BenchMod === 0))
+
   val q99 = GraftQuery(
     "q99_text_embed_decontam",
     (s, d) => textSemanticContaminationOn(Dedup.textEmbedMd5(s, d)).orderBy("doc_id"),
     Some {
-      val dot = (0 until Dedup.TextEmbedDims).map(j => s"c.e$j*b.e$j").mkString(" + ")
       s"""WITH ${Dedup.textEmbedMd5Cte},
       bench AS (SELECT * FROM emb WHERE doc_id % $BenchMod = 0),
       corpus AS (SELECT * FROM emb WHERE doc_id % $BenchMod <> 0),
-      scored AS (SELECT c.doc_id, $dot AS sim FROM corpus c CROSS JOIN bench b)
+      scored AS (SELECT c.doc_id, ${semDotSql("c", "b")} AS sim FROM corpus c CROSS JOIN bench b)
       SELECT doc_id, MAX(sim) AS max_sim, MAX(sim) >= $SemTau AS contaminated_sem
       FROM scored GROUP BY doc_id ORDER BY doc_id"""
     },

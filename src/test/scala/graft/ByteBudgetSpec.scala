@@ -73,10 +73,10 @@ class ByteBudgetSpec extends AnyFunSuite {
     ("ann_lsh_topk", 465560L, 1400000L),
     ("q34_ngram_stats", 360334L, 1100000L),
     ("q35_tfidf", 303283L, 950000L),
-    ("train_prep_e2e", 472551L, 1417653L), // r18 recal: + q88 fuzzy gate + q86 temp stage
+    ("train_prep_e2e", 712708L, 2138124L), // r18 recal 2: + q99 semantic gate (embed agg over the gated population)
     ("q35_tfidf_exact", 287823L, 900000L),
     ("dedup_passage", 262329L, 800000L),
-    ("corpus_curate_decontam", 432076L, 1296228L), // r18 recal: + q88 fuzzy gate
+    ("corpus_curate_decontam", 672142L, 2016426L), // r18 recal 2: + q99 semantic gate (embed agg over the gated population)
     ("q60_split_leakage", 185993L, 600000L),
     ("q48_postings", 155359L, 500000L),
     ("q42_vocab_topk", 154351L, 500000L),

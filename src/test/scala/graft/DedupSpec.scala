@@ -636,6 +636,11 @@ class DedupSpec extends AnyFunSuite {
       (6L, benchText.split(" ").zipWithIndex.flatMap { case (w, i) =>
         if (i % 7 == 0) Seq(s"junk$i", w) else Seq(w)
       }.mkString(" "), "en"),
+      // doc 7 fully REORDERS the bench doc: no verbatim 8-gram (exact
+      // gate blind) and the 3-shingle set is scrambled too (fuzzy gate
+      // blind — spot-checked below), but the bag-of-words embedding is
+      // order-independent, so the SEMANTIC gate flags it at dot ~ 1
+      (7L, benchText.split(" ").reverse.mkString(" "), "en"),
     ).map { case (id, t, l) => (id, t, l, "s", t.length.toLong) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     val got = operators.Curate.curateDecontam(rows).collect()
@@ -648,5 +653,16 @@ class DedupSpec extends AnyFunSuite {
     assert(got(5L) == "too_short", "per-row gates outrank contamination")
     assert(got(6L) == "contaminated_fuzzy",
       s"paraphrased bench doc must fall to the fuzzy gate, got ${got(6L)}")
+    assert(got(7L) == "contaminated_sem",
+      s"reordered bench doc must fall to the SEMANTIC gate, got ${got(7L)}")
+    // the reorder really is invisible to the first two rungs: no shared
+    // verbatim 8-gram, and the shingle estimate sits under the fuzzy tau
+    val reordered = rows.filter(org.apache.spark.sql.functions.col("doc_id").isin(7L))
+    val fuzzySees = operators.Curate.contamFuzzyGate(
+      operators.Curate.stageTable(reordered),
+      operators.Curate.stageTable(rows.filter(
+        org.apache.spark.sql.functions.col("doc_id") === 20L))).count()
+    assert(fuzzySees == 0L, "the fuzzy gate must NOT see a full reorder (else this " +
+      "spec stops proving the semantic gate is load-bearing)")
   }
 }

@@ -154,13 +154,14 @@ class PipelineSpec extends AnyFunSuite {
     assert(oneShot(1L)._1 == "contaminated" && oneShot(3L)._1 == "exact_dup")
     val (dec1, reports1) = operators.Curate.curateDecontamStaged(spark, docs, run)
     assert(reports1.map(_.name) ==
-      Seq("staged", "contam", "contam_fuzzy", "exact", "near", "clusters", "decisions"))
+      Seq("staged", "contam", "contam_fuzzy", "contam_sem", "exact", "near", "clusters",
+        "decisions"))
     assert(verdictMap(dec1) == oneShot, "staged decontam run matches the one-shot pipeline")
 
     // kill the contam stage: downstream gates depend on it, so clear them
     // too (Airflow clear-with-downstream); resume recomputes only the dead
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$run/contam/_SUCCESS"))
-    Seq("contam_fuzzy", "exact", "near", "clusters", "decisions").foreach { s =>
+    Seq("contam_fuzzy", "contam_sem", "exact", "near", "clusters", "decisions").foreach { s =>
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$run/$s"))
     }
     val (dec2, reports2) = operators.Curate.curateDecontamStaged(spark, docs, run)

@@ -149,14 +149,15 @@ class TrainPipelineSpec extends AnyFunSuite {
     val oneShot = rows(operators.TrainPipeline.manifest(docs))
 
     val (m1, reports1) = operators.TrainPipeline.trainPrepStaged(spark, docs, run)
-    assert(reports1.map(_.name) == Seq("staged", "contam", "contam_fuzzy", "exact", "near",
+    assert(reports1.map(_.name) == Seq("staged", "contam", "contam_fuzzy", "contam_sem",
+      "exact", "near",
       "clusters", "decisions", "quota", "temp", "split", "pack", "shuffle", "manifest"))
     assert(reports1.forall(r => r.attempts == 1 && !r.resumed))
     assert(rows(m1) == oneShot, "staged manifest matches the unstaged composition")
 
     // kill the quota stage mid-pipeline (no _SUCCESS = crashed mid-write),
     // clearing its downstream like Airflow's clear-with-downstream; the
-    // resume re-reads all seven curation stages from their markers and
+    // resume re-reads all eight curation stages from their markers and
     // recomputes only the training-prep tail
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$run/quota/_SUCCESS"))
     Seq("temp", "split", "pack", "shuffle", "manifest").foreach { st =>
@@ -164,7 +165,8 @@ class TrainPipelineSpec extends AnyFunSuite {
     }
     val (m2, reports2) = operators.TrainPipeline.trainPrepStaged(spark, docs, run)
     val byName = reports2.map(r => r.name -> r.resumed).toMap
-    Seq("staged", "contam", "contam_fuzzy", "exact", "near", "clusters", "decisions").foreach(s =>
+    Seq("staged", "contam", "contam_fuzzy", "contam_sem", "exact", "near", "clusters",
+        "decisions").foreach(s =>
       assert(byName(s), s"curation stage $s must resume from its marker"))
     Seq("quota", "temp", "split", "pack", "shuffle", "manifest").foreach(s =>
       assert(!byName(s), s"stage $s must recompute"))

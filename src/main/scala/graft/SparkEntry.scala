@@ -17,6 +17,7 @@ object SparkEntry {
       operators.TrainPipeline.all ++
       operators.Graph.all ++
       operators.Profile.all ++
+      operators.Snapshot.all ++
       operators.Similarity.all ++
       operators.SparseIndex.all ++
       operators.IndexDrift.all ++

@@ -76,5 +76,52 @@ object Profile {
     prod = Some((s, d) => profileDocs(s, d)),
   )
 
-  def all: Seq[GraftQuery] = Seq(q97)
+  // ----------------------------------------------- token histogram
+
+  /** Histogram bucket width (tokens) and cap — 16-token buckets, last
+    * bucket open-ended at 240+. Exact integers end to end.
+    */
+  val HistWidth = 16L
+  val HistCap = 15L
+
+  /** Token-length histogram with cumulative counts and exact ppm
+    * shares — the report that sizes q40/q79's packing budget and
+    * q77's window length (how much of the corpus fits one sequence?
+    * where does truncation start to bite?). One tokenize scan, one
+    * 16-row aggregate; the cumulative window runs over ≤16 bucket
+    * rows (a single-partition window over a BOUNDED aggregate table,
+    * the q40 offsets-table shape — never over doc rows), and the
+    * share is integer ppm (n·10^6 DIV total, the q86 discipline).
+    */
+  def tokenHistogramOn(docs: DataFrame): DataFrame = {
+    val b = docs
+      .select(size(graft.gfunctions.ws_tokens(col("text"))).cast("long").as("n_toks"))
+      .select(least(expr(s"n_toks DIV $HistWidth"), lit(HistCap)).as("bucket"))
+    val g = b.groupBy("bucket").agg(count(lit(1)).as("n_docs"))
+    val tot = g.agg(sum("n_docs").as("n"))
+    g.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_docs"),
+        sum("n_docs").over(
+          org.apache.spark.sql.expressions.Window.orderBy("bucket")).as("cum_docs"),
+        expr("(n_docs * 1000000) DIV n").as("share_ppm"))
+  }
+
+  val q101 = GraftQuery(
+    "q101_token_histogram",
+    (s, d) => tokenHistogramOn(Tables.documents(s, d)).orderBy("bucket"),
+    Some(s"""WITH t AS (
+        SELECT len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '')) AS n_toks
+        FROM documents),
+      tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t),
+      b AS (SELECT LEAST(n_toks // $HistWidth, $HistCap) AS bucket FROM t),
+      g AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs FROM b GROUP BY bucket)
+      SELECT g.bucket, g.n_docs,
+        CAST(SUM(g.n_docs) OVER (ORDER BY g.bucket) AS BIGINT) AS cum_docs,
+        CAST(g.n_docs * 1000000 // tot.n AS BIGINT) AS share_ppm
+      FROM g CROSS JOIN tot
+      ORDER BY g.bucket"""),
+    prod = Some((s, d) => tokenHistogramOn(Tables.documents(s, d))),
+  )
+
+  def all: Seq[GraftQuery] = Seq(q97, q101)
 }

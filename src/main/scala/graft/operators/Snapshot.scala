@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{GraftQuery, Tables}
+
+/** Dataset-versioning audit: classify every document across two corpus
+  * snapshots as added / removed / changed / unchanged — the diff a
+  * training-data platform prints before re-training on a refreshed
+  * crawl (which eval slices moved? how much of the mixture shifted?),
+  * and the idempotent-load audit the reference's nightly re-scrape
+  * implies (unilever_scraping_pipeline.py re-lands the same product
+  * table; q24 checks idempotence, this reports the delta).
+  *
+  * Law: snapshots compare by (doc_id, md5(text)) — identity by key,
+  * content by hash, so the exchange carries 40-byte pairs, never
+  * document text. The diff is ONE full-outer join keyed on doc_id:
+  * absent-right = removed, absent-left = added, hash-mismatch =
+  * changed. At 100 TB both snapshots are parquet tables; clustering
+  * them on doc_id (sources/Clustered.scala) makes the join co-located
+  * and the unchanged majority never leaves its executor.
+  *
+  * The registry entry synthesizes the "next" snapshot relationally
+  * from the current one (the q76 pattern: drop doc_id % 31, revise
+  * % 17, add a shifted-id slice) so both engines derive the SAME pair
+  * of snapshots and the gate grades the DIFF law, not stored inputs.
+  */
+object Snapshot {
+
+  /** The diff core over two (doc_id, h) frames (spec entry point). */
+  def snapshotDiffOn(cur: DataFrame, nxt: DataFrame): DataFrame =
+    cur.as("c").join(nxt.as("x"), col("c.doc_id") === col("x.doc_id"), "full_outer")
+      .select(
+        coalesce(col("c.doc_id"), col("x.doc_id")).as("doc_id"),
+        when(col("x.doc_id").isNull, "removed")
+          .when(col("c.doc_id").isNull, "added")
+          .when(col("c.h") =!= col("x.h"), "changed")
+          .otherwise("unchanged").as("change"))
+
+  private def diffDocs(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val n = docs.agg(count(lit(1)).cast("long").as("n"))
+    val cur = docs.select(col("doc_id"), md5(col("text")).as("h"))
+    val revised = docs.filter(col("doc_id") % 31 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 17 === 0, md5(concat(col("text"), lit(" rev2"))))
+          .otherwise(md5(col("text"))).as("h"))
+    // the 1-row count cross join is the q35 scalar-subquery shape
+    val added = docs.filter(col("doc_id") % 41 === 0)
+      .crossJoin(broadcast(n))
+      .select((col("doc_id") + col("n")).as("doc_id"),
+        md5(concat(lit("new doc "), (col("doc_id") + col("n")).cast("string"))).as("h"))
+    snapshotDiffOn(cur, revised.unionAll(added))
+  }
+
+  val q100 = GraftQuery(
+    "q100_snapshot_diff",
+    (s, d) => diffDocs(s, d).orderBy("doc_id"),
+    Some("""WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+      cur AS (SELECT doc_id, md5(text) AS h FROM documents),
+      nxt AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 17 = 0 THEN md5(text || ' rev2') ELSE md5(text) END AS h
+        FROM documents WHERE doc_id % 31 <> 0
+        UNION ALL
+        SELECT d.doc_id + nn.n AS doc_id,
+          md5('new doc ' || CAST(d.doc_id + nn.n AS VARCHAR)) AS h
+        FROM documents d CROSS JOIN nn WHERE d.doc_id % 41 = 0)
+      SELECT COALESCE(c.doc_id, x.doc_id) AS doc_id,
+        CASE WHEN x.doc_id IS NULL THEN 'removed'
+             WHEN c.doc_id IS NULL THEN 'added'
+             WHEN c.h <> x.h THEN 'changed'
+             ELSE 'unchanged' END AS change
+      FROM cur c FULL OUTER JOIN nxt x ON c.doc_id = x.doc_id
+      ORDER BY doc_id"""),
+    prod = Some((s, d) => diffDocs(s, d)),
+  )
+
+  def all: Seq[GraftQuery] = Seq(q100)
+}

@@ -132,6 +132,8 @@ class ByteBudgetSpec extends AnyFunSuite {
     ("q97_profile", 94805L, 284415L),
     ("q98_graph_components", 74301L, 222903L),
     ("q99_text_embed_decontam", 16369L, 49107L),
+    ("q100_snapshot_diff", 41701L, 125103L),
+    ("q101_token_histogram", 499L, 1497L),
   )
 
   /** Prod plans that measured EXACTLY zero shuffle bytes in the r16

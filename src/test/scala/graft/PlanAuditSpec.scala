@@ -62,6 +62,13 @@ class PlanAuditSpec extends AnyFunSuite {
       // — the ann_bruteforce-style designed NLJ
       "q94_pagerank", "q95_crawl_depth", "q96_embed_decontam",
       "q98_graph_components", "q99_text_embed_decontam",
+      // …and the curation/e2e compositions carry q99's sem gate (the
+      // same corpus × broadcast-bench-vector designed NLJ) since r18
+      // session 2
+      "corpus_curate_decontam", "train_prep_e2e",
+      // q100's added-slice and q101's ppm share cross-join a broadcast
+      // 1-ROW corpus total — the q35 scalar-subquery shape
+      "q100_snapshot_diff", "q101_token_histogram",
       "q35_tfidf", "dedup_cosine_verify", "q49_heavy_tokens", "q54_source_drift")
     SparkEntry.registry.foreach { q =>
       val p = plan(q)

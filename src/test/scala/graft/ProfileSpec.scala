@@ -41,6 +41,24 @@ class ProfileSpec extends AnyFunSuite {
       s"profiler re-scans its input:\n$plan")
   }
 
+  test("q101 histogram: bucket law, open last bucket, cumulative and ppm shares") {
+    import spark.implicits._
+    // 2 docs of 5 tokens (bucket 0), 1 of 16 (bucket 1), 1 of 400 (capped
+    // into bucket 15 although 400/16 = 25)
+    val docs = Seq(
+      Seq.fill(5)("w").mkString(" "),
+      Seq.fill(5)("x").mkString(" "),
+      Seq.fill(16)("y").mkString(" "),
+      Seq.fill(400)("z").mkString(" "),
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = Profile.tokenHistogramOn(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === Map(
+      0L -> ((2L, 2L, 500000L)),
+      1L -> ((1L, 3L, 250000L)),
+      15L -> ((1L, 4L, 250000L))))
+  }
+
   test("q97 on the real corpus: doc_id is a unique non-null key") {
     val rows = operators.Profile.q97.run(spark, "/root/testdata/sf0.001")
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap

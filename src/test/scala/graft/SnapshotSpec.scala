@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Planted-snapshot semantics for the dataset-versioning diff. */
+class SnapshotSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSession.spark
+  import operators.Snapshot
+
+  test("snapshot diff classifies added / removed / changed / unchanged") {
+    import spark.implicits._
+    val cur = Seq((1L, "h1"), (2L, "h2"), (3L, "h3")).toDF("doc_id", "h")
+    val nxt = Seq((1L, "h1"), (2L, "h2x"), (4L, "h4")).toDF("doc_id", "h")
+    val got = Snapshot.snapshotDiffOn(cur, nxt).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(
+      1L -> "unchanged", 2L -> "changed", 3L -> "removed", 4L -> "added"))
+  }
+
+  test("q100 on the real corpus: every doc classified, population law holds") {
+    val got = Snapshot.q100.run(spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // current ids 0..N-1 plus the added shifted slice; removed iff %31==0,
+    // changed iff %17==0 (and not removed), added iff id >= N
+    val n = Tables.documents(spark, "/root/testdata/sf0.001").count()
+    got.foreach { case (id, change) =>
+      val expect =
+        if (id >= n) "added"
+        else if (id % 31 == 0) "removed"
+        else if (id % 17 == 0) "changed"
+        else "unchanged"
+      assert(change === expect, s"doc $id")
+    }
+    assert(got.count(_._2 == "added") === (0L until n).count(_ % 41 == 0))
+  }
+}

@@ -281,8 +281,13 @@ object Curate {
     val gated3 = gated2.join(contamFuzzy, Seq("doc_id"), "left_anti")
     // semantic contamination (q99's law) drops REWRITTEN benchmark
     // items that share no n-grams or shingles at all — the third rung,
-    // again cut before dedup so a contaminated doc never keeps a slot
-    val contamSem = contamSemGate(gated3, bench)
+    // again cut before dedup so a contaminated doc never keeps a slot.
+    // MATERIALIZED (a small id list): gated4 fans out into the exact/
+    // near/family branches, and an un-materialized sem gate would
+    // re-run its corpus × bench scoring once per branch (and repeat
+    // its nested-loop subplan through the whole plan tree — the staged
+    // twin materializes this same boundary as the contam_sem parquet)
+    val contamSem = contamSemGate(gated3, bench).localCheckpoint()
     val gated4 = gated3.join(contamSem, Seq("doc_id"), "left_anti")
     val exactMap = exactGate(gated4)
     val reps = repsOf(gated4, exactMap)

@@ -36,10 +36,14 @@ import graft.{GraftQuery, Tables}
   */
 object Graph {
 
-  /** Fixed-point mass per node: 10^12 units (40 bits — iteration sums
-    * stay far under 2^63 up to ~10^6 nodes per the scaladoc bound
-    * below; beyond that drop a decade of scale or aggregate in two
-    * tiers).
+  /** Fixed-point mass per node: 10^12 units. Safe envelope: the worst
+    * case (a star graph concentrating ALL mass on one hub) bounds any
+    * inbound sum by the total mass N·PrScale, and the damping step is
+    * computed overflow-free for any representable sum (the split-DIV
+    * identity in [[pageRankOn]]), so the law is exact while
+    * N·PrScale < 2^63 — ~9.2M nodes at 10^12. Per decade more nodes,
+    * drop PrScale a decade (precision loss per sweep stays < 103/S of
+    * a node's mass).
     */
   val PrScale = 1000000000000L
 
@@ -105,6 +109,17 @@ object Graph {
     * Truncation sheds < k(u) units per source and < 100 units per node
     * per sweep — mass is conserved to that bound (spec-pinned), never
     * created.
+    *
+    * The damping term is EVALUATED as
+    *   85·(m DIV 100) + (85·(m mod 100)) DIV 100
+    * — identical value to (85·m) DIV 100 for every non-negative m
+    * (m = 100q + r ⇒ floor(85m/100) = 85q + floor(85r/100)), but the
+    * intermediate never exceeds ~0.85·m, so a skew hub absorbing the
+    * graph's whole mass cannot overflow Int64 as long as the mass sum
+    * itself is representable (the [[PrScale]] envelope). Both engine
+    * renderings carry the same split — the law cannot fork. A
+    * 200k-leaf star (whose naive 85·m would exceed 2^63) is
+    * spec-pinned to the exact hand value.
     */
   def pageRankOn(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
     val ids = nodes.select(col("doc_id"))
@@ -119,7 +134,9 @@ object Graph {
         .join(inbound, ids("doc_id") === inbound("dst"), "left")
         .select(
           ids("doc_id"),
-          (lit(PrBase) + expr("(85 * coalesce(m, CAST(0 AS BIGINT))) DIV 100")).as("pr"))
+          (lit(PrBase) + expr(
+            "85 * (coalesce(m, CAST(0 AS BIGINT)) DIV 100)" +
+              " + (85 * (coalesce(m, CAST(0 AS BIGINT)) % 100)) DIV 100")).as("pr"))
       // NO per-sweep checkpoint here, deliberately: each sweep
       // references r exactly ONCE, so the K-sweep lineage is LINEAR
       // and stays one AQE plan — which reuses the edge-side exchange
@@ -146,7 +163,10 @@ object Graph {
     */
   private[graft] def materializedGraph(docs: DataFrame): (DataFrame, DataFrame) = {
     val nodes = docs.localCheckpoint()
-    val edges = linkEdgesOn(docs).localCheckpoint()
+    // edges derive from the already-materialized nodes, not the source
+    // plan — the edge generator and its 1-row count re-read the RDD,
+    // never the parquet scan behind it
+    val edges = linkEdgesOn(nodes).localCheckpoint()
     (nodes, edges)
   }
 
@@ -160,7 +180,9 @@ object Graph {
     val sweeps = (1 to iters).map { i =>
       val prev = s"r${i - 1}"
       s"""r$i AS (
-        SELECT n.doc_id, CAST($PrBase + (85 * COALESCE(s.m, 0)) // 100 AS BIGINT) AS pr
+        SELECT n.doc_id,
+          CAST($PrBase + 85 * (COALESCE(s.m, 0) // 100)
+               + (85 * (COALESCE(s.m, 0) % 100)) // 100 AS BIGINT) AS pr
         FROM documents n LEFT JOIN (
           SELECT e.dst AS doc_id, SUM(r.pr // e.k) AS m
           FROM edges e JOIN $prev r ON r.doc_id = e.src

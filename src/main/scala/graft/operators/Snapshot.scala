@@ -27,14 +27,19 @@ import graft.{GraftQuery, Tables}
   */
 object Snapshot {
 
-  /** The diff core over two (doc_id, h) frames (spec entry point). */
+  /** The diff core over two (doc_id, h) frames (spec entry point).
+    * The content compare is NULL-SAFE (<=> / IS DISTINCT FROM): a doc
+    * whose text was NULL in exactly one snapshot (md5(NULL) = NULL —
+    * the state q97's null accounting exists to surface) is 'changed',
+    * never silently 'unchanged' through three-valued logic.
+    */
   def snapshotDiffOn(cur: DataFrame, nxt: DataFrame): DataFrame =
     cur.as("c").join(nxt.as("x"), col("c.doc_id") === col("x.doc_id"), "full_outer")
       .select(
         coalesce(col("c.doc_id"), col("x.doc_id")).as("doc_id"),
         when(col("x.doc_id").isNull, "removed")
           .when(col("c.doc_id").isNull, "added")
-          .when(col("c.h") =!= col("x.h"), "changed")
+          .when(!(col("c.h") <=> col("x.h")), "changed")
           .otherwise("unchanged").as("change"))
 
   private def diffDocs(s: SparkSession, d: String): DataFrame = {
@@ -69,7 +74,7 @@ object Snapshot {
       SELECT COALESCE(c.doc_id, x.doc_id) AS doc_id,
         CASE WHEN x.doc_id IS NULL THEN 'removed'
              WHEN c.doc_id IS NULL THEN 'added'
-             WHEN c.h <> x.h THEN 'changed'
+             WHEN c.h IS DISTINCT FROM x.h THEN 'changed'
              ELSE 'unchanged' END AS change
       FROM cur c FULL OUTER JOIN nxt x ON c.doc_id = x.doc_id
       ORDER BY doc_id"""),

@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -21,46 +20,20 @@ import org.scalatest.funsuite.AnyFunSuite
   * shuffle bytes stays at exactly zero — the map-only claims (q28,
   * q39, q47, q77, q78, ...) enforced as bytes, not just plan strings.
   *
-  * Attribution: suites share one SparkContext and sbt may run them
-  * concurrently, so a global listener would co-count other suites'
-  * stages. Each measurement therefore runs under a unique job group;
-  * a listener keeps the group's stage ids (from onJobStart, which
-  * carries the submitting thread's properties — broadcast-exchange
-  * threads inherit them via SQLExecution's captured locals) and sums
-  * shuffle writes only for those stages.
+  * Attribution mechanics (unique job group, stage-id scoped listener)
+  * live in graft.ShuffleAttribution — ONE rendering shared with the
+  * MeasureBytes calibration tool.
   */
 class ByteBudgetSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSession.spark
   val sf = "/root/testdata/sf0.001"
 
-  private def prodShuffleWrite(q: GraftQuery): Long = {
-    val sc = spark.sparkContext
-    val group = s"bytebudget-${q.name}-${java.util.UUID.randomUUID()}"
-    val stages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
-    val bytes = new java.util.concurrent.atomic.AtomicLong
-    val listener = new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit =
-        if (Option(j.properties).exists(_.getProperty("spark.jobGroup.id") == group)) {
-          j.stageIds.foreach(stages.add(_))
-          ()
-        }
-      override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
-        if (stages.contains(s.stageInfo.stageId)) {
-          val m = s.stageInfo.taskMetrics
-          if (m != null) { bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten); () }
-        }
+  // One attribution rendering for spec and calibration tool alike —
+  // see ShuffleAttribution (r18 session-2 review closure).
+  private def prodShuffleWrite(q: GraftQuery): Long =
+    ShuffleAttribution.measure(spark, s"bytebudget-${q.name}") {
+      q.runProd(spark, sf).write.format("noop").mode("overwrite").save()
     }
-    sc.addSparkListener(listener)
-    try {
-      // the group wraps PLAN CONSTRUCTION too: model fits and stage-table
-      // localCheckpoints inside runProd shuffle on this thread's group
-      sc.setJobGroup(group, s"byte budget: ${q.name}", interruptOnCancel = false)
-      try q.runProd(spark, sf).write.format("noop").mode("overwrite").save()
-      finally sc.clearJobGroup()
-      org.apache.spark.graft.ListenerSync.drain(sc)
-      bytes.get
-    } finally sc.removeSparkListener(listener)
-  }
 
   /** Budget = ~3x the measured prod shuffle-write at sf0.001 at each
     * row's calibration round (the middle column is the measured value). Revise ONLY with a receipt: a new
@@ -73,10 +46,10 @@ class ByteBudgetSpec extends AnyFunSuite {
     ("ann_lsh_topk", 465560L, 1400000L),
     ("q34_ngram_stats", 360334L, 1100000L),
     ("q35_tfidf", 303283L, 950000L),
-    ("train_prep_e2e", 712708L, 2138124L), // r18 recal 2: + q99 semantic gate (embed agg over the gated population)
+    ("train_prep_e2e", 573768L, 1721304L), // r18 recal 2: + q99 sem gate, MATERIALIZED (review closure)
     ("q35_tfidf_exact", 287823L, 900000L),
     ("dedup_passage", 262329L, 800000L),
-    ("corpus_curate_decontam", 672142L, 2016426L), // r18 recal 2: + q99 semantic gate (embed agg over the gated population)
+    ("corpus_curate_decontam", 533202L, 1599606L), // r18 recal 2: + q99 sem gate, MATERIALIZED (review closure)
     ("q60_split_leakage", 185993L, 600000L),
     ("q48_postings", 155359L, 500000L),
     ("q42_vocab_topk", 154351L, 500000L),

@@ -53,6 +53,24 @@ class GraphSpec extends AnyFunSuite {
     assert(g.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap === expected)
   }
 
+  test("pagerank: a 200k-leaf star hub stays exact where naive 85*m would overflow") {
+    // every leaf (k=1) sends its whole mass to hub 0: m = 2e5 * 1e12 =
+    // 2e17, so naive 85*m = 1.7e19 > 2^63-1 would wrap negative in
+    // Spark and diverge from DuckDB's HUGEINT — the split-DIV identity
+    // keeps intermediates at ~0.85*m. Hand law: hub = base + 85*(m/100).
+    val nLeaves = 200000L
+    val ids = spark.range(0, nLeaves + 1).select(col("id").as("doc_id"))
+    val star = spark.range(1, nLeaves + 1)
+      .select(col("id").as("src"), lit(1L).as("k"), lit(0L).as("dst"))
+    val g = Graph.pageRankOn(ids, star, iters = 1)
+    val hub = g.filter(col("doc_id") === 0L).collect()(0).getLong(1)
+    val m = nLeaves * S
+    assert(hub === Graph.PrBase + 85L * (m / 100L), "hub must match the exact integer law")
+    assert(hub > 0L, "a wrapped-negative rank means the damping step overflowed")
+    val leaf = g.filter(col("doc_id") === 1L).collect()(0).getLong(1)
+    assert(leaf === Graph.PrBase, "leaves have no inbound edges")
+  }
+
   test("q94 conserves mass to the truncation bound on the real corpus") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001").select(col("doc_id"))
     val e = Graph.linkEdgesOn(docs).localCheckpoint()

@@ -10,12 +10,18 @@ class SnapshotSpec extends AnyFunSuite {
 
   test("snapshot diff classifies added / removed / changed / unchanged") {
     import spark.implicits._
-    val cur = Seq((1L, "h1"), (2L, "h2"), (3L, "h3")).toDF("doc_id", "h")
-    val nxt = Seq((1L, "h1"), (2L, "h2x"), (4L, "h4")).toDF("doc_id", "h")
+    // docs 5/6 pin the null-safe compare: a NULL hash on exactly one
+    // side is 'changed' (never 'unchanged' via three-valued logic);
+    // NULL on both sides is 'unchanged'
+    val cur = Seq((1L, Option("h1")), (2L, Option("h2")), (3L, Option("h3")),
+      (5L, Option.empty[String]), (6L, Option.empty[String])).toDF("doc_id", "h")
+    val nxt = Seq((1L, Option("h1")), (2L, Option("h2x")), (4L, Option("h4")),
+      (5L, Option("h5")), (6L, Option.empty[String])).toDF("doc_id", "h")
     val got = Snapshot.snapshotDiffOn(cur, nxt).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got === Map(
-      1L -> "unchanged", 2L -> "changed", 3L -> "removed", 4L -> "added"))
+      1L -> "unchanged", 2L -> "changed", 3L -> "removed", 4L -> "added",
+      5L -> "changed", 6L -> "unchanged"))
   }
 
   test("q100 on the real corpus: every doc classified, population law holds") {

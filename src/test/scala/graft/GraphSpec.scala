@@ -65,8 +65,10 @@ class GraphSpec extends AnyFunSuite {
     val g = Graph.pageRankOn(ids, star, iters = 1)
     val hub = g.filter(col("doc_id") === 0L).collect()(0).getLong(1)
     val m = nLeaves * S
-    assert(hub === Graph.PrBase + 85L * (m / 100L), "hub must match the exact integer law")
+    // wrap check first so a regression to naive 85*m reports as the
+    // overflow it is, not as a generic value mismatch
     assert(hub > 0L, "a wrapped-negative rank means the damping step overflowed")
+    assert(hub === Graph.PrBase + 85L * (m / 100L), "hub must match the exact integer law")
     val leaf = g.filter(col("doc_id") === 1L).collect()(0).getLong(1)
     assert(leaf === Graph.PrBase, "leaves have no inbound edges")
   }

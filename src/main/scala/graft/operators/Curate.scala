@@ -272,12 +272,19 @@ object Curate {
     val bench = staged.filter(col("doc_id") % 20 === 0)
     val corpus = staged.filter(col("doc_id") % 20 =!= 0)
     val gated = gatedOf(corpus, lang, minTokens)
-    val contam = contamGate(gated, bench)
+    // MATERIALIZED (a small id list), like contamSem below: the exact
+    // gate's id list feeds gated2 and the final verdict table, and the
+    // verdict table fans out into the exact/near/family/decision
+    // branches — un-materialized, the 8-gram corpus × bench probe
+    // re-executes once per branch (the staged twin persists this same
+    // boundary as the contam parquet stage)
+    val contam = contamGate(gated, bench).localCheckpoint()
     val gated2 = gated.join(contam, Seq("doc_id"), "left_anti")
     // fuzzy contamination (q88's law) drops paraphrased benchmark items
     // the exact 8-gram gate misses — a distinct verdict, and a further
-    // population cut BEFORE dedup (r17 judge item)
-    val contamFuzzy = contamFuzzyGate(gated2, bench)
+    // population cut BEFORE dedup (r17 judge item). MATERIALIZED for
+    // the same fan-out reason as the exact gate above.
+    val contamFuzzy = contamFuzzyGate(gated2, bench).localCheckpoint()
     val gated3 = gated2.join(contamFuzzy, Seq("doc_id"), "left_anti")
     // semantic contamination (q99's law) drops REWRITTEN benchmark
     // items that share no n-grams or shingles at all — the third rung,

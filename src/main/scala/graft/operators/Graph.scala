@@ -74,15 +74,47 @@ object Graph {
     * q35 scalar-subquery shape — a broadcast of one row, not a data
     * join.
     */
-  def linkEdgesOn(nodes: DataFrame): DataFrame = {
+  def linkEdgesOn(nodes: DataFrame): DataFrame =
+    edgesRaw(nodes).select("src", "k", "dst")
+
+  /** The edge generator WITH the per-source fan-out index `j` kept —
+    * the weighted family derives its edge weights from (src, j), and
+    * keeping the dst law in exactly one place means the weighted and
+    * unweighted graphs can never disagree on topology. [[linkEdgesOn]]
+    * projects j away, and column pruning removes it from every
+    * unweighted plan (verified: the q94/q95/q98 shuffle bytes are
+    * unchanged by this refactor).
+    */
+  private def edgesRaw(nodes: DataFrame): DataFrame = {
     val n = nodes.agg(count(lit(1)).cast("long").as("n"))
     nodes
       .select(col("doc_id").as("src"), (lit(1L) + col("doc_id") % 3).as("k"))
       .select(col("src"), col("k"), explode(sequence(lit(1L), col("k"))).as("j"))
       .crossJoin(broadcast(n))
-      .select(col("src"), col("k"),
+      .select(col("src"), col("k"), col("j"),
         ((col("src") * EdgeMulA + col("j") * EdgeMulJ) % col("n")).as("dst"))
   }
+
+  /** Edge-weight modulus: w(u→v) = 1 + (src + j) % 7 ∈ [1, 7]. Any
+    * small positive law works — the gate only needs both engines to
+    * agree, and w ≤ 7 keeps every weighted-contribution intermediate
+    * inside the split-DIV safety argument ([[weightedPageRankOn]]).
+    */
+  val WeightMod = 7L
+
+  /** The weighted edge frame: (src, dst, w, sw) with sw = Σ_out w —
+    * the denominator of the weighted contribution law, attached here
+    * ONCE (a window over src; on a cluster the edge table is built
+    * once and persisted bucketed-by-src, so this shuffle is a
+    * build-time cost, never a per-sweep one). sw ≥ 1 always (k ≥ 1,
+    * w ≥ 1), so the sweep division is total.
+    */
+  def weightedEdgesOn(nodes: DataFrame): DataFrame =
+    edgesRaw(nodes)
+      .select(col("src"), col("dst"),
+        (lit(1L) + (col("src") + col("j")) % WeightMod).as("w"))
+      .withColumn("sw", sum("w").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("src")))
 
   /** The ONE SQL rendering of the edge law, shared by the q94 and q95
     * oracles (one rendering per law — the q89/q92/q93 discipline).
@@ -95,8 +127,18 @@ object Graph {
                CAST(unnest(range(1, 2 + CAST(doc_id % 3 AS INTEGER))) AS BIGINT) AS j
         FROM documents),
       edges AS (
-        SELECT e.src, e.k, (e.src * $EdgeMulA + e.j * $EdgeMulJ) % nn.n AS dst
+        SELECT e.src, e.k, e.j, (e.src * $EdgeMulA + e.j * $EdgeMulJ) % nn.n AS dst
         FROM eraw e CROSS JOIN nn)"""
+
+  /** SQL rendering of the weighted edge frame ([[weightedEdgesOn]]'s
+    * twin) — defines CTE `wedges(src, dst, w, sw)` on top of `edges`.
+    */
+  val weightedEdgesCte: String =
+    s"""wedges AS (
+        SELECT src, dst, CAST(1 + (src + j) % $WeightMod AS BIGINT) AS w,
+               CAST(SUM(1 + (src + j) % $WeightMod)
+                    OVER (PARTITION BY src) AS BIGINT) AS sw
+        FROM edges)"""
 
   // --------------------------------------------------------- pagerank
 
@@ -123,6 +165,16 @@ object Graph {
     */
   def pageRankOn(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
     val ids = nodes.select(col("doc_id"))
+    // ENFORCE the PrScale envelope (r18 ADVICE): beyond it Spark's
+    // inbound SUM wraps negative while DuckDB aggregates in HUGEINT —
+    // the engines would fork silently. One count job over a slim id
+    // frame (the registry path hands in an already-materialized node
+    // frame); an out-of-envelope run fails loudly with the remedy.
+    val n = ids.count()
+    require(n <= Long.MaxValue / PrScale,
+      s"pageRankOn: $n nodes exceed the exact-integer envelope " +
+        s"N*PrScale < 2^63 (max ${Long.MaxValue / PrScale} at PrScale=$PrScale); " +
+        "drop PrScale a decade per decade of nodes (object doc) to stay exact.")
     var r = ids.select(col("doc_id"), lit(PrScale).as("pr"))
     for (_ <- 1 to iters) {
       val inbound = edges
@@ -199,6 +251,167 @@ object Graph {
     (s, d) => pageRank(s, d).orderBy("doc_id"),
     Some(pageRankSql(PrIters)),
     prod = Some((s, d) => pageRank(s, d)),
+  )
+
+  // -------------------------------- weighted / personalized pagerank
+
+  /** K sweeps of WEIGHTED, PERSONALIZED exact-integer PageRank — the
+    * spam-mass / crawl-priority variant: edge weights steer each
+    * source's mass (contrib(u→v) = pr(u)·w(u→v) DIV Σw(u)) and the
+    * teleport mass lands ONLY on the seed set instead of uniformly
+    * (personalization — rank means "probability of being reached from
+    * a trusted seed", the TrustRank shape).
+    *
+    * Law per sweep (all integral):
+    *   contrib(u→v) = (pr(u)·w) DIV sw, EVALUATED as
+    *                  w·(pr DIV sw) + (w·(pr mod sw)) DIV sw
+    *   pr'(v) = [v ∈ seeds] · seedBase + (85 · Σ_in contrib) DIV 100
+    * with seedBase = (N·PrBase) DIV |seeds| — the same total teleport
+    * mass as q94 (15% of N·PrScale per sweep), concentrated on seeds.
+    *
+    * The contribution split is the same floor identity as the damping
+    * split (pr = q·sw + r ⇒ floor(pr·w/sw) = q·w + floor(r·w/sw)),
+    * and it is what keeps the law exact on skew: w ≤ sw bounds the
+    * first term by pr itself, and the second by w·sw < 7·21 — so a
+    * hub holding the graph's entire mass still computes overflow-free
+    * inside the [[PrScale]] envelope (enforced here as in
+    * [[pageRankOn]]). Per-node bound: pr ≤ seedBase + 0.85·N·PrScale
+    * ≤ N·PrScale even with a single seed, so the envelope argument is
+    * unchanged from q94's.
+    */
+  def weightedPageRankOn(
+      nodes: DataFrame, wedges: DataFrame, seeds: Column, iters: Int): DataFrame = {
+    val ids = nodes.select(col("doc_id"))
+    val n = ids.count()
+    require(n <= Long.MaxValue / PrScale,
+      s"weightedPageRankOn: $n nodes exceed the exact-integer envelope " +
+        s"N*PrScale < 2^63 (max ${Long.MaxValue / PrScale} at PrScale=$PrScale); " +
+        "drop PrScale a decade per decade of nodes (object doc) to stay exact.")
+    val nSeeds = ids.filter(seeds).count()
+    require(nSeeds > 0, "weightedPageRankOn: the seed set is empty — " +
+      "personalized teleport needs at least one seed node.")
+    // N*PrBase < 0.15 * 2^63 inside the envelope — Long-safe
+    val seedBase = n * PrBase / nSeeds
+    var r = ids.select(col("doc_id"), lit(PrScale).as("pr"))
+    for (_ <- 1 to iters) {
+      val inbound = wedges
+        .join(r.select(col("doc_id").as("src_id"), col("pr")), col("src") === col("src_id"))
+        .select(col("dst"),
+          expr("w * (pr DIV sw) + (w * (pr % sw)) DIV sw").as("c"))
+        .groupBy("dst")
+        .agg(sum("c").as("m"))
+      r = ids
+        .join(inbound, ids("doc_id") === inbound("dst"), "left")
+        .select(
+          ids("doc_id"),
+          (when(seeds, lit(seedBase)).otherwise(lit(0L)) + expr(
+            "85 * (coalesce(m, CAST(0 AS BIGINT)) DIV 100)" +
+              " + (85 * (coalesce(m, CAST(0 AS BIGINT)) % 100)) DIV 100")).as("pr"))
+      // single self-reference per sweep — linear lineage, one AQE
+      // plan, reused edge exchange (the q94 measurement, ScaleProbe36)
+    }
+    r
+  }
+
+  private def materializedWeightedGraph(docs: DataFrame): (DataFrame, DataFrame) = {
+    val nodes = docs.localCheckpoint()
+    val wedges = weightedEdgesOn(nodes).localCheckpoint()
+    (nodes, wedges)
+  }
+
+  private def weightedPageRank(s: SparkSession, d: String): DataFrame = {
+    val (nodes, wedges) =
+      materializedWeightedGraph(Tables.documents(s, d).select(col("doc_id")))
+    weightedPageRankOn(nodes, wedges, col("doc_id") % SeedMod === 0, PrIters)
+  }
+
+  /** Unrolled SQL for K weighted-personalized sweeps. The seed law is
+    * q95's (doc_id ≡ 0 mod [[SeedMod]]) — crawl seeds ARE the trust
+    * seeds. seedBase computes in SQL exactly as the Scala driver
+    * scalar does (all BIGINT inside the envelope).
+    */
+  private def weightedPageRankSql(iters: Int): String = {
+    val sweeps = (1 to iters).map { i =>
+      val prev = s"p${i - 1}"
+      s"""p$i AS (
+        SELECT n.doc_id,
+          CAST(CASE WHEN n.doc_id % $SeedMod = 0 THEN sb.sb ELSE 0 END
+               + 85 * (COALESCE(s.m, 0) // 100)
+               + (85 * (COALESCE(s.m, 0) % 100)) // 100 AS BIGINT) AS pr
+        FROM documents n CROSS JOIN sb LEFT JOIN (
+          SELECT e.dst AS doc_id,
+            SUM(e.w * (r.pr // e.sw) + (e.w * (r.pr % e.sw)) // e.sw) AS m
+          FROM wedges e JOIN $prev r ON r.doc_id = e.src
+          GROUP BY e.dst) s ON s.doc_id = n.doc_id)"""
+    }.mkString(",\n")
+    s"""WITH $edgesCte,
+      $weightedEdgesCte,
+      sb AS (SELECT CAST(nn.n * $PrBase
+                         // (SELECT COUNT(*) FROM documents WHERE doc_id % $SeedMod = 0)
+                         AS BIGINT) AS sb FROM nn),
+      p0 AS (SELECT doc_id, CAST($PrScale AS BIGINT) AS pr FROM documents),
+      $sweeps
+      SELECT doc_id, pr FROM p$iters ORDER BY doc_id"""
+  }
+
+  val q102 = GraftQuery(
+    "q102_pagerank_weighted",
+    (s, d) => weightedPageRank(s, d).orderBy("doc_id"),
+    Some(weightedPageRankSql(PrIters)),
+    prod = Some((s, d) => weightedPageRank(s, d)),
+  )
+
+  // ------------------------------------------ crawl-priority sampling
+
+  /** Rank cap for the sampling probability: a doc holding ≥ 4× a
+    * uniform share of mass is always kept; an average doc keeps at
+    * ~25%. p = min(pr, PrCap) / PrCap.
+    */
+  val PrCap = 4L * PrScale
+
+  /** Crawl-priority sampling — q94's rank composed into the q47
+    * integer-threshold keep discipline: keep doc v iff
+    *   hash52("cps:" + doc_id) mod PrCap < min(pr(v), PrCap)
+    * i.e. with probability min(pr/PrCap, 1), deterministically,
+    * content-independently, and identically in ANSI SQL. This is the
+    * operator that points the graph family AT the training pipeline:
+    * the kept set is a rank-proportional corpus slice (crawl-frontier
+    * budget allocation / spam-mass downsampling), reproducible across
+    * reruns like every q39/q41/q47 sampling law.
+    *
+    * Exactness note: hv is uniform on [0, 2^52) and PrCap does not
+    * divide 2^52, so `hv mod PrCap` carries a modulo bias ≤
+    * PrCap/2^52 ≈ 0.09% — irrelevant to the gate (both engines
+    * compute the identical value) and negligible for the sampling
+    * quality; the comparison itself stays in exact integers with no
+    * overflow (both sides < 2^52 · small).
+    */
+  private def crawlPrioritySample(s: SparkSession, d: String): DataFrame = {
+    val hv = conv(substring(md5(concat(lit("cps:"), col("doc_id").cast("string"))), 1, 13), 16, 10)
+      .cast("long")
+    pageRank(s, d)
+      .filter(hv % lit(PrCap) < least(col("pr"), lit(PrCap)))
+      .select("doc_id", "pr")
+  }
+
+  /** q94's unrolled CTE body + the keep filter — the oracle composes
+    * the standalone gate's own rendering (the q93 discipline).
+    */
+  private def crawlPrioritySql(iters: Int): String = {
+    val base = pageRankSql(iters)
+    val body = base.substring(0, base.lastIndexOf("SELECT doc_id, pr FROM"))
+    s"""$body
+      SELECT doc_id, pr FROM r$iters
+      WHERE CAST(('0x' || substr(md5('cps:' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+            % $PrCap < least(pr, $PrCap)
+      ORDER BY doc_id"""
+  }
+
+  val q103 = GraftQuery(
+    "q103_crawl_priority",
+    (s, d) => crawlPrioritySample(s, d).orderBy("doc_id"),
+    Some(crawlPrioritySql(PrIters)),
+    prod = Some((s, d) => crawlPrioritySample(s, d)),
   )
 
   // -------------------------------------------------------- BFS depth
@@ -333,5 +546,5 @@ object Graph {
     prod = Some((s, d) => components(s, d)),
   )
 
-  def all: Seq[GraftQuery] = Seq(q94, q95, q98)
+  def all: Seq[GraftQuery] = Seq(q94, q95, q98, q102, q103)
 }

@@ -29,19 +29,35 @@ import graft.{GraftQuery, Tables}
   */
 object Profile {
 
-  /** Profile `cols` of `df` in one scan (spec entry point). */
+  /** Backtick-quote an identifier for splicing into selectExpr — a
+    * public entry point must survive column names carrying spaces,
+    * quotes, reserved words, or backticks themselves (r18 ADVICE).
+    */
+  private def bq(name: String): String = "`" + name.replace("`", "``") + "`"
+
+  /** SQL string literal for a column name (quotes escaped). */
+  private def sq(name: String): String = "'" + name.replace("'", "''") + "'"
+
+  /** Profile `cols` of `df` in one scan (spec entry point). Column
+    * names are backtick-quoted wherever they splice into SQL text, and
+    * the per-column aggregate aliases are positional (`nn_0`, `nd_0`,
+    * …) rather than name-derived, so no caller column name can collide
+    * with an internal alias or break the stack() parse (r18 ADVICE).
+    */
   def profileOn(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty && cols.distinct.size == cols.size,
+      s"profileOn: column list must be non-empty and duplicate-free, got $cols")
     val aggs: Seq[Column] =
-      count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+      count(lit(1)).as("n_rows") +: cols.zipWithIndex.flatMap { case (c, i) =>
         Seq(
-          count(col(c)).as(s"nn_$c"),
-          countDistinct(col(c)).as(s"nd_$c"),
-          min(col(c)).cast("string").as(s"mn_$c"),
-          max(col(c)).cast("string").as(s"mx_$c"))
+          count(col(bq(c))).as(s"nn_$i"),
+          countDistinct(col(bq(c))).as(s"nd_$i"),
+          min(col(bq(c))).cast("string").as(s"mn_$i"),
+          max(col(bq(c))).cast("string").as(s"mx_$i"))
       }
     val one = df.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = cols
-      .map(c => s"'$c', n_rows, n_rows - nn_$c, nd_$c, mn_$c, mx_$c")
+    val stackArgs = cols.zipWithIndex
+      .map { case (c, i) => s"${sq(c)}, n_rows, n_rows - nn_$i, nd_$i, mn_$i, mx_$i" }
       .mkString(", ")
     one.selectExpr(
       s"stack(${cols.size}, $stackArgs) AS (col_name, n_rows, n_null, n_distinct, min_v, max_v)")
@@ -94,7 +110,13 @@ object Profile {
     * share is integer ppm (n·10^6 DIV total, the q86 discipline).
     */
   def tokenHistogramOn(docs: DataFrame): DataFrame = {
+    // null text is OUT of the law's domain in BOTH renderings (r18
+    // ADVICE): Spark's size(null) and DuckDB's len(NULL) disagree
+    // (-1-vs-NULL under the legacy conf; a NULL bucket row otherwise),
+    // so the histogram counts only docs that HAVE text — the same
+    // population every tokenizing operator (q30/q40/q83) sees.
     val b = docs
+      .filter(col("text").isNotNull)
       .select(size(graft.gfunctions.ws_tokens(col("text"))).cast("long").as("n_toks"))
       .select(least(expr(s"n_toks DIV $HistWidth"), lit(HistCap)).as("bucket"))
     val g = b.groupBy("bucket").agg(count(lit(1)).as("n_docs"))
@@ -111,7 +133,7 @@ object Profile {
     (s, d) => tokenHistogramOn(Tables.documents(s, d)).orderBy("bucket"),
     Some(s"""WITH t AS (
         SELECT len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '')) AS n_toks
-        FROM documents),
+        FROM documents WHERE text IS NOT NULL),
       tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t),
       b AS (SELECT LEAST(n_toks // $HistWidth, $HistCap) AS bucket FROM t),
       g AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs FROM b GROUP BY bucket)

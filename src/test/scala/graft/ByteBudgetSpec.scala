@@ -46,10 +46,10 @@ class ByteBudgetSpec extends AnyFunSuite {
     ("ann_lsh_topk", 465560L, 1400000L),
     ("q34_ngram_stats", 360334L, 1100000L),
     ("q35_tfidf", 303283L, 950000L),
-    ("train_prep_e2e", 573768L, 1721304L), // r18 recal 2: + q99 sem gate, MATERIALIZED (review closure)
+    ("train_prep_e2e", 382168L, 1146504L), // r19 recal: exact+fuzzy contam id lists MATERIALIZED (r18 judge item 1) — 573768 -> 382168
     ("q35_tfidf_exact", 287823L, 900000L),
     ("dedup_passage", 262329L, 800000L),
-    ("corpus_curate_decontam", 533202L, 1599606L), // r18 recal 2: + q99 sem gate, MATERIALIZED (review closure)
+    ("corpus_curate_decontam", 301611L, 904833L), // r19 recal: exact+fuzzy contam id lists MATERIALIZED (r18 judge item 1) — 533202 -> 301611
     ("q60_split_leakage", 185993L, 600000L),
     ("q48_postings", 155359L, 500000L),
     ("q42_vocab_topk", 154351L, 500000L),
@@ -107,6 +107,12 @@ class ByteBudgetSpec extends AnyFunSuite {
     ("q99_text_embed_decontam", 16369L, 49107L),
     ("q100_snapshot_diff", 41701L, 125103L),
     ("q101_token_histogram", 499L, 1497L),
+    // r19 entries: q102's sweeps exchange the same (id, 8-byte) pairs
+    // as q94 plus the weighted edge build's one-time window-by-src
+    // pass; q103 is q94 + a stateless keep filter (byte-identical to
+    // q94's measurement).
+    ("q102_pagerank_weighted", 50367L, 151101L),
+    ("q103_crawl_priority", 35884L, 107652L),
   )
 
   /** Prod plans that measured EXACTLY zero shuffle bytes in the r16

@@ -36,6 +36,19 @@ class GraphSpec extends AnyFunSuite {
       Map(0L -> S, 1L -> S, 2L -> S))
   }
 
+  test("pagerank: the PrScale envelope is enforced loudly (r18 ADVICE)") {
+    // one node past N*PrScale < 2^63 — Spark's inbound SUM could wrap
+    // negative where DuckDB aggregates in HUGEINT, so the entry must
+    // refuse instead of silently forking engines. A range frame counts
+    // without materializing rows, so the guard check itself is cheap.
+    val tooMany = spark.range(Long.MaxValue / Graph.PrScale + 1)
+      .withColumnRenamed("id", "doc_id")
+    val e = intercept[IllegalArgumentException] {
+      Graph.pageRankOn(tooMany, edges((0L, 1L, 1L)), iters = 1)
+    }
+    assert(e.getMessage.contains("envelope"))
+  }
+
   test("pagerank: one sweep matches the hand-computed integer law") {
     // 0 -> {1, 2} (k=2), 1 -> 2 (k=1), 2 -> 2 self loop (k=1)
     // contrib: 0->1: S/2, 0->2: S/2, 1->2: S, 2->2: S
@@ -71,6 +84,92 @@ class GraphSpec extends AnyFunSuite {
     assert(hub === Graph.PrBase + 85L * (m / 100L), "hub must match the exact integer law")
     val leaf = g.filter(col("doc_id") === 1L).collect()(0).getLong(1)
     assert(leaf === Graph.PrBase, "leaves have no inbound edges")
+  }
+
+  private def wedges(rows: (Long, Long, Long, Long)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("src", "dst", "w", "sw")
+  }
+
+  test("weighted pagerank: weights steer mass, teleport lands on seeds only") {
+    // 0 -> 1 (w=1), 0 -> 2 (w=3), sw(0)=4; 1 -> 0 and 2 -> 0 whole-mass.
+    // Seeds = {0}: seedBase = 3*PrBase lands on 0 alone; 1 and 2 get
+    // pure damped inbound. Hand law (all divisions exact at S=10^12):
+    //   m(0) = 2S, m(1) = S/4, m(2) = 3S/4
+    val g = Graph.weightedPageRankOn(
+      nodes(0L, 1L, 2L),
+      wedges((0L, 1L, 1L, 4L), (0L, 2L, 3L, 4L), (1L, 0L, 1L, 1L), (2L, 0L, 1L, 1L)),
+      col("doc_id") === 0L,
+      iters = 1)
+    val expected = Map(
+      0L -> (3L * Graph.PrBase + 85L * (2L * S) / 100L),
+      1L -> 85L * (S / 4L) / 100L,
+      2L -> 85L * (3L * S / 4L) / 100L)
+    assert(g.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap === expected)
+  }
+
+  test("weighted pagerank: a 200k-leaf weighted star stays exact past naive 85*m") {
+    // every leaf sends its whole mass to hub 0 through w = sw = 7 —
+    // (pr*7) DIV 7 = pr exactly, and the split contribution law must
+    // reproduce that without the 85*m overflow (m = 2e17)
+    val nLeaves = 200000L
+    val ids = spark.range(0, nLeaves + 1).select(col("id").as("doc_id"))
+    val star = spark.range(1, nLeaves + 1)
+      .select(col("id").as("src"), lit(0L).as("dst"), lit(7L).as("w"), lit(7L).as("sw"))
+    val g = Graph.weightedPageRankOn(ids, star, col("doc_id") === 0L, iters = 1)
+    val hub = g.filter(col("doc_id") === 0L).collect()(0).getLong(1)
+    val m = nLeaves * S
+    assert(hub > 0L, "a wrapped-negative rank means a contribution or damping overflow")
+    assert(hub === (nLeaves + 1L) * Graph.PrBase + 85L * (m / 100L),
+      "hub must match the exact integer law (full seedBase + damped star mass)")
+    val leaf = g.filter(col("doc_id") === 1L).collect()(0).getLong(1)
+    assert(leaf === 0L, "a non-seed leaf with no inbound edges holds zero mass")
+  }
+
+  test("weighted pagerank: empty seed set refuses loudly") {
+    val e = intercept[IllegalArgumentException] {
+      Graph.weightedPageRankOn(
+        nodes(0L, 1L), wedges((0L, 1L, 1L, 1L)), col("doc_id") < 0L, iters = 1)
+    }
+    assert(e.getMessage.contains("seed"))
+  }
+
+  test("weighted edge law: same topology as linkEdgesOn, w in [1,7], sw = sum(w)") {
+    val ids = nodes(0L, 1L, 2L, 3L, 4L)
+    val plain = Graph.linkEdgesOn(ids).select("src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val weighted = Graph.weightedEdgesOn(ids).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(weighted.map(t => (t._1, t._2)).sorted.toSeq === plain,
+      "the weighted graph must share linkEdgesOn's exact topology")
+    assert(weighted.forall(t => t._3 >= 1L && t._3 <= Graph.WeightMod),
+      "w = 1 + (src + j) % 7 lands in [1, 7]")
+    val swBySrc = weighted.groupBy(_._1).map { case (s0, es) => s0 -> es.map(_._3).sum }
+    assert(weighted.forall(t => swBySrc(t._1) == t._4), "sw must be the per-src weight sum")
+  }
+
+  test("q103 crawl-priority keep set obeys the integer threshold law over q94 ranks") {
+    val sf = "/root/testdata/sf0.001"
+    val ranks = Graph.q94.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kept = Graph.q103.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kept.nonEmpty && kept.size < ranks.size,
+      "the sample must keep a strict, non-empty subset at sf0.001")
+    kept.foreach { case (id, pr) =>
+      assert(ranks(id) === pr, "kept rows carry the q94 rank unchanged")
+    }
+    // recompute the keep law independently (md5 52-bit hash mod PrCap)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hv(id: Long): Long = {
+      val h = md.digest(s"cps:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.substring(0, 13), 16)
+    }
+    ranks.foreach { case (id, pr) =>
+      val expectKeep = hv(id) % Graph.PrCap < math.min(pr, Graph.PrCap)
+      assert(kept.contains(id) === expectKeep,
+        s"doc $id: keep decision must match the threshold law")
+    }
   }
 
   test("q94 conserves mass to the truncation bound on the real corpus") {

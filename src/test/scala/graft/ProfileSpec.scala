@@ -59,6 +59,34 @@ class ProfileSpec extends AnyFunSuite {
       15L -> ((1L, 4L, 250000L))))
   }
 
+  test("profile survives hostile column names; rejects duplicates (r18 ADVICE)") {
+    import spark.implicits._
+    // a space, a reserved word, a single quote, and a backtick — all
+    // legal parquet/DataFrame column names a public entry point meets
+    val hostile = Seq((1L, "a", 2L, 3L), (2L, "b", 2L, 4L))
+      .toDF("my col", "select", "it's", "ba`ck")
+    val rows = Profile.profileOn(hostile, Seq("my col", "select", "it's", "ba`ck"))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(rows === Map("my col" -> 2L, "select" -> 2L, "it's" -> 1L, "ba`ck" -> 2L))
+    intercept[IllegalArgumentException] {
+      Profile.profileOn(hostile, Seq("select", "select"))
+    }
+  }
+
+  test("q101 histogram: null text is out of the law's domain (r18 ADVICE)") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, Seq.fill(5)("w").mkString(" ")),
+      (1L, null.asInstanceOf[String]),
+      (2L, Seq.fill(5)("x").mkString(" ")),
+    ).toDF("doc_id", "text")
+    val got = Profile.tokenHistogramOn(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // the null-text doc contributes to NO bucket and not to the total:
+    // 2 docs, both bucket 0, share exactly 10^6 ppm
+    assert(got === Map(0L -> ((2L, 2L, 1000000L))))
+  }
+
   test("q97 on the real corpus: doc_id is a unique non-null key") {
     val rows = operators.Profile.q97.run(spark, "/root/testdata/sf0.001")
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap

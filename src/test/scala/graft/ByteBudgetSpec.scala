@@ -113,6 +113,9 @@ class ByteBudgetSpec extends AnyFunSuite {
     // q94's measurement).
     ("q102_pagerank_weighted", 50367L, 151101L),
     ("q103_crawl_priority", 35884L, 107652L),
+    // stream_profile's batch twin exchanges one 10-agg row per hour
+    // window (the stack unpivot is post-agg, stateless)
+    ("stream_profile", 29331L, 87993L),
   )
 
   /** Prod plans that measured EXACTLY zero shuffle bytes in the r16

@@ -63,6 +63,52 @@ class StreamingRecoverySpec extends AnyFunSuite {
     Thread.sleep(15) // space file mtimes so the source's oldest-first order is stable
   }
 
+  // ------------------------------------------------------ windowed profile
+
+  test("windowedProfileStream: an open window's aggregate state spans a restart") {
+    import spark.implicits._
+    val in = tmp("prof_in"); val out = tmp("prof_out"); val ckpt = tmp("prof_ck")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "ts TIMESTAMP, event_type STRING, user_id BIGINT, value DOUBLE")
+    def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    def build(df: DataFrame): DataFrame = Streams.windowedProfileStream(df)
+
+    // phase 1: two rows land in the hour-0 window (one null
+    // event_type); the window stays OPEN — its partial aggregate row
+    // exists only in the checkpointed state store
+    addFile(Seq(
+      (t(0, 10), "click", 7L, 1.5),
+      (t(0, 40), null, 3L, 9.0)).toDF("ts", "event_type", "user_id", "value"), in)
+    runOnce(build, in, out, ckpt, schema)
+
+    // phase 2, same checkpoint: a third hour-0 row must MERGE into the
+    // restored aggregate, then the watermark advance closes the window
+    val src2 = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val q2 = build(src2).writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      addFile(Seq((t(0, 50), "view", 11L, 0.5))
+        .toDF("ts", "event_type", "user_id", "value"), in)
+      q2.processAllAvailable()
+      addFile(Seq((t(6, 0), "click", 1L, 1.0))
+        .toDF("ts", "event_type", "user_id", "value"), in)
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val got = spark.read.parquet(out)
+      .filter(col("window_start") === lit(t(0, 0)))
+      .collect()
+      .map(r => r.getString(1) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))).toMap
+    assert(got === Map(
+      "event_type" -> ((3L, 1L, "click", "view")),
+      "user_id" -> ((3L, 0L, "3", "11")),
+      "value" -> ((3L, 0L, "0.5000", "9.0000"))),
+      s"the closed hour-0 profile must fold rows from BOTH sides of the restart, got: $got")
+  }
+
   // ---------------------------------------------------------- transitions
 
   test("transitionStream recovers last-seen state, watermark, and timeout across restart") {

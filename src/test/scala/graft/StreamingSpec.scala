@@ -97,6 +97,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming windowed profile emits per-column audit rows on window close") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, String, java.lang.Long, java.lang.Double)]
+    val events = ms.toDF().toDF("ts", "event_type", "user_id", "value")
+    val q = Streams.windowedProfileStream(events)
+      .writeStream.format("memory").queryName("graft_profile").outputMode("append").start()
+    try {
+      def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+      ms.addData(
+        (t(0, 10), "click", 7L, 1.5),
+        (t(0, 40), null, 3L, null),
+        (t(1, 15), "view", 9L, 5.0))
+      q.processAllAvailable()
+      ms.addData((t(5, 0), "click", java.lang.Long.valueOf(1L),
+        java.lang.Double.valueOf(9.0))) // advance watermark, close h0+h1
+      q.processAllAvailable()
+      val rows = spark.table("graft_profile").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))).toMap
+      assert(rows(("2024-01-01 00:00:00.0", "event_type")) === ((2L, 1L, "click", "click")))
+      assert(rows(("2024-01-01 00:00:00.0", "user_id")) === ((2L, 0L, "3", "7")))
+      assert(rows(("2024-01-01 00:00:00.0", "value")) === ((2L, 1L, "1.5000", "1.5000")))
+      assert(rows(("2024-01-01 01:00:00.0", "value")) === ((1L, 0L, "5.0000", "5.0000")))
+    } finally q.stop()
+  }
+
+  test("batch windowed profile equals its streaming twin's final answer") {
+    import spark.implicits._
+    val batch = Seq(
+      (Timestamp.valueOf("2024-01-01 00:10:00"), "click", 7L, 1.5),
+      (Timestamp.valueOf("2024-01-01 00:40:00"), "click", 3L, 2.5),
+    ).toDF("ts", "event_type", "user_id", "value")
+    val got = Streams.windowedProfile(batch).collect()
+      .map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))))
+      .toMap
+    assert(got === Map(
+      "event_type" -> ((2L, 0L, "click", "click")),
+      "user_id" -> ((2L, 0L, "3", "7")),
+      "value" -> ((2L, 0L, "1.5000", "2.5000"))))
+  }
+
   test("streaming dedup drops within-watermark duplicate keys") {
     import spark.implicits._
     implicit val sc = spark.sqlContext

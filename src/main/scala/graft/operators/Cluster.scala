@@ -130,13 +130,17 @@ object Cluster {
         (col("doc_id") === col("cluster_id")).as("is_canonical"))
   }
 
-  val qClusters = GraftQuery(
-    "dedup_clusters",
-    (s, d) => clusterAssignments(Tables.documents(s, d)).orderBy("doc_id"),
-    // Oracle: same star edges, components via a recursive min-label
-    // closure (symmetric edges -> reachability = component; MIN over
-    // reachable labels = min id in component).
-    Some("""WITH RECURSIVE t AS (
+  /** The ONE SQL rendering of the cluster-closure law (CTEs through
+    * `asg(doc_id, cluster_id)` and `sz(cluster_id, cluster_size)`;
+    * requires WITH RECURSIVE) — same star edges, components via a
+    * recursive min-label closure (symmetric edges -> reachability =
+    * component; MIN over reachable labels = min id in component).
+    * Shared by the dedup_clusters oracle and q104's canonical
+    * selection, so the closure law cannot fork between the standalone
+    * gate and its compositions (the q93 discipline).
+    */
+  private[operators] val clusterCtes: String =
+    """t AS (
         SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'), x -> x <> '') AS toks
         FROM documents),
       keys AS (
@@ -164,11 +168,67 @@ object Cluster {
       asg AS (
         SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
         FROM documents d LEFT JOIN lab l ON l.id = d.doc_id),
-      sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size FROM asg GROUP BY cluster_id)
+      sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size FROM asg GROUP BY cluster_id)"""
+
+  val qClusters = GraftQuery(
+    "dedup_clusters",
+    (s, d) => clusterAssignments(Tables.documents(s, d)).orderBy("doc_id"),
+    Some(s"""WITH RECURSIVE $clusterCtes
       SELECT a.doc_id, a.cluster_id, sz.cluster_size,
              a.doc_id = a.cluster_id AS is_canonical
       FROM asg a JOIN sz USING (cluster_id) ORDER BY a.doc_id"""),
     prod = Some((s, d) => clusterAssignments(Tables.documents(s, d))),
+  )
+
+  // ------------------------------- quality-canonical selection (r19)
+
+  /** Canonical-document selection BY QUALITY — the curation move the
+    * min-id convention approximates: within each duplicate cluster,
+    * keep the member the q72 quality classifier scores HIGHEST (tie:
+    * lowest doc_id), not merely the oldest id. Real pipelines pick the
+    * best-rendered copy of a template family (the cleanest of N
+    * near-identical product pages), and "best" is a model score, not
+    * an accident of crawl order.
+    *
+    * Composition (one rendering per law): cluster membership is
+    * [[clusterAssignments]] / [[clusterCtes]] verbatim; the score is
+    * q72's law verbatim ([[TextAnalysis.qualityCtes]]). The rank is a
+    * per-cluster window (never global); score comparisons are exact on
+    * identical IEEE doubles, so the composed result sits under the
+    * HARD gate like both parents.
+    *
+    * 100 TB shape: assignments and scores are slim (id, 8-16 byte)
+    * frames; the join and the window both shuffle by cluster_id once;
+    * document text stays in the two parent scans.
+    */
+  def canonicalByQuality(asg: DataFrame, scored: DataFrame): DataFrame =
+    asg.join(scored, Seq("doc_id"))
+      .withColumn("qrank", row_number().over(
+        Window.partitionBy("cluster_id").orderBy(col("score").desc, col("doc_id"))))
+      .select(
+        col("doc_id"), col("cluster_id"), col("cluster_size"), col("score"),
+        (col("qrank") === 1).cast("long").as("keep"))
+
+  val q104 = GraftQuery(
+    "q104_cluster_canonical",
+    (s, d) => canonicalByQuality(
+        clusterAssignments(Tables.documents(s, d)),
+        TextAnalysis.qualityClassify(s, d).select("doc_id", "score"))
+      .orderBy("doc_id"),
+    Some(s"""WITH RECURSIVE $clusterCtes,
+      ${TextAnalysis.qualityCtes},
+      ranked AS (
+        SELECT a.doc_id, a.cluster_id, sz.cluster_size, s.score,
+          ROW_NUMBER() OVER (PARTITION BY a.cluster_id
+                             ORDER BY s.score DESC, a.doc_id) AS qrank
+        FROM asg a JOIN sz USING (cluster_id)
+        JOIN scored s ON s.doc_id = a.doc_id)
+      SELECT doc_id, cluster_id, cluster_size, score,
+        CAST(CASE WHEN qrank = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
+      FROM ranked ORDER BY doc_id"""),
+    prod = Some((s, d) => canonicalByQuality(
+      clusterAssignments(Tables.documents(s, d)),
+      TextAnalysis.qualityClassify(s, d).select("doc_id", "score"))),
   )
 
   // ----------------------------------------- topic clustering (r16)
@@ -285,5 +345,5 @@ object Cluster {
     prod = Some((s, d) => topicTerms(s, d)),
   )
 
-  def all: Seq[GraftQuery] = Seq(qClusters, qTopicTermsMd5, qTopicTerms)
+  def all: Seq[GraftQuery] = Seq(qClusters, q104, qTopicTermsMd5, qTopicTerms)
 }

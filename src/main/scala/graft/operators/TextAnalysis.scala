@@ -971,7 +971,7 @@ object TextAnalysis {
     * gate. Stateless scan, zero shuffle before the caller's use — at
     * 100 TB this is the map-side gate fused into the corpus read.
     */
-  private def qualityClassify(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+  private[operators] def qualityClassify(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     val counted = Tables.documents(s, d).select(
       col("doc_id"), col("source"),
       length(col("text")).cast("long").as("n_chars"),
@@ -994,10 +994,14 @@ object TextAnalysis {
       (col("score") >= lit(QcThreshold)).cast("long").as("keep"))
   }
 
-  val q72 = GraftQuery(
-    "q72_quality_classifier",
-    (s, d) => qualityClassify(s, d).orderBy("doc_id"),
-    Some(s"""WITH counted AS (
+  /** The ONE SQL rendering of the q72 scoring law (CTEs `counted`,
+    * `scored(doc_id, source, score)`) — shared by the q72 oracle and
+    * any composition ranking on quality (q104's canonical selection),
+    * so the score law cannot fork between the standalone gate and its
+    * compositions (the q93 discipline).
+    */
+  private[operators] val qualityCtes: String =
+    s"""counted AS (
         SELECT doc_id, source,
           CAST(length(text) AS BIGINT) AS n_chars,
           CAST(len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '')) AS BIGINT) AS n_toks,
@@ -1014,7 +1018,12 @@ object TextAnalysis {
           + ${QcW("digit")} * (CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(n_digit AS DOUBLE) / CAST(n_chars AS DOUBLE) END)
           + ${QcW("upper")} * (CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(n_upper AS DOUBLE) / CAST(n_chars AS DOUBLE) END)
           AS score
-        FROM counted)
+        FROM counted)"""
+
+  val q72 = GraftQuery(
+    "q72_quality_classifier",
+    (s, d) => qualityClassify(s, d).orderBy("doc_id"),
+    Some(s"""WITH $qualityCtes
       SELECT doc_id, source, score,
         CAST(CASE WHEN score >= $QcThreshold THEN 1 ELSE 0 END AS BIGINT) AS keep
       FROM scored ORDER BY doc_id"""),

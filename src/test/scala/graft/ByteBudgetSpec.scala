@@ -116,6 +116,9 @@ class ByteBudgetSpec extends AnyFunSuite {
     // stream_profile's batch twin exchanges one 10-agg row per hour
     // window (the stack unpivot is post-agg, stateless)
     ("stream_profile", 29331L, 87993L),
+    // q104 = dedup_clusters' closure + q72's stateless score + one
+    // cluster_id-keyed join/window over slim rows
+    ("q104_cluster_canonical", 66852L, 200556L),
   )
 
   /** Prod plans that measured EXACTLY zero shuffle bytes in the r16

@@ -331,6 +331,27 @@ class DedupSpec extends AnyFunSuite {
     assert(Cluster.fingerprintStarEdges(family).count() == 99L)
   }
 
+  test("q104 canonical-by-quality: best score wins the cluster, min-id breaks ties (r19)") {
+    import spark.implicits._
+    import operators.Cluster
+    // cluster 1 = {1,2,3}: doc 2 scores highest -> keep=1 on 2, not on
+    // the min id; cluster 7 = {7,8}: equal scores -> min id 7 keeps
+    // (the deterministic tie law); 9 is a singleton -> keeps itself
+    val asg = Seq(
+      (1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (7L, 7L, 2L), (8L, 7L, 2L),
+      (9L, 9L, 1L),
+    ).toDF("doc_id", "cluster_id", "cluster_size")
+    val scored = Seq(
+      (1L, 0.2), (2L, 0.9), (3L, 0.5),
+      (7L, 0.4), (8L, 0.4),
+      (9L, -1.0),
+    ).toDF("doc_id", "score")
+    val got = Cluster.canonicalByQuality(asg, scored).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 0L, 7L -> 1L, 8L -> 0L, 9L -> 1L))
+  }
+
   test("q82 topic clustering: two planted vocabularies split into two cells with their shared words on top") {
     // Topic A: 6 docs sharing {cat, dog, fish} plus one unique filler
     // each; topic B: 6 docs sharing {red, green, blue} likewise. The

@@ -227,8 +227,11 @@ object Graph {
     pageRankOn(nodes, edges, PrIters)
   }
 
-  /** Unrolled SQL for K sweeps — same law, CTE per sweep. */
-  private def pageRankSql(iters: Int): String = {
+  /** The unrolled K-sweep CTE chain (`r0` … `r<iters>`) WITHOUT the
+    * edge CTEs — composable beside other chains sharing [[edgesCte]]
+    * (q103's filter, q105's per-component rank).
+    */
+  private def pageRankCtes(iters: Int): String = {
     val sweeps = (1 to iters).map { i =>
       val prev = s"r${i - 1}"
       s"""r$i AS (
@@ -240,11 +243,15 @@ object Graph {
           FROM edges e JOIN $prev r ON r.doc_id = e.src
           GROUP BY e.dst) s ON s.doc_id = n.doc_id)"""
     }.mkString(",\n")
-    s"""WITH $edgesCte,
-      r0 AS (SELECT doc_id, CAST($PrScale AS BIGINT) AS pr FROM documents),
-      $sweeps
-      SELECT doc_id, pr FROM r$iters ORDER BY doc_id"""
+    s"""r0 AS (SELECT doc_id, CAST($PrScale AS BIGINT) AS pr FROM documents),
+      $sweeps"""
   }
+
+  /** Unrolled SQL for K sweeps — same law, CTE per sweep. */
+  private def pageRankSql(iters: Int): String =
+    s"""WITH $edgesCte,
+      ${pageRankCtes(iters)}
+      SELECT doc_id, pr FROM r$iters ORDER BY doc_id"""
 
   val q94 = GraftQuery(
     "q94_pagerank",
@@ -397,15 +404,13 @@ object Graph {
   /** q94's unrolled CTE body + the keep filter — the oracle composes
     * the standalone gate's own rendering (the q93 discipline).
     */
-  private def crawlPrioritySql(iters: Int): String = {
-    val base = pageRankSql(iters)
-    val body = base.substring(0, base.lastIndexOf("SELECT doc_id, pr FROM"))
-    s"""$body
+  private def crawlPrioritySql(iters: Int): String =
+    s"""WITH $edgesCte,
+      ${pageRankCtes(iters)}
       SELECT doc_id, pr FROM r$iters
       WHERE CAST(('0x' || substr(md5('cps:' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
             % $PrCap < least(pr, $PrCap)
       ORDER BY doc_id"""
-  }
 
   val q103 = GraftQuery(
     "q103_crawl_priority",
@@ -521,7 +526,11 @@ object Graph {
     labelPropOn(nodes, edges, CompIters)
   }
 
-  private def componentsSql(iters: Int): String = {
+  /** The unrolled K-round label chain (`ue`, `l0` … `l<iters>`)
+    * WITHOUT the edge CTEs — composable beside [[pageRankCtes]] over
+    * one shared [[edgesCte]] (q105).
+    */
+  private def componentsCtes(iters: Int): String = {
     val rounds = (1 to iters).map { i =>
       val prev = s"l${i - 1}"
       s"""l$i AS (
@@ -531,13 +540,16 @@ object Graph {
           FROM ue JOIN $prev r ON r.doc_id = ue.a
           GROUP BY ue.b) s ON s.doc_id = n.doc_id)"""
     }.mkString(",\n")
-    s"""WITH $edgesCte,
-      ue AS (SELECT src AS a, dst AS b FROM edges
+    s"""ue AS (SELECT src AS a, dst AS b FROM edges
              UNION ALL SELECT dst AS a, src AS b FROM edges),
       l0 AS (SELECT doc_id, doc_id AS comp FROM documents),
-      $rounds
-      SELECT doc_id, comp FROM l$iters ORDER BY doc_id"""
+      $rounds"""
   }
+
+  private def componentsSql(iters: Int): String =
+    s"""WITH $edgesCte,
+      ${componentsCtes(iters)}
+      SELECT doc_id, comp FROM l$iters ORDER BY doc_id"""
 
   val q98 = GraftQuery(
     "q98_graph_components",
@@ -546,5 +558,56 @@ object Graph {
     prod = Some((s, d) => components(s, d)),
   )
 
-  def all: Seq[GraftQuery] = Seq(q94, q95, q98, q102, q103)
+  // --------------------------------------------- per-component hubs
+
+  /** Hubs kept per component. */
+  val HubsK = 2
+
+  /** Per-component top hubs — q94's rank joined to q98's component
+    * labels, top-[[HubsK]] per label by (pr DESC, doc_id ASC): "the
+    * best crawl seeds per site family" (a component of the link graph
+    * is a site/template family; its highest-mass members are where a
+    * re-crawl budget goes first). Both laws run over ONE materialized
+    * graph — the node and edge frames build once and feed both
+    * fixpoints; the join and the rank window exchange slim
+    * (id, 8-byte) rows only.
+    *
+    * The per-component window is rank-within-group, not a global sort;
+    * on a pathological graph where one label swallows the corpus the
+    * skew-safe swap is the bounded-heap top-k kernel (the q16
+    * TopKByScore discipline) — documented, not needed for the gate.
+    */
+  def componentHubsOn(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val pr = pageRankOn(nodes, edges, PrIters)
+    val comp = labelPropOn(nodes, edges, CompIters)
+    pr.join(comp, Seq("doc_id"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("comp").orderBy(col("pr").desc, col("doc_id"))))
+      .filter(col("rk") <= HubsK)
+      .select(col("doc_id"), col("comp"), col("pr"), col("rk").cast("long").as("rk"))
+  }
+
+  private def componentHubs(s: SparkSession, d: String): DataFrame = {
+    val (nodes, edges) = materializedGraph(Tables.documents(s, d).select(col("doc_id")))
+    componentHubsOn(nodes, edges)
+  }
+
+  val q105 = GraftQuery(
+    "q105_component_hubs",
+    (s, d) => componentHubs(s, d).orderBy("comp", "rk"),
+    Some(s"""WITH $edgesCte,
+      ${pageRankCtes(PrIters)},
+      ${componentsCtes(CompIters)},
+      ranked AS (
+        SELECT r.doc_id, l.comp, r.pr,
+          CAST(ROW_NUMBER() OVER (PARTITION BY l.comp
+                                  ORDER BY r.pr DESC, r.doc_id) AS BIGINT) AS rk
+        FROM r$PrIters r JOIN l$CompIters l ON l.doc_id = r.doc_id)
+      SELECT doc_id, comp, pr, rk FROM ranked WHERE rk <= $HubsK
+      ORDER BY comp, rk"""),
+    prod = Some((s, d) => componentHubs(s, d)),
+  )
+
+  def all: Seq[GraftQuery] = Seq(q94, q95, q98, q102, q103, q105)
 }

@@ -119,6 +119,9 @@ class ByteBudgetSpec extends AnyFunSuite {
     // q104 = dedup_clusters' closure + q72's stateless score + one
     // cluster_id-keyed join/window over slim rows
     ("q104_cluster_canonical", 66852L, 200556L),
+    // q105 runs BOTH graph fixpoints (5 PR sweeps + 6 label rounds)
+    // over one materialized graph, then one comp-keyed join/window
+    ("q105_component_hubs", 110780L, 332340L),
   )
 
   /** Prod plans that measured EXACTLY zero shuffle bytes in the r16

@@ -172,6 +172,23 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("q105 component hubs: top-K by rank within each planted component (r19)") {
+    // two components: a 3-cycle {0,1,2} (stationary at S each — rank
+    // ties resolve by doc_id) and a 2-leaf star {10,11,12} whose hub 10
+    // out-ranks its leaves. HubsK=2 keeps exactly 2 per component.
+    val g = Graph.componentHubsOn(
+      nodes(0L, 1L, 2L, 10L, 11L, 12L),
+      edges(
+        (0L, 1L, 1L), (1L, 1L, 2L), (2L, 1L, 0L),
+        (11L, 1L, 10L), (12L, 1L, 10L)))
+    val got = g.collect().map(r => (r.getLong(1), r.getLong(3)) -> r.getLong(0)).toMap
+    assert(got((0L, 1L)) === 0L && got((0L, 2L)) === 1L,
+      "cycle ranks tie at S; doc_id breaks the tie deterministically")
+    assert(got((10L, 1L)) === 10L,
+      "the star hub holds both leaves' mass and ranks first")
+    assert(got.size === 4, s"HubsK=2 per component, got $got")
+  }
+
   test("q94 conserves mass to the truncation bound on the real corpus") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001").select(col("doc_id"))
     val e = Graph.linkEdgesOn(docs).localCheckpoint()

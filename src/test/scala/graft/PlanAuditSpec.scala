@@ -65,7 +65,7 @@ class PlanAuditSpec extends AnyFunSuite {
       // r19: q102/q103 ride the same broadcast 1-ROW corpus-count
       // cross join inside the shared edge generator (q103 composes
       // q94's rank; q102 builds the weighted edges from edgesRaw)
-      "q102_pagerank_weighted", "q103_crawl_priority",
+      "q102_pagerank_weighted", "q103_crawl_priority", "q105_component_hubs",
       // q100's added-slice and q101's ppm share cross-join a broadcast
       // 1-ROW corpus total — the q35 scalar-subquery shape
       "q100_snapshot_diff", "q101_token_histogram",

@@ -203,8 +203,14 @@ object Cluster {
     */
   def canonicalByQuality(asg: DataFrame, scored: DataFrame): DataFrame =
     asg.join(scored, Seq("doc_id"))
+      // NULLS LAST pinned EXPLICITLY in both renderings: Spark's DESC
+      // defaults nulls last, DuckDB's nulls FIRST — a null score (the
+      // null-text doc q97's audit surfaces) would otherwise win the
+      // cluster in one engine and lose it in the other (the q101
+      // null-domain lesson applied to ordering)
       .withColumn("qrank", row_number().over(
-        Window.partitionBy("cluster_id").orderBy(col("score").desc, col("doc_id"))))
+        Window.partitionBy("cluster_id")
+          .orderBy(col("score").desc_nulls_last, col("doc_id"))))
       .select(
         col("doc_id"), col("cluster_id"), col("cluster_size"), col("score"),
         (col("qrank") === 1).cast("long").as("keep"))
@@ -220,7 +226,7 @@ object Cluster {
       ranked AS (
         SELECT a.doc_id, a.cluster_id, sz.cluster_size, s.score,
           ROW_NUMBER() OVER (PARTITION BY a.cluster_id
-                             ORDER BY s.score DESC, a.doc_id) AS qrank
+                             ORDER BY s.score DESC NULLS LAST, a.doc_id) AS qrank
         FROM asg a JOIN sz USING (cluster_id)
         JOIN scored s ON s.doc_id = a.doc_id)
       SELECT doc_id, cluster_id, cluster_size, score,

@@ -343,13 +343,25 @@ class DedupSpec extends AnyFunSuite {
       (9L, 9L, 1L),
     ).toDF("doc_id", "cluster_id", "cluster_size")
     val scored = Seq(
-      (1L, 0.2), (2L, 0.9), (3L, 0.5),
-      (7L, 0.4), (8L, 0.4),
-      (9L, -1.0),
+      (1L, Some(0.2)), (2L, Some(0.9)), (3L, Some(0.5)),
+      (7L, Some(0.4)), (8L, Some(0.4)),
+      (9L, Some(-1.0)),
     ).toDF("doc_id", "score")
     val got = Cluster.canonicalByQuality(asg, scored).collect()
       .map(r => r.getLong(0) -> r.getLong(4)).toMap
     assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 0L, 7L -> 1L, 8L -> 0L, 9L -> 1L))
+
+    // null score (a null-text doc) NEVER wins its cluster — nulls-last
+    // is pinned explicitly in both renderings (DuckDB's DESC default
+    // is nulls FIRST; an unpinned order would fork the engines)
+    import spark.implicits._
+    val withNull = Cluster.canonicalByQuality(
+      Seq((1L, 1L, 2L), (2L, 1L, 2L)).toDF("doc_id", "cluster_id", "cluster_size"),
+      Seq((1L, None), (2L, Some(-5.0)))
+        .toDF("doc_id", "score")).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(withNull === Map(1L -> 0L, 2L -> 1L),
+      "a scored doc beats a null-scored one even at a terrible score")
   }
 
   test("q82 topic clustering: two planted vocabularies split into two cells with their shared words on top") {

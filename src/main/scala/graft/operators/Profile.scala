@@ -145,5 +145,42 @@ object Profile {
     prod = Some((s, d) => tokenHistogramOn(Tables.documents(s, d))),
   )
 
-  def all: Seq[GraftQuery] = Seq(q97, q101)
+  // ----------------------------------------------- dup inflation
+
+  /** Per-source exact-duplicate inflation — the "which sources are
+    * template farms" audit a mixture designer reads before q61/q86
+    * set per-source quotas: docs, distinct texts (by md5 — 16-byte
+    * keys in the exchange, never text), and the duplicated share in
+    * exact integer ppm ((n_docs − n_distinct)·10^6 DIV n_docs, the
+    * q86/q101 discipline). Null text is out of the law's domain in
+    * BOTH renderings (the q101 rule): COUNT(DISTINCT) skips nulls in
+    * both engines, so leaving them in would silently count every
+    * null-text doc as a duplicate.
+    *
+    * Scale shape: one scan → a two-level aggregate (Spark plans the
+    * per-source DISTINCT via partial aggregation on (source, h) —
+    * map-side combine collapses each partition's repeats before the
+    * one exchange); output is |sources| rows.
+    */
+  def dupInflationOn(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(col("source"), md5(col("text")).as("h"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("h")).as("n_distinct"))
+      .select(col("source"), col("n_docs"), col("n_distinct"),
+        expr("((n_docs - n_distinct) * 1000000) DIV n_docs").as("dup_ppm"))
+
+  val q106 = GraftQuery(
+    "q106_dup_inflation",
+    (s, d) => dupInflationOn(Tables.documents(s, d)).orderBy("source"),
+    Some("""SELECT source,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+        CAST((COUNT(*) - COUNT(DISTINCT md5(text))) * 1000000 // COUNT(*) AS BIGINT) AS dup_ppm
+      FROM documents WHERE text IS NOT NULL
+      GROUP BY source ORDER BY source"""),
+    prod = Some((s, d) => dupInflationOn(Tables.documents(s, d))),
+  )
+
+  def all: Seq[GraftQuery] = Seq(q97, q101, q106)
 }

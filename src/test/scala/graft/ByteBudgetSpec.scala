@@ -122,6 +122,9 @@ class ByteBudgetSpec extends AnyFunSuite {
     // q105 runs BOTH graph fixpoints (5 PR sweeps + 6 label rounds)
     // over one materialized graph, then one comp-keyed join/window
     ("q105_component_hubs", 110780L, 332340L),
+    // q106 exchanges (source, 16-byte md5) partials with map-side
+    // combine; |sources| output rows
+    ("q106_dup_inflation", 22011L, 66033L),
   )
 
   /** Prod plans that measured EXACTLY zero shuffle bytes in the r16

@@ -87,6 +87,24 @@ class ProfileSpec extends AnyFunSuite {
     assert(got === Map(0L -> ((2L, 2L, 1000000L))))
   }
 
+  test("q106 dup inflation: planted template farm vs clean source; null text out of domain") {
+    import spark.implicits._
+    val docs = Seq(
+      // source "farm": 4 docs, 2 distinct texts -> 500000 ppm duplicated
+      (0L, "tpl one", "farm"), (1L, "tpl one", "farm"),
+      (2L, "tpl two", "farm"), (3L, "tpl two", "farm"),
+      // source "clean": 2 docs, both distinct -> 0 ppm
+      (4L, "alpha", "clean"), (5L, "beta", "clean"),
+      // null text contributes to NO source's counts
+      (6L, null.asInstanceOf[String], "clean"),
+    ).toDF("doc_id", "text", "source")
+    val got = Profile.dupInflationOn(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === Map(
+      "farm" -> ((4L, 2L, 500000L)),
+      "clean" -> ((2L, 2L, 0L))))
+  }
+
   test("q97 on the real corpus: doc_id is a unique non-null key") {
     val rows = operators.Profile.q97.run(spark, "/root/testdata/sf0.001")
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap

@@ -373,6 +373,32 @@ object Dedup {
       bands: Int = 4,
       tau: Double = 0.5,
       bucketCap: Int = 10000): DataFrame = {
+    val matches = nearDupPairsAgainstT(arrivals, reference, k, bands, tau, bucketCap)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matches"), max(col("est_jaccard")).as("best_est"))
+    arrivals.select("doc_id")
+      .join(matches, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_matches").isNotNull.as("is_match"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        coalesce(col("best_est"), lit(0.0)).as("best_est"))
+  }
+
+  /** The PAIR level of [[nearDupAgainstT]] — (doc_id, ref_id,
+    * est_jaccard) for every banded candidate verifying at ≥ tau —
+    * factored out (r19) so the contamination AUDIT (q107) can count
+    * hits per reference item through the same law the per-arrival
+    * decision aggregates; the decision gate above is exactly this
+    * frame grouped by arrival.
+    */
+  def nearDupPairsAgainstT(
+      arrivals: DataFrame,
+      reference: DataFrame,
+      k: Int = 16,
+      bands: Int = 4,
+      tau: Double = 0.5,
+      bucketCap: Int = 10000): DataFrame = {
     val (aSig, aBand) = md5SigBanded(arrivals, k, bands)
     val (rSig, rBand) = md5SigBanded(reference, k, bands)
     val ref = Lsh.capBuckets(rBand, Seq("band_idx", "band_val"), bucketCap)
@@ -384,20 +410,12 @@ object Dedup {
     val est = aggregate(
       zip_with(col("sig"), col("ref_sig"), (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, v) => acc + v).cast("double") / k
-    val matches = cand
+    cand
       .join(aSig, Seq("doc_id"))
       .join(rSig.select(col("doc_id").as("ref_id"), col("sig").as("ref_sig")), Seq("ref_id"))
       .withColumn("est_jaccard", est)
       .filter(col("est_jaccard") >= tau)
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_matches"), max(col("est_jaccard")).as("best_est"))
-    arrivals.select("doc_id")
-      .join(matches, Seq("doc_id"), "left")
-      .select(
-        col("doc_id"),
-        col("n_matches").isNotNull.as("is_match"),
-        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
-        coalesce(col("best_est"), lit(0.0)).as("best_est"))
+      .select(col("doc_id"), col("ref_id"), col("est_jaccard"))
   }
 
   /** The SQL rendering of [[nearDupAgainst]] over the `documents`

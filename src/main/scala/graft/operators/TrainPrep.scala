@@ -92,17 +92,25 @@ object TrainPrep {
       )
   }
 
+  /** The distinct-8-gram-hash law over an arbitrary (doc_id, toks)
+    * relation — q38's `sh` stage factored to ONE rendering (r19) so
+    * the contamination AUDIT (q107) shingles through the same law as
+    * the standalone gate.
+    */
+  private[graft] def kgramShOver(src: String, out: String): String =
+    s"""$out AS (
+        SELECT DISTINCT doc_id,
+          CAST(('0x' || substr(md5(toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]
+            || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7] || ' ' || toks[i+8]), 1, 15)) AS BIGINT) AS hash
+        FROM $src CROSS JOIN UNNEST(range(0, greatest(len(toks) - 7, 0))) AS u(i))"""
+
   val q38 = GraftQuery(
     "q38_contamination",
     (s, d) => contamination(s, d).orderBy("doc_id"),
     Some(s"""WITH t AS (
         SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '') AS toks
         FROM documents),
-      sh AS (
-        SELECT DISTINCT doc_id,
-          CAST(('0x' || substr(md5(toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]
-            || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7] || ' ' || toks[i+8]), 1, 15)) AS BIGINT) AS hash
-        FROM t CROSS JOIN UNNEST(range(0, greatest(len(toks) - 7, 0))) AS u(i)),
+      ${kgramShOver("t", "sh")},
       bench AS (
         SELECT DISTINCT hash FROM sh WHERE doc_id % $BenchMod = 0),
       corpus AS (
@@ -325,7 +333,19 @@ object TrainPrep {
     * wide frames — the ONE Scala rendering shared by the standalone
     * q99 gate and [[Curate.contamSemGate]]'s composed population.
     */
-  def semContamDecisionsOn(corpusEmb: DataFrame, benchEmb: DataFrame): DataFrame = {
+  def semContamDecisionsOn(corpusEmb: DataFrame, benchEmb: DataFrame): DataFrame =
+    semContamPairsOn(corpusEmb, benchEmb)
+      .groupBy("doc_id")
+      .agg(max("sim").as("max_sim"))
+      .select(col("doc_id"), col("max_sim"), (col("max_sim") >= SemTau).as("contaminated_sem"))
+
+  /** The PAIR level of the semantic gate — (doc_id, bench_id, sim) for
+    * every corpus × bench pair — factored out (r19) so the
+    * contamination AUDIT (q107) can count hits per bench item through
+    * the same dot law; the decision gate above is exactly this frame
+    * max-aggregated per corpus doc.
+    */
+  def semContamPairsOn(corpusEmb: DataFrame, benchEmb: DataFrame): DataFrame = {
     val dims = Dedup.TextEmbedDims
     val bench = benchEmb
       .select(col("doc_id").as("bench_id") +:
@@ -333,10 +353,7 @@ object TrainPrep {
     val dot = (0 until dims).map(j => col(s"e$j") * col(s"b$j")).reduceLeft(_ + _)
     corpusEmb
       .crossJoin(broadcast(bench))
-      .select(col("doc_id"), dot.as("sim"))
-      .groupBy("doc_id")
-      .agg(max("sim").as("max_sim"))
-      .select(col("doc_id"), col("max_sim"), (col("max_sim") >= SemTau).as("contaminated_sem"))
+      .select(col("doc_id"), col("bench_id"), dot.as("sim"))
   }
 
   /** Decision table over an already-embedded (doc_id, e0..e_{dims-1})
@@ -376,6 +393,97 @@ object TrainPrep {
       SELECT vec_id, MAX(sim) AS max_sim, MAX(sim) >= $EmbTau AS contaminated_sem
       FROM scored GROUP BY vec_id ORDER BY vec_id"""),
     prod = Some((s, d) => embedContaminationOn(Tables.embeddings(s, d))),
+  )
+
+  // ----------------------------------------------- q107 contam audit
+
+  /** CONTAMINATION AUDIT — the decontam ladder's reporting face (r19;
+    * the r18-named candidate): per BENCHMARK item, how many corpus
+    * docs hit it on each rung — n_exact (shared 8-gram, q38's law),
+    * n_fuzzy (minhash est ≥ τ, q88's law), n_sem (embedding dot ≥ τ,
+    * q99's law). The gates answer "drop this corpus doc"; the audit
+    * answers the eval-integrity question "WHICH eval items leak, and
+    * how badly" — the ranked triage a benchmark owner reads before
+    * trusting a score (a bench item with thousands of exact hits is
+    * boilerplate, not signal; one with only semantic hits leaks by
+    * paraphrase).
+    *
+    * Composition (one rendering per law): the 8-gram stage is q38's
+    * own [[kgramShOver]]; the fuzzy pairs are
+    * [[Dedup.nearDupPairsAgainstT]] — the exact frame q88's decision
+    * aggregates; the semantic pairs are [[semContamPairsOn]] — the
+    * exact frame q99's decision max-aggregates; the embedding is
+    * q80's `textEmbedMd5` law. ONE tokenization scan feeds all three
+    * rungs (the stage-table discipline).
+    *
+    * Scale shape: counts flow as (bench_id, corpus_id) id pairs —
+    * 16 bytes — never text; the bench side of every rung is the small
+    * broadcast (the q38/q88/q96 benchmark asymmetry); output is
+    * |bench| rows.
+    */
+  private def contamReport(s: SparkSession, d: String): DataFrame = {
+    val toked = Tables.documents(s, d)
+      .select(col("doc_id"), toks.as("toks")).localCheckpoint()
+    val bench = toked.filter(isBench)
+    val corpus = toked.filter(!isBench)
+    def kg(f: DataFrame, idName: String) = f
+      .select(col("doc_id").as(idName),
+        explode(gfunctions.kgram_md5_hashes(col("toks"), DecontamN)).as("hash"))
+      .distinct()
+    val exact = kg(corpus, "doc_id")
+      .join(broadcast(kg(bench, "bench_id")), Seq("hash"))
+      .select("doc_id", "bench_id").distinct()
+      .groupBy("bench_id").agg(countDistinct("doc_id").as("n_exact"))
+    val fuzzy = Dedup.nearDupPairsAgainstT(corpus, bench)
+      .select(col("ref_id").as("bench_id"), col("doc_id"))
+      .groupBy("bench_id").agg(countDistinct("doc_id").as("n_fuzzy"))
+    val sem = semContamPairsOn(
+        Dedup.textEmbedMd5From(corpus), Dedup.textEmbedMd5From(bench))
+      .filter(col("sim") >= SemTau)
+      .groupBy("bench_id").agg(countDistinct("doc_id").as("n_sem"))
+    bench.select(col("doc_id").as("bench_id"))
+      .join(exact, Seq("bench_id"), "left")
+      .join(fuzzy, Seq("bench_id"), "left")
+      .join(sem, Seq("bench_id"), "left")
+      .select(col("bench_id"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        coalesce(col("n_fuzzy"), lit(0L)).as("n_fuzzy"),
+        coalesce(col("n_sem"), lit(0L)).as("n_sem"))
+  }
+
+  val q107 = GraftQuery(
+    "q107_contam_report",
+    (s, d) => contamReport(s, d).orderBy("bench_id"),
+    Some(s"""WITH ${Dedup.textEmbedMd5Cte},
+      ${kgramShOver("toksrc", "ksh")},
+      ex AS (
+        SELECT b.doc_id AS bench_id, CAST(COUNT(DISTINCT c.doc_id) AS BIGINT) AS n_exact
+        FROM ksh c JOIN ksh b USING (hash)
+        WHERE c.doc_id % $BenchMod <> 0 AND b.doc_id % $BenchMod = 0
+        GROUP BY b.doc_id),
+      ${Dedup.minhashSigCtes("toksrc", "f")},
+      ${Dedup.nearDupMatchCtes("f", s"doc_id % $BenchMod <> 0", s"doc_id % $BenchMod = 0")},
+      fz AS (
+        SELECT ref_id AS bench_id, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_fuzzy
+        FROM fest WHERE est_jaccard >= 0.5 GROUP BY ref_id),
+      bv AS (SELECT * FROM emb WHERE doc_id % $BenchMod = 0),
+      cv AS (SELECT * FROM emb WHERE doc_id % $BenchMod <> 0),
+      sm AS (
+        SELECT b.doc_id AS bench_id, CAST(COUNT(DISTINCT c.doc_id) AS BIGINT) AS n_sem
+        FROM cv c CROSS JOIN bv b
+        WHERE ${semDotSql("c", "b")} >= $SemTau
+        GROUP BY b.doc_id)
+      SELECT d.doc_id AS bench_id,
+        COALESCE(ex.n_exact, 0) AS n_exact,
+        COALESCE(fz.n_fuzzy, 0) AS n_fuzzy,
+        COALESCE(sm.n_sem, 0) AS n_sem
+      FROM documents d
+      LEFT JOIN ex ON ex.bench_id = d.doc_id
+      LEFT JOIN fz ON fz.bench_id = d.doc_id
+      LEFT JOIN sm ON sm.bench_id = d.doc_id
+      WHERE d.doc_id % $BenchMod = 0
+      ORDER BY bench_id"""),
+    prod = Some((s, d) => contamReport(s, d)),
   )
 
   // ------------------------------------------------------------ q39
@@ -1150,5 +1258,5 @@ object TrainPrep {
   )
 
   def all: Seq[GraftQuery] =
-    Seq(q38, q39, q40, q41, q43, q44, q47, q50, q52, q60, q61, q77, q79, q86, q88, q96, q99)
+    Seq(q38, q39, q40, q41, q43, q44, q47, q50, q52, q60, q61, q77, q79, q86, q88, q96, q99, q107)
 }

@@ -125,6 +125,9 @@ class ByteBudgetSpec extends AnyFunSuite {
     // q106 exchanges (source, 16-byte md5) partials with map-side
     // combine; |sources| output rows
     ("q106_dup_inflation", 22011L, 66033L),
+    // q107 runs all three contamination rungs as (16-byte id-pair)
+    // aggregates over one tokenized scan; bench sides broadcast
+    ("q107_contam_report", 349300L, 1047900L),
   )
 
   /** Prod plans that measured EXACTLY zero shuffle bytes in the r16

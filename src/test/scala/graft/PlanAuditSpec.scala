@@ -66,6 +66,9 @@ class PlanAuditSpec extends AnyFunSuite {
       // cross join inside the shared edge generator (q103 composes
       // q94's rank; q102 builds the weighted edges from edgesRaw)
       "q102_pagerank_weighted", "q103_crawl_priority", "q105_component_hubs",
+      // q107's semantic rung is q99's designed corpus × broadcast-bench
+      // NLJ (the audit runs the gate laws pair-level by construction)
+      "q107_contam_report",
       // q100's added-slice and q101's ppm share cross-join a broadcast
       // 1-ROW corpus total — the q35 scalar-subquery shape
       "q100_snapshot_diff", "q101_token_histogram",

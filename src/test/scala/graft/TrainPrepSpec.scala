@@ -410,6 +410,30 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(got(5L)._1 === 1.0 && got(5L)._2)
   }
 
+  test("q107 contamination audit: each rung attributes hits to its bench item (r19)") {
+    // bench 0 has a verbatim copier -> hits on ALL three rungs;
+    // bench 20 has a word-for-word REORDERING -> no 8-gram, no shingle,
+    // semantic-only (the q99 blind-spot case, now attributed to the
+    // leaking ITEM); bench 40 is untouched -> zeros on every rung.
+    def t(p: String) = (1 to 12).map(i => s"$p$i").mkString(" ")
+    val a = t("a"); val b = t("b")
+    val dir = PlantedDocs.write(spark, "/tmp/graft-test/contamreport", Seq(
+      (0L, a, "en", "s", a.length.toLong),
+      (1L, a, "en", "s", a.length.toLong),
+      (20L, b, "en", "s", b.length.toLong),
+      (21L, b.split(" ").reverse.mkString(" "), "en", "s", b.length.toLong),
+      (40L, t("c"), "en", "s", 40L),
+      (41L, t("x"), "en", "s", 40L),
+    ))
+    val got = operators.TrainPrep.q107.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet === Set(0L, 20L, 40L), "one row per bench item")
+    assert(got(0L) === ((1L, 1L, 1L)), s"verbatim copy hits every rung: ${got(0L)}")
+    assert(got(20L) === ((0L, 0L, 1L)),
+      s"a reordering leaks ONLY through the semantic rung: ${got(20L)}")
+    assert(got(40L) === ((0L, 0L, 0L)), s"untouched item reports clean: ${got(40L)}")
+  }
+
   test("q99 text-side semantic decontam: a reordered paraphrase flags at sim ~1") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

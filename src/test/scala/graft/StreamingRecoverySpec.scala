@@ -109,6 +109,57 @@ class StreamingRecoverySpec extends AnyFunSuite {
       s"the closed hour-0 profile must fold rows from BOTH sides of the restart, got: $got")
   }
 
+  test("windowedProfileStream recovery works under the RocksDB state store provider") {
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, GraftSession.RocksDbProvider)
+    try {
+      val in = tmp("profr_in"); val out = tmp("profr_out"); val ckpt = tmp("profr_ck")
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "ts TIMESTAMP, event_type STRING, user_id BIGINT, value DOUBLE")
+      def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+      def build(df: DataFrame): DataFrame = Streams.windowedProfileStream(df)
+
+      addFile(Seq((t(0, 10), "click", 7L, 1.5))
+        .toDF("ts", "event_type", "user_id", "value"), in)
+      var engaged = false
+      runOnce(build, in, out, ckpt, schema, q => {
+        val custom = q.lastProgress.stateOperators(0).customMetrics
+        engaged = custom.keySet().iterator().asScala.exists(_.startsWith("rocksdb"))
+      })
+      assert(engaged, "RocksDB provider must actually back the window aggregate")
+
+      // the open hour-0 aggregate must come back out of RocksDB files
+      addFile(Seq((t(0, 40), "view", 3L, 0.5))
+        .toDF("ts", "event_type", "user_id", "value"), in)
+      val src2 = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      val q2 = build(src2).writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try {
+        q2.processAllAvailable()
+        addFile(Seq((t(6, 0), "click", 1L, 1.0))
+          .toDF("ts", "event_type", "user_id", "value"), in)
+        q2.processAllAvailable()
+      } finally q2.stop()
+
+      val got = spark.read.parquet(out)
+        .filter(col("window_start") === lit(t(0, 0)))
+        .collect().map(r => r.getString(1) -> ((r.getLong(2), r.getString(4), r.getString(5))))
+        .toMap
+      assert(got === Map(
+        "event_type" -> ((2L, "click", "view")),
+        "user_id" -> ((2L, "3", "7")),
+        "value" -> ((2L, "0.5000", "1.5000"))),
+        s"RocksDB-backed window state must bridge the restart, got: $got")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   // ---------------------------------------------------------- transitions
 
   test("transitionStream recovers last-seen state, watermark, and timeout across restart") {

@@ -192,28 +192,42 @@ object Cluster {
     *
     * Composition (one rendering per law): cluster membership is
     * [[clusterAssignments]] / [[clusterCtes]] verbatim; the score is
-    * q72's law verbatim ([[TextAnalysis.qualityCtes]]). The rank is a
-    * per-cluster window (never global); score comparisons are exact on
-    * identical IEEE doubles, so the composed result sits under the
-    * HARD gate like both parents.
+    * q72's law verbatim ([[TextAnalysis.qualityCtes]]). Score
+    * comparisons are exact on identical IEEE doubles, so the composed
+    * result sits under the HARD gate like both parents.
+    *
+    * SKEW-SAFE argmax (r20, replacing the r19 per-cluster row_number
+    * window): the canonical member is a `max_by` AGGREGATE over
+    * `struct(score, -doc_id)`, whose partials combine map-side — a
+    * mega-cluster (the all-identical-boilerplate corpus, the
+    * scraped-corpus norm) contributes ONE candidate per input
+    * partition instead of sorting its entire membership on a single
+    * task the way a rank window must. Ordering semantics match the
+    * oracle's `ROW_NUMBER … ORDER BY score DESC NULLS LAST, doc_id`
+    * literally: Spark's struct ordering sorts a null field SMALLEST,
+    * so a null score (the null-text doc q97's audit surfaces) loses to
+    * any scored member — DESC NULLS LAST exactly (DuckDB's DESC
+    * default is nulls FIRST, hence the explicit pin in the SQL) — and
+    * the negated-id second field makes max pick the MINIMUM doc_id on
+    * score ties (doc_id ≥ 0 always, so the negation cannot overflow).
     *
     * 100 TB shape: assignments and scores are slim (id, 8-16 byte)
-    * frames; the join and the window both shuffle by cluster_id once;
-    * document text stays in the two parent scans.
+    * frames; one cluster_id exchange for the partial-combined argmax
+    * and one for the join-back (one row per cluster on the build side
+    * — AQE broadcasts it when small, splits skewed probe partitions
+    * when not); document text stays in the two parent scans.
+    * ScaleProbe41 measures the one-giant-cluster case both ways.
     */
-  def canonicalByQuality(asg: DataFrame, scored: DataFrame): DataFrame =
-    asg.join(scored, Seq("doc_id"))
-      // NULLS LAST pinned EXPLICITLY in both renderings: Spark's DESC
-      // defaults nulls last, DuckDB's nulls FIRST — a null score (the
-      // null-text doc q97's audit surfaces) would otherwise win the
-      // cluster in one engine and lose it in the other (the q101
-      // null-domain lesson applied to ordering)
-      .withColumn("qrank", row_number().over(
-        Window.partitionBy("cluster_id")
-          .orderBy(col("score").desc_nulls_last, col("doc_id"))))
+  def canonicalByQuality(asg: DataFrame, scored: DataFrame): DataFrame = {
+    val joined = asg.join(scored, Seq("doc_id"))
+    val canon = joined.groupBy("cluster_id")
+      .agg(max_by(col("doc_id"),
+        struct(col("score"), (-col("doc_id")).as("nid"))).as("canon_id"))
+    joined.join(canon, Seq("cluster_id"))
       .select(
         col("doc_id"), col("cluster_id"), col("cluster_size"), col("score"),
-        (col("qrank") === 1).cast("long").as("keep"))
+        (col("doc_id") === col("canon_id")).cast("long").as("keep"))
+  }
 
   val q104 = GraftQuery(
     "q104_cluster_canonical",

@@ -444,11 +444,15 @@ object Dedup {
         SELECT doc_id, j // 4 AS band_idx, string_agg(h, ',' ORDER BY j) AS band_val
         FROM ${p}hx GROUP BY doc_id, j // 4)"""
 
-  /** The asymmetric band-match + verify tail over a [[minhashSigCtes]]
-    * chain: reference rows (capped) vs arrival rows split by the two
-    * doc_id predicates, ending in `<p>m(doc_id, n_matches, best_est)`.
+  /** The asymmetric band-match + verify PAIR chain over a
+    * [[minhashSigCtes]] chain — reference rows (capped) vs arrival
+    * rows split by the two doc_id predicates, ending in
+    * `<p>est(doc_id, ref_id, est_jaccard)`. The SQL twin of
+    * [[nearDupPairsAgainstT]], factored out (r19 ADVICE) so the
+    * contamination audit (q107) composes ONLY the pair level it reads
+    * instead of splicing a dead decision CTE.
     */
-  private[graft] def nearDupMatchCtes(
+  private[graft] def nearDupPairCtes(
       p: String, arrPred: String, refPred: String): String =
     s"""${p}refs AS MATERIALIZED (SELECT * FROM ${p}sigb WHERE $refPred),
       ${p}bs AS (
@@ -467,7 +471,15 @@ object Dedup {
         FROM ${p}cand c
         JOIN ${p}hx ha ON ha.doc_id = c.doc_id
         JOIN ${p}hx hb ON hb.doc_id = c.ref_id AND hb.j = ha.j
-        GROUP BY c.doc_id, c.ref_id),
+        GROUP BY c.doc_id, c.ref_id)"""
+
+  /** [[nearDupPairCtes]] + the per-arrival DECISION aggregate — ends
+    * in `<p>m(doc_id, n_matches, best_est)`, the SQL twin of
+    * [[nearDupAgainstT]]'s grouped tail.
+    */
+  private[graft] def nearDupMatchCtes(
+      p: String, arrPred: String, refPred: String): String =
+    s"""${nearDupPairCtes(p, arrPred, refPred)},
       ${p}m AS MATERIALIZED (
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches, MAX(est_jaccard) AS best_est
         FROM ${p}est WHERE est_jaccard >= 0.5 GROUP BY doc_id)"""

@@ -116,19 +116,25 @@ object Graph {
       .withColumn("sw", sum("w").over(
         org.apache.spark.sql.expressions.Window.partitionBy("src")))
 
-  /** The ONE SQL rendering of the edge law, shared by the q94 and q95
-    * oracles (one rendering per law — the q89/q92/q93 discipline).
-    * Defines CTEs `nn`, `eraw`, `edges(src, k, dst)`.
+  /** The ONE SQL rendering of the edge law, CTE names prefixed with
+    * `p` — composable into statements that already define `edges`/`nn`
+    * (the train_prep_e2e oracle's dup-cluster chain defines `edges`).
+    * Defines `<p>nn`, `<p>eraw`, `<p>edges(src, k, dst)`.
     */
-  val edgesCte: String =
-    s"""nn AS (SELECT COUNT(*) AS n FROM documents),
-      eraw AS (
+  private[graft] def edgesCteP(p: String): String =
+    s"""${p}nn AS (SELECT COUNT(*) AS n FROM documents),
+      ${p}eraw AS (
         SELECT doc_id AS src, CAST(1 + doc_id % 3 AS BIGINT) AS k,
                CAST(unnest(range(1, 2 + CAST(doc_id % 3 AS INTEGER))) AS BIGINT) AS j
         FROM documents),
-      edges AS (
-        SELECT e.src, e.k, e.j, (e.src * $EdgeMulA + e.j * $EdgeMulJ) % nn.n AS dst
-        FROM eraw e CROSS JOIN nn)"""
+      ${p}edges AS (
+        SELECT e.src, e.k, e.j, (e.src * $EdgeMulA + e.j * $EdgeMulJ) % ${p}nn.n AS dst
+        FROM ${p}eraw e CROSS JOIN ${p}nn)"""
+
+  /** The unprefixed edge chain, shared by the q94 and q95 oracles
+    * (one rendering per law — the q89/q92/q93 discipline).
+    */
+  val edgesCte: String = edgesCteP("")
 
   /** SQL rendering of the weighted edge frame ([[weightedEdgesOn]]'s
     * twin) — defines CTE `wedges(src, dst, w, sw)` on top of `edges`.
@@ -162,6 +168,11 @@ object Graph {
     * renderings carry the same split — the law cannot fork. A
     * 200k-leaf star (whose naive 85·m would exceed 2^63) is
     * spec-pinned to the exact hand value.
+    *
+    * NOTE: EAGER — the envelope `require` runs one count job over the
+    * id frame at call time (r18 hardening made this previously-lazy
+    * entry point eager; callers composing it repeatedly should pass an
+    * already-materialized node frame, as the registry path does).
     */
   def pageRankOn(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
     val ids = nodes.select(col("doc_id"))
@@ -229,21 +240,25 @@ object Graph {
 
   /** The unrolled K-sweep CTE chain (`r0` … `r<iters>`) WITHOUT the
     * edge CTEs — composable beside other chains sharing [[edgesCte]]
-    * (q103's filter, q105's per-component rank).
+    * (q103's filter, q105's per-component rank). `nodes`/`edges` name
+    * the relations the sweep law runs over (r20: the REAL link graph
+    * q108 reuses the SAME generated law over `lnodes`/`ledges` —
+    * one rendering, two graphs).
     */
-  private def pageRankCtes(iters: Int): String = {
+  private[graft] def pageRankCtes(
+      iters: Int, nodes: String = "documents", edges: String = "edges"): String = {
     val sweeps = (1 to iters).map { i =>
       val prev = s"r${i - 1}"
       s"""r$i AS (
         SELECT n.doc_id,
           CAST($PrBase + 85 * (COALESCE(s.m, 0) // 100)
                + (85 * (COALESCE(s.m, 0) % 100)) // 100 AS BIGINT) AS pr
-        FROM documents n LEFT JOIN (
+        FROM $nodes n LEFT JOIN (
           SELECT e.dst AS doc_id, SUM(r.pr // e.k) AS m
-          FROM edges e JOIN $prev r ON r.doc_id = e.src
+          FROM $edges e JOIN $prev r ON r.doc_id = e.src
           GROUP BY e.dst) s ON s.doc_id = n.doc_id)"""
     }.mkString(",\n")
-    s"""r0 AS (SELECT doc_id, CAST($PrScale AS BIGINT) AS pr FROM documents),
+    s"""r0 AS (SELECT doc_id, CAST($PrScale AS BIGINT) AS pr FROM $nodes),
       $sweeps"""
   }
 
@@ -289,12 +304,19 @@ object Graph {
   def weightedPageRankOn(
       nodes: DataFrame, wedges: DataFrame, seeds: Column, iters: Int): DataFrame = {
     val ids = nodes.select(col("doc_id"))
-    val n = ids.count()
+    // NOTE: eager — the envelope/seed requires run one aggregate job
+    // over the slim id frame at call time (r19 ADVICE: node count and
+    // seed count folded into ONE scan — count + conditional count —
+    // instead of two separate count jobs).
+    val cnt = ids.agg(
+      count(lit(1)).cast("long").as("n"),
+      count(when(seeds, lit(1))).cast("long").as("ns")).head()
+    val n = cnt.getLong(0)
     require(n <= Long.MaxValue / PrScale,
       s"weightedPageRankOn: $n nodes exceed the exact-integer envelope " +
         s"N*PrScale < 2^63 (max ${Long.MaxValue / PrScale} at PrScale=$PrScale); " +
         "drop PrScale a decade per decade of nodes (object doc) to stay exact.")
-    val nSeeds = ids.filter(seeds).count()
+    val nSeeds = cnt.getLong(1)
     require(nSeeds > 0, "weightedPageRankOn: the seed set is empty — " +
       "personalized teleport needs at least one seed node.")
     // N*PrBase < 0.15 * 2^63 inside the envelope — Long-safe
@@ -393,13 +415,37 @@ object Graph {
     * quality; the comparison itself stays in exact integers with no
     * overflow (both sides < 2^52 · small).
     */
-  private def crawlPrioritySample(s: SparkSession, d: String): DataFrame = {
+  /** The ONE Scala rendering of the keep law over a (doc_id, pr)
+    * frame — q103's standalone gate AND the train_prep_e2e rank
+    * stage (r20, verdict item 5) filter through this exact Column.
+    */
+  private[graft] def crawlKeepOn(ranked: DataFrame): DataFrame = {
     val hv = conv(substring(md5(concat(lit("cps:"), col("doc_id").cast("string"))), 1, 13), 16, 10)
       .cast("long")
-    pageRank(s, d)
-      .filter(hv % lit(PrCap) < least(col("pr"), lit(PrCap)))
-      .select("doc_id", "pr")
+    ranked.filter(hv % lit(PrCap) < least(col("pr"), lit(PrCap)))
   }
+
+  /** The ONE SQL rendering of the keep predicate (reads `doc_id` and
+    * `pr` from the enclosing relation) — spliced by q103's oracle and
+    * the e2e oracle alike.
+    */
+  private[graft] val crawlKeepPredSql: String =
+    s"""CAST(('0x' || substr(md5('cps:' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+            % $PrCap < least(pr, $PrCap)"""
+
+  /** The q103 kept-id frame over an arbitrary document id population —
+    * the pipeline-stage entry point (rank-weighted corpus keep between
+    * quota and temperature in train_prep_e2e): q94's rank over the
+    * materialized graph, filtered by [[crawlKeepOn]]. Returns slim
+    * (doc_id, pr) rows for the kept set.
+    */
+  def crawlPriorityKeepOf(docs: DataFrame): DataFrame = {
+    val (nodes, edges) = materializedGraph(docs.select(col("doc_id")))
+    crawlKeepOn(pageRankOn(nodes, edges, PrIters)).select("doc_id", "pr")
+  }
+
+  private def crawlPrioritySample(s: SparkSession, d: String): DataFrame =
+    crawlKeepOn(pageRank(s, d)).select("doc_id", "pr")
 
   /** q94's unrolled CTE body + the keep filter — the oracle composes
     * the standalone gate's own rendering (the q93 discipline).
@@ -408,8 +454,7 @@ object Graph {
     s"""WITH $edgesCte,
       ${pageRankCtes(iters)}
       SELECT doc_id, pr FROM r$iters
-      WHERE CAST(('0x' || substr(md5('cps:' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
-            % $PrCap < least(pr, $PrCap)
+      WHERE $crawlKeepPredSql
       ORDER BY doc_id"""
 
   val q103 = GraftQuery(
@@ -528,9 +573,12 @@ object Graph {
 
   /** The unrolled K-round label chain (`ue`, `l0` … `l<iters>`)
     * WITHOUT the edge CTEs — composable beside [[pageRankCtes]] over
-    * one shared [[edgesCte]] (q105).
+    * one shared [[edgesCte]] (q105). `nodes`/`edges` name the
+    * relations (r20: q109 runs the SAME generated law over the real
+    * link graph's `lnodes`/`ledges`).
     */
-  private def componentsCtes(iters: Int): String = {
+  private def componentsCtes(
+      iters: Int, nodes: String = "documents", edges: String = "edges"): String = {
     val rounds = (1 to iters).map { i =>
       val prev = s"l${i - 1}"
       s"""l$i AS (
@@ -540,9 +588,9 @@ object Graph {
           FROM ue JOIN $prev r ON r.doc_id = ue.a
           GROUP BY ue.b) s ON s.doc_id = n.doc_id)"""
     }.mkString(",\n")
-    s"""ue AS (SELECT src AS a, dst AS b FROM edges
-             UNION ALL SELECT dst AS a, src AS b FROM edges),
-      l0 AS (SELECT doc_id, doc_id AS comp FROM documents),
+    s"""ue AS (SELECT src AS a, dst AS b FROM $edges
+             UNION ALL SELECT dst AS a, src AS b FROM $edges),
+      l0 AS (SELECT doc_id, doc_id AS comp FROM $nodes),
       $rounds"""
   }
 
@@ -609,5 +657,123 @@ object Graph {
     prod = Some((s, d) => componentHubs(s, d)),
   )
 
-  def all: Seq[GraftQuery] = Seq(q94, q95, q98, q102, q103, q105)
+  // ------------------------------------------- REAL link graph (r20)
+
+  /** The real crawl graph's node-id laws — catalog pages and product
+    * pages mapped into ONE non-negative BIGINT id space by parity:
+    * catalog page (catalog, page) → 2·(catalog·64 + page) (page ∈
+    * [1, 50] < 64, so the packing is injective), product (/p/ok-ln) →
+    * 2·(ok·8 + ln) + 1 (l_linenumber ∈ [1, 7] < 8). Even ids are
+    * catalog pages, odd ids products — the domains can never collide.
+    */
+  private val PageMul = 64L
+  private val ProdMul = 8L
+
+  /** Build (nodes, edges) for [[pageRankOn]]/[[labelPropOn]] from a
+    * (catalog, page, href) link frame — q76's EXTRACTED catalog links
+    * (r19 verdict item 2): the crawl graph the reference's catalog
+    * walk actually induces (scrap_tokopedia.py:190-204 collects
+    * product hrefs per catalog page; here each page becomes a node
+    * with an edge to every valid product anchor parsed OUT OF ITS
+    * HTML), replacing the synthetic mod-N generator with the real
+    * topology for the q108/q109 family.
+    *
+    * Shape: the href parse and id packing are stateless codegen'd
+    * expressions; `k` (the PageRank out-degree denominator) is a
+    * window count over src — per-page link counts, bounded by the
+    * page size, never a global sort; the node set is the distinct
+    * union of both endpoint domains (one exchange of 8-byte ids).
+    * The parsed edge frame materializes ONCE (the HTML parse behind
+    * it is the expensive leg) and feeds the k-window, the node union,
+    * and every sweep — the [[materializedGraph]] discipline.
+    *
+    * Dangling nodes (products, and catalog pages with zero valid
+    * links absent entirely): a product node has no out-edges, so its
+    * mass leaks per sweep exactly as the law states — both renderings
+    * agree because the law is shared, not because dangling mass is
+    * redistributed.
+    */
+  private[graft] def linkGraphFrom(links: DataFrame): (DataFrame, DataFrame) = {
+    val ok = regexp_extract(col("href"), "^/p/(\\d+)-(\\d+)$", 1).cast("long")
+    val ln = regexp_extract(col("href"), "^/p/(\\d+)-(\\d+)$", 2).cast("long")
+    val e0 = links.select(
+      (lit(2L) * (col("catalog").cast("long") * PageMul + col("page").cast("long"))).as("src"),
+      (lit(2L) * (ok * ProdMul + ln) + lit(1L)).as("dst"))
+      .localCheckpoint()
+    val edges = e0.select(col("src"), col("dst"),
+      count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("src")).as("k"))
+    val nodes = e0.select(col("src").as("doc_id"))
+      .union(e0.select(col("dst").as("doc_id"))).distinct()
+    (nodes.localCheckpoint(), edges.localCheckpoint())
+  }
+
+  private def linkGraph(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    linkGraphFrom(ScrapeEtl.catalogLinks(s, d).toDF("catalog", "page", "href"))
+
+  /** The ONE SQL rendering of the link-graph node/edge laws — the
+    * oracle derives the link set RELATIONALLY (q76's own oracle law:
+    * valid anchors = lineitem rows with l_quantity > 1) while the
+    * engine parses it from the synthesized HTML; the gate therefore
+    * grades extraction + graph law end to end. Defines `llinks`,
+    * `le0`, `ledges(src, dst, k)`, `lnodes(doc_id)`.
+    */
+  private val linkEdgesFromLinksCte: String =
+    s"""llinks AS (
+        SELECT l_suppkey AS catalog, (l_orderkey % 50) + 1 AS page,
+               l_orderkey AS ok, l_linenumber AS ln
+        FROM lineitem WHERE l_quantity > 1),
+      le0 AS (
+        SELECT CAST(2 * (catalog * $PageMul + page) AS BIGINT) AS src,
+               CAST(2 * (ok * $ProdMul + ln) + 1 AS BIGINT) AS dst
+        FROM llinks),
+      ledges AS (
+        SELECT src, dst, CAST(COUNT(*) OVER (PARTITION BY src) AS BIGINT) AS k
+        FROM le0),
+      lnodes AS (SELECT DISTINCT src AS doc_id FROM le0
+                 UNION SELECT DISTINCT dst AS doc_id FROM le0)"""
+
+  /** PageRank over the REAL extracted link graph — crawl-priority
+    * mass over the actual catalog topology the reference's pages
+    * imply, not the synthetic generator: q94's exact-integer sweep
+    * law (ONE generated rendering, [[pageRankCtes]]) over
+    * [[linkGraphFrom]]'s nodes and edges. Catalog pages split their
+    * mass across their parsed product links; products accumulate it
+    * — rank answers "which product pages does the catalog structure
+    * itself promote".
+    */
+  private def linkPageRank(s: SparkSession, d: String): DataFrame = {
+    val (nodes, edges) = linkGraph(s, d)
+    pageRankOn(nodes, edges, PrIters)
+  }
+
+  val q108 = GraftQuery(
+    "q108_link_pagerank",
+    (s, d) => linkPageRank(s, d).orderBy("doc_id"),
+    Some(s"""WITH $linkEdgesFromLinksCte,
+      ${pageRankCtes(PrIters, nodes = "lnodes", edges = "ledges")}
+      SELECT doc_id, pr FROM r$PrIters ORDER BY doc_id"""),
+    prod = Some((s, d) => linkPageRank(s, d)),
+  )
+
+  /** Connected components over the real link graph — the site-family
+    * question on the ACTUAL topology (catalog pages sharing any
+    * product land in one family): q98's min-label law (same generated
+    * rendering) over [[linkGraphFrom]].
+    */
+  private def linkComponents(s: SparkSession, d: String): DataFrame = {
+    val (nodes, edges) = linkGraph(s, d)
+    labelPropOn(nodes, edges, CompIters)
+  }
+
+  val q109 = GraftQuery(
+    "q109_link_components",
+    (s, d) => linkComponents(s, d).orderBy("doc_id"),
+    Some(s"""WITH $linkEdgesFromLinksCte,
+      ${componentsCtes(CompIters, nodes = "lnodes", edges = "ledges")}
+      SELECT doc_id, comp FROM l$CompIters ORDER BY doc_id"""),
+    prod = Some((s, d) => linkComponents(s, d)),
+  )
+
+  def all: Seq[GraftQuery] = Seq(q94, q95, q98, q102, q103, q105, q108, q109)
 }

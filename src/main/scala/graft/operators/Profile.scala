@@ -35,14 +35,14 @@ object Profile {
     */
   private def bq(name: String): String = "`" + name.replace("`", "``") + "`"
 
-  /** SQL string literal for a column name (quotes escaped). */
-  private def sq(name: String): String = "'" + name.replace("'", "''") + "'"
-
   /** Profile `cols` of `df` in one scan (spec entry point). Column
-    * names are backtick-quoted wherever they splice into SQL text, and
+    * names are backtick-quoted where they name a column to read, and
     * the per-column aggregate aliases are positional (`nn_0`, `nd_0`,
     * …) rather than name-derived, so no caller column name can collide
-    * with an internal alias or break the stack() parse (r18 ADVICE).
+    * with an internal alias (r18 ADVICE). The unpivot is built from
+    * typed Columns — names become values only through `lit(c)`, never
+    * through SQL-text splicing, so no escaping rule (quote doubling,
+    * backslash sequences — the r19 ADVICE gap) exists to get wrong.
     */
   def profileOn(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty && cols.distinct.size == cols.size,
@@ -56,11 +56,18 @@ object Profile {
           max(col(bq(c))).cast("string").as(s"mx_$i"))
       }
     val one = df.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = cols.zipWithIndex
-      .map { case (c, i) => s"${sq(c)}, n_rows, n_rows - nn_$i, nd_$i, mn_$i, mx_$i" }
-      .mkString(", ")
-    one.selectExpr(
-      s"stack(${cols.size}, $stackArgs) AS (col_name, n_rows, n_null, n_distinct, min_v, max_v)")
+    // stack() over a 1-row frame, expressed as explode(array(struct…))
+    // so every element — including the column NAME — is a typed Column
+    val rows: Seq[Column] = cols.zipWithIndex.map { case (c, i) =>
+      struct(
+        lit(c).as("col_name"),
+        col("n_rows"),
+        (col("n_rows") - col(s"nn_$i")).as("n_null"),
+        col(s"nd_$i").as("n_distinct"),
+        col(s"mn_$i").as("min_v"),
+        col(s"mx_$i").as("max_v"))
+    }
+    one.select(explode(array(rows: _*)).as("p")).select("p.*")
   }
 
   private val DocCols = Seq("doc_id", "text", "lang", "source", "n_chars")

@@ -1245,7 +1245,10 @@ object ScrapeEtl {
     prod = Some((s, d) => catalogLinks(s, d)),
   )
 
-  private def catalogLinks(s: org.apache.spark.sql.SparkSession, d: String) = {
+  // private[graft]: Graph.q108/q109 build the REAL crawl-graph edges
+  // from this extraction (r19 verdict item 2) — the link set flows
+  // from parsed HTML, never from the generating columns
+  private[graft] def catalogLinks(s: org.apache.spark.sql.SparkSession, d: String) = {
     import s.implicits._
     val anchor = concat(
       lit("""<a class="product-card css-1f2x9"""), (col("l_orderkey") % 7).cast("string"),

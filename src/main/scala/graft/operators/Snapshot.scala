@@ -42,35 +42,58 @@ object Snapshot {
           .when(!(col("c.h") <=> col("x.h")), "changed")
           .otherwise("unchanged").as("change"))
 
-  private def diffDocs(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+  /** The synthesized NEXT snapshot at TEXT level — the ONE rendering
+    * of the refresh law (r20, factored from q100's hash-level inline):
+    * drop doc_id % 31, append " rev2" to doc_id % 17's text, add a
+    * shifted-id slice of doc_id % 41 docs with synthetic text. q100
+    * HASHES this frame; the contamination TREND audit (q110) TOKENIZES
+    * it — one law, two consumers, so "the next snapshot" cannot mean
+    * different corpora to the diff and to the audit. NULL text flows
+    * through unchanged concat semantics in both engines (NULL || x =
+    * NULL), so md5-of-text equality with the pre-factor law is exact.
+    * The 1-row count cross join is the q35 scalar-subquery shape.
+    */
+  def nextSnapshotDocsOn(docs: DataFrame): DataFrame = {
     val n = docs.agg(count(lit(1)).cast("long").as("n"))
-    val cur = docs.select(col("doc_id"), md5(col("text")).as("h"))
     val revised = docs.filter(col("doc_id") % 31 =!= 0)
       .select(col("doc_id"),
-        when(col("doc_id") % 17 === 0, md5(concat(col("text"), lit(" rev2"))))
-          .otherwise(md5(col("text"))).as("h"))
-    // the 1-row count cross join is the q35 scalar-subquery shape
+        when(col("doc_id") % 17 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")).as("text"))
     val added = docs.filter(col("doc_id") % 41 === 0)
       .crossJoin(broadcast(n))
       .select((col("doc_id") + col("n")).as("doc_id"),
-        md5(concat(lit("new doc "), (col("doc_id") + col("n")).cast("string"))).as("h"))
-    snapshotDiffOn(cur, revised.unionAll(added))
+        concat(lit("new doc "), (col("doc_id") + col("n")).cast("string")).as("text"))
+    revised.unionAll(added)
+  }
+
+  /** SQL rendering of [[nextSnapshotDocsOn]] — defines `nn` and
+    * `nxtdocs(doc_id, text)`; composable under any oracle that reads
+    * the refreshed corpus (q100 hashes it, q110 shingles it).
+    */
+  val nextSnapshotCte: String =
+    """nn AS (SELECT COUNT(*) AS n FROM documents),
+      nxtdocs AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 17 = 0 THEN text || ' rev2' ELSE text END AS text
+        FROM documents WHERE doc_id % 31 <> 0
+        UNION ALL
+        SELECT d.doc_id + nn.n AS doc_id,
+          'new doc ' || CAST(d.doc_id + nn.n AS VARCHAR) AS text
+        FROM documents d CROSS JOIN nn WHERE d.doc_id % 41 = 0)"""
+
+  private def diffDocs(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val cur = docs.select(col("doc_id"), md5(col("text")).as("h"))
+    val nxt = nextSnapshotDocsOn(docs).select(col("doc_id"), md5(col("text")).as("h"))
+    snapshotDiffOn(cur, nxt)
   }
 
   val q100 = GraftQuery(
     "q100_snapshot_diff",
     (s, d) => diffDocs(s, d).orderBy("doc_id"),
-    Some("""WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+    Some(s"""WITH $nextSnapshotCte,
       cur AS (SELECT doc_id, md5(text) AS h FROM documents),
-      nxt AS (
-        SELECT doc_id,
-          CASE WHEN doc_id % 17 = 0 THEN md5(text || ' rev2') ELSE md5(text) END AS h
-        FROM documents WHERE doc_id % 31 <> 0
-        UNION ALL
-        SELECT d.doc_id + nn.n AS doc_id,
-          md5('new doc ' || CAST(d.doc_id + nn.n AS VARCHAR)) AS h
-        FROM documents d CROSS JOIN nn WHERE d.doc_id % 41 = 0)
+      nxt AS (SELECT doc_id, md5(text) AS h FROM nxtdocs)
       SELECT COALESCE(c.doc_id, x.doc_id) AS doc_id,
         CASE WHEN x.doc_id IS NULL THEN 'removed'
              WHEN c.doc_id IS NULL THEN 'added'

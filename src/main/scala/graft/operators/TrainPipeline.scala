@@ -27,7 +27,11 @@ import graft.{GraftQuery, Tables}
   *  2. quota    — [[TrainPrep.sourceQuotaOf]] over the SURVIVORS: at
   *     most [[TrainPrep.SourceQuota]] docs per source (C4/RefinedWeb
   *     "no domain dominates"), bounded-heap per source, no sort.
-  *  2b. temp    — [[TrainPrep.tempMixtureOf]] over the post-quota
+  *  2b. rank    — [[Graph.crawlPriorityKeepOf]] (r20): q103's
+  *     deterministic rank-proportional keep over the FULL document
+  *     graph prunes the quota survivors — crawl-priority budget
+  *     allocation composed into the pipeline (r19 verdict item 5).
+  *  2c. temp    — [[TrainPrep.tempMixtureOf]] over the post-rank
   *     survivors: the q86 temperature law (w ∝ n^α, α = ½) derives
   *     per-source keep rates from the survivor counts — real mixtures
   *     apply a domain cap AND a temperature (r17 judge item; α = 1
@@ -73,18 +77,26 @@ object TrainPipeline {
   private[graft] def trainIds(
       docs: DataFrame, decisions: DataFrame, tempAlpha2: Int = TempAlpha2): DataFrame = {
     val kept = decisions.filter(col("verdict") === "kept").select("doc_id")
-    // pinned: the temperature stage reads its population twice (source
-    // counts + the per-doc decision join), and this population is the
-    // whole curation+quota subtree
     val quotaKept = TrainPrep.sourceQuotaOf(
         docs.select("doc_id", "source").join(kept, Seq("doc_id"), "left_semi"))
       .filter(col("kept") === 1)
       .select("doc_id", "source")
+    // rank-weighted keep (q103) BETWEEN quota and temperature (r20,
+    // r19 verdict item 5): the q94 rank runs over the FULL document
+    // graph (the corpus topology exists independent of curation), and
+    // its deterministic keep law prunes the quota survivors — crawl
+    // -priority budget allocation inside the pipeline, one rendering
+    // shared with the standalone gate (Graph.crawlKeepOn).
+    // Pinned: the temperature stage reads its population twice (source
+    // counts + the per-doc decision join), and this population is now
+    // the whole curation+quota+rank subtree.
+    val rankKept = quotaKept
+      .join(Graph.crawlPriorityKeepOf(docs).select("doc_id"), Seq("doc_id"), "left_semi")
       .localCheckpoint()
-    // temperature mixture (q86) BETWEEN quota and split: rates derive
-    // from the post-quota survivor counts — real mixtures apply a
-    // domain cap AND a temperature law (r17 judge item)
-    TrainPrep.tempMixtureOf(quotaKept, tempAlpha2)
+    // temperature mixture (q86): rates derive from the post-rank-keep
+    // survivor counts — real mixtures apply a domain cap AND a
+    // temperature law (r17 judge item)
+    TrainPrep.tempMixtureOf(rankKept, tempAlpha2)
       .filter(col("kept"))
       .filter(TrainPrep.splitOf(col("doc_id")) === "train")
       .select("doc_id")
@@ -143,8 +155,14 @@ object TrainPipeline {
         docs.select("doc_id", "source").join(
           up("decisions").filter(col("verdict") === "kept").select("doc_id"),
           Seq("doc_id"), "left_semi"))),
+      // the q103 rank-keep stage (r20): slim (doc_id, pr) kept-id
+      // table over the FULL document graph — a parquet checkpoint like
+      // every other stage, so a resumed run reuses the rank sweeps
+      "rank" -> (_ => Graph.crawlPriorityKeepOf(docs)),
       "temp" -> (up => TrainPrep.tempMixtureOf(
-        up("quota").filter(col("kept") === 1).select("doc_id", "source"), TempAlpha2)),
+        up("quota").filter(col("kept") === 1).select("doc_id", "source")
+          .join(up("rank").select("doc_id"), Seq("doc_id"), "left_semi"),
+        TempAlpha2)),
       "split" -> (up => up("temp")
         .filter(col("kept"))
         .select(col("doc_id"), TrainPrep.splitOf(col("doc_id")).as("split"))),
@@ -184,7 +202,14 @@ object TrainPipeline {
           ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rk
         FROM qh),
       qk AS MATERIALIZED (SELECT doc_id, source FROM qr WHERE rk <= ${TrainPrep.SourceQuota}),
-      ${TrainPrep.tempMixtureCtes("qk", "tm")},
+      ${Graph.edgesCteP("g")},
+      ${Graph.pageRankCtes(Graph.PrIters, edges = "gedges")},
+      rkk AS MATERIALIZED (
+        SELECT doc_id FROM r${Graph.PrIters}
+        WHERE ${Graph.crawlKeepPredSql}),
+      qk2 AS MATERIALIZED (
+        SELECT qk.doc_id, qk.source FROM qk JOIN rkk USING (doc_id)),
+      ${TrainPrep.tempMixtureCtes("qk2", "tm")},
       tr AS MATERIALIZED (
         SELECT doc_id FROM tmtdec
         WHERE kept

@@ -426,10 +426,15 @@ object TrainPrep {
       .select(col("doc_id"), toks.as("toks")).localCheckpoint()
     val bench = toked.filter(isBench)
     val corpus = toked.filter(!isBench)
+    // No .distinct() here: kgram_md5_hashes emits SORTED-DISTINCT hashes
+    // per doc (Md5Kernels), so (doc_id, hash) rows are unique by
+    // construction — a pre-join distinct would force a full exchange of
+    // the corpus shingle stream (measured 3.5 MB vs q38's 228 KB at
+    // sf0.1) for zero semantic effect. The post-join pair-level
+    // .distinct() below is the only dedup the law needs.
     def kg(f: DataFrame, idName: String) = f
       .select(col("doc_id").as(idName),
         explode(gfunctions.kgram_md5_hashes(col("toks"), DecontamN)).as("hash"))
-      .distinct()
     val exact = kg(corpus, "doc_id")
       .join(broadcast(kg(bench, "bench_id")), Seq("hash"))
       .select("doc_id", "bench_id").distinct()
@@ -462,7 +467,7 @@ object TrainPrep {
         WHERE c.doc_id % $BenchMod <> 0 AND b.doc_id % $BenchMod = 0
         GROUP BY b.doc_id),
       ${Dedup.minhashSigCtes("toksrc", "f")},
-      ${Dedup.nearDupMatchCtes("f", s"doc_id % $BenchMod <> 0", s"doc_id % $BenchMod = 0")},
+      ${Dedup.nearDupPairCtes("f", s"doc_id % $BenchMod <> 0", s"doc_id % $BenchMod = 0")},
       fz AS (
         SELECT ref_id AS bench_id, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_fuzzy
         FROM fest WHERE est_jaccard >= 0.5 GROUP BY ref_id),
@@ -484,6 +489,102 @@ object TrainPrep {
       WHERE d.doc_id % $BenchMod = 0
       ORDER BY bench_id"""),
     prod = Some((s, d) => contamReport(s, d)),
+  )
+
+  // ----------------------------------------------------------- q110
+
+  /** CONTAMINATION TREND — q107's audit composed with q100's
+    * snapshot-refresh law (r19 verdict item 4): per benchmark item,
+    * the exact-rung hit count in the CURRENT corpus vs the
+    * SYNTHESIZED NEXT snapshot ([[Snapshot.nextSnapshotDocsOn]] — the
+    * very frame q100 diffs), classified into the delta the audit
+    * exists to catch: `new_leak` (0 → >0: an eval item STARTED
+    * leaking in this refresh — the alarm), `cleared`, `worse`,
+    * `better`, `stable`.
+    *
+    * Laws composed, one rendering each: the refresh is q100's
+    * [[Snapshot.nextSnapshotCte]]; the hit law is q38/q107's 8-gram
+    * rung ([[kgramShOver]] / the kernel's sorted-distinct per-doc
+    * hashes — no pre-join distinct, the r19 weak-flag lesson). The
+    * trend runs the EXACT rung: it is the rung that DEFINES "leak"
+    * for the n-gram decontamination standard (q38's scaladoc), and
+    * the fuzzy/semantic trends compose identically from the same two
+    * renderings if a deployment wants them. Roles are fixed by the id
+    * law in BOTH snapshots: bench = doc_id % [[BenchMod]] = 0 with
+    * its CURRENT text (the benchmark does not refresh); corpus = the
+    * rest — an added doc whose shifted id lands ≡ 0 mod BenchMod is
+    * reserved bench id space and stays out of the corpus by the same
+    * predicate in both renderings.
+    *
+    * Scale shape: two broadcast-probe passes (bench 8-gram set is the
+    * small side, materialized once and broadcast to both), id-pair
+    * exchanges only — the corpus shingle stream never shuffles,
+    * exactly q38's class; output is |bench| rows.
+    */
+  private def contamTrend(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val benchKg = docs.filter(isBench)
+      .select(col("doc_id").as("bench_id"),
+        explode(gfunctions.kgram_md5_hashes(toks, DecontamN)).as("hash"))
+      .localCheckpoint() // fans into both snapshot probes — materialize once
+    def exactHits(corpus: DataFrame, outCol: String): DataFrame = corpus
+      .filter(col("doc_id") % BenchMod =!= 0)
+      .select(col("doc_id"),
+        explode(gfunctions.kgram_md5_hashes(toks, DecontamN)).as("hash"))
+      .join(broadcast(benchKg), Seq("hash"))
+      .select("doc_id", "bench_id").distinct()
+      .groupBy("bench_id").agg(countDistinct("doc_id").as(outCol))
+    val cur = exactHits(docs, "n_exact_cur")
+    val nxt = exactHits(Snapshot.nextSnapshotDocsOn(docs), "n_exact_nxt")
+    val c = coalesce(col("n_exact_cur"), lit(0L))
+    val x = coalesce(col("n_exact_nxt"), lit(0L))
+    docs.filter(isBench).select(col("doc_id").as("bench_id"))
+      .join(cur, Seq("bench_id"), "left")
+      .join(nxt, Seq("bench_id"), "left")
+      .select(col("bench_id"), c.as("n_exact_cur"), x.as("n_exact_nxt"),
+        when(c === 0L && x > 0L, "new_leak")
+          .when(c > 0L && x === 0L, "cleared")
+          .when(x > c, "worse")
+          .when(x < c, "better")
+          .otherwise("stable").as("status"))
+  }
+
+  val q110 = GraftQuery(
+    "q110_contam_trend",
+    (s, d) => contamTrend(s, d).orderBy("bench_id"),
+    Some(s"""WITH ${Snapshot.nextSnapshotCte},
+      tcur AS (
+        SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '') AS toks
+        FROM documents),
+      tnxt AS (
+        SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '') AS toks
+        FROM nxtdocs),
+      ${kgramShOver("tcur", "shc")},
+      ${kgramShOver("tnxt", "shn")},
+      ec AS (
+        SELECT b.doc_id AS bench_id, CAST(COUNT(DISTINCT c.doc_id) AS BIGINT) AS n
+        FROM shc c JOIN shc b USING (hash)
+        WHERE c.doc_id % $BenchMod <> 0 AND b.doc_id % $BenchMod = 0
+        GROUP BY b.doc_id),
+      en AS (
+        SELECT b.doc_id AS bench_id, CAST(COUNT(DISTINCT c.doc_id) AS BIGINT) AS n
+        FROM shn c JOIN shc b USING (hash)
+        WHERE c.doc_id % $BenchMod <> 0 AND b.doc_id % $BenchMod = 0
+        GROUP BY b.doc_id)
+      SELECT d.doc_id AS bench_id,
+        COALESCE(ec.n, 0) AS n_exact_cur,
+        COALESCE(en.n, 0) AS n_exact_nxt,
+        CASE WHEN COALESCE(ec.n, 0) = 0 AND COALESCE(en.n, 0) > 0 THEN 'new_leak'
+             WHEN COALESCE(ec.n, 0) > 0 AND COALESCE(en.n, 0) = 0 THEN 'cleared'
+             WHEN COALESCE(en.n, 0) > COALESCE(ec.n, 0) THEN 'worse'
+             WHEN COALESCE(en.n, 0) < COALESCE(ec.n, 0) THEN 'better'
+             ELSE 'stable' END AS status
+      FROM documents d
+      LEFT JOIN ec ON ec.bench_id = d.doc_id
+      LEFT JOIN en ON en.bench_id = d.doc_id
+      WHERE d.doc_id % $BenchMod = 0
+      ORDER BY bench_id"""),
+    prod = Some((s, d) => contamTrend(s, d)),
   )
 
   // ------------------------------------------------------------ q39
@@ -1258,5 +1359,5 @@ object TrainPrep {
   )
 
   def all: Seq[GraftQuery] =
-    Seq(q38, q39, q40, q41, q43, q44, q47, q50, q52, q60, q61, q77, q79, q86, q88, q96, q99, q107)
+    Seq(q38, q39, q40, q41, q43, q44, q47, q50, q52, q60, q61, q77, q79, q86, q88, q96, q99, q107, q110)
 }

@@ -51,9 +51,15 @@ object Streams {
     *
     * Exact DISTINCT is the one q97 leg the streaming model cannot emit
     * in append mode (it would hold the window's whole value set as
-    * state); the documented swap is `approx_count_distinct` (HLL++ —
-    * mergeable sketch state, the sketch_approx_distinct path), the
-    * same relaxation q97's scaladoc names for the 100 TB text leg.
+    * state); the swap is `approx_count_distinct` (HLL++ — mergeable
+    * sketch state, the sketch_approx_distinct path), the same
+    * relaxation q97's scaladoc names for the 100 TB text leg — and
+    * the STREAMING lane ([[windowedProfileApprox]], r20) EMITS it as
+    * `n_distinct_approx` beside n/null/min/max, completing q97's
+    * column coverage. The sketch values are engine-specific, so the
+    * HARD-gated twin stays this exact-legs rendering (the
+    * sketch_approx_distinct gating discipline: exact twin hash-green,
+    * sketch leg spec-graded with an error bound).
     */
   def windowedProfile(events: DataFrame): DataFrame = {
     val one = events
@@ -77,12 +83,49 @@ object Streams {
         " AS (col_name, n_rows, n_null, min_v, max_v)"))
   }
 
+  /** [[windowedProfile]] + the HLL++ distinct leg (r19 verdict item
+    * 7): `approx_count_distinct` per profiled column, appended as
+    * `n_distinct_approx` AFTER the exact columns so every consumer of
+    * the exact prefix (the recovery matrix, the batch-parity spec)
+    * reads unchanged positions. Sketch state is mergeable and
+    * fixed-size per (window, column) — streaming-append safe where
+    * exact DISTINCT is not; default rsd 5%, and HLL++'s sparse mode
+    * makes small-cardinality windows exact (spec-pinned both ways).
+    */
+  def windowedProfileApprox(events: DataFrame): DataFrame = {
+    val one = events
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("event_type")).as("nn_0"),
+        approx_count_distinct(col("event_type")).as("nd_0"),
+        min(col("event_type")).cast("string").as("mn_0"),
+        max(col("event_type")).cast("string").as("mx_0"),
+        count(col("user_id")).as("nn_1"),
+        approx_count_distinct(col("user_id")).as("nd_1"),
+        min(col("user_id")).cast("string").as("mn_1"),
+        max(col("user_id")).cast("string").as("mx_1"),
+        count(col("value")).as("nn_2"),
+        approx_count_distinct(col("value")).as("nd_2"),
+        min(col("value").cast("decimal(18,4)")).cast("string").as("mn_2"),
+        max(col("value").cast("decimal(18,4)")).cast("string").as("mx_2"))
+    one.select(col("w.start").as("window_start"), expr(
+      "stack(3," +
+        " 'event_type', n_rows, n_rows - nn_0, mn_0, mx_0, nd_0," +
+        " 'user_id', n_rows, n_rows - nn_1, mn_1, mx_1, nd_1," +
+        " 'value', n_rows, n_rows - nn_2, mn_2, mx_2, nd_2)" +
+        " AS (col_name, n_rows, n_null, min_v, max_v, n_distinct_approx)"))
+  }
+
   /** Streaming twin: 2h watermark, windows emit their profile rows on
-    * close (Append). State = one aggregate row per open window —
-    * constant, safe at any scale.
+    * close (Append). State = one aggregate row per open window (the
+    * HLL registers are part of that one row) — constant, safe at any
+    * scale. The lane carries the full q97 column coverage including
+    * the sketch distinct; the exact prefix (positions 0-5) is
+    * byte-identical to [[windowedProfile]]'s gated output.
     */
   def windowedProfileStream(events: DataFrame): DataFrame =
-    windowedProfile(events.withWatermark("ts", "2 hours"))
+    windowedProfileApprox(events.withWatermark("ts", "2 hours"))
 
   // ------------------------------------------- stream-stream interval join
 

@@ -102,7 +102,7 @@ class ByteBudgetSpec extends AnyFunSuite {
     ("q94_pagerank", 35825L, 107475L),
     ("q95_crawl_depth", 22035L, 66105L),
     ("q96_embed_decontam", 7015L, 21045L),
-    ("q97_profile", 94805L, 284415L),
+    ("q97_profile", 94874L, 284622L), // r20 recal: typed-Column unpivot (explode(array(struct…)) replacing stack SQL text) — byte-identical modulo jitter
     ("q98_graph_components", 74301L, 222903L),
     ("q99_text_embed_decontam", 16369L, 49107L),
     ("q100_snapshot_diff", 41701L, 125103L),
@@ -116,9 +116,11 @@ class ByteBudgetSpec extends AnyFunSuite {
     // stream_profile's batch twin exchanges one 10-agg row per hour
     // window (the stack unpivot is post-agg, stateless)
     ("stream_profile", 29331L, 87993L),
-    // q104 = dedup_clusters' closure + q72's stateless score + one
-    // cluster_id-keyed join/window over slim rows
-    ("q104_cluster_canonical", 66852L, 200556L),
+    // q104 = dedup_clusters' closure + q72's stateless score + the
+    // skew-safe max_by argmax (r20: partial-combined aggregate + join
+    // -back replacing the per-cluster rank window — +6% bytes for the
+    // second cluster_id exchange, no single-task mega-cluster sort)
+    ("q104_cluster_canonical", 70868L, 212604L),
     // q105 runs BOTH graph fixpoints (5 PR sweeps + 6 label rounds)
     // over one materialized graph, then one comp-keyed join/window
     ("q105_component_hubs", 110780L, 332340L),
@@ -126,8 +128,12 @@ class ByteBudgetSpec extends AnyFunSuite {
     // combine; |sources| output rows
     ("q106_dup_inflation", 22011L, 66033L),
     // q107 runs all three contamination rungs as (16-byte id-pair)
-    // aggregates over one tokenized scan; bench sides broadcast
-    ("q107_contam_report", 349300L, 1047900L),
+    // aggregates over one tokenized scan; bench sides broadcast.
+    // r20 recal: dropped the redundant pre-join .distinct() on the
+    // exploded (doc_id, hash) pairs (the kernel already emits per-doc
+    // sorted-DISTINCT hashes) — the corpus shingle stream no longer
+    // exchanges at all: 349300 -> 25800 (13.5x), q38's class.
+    ("q107_contam_report", 25800L, 77400L),
   )
 
   /** Prod plans that measured EXACTLY zero shuffle bytes in the r16

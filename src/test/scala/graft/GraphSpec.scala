@@ -255,4 +255,51 @@ class GraphSpec extends AnyFunSuite {
     val outOfRange = e.filter(col("dst") < 0 || col("dst") >= n).count()
     assert(outOfRange === 0)
   }
+
+  test("link graph from extracted links: planted topology — ids, out-degrees, shared-product component (r20)") {
+    import spark.implicits._
+    // page A = (cat 1, pg 2) -> products 10-1, 10-2
+    // page B = (cat 2, pg 3) -> products 10-2 (SHARED with A), 20-1
+    // page C = (cat 5, pg 1) -> product 30-3 only
+    val links = Seq(
+      (1L, 2L, "/p/10-1"), (1L, 2L, "/p/10-2"),
+      (2L, 3L, "/p/10-2"), (2L, 3L, "/p/20-1"),
+      (5L, 1L, "/p/30-3"),
+    ).toDF("catalog", "page", "href")
+    val (nodes, edges) = Graph.linkGraphFrom(links)
+
+    // id laws: catpage = 2*(cat*64 + pg) even, product = 2*(ok*8 + ln)+1 odd
+    val A = 2L * (1 * 64 + 2) // 132
+    val B = 2L * (2 * 64 + 3) // 262
+    val C = 2L * (5 * 64 + 1) // 642
+    val p101 = 2L * (10 * 8 + 1) + 1 // 163
+    val p102 = 2L * (10 * 8 + 2) + 1 // 165
+    val p201 = 2L * (20 * 8 + 1) + 1 // 323
+    val p303 = 2L * (30 * 8 + 3) + 1 // 487
+    assert(nodes.collect().map(_.getLong(0)).toSet ===
+      Set(A, B, C, p101, p102, p201, p303), "shared product appears once")
+    assert(edges.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet ===
+      Set((A, p101, 2L), (A, p102, 2L), (B, p102, 2L), (B, p201, 2L), (C, p303, 1L)),
+      "k = the page's REAL out-degree, not a synthetic fan-out")
+
+    // the shared product MERGES A's and B's families; C stays apart
+    val comp = Graph.labelPropOn(nodes, edges, Graph.CompIters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Set(A, B, p101, p102, p201).map(comp) === Set(A),
+      "pages sharing a product land in one family rooted at the min id")
+    assert(comp(C) === p303 && comp(p303) === p303,
+      "the isolated pair roots at its own min id (the odd product id is smaller)")
+
+    // one PageRank sweep matches the hand law: products receive
+    // 85% of (sum of pr/k over in-links), pages keep only the base
+    val S = Graph.PrScale
+    val pr1 = Graph.pageRankOn(nodes, edges, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr1(p102) === Graph.PrBase + 85L * (S / 2 + S / 2) / 100L,
+      "the SHARED product accumulates both pages' halves")
+    assert(pr1(p101) === Graph.PrBase + 85L * (S / 2) / 100L)
+    assert(pr1(p303) === Graph.PrBase + 85L * S / 100L)
+    assert(pr1(A) === Graph.PrBase && pr1(B) === Graph.PrBase && pr1(C) === Graph.PrBase,
+      "catalog pages have no in-links — teleport mass only")
+  }
 }

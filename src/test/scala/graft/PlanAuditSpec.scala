@@ -72,6 +72,9 @@ class PlanAuditSpec extends AnyFunSuite {
       // q100's added-slice and q101's ppm share cross-join a broadcast
       // 1-ROW corpus total — the q35 scalar-subquery shape
       "q100_snapshot_diff", "q101_token_histogram",
+      // r20: q110 composes q100's refresh law, so its next-snapshot
+      // added slice carries the SAME broadcast 1-row total cross join
+      "q110_contam_trend",
       "q35_tfidf", "dedup_cosine_verify", "q49_heavy_tokens", "q54_source_drift")
     // NOTE the curation/e2e compositions are NOT whitelisted although
     // they carry q99's sem gate (a designed corpus × broadcast-bench

@@ -124,6 +124,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming profile HLL distinct leg: exact at sparse cardinality, error-bounded at 500 (r20)") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, String, java.lang.Long, java.lang.Double)]
+    val events = ms.toDF().toDF("ts", "event_type", "user_id", "value")
+    val q = Streams.windowedProfileStream(events)
+      .writeStream.format("memory").queryName("graft_profile_hll").outputMode("append").start()
+    try {
+      def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+      // hour 0: tiny cardinality — HLL++'s sparse mode is EXACT there
+      ms.addData(
+        (t(0, 1), "click", 7L, 1.0), (t(0, 2), "click", 7L, 2.0),
+        (t(0, 3), "view", 3L, 1.0), (t(0, 4), "view", 9L, 1.0))
+      // hour 1: 500 distinct users — the sketch regime, rsd = 5%
+      ms.addData((0 until 500).map(i =>
+        (t(1, i % 60), "click", java.lang.Long.valueOf(1000L + i),
+          java.lang.Double.valueOf(1.0))): _*)
+      ms.addData((t(9, 0), "click", java.lang.Long.valueOf(1L),
+        java.lang.Double.valueOf(1.0))) // advance watermark, close h0+h1
+      q.processAllAvailable()
+      val rows = spark.table("graft_profile_hll").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1)) -> r.getLong(6)).toMap
+      assert(rows(("2024-01-01 00:00:00.0", "user_id")) === 3L,
+        "sparse-mode HLL++ is exact at tiny cardinality")
+      assert(rows(("2024-01-01 00:00:00.0", "event_type")) === 2L)
+      val nd = rows(("2024-01-01 01:00:00.0", "user_id"))
+      assert(math.abs(nd - 500L) <= 75L,
+        s"HLL++ distinct outside the 3-sigma rsd envelope: $nd vs 500")
+    } finally q.stop()
+  }
+
   test("batch windowed profile equals its streaming twin's final answer") {
     import spark.implicits._
     val batch = Seq(

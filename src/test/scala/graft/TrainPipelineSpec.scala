@@ -104,7 +104,8 @@ class TrainPipelineSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     val docs = mkDocs()
     val decisions = operators.Curate.curateDecontam(docs).localCheckpoint()
-    // the pre-temp chain, reconstructed: quota survivors -> train split
+    // the pre-temp chain, reconstructed: quota survivors -> rank keep
+    // (the r20 q103 stage sits between quota and temp) -> train split
     val kept = decisions.filter(col("verdict") === "kept").select("doc_id")
     val quotaKept = operators.TrainPrep.sourceQuotaOf(
         docs.select("doc_id", "source").join(kept, Seq("doc_id"), "left_semi"))
@@ -112,6 +113,8 @@ class TrainPipelineSpec extends AnyFunSuite {
       .select("doc_id", "source")
       .localCheckpoint()
     val preTemp = quotaKept
+      .join(operators.Graph.crawlPriorityKeepOf(docs).select("doc_id"),
+        Seq("doc_id"), "left_semi")
       .filter(operators.TrainPrep.splitOf(col("doc_id")) === "train")
       .select("doc_id").collect().map(_.getLong(0)).toSet
     // alpha = 1 (alpha2 = 2): w = n -> every rate is 10^6 -> keep-all
@@ -151,7 +154,7 @@ class TrainPipelineSpec extends AnyFunSuite {
     val (m1, reports1) = operators.TrainPipeline.trainPrepStaged(spark, docs, run)
     assert(reports1.map(_.name) == Seq("staged", "contam", "contam_fuzzy", "contam_sem",
       "exact", "near",
-      "clusters", "decisions", "quota", "temp", "split", "pack", "shuffle", "manifest"))
+      "clusters", "decisions", "quota", "rank", "temp", "split", "pack", "shuffle", "manifest"))
     assert(reports1.forall(r => r.attempts == 1 && !r.resumed))
     assert(rows(m1) == oneShot, "staged manifest matches the unstaged composition")
 
@@ -165,9 +168,12 @@ class TrainPipelineSpec extends AnyFunSuite {
     }
     val (m2, reports2) = operators.TrainPipeline.trainPrepStaged(spark, docs, run)
     val byName = reports2.map(r => r.name -> r.resumed).toMap
+    // rank's marker was never cleared and the stage has no dependence
+    // on quota, so the resume REUSES the graph sweeps — exactly the
+    // expensive-stage reuse the checkpointing exists for
     Seq("staged", "contam", "contam_fuzzy", "contam_sem", "exact", "near", "clusters",
-        "decisions").foreach(s =>
-      assert(byName(s), s"curation stage $s must resume from its marker"))
+        "decisions", "rank").foreach(s =>
+      assert(byName(s), s"stage $s must resume from its marker"))
     Seq("quota", "temp", "split", "pack", "shuffle", "manifest").foreach(s =>
       assert(!byName(s), s"stage $s must recompute"))
     assert(rows(m2) == oneShot, "resumed run reproduces the identical manifest")

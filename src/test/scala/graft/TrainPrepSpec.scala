@@ -476,4 +476,42 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(got(21L) === ((1.0, true)))
     assert(got(22L) === ((0.0, false)))
   }
+
+  test("q110 contamination trend: planted new-leak / cleared / worse / stable across the refresh (r20)") {
+    // The refresh law (Snapshot.nextSnapshotDocsOn): drop doc_id % 31,
+    // append " rev2" to doc_id % 17's text; bench = doc_id % 20 == 0
+    // with its CURRENT text. Plants exercise each status:
+    //  - bench 20 contains the 8-gram "a b c d e f g rev2"; corpus doc
+    //    17 has only the 7 tokens "a b c d e f g" TODAY (no 8-grams at
+    //    all) but the refresh appends " rev2" -> the item STARTS
+    //    leaking: (0, 1, new_leak).
+    //  - bench 40 shares its 8-gram with corpus doc 31, which the
+    //    refresh DROPS: (1, 0, cleared).
+    //  - bench 80 matches corpus doc 21 in both snapshots AND gains
+    //    doc 34 (revised % 17) next: (1, 2, worse).
+    //  - bench 60 never overlaps: (0, 0, stable).
+    // No planted id is % 41 == 0, so the added-slice leg is empty.
+    val dir = planted("contamtrend", Seq(
+      (20L, "a b c d e f g rev2", "en", "s", 18L),
+      (17L, "a b c d e f g", "en", "s", 13L),
+      (40L, "p q r s t u v w", "en", "s", 15L),
+      (31L, "p q r s t u v w", "en", "s", 15L),
+      (80L, "m1 m2 m3 m4 m5 m6 m7 m8 zz n1 n2 n3 n4 n5 n6 n7 rev2", "en", "s", 52L),
+      (21L, "m1 m2 m3 m4 m5 m6 m7 m8", "en", "s", 23L),
+      (34L, "n1 n2 n3 n4 n5 n6 n7", "en", "s", 20L),
+      (60L, "z1 z2 z3 z4 z5 z6 z7 z8", "en", "s", 23L),
+    ))
+    val got = operators.TrainPrep.q110.run(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got.keySet === Set(20L, 40L, 60L, 80L), "one row per bench item")
+    assert(got(20L) === ((0L, 1L, "new_leak")),
+      s"the revision INTRODUCES the overlap, got ${got(20L)}")
+    assert(got(40L) === ((1L, 0L, "cleared")),
+      s"the dropped doc takes its leak with it, got ${got(40L)}")
+    assert(got(80L) === ((1L, 2L, "worse")),
+      s"a second doc starts hitting after the refresh, got ${got(80L)}")
+    assert(got(60L) === ((0L, 0L, "stable")))
+  }
 }

@@ -223,7 +223,17 @@ object Cluster {
     val canon = joined.groupBy("cluster_id")
       .agg(max_by(col("doc_id"),
         struct(col("score"), (-col("doc_id")).as("nid"))).as("canon_id"))
-    joined.join(canon, Seq("cluster_id"))
+    // broadcast(canon), deliberately: left as a shuffle join this
+    // planned as SMJ on cluster_id — re-funneling AND re-sorting the
+    // mega-cluster on one task, the exact shape the argmax exists to
+    // avoid (ScaleProbe41 measured it). The regime argument makes the
+    // broadcast safe: canon is one 16-byte row per cluster, and the
+    // skew regime (few, huge clusters) is precisely when canon is
+    // TINY; the opposite regime (every doc a singleton) makes canon
+    // large but also makes the keys uniform — there a cluster-keyed
+    // shuffle join is fine, and so was the window. The operator
+    // optimizes the dangerous regime.
+    joined.join(broadcast(canon), Seq("cluster_id"))
       .select(
         col("doc_id"), col("cluster_id"), col("cluster_size"), col("score"),
         (col("doc_id") === col("canon_id")).cast("long").as("keep"))

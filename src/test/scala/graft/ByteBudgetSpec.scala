@@ -46,7 +46,7 @@ class ByteBudgetSpec extends AnyFunSuite {
     ("ann_lsh_topk", 465560L, 1400000L),
     ("q34_ngram_stats", 360334L, 1100000L),
     ("q35_tfidf", 303283L, 950000L),
-    ("train_prep_e2e", 382168L, 1146504L), // r19 recal: exact+fuzzy contam id lists MATERIALIZED (r18 judge item 1) — 573768 -> 382168
+    ("train_prep_e2e", 386879L, 1160637L), // r20 recal: +4.7 KB for the q103 rank-keep stage's sweeps (r19 verdict item 5); r19: contam id lists MATERIALIZED — 573768 -> 382168
     ("q35_tfidf_exact", 287823L, 900000L),
     ("dedup_passage", 262329L, 800000L),
     ("corpus_curate_decontam", 301611L, 904833L), // r19 recal: exact+fuzzy contam id lists MATERIALIZED (r18 judge item 1) — 533202 -> 301611
@@ -117,16 +117,28 @@ class ByteBudgetSpec extends AnyFunSuite {
     // window (the stack unpivot is post-agg, stateless)
     ("stream_profile", 29331L, 87993L),
     // q104 = dedup_clusters' closure + q72's stateless score + the
-    // skew-safe max_by argmax (r20: partial-combined aggregate + join
-    // -back replacing the per-cluster rank window — +6% bytes for the
-    // second cluster_id exchange, no single-task mega-cluster sort)
-    ("q104_cluster_canonical", 70868L, 212604L),
+    // skew-safe max_by argmax (r20: partial-combined aggregate + a
+    // BROADCAST join-back replacing the per-cluster rank window —
+    // ScaleProbe41: 0.0 MiB / 32-row peak task on a 1M-doc
+    // mega-cluster vs the window's 13.6 MiB / 1M-row single-task sort)
+    ("q104_cluster_canonical", 76789L, 230367L),
     // q105 runs BOTH graph fixpoints (5 PR sweeps + 6 label rounds)
     // over one materialized graph, then one comp-keyed join/window
     ("q105_component_hubs", 110780L, 332340L),
     // q106 exchanges (source, 16-byte md5) partials with map-side
     // combine; |sources| output rows
     ("q106_dup_inflation", 22011L, 66033L),
+    // r20 entries. q108/q109 parse the real link graph out of q76's
+    // synthesized catalog HTML (the q76 groupBy/collect_list page
+    // assembly is most of the bytes), then run the sweep laws over a
+    // ~6k-node graph (vs q94's 500 synthetic nodes): 5 PR sweeps'
+    // (id, 8-byte) exchanges for q108; 6 label rounds over the 2x
+    // undirected edge set + per-round checkpoint materializations for
+    // q109. q110 is two broadcast-probe passes emitting id pairs only
+    // (q38's class — the corpus shingle stream never shuffles).
+    ("q108_link_pagerank", 447232L, 1341696L),
+    ("q109_link_components", 780440L, 2341320L),
+    ("q110_contam_trend", 1723L, 5169L),
     // q107 runs all three contamination rungs as (16-byte id-pair)
     // aggregates over one tokenized scan; bench sides broadcast.
     // r20 recal: dropped the redundant pre-join .distinct() on the

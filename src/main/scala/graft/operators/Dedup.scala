@@ -454,13 +454,29 @@ object Dedup {
     */
   private[graft] def nearDupPairCtes(
       p: String, arrPred: String, refPred: String): String =
-    s"""${p}refs AS MATERIALIZED (SELECT * FROM ${p}sigb WHERE $refPred),
+    nearDupPairCtes2(p,
+      s"SELECT * FROM ${p}sigb WHERE $arrPred", s"${p}hx",
+      s"SELECT * FROM ${p}sigb WHERE $refPred", s"${p}hx")
+
+  /** The TWO-POPULATION edition of [[nearDupPairCtes]] (r20): arrival
+    * and reference sides drawn from DIFFERENT sig chains — the shape
+    * the contamination TREND needs (nxt-snapshot arrivals banded
+    * against the CURRENT benchmark's signatures). `arrSel`/`refSel`
+    * are full SELECTs over sigb-shaped relations; `arrHx`/`refHx`
+    * name the matching hash chains for the verify stage. The
+    * single-population variant above delegates here, so the law still
+    * has exactly one rendering.
+    */
+  private[graft] def nearDupPairCtes2(
+      p: String, arrSel: String, arrHx: String,
+      refSel: String, refHx: String): String =
+    s"""${p}refs AS MATERIALIZED ($refSel),
       ${p}bs AS (
         SELECT band_idx, band_val, COUNT(*) AS bucket_n FROM ${p}refs GROUP BY 1, 2),
       ${p}kept AS MATERIALIZED (
         SELECT ${p}refs.* FROM ${p}refs JOIN ${p}bs USING (band_idx, band_val)
         WHERE ${p}bs.bucket_n <= 10000),
-      ${p}arr AS (SELECT * FROM ${p}sigb WHERE $arrPred),
+      ${p}arr AS ($arrSel),
       ${p}cand AS (
         SELECT DISTINCT a.doc_id, ${p}kept.doc_id AS ref_id
         FROM ${p}arr a JOIN ${p}kept
@@ -469,8 +485,8 @@ object Dedup {
         SELECT c.doc_id, c.ref_id,
                SUM(CASE WHEN ha.h = hb.h THEN 1 ELSE 0 END) / 16.0 AS est_jaccard
         FROM ${p}cand c
-        JOIN ${p}hx ha ON ha.doc_id = c.doc_id
-        JOIN ${p}hx hb ON hb.doc_id = c.ref_id AND hb.j = ha.j
+        JOIN $arrHx ha ON ha.doc_id = c.doc_id
+        JOIN $refHx hb ON hb.doc_id = c.ref_id AND hb.j = ha.j
         GROUP BY c.doc_id, c.ref_id)"""
 
   /** [[nearDupPairCtes]] + the per-arrival DECISION aggregate — ends

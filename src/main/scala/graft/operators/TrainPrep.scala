@@ -495,59 +495,95 @@ object TrainPrep {
 
   /** CONTAMINATION TREND — q107's audit composed with q100's
     * snapshot-refresh law (r19 verdict item 4): per benchmark item,
-    * the exact-rung hit count in the CURRENT corpus vs the
+    * ALL THREE rungs' hit counts in the CURRENT corpus vs the
     * SYNTHESIZED NEXT snapshot ([[Snapshot.nextSnapshotDocsOn]] — the
-    * very frame q100 diffs), classified into the delta the audit
-    * exists to catch: `new_leak` (0 → >0: an eval item STARTED
+    * very frame q100 diffs), each rung classified into the delta the
+    * audit exists to catch: `new_leak` (0 → >0: an eval item STARTED
     * leaking in this refresh — the alarm), `cleared`, `worse`,
     * `better`, `stable`.
     *
-    * Laws composed, one rendering each: the refresh is q100's
-    * [[Snapshot.nextSnapshotCte]]; the hit law is q38/q107's 8-gram
-    * rung ([[kgramShOver]] / the kernel's sorted-distinct per-doc
-    * hashes — no pre-join distinct, the r19 weak-flag lesson). The
-    * trend runs the EXACT rung: it is the rung that DEFINES "leak"
-    * for the n-gram decontamination standard (q38's scaladoc), and
-    * the fuzzy/semantic trends compose identically from the same two
-    * renderings if a deployment wants them. Roles are fixed by the id
-    * law in BOTH snapshots: bench = doc_id % [[BenchMod]] = 0 with
-    * its CURRENT text (the benchmark does not refresh); corpus = the
-    * rest — an added doc whose shifted id lands ≡ 0 mod BenchMod is
-    * reserved bench id space and stays out of the corpus by the same
-    * predicate in both renderings.
+    * Laws composed, one rendering each, all q107's own: the refresh
+    * is q100's [[Snapshot.nextSnapshotCte]] (factored to text level);
+    * the exact rung is q38's [[kgramShOver]] (kernel-sorted-distinct
+    * per-doc hashes — no pre-join distinct, the r19 weak-flag
+    * lesson); the fuzzy rung is [[Dedup.nearDupPairsAgainstT]] /
+    * the two-population [[Dedup.nearDupPairCtes2]] (next-snapshot
+    * arrivals banded against the CURRENT benchmark's signatures); the
+    * semantic rung is [[semContamPairsOn]] over q80's embedding law
+    * applied to each snapshot's text. Roles are fixed by the id law
+    * in BOTH snapshots: bench = doc_id % [[BenchMod]] = 0 with its
+    * CURRENT text always (the benchmark does not refresh); corpus =
+    * the rest — an added doc whose shifted id lands ≡ 0 mod BenchMod
+    * is reserved bench id space and stays out of the corpus by the
+    * same predicate in both renderings.
     *
-    * Scale shape: two broadcast-probe passes (bench 8-gram set is the
-    * small side, materialized once and broadcast to both), id-pair
-    * exchanges only — the corpus shingle stream never shuffles,
-    * exactly q38's class; output is |bench| rows.
+    * Scale shape: each snapshot's corpus is tokenized ONCE and feeds
+    * all three rungs (the q107 stage-table discipline, twice); the
+    * bench side of every rung materializes once and broadcasts to
+    * both snapshot probes; every exchange carries 16-byte id pairs —
+    * the corpus token/shingle streams never shuffle; output is
+    * |bench| rows × 9 small columns.
     */
   private def contamTrend(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val benchKg = docs.filter(isBench)
-      .select(col("doc_id").as("bench_id"),
-        explode(gfunctions.kgram_md5_hashes(toks, DecontamN)).as("hash"))
-      .localCheckpoint() // fans into both snapshot probes — materialize once
-    def exactHits(corpus: DataFrame, outCol: String): DataFrame = corpus
+    val benchT = docs.filter(isBench)
+      .select(col("doc_id"), toks.as("toks")).localCheckpoint()
+    val curT = docs.filter(!isBench)
+      .select(col("doc_id"), toks.as("toks")).localCheckpoint()
+    val nxtT = Snapshot.nextSnapshotDocsOn(docs)
       .filter(col("doc_id") % BenchMod =!= 0)
+      .select(col("doc_id"), toks.as("toks")).localCheckpoint()
+    val benchKg = benchT
+      .select(col("doc_id").as("bench_id"),
+        explode(gfunctions.kgram_md5_hashes(col("toks"), DecontamN)).as("hash"))
+      .localCheckpoint() // fans into both snapshot probes — materialize once
+    def exactHits(corpusT: DataFrame, outCol: String): DataFrame = corpusT
       .select(col("doc_id"),
-        explode(gfunctions.kgram_md5_hashes(toks, DecontamN)).as("hash"))
+        explode(gfunctions.kgram_md5_hashes(col("toks"), DecontamN)).as("hash"))
       .join(broadcast(benchKg), Seq("hash"))
       .select("doc_id", "bench_id").distinct()
       .groupBy("bench_id").agg(countDistinct("doc_id").as(outCol))
-    val cur = exactHits(docs, "n_exact_cur")
-    val nxt = exactHits(Snapshot.nextSnapshotDocsOn(docs), "n_exact_nxt")
-    val c = coalesce(col("n_exact_cur"), lit(0L))
-    val x = coalesce(col("n_exact_nxt"), lit(0L))
-    docs.filter(isBench).select(col("doc_id").as("bench_id"))
-      .join(cur, Seq("bench_id"), "left")
-      .join(nxt, Seq("bench_id"), "left")
-      .select(col("bench_id"), c.as("n_exact_cur"), x.as("n_exact_nxt"),
-        when(c === 0L && x > 0L, "new_leak")
-          .when(c > 0L && x === 0L, "cleared")
-          .when(x > c, "worse")
-          .when(x < c, "better")
-          .otherwise("stable").as("status"))
+    def fuzzyHits(corpusT: DataFrame, outCol: String): DataFrame =
+      Dedup.nearDupPairsAgainstT(corpusT, benchT)
+        .select(col("ref_id").as("bench_id"), col("doc_id"))
+        .groupBy("bench_id").agg(countDistinct("doc_id").as(outCol))
+    val benchEmb = Dedup.textEmbedMd5From(benchT).localCheckpoint()
+    def semHits(corpusT: DataFrame, outCol: String): DataFrame =
+      semContamPairsOn(Dedup.textEmbedMd5From(corpusT), benchEmb)
+        .filter(col("sim") >= SemTau)
+        .groupBy("bench_id").agg(countDistinct("doc_id").as(outCol))
+    def st(c: Column, x: Column): Column =
+      when(c === 0L && x > 0L, "new_leak")
+        .when(c > 0L && x === 0L, "cleared")
+        .when(x > c, "worse")
+        .when(x < c, "better")
+        .otherwise("stable")
+    val legs = Seq(
+      exactHits(curT, "n_exact_cur"), exactHits(nxtT, "n_exact_nxt"),
+      fuzzyHits(curT, "n_fuzzy_cur"), fuzzyHits(nxtT, "n_fuzzy_nxt"),
+      semHits(curT, "n_sem_cur"), semHits(nxtT, "n_sem_nxt"))
+    val joined = legs.foldLeft(
+      benchT.select(col("doc_id").as("bench_id")))((acc, l) =>
+      acc.join(l, Seq("bench_id"), "left"))
+    def z(n: String): Column = coalesce(col(n), lit(0L))
+    joined.select(
+      col("bench_id"),
+      z("n_exact_cur").as("n_exact_cur"), z("n_exact_nxt").as("n_exact_nxt"),
+      st(z("n_exact_cur"), z("n_exact_nxt")).as("st_exact"),
+      z("n_fuzzy_cur").as("n_fuzzy_cur"), z("n_fuzzy_nxt").as("n_fuzzy_nxt"),
+      st(z("n_fuzzy_cur"), z("n_fuzzy_nxt")).as("st_fuzzy"),
+      z("n_sem_cur").as("n_sem_cur"), z("n_sem_nxt").as("n_sem_nxt"),
+      st(z("n_sem_cur"), z("n_sem_nxt")).as("st_sem"))
   }
+
+  /** One rendering of the per-rung status law (reads two aggregate
+    * columns, both already COALESCEd at the splice site). */
+  private def trendStatusSql(c: String, x: String): String =
+    s"""CASE WHEN $c = 0 AND $x > 0 THEN 'new_leak'
+             WHEN $c > 0 AND $x = 0 THEN 'cleared'
+             WHEN $x > $c THEN 'worse'
+             WHEN $x < $c THEN 'better'
+             ELSE 'stable' END"""
 
   val q110 = GraftQuery(
     "q110_contam_trend",
@@ -558,7 +594,7 @@ object TrainPrep {
         FROM documents),
       tnxt AS (
         SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '') AS toks
-        FROM nxtdocs),
+        FROM nxtdocs WHERE doc_id % $BenchMod <> 0),
       ${kgramShOver("tcur", "shc")},
       ${kgramShOver("tnxt", "shn")},
       ec AS (
@@ -569,19 +605,56 @@ object TrainPrep {
       en AS (
         SELECT b.doc_id AS bench_id, CAST(COUNT(DISTINCT c.doc_id) AS BIGINT) AS n
         FROM shn c JOIN shc b USING (hash)
-        WHERE c.doc_id % $BenchMod <> 0 AND b.doc_id % $BenchMod = 0
+        WHERE b.doc_id % $BenchMod = 0
+        GROUP BY b.doc_id),
+      ${Dedup.minhashSigCtes("tcur", "fc")},
+      ${Dedup.minhashSigCtes("tnxt", "fn")},
+      ${Dedup.nearDupPairCtes2("zc",
+        s"SELECT * FROM fcsigb WHERE doc_id % $BenchMod <> 0", "fchx",
+        s"SELECT * FROM fcsigb WHERE doc_id % $BenchMod = 0", "fchx")},
+      ${Dedup.nearDupPairCtes2("zn",
+        "SELECT * FROM fnsigb", "fnhx",
+        s"SELECT * FROM fcsigb WHERE doc_id % $BenchMod = 0", "fchx")},
+      fca AS (
+        SELECT ref_id AS bench_id, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n
+        FROM zcest WHERE est_jaccard >= 0.5 GROUP BY ref_id),
+      fna AS (
+        SELECT ref_id AS bench_id, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n
+        FROM znest WHERE est_jaccard >= 0.5 GROUP BY ref_id),
+      ${Dedup.tokenHashOver("tcur", "ctokh")},
+      ${Dedup.textEmbedOver("ctokh", "c")},
+      ${Dedup.tokenHashOver("tnxt", "xtokh")},
+      ${Dedup.textEmbedOver("xtokh", "x")},
+      bv AS (SELECT * FROM cemb WHERE doc_id % $BenchMod = 0),
+      cv AS (SELECT * FROM cemb WHERE doc_id % $BenchMod <> 0),
+      xv AS (SELECT * FROM xemb),
+      smc AS (
+        SELECT b.doc_id AS bench_id, CAST(COUNT(DISTINCT c.doc_id) AS BIGINT) AS n
+        FROM cv c CROSS JOIN bv b
+        WHERE ${semDotSql("c", "b")} >= $SemTau
+        GROUP BY b.doc_id),
+      smn AS (
+        SELECT b.doc_id AS bench_id, CAST(COUNT(DISTINCT c.doc_id) AS BIGINT) AS n
+        FROM xv c CROSS JOIN bv b
+        WHERE ${semDotSql("c", "b")} >= $SemTau
         GROUP BY b.doc_id)
       SELECT d.doc_id AS bench_id,
         COALESCE(ec.n, 0) AS n_exact_cur,
         COALESCE(en.n, 0) AS n_exact_nxt,
-        CASE WHEN COALESCE(ec.n, 0) = 0 AND COALESCE(en.n, 0) > 0 THEN 'new_leak'
-             WHEN COALESCE(ec.n, 0) > 0 AND COALESCE(en.n, 0) = 0 THEN 'cleared'
-             WHEN COALESCE(en.n, 0) > COALESCE(ec.n, 0) THEN 'worse'
-             WHEN COALESCE(en.n, 0) < COALESCE(ec.n, 0) THEN 'better'
-             ELSE 'stable' END AS status
+        ${trendStatusSql("COALESCE(ec.n, 0)", "COALESCE(en.n, 0)")} AS st_exact,
+        COALESCE(fca.n, 0) AS n_fuzzy_cur,
+        COALESCE(fna.n, 0) AS n_fuzzy_nxt,
+        ${trendStatusSql("COALESCE(fca.n, 0)", "COALESCE(fna.n, 0)")} AS st_fuzzy,
+        COALESCE(smc.n, 0) AS n_sem_cur,
+        COALESCE(smn.n, 0) AS n_sem_nxt,
+        ${trendStatusSql("COALESCE(smc.n, 0)", "COALESCE(smn.n, 0)")} AS st_sem
       FROM documents d
       LEFT JOIN ec ON ec.bench_id = d.doc_id
       LEFT JOIN en ON en.bench_id = d.doc_id
+      LEFT JOIN fca ON fca.bench_id = d.doc_id
+      LEFT JOIN fna ON fna.bench_id = d.doc_id
+      LEFT JOIN smc ON smc.bench_id = d.doc_id
+      LEFT JOIN smn ON smn.bench_id = d.doc_id
       WHERE d.doc_id % $BenchMod = 0
       ORDER BY bench_id"""),
     prod = Some((s, d) => contamTrend(s, d)),

@@ -138,7 +138,7 @@ class ByteBudgetSpec extends AnyFunSuite {
     // (q38's class — the corpus shingle stream never shuffles).
     ("q108_link_pagerank", 447232L, 1341696L),
     ("q109_link_components", 780440L, 2341320L),
-    ("q110_contam_trend", 1723L, 5169L),
+    ("q110_contam_trend", 49863L, 149589L), // full three-rung trend (exact was 1,723 B alone)
     // q107 runs all three contamination rungs as (16-byte id-pair)
     // aggregates over one tokenized scan; bench sides broadcast.
     // r20 recal: dropped the redundant pre-join .distinct() on the

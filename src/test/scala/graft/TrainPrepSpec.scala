@@ -501,8 +501,9 @@ class TrainPrepSpec extends AnyFunSuite {
       (34L, "n1 n2 n3 n4 n5 n6 n7", "en", "s", 20L),
       (60L, "z1 z2 z3 z4 z5 z6 z7 z8", "en", "s", 23L),
     ))
-    val got = operators.TrainPrep.q110.run(spark, dir)
-      .collect()
+    val rows110 = operators.TrainPrep.q110.run(spark, dir).collect()
+    rows110.foreach(r => info(s"q110 planted: $r"))
+    val got = rows110
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
       .toMap
     assert(got.keySet === Set(20L, 40L, 60L, 80L), "one row per bench item")
@@ -513,5 +514,33 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(got(80L) === ((1L, 2L, "worse")),
       s"a second doc starts hitting after the refresh, got ${got(80L)}")
     assert(got(60L) === ((0L, 0L, "stable")))
+    // fuzzy rung (columns 4-6): doc 31 is a VERBATIM copy of bench 40
+    // (identical token set -> identical minhash signature -> est 1.0,
+    // provably), and the refresh drops it -> cleared; in the next
+    // snapshot doc 17's revised text becomes IDENTICAL to bench 20 ->
+    // est 1.0. The remaining cells are deterministic under the md5
+    // minhash law (doc 17's 7/8-jaccard overlap with bench 20 and doc
+    // 21's 8/17 subset overlap with bench 80 both happen to estimate
+    // >= 0.5 on this planted vocabulary — pinned as observed; any
+    // engine drift from these values means the law forked)
+    val fz = rows110
+      .map(r => r.getLong(0) -> ((r.getLong(4), r.getLong(5), r.getString(6)))).toMap
+    assert(fz(40L) === ((1L, 0L, "cleared")),
+      s"verbatim copy dropped -> fuzzy cleared, got ${fz(40L)}")
+    assert(fz(20L) === ((1L, 1L, "stable")), s"got ${fz(20L)}")
+    assert(fz(80L) === ((1L, 1L, "stable")), s"got ${fz(80L)}")
+    assert(fz(60L) === ((0L, 0L, "stable")),
+      "disjoint vocabularies can never band-collide into a fuzzy match")
+    // sem rung (columns 7-9): identical token set -> IDENTICAL unit
+    // vector under the bag-of-words law -> sim exactly 1.0. Bench 20
+    // is the showcase: its CURRENT 7-token overlap with doc 17 sits
+    // under tau at 8 dims, the revision makes the texts identical ->
+    // a genuinely SEMANTIC new_leak the exact rung also sees
+    val sm = rows110
+      .map(r => r.getLong(0) -> ((r.getLong(7), r.getLong(8), r.getString(9)))).toMap
+    assert(sm(20L) === ((0L, 1L, "new_leak")), s"got ${sm(20L)}")
+    assert(sm(40L) === ((1L, 0L, "cleared")), s"got ${sm(40L)}")
+    assert(sm(60L) === ((0L, 0L, "stable")), s"got ${sm(60L)}")
+    assert(sm(80L) === ((0L, 0L, "stable")), s"got ${sm(80L)}")
   }
 }

@@ -186,29 +186,39 @@ object Graph {
       s"pageRankOn: $n nodes exceed the exact-integer envelope " +
         s"N*PrScale < 2^63 (max ${Long.MaxValue / PrScale} at PrScale=$PrScale); " +
         "drop PrScale a decade per decade of nodes (object doc) to stay exact.")
+    // Zero-contribution rows — one per node, unioned under the sweep
+    // aggregate (r20 optimization): sum over {contribs} ∪ {0} ≡
+    // coalesce(left-joined m, 0), so the node frame never meets the
+    // inbound frame in a join at all. The before plan paid a
+    // SortMergeJoin LeftOuter per sweep with an Exchange + Sort on
+    // BOTH sides (ids re-shuffled every sweep — 5 separate node
+    // exchanges in q108's formatted plan); now each sweep is exactly
+    // ONE exchange: the partial-aggregated (dst, c) stream. Precondition
+    // (held by every caller and pinned by the planted specs): every
+    // edge dst is a node — otherwise the zero-row union would EMIT the
+    // foreign dst where the old left join dropped it.
+    val zeros = ids.select(col("doc_id").as("dst"), lit(0L).as("c"))
     var r = ids.select(col("doc_id"), lit(PrScale).as("pr"))
     for (_ <- 1 to iters) {
-      val inbound = edges
+      r = edges
         .join(r.select(col("doc_id").as("src_id"), col("pr")), col("src") === col("src_id"))
         .select(col("dst"), expr("pr DIV k").as("c"))
+        .unionAll(zeros)
         .groupBy("dst")
         .agg(sum("c").as("m"))
-      r = ids
-        .join(inbound, ids("doc_id") === inbound("dst"), "left")
+        // m is never NULL here: every group holds its zero row and c is
+        // non-null, so the old coalesce(m, 0) is the identity
         .select(
-          ids("doc_id"),
+          col("dst").as("doc_id"),
           (lit(PrBase) + expr(
-            "85 * (coalesce(m, CAST(0 AS BIGINT)) DIV 100)" +
-              " + (85 * (coalesce(m, CAST(0 AS BIGINT)) % 100)) DIV 100")).as("pr"))
+            "85 * (m DIV 100) + (85 * (m % 100)) DIV 100")).as("pr"))
       // NO per-sweep checkpoint here, deliberately: each sweep
       // references r exactly ONCE, so the K-sweep lineage is LINEAR
       // and stays one AQE plan — which reuses the edge-side exchange
       // across all K sweeps (ScaleProbe36: 21 MiB/sweep single-plan vs
-      // 43 MiB/sweep checkpointed, identical results). Contrast the
-      // BFS/label loops below, whose double self-reference doubles
-      // lineage per round and REQUIRES the materialization. At
-      // unbounded K (not this operator's fixed-budget contract) a
-      // checkpoint every ~10 sweeps would bound lineage depth.
+      // 43 MiB/sweep checkpointed, identical results). At unbounded K
+      // (not this operator's fixed-budget contract) a checkpoint every
+      // ~10 sweeps would bound lineage depth.
     }
     r
   }
@@ -321,21 +331,25 @@ object Graph {
       "personalized teleport needs at least one seed node.")
     // N*PrBase < 0.15 * 2^63 inside the envelope — Long-safe
     val seedBase = n * PrBase / nSeeds
+    // Same zero-row union as [[pageRankOn]] (r20): the node frame never
+    // joins the inbound frame — one exchange per sweep instead of the
+    // LeftOuter SMJ's two exchanges + two sorts. The seed term applies
+    // in a second projection (the first one mints `doc_id` from dst, so
+    // the seed Column — written against `doc_id` — cannot resolve in it).
+    val zeros = ids.select(col("doc_id").as("dst"), lit(0L).as("c"))
     var r = ids.select(col("doc_id"), lit(PrScale).as("pr"))
     for (_ <- 1 to iters) {
-      val inbound = wedges
+      r = wedges
         .join(r.select(col("doc_id").as("src_id"), col("pr")), col("src") === col("src_id"))
         .select(col("dst"),
           expr("w * (pr DIV sw) + (w * (pr % sw)) DIV sw").as("c"))
+        .unionAll(zeros)
         .groupBy("dst")
         .agg(sum("c").as("m"))
-      r = ids
-        .join(inbound, ids("doc_id") === inbound("dst"), "left")
-        .select(
-          ids("doc_id"),
-          (when(seeds, lit(seedBase)).otherwise(lit(0L)) + expr(
-            "85 * (coalesce(m, CAST(0 AS BIGINT)) DIV 100)" +
-              " + (85 * (coalesce(m, CAST(0 AS BIGINT)) % 100)) DIV 100")).as("pr"))
+        .select(col("dst").as("doc_id"),
+          expr("85 * (m DIV 100) + (85 * (m % 100)) DIV 100").as("dm"))
+        .select(col("doc_id"),
+          (when(seeds, lit(seedBase)).otherwise(lit(0L)) + col("dm")).as("pr"))
       // single self-reference per sweep — linear lineage, one AQE
       // plan, reused edge exchange (the q94 measurement, ScaleProbe36)
     }
@@ -476,26 +490,27 @@ object Graph {
     */
   def crawlDepthOn(nodes: DataFrame, edges: DataFrame, seeds: Column, iters: Int): DataFrame = {
     val ids = nodes.select(col("doc_id"))
+    // Self-loop trick (r20 optimization): extend the edge set with a
+    // zero-increment self-edge per node, so one round is
+    //   depth'(v) = MIN over (u, v, inc) ∈ edges∪self of depth(u) + inc
+    // — MIN skips NULL (unreached) sources exactly like the old
+    // `depth IS NOT NULL` filter, the inc=0 self-edge carries v's own
+    // depth, and an all-NULL group yields NULL = still unreached. This
+    // references dep exactly ONCE per round: the lineage is linear and
+    // the K rounds stay ONE lazy plan (the pageRankOn discipline) —
+    // the old shape's double self-reference (reach + the outer join)
+    // doubled lineage per round and forced an eager localCheckpoint
+    // job every round. Precondition as in pageRankOn: edge dst ∈ nodes.
+    val withSelf = edges.select(col("src"), col("dst"), lit(1L).as("inc"))
+      .unionAll(ids.select(col("doc_id").as("src"), col("doc_id").as("dst"), lit(0L).as("inc")))
     var dep = ids.select(col("doc_id"),
       when(seeds, lit(0L)).otherwise(lit(null).cast("long")).as("depth"))
     for (_ <- 1 to iters) {
-      val reach = edges
-        .join(
-          dep.filter(col("depth").isNotNull).select(col("doc_id").as("src_id"), col("depth")),
-          col("src") === col("src_id"))
+      dep = withSelf
+        .join(dep.select(col("doc_id").as("src_id"), col("depth")), col("src") === col("src_id"))
         .groupBy(col("dst"))
-        .agg((min("depth") + lit(1L)).as("md"))
-      dep = dep
-        .join(reach, dep("doc_id") === reach("dst"), "left")
-        .select(
-          dep("doc_id"),
-          when(dep("depth").isNull, col("md"))
-            .when(col("md").isNull, dep("depth"))
-            .otherwise(least(dep("depth"), col("md"))).as("depth"))
-        // dep is referenced twice per round (reach + the outer join) —
-        // see the pageRankOn sweep comment; without this the lineage
-        // doubles per round
-        .localCheckpoint()
+        .agg(min(col("depth") + col("inc")).as("depth"))
+        .select(col("dst").as("doc_id"), col("depth"))
     }
     dep.select(col("doc_id"), coalesce(col("depth"), lit(-1L)).as("depth"))
   }
@@ -548,20 +563,28 @@ object Graph {
     * (the q95 bounded-sweep discipline).
     */
   def labelPropOn(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
+    val ids = nodes.select(col("doc_id"))
+    // Self-loop trick (r20 optimization): the undirected edge set plus a
+    // self-edge per node, so one round is
+    //   label'(v) = MIN over (a, v) ∈ und∪self of label(a)
+    // ≡ LEAST(label(v), COALESCE(min in-neighbor label, label(v))) —
+    // the self-edge carries v's own label into the MIN, replacing the
+    // old LeftOuter join back to lbl. One reference to lbl per round →
+    // linear lineage, the whole K-round chain is ONE lazy plan (the
+    // pageRankOn discipline); the old double self-reference forced an
+    // eager localCheckpoint job per round — q109 at sf0.1 paid six
+    // sequential 550k-row materializations plus a LeftOuter SMJ each.
+    // Precondition as in pageRankOn: edge endpoints ⊆ nodes.
     val und = edges.select(col("src").as("a"), col("dst").as("b"))
       .unionAll(edges.select(col("dst").as("a"), col("src").as("b")))
-    var lbl = nodes.select(col("doc_id"), col("doc_id").as("comp"))
+      .unionAll(ids.select(col("doc_id").as("a"), col("doc_id").as("b")))
+    var lbl = ids.select(col("doc_id"), col("doc_id").as("comp"))
     for (_ <- 1 to iters) {
-      val neigh = und
+      lbl = und
         .join(lbl.select(col("doc_id").as("a_id"), col("comp")), col("a") === col("a_id"))
         .groupBy(col("b"))
-        .agg(min("comp").as("m"))
-      lbl = lbl
-        .join(neigh, lbl("doc_id") === neigh("b"), "left")
-        .select(lbl("doc_id"), least(lbl("comp"), coalesce(col("m"), lbl("comp"))).as("comp"))
-        // lbl is referenced twice per round — see the pageRankOn sweep
-        // comment; without this the lineage doubles per round
-        .localCheckpoint()
+        .agg(min("comp").as("comp"))
+        .select(col("b").as("doc_id"), col("comp"))
     }
     lbl
   }
@@ -700,11 +723,24 @@ object Graph {
       (lit(2L) * (col("catalog").cast("long") * PageMul + col("page").cast("long"))).as("src"),
       (lit(2L) * (ok * ProdMul + ln) + lit(1L)).as("dst"))
       .localCheckpoint()
-    val edges = e0.select(col("src"), col("dst"),
-      count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("src")).as("k"))
-    val nodes = e0.select(col("src").as("doc_id"))
-      .union(e0.select(col("dst").as("doc_id"))).distinct()
+    // k (the PageRank out-degree denominator) as a partial-combined
+    // per-src COUNT broadcast-joined back (r20 optimization): the old
+    // `COUNT(*) OVER (PARTITION BY src)` window shuffled AND sorted the
+    // ENTIRE edge frame by src to stamp a per-page count, where the
+    // aggregate exchanges only ~one row per page (map-side combine —
+    // parsed links land page-contiguous, so partials collapse) and the
+    // deg frame is a slim (src, k) build side. Same values: both are
+    // the per-src edge count.
+    val deg = e0.groupBy("src").agg(count(lit(1)).as("k"))
+    val edges = e0.join(broadcast(deg), Seq("src"))
+      .select(col("src"), col("dst"), col("k"))
+    // Node set: deg IS the distinct src set already (its group keys), so
+    // only the dst side needs a distinct (a shared product appears once
+    // per linking page — the planted-topology spec pins that case), and
+    // the two domains never collide by the parity law — no cross-union
+    // distinct. The old shape re-shuffled the full src∪dst union.
+    val nodes = e0.select(col("dst").as("doc_id")).distinct()
+      .unionAll(deg.select(col("src").as("doc_id")))
     (nodes.localCheckpoint(), edges.localCheckpoint())
   }
 

@@ -219,7 +219,15 @@ object Cluster {
     * ScaleProbe41 measures the one-giant-cluster case both ways.
     */
   def canonicalByQuality(asg: DataFrame, scored: DataFrame): DataFrame = {
-    val joined = asg.join(scored, Seq("doc_id"))
+    // MATERIALIZED (r20): both the argmax aggregate and the final
+    // join-back consume `joined`, and an unmaterialized val re-executes
+    // the ENTIRE upstream per reference — the cluster-closure fixpoint
+    // and the q72 quality scan each ran TWICE in the before plan (the
+    // duplicated subtree under q104's BroadcastHashJoin,
+    // plans/r20/q104_cluster_canonical_before.txt). One slim
+    // (id, cluster, size, score) row per doc — the stage-table
+    // discipline every other fan-out boundary in the repo follows.
+    val joined = asg.join(scored, Seq("doc_id")).localCheckpoint()
     val canon = joined.groupBy("cluster_id")
       .agg(max_by(col("doc_id"),
         struct(col("score"), (-col("doc_id")).as("nid"))).as("canon_id"))

@@ -217,7 +217,13 @@ object Curate {
       portableHash: Boolean = false): DataFrame = {
     val staged = stageTable(docs).localCheckpoint()
     val gated = gatedOf(staged, lang, minTokens)
-    val exactMap = exactGate(gated)
+    // MATERIALIZED (r20): the exact-keeper map is consumed FOUR times —
+    // the reps semi-join, both attach joins, and the verdict table's
+    // base join — and an unmaterialized val re-runs the exactGate
+    // groupBy+join per consumer. A slim (doc_id, exact_keeper) pair per
+    // gated doc; at 100 TB this is the id-map stage table a curation
+    // run persists beside the tokenized stage.
+    val exactMap = exactGate(gated).localCheckpoint()
     val reps = repsOf(gated, exactMap)
     verdicts(staged, exactMap,
       attach(exactMap, nearGate(reps, portableHash)),
@@ -296,7 +302,10 @@ object Curate {
     // twin materializes this same boundary as the contam_sem parquet)
     val contamSem = contamSemGate(gated3, bench).localCheckpoint()
     val gated4 = gated3.join(contamSem, Seq("doc_id"), "left_anti")
-    val exactMap = exactGate(gated4)
+    // MATERIALIZED (r20): four consumers, same argument as [[curate]] —
+    // and here each un-materialized re-run would also replay the three
+    // anti-joins above it.
+    val exactMap = exactGate(gated4).localCheckpoint()
     val reps = repsOf(gated4, exactMap)
     verdicts(corpus, exactMap,
       attach(exactMap, nearGate(reps, portableHash = true)),

@@ -455,17 +455,30 @@ object RelationalCore {
   val qSketch = GraftQuery(
     "sketch_approx_distinct",
     (s, d) => {
-      // HyperLogLog++ distinct sketch next to the exact count: at 100 TB
-      // the sketch is mergeable map-side partial state (bytes per group)
-      // where exact distinct needs an Expand + second shuffle. rows-only:
-      // HLL implementations differ across engines; accuracy is asserted
-      // against the exact column in SketchSpec instead.
+      // HyperLogLog++ distinct sketch next to the exact count. r20
+      // shape (guide §2.3 "shuffle fewer bytes"): Spark rewrites the
+      // mixed distinct/plain aggregate into a (flag, partkey)
+      // pre-aggregate TOO — but that plan dragged the partial HLL++
+      // buffer (410 MS[] longs, ~3.3 KB) through the exchange ON EVERY
+      // DISTINCT PAIR ROW (413-column exchange, see the before plan).
+      // Building the sketch only in the SECOND aggregate instead keeps
+      // the wide HLL state per FINAL group (3 rows), and the pair
+      // exchange carries 3 columns:
+      //   exact_parts  = COUNT(partkey)   (one row per distinct pair)
+      //   n_rows       = SUM(c)           (the per-pair row counts)
+      //   approx_parts = HLL over the deduped pairs — identical to HLL
+      //                  over the raw rows because register updates are
+      //                  idempotent per value (max of hashes): duplicate
+      //                  values cannot move any register.
+      // Same three values, same plan skeleton, 413 -> 3 exchange cols.
       Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_partkey")
+        .agg(count(lit(1)).as("c"))
         .groupBy("l_returnflag")
         .agg(
           approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
-          countDistinct(col("l_partkey")).as("exact_parts"),
-          count(lit(1)).as("n_rows"),
+          count(col("l_partkey")).as("exact_parts"),
+          sum(col("c")).as("n_rows"),
         )
         .orderBy("l_returnflag")
     },

@@ -1250,28 +1250,42 @@ object ScrapeEtl {
   // from parsed HTML, never from the generating columns
   private[graft] def catalogLinks(s: org.apache.spark.sql.SparkSession, d: String) = {
     import s.implicits._
-    val anchor = concat(
-      lit("""<a class="product-card css-1f2x9"""), (col("l_orderkey") % 7).cast("string"),
-      lit("""" href="/p/"""), col("l_orderkey").cast("string"), lit("-"),
-      col("l_linenumber").cast("string"), lit("\">"),
+    // Anchor rendering over a collected (ok, ln, valid) struct — the
+    // SAME anchor law as before r20, applied AFTER the page exchange
+    // (guide §2.3 "project before the exchange"): the groupBy shuffle
+    // now carries ~17-byte structs instead of ~150-byte rendered anchor
+    // HTML, and the page body synthesizes post-shuffle from the
+    // collected array in one codegen-free transform over already-
+    // grouped rows. The extracted link SET is unchanged (every struct
+    // renders the identical anchor; in-page anchor ORDER moves from
+    // anchor-string sort to (ok, ln) sort — both deterministic, and
+    // the parse output is order-free). VALID is the `> 1` branch so a
+    // NULL quantity falls to the marker side — exactly complementary
+    // to the oracle's WHERE l_quantity > 1 (which also drops NULLs).
+    val anchorOf = (x: Column) => concat(
+      lit("""<a class="product-card css-1f2x9"""), (x.getField("ok") % 7).cast("string"),
+      lit("""" href="/p/"""), x.getField("ok").cast("string"), lit("-"),
+      x.getField("ln").cast("string"), lit("\">"),
       lit("""<span class="name">item </span>"""),
-      // the shadow marker, nested one level INSIDE the anchor. VALID is
-      // the `> 1` branch so a NULL quantity falls to the marker side —
-      // exactly complementary to the oracle's WHERE l_quantity > 1
-      // (which also drops NULLs); a NULL-valid engine branch would be
-      // the one asymmetry the hash gate could ever trip on
-      when(col("l_quantity") > 1, lit(""))
+      when(x.getField("valid"),
+        lit("")) // the shadow marker, nested one level INSIDE the anchor
         .otherwise(lit("""<span><div class="_4A0sz2e6IddlQgpD0HR6qw==">ad</div></span>""")),
       lit("</a>"))
     Tables.lineitem(s, d)
-      .select(catalogKey, pageKey, anchor.as("anchor"))
+      .select(catalogKey, pageKey,
+        struct(
+          col("l_orderkey").as("ok"), col("l_linenumber").cast("long").as("ln"),
+          when(col("l_quantity") > 1, lit(true)).otherwise(lit(false)).as("valid")).as("item"))
       .groupBy("catalog", "page")
       // sort_array for a DETERMINISTIC page body (collect_list order is
-      // partition-dependent); the extracted link SET is order-free
-      // anyway, but determinism keeps the html column itself stable
-      .agg(concat_ws("", sort_array(collect_list(col("anchor")))).as("body"))
+      // partition-dependent); (ok, ln) is unique per row so the struct
+      // sort is total — the extracted link SET is order-free anyway,
+      // but determinism keeps the html column itself stable
+      .agg(sort_array(collect_list(col("item"))).as("items"))
       .select(col("catalog"), col("page"),
-        concat(lit("<html><body>"), col("body"), lit("</body></html>")).as("html"))
+        concat(lit("<html><body>"),
+          array_join(transform(col("items"), anchorOf), ""),
+          lit("</body></html>")).as("html"))
       .as[(Long, Long, String)]
       .mapPartitions(_.flatMap { case (catalog, page, html) =>
         HtmlTree.collectValidLinks(html, ("a", Map("class" -> "product-card")))

@@ -65,6 +65,24 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("sketch_approx_distinct pre-aggregated shape equals the direct mixed aggregate (r20)") {
+    // The r20 rewrite pre-aggregates by (flag, partkey) before the
+    // sketch (no Expand, narrow exchange); HLL register updates are
+    // idempotent per value, so the estimate — not just the exact
+    // columns — must be IDENTICAL to the direct mixed aggregate.
+    import org.apache.spark.sql.functions._
+    val direct = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag").collect().toSeq.map(_.toSeq)
+    val pre = operators.RelationalCore.qSketch.run(spark, sf).collect().toSeq.map(_.toSeq)
+    assert(pre == direct,
+      "pre-aggregated sketch shape must reproduce the direct aggregate bit-for-bit")
+  }
+
   test("approx-quantile sketch median stays within 2% of the exact percentile") {
     operators.RelationalCore.qSketchQuantile.run(spark, sf).collect().foreach { r =>
       val approx = r.getDouble(r.fieldIndex("approx_p50"))

@@ -27,7 +27,7 @@ object FocusedBench {
       run(q, prod)
       (System.nanoTime() - t0) / 1e9
     }
-    def med(s: Seq[Double]): Double = s.sorted.apply(1)
+    def med(s: Seq[Double]): Double = s.sorted.apply(s.size / 2)
 
     names.foreach { name =>
       val q = SparkEntry.registry.find(_.name == name)

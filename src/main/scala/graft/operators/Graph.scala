@@ -55,6 +55,61 @@ object Graph {
   val PrIters = 5
   val BfsIters = 4
 
+  /** Sweep-broadcast gate (r21): the per-sweep rank/label/depth frame
+    * (N rows × 16 data bytes, ~32 B as a built hash relation) is
+    * broadcast-hinted ONLY when a MEASURED node count sits under this
+    * cap — 2^21 rows ≈ the session's 64 MB broadcast budget, far under
+    * the 8 GB/512M-row hard cap. Below the cap the hint pins the build
+    * side the planner cannot infer (the sweep frame's size estimate
+    * explodes multiplicatively through the join→aggregate chain, so by
+    * sweep 2 the planner broadcasts the EDGE frame instead and the
+    * dst-clustered stream side goes unused); above it the hint is
+    * absent and the join degrades to the planner's size-based choice —
+    * never an ungated broadcast of an unbounded frame (the r20 ADVICE
+    * rule; the count is already in hand from the envelope require).
+    */
+  private val SweepBroadcastMaxNodes = 1L << 21
+
+  /** Lower bound of the broadcast-sweep regime: below this node count
+    * the per-sweep aggregate exchange is a few hundred KB and the r20
+    * shape (planner broadcasts the small static edge frame once,
+    * sweeps pay one tiny exchange each) wins, because the broadcast
+    * shape's K driver-collect/build/AQE-wave jobs carry a FIXED
+    * ~100 ms-class overhead per sweep that dwarfs the bytes saved
+    * (measured at sf0.1: q94/q98/q105 walls +0.3-0.7 s under the
+    * unconditional broadcast shape, while q108/q109 — 50k nodes,
+    * 0.5M/1.05M-row sweep frames — cut 53→42 / 104→44 MB of shuffle).
+    * Between the two bounds the sweep frame is clustered by the
+    * aggregate key and the rank frame is broadcast-hinted; outside
+    * them the r20 shape runs unhinted.
+    */
+  private val SweepClusterMinNodes = 1L << 14
+
+  private def sweepBc(n: Long)(df: DataFrame): DataFrame =
+    if (n >= SweepClusterMinNodes && n <= SweepBroadcastMaxNodes) broadcast(df) else df
+
+  /** The static sweep frame, shaped for the regime [[sweepBc]] picks:
+    * clustered by the aggregate key inside the broadcast-sweep window,
+    * untouched outside it (the clustering only pays off when the rank
+    * side is the build side — under SMJ the edges re-exchange by the
+    * join key anyway).
+    */
+  private def sweepFrame(n: Long, df: DataFrame, key: String): DataFrame =
+    if (n >= SweepClusterMinNodes && n <= SweepBroadcastMaxNodes) clusterBy(df, key) else df
+
+  /** Cluster the static sweep frame by the aggregate key with the
+    * SESSION's shuffle-partition count pinned explicitly: a keyless
+    * `repartition(col)` is AQE-coalescible, and the whole frame
+    * (≤ a few tens of MB at local SFs) coalesces to ONE partition at
+    * the 64 MB advisory size — serializing every sweep onto one core
+    * (measured: q109 4.6 → 5.2 s). The pinned count comes from conf
+    * (both mains derive it from SPARK_GRAFT_CPUS; a cluster session
+    * sizes it to cores), so the parallelism stays scale-parameterized,
+    * not hard-coded.
+    */
+  private def clusterBy(df: DataFrame, key: String): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions, col(key))
+
   /** Seed law for BFS: every doc_id ≡ 0 (mod 97) is a crawl seed. */
   val SeedMod = 97L
 
@@ -186,24 +241,37 @@ object Graph {
       s"pageRankOn: $n nodes exceed the exact-integer envelope " +
         s"N*PrScale < 2^63 (max ${Long.MaxValue / PrScale} at PrScale=$PrScale); " +
         "drop PrScale a decade per decade of nodes (object doc) to stay exact.")
-    // Zero-contribution rows — one per node, unioned under the sweep
-    // aggregate (r20 optimization): sum over {contribs} ∪ {0} ≡
-    // coalesce(left-joined m, 0), so the node frame never meets the
-    // inbound frame in a join at all. The before plan paid a
-    // SortMergeJoin LeftOuter per sweep with an Exchange + Sort on
-    // BOTH sides (ids re-shuffled every sweep — 5 separate node
-    // exchanges in q108's formatted plan); now each sweep is exactly
-    // ONE exchange: the partial-aggregated (dst, c) stream. Precondition
-    // (held by every caller and pinned by the planted specs): every
-    // edge dst is a node — otherwise the zero-row union would EMIT the
-    // foreign dst where the old left join dropped it.
-    val zeros = ids.select(col("doc_id").as("dst"), lit(0L).as("c"))
+    // Zero-contribution rows — one per node, folded INTO the static
+    // edge frame as k-NULL self-edges (r21; r20 unioned them under the
+    // sweep aggregate): the self-edge joins the rank frame on src like
+    // any edge and contributes coalesce(pr DIV NULL, 0) = 0, so
+    // sum-per-dst is unchanged — {in-contribs} ∪ {0} exactly as before.
+    // What the fold buys: the whole frame is now STATIC across sweeps,
+    // so ONE repartition by dst (the sweep aggregate's key) clusters it
+    // once — every sweep's groupBy(dst) is then exchange-free on top of
+    // the single edge exchange, which ReuseExchange dedups across the K
+    // identical subtree references. The r20 shape paid one exchange of
+    // ~|E| partial-aggregated (dst, c) rows PER SWEEP (edges arrive in
+    // scan order, so map-side combine barely collapses); now the loop
+    // shuffles |E|+|N| rows ONCE and each sweep's aggregate emits |N|
+    // rows with no exchange at all. Precondition (held by every caller
+    // and pinned by the planted specs): every edge dst is a node —
+    // otherwise the self-edge union would EMIT the foreign dst where
+    // the old left join dropped it. Cluster note: the rank side rides a
+    // broadcast locally (threshold-gated); where N is too big to
+    // broadcast the sweeps degrade to SMJ-by-src and the dst clustering
+    // goes unused — there the co-location answer is bucketed node/edge
+    // TABLES (sources/Bucketed.scala), as before.
+    val withSelf = edges.select(col("src"), col("dst"), col("k"))
+      .unionAll(ids.select(col("doc_id").as("src"), col("doc_id").as("dst"),
+        lit(null).cast("long").as("k")))
+      .transform(sweepFrame(n, _, "dst"))
     var r = ids.select(col("doc_id"), lit(PrScale).as("pr"))
     for (_ <- 1 to iters) {
-      r = edges
-        .join(r.select(col("doc_id").as("src_id"), col("pr")), col("src") === col("src_id"))
-        .select(col("dst"), expr("pr DIV k").as("c"))
-        .unionAll(zeros)
+      r = withSelf
+        .join(sweepBc(n)(r.select(col("doc_id").as("src_id"), col("pr"))),
+          col("src") === col("src_id"))
+        .select(col("dst"), coalesce(expr("pr DIV k"), lit(0L)).as("c"))
         .groupBy("dst")
         .agg(sum("c").as("m"))
         // m is never NULL here: every group holds its zero row and c is
@@ -227,12 +295,15 @@ object Graph {
     * parquet-edge-table load a cluster run starts from). Note what
     * this does NOT buy: Dataset.localCheckpoint surfaces as
     * UnknownPartitioning (measured — LogicalRDD drops the physical
-    * partitioning), so a pre-repartition would NOT make the sweep
-    * joins exchange-free and is deliberately absent. Locally the rank/
-    * label frame rides a broadcast (8 MB per 1M nodes) so the edge
-    * side never reshuffles anyway; on a cluster with >10^8 nodes the
-    * co-location answer is bucketed node/edge TABLES (sources/
-    * Bucketed.scala), not in-session repartition.
+    * partitioning), so a repartition BEFORE the checkpoint cannot make
+    * the sweeps exchange-free. The r21 loops therefore repartition by
+    * the aggregate key INSIDE the lazy sweep plan (after the
+    * checkpoint), where ReuseExchange dedups the K identical subtrees
+    * into one physical shuffle. Locally the rank/label frame rides a
+    * broadcast (8 MB per 1M nodes) so the edge side never reshuffles
+    * per sweep; on a cluster with >10^8 nodes the co-location answer
+    * is bucketed node/edge TABLES (sources/Bucketed.scala), not
+    * in-session repartition.
     */
   private[graft] def materializedGraph(docs: DataFrame): (DataFrame, DataFrame) = {
     val nodes = docs.localCheckpoint()
@@ -331,19 +402,24 @@ object Graph {
       "personalized teleport needs at least one seed node.")
     // N*PrBase < 0.15 * 2^63 inside the envelope — Long-safe
     val seedBase = n * PrBase / nSeeds
-    // Same zero-row union as [[pageRankOn]] (r20): the node frame never
-    // joins the inbound frame — one exchange per sweep instead of the
-    // LeftOuter SMJ's two exchanges + two sorts. The seed term applies
-    // in a second projection (the first one mints `doc_id` from dst, so
-    // the seed Column — written against `doc_id` — cannot resolve in it).
-    val zeros = ids.select(col("doc_id").as("dst"), lit(0L).as("c"))
+    // Same zero-row fold as [[pageRankOn]] (r21): w/sw-NULL self-edges
+    // in the static frame (c = coalesce(NULL-arithmetic, 0) = 0)
+    // replace the per-sweep zeros union, and one repartition by dst
+    // makes every sweep's aggregate exchange-free over the single
+    // reused edge exchange. The seed term applies in a second
+    // projection (the first one mints `doc_id` from dst, so the seed
+    // Column — written against `doc_id` — cannot resolve in it).
+    val withSelf = wedges.select(col("src"), col("dst"), col("w"), col("sw"))
+      .unionAll(ids.select(col("doc_id").as("src"), col("doc_id").as("dst"),
+        lit(null).cast("long").as("w"), lit(null).cast("long").as("sw")))
+      .transform(sweepFrame(n, _, "dst"))
     var r = ids.select(col("doc_id"), lit(PrScale).as("pr"))
     for (_ <- 1 to iters) {
-      r = wedges
-        .join(r.select(col("doc_id").as("src_id"), col("pr")), col("src") === col("src_id"))
+      r = withSelf
+        .join(sweepBc(n)(r.select(col("doc_id").as("src_id"), col("pr"))),
+          col("src") === col("src_id"))
         .select(col("dst"),
-          expr("w * (pr DIV sw) + (w * (pr % sw)) DIV sw").as("c"))
-        .unionAll(zeros)
+          coalesce(expr("w * (pr DIV sw) + (w * (pr % sw)) DIV sw"), lit(0L)).as("c"))
         .groupBy("dst")
         .agg(sum("c").as("m"))
         .select(col("dst").as("doc_id"),
@@ -447,11 +523,21 @@ object Graph {
     s"""CAST(('0x' || substr(md5('cps:' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
             % $PrCap < least(pr, $PrCap)"""
 
-  /** The q103 kept-id frame over an arbitrary document id population —
-    * the pipeline-stage entry point (rank-weighted corpus keep between
-    * quota and temperature in train_prep_e2e): q94's rank over the
-    * materialized graph, filtered by [[crawlKeepOn]]. Returns slim
+  /** The q103 kept-id frame over a CONTIGUOUS document id population
+    * [0, N) — the pipeline-stage entry point (rank-weighted corpus keep
+    * between quota and temperature in train_prep_e2e): q94's rank over
+    * the materialized graph, filtered by [[crawlKeepOn]]. Returns slim
     * (doc_id, pr) rows for the kept set.
+    *
+    * PRECONDITION (r20 ADVICE): ids must be contiguous [0, N). The
+    * generated edge law dst = (src·A + j·J) mod N only stays inside the
+    * node set for contiguous ids; on a FILTERED population the sweep
+    * law (zero-row self-edges since r20) would emit rows for phantom
+    * dst ids the old left join used to drop. The registry caller feeds
+    * the full documents id space (contiguous by construction);
+    * train_prep_e2e's trainIds masks any non-member by its left-semi
+    * join. A future caller with a filtered population must semi-join
+    * the output back to its ids (slim, broadcastable) or renumber.
     */
   def crawlPriorityKeepOf(docs: DataFrame): DataFrame = {
     val (nodes, edges) = materializedGraph(docs.select(col("doc_id")))
@@ -501,13 +587,20 @@ object Graph {
     // the old shape's double self-reference (reach + the outer join)
     // doubled lineage per round and forced an eager localCheckpoint
     // job every round. Precondition as in pageRankOn: edge dst ∈ nodes.
+    // The repartition by dst (r21, the pageRankOn fold note): one
+    // reused edge exchange, every round's MIN aggregate exchange-free.
+    // NOTE: eager since r21 — one count job over the slim id frame
+    // gates the sweep regime (the pageRankOn discipline).
+    val n = ids.count()
     val withSelf = edges.select(col("src"), col("dst"), lit(1L).as("inc"))
       .unionAll(ids.select(col("doc_id").as("src"), col("doc_id").as("dst"), lit(0L).as("inc")))
+      .transform(sweepFrame(n, _, "dst"))
     var dep = ids.select(col("doc_id"),
       when(seeds, lit(0L)).otherwise(lit(null).cast("long")).as("depth"))
     for (_ <- 1 to iters) {
       dep = withSelf
-        .join(dep.select(col("doc_id").as("src_id"), col("depth")), col("src") === col("src_id"))
+        .join(sweepBc(n)(dep.select(col("doc_id").as("src_id"), col("depth"))),
+          col("src") === col("src_id"))
         .groupBy(col("dst"))
         .agg(min(col("depth") + col("inc")).as("depth"))
         .select(col("dst").as("doc_id"), col("depth"))
@@ -575,13 +668,22 @@ object Graph {
     // eager localCheckpoint job per round — q109 at sf0.1 paid six
     // sequential 550k-row materializations plus a LeftOuter SMJ each.
     // Precondition as in pageRankOn: edge endpoints ⊆ nodes.
+    // The repartition by b (r21, the pageRankOn fold note): one reused
+    // exchange of the 2|E|+|N| undirected frame, every round's MIN
+    // aggregate exchange-free — q109's r20 plan paid a ~|E_und|-row
+    // partial-agg exchange per round (108.9 MB total at sf0.1).
+    // NOTE: eager since r21 — one count job over the slim id frame
+    // gates the sweep regime (the pageRankOn discipline).
+    val n = ids.count()
     val und = edges.select(col("src").as("a"), col("dst").as("b"))
       .unionAll(edges.select(col("dst").as("a"), col("src").as("b")))
       .unionAll(ids.select(col("doc_id").as("a"), col("doc_id").as("b")))
+      .transform(sweepFrame(n, _, "b"))
     var lbl = ids.select(col("doc_id"), col("doc_id").as("comp"))
     for (_ <- 1 to iters) {
       lbl = und
-        .join(lbl.select(col("doc_id").as("a_id"), col("comp")), col("a") === col("a_id"))
+        .join(sweepBc(n)(lbl.select(col("doc_id").as("a_id"), col("comp"))),
+          col("a") === col("a_id"))
         .groupBy(col("b"))
         .agg(min("comp").as("comp"))
         .select(col("b").as("doc_id"), col("comp"))
@@ -724,15 +826,26 @@ object Graph {
       (lit(2L) * (ok * ProdMul + ln) + lit(1L)).as("dst"))
       .localCheckpoint()
     // k (the PageRank out-degree denominator) as a partial-combined
-    // per-src COUNT broadcast-joined back (r20 optimization): the old
+    // per-src COUNT joined back (r20 optimization): the old
     // `COUNT(*) OVER (PARTITION BY src)` window shuffled AND sorted the
     // ENTIRE edge frame by src to stamp a per-page count, where the
     // aggregate exchanges only ~one row per page (map-side combine —
     // parsed links land page-contiguous, so partials collapse) and the
     // deg frame is a slim (src, k) build side. Same values: both are
-    // the per-src edge count.
+    // the per-src edge count. NO explicit broadcast hint (r21, the r20
+    // ADVICE): deg is one row per linking PAGE — unbounded cardinality
+    // at the 100 TB design point, where a forced broadcast is a driver
+    // OOM, not a plan choice. AQE picks BHJ from deg's measured size
+    // wherever it fits (it does at every local SF) and degrades to a
+    // shuffle join gracefully beyond that.
     val deg = e0.groupBy("src").agg(count(lit(1)).as("k"))
-    val edges = e0.join(broadcast(deg), Seq("src"))
+    // The hint is COUNT-GATED (one cheap aggregate job over the
+    // checkpointed e0): without any hint the planner's estimate for an
+    // aggregate over a LogicalRDD is the conf default (huge), so the
+    // join plans as SMJ and pays BOTH exchanges before AQE's runtime
+    // BHJ conversion (measured: +11 MB shuffle on q108/q109).
+    val degBc = if (deg.count() <= SweepBroadcastMaxNodes) broadcast(deg) else deg
+    val edges = e0.join(degBc, Seq("src"))
       .select(col("src"), col("dst"), col("k"))
     // Node set: deg IS the distinct src set already (its group keys), so
     // only the dst side needs a distinct (a shared product appears once
@@ -741,7 +854,15 @@ object Graph {
     // distinct. The old shape re-shuffled the full src∪dst union.
     val nodes = e0.select(col("dst").as("doc_id")).distinct()
       .unionAll(deg.select(col("src").as("doc_id")))
-    (nodes.localCheckpoint(), edges.localCheckpoint())
+    // edges deliberately NOT checkpointed (r21): this graph sits in the
+    // broadcast-sweep regime at bench scale (N ≈ 50k pages+products),
+    // where the loops consume it through ONE reused clusterBy exchange
+    // that already materializes the join exactly once — the old eager
+    // checkpoint was a redundant second full pass over the 500k-row
+    // frame. e0 (the expensive HTML-parse leg) stays pinned, so even
+    // below the regime floor a re-evaluation is one cheap broadcast
+    // join over the checkpointed rows.
+    (nodes.localCheckpoint(), edges)
   }
 
   private def linkGraph(s: SparkSession, d: String): (DataFrame, DataFrame) =

@@ -66,6 +66,36 @@ object Snapshot {
     revised.unionAll(added)
   }
 
+  /** The DELTA slice of [[nextSnapshotDocsOn]] — only the rows whose
+    * text DIFFERS from the current snapshot: revised survivors
+    * (doc_id % 17 = 0, text || " rev2") and the added shifted-id
+    * slice. Same law, same literals, factored as a projection (r21)
+    * so consumers that stage per-doc derivations (q110's trend audit)
+    * recompute only the ~8% that changed and reuse current-snapshot
+    * results for the unchanged rest, which [[survivesUnchanged]]
+    * selects. SnapshotSpec pins
+    * delta ∪ (current ∣ survivesUnchanged) ≡ [[nextSnapshotDocsOn]].
+    */
+  def nextSnapshotDeltaDocsOn(docs: DataFrame): DataFrame = {
+    val n = docs.agg(count(lit(1)).cast("long").as("n"))
+    val revised = docs
+      .filter(col("doc_id") % 31 =!= 0 && col("doc_id") % 17 === 0)
+      .select(col("doc_id"), concat(col("text"), lit(" rev2")).as("text"))
+    val added = docs.filter(col("doc_id") % 41 === 0)
+      .crossJoin(broadcast(n))
+      .select((col("doc_id") + col("n")).as("doc_id"),
+        concat(lit("new doc "), (col("doc_id") + col("n")).cast("string")).as("text"))
+    revised.unionAll(added)
+  }
+
+  /** Predicate over a CURRENT-snapshot doc id: the doc survives into
+    * the next snapshot with byte-identical text — not removed (% 31)
+    * and not revised (% 17). The complement-in-law of
+    * [[nextSnapshotDeltaDocsOn]].
+    */
+  def survivesUnchanged(id: org.apache.spark.sql.Column = col("doc_id")): org.apache.spark.sql.Column =
+    id % 31 =!= 0 && id % 17 =!= 0
+
   /** SQL rendering of [[nextSnapshotDocsOn]] — defines `nn` and
     * `nxtdocs(doc_id, text)`; composable under any oracle that reads
     * the refreshed corpus (q100 hashes it, q110 shingles it).

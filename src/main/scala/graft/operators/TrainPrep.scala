@@ -517,41 +517,84 @@ object TrainPrep {
     * is reserved bench id space and stays out of the corpus by the
     * same predicate in both renderings.
     *
-    * Scale shape: each snapshot's corpus is tokenized ONCE and feeds
-    * all three rungs (the q107 stage-table discipline, twice); the
-    * bench side of every rung materializes once and broadcasts to
-    * both snapshot probes; every exchange carries 16-byte id pairs —
-    * the corpus token/shingle streams never shuffle; output is
+    * Scale shape (r21): the CURRENT corpus is tokenized once and feeds
+    * all three rungs at PAIR level (the q107 stage-table discipline);
+    * the NEXT snapshot's legs touch only the refresh law's DELTA slice
+    * ([[Snapshot.nextSnapshotDeltaDocsOn]], ~8% of the corpus) and
+    * reuse the pinned current-snapshot pair hits for the unchanged
+    * majority — per-doc purity of all three rungs makes the reuse
+    * exact. The bench side of every rung materializes once and
+    * broadcasts to both probes; every exchange carries 16-byte id
+    * pairs — the corpus token/shingle streams never shuffle; output is
     * |bench| rows × 9 small columns.
     */
   private def contamTrend(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val benchT = docs.filter(isBench)
-      .select(col("doc_id"), toks.as("toks")).localCheckpoint()
-    val curT = docs.filter(!isBench)
-      .select(col("doc_id"), toks.as("toks")).localCheckpoint()
-    val nxtT = Snapshot.nextSnapshotDocsOn(docs)
+    // ONE tokenization pass over the current snapshot (the q107 shape —
+    // bench and corpus are filters of the same pinned frame, not two
+    // separate tokenize jobs).
+    val toked = docs.select(col("doc_id"), toks.as("toks")).localCheckpoint()
+    val benchT = toked.filter(isBench)
+    val curT = toked.filter(!isBench)
+    // r21 (the verdict's top item): the refresh law is pure id
+    // arithmetic (Snapshot.nextSnapshotDocsOn), so ~91% of the next
+    // snapshot carries byte-identical text — identical tokens,
+    // shingles, signatures, embeddings, hence identical per-(bench,
+    // doc) hits. The next-snapshot legs therefore tokenize and probe
+    // ONLY the delta slice (revised %17 survivors + the added %41
+    // slice, ~8% of the corpus) and reuse the CURRENT snapshot's
+    // pair-level hits for the unchanged rest, instead of replaying all
+    // three rungs over the full refreshed corpus (the r20 shape
+    // tokenized/shingled/signed/embedded the corpus TWICE — 2.86 s,
+    // the #6 wall).
+    val deltaT = Snapshot.nextSnapshotDeltaDocsOn(docs)
       .filter(col("doc_id") % BenchMod =!= 0)
       .select(col("doc_id"), toks.as("toks")).localCheckpoint()
+    // bench-side derivations stay LAZY: each is a ~|bench| frame over
+    // the pinned toked RDD, and a checkpoint job per frame costs more
+    // than recomputing the slim slice at its two probe sites.
     val benchKg = benchT
       .select(col("doc_id").as("bench_id"),
         explode(gfunctions.kgram_md5_hashes(col("toks"), DecontamN)).as("hash"))
-      .localCheckpoint() // fans into both snapshot probes — materialize once
-    def exactHits(corpusT: DataFrame, outCol: String): DataFrame = corpusT
+    val benchEmb = Dedup.textEmbedMd5From(benchT)
+    // Pair-level hit frames (bench_id, doc_id) — per-doc PURE in the
+    // corpus argument (exact: the doc's own kgram hashes; fuzzy: the
+    // doc's own minhash signature banded against the FIXED bench side,
+    // whose bucket cap applies to bench only; semantic: the doc's own
+    // md5-law embedding dotted against the FIXED bench embeddings).
+    // That purity is what the delta reuse rests on.
+    def exactPairs(corpusT: DataFrame): DataFrame = corpusT
       .select(col("doc_id"),
         explode(gfunctions.kgram_md5_hashes(col("toks"), DecontamN)).as("hash"))
       .join(broadcast(benchKg), Seq("hash"))
-      .select("doc_id", "bench_id").distinct()
-      .groupBy("bench_id").agg(countDistinct("doc_id").as(outCol))
-    def fuzzyHits(corpusT: DataFrame, outCol: String): DataFrame =
+      .select("bench_id", "doc_id").distinct()
+    def fuzzyPairs(corpusT: DataFrame): DataFrame =
       Dedup.nearDupPairsAgainstT(corpusT, benchT)
         .select(col("ref_id").as("bench_id"), col("doc_id"))
-        .groupBy("bench_id").agg(countDistinct("doc_id").as(outCol))
-    val benchEmb = Dedup.textEmbedMd5From(benchT).localCheckpoint()
-    def semHits(corpusT: DataFrame, outCol: String): DataFrame =
+    def semPairs(corpusT: DataFrame): DataFrame =
       semContamPairsOn(Dedup.textEmbedMd5From(corpusT), benchEmb)
         .filter(col("sim") >= SemTau)
-        .groupBy("bench_id").agg(countDistinct("doc_id").as(outCol))
+        .select(col("bench_id"), col("doc_id"))
+    // ONE probe population per rung (r21, measured: at sf0.1 each rung
+    // LEG carries ~0.3-0.5 s of fixed multi-stage latency, so six legs
+    // — cur + delta per rung — cost more than the data): cur and delta
+    // docs union under an INJECTIVE id encoding 2·id + tag (a revised
+    // doc keeps its id, so a bare union would merge two different
+    // token sets under one doc_id inside the signature builders), and
+    // one aggregate per rung splits the three counts back out by tag.
+    // nxt = unch + delta stays exact: the hit sets are disjoint on the
+    // decoded id — revised docs leave the unchanged leg by the same
+    // %17 predicate that routes them into the delta, added ids are new.
+    val probeT = curT.select((col("doc_id") * 2).as("doc_id"), col("toks"))
+      .unionAll(deltaT.select((col("doc_id") * 2 + 1).as("doc_id"), col("toks")))
+    val isCur = col("doc_id") % 2 === 0
+    val origId = expr("doc_id div 2")
+    def rungAgg(pairs: DataFrame, rung: String): DataFrame =
+      pairs.groupBy("bench_id").agg(
+        countDistinct(when(isCur, col("doc_id"))).as(s"n_${rung}_cur"),
+        countDistinct(when(isCur && Snapshot.survivesUnchanged(origId), col("doc_id")))
+          .as(s"n_${rung}_unch"),
+        countDistinct(when(!isCur, col("doc_id"))).as(s"n_${rung}_delta"))
     def st(c: Column, x: Column): Column =
       when(c === 0L && x > 0L, "new_leak")
         .when(c > 0L && x === 0L, "cleared")
@@ -559,21 +602,22 @@ object TrainPrep {
         .when(x < c, "better")
         .otherwise("stable")
     val legs = Seq(
-      exactHits(curT, "n_exact_cur"), exactHits(nxtT, "n_exact_nxt"),
-      fuzzyHits(curT, "n_fuzzy_cur"), fuzzyHits(nxtT, "n_fuzzy_nxt"),
-      semHits(curT, "n_sem_cur"), semHits(nxtT, "n_sem_nxt"))
+      rungAgg(exactPairs(probeT), "exact"),
+      rungAgg(fuzzyPairs(probeT), "fuzzy"),
+      rungAgg(semPairs(probeT), "sem"))
     val joined = legs.foldLeft(
       benchT.select(col("doc_id").as("bench_id")))((acc, l) =>
       acc.join(l, Seq("bench_id"), "left"))
     def z(n: String): Column = coalesce(col(n), lit(0L))
+    def nxt(rung: String): Column = z(s"n_${rung}_unch") + z(s"n_${rung}_delta")
     joined.select(
       col("bench_id"),
-      z("n_exact_cur").as("n_exact_cur"), z("n_exact_nxt").as("n_exact_nxt"),
-      st(z("n_exact_cur"), z("n_exact_nxt")).as("st_exact"),
-      z("n_fuzzy_cur").as("n_fuzzy_cur"), z("n_fuzzy_nxt").as("n_fuzzy_nxt"),
-      st(z("n_fuzzy_cur"), z("n_fuzzy_nxt")).as("st_fuzzy"),
-      z("n_sem_cur").as("n_sem_cur"), z("n_sem_nxt").as("n_sem_nxt"),
-      st(z("n_sem_cur"), z("n_sem_nxt")).as("st_sem"))
+      z("n_exact_cur").as("n_exact_cur"), nxt("exact").as("n_exact_nxt"),
+      st(z("n_exact_cur"), nxt("exact")).as("st_exact"),
+      z("n_fuzzy_cur").as("n_fuzzy_cur"), nxt("fuzzy").as("n_fuzzy_nxt"),
+      st(z("n_fuzzy_cur"), nxt("fuzzy")).as("st_fuzzy"),
+      z("n_sem_cur").as("n_sem_cur"), nxt("sem").as("n_sem_nxt"),
+      st(z("n_sem_cur"), nxt("sem")).as("st_sem"))
   }
 
   /** One rendering of the per-rung status law (reads two aggregate

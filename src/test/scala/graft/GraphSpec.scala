@@ -244,6 +244,38 @@ class GraphSpec extends AnyFunSuite {
       Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 2L))
   }
 
+  test("label propagation: planted blocks resolve at broadcast-sweep scale (r21 regime)") {
+    // 20,000 nodes > SweepClusterMinNodes (2^14): this run takes the
+    // r21 broadcast-sweep path (dst-clustered static frame, per-round
+    // hinted broadcast of the label frame) that no ≤sf0.01 gate
+    // reaches — the planted blocks pin its results exactly. Edges
+    // i → 4·(i div 4): every 4-node block collapses to its root
+    // (undirected diameter 2 < 6 rounds), so comp(i) = 4·(i div 4).
+    import spark.implicits._
+    val n = 20000L
+    val ids = spark.range(n).withColumnRenamed("id", "doc_id")
+    val es = spark.range(n)
+      .select(col("id").as("src"), lit(1L).as("k"),
+        (col("id") - col("id") % 4).as("dst"))
+    val got = Graph.labelPropOn(ids, es, iters = Graph.CompIters)
+      .filter(col("comp") =!= col("doc_id") - col("doc_id") % 4).count()
+    assert(got === 0L)
+  }
+
+  test("crawl depth: planted chain depths at broadcast-sweep scale (r21 regime)") {
+    // 20,000-node forward chain with seeds every 4096 ids — the
+    // broadcast-sweep BFS path: depth(v) = v mod 4096 when within the
+    // 4-round budget, else unreached (-1).
+    val n = 20000L
+    val ids = spark.range(n).withColumnRenamed("id", "doc_id")
+    val chain = spark.range(n - 1)
+      .select(col("id").as("src"), lit(1L).as("k"), (col("id") + 1L).as("dst"))
+    val bad = Graph.crawlDepthOn(ids, chain, col("doc_id") % 4096 === 0, iters = 4)
+      .filter(col("depth") =!= when(col("doc_id") % 4096 <= 4,
+        col("doc_id") % 4096).otherwise(lit(-1L))).count()
+    assert(bad === 0L)
+  }
+
   test("edge law: out-degree 1 + src % 3, dst within [0, N)") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001").select(col("doc_id"))
     val n = docs.count()

@@ -40,4 +40,24 @@ class SnapshotSpec extends AnyFunSuite {
     }
     assert(got.count(_._2 == "added") === (0L until n).count(_ % 41 == 0))
   }
+
+  test("delta ∪ unchanged-survivors ≡ nextSnapshotDocsOn (the q110 reuse law)") {
+    // The r21 trend audit recomputes only nextSnapshotDeltaDocsOn and
+    // reuses current-snapshot results for survivesUnchanged rows; that
+    // is sound iff the two slices partition the refreshed corpus
+    // exactly — pinned here row-for-row (doc_id AND text).
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val full = Snapshot.nextSnapshotDocsOn(docs)
+    val recomposed = Snapshot.nextSnapshotDeltaDocsOn(docs)
+      .unionAll(docs.filter(Snapshot.survivesUnchanged()))
+    assert(full.count() === recomposed.count())
+    assert(full.exceptAll(recomposed).count() === 0L)
+    assert(recomposed.exceptAll(full).count() === 0L)
+    // and the slices are disjoint on doc_id (no double counting)
+    val deltaIds = Snapshot.nextSnapshotDeltaDocsOn(docs).select("doc_id")
+    assert(deltaIds.intersect(
+      docs.filter(Snapshot.survivesUnchanged()).select("doc_id")).count() === 0L)
+  }
 }

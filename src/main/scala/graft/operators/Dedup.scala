@@ -1677,11 +1677,27 @@ object Dedup {
     * downstream of the raster is the production code path
     * ([[simhashBandDecisions]], shared with simhash/image-phash).
     */
-  private def twinGray(gid: Column, docId: Column, x: Int, y: Int): Column = {
-    val base = conv(
-      substring(md5(concat_ws(":",
-        gid.cast("string"), lit(x.toString), lit(y.toString)).cast("binary")), 1, 2),
-      16, 10).cast("int")
+  /** One md5 digest per GROUP feeds every cell by shift-XOR double
+    * hashing (r21, the round-4 one-digest minhash move applied here):
+    * the old law paid 70 md5+conv evaluations per document (one per
+    * cell); now cell i = y·w + x reads
+    *   ((h1 >> (i mod 53)) XOR (h2 >> (i mod 47))) AND 255
+    * with (h1, h2) the two 60-bit hex halves of md5(gid) — ONE digest
+    * per row and 70 constant-shift integer ops. The shift pair is
+    * injective over i < lcm(53, 47) and both shifts leave ≥ 8 live
+    * bits, so cells mix distinct digest windows (a plain
+    * Kirsch-Mitzenmacher h1 + i·h2 mod 256 was tried first and
+    * REJECTED by measurement: the arithmetic progression's gradient
+    * signs are so structured that band values collided across groups —
+    * candidate pairs exploded the decision exchange 393 KB → 2.6 MB).
+    * Same gate semantics: cells are md5-derived integers keyed on the
+    * group id, triples of consecutive docs stay planted near-duplicates
+    * differing only through the (3,5) bump, and the oracle SQL renders
+    * the identical law in lockstep.
+    */
+  private def twinGray(h1: Column, h2: Column, docId: Column, x: Int, y: Int): Column = {
+    val i = y * Multimodal.PhashW + x
+    val base = (shiftright(h1, i % 53).bitwiseXOR(shiftright(h2, i % 47)) % 256L).cast("int")
     if (x == 3 && y == 5) base + (docId % 3).cast("int") * lit(40) else base
   }
 
@@ -1691,9 +1707,13 @@ object Dedup {
     val w = Multimodal.PhashW
     val h = Multimodal.PhashH
     val gid = expr("doc_id DIV 3")
+    val dig = md5(gid.cast("string").cast("binary"))
     val cellCols = for { y <- 0 until h; x <- 0 until w }
-      yield twinGray(gid, col("doc_id"), x, y).as(s"g_${x}_$y")
+      yield twinGray(col("h1"), col("h2"), col("doc_id"), x, y).as(s"g_${x}_$y")
     val cells = Tables.documents(s, d)
+      .select(col("doc_id"),
+        conv(substring(dig, 1, 15), 16, 10).cast("long").as("h1"),
+        conv(substring(dig, 16, 15), 16, 10).cast("long").as("h2"))
       .select(col("doc_id") +: cellCols: _*)
     val phash = (0 until (w - 1) * h).map { i =>
       val x = i % (w - 1); val y = i / (w - 1)
@@ -1708,10 +1728,15 @@ object Dedup {
   val qImagePhashMd5 = GraftQuery(
     "dedup_image_phash_md5",
     (s, d) => imagePhashMd5(s, d).orderBy("doc_id"),
-    Some("""WITH docs AS (SELECT doc_id, doc_id // 3 AS gid FROM documents),
+    Some("""WITH docs AS (
+        SELECT doc_id,
+          CAST(('0x' || substr(md5(CAST(doc_id // 3 AS VARCHAR)), 1, 15)) AS BIGINT) AS h1,
+          CAST(('0x' || substr(md5(CAST(doc_id // 3 AS VARCHAR)), 16, 15)) AS BIGINT) AS h2
+        FROM documents),
       cells AS (
         SELECT doc_id, x, y,
-          CAST(('0x' || substr(md5(gid || ':' || x || ':' || y), 1, 2)) AS INT)
+          CAST(xor(h1 >> CAST((y * 7 + x) % 53 AS INT),
+                   h2 >> CAST((y * 7 + x) % 47 AS INT)) % 256 AS INT)
             + CASE WHEN x = 3 AND y = 5 THEN CAST((doc_id % 3) * 40 AS INT) ELSE 0 END AS gray
         FROM docs
         CROSS JOIN UNNEST(range(0, 7)) AS ux(x)

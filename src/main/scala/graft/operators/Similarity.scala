@@ -1389,8 +1389,11 @@ object Similarity {
       s: org.apache.spark.sql.SparkSession, dir: String,
       emb: DataFrame, k: Int, queries: Int): DataFrame = {
     val dims = Dedup.TextEmbedDims
+    // NOT checkpointed (r21, measured): both consumers (the probe build
+    // and the rerank's broadcast side) re-run a TakeOrdered over the
+    // caller's already-pinned embedding table lazily inside their own
+    // jobs — cheaper than the eager checkpoint job the serve paid first.
     val qr = denseQuerySet(emb, queries)
-      .localCheckpoint() // read by the probe build AND the rerank join
     val qFloat = qr.select(col("query_id").as("vec_id"),
       array((0 until dims).map(j => col(s"q$j").cast("float")): _*).as("embedding"))
     val centroids = Ivf.readCentroids(s, dir)

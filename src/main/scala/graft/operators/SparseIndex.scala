@@ -337,8 +337,12 @@ object SparseIndex {
     val budgeted = budgetTerms(spark, units, qterms)
       .localCheckpoint() // read for the literal prune and the scoring join
     val hs = budgeted.select("h").distinct().collect().map(_.getLong(0)).sorted
+    // NOT checkpointed (r21, measured): the pruned fetch is a ≤16-list
+    // partition/row-group-pruned scan — its 2-3 lazy consumers (the df
+    // count and the scoring joins) re-read ~50 ms of parquet inside one
+    // job, where the old eager checkpoint serialized a 0.2-0.4 s job
+    // into EVERY serve before scoring could start.
     val posted = prunedPostingsOfUnits(spark, units, hs)
-      .localCheckpoint() // read by the df count AND every scoring join
     // derived df over the fetched lists — authoritative for scoring
     val dfd = posted.groupBy("h").agg(count(lit(1)).as("df"))
     (budgeted.join(dfd, Seq("h")), posted, totalsOfUnits(spark, units))

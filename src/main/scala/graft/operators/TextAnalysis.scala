@@ -691,6 +691,12 @@ object TextAnalysis {
     val staged = Tables.documents(s, d)
       .select(col("doc_id"), toks.as("toks"))
       .localCheckpoint()
+    // NOTE (r21, measured): re-hashing the prefix word per bigram looks
+    // redundant next to a per-token hash array (transform(toks, md5h) +
+    // element_at after posexplode), but that shape measured 15.1 s vs
+    // 1.4 s here — the md5h lambda makes transform() CodegenFallback
+    // (the ScaleProbe8 minhash lesson) and the carried array duplicates
+    // across every exploded row. Two codegen'd md5s per bigram win.
     val big = staged
       .select(col("doc_id"), explode(shingles(col("toks"), 2)).as("bigram"))
       .select(

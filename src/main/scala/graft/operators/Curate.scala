@@ -278,30 +278,28 @@ object Curate {
     val bench = staged.filter(col("doc_id") % 20 === 0)
     val corpus = staged.filter(col("doc_id") % 20 =!= 0)
     val gated = gatedOf(corpus, lang, minTokens)
-    // MATERIALIZED (a small id list), like contamSem below: the exact
-    // gate's id list feeds gated2 and the final verdict table, and the
-    // verdict table fans out into the exact/near/family/decision
-    // branches — un-materialized, the 8-gram corpus × bench probe
-    // re-executes once per branch (the staged twin persists this same
-    // boundary as the contam parquet stage)
-    val contam = contamGate(gated, bench).localCheckpoint()
-    val gated2 = gated.join(contam, Seq("doc_id"), "left_anti")
-    // fuzzy contamination (q88's law) drops paraphrased benchmark items
-    // the exact 8-gram gate misses — a distinct verdict, and a further
-    // population cut BEFORE dedup (r17 judge item). MATERIALIZED for
-    // the same fan-out reason as the exact gate above.
-    val contamFuzzy = contamFuzzyGate(gated2, bench).localCheckpoint()
-    val gated3 = gated2.join(contamFuzzy, Seq("doc_id"), "left_anti")
-    // semantic contamination (q99's law) drops REWRITTEN benchmark
-    // items that share no n-grams or shingles at all — the third rung,
-    // again cut before dedup so a contaminated doc never keeps a slot.
-    // MATERIALIZED (a small id list): gated4 fans out into the exact/
-    // near/family branches, and an un-materialized sem gate would
-    // re-run its corpus × bench scoring once per branch (and repeat
-    // its nested-loop subplan through the whole plan tree — the staged
-    // twin materializes this same boundary as the contam_sem parquet)
-    val contamSem = contamSemGate(gated3, bench).localCheckpoint()
-    val gated4 = gated3.join(contamSem, Seq("doc_id"), "left_anti")
+    // r21: all three contamination rungs are PER-DOC PURE in their
+    // corpus argument — a doc's 8-gram hits, minhash-band hits, and
+    // embedding dot against the FIXED bench side depend only on its own
+    // tokens (the bench bucket cap binds the reference side only). So a
+    // rung's hit set over a pre-filtered population equals its hit set
+    // over `gated` intersected with that population, and the r20
+    // gate → anti-join → gate chain (three SERIAL checkpoint jobs, each
+    // waiting on the previous rung over a ~2% smaller population)
+    // computes the same verdicts as three INDEPENDENT rungs over
+    // `gated`: the verdict when-chain already ranks overlapping hits
+    // (exact ≻ fuzzy ≻ semantic), and the dedup population below is
+    // gated \ (∪ hits) either way. One tagged union materializes all
+    // three rungs in ONE checkpoint job whose independent legs share
+    // the staged scan and run concurrently instead of back-to-back.
+    val hits = contamGate(gated, bench).select(col("doc_id"), lit("x").as("rung"))
+      .unionAll(contamFuzzyGate(gated, bench).select(col("doc_id"), lit("f").as("rung")))
+      .unionAll(contamSemGate(gated, bench).select(col("doc_id"), lit("s").as("rung")))
+      .localCheckpoint()
+    val contam = hits.filter(col("rung") === "x").select("doc_id")
+    val contamFuzzy = hits.filter(col("rung") === "f").select("doc_id")
+    val contamSem = hits.filter(col("rung") === "s").select("doc_id")
+    val gated4 = gated.join(hits.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
     // MATERIALIZED (r20): four consumers, same argument as [[curate]] —
     // and here each un-materialized re-run would also replay the three
     // anti-joins above it.
